@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tooling only, not
+part of the engine). Usage:
+
+  python3 tools/check.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet dir dumped by graft.Verify, re-runs the
+matching oracle SQL from oracle_sql.json in DuckDB against the sf_dir
+parquet tables, canonicalizes both (columns sorted by name, rows
+sorted, floats rounded) and compares.
+"""
+import json, math, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = f"{v:.6g}"
+            vals.append(str(v))
+        out.append("|".join(vals))
+    out.sort()
+    return out
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for tname in TABLES:
+        p = f"{sfdir}/{tname}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        pdir = f"{outdir}/{name}"
+        files = glob.glob(f"{pdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchall()
+            gcols = [d[0] for d in con.description]
+            want = con.execute(sql).fetchall()
+            wcols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if sorted(gcols) != sorted(wcols):
+            print(f"FAIL {name}: cols {sorted(gcols)} != {sorted(wcols)}")
+            n_fail += 1
+            continue
+        g, w = canon(got, gcols), canon(want, wcols)
+        if g == w:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows differ ({len(g)} vs {len(w)})")
+            for a, b in list(zip(g, w))[:3]:
+                if a != b:
+                    print(f"  got  {a[:200]}\n  want {b[:200]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
