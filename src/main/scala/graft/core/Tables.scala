@@ -28,7 +28,9 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer `div`, NOT `/`: float division of ~1.7e18 ns exceeds
+        // double mantissa precision and yields off-by-one microseconds
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -10,12 +11,20 @@ import graft.core.Tables
   * Every entry is a declarative DataFrame plan: Catalyst gets predicate
   * pushdown, column pruning, partial aggregation and join-strategy
   * selection for free, so each of these plans survives a 100 TB input
-  * as long as partitioning is respected (notes per query).
+  * as long as partitioning is respected (scaleNote per query).
   *
   * Reference semantics: the reference engine
   * (keyasuda/llm-batch-processor) implements NO relational operators
-  * (SURVEY.md §2A note, reference lib/job_processor.rb:15-53) — these
-  * are the engine-extension set mandated for the DuckDB-oracle gate.
+  * (SURVEY.md §2A, reference lib/job_processor.rb:15-53) — these are
+  * the engine-extension set mandated for the DuckDB-oracle gate.
+  *
+  * Determinism rules observed throughout (oracle = hash compare):
+  *  - every window orderBy / LIMIT has a total tie-break;
+  *  - computed integer columns are cast to LONG so the dumped parquet
+  *    schema matches DuckDB's BIGINT;
+  *  - no raw timestamp output columns (Spark writes them
+  *    adjusted-to-UTC which DuckDB reads as TIMESTAMPTZ) — dates or
+  *    epoch numbers instead.
   */
 object Relational extends Catalog {
 
@@ -27,8 +36,8 @@ object Relational extends Catalog {
     col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
   override def queries: Map[String, Q] = Map(
-    // E6: hash aggregate, multiple keys, sum/avg/count — TPC-H Q1 shape.
-    // Scale: partial (map-side) + final agg; 6 groups → no skew concern.
+
+    // ----- E6: hash aggregate, multiple keys — TPC-H Q1 shape -------
     "q01_agg_pricing_summary" -> Q(
       fn = (s, d) =>
         t(s, d, "lineitem")
@@ -54,6 +63,442 @@ object Relational extends Catalog {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus"""),
-      scaleNote = "map-side partial agg; 6 output groups; filter pushed to parquet scan")
+      scaleNote = "map-side partial agg; 6 output groups; shipdate filter pushed to parquet scan"),
+
+    // ----- E2/E3: projection + computed col + range/IN filter -------
+    "q02_filter_project" -> Q(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .filter(
+            col("l_shipdate").between(
+              lit("1996-01-01").cast("timestamp"),
+              lit("1996-12-31").cast("timestamp")) &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity").isin(10.0, 20.0, 30.0, 40.0, 50.0))
+          .select(
+            col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            revenue.as("rev")),
+      sql = Some("""
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS rev
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity IN (10, 20, 30, 40, 50)"""),
+      scaleNote = "pure scan-side work: all three predicates + 4-col projection push to parquet; no shuffle at all"),
+
+    // ----- E3: LIKE / IN filters on strings --------------------------
+    "q03_like_filter" -> Q(
+      fn = (s, d) =>
+        t(s, d, "part")
+          .filter(
+            (col("p_type").like("%ECONOMY%") || col("p_name").like("small%")) &&
+            col("p_size").isin(1, 5, 10))
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+            col("p_retailprice")),
+      sql = Some("""
+        SELECT p_partkey, p_name, p_brand, p_retailprice
+        FROM part
+        WHERE (p_type LIKE '%ECONOMY%' OR p_name LIKE 'small%')
+          AND p_size IN (1, 5, 10)"""),
+      scaleNote = "StartsWith + In push down to parquet; Contains-LIKE evaluated in scan stage; no shuffle"),
+
+    // ----- E4: multi-way inner join + broadcast dims ----------------
+    "q04_join_revenue_by_nation" -> Q(
+      fn = (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o  = t(s, d, "orders")
+        val c  = t(s, d, "customer")
+        val n  = t(s, d, "nation")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(revenue).as("revenue"),
+               count(lit(1)).as("n_items"))
+      },
+      sql = Some("""
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)"""),
+      scaleNote = "fact-fact join shuffles on orderkey once; customer then nation are dim joins — nation/region broadcast at any SF, customer broadcast below ~1 GB"),
+
+    // ----- E4: right outer join (oracle spelled as LEFT, same op) ---
+    "q05_outer_join_counts" -> Q(
+      fn = (s, d) => {
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        // right outer: keep every customer, orders optional
+        o.join(c, col("o_custkey") === col("c_custkey"), "right")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+               coalesce(sum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      },
+      sql = Some("""
+        SELECT c_custkey, count(o_orderkey) AS n_orders,
+               coalesce(sum(o_totalprice), 0.0) AS total_spent
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey"""),
+      scaleNote = "outer join then agg on the same key — Catalyst reuses the hash partitioning; count(col) skips nulls from non-matches"),
+
+    // ----- E4: left-semi join (EXISTS) -------------------------------
+    "q06_semi_join" -> Q(
+      fn = (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+          .filter(col("o_totalprice") > 400000.0)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      },
+      sql = Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000.0)"""),
+      scaleNote = "semi join never materializes the probe side's payload; price filter pushed below the join"),
+
+    // ----- E4: left-anti join (NOT EXISTS) ---------------------------
+    "q07_anti_join" -> Q(
+      fn = (s, d) => {
+        val c = t(s, d, "customer")
+        // customers with no order since 2000-01-01 (plain no-orders-at-all
+        // is empty on this data — every customer has orders)
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      sql = Some("""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')"""),
+      scaleNote = "anti join; at 100 TB the orders side reduces to distinct custkeys before the shuffle (Catalyst aggregates build side of anti joins)"),
+
+    // ----- E4: full outer join ---------------------------------------
+    "q08_full_outer_join" -> Q(
+      fn = (s, d) => {
+        val c = t(s, d, "customer")
+          .filter(col("c_acctbal") > 9000.0)
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+          .agg(count(lit(1)).as("rich_customers"))
+        val sup = t(s, d, "supplier")
+          .filter(col("s_acctbal") < -800.0)
+          .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+          .agg(count(lit(1)).as("poor_suppliers"))
+        c.join(sup, Seq("nationkey"), "full_outer")
+      },
+      sql = Some("""
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               c.rich_customers, s.poor_suppliers
+        FROM (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS rich_customers
+              FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS poor_suppliers
+              FROM supplier WHERE s_acctbal < -800.0 GROUP BY 1) s
+        USING (nationkey)"""),
+      scaleNote = "aggregate-before-join shrinks both sides to |nations| rows; the outer join itself is then trivially broadcastable"),
+
+    // ----- E5: range (theta) join — events self-join ------------------
+    "q09_range_join_events" -> Q(
+      fn = (s, d) => {
+        val e  = t(s, d, "events")
+        val e1 = e.select(col("user_id"), col("ts").as("ts1"))
+        val e2 = e.select(col("user_id").as("user_id2"), col("ts").as("ts2"))
+        e1.join(e2,
+            col("user_id") === col("user_id2") &&
+            col("ts2") > col("ts1") &&
+            col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_follow_events"))
+      },
+      sql = Some("""
+        SELECT e1.user_id, count(*) AS n_follow_events
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts
+         AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        GROUP BY e1.user_id"""),
+      scaleNote = "equi-key user_id makes this a hash/SMJ join with the range as residual — never a cartesian; at 100 TB add a coarse time-bucket key to bound per-key fan-out"),
+
+    // ----- E6: exact count distinct -----------------------------------
+    "q10_count_distinct" -> Q(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows")),
+      sql = Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag"""),
+      scaleNote = "planned as expand + two-phase agg; at 100 TB prefer approx_count_distinct (HLL, no expand) when ±2% is acceptable"),
+
+    // ----- E7: rollup ---------------------------------------------------
+    "q11_rollup_revenue" -> Q(
+      fn = (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o  = t(s, d, "orders")
+        val c  = t(s, d, "customer")
+        val n  = t(s, d, "nation")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+          .rollup(col("n_name"), col("o_year"))
+          .agg(sum(revenue).as("revenue"))
+      },
+      sql = Some("""
+        SELECT n_name, o_year,
+               sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        FROM (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     l_extendedprice, l_discount
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey)
+        GROUP BY ROLLUP (n_name, o_year)"""),
+      scaleNote = "rollup = Expand(3 projections) over one shuffle — cheaper than 3 separate aggs; dims broadcast"),
+
+    // ----- E7: cube ------------------------------------------------------
+    "q12_cube_qty" -> Q(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+               count(lit(1)).as("n")),
+      sql = Some("""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)"""),
+      scaleNote = "cube expands 4 grouping sets before the shuffle; fine for low-cardinality keys, use explicit GROUPING SETS for wide cubes"),
+
+    // ----- E8/E9: top-k per group (ranking window) ----------------------
+    "q13_topk_per_group" -> Q(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      },
+      sql = Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          FROM orders) WHERE rn <= 3"""),
+      scaleNote = "rank-limit pushes into the shuffle as a per-partition top-k (WindowGroupLimit in Spark 3.5+/4.x) — never materializes full per-group sorts"),
+
+    // ----- E8: analytic window with running frame ------------------------
+    "q14_running_revenue" -> Q(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "lineitem")
+          .withColumn("running_rev", sum(revenue).over(w))
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"), col("running_rev"))
+      },
+      sql = Some("""
+        SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               sum(l_extendedprice * (1.0 - l_discount)) OVER (
+                 PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev
+        FROM lineitem"""),
+      scaleNote = "one shuffle on l_suppkey + in-partition sort; running frame is O(1) per row; total orderBy tie-break keeps float accumulation order identical across engines"),
+
+    // ----- E8: lag/lead ---------------------------------------------------
+    "q15_lag_orders" -> Q(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate"), col("prev_date")).cast("long")
+              .as("days_since_prev"))
+      },
+      sql = Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day',
+                 lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS BIGINT) AS days_since_prev
+        FROM orders"""),
+      scaleNote = "single window shuffle; lag is frame-free so whole-stage codegen keeps it in one pass"),
+
+    // ----- E9: global sort + limit ----------------------------------------
+    "q16_top10_orders" -> Q(
+      fn = (s, d) =>
+        t(s, d, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      sql = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+      scaleNote = "orderBy+limit plans as TakeOrderedAndProject: per-partition top-10 then driver merge — no global sort ever runs"),
+
+    // ----- E10: set operations ---------------------------------------------
+    "q17_set_ops" -> Q(
+      fn = (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        val building = c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val bigSpenders = o.filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey").as("c_custkey")).distinct()
+        (building.union(bigSpenders).distinct())
+          .except(building.intersect(bigSpenders))
+      },
+      sql = Some("""
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0)
+        EXCEPT
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0)"""),
+      scaleNote = "symmetric difference via union/intersect/except; all hash-based, one shuffle per op on the single key column"),
+
+    // ----- E13: string scalar functions --------------------------------------
+    "q18_string_funcs" -> Q(
+      fn = (s, d) =>
+        t(s, d, "part")
+          .filter(col("p_size") < 10)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("up_name"),
+            length(col("p_name")).cast("long").as("name_len"),
+            regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+            concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+            substring(col("p_name"), 1, 5).as("name5"),
+            levenshtein(col("p_brand"), lit("Brand#10")).cast("long").as("brand_dist"),
+            trim(lower(col("p_type"))).as("type_lc")),
+      sql = Some("""
+        SELECT p_partkey,
+               upper(p_name) AS up_name,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+               concat_ws('-', p_brand, p_type) AS brand_type,
+               substring(p_name, 1, 5) AS name5,
+               CAST(levenshtein(p_brand, 'Brand#10') AS BIGINT) AS brand_dist,
+               trim(lower(p_type)) AS type_lc
+        FROM part WHERE p_size < 10"""),
+      scaleNote = "all codegen'd scalar expressions in the scan stage; zero shuffles"),
+
+    // ----- E14: date/time scalar functions ------------------------------------
+    "q19_date_funcs" -> Q(
+      fn = (s, d) =>
+        t(s, d, "orders")
+          .groupBy(
+            year(col("o_orderdate")).cast("long").as("o_year"),
+            month(col("o_orderdate")).cast("long").as("o_month"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            min(col("o_orderdate").cast("date")).as("first_day"),
+            max(col("o_orderdate").cast("date")).as("last_day"),
+            datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+              .cast("long").as("span_days")),
+      sql = Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(month(o_orderdate) AS BIGINT) AS o_month,
+               count(*) AS n_orders,
+               CAST(min(o_orderdate) AS DATE) AS first_day,
+               CAST(max(o_orderdate) AS DATE) AS last_day,
+               CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) AS BIGINT) AS span_days
+        FROM orders GROUP BY 1, 2"""),
+      scaleNote = "group keys derived in the scan stage; dates (not timestamps) in output avoid TZ ambiguity across engines"),
+
+    // ----- E15: math scalar functions -------------------------------------------
+    "q20_math_funcs" -> Q(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_linenumber").cast("long").as("l_linenumber"))
+          .agg(
+            sum(floor(col("l_extendedprice")).cast("double")).as("sum_floor_price"),
+            sum(ceil(col("l_tax") * 100.0).cast("double")).as("sum_ceil_tax"),
+            sum(abs(col("l_discount") - 0.05)).as("sum_abs_disc"),
+            avg(pow(col("l_quantity"), 2.0)).as("avg_qty_sq"),
+            sum(log(col("l_extendedprice"))).as("sum_ln_price")),
+      sql = Some("""
+        SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               sum(CAST(floor(l_extendedprice) AS DOUBLE)) AS sum_floor_price,
+               sum(CAST(ceil(l_tax * 100.0) AS DOUBLE)) AS sum_ceil_tax,
+               sum(abs(l_discount - 0.05)) AS sum_abs_disc,
+               avg(pow(l_quantity, 2.0)) AS avg_qty_sq,
+               sum(ln(l_extendedprice)) AS sum_ln_price
+        FROM lineitem GROUP BY 1"""),
+      scaleNote = "scalar math fused into the scan stage by whole-stage codegen; 7 output groups"),
+
+    // ----- E16: JSON extraction ----------------------------------------------------
+    "q21_json_extract" -> Q(
+      fn = (s, d) =>
+        t(s, d, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("k_sum"),
+               max(col("k")).as("k_max"),
+               count(lit(1)).as("n")),
+      sql = Some("""
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+               count(*) AS n
+        FROM events GROUP BY event_type"""),
+      scaleNote = "JSON path eval in scan stage; at 100 TB prefer from_json with an explicit schema once per row over repeated get_json_object calls"),
+
+    // ----- E16: array explode + word count -------------------------------------------
+    "q22_explode_wordcount" -> Q(
+      fn = (s, d) =>
+        t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(20),
+      sql = Some("""
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE length(word) > 0
+        GROUP BY word ORDER BY n DESC, word LIMIT 20"""),
+      scaleNote = "explode is pipelined (no materialization); partial agg collapses per-partition word counts before the shuffle; top-k via TakeOrdered"),
+
+    // ----- E16: map/array construction + higher-order functions -----------------------
+    "q23_higher_order_array" -> Q(
+      fn = (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            split(col("text"), " ").as("words"))
+          .select(col("doc_id"),
+            size(col("words")).cast("long").as("n_words"),
+            size(filter(col("words"), w => length(w) > 5)).cast("long").as("n_long_words"),
+            aggregate(col("words"), lit(0L),
+              (acc, w) => acc + length(w).cast("long")).as("total_chars")),
+      sql = Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS BIGINT) AS n_long_words,
+               CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS total_chars
+        FROM documents"""),
+      scaleNote = "higher-order functions run inside codegen with no UDF boundary and no explode-shuffle")
   )
 }
