@@ -1,0 +1,72 @@
+package graft.template
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Record
+
+/** Template compiler parity tests — semantics from the reference's
+  * generate_prompt (lib/job_processor.rb:111-121) and its specs
+  * (spec/job_processor_spec.rb:121, spec/system_prompt_spec.rb:10).
+  */
+class TemplateSpec extends AnyFunSuite {
+  private val rec = Record.R(
+    id = "doc-1",
+    texts = Map("input" -> "hello", "lang" -> "ja"),
+    images = Seq("aGk=", "eW8="))
+
+  test("plain text passes through untouched") {
+    assert(Template.compile("no tags here").render(rec) == "no tags here")
+  }
+
+  test("symbol lookup texts[:label]") {
+    assert(Template.compile("say <%= texts[:input] %>!").render(rec) == "say hello!")
+  }
+
+  test("string lookup texts['label'] and double-quoted") {
+    assert(Template.compile("<%= texts['lang'] %>").render(rec) == "ja")
+    assert(Template.compile("<%= texts[\"lang\"] %>").render(rec) == "ja")
+  }
+
+  test("missing label renders empty string (Ruby nil.to_s)") {
+    assert(Template.compile("[<%= texts[:nope] %>]").render(rec) == "[]")
+  }
+
+  test("id reference") {
+    assert(Template.compile("id=<%= id %>").render(rec) == "id=doc-1")
+  }
+
+  test("texts.keys.length and images.length") {
+    assert(Template.compile("<%= texts.keys.length %>/<%= images.length %>")
+      .render(rec) == "2/2")
+  }
+
+  test("multiple tags and multiline") {
+    val t = Template.compile("A: <%= texts[:input] %>\nB: <%= texts[:lang] %>\n")
+    assert(t.render(rec) == "A: hello\nB: ja\n")
+  }
+
+  test("null texts/images tolerated (reference defaults {} / [])") {
+    val t = Template.compile("<%= texts[:x] %>|<%= images.length %>")
+    assert(t.render(Record.R("i", null, null)) == "|0")
+  }
+
+  test("unsupported expression fails at compile time, not per record") {
+    intercept[Template.TemplateException] {
+      Template.compile("<%= system('rm -rf') %>")
+    }
+  }
+
+  test("Catalyst column path matches Scala render path") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = Template.compile(
+      "id=<%= id %> in=<%= texts[:input] %> n=<%= texts.keys.length %> im=<%= images.length %>")
+    val df = Seq(rec, Record.R("x", null, null))
+      .toDF("id", "texts", "images")
+    val got = df.select(t.column(col("id"), col("texts"), col("images")).as("p"))
+      .collect().map(_.getString(0)).toSet
+    val want = Set(t.render(rec), t.render(Record.R("x", null, null)))
+    assert(got == want)
+  }
+}
