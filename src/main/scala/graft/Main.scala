@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.JobConfig
+import graft.io.Jsonl
+import graft.llm.{FakeLlmClient, LlmClient, OpenAiClient}
+import graft.pipeline.{EnrichJob, EnrichOptions}
+
+/** CLI driver (SURVEY.md R15) — the reference's
+  * `bin/job.rb job.yml < in.jsonl > out.jsonl` re-expressed for a
+  * distributed engine:
+  *
+  *   Main job.yml --in in.jsonl --out outDir [--err errDir] [--fake]
+  *
+  * Exit-code contract matches the reference (bin/job.rb:6-24,
+  * spec/bin_job_spec.rb:42-54): bad usage → 1, missing YAML → 1,
+  * init/validation error → 1; per-record failures NEVER fail the job
+  * (they land in errDir).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val exit = run(args)
+    if (exit != 0) sys.exit(exit)
+  }
+
+  def run(args: Array[String]): Int = {
+    if (args.isEmpty) { System.err.println(usage); return 1 }
+    val yamlPath = args(0)
+    val flags = parseFlags(args.drop(1))
+    val in = flags.get("in")
+    val out = flags.get("out")
+    if (in.isEmpty || out.isEmpty) { System.err.println(usage); return 1 }
+    if (!Files.exists(Paths.get(yamlPath))) {
+      System.err.println(s"Job definition file not found: $yamlPath"); return 1
+    }
+    val cfg =
+      try JobConfig.load(yamlPath)
+      catch { case e: Throwable =>
+        System.err.println(s"Error initializing job: ${e.getMessage}"); return 1
+      }
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"graft-${cfg.id}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      // LLM calls are effectful — never re-run finished work
+      .config("spark.speculation", "false")
+      .getOrCreate()
+    try {
+      val client: LlmClient =
+        if (flags.contains("fake")) new FakeLlmClient() else new OpenAiClient()
+      val split = Jsonl.read(spark, in.get)
+      val result = EnrichJob.run(split.good, cfg, client, EnrichOptions())
+      Jsonl.write(result.good, out.get)
+      flags.get("err").foreach { errDir =>
+        split.corrupt.write.mode("overwrite").text(s"$errDir/corrupt")
+        result.deadLetter.write.mode("overwrite").json(s"$errDir/failed")
+      }
+      0
+    } finally spark.stop()
+  }
+
+  private def parseFlags(rest: Array[String]): Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    var i = 0
+    while (i < rest.length) {
+      rest(i) match {
+        case "--fake" => m += ("fake" -> "true"); i += 1
+        case f if f.startsWith("--") && i + 1 < rest.length =>
+          m += (f.drop(2) -> rest(i + 1)); i += 2
+        case _ => i += 1
+      }
+    }
+    m.result()
+  }
+
+  private val usage =
+    "Usage: graft.Main <job.yml> --in <input.jsonl> --out <outDir> [--err <errDir>] [--fake]"
+}

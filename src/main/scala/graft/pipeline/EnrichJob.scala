@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import java.util.concurrent.Executors
+
+import scala.collection.mutable
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.JobConfig
+import graft.llm.{LlmClient, Msg}
+import graft.template.Template
+
+/** Tuning for the effectful LLM stage. Defaults follow the reference's
+  * contract (240 s timeout lives in JobConfig) plus the scale features
+  * the reference lacks: per-partition async concurrency and
+  * retry-with-backoff (SURVEY.md E18).
+  */
+final case class EnrichOptions(
+    /** in-flight requests per partition; total cluster concurrency =
+      * partitions × this */
+    concurrency: Int = 8,
+    maxRetries: Int = 2,
+    retryBackoffMs: Long = 500)
+
+/** The reference's whole job — `process_item` mapped over a corpus
+  * (SURVEY.md R3-R11) — as one declarative DataFrame transform.
+  *
+  * Plan shape (everything except the HTTP POST stays in whole-stage
+  * codegen):
+  *
+  *   prompt render     — Catalyst concat/element_at (Template.column)
+  *   LLM invoke        — mapPartitions, pooled client per partition,
+  *                       async window of `concurrency` requests
+  *   <think> strip     — regexp_replace + trim (codegen)
+  *   label append      — map_filter + map_concat (codegen; overwrite
+  *                       semantics without relying on mapKeyDedupPolicy)
+  *   fail-soft fork    — error rows to dead-letter, job never fails
+  *                       (reference lib/job_processor.rb:27-29)
+  */
+/** internal row shapes for the typed mapPartitions stage — must be
+  * top-level (non-private) so Catalyst's generated encoder code can
+  * construct them
+  */
+final case class Prompted(
+    id: String, texts: Map[String, String], images: Seq[String],
+    prompt: String, sys: Option[String])
+final case class Called(
+    id: String, texts: Map[String, String], images: Seq[String],
+    response: Option[String], error: Option[String])
+
+object EnrichJob {
+
+  final case class Result(good: DataFrame, deadLetter: DataFrame)
+
+  /** `<think>…</think>` removal + trim (reference clean_content,
+    * lib/job_processor.rb:207-210; Ruby /m ≡ Java (?s)). Ruby strip
+    * removes ALL whitespace incl. newlines — Spark's `trim` only strips
+    * spaces, so the trim is a regex too. Codegen'd.
+    */
+  def cleanContent(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "(?s)<think>.*?</think>", ""),
+      "(?s)\\A[\\s\\u0000]+|[\\s\\u0000]+\\z", "")
+
+  def run(
+      records: DataFrame,
+      cfg: JobConfig,
+      client: LlmClient,
+      opts: EnrichOptions = EnrichOptions()): Result = {
+    val spark = records.sparkSession
+    import spark.implicits._
+
+    val userTpl = Template.compile(cfg.erbTemplate)
+    val sysTpl = cfg.systemErbTemplate.map(Template.compile)
+
+    val id = col("id").cast("string")
+    val texts = coalesce(col("texts"), map().cast("map<string,string>"))
+    val images = coalesce(col("images"), array().cast("array<string>"))
+
+    val prompted = records.select(
+      id.as("id"), texts.as("texts"), images.as("images"),
+      userTpl.column(id, texts, images).as("prompt"),
+      sysTpl.map(_.column(id, texts, images))
+        .getOrElse(lit(null).cast("string")).as("sys"))
+      .as[Prompted]
+
+    val useImages = cfg.useImages
+    val called = prompted.mapPartitions { it =>
+      callPartition(it, cfg, client, opts, useImages)
+    }.toDF()
+
+    val withLabel = map_concat(
+      // drop any pre-existing entry under the label first, so overwrite
+      // semantics (Ruby hash assignment, rb:50) never depend on
+      // spark.sql.mapKeyDedupPolicy
+      map_filter(col("texts"), (k, _) => k =!= cfg.outputLabel),
+      map(lit(cfg.outputLabel), cleanContent(col("response"))))
+
+    Result(
+      good = called.filter(col("error").isNull)
+        .select(col("id"), withLabel.as("texts"), col("images")),
+      deadLetter = called.filter(col("error").isNotNull)
+        .select(col("id"), col("error"),
+          to_json(struct(col("id"), col("texts"), col("images"))).as("record")))
+  }
+
+  /** One partition's work: a sliding window of `concurrency` in-flight
+    * requests over a dedicated pool; results come back in input order.
+    * The pool dies with the iterator — no cross-task leakage.
+    */
+  private def callPartition(
+      it: Iterator[Prompted],
+      cfg: JobConfig,
+      client: LlmClient,
+      opts: EnrichOptions,
+      useImages: Boolean): Iterator[Called] = {
+    val pool = Executors.newFixedThreadPool(math.max(1, opts.concurrency))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+
+    def callOne(r: Prompted): Called = {
+      val messages = buildMessages(r, useImages)
+      try Called(r.id, r.texts, r.images,
+        Some(withRetry(opts)(client.chat(messages, cfg))), None)
+      catch { case e: Throwable =>
+        // reference error contract: "API request failed: …" to stderr,
+        // record dropped, job continues (rb:178, spec/bin_job_spec.rb:117-137)
+        Called(r.id, r.texts, r.images, None,
+          Some(s"API request failed: ${e.getMessage}"))
+      }
+    }
+
+    val source = it.map(r => Future(callOne(r))) // lazy — forced by enqueue
+    val inflight = mutable.Queue.empty[Future[Called]]
+    new Iterator[Called] {
+      private def fill(): Unit =
+        while (inflight.size < math.max(1, opts.concurrency) && source.hasNext)
+          inflight.enqueue(source.next())
+      override def hasNext: Boolean = {
+        fill()
+        val more = inflight.nonEmpty
+        if (!more) pool.shutdown()
+        more
+      }
+      override def next(): Called = {
+        fill()
+        Await.result(inflight.dequeue(), Duration.Inf)
+      }
+    }
+  }
+
+  private def withRetry[A](opts: EnrichOptions)(f: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable if attempt < opts.maxRetries =>
+          Thread.sleep(opts.retryBackoffMs * (1L << attempt)) // exp backoff
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** system message only when the rendered prompt is non-blank
+    * (rb:142); images only when use_images AND the record has any
+    * (rb:213).
+    */
+  private def buildMessages(r: Prompted, useImages: Boolean): Seq[Msg] = {
+    val sys = r.sys.filter(_.trim.nonEmpty).map(Msg("system", _)).toSeq
+    val imgs = if (useImages && r.images.nonEmpty) r.images else Nil
+    sys :+ Msg("user", r.prompt, imgs)
+  }
+}
