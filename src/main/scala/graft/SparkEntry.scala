@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Catalog, Q, Relational}
+import graft.queries.{Catalog, Dedup, Q, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{Catalog, Q, Relational}
 object SparkEntry {
 
   /** every capability catalog in the engine, merged in order */
-  private val catalogs: Seq[Catalog] = Seq(Relational)
+  private val catalogs: Seq[Catalog] =
+    Seq(Relational, Dedup, Similarity, TextAnalysis)
 
   private lazy val all: Map[String, Q] =
     catalogs.flatMap(_.queries).toMap

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deduplication catalog — the LLM-training-data operators mandated by
+  * BASELINE.json beyond the reference's surface (the reference has no
+  * dedup at all; SURVEY.md §2B E11/E12).
+  *
+  * Scale stance: every variant here is built around ONE shuffle on a
+  * compact key (hash / shingle / band bucket) — never a cartesian
+  * product. The brute-force cross joins live only in the DuckDB oracle
+  * SQL.
+  */
+object Dedup extends Catalog {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** whitespace tokens, lowered */
+  private val words: Column = split(lower(col("text")), " ")
+
+  /** distinct 3-word shingles; empty for docs with < 3 tokens.
+    * DuckDB twin: list_transform(generate_series(...), i -> arr[i:i+2]).
+    */
+  private val shingles: Column =
+    when(size(words) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(words) - 2),
+        i => array_join(slice(words, i, lit(3)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB-side spelling of the same shingle set */
+  private val sqlShingles: String =
+    """list_distinct(CASE WHEN len(string_split(lower(text),' ')) >= 3 THEN
+      |  list_transform(generate_series(1, len(string_split(lower(text),' '))-2),
+      |    i -> array_to_string((string_split(lower(text),' '))[i:i+2],' '))
+      |ELSE [] END)""".stripMargin
+
+  /** near-dup acceptance threshold (data has planted pairs at j≈0.99) */
+  private val JaccardTau = 0.8
+
+  // MinHash/LSH geometry: 16 hashes = 8 bands × 2 rows.
+  // P(candidate | j) = 1-(1-j²)^8 → 0.9997 at j=0.8, ~1 at the planted
+  // j≈0.99 pairs, so verified-LSH output equals the brute-force oracle.
+  private val NumHashes = 16
+  private val Bands = 8
+  private val RowsPerBand = 2
+
+  override def queries: Map[String, Q] = Map(
+
+    // ----- E11: exact dedup via content hash ------------------------
+    "q24_dedup_exact_hash" -> Q(
+      fn = (s, d) =>
+        docs(s, d)
+          .groupBy(col("source"))
+          .agg(
+            countDistinct(md5(lower(col("text")))).as("n_unique"),
+            count(lit(1)).as("n_docs")),
+      sql = Some("""
+        SELECT source, count(DISTINCT md5(lower(text))) AS n_unique,
+               count(*) AS n_docs
+        FROM documents GROUP BY source"""),
+      scaleNote = "content hash (16 bytes) shuffles instead of full text; two-phase distinct agg"),
+
+    // ----- E11: keep-first dedup by key -----------------------------
+    "q25_dedup_keep_first" -> Q(
+      fn = (s, d) => {
+        val key = array_join(slice(words, 1, 2), " ")
+        val w = Window.partitionBy(col("dup_key")).orderBy(col("doc_id"))
+        docs(s, d)
+          .withColumn("dup_key", key)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("group_sz", count(lit(1)).over(Window.partitionBy(col("dup_key"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("dup_key"), col("group_sz"))
+      },
+      sql = Some("""
+        SELECT doc_id, dup_key, group_sz FROM (
+          SELECT doc_id,
+                 array_to_string((string_split(lower(text),' '))[1:2],' ') AS dup_key,
+                 row_number() OVER (PARTITION BY array_to_string((string_split(lower(text),' '))[1:2],' ')
+                                    ORDER BY doc_id) AS rn,
+                 count(*) OVER (PARTITION BY array_to_string((string_split(lower(text),' '))[1:2],' ')) AS group_sz
+          FROM documents)
+        WHERE rn = 1"""),
+      scaleNote = "ordered keep-first = row_number over the key partition; one shuffle on dup_key; WindowGroupLimit prunes at rn=1"),
+
+    // ----- E12: n-gram Jaccard near-dup pairs (inverted index) ------
+    "q26_dedup_ngram_jaccard" -> Q(
+      fn = (s, d) => {
+        val sh = docs(s, d).select(col("doc_id"), shingles.as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        ex.as("a").join(ex.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.withColumnRenamed("doc_id", "doc1")
+            .withColumnRenamed("sz", "sz1"), "doc1")
+          .join(sizes.withColumnRenamed("doc_id", "doc2")
+            .withColumnRenamed("sz", "sz2"), "doc2")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+          .filter(col("jaccard") >= JaccardTau)
+          .select(col("doc1"), col("doc2"), col("jaccard"))
+      },
+      sql = Some(s"""
+        WITH s AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau"""),
+      scaleNote = "inverted-index self-join on shingle — O(sum posting²) not O(n²); at 100 TB drop ultra-frequent shingles (stop-shingle cap) to bound posting lists"),
+
+    // ----- E12: MinHash + LSH banding, verified ---------------------
+    "q27_dedup_minhash_lsh" -> Q(
+      fn = (s, d) => {
+        val sh = docs(s, d).select(col("doc_id"), shingles.as("sh"))
+          .filter(size(col("sh")) > 0)
+        // portable MinHash: hash_i(s) = md5(s ++ ":" ++ i); signature =
+        // per-i minimum — pure Catalyst, no UDF, engine-independent
+        val sig = transform(
+          sequence(lit(0), lit(NumHashes - 1)),
+          i => array_min(transform(col("sh"),
+            sh0 => md5(concat(sh0, lit(":"), i.cast("string"))))))
+        val banded = sh
+          .withColumn("sig", sig)
+          .select(col("doc_id"), col("sh"),
+            explode(transform(sequence(lit(0), lit(Bands - 1)),
+              b => struct(
+                b.as("band"),
+                md5(concat_ws("|",
+                  slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))).as("bh"))))
+              .as("bb"))
+          .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bh"))
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+            col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+          .dropDuplicates("doc1", "doc2")
+        // verify candidates with exact Jaccard — LSH is a filter, the
+        // emitted pairs are exact
+        cand
+          .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+          .withColumn("jaccard",
+            col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+          .filter(col("jaccard") >= JaccardTau)
+          .select(col("doc1"), col("doc2"), col("jaccard"))
+      },
+      // the verified-LSH result equals brute force (recall ≈ 1-(1-j²)^8
+      // ≥ 0.9997 at the τ boundary, ~1 at the planted j≈0.99 pairs)
+      sql = Some(s"""
+        WITH s AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau"""),
+      scaleNote = "LSH banding: one shuffle on (band,bucket) — candidate set is tiny vs n²; signature+banding all codegen'd Catalyst; verify stage touches only candidates"),
+
+    // ----- E12: SimHash fingerprints --------------------------------
+    "q28_dedup_simhash" -> Q(
+      fn = (s, d) => {
+        // 64-bit SimHash from xxhash64 token bits, emitted as a
+        // 64-char bitstring (no unsigned-long portability issues)
+        val bits = transform(
+          sequence(lit(63), lit(0), lit(-1)),
+          b => when(
+            aggregate(words, lit(0L),
+              (acc, t) => acc +
+                when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1, 1L)
+                  .otherwise(-1L)) > 0, lit("1")).otherwise(lit("0")))
+        docs(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), concat_ws("", bits).as("simhash"))
+      },
+      sql = None, // xxhash64 not portable to DuckDB — rows-only check;
+      // value-level behavior covered by DedupSpec (hamming distance of
+      // near-dup pairs vs random pairs)
+      scaleNote = "pure per-row codegen expression — no shuffle at all; near-dup search then groups on bit-band substrings like q27"),
+
+    // ----- E12: embedding cosine near-dup pairs ---------------------
+    "q29_embedding_near_dup" -> Q(
+      fn = (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val withNorm = e.withColumn("norm",
+          sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+        withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("dot",
+            aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+              lit(0.0), (a, x) => a + x))
+          .withColumn("cosine", col("dot") / (col("a.norm") * col("b.norm")))
+          .filter(col("cosine") >= 0.4)
+          .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
+            col("cosine"))
+      },
+      sql = Some("""
+        SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+        """),
+      scaleNote = "brute force stands in at test SF; the scale path is q31's hyperplane-LSH bucketing — same verify-then-emit pattern as q27")
+  )
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators for training-data curation — language ID,
+  * quality scoring, token counting, document fingerprinting
+  * (BASELINE.json mandate; the reference has none of these).
+  *
+  * Everything here is a per-row codegen'd expression — zero shuffles
+  * except the final aggregations — so cost at 100 TB is exactly one
+  * scan of `documents`.
+  */
+object TextAnalysis extends Catalog {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  private val words: Column = split(lower(col("text")), " ")
+
+  /** tiny per-language stopword lists (shared with the oracle SQL) */
+  private val stop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"))
+
+  private def stopCount(lang: String): Column =
+    size(filter(words, w => w.isin(stop(lang): _*))).cast("double")
+
+  private def sqlStopCount(lang: String): String = {
+    val list = stop(lang).map(s => s"'$s'").mkString(", ")
+    s"len(list_filter(string_split(lower(text),' '), w -> w IN ($list))) * 1.0"
+  }
+
+  override def queries: Map[String, Q] = Map(
+
+    // ----- language ID via stopword-ratio argmax --------------------
+    "q33_lang_id" -> Q(
+      fn = (s, d) => {
+        val scored = docs(s, d)
+          .filter(length(col("text")) > 0)
+          .withColumn("s_en", stopCount("en"))
+          .withColumn("s_de", stopCount("de"))
+          .withColumn("s_fr", stopCount("fr"))
+          .withColumn("s_es", stopCount("es"))
+        // argmax with fixed priority tie-break (en > de > fr > es),
+        // 'und' (unknown) when no stopwords hit at all
+        val pred = when(
+          col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0.0, "und")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es")
+        scored.withColumn("pred_lang", pred)
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+      },
+      sql = Some(s"""
+        SELECT lang, pred_lang, count(*) AS n FROM (
+          SELECT lang,
+            CASE
+              WHEN ${sqlStopCount("en")} + ${sqlStopCount("de")} +
+                   ${sqlStopCount("fr")} + ${sqlStopCount("es")} = 0 THEN 'und'
+              WHEN ${sqlStopCount("en")} >= ${sqlStopCount("de")} AND
+                   ${sqlStopCount("en")} >= ${sqlStopCount("fr")} AND
+                   ${sqlStopCount("en")} >= ${sqlStopCount("es")} THEN 'en'
+              WHEN ${sqlStopCount("de")} >= ${sqlStopCount("fr")} AND
+                   ${sqlStopCount("de")} >= ${sqlStopCount("es")} THEN 'de'
+              WHEN ${sqlStopCount("fr")} >= ${sqlStopCount("es")} THEN 'fr'
+              ELSE 'es' END AS pred_lang
+          FROM documents WHERE length(text) > 0)
+        GROUP BY lang, pred_lang"""),
+      scaleNote = "per-row stopword scoring fuses into the scan; confusion-matrix agg shuffles |langs|² rows"),
+
+    // ----- quality scoring ------------------------------------------
+    "q34_quality_score" -> Q(
+      fn = (s, d) => {
+        val nTokens = size(words).cast("double")
+        val stopRatio = (stopCount("en") / nTokens)
+        val avgWordLen = (length(col("text")).cast("double") -
+          (nTokens - 1.0)) / nTokens
+        val alphaRatio =
+          size(filter(words, w => w.rlike("^[a-z]+$"))).cast("double") / nTokens
+        docs(s, d)
+          .filter(length(col("text")) > 0)
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            nTokens.cast("long").as("n_tokens"),
+            avgWordLen.as("avg_word_len"),
+            stopRatio.as("stopword_ratio"),
+            alphaRatio.as("alpha_ratio"),
+            // simple curation score: alphabetic, not-too-short,
+            // some stopword glue — the shape a quality filter takes
+            (alphaRatio * 0.5 +
+              least(nTokens / 100.0, lit(1.0)) * 0.3 +
+              least(stopRatio * 5.0, lit(1.0)) * 0.2).as("quality"))
+      },
+      sql = Some(s"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(lower(text),' ')) AS BIGINT) AS n_tokens,
+               (length(text) * 1.0 - (len(string_split(lower(text),' ')) - 1.0))
+                 / len(string_split(lower(text),' ')) AS avg_word_len,
+               ${sqlStopCount("en")} / len(string_split(lower(text),' ')) AS stopword_ratio,
+               len(list_filter(string_split(lower(text),' '), w -> regexp_full_match(w, '[a-z]+'))) * 1.0
+                 / len(string_split(lower(text),' ')) AS alpha_ratio,
+               (len(list_filter(string_split(lower(text),' '), w -> regexp_full_match(w, '[a-z]+'))) * 1.0
+                  / len(string_split(lower(text),' '))) * 0.5 +
+               least(len(string_split(lower(text),' ')) / 100.0, 1.0) * 0.3 +
+               least((${sqlStopCount("en")} / len(string_split(lower(text),' '))) * 5.0, 1.0) * 0.2 AS quality
+        FROM documents WHERE length(text) > 0"""),
+      scaleNote = "pure map-side scoring; at 100 TB this is the pre-filter that cuts the corpus before any shuffle-heavy dedup"),
+
+    // ----- token counting: whitespace + BPE-ish regex ---------------
+    "q35_token_stats" -> Q(
+      fn = (s, d) =>
+        docs(s, d)
+          .filter(length(col("text")) > 0)
+          .select(
+            col("doc_id"),
+            size(words).cast("long").as("ws_tokens"),
+            size(regexp_extract_all(lower(col("text")),
+              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+              .as("bpeish_tokens"),
+            size(array_distinct(words)).cast("long").as("distinct_tokens"),
+            (size(array_distinct(words)).cast("double") / size(words))
+              .as("ttr")),
+      sql = Some("""
+        SELECT doc_id,
+               CAST(len(string_split(lower(text),' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
+               CAST(len(list_distinct(string_split(lower(text),' '))) AS BIGINT) AS distinct_tokens,
+               len(list_distinct(string_split(lower(text),' '))) * 1.0
+                 / len(string_split(lower(text),' ')) AS ttr
+        FROM documents WHERE length(text) > 0"""),
+      scaleNote = "regex tokenization is codegen'd; token counts feed straight into training-cost estimation without materializing token arrays"),
+
+    // ----- document fingerprinting ----------------------------------
+    "q36_fingerprint" -> Q(
+      fn = (s, d) =>
+        docs(s, d)
+          .filter(length(col("text")) > 0)
+          .select(
+            col("doc_id"),
+            // exact-content fingerprint
+            md5(trim(lower(col("text")))).as("fp_exact"),
+            // bag-of-words fingerprint: order-insensitive near-dup key
+            md5(array_join(array_sort(array_distinct(words)), " ")).as("fp_bow"),
+            // shape fingerprint: token-length sequence (rolling-hash
+            // style structure signature)
+            md5(array_join(transform(words, w => length(w).cast("string")), ","))
+              .as("fp_shape")),
+      sql = Some("""
+        SELECT doc_id,
+               md5(trim(lower(text))) AS fp_exact,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))), ' ')) AS fp_bow,
+               md5(array_to_string(list_transform(string_split(lower(text),' '), w -> CAST(length(w) AS VARCHAR)), ',')) AS fp_shape
+        FROM documents WHERE length(text) > 0"""),
+      scaleNote = "fingerprints shuffle as 16-byte keys for downstream groupBy dedup — never the document bodies")
+  )
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Smoke + semantic checks for the training-data catalogs (Dedup,
+  * Similarity, TextAnalysis). Value-level parity is the DuckDB gate;
+  * here we assert the algorithmic contracts that SQL can't express.
+  */
+class PipelineCatalogsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val catalogs = Seq[(String, Catalog)](
+    ("dedup", Dedup), ("similarity", Similarity), ("text", TextAnalysis))
+
+  for ((cname, cat) <- catalogs; (name, q) <- cat.queries) {
+    test(s"[$cname] $name runs and returns rows at sf0.001") {
+      val df = q.fn(spark, sf0001)
+      assert(df.count() > 0, s"$name returned no rows")
+      val cols = df.columns
+      assert(cols.distinct.length == cols.length, s"$name: duplicate columns")
+    }
+  }
+
+  test("exact dedup: n_unique equals n_docs (all sf texts are distinct)") {
+    val r = Dedup.queries("q24_dedup_exact_hash").fn(spark, sf0001)
+      .agg(sum("n_unique"), sum("n_docs")).head
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
+  test("keep-first dedup: group sizes cover the corpus, one row per key") {
+    val df = Dedup.queries("q25_dedup_keep_first").fn(spark, sf0001)
+    val total = df.agg(sum("group_sz")).head.getLong(0)
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(total == n)
+    assert(df.groupBy("dup_key").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("minhash-LSH pairs equal brute-force ngram-jaccard pairs") {
+    val brute = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.queries("q27_dedup_minhash_lsh").fn(spark, sf0001)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(lsh == brute, s"LSH missed ${brute.diff(lsh)} / extra ${lsh.diff(brute)}")
+    assert(brute.nonEmpty)
+  }
+
+  test("simhash: near-dup pairs have small hamming distance, random pairs large") {
+    val sims = Dedup.queries("q28_dedup_simhash").fn(spark, sf0001)
+      .as[(Long, String)].collect().toMap
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    val nearPairs = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
+      .select("doc1", "doc2").as[(Long, Long)].collect()
+    assert(nearPairs.nonEmpty)
+    val nearAvg = nearPairs.map { case (a, b) => hamming(sims(a), sims(b)) }.sum.toDouble / nearPairs.length
+    val ids = sims.keys.toSeq.sorted.take(40)
+    val randomPairs = for (a <- ids; b <- ids if a < b) yield hamming(sims(a), sims(b))
+    val randAvg = randomPairs.sum.toDouble / randomPairs.length
+    assert(nearAvg < randAvg / 2,
+      s"simhash not separating: near=$nearAvg random=$randAvg")
+  }
+
+  test("knn-LSH: results are a subset of the corpus with exact cosines and correct order") {
+    val brute = Similarity.queries("q30_knn_bruteforce").fn(spark, sf0001)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val lsh = Similarity.queries("q31_knn_lsh").fn(spark, sf0001)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(lsh.nonEmpty)
+    // ranks are contiguous from 1 and ordered by cosine desc per query
+    for ((_, rows) <- lsh.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true
+      })
+    }
+    // any (query, neighbor) the LSH emits carries the TRUE cosine
+    val exactAll = Similarity.queries("q30_knn_bruteforce").fn(spark, sf0001)
+    for ((q, n, c, _) <- lsh if brute(q).contains(n))
+      assert(math.abs(brute(q)(n) - c) < 1e-12)
+  }
+
+  test("centroids: 10 labels x 64 dims, counts match corpus") {
+    val df = Similarity.queries("q32_embedding_centroids").fn(spark, sf0001)
+    assert(df.count() == 10 * 64)
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(df.filter(col("dim") === 0).agg(sum("n")).head.getLong(0) == n)
+  }
+
+  test("lang-id confusion matrix covers every document once") {
+    val df = TextAnalysis.queries("q33_lang_id").fn(spark, sf0001)
+    val total = df.agg(sum("n")).head.getLong(0)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(length(col("text")) > 0).count()
+    assert(total == docs)
+  }
+
+  test("quality score is bounded [0,1]") {
+    val mm = TextAnalysis.queries("q34_quality_score").fn(spark, sf0001)
+      .agg(min("quality"), max("quality")).head
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
+  test("fingerprints: fp_bow is order-insensitive, fp_exact is not") {
+    val a = Seq((1L, "alpha beta gamma", "en", "s", 16L),
+      (2L, "gamma beta alpha", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    a.createOrReplaceTempView("x")
+    val words = split(lower(col("text")), " ")
+    val fps = a.select(
+      md5(trim(lower(col("text")))).as("fp_exact"),
+      md5(array_join(array_sort(array_distinct(words)), " ")).as("fp_bow"))
+      .collect()
+    assert(fps(0).getString(1) == fps(1).getString(1))
+    assert(fps(0).getString(0) != fps(1).getString(0))
+  }
+}
