@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators over the `events` table (SURVEY.md §2B E17).
+  *
+  * The reference has no streaming semantics (STDIN is a finite batch),
+  * so correctness is anchored on BATCH EQUIVALENCE: every transform
+  * here is a plain DataFrame→DataFrame function that works identically
+  * on a batch frame (where the DuckDB oracle checks it) and on a
+  * `readStream` frame (where StreamingSpec replays the same rows
+  * through micro-batches and asserts the same result).
+  *
+  * Scale: all of these are keyed-state operators — state is
+  * partitioned by (window/key), watermark bounds state size, and
+  * nothing here ever collects to the driver.
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** tumbling 1 h counts per event_type; watermark bounds state */
+  def tumblingCounts(events: DataFrame, withWatermarkCol: Boolean = true): DataFrame = {
+    val src = if (withWatermarkCol) events.withWatermark("ts", "10 minutes") else events
+    src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** sliding 1 h / 30 min revenue-ish windows */
+  def slidingCounts(events: DataFrame, withWatermarkCol: Boolean = true): DataFrame = {
+    val src = if (withWatermarkCol) events.withWatermark("ts", "10 minutes") else events
+    src.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .select(unix_micros(col("window.start")).as("w_start"),
+        col("n"), col("avg_value"))
+  }
+
+  /** per-user session windows with a 5 min inactivity gap */
+  def sessionCounts(events: DataFrame, withWatermarkCol: Boolean = true): DataFrame = {
+    val src = if (withWatermarkCol) events.withWatermark("ts", "10 minutes") else events
+    src.groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start"),
+        unix_micros(col("session_window.end")).as("s_end"),
+        col("n"), col("sum_value"))
+  }
+
+  /** exactly-once-per-id view under late/duplicate delivery: streaming
+    * dedup whose state expires with the watermark
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** custom keyed state via flatMapGroupsWithState: running per-user
+    * totals emitted on every update — the E17 `mapGroupsWithState`
+    * surface. State is one tiny struct per user; at 100 TB the state
+    * store shards with the user_id partitioning.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserTotal(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -12,7 +12,8 @@ class PipelineCatalogsSpec extends SparkSpec {
   import spark.implicits._
 
   private val catalogs = Seq[(String, Catalog)](
-    ("dedup", Dedup), ("similarity", Similarity), ("text", TextAnalysis))
+    ("dedup", Dedup), ("similarity", Similarity), ("text", TextAnalysis),
+    ("streaming", Streaming))
 
   for ((cname, cat) <- catalogs; (name, q) <- cat.queries) {
     test(s"[$cname] $name runs and returns rows at sf0.001") {

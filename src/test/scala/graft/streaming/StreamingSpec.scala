@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.streaming.EventStreams.Event
+
+/** E17 batch-equivalence: the same EventStreams transforms, replayed
+  * through MemoryStream micro-batches, must reproduce the batch plans
+  * the DuckDB oracle checks (SURVEY.md §5: streaming anchors on batch
+  * equivalence — there are no reference streaming semantics to copy).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private lazy val allEvents: Seq[Event] =
+    Tables.load(spark, sf0001, "events").as[Event]
+      .collect().sortBy(_.ts.getTime).toSeq
+
+  /** run a streaming transform over the events in `chunks` micro-batches */
+  private def replay(
+      transform: DataFrame => DataFrame,
+      mode: String,
+      chunks: Int = 3,
+      extra: Seq[Event] = Nil): DataFrame = {
+    val ms = MemoryStream[Event]
+    val q = transform(ms.toDF())
+      .writeStream.format("memory").outputMode(mode)
+      .queryName("replay_sink").trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val size = math.max(1, allEvents.size / chunks)
+      allEvents.grouped(size).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      if (extra.nonEmpty) { ms.addData(extra); q.processAllAvailable() }
+      spark.table("replay_sink")
+    } finally q.stop()
+  }
+
+  private def canon(df: DataFrame, cols: String*): Set[String] =
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map {
+        case d: Double => f"$d%.6g"
+        case x => String.valueOf(x)
+      }.mkString("|")).toSet
+
+  test("tumbling window: streaming complete-mode == batch") {
+    val batch = EventStreams.tumblingCounts(
+      Tables.load(spark, sf0001, "events"), withWatermarkCol = false)
+    val stream = replay(EventStreams.tumblingCounts(_), "complete")
+    assert(canon(stream, "w_start", "event_type", "n", "sum_value")
+      == canon(batch, "w_start", "event_type", "n", "sum_value"))
+  }
+
+  test("sliding window: streaming complete-mode == batch") {
+    val batch = EventStreams.slidingCounts(
+      Tables.load(spark, sf0001, "events"), withWatermarkCol = false)
+    val stream = replay(EventStreams.slidingCounts(_), "complete")
+    assert(canon(stream, "w_start", "n", "avg_value")
+      == canon(batch, "w_start", "n", "avg_value"))
+  }
+
+  test("session window: streaming complete-mode == batch gaps-and-islands") {
+    val batch = EventStreams.sessionCounts(
+      Tables.load(spark, sf0001, "events"), withWatermarkCol = false)
+    val stream = replay(EventStreams.sessionCounts(_), "complete")
+    assert(canon(stream, "user_id", "s_start", "s_end", "n", "sum_value")
+      == canon(batch, "user_id", "s_start", "s_end", "n", "sum_value"))
+  }
+
+  test("append mode + watermark: late-closed windows are emitted and exact") {
+    val maxTs = allEvents.last.ts.getTime
+    val sentinel = Event(999999L,
+      new java.sql.Timestamp(maxTs + 24L * 3600 * 1000), 0L, "sentinel", 0.0, "{}")
+    val stream = replay(EventStreams.tumblingCounts(_), "append", extra = Seq(sentinel))
+      .filter(col("event_type") =!= "sentinel")
+    val batch = EventStreams.tumblingCounts(
+      Tables.load(spark, sf0001, "events"), withWatermarkCol = false)
+    // sentinel pushed the watermark past every real window → append
+    // output must equal the batch result exactly
+    assert(canon(stream, "w_start", "event_type", "n", "sum_value")
+      == canon(batch, "w_start", "event_type", "n", "sum_value"))
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses redelivered event_ids") {
+    val ms = MemoryStream[Event]
+    val q = EventStreams.dedupedEvents(ms.toDF())
+      .writeStream.format("memory").outputMode("append")
+      .queryName("dedup_sink").start()
+    try {
+      val first = allEvents.take(50)
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(first.take(20)); q.processAllAvailable() // redelivery
+      assert(spark.table("dedup_sink").count() == 50)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState running totals converge to batch totals") {
+    val ms = MemoryStream[Event]
+    val q = EventStreams.runningUserTotals(ms.toDS())
+      .writeStream.format("memory").outputMode("update")
+      .queryName("state_sink").start()
+    try {
+      allEvents.grouped(300).foreach { c => ms.addData(c); q.processAllAvailable() }
+      // last emitted update per user == batch aggregate
+      val last = spark.table("state_sink")
+        .groupBy("user_id").agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events"), col("m.total_value"))
+      val batch = Tables.load(spark, sf0001, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      assert(canon(last, "user_id", "n_events", "total_value")
+        == canon(batch, "user_id", "n_events", "total_value"))
+    } finally q.stop()
+  }
+}
