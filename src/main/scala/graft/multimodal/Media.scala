@@ -1,0 +1,164 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (BASELINE.json mandate): image/audio/video as
+  * opaque `binary` columns + typed metadata, with decode / feature
+  * extraction / resize / frame-sampling as batched per-partition
+  * stages.
+  *
+  * The decode step is STUBBED behind [[MediaCodec]] — this container
+  * has no image/audio libraries, so [[FakeCodec]] derives deterministic
+  * "pixels" from the bytes. Everything Spark-side is real and tested:
+  * the schema, the binary column handling, the per-partition batch
+  * shape (mirroring vectorized-UDF batching), and the frame-sampling
+  * plan (pure Catalyst `sequence`+`explode`, no decode needed).
+  */
+object Media {
+
+  final case class MediaMeta(
+      format: String, width: Int, height: Int, nFrames: Int, sampleRateHz: Int)
+  final case class MediaRow(
+      media_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(
+      media_id: Long, kind: String, feature: Array[Float], decoded_ok: Boolean)
+  final case class Frame(
+      media_id: Long, frame_idx: Int, ts_ms: Long)
+
+  /** rows-per-batch for the decode stage — the Spark-side analogue of
+    * a vectorized UDF's batch size; keeps peak decoded memory bounded
+    * regardless of partition size
+    */
+  val DecodeBatchSize = 64
+
+  /** The pluggable decode boundary. Implementations must be
+    * Serializable; heavyweight native state belongs in @transient lazy
+    * fields (one per executor task, like the LLM client).
+    */
+  trait MediaCodec extends Serializable {
+    /** decode bytes into a flat pixel/sample buffer; None on corrupt input */
+    def decode(bytes: Array[Byte], meta: MediaMeta): Option[Array[Float]]
+    /** feature vector from a decoded buffer (e.g. pooled embedding) */
+    def features(decoded: Array[Float], dim: Int): Array[Float]
+  }
+
+  /** Deterministic fake codec: "pixels" are a rolling transform of the
+    * raw bytes — a pure function, so specs and resumed tasks always
+    * agree. A real codec (JPEG/PNG/PCM) drops in behind the same trait.
+    */
+  final class FakeCodec extends MediaCodec {
+    override def decode(bytes: Array[Byte], meta: MediaMeta): Option[Array[Float]] = {
+      if (bytes == null || bytes.isEmpty) None
+      else {
+        var h = 1125899906842597L
+        val out = new Array[Float](math.min(bytes.length, 4096))
+        var i = 0
+        while (i < out.length) {
+          h = 31 * h + bytes(i)
+          out(i) = ((h & 0xff) / 255.0f)
+          i += 1
+        }
+        Some(out)
+      }
+    }
+    override def features(decoded: Array[Float], dim: Int): Array[Float] = {
+      // pooled histogram-ish features: mean of strided buckets
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < decoded.length) {
+        out(i % dim) += decoded(i)
+        i += 1
+      }
+      val per = math.max(1, decoded.length / dim)
+      (0 until dim).foreach(j => out(j) /= per.toFloat)
+      out
+    }
+  }
+
+  /** Batched decode + feature extraction. One codec per partition,
+    * rows processed in [[DecodeBatchSize]] groups (vectorized-UDF
+    * batch shape); corrupt media yields decoded_ok=false instead of
+    * failing the job (same fail-soft contract as the LLM stage).
+    */
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      codec: MediaCodec,
+      featureDim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          codec.decode(r.bytes, r.meta) match {
+            case Some(px) => MediaFeatures(r.media_id, r.kind,
+              codec.features(px, featureDim), decoded_ok = true)
+            case None => MediaFeatures(r.media_id, r.kind,
+              Array.empty[Float], decoded_ok = false)
+          }
+        }
+      }
+    }
+  }
+
+  /** Resize plan: new metadata + a decode-transform-encode pass through
+    * the codec. The transform itself is the stubbed part; the plumbing
+    * (binary in, binary out, meta rewrite) is the real contract.
+    */
+  def resize(
+      media: Dataset[MediaRow],
+      codec: MediaCodec,
+      newW: Int, newH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val resizedBytes = codec.decode(r.bytes, r.meta) match {
+          case Some(px) =>
+            // STUB: a real codec re-encodes the resampled pixel grid;
+            // the fake keeps a deterministic prefix proportional to area
+            val keep = math.max(1,
+              (r.bytes.length.toLong * (newW.toLong * newH) /
+                math.max(1L, r.meta.width.toLong * r.meta.height)).toInt)
+            r.bytes.take(math.min(keep, r.bytes.length))
+          case None => Array.empty[Byte]
+        }
+        r.copy(bytes = resizedBytes,
+          meta = r.meta.copy(width = newW, height = newH))
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: every `everyN`-th frame as a
+    * (media_id, frame_idx, ts_ms) row. Pure Catalyst — sequence +
+    * explode, no decode, no UDF — so Catalyst prunes the binary column
+    * out of the scan entirely when only frames are needed.
+    */
+  def sampleFrames(media: DataFrame, everyN: Int, fps: Double = 30.0): DataFrame =
+    media
+      .filter(col("kind") === "video" && col("meta.nFrames") > 0)
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("meta.nFrames") - 1, lit(everyN)))
+          .as("frame_idx"))
+      .withColumn("ts_ms", (col("frame_idx") / fps * 1000.0).cast("long"))
+
+  /** deterministic synthetic media corpus for specs/bench (no media
+    * libs in the container — bytes are generated, not read)
+    */
+  def synthetic(spark: SparkSession, n: Int, partitions: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).repartition(partitions).map { r =>
+      val id: Long = r
+      val kind = (id % 3).toInt match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val len = 256 + (id % 512).toInt
+      val bytes = Array.tabulate[Byte](len)(i =>
+        ((id * 31 + i * 7) & 0xff).toByte)
+      val meta = kind match {
+        case "image" => MediaMeta("jpeg", 64 + (id % 64).toInt, 48, 1, 0)
+        case "audio" => MediaMeta("pcm16", 0, 0, 0, 16000)
+        case _ => MediaMeta("h264", 128, 96, 30 + (id % 60).toInt, 0)
+      }
+      MediaRow(id, kind, bytes, meta)
+    }
+  }
+}

@@ -1,0 +1,92 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.multimodal.Media._
+
+/** Multimodal plumbing tests — the decode is a deterministic fake
+  * (no media libs in the container); what's under test is the real
+  * Spark surface: binary columns, metadata schema, batch shape,
+  * fail-soft decode, and the Catalyst frame-sampling plan.
+  */
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Media.synthetic(spark, 200, partitions = 8).cache()
+
+  test("synthetic corpus has binary + typed metadata schema") {
+    val sch = corpus.toDF().schema
+    assert(sch("bytes").dataType.typeName == "binary")
+    assert(sch("meta").dataType.typeName == "struct")
+    assert(corpus.count() == 200)
+  }
+
+  test("feature extraction: every row decoded, fixed dim, deterministic") {
+    val f1 = extractFeatures(corpus, new FakeCodec, featureDim = 16)
+      .collect().sortBy(_.media_id)
+    val f2 = extractFeatures(corpus, new FakeCodec, featureDim = 16)
+      .collect().sortBy(_.media_id)
+    assert(f1.length == 200)
+    assert(f1.forall(_.decoded_ok))
+    assert(f1.forall(_.feature.length == 16))
+    // pure function of bytes → identical across runs (task-retry safe)
+    assert(f1.zip(f2).forall { case (a, b) => a.feature.sameElements(b.feature) })
+  }
+
+  test("corrupt media is fail-soft: decoded_ok=false, job continues") {
+    val withCorrupt = corpus.map(r =>
+      if (r.media_id % 10 == 0) r.copy(bytes = Array.empty[Byte]) else r)
+    val f = extractFeatures(withCorrupt, new FakeCodec)
+    assert(f.filter(!_.decoded_ok).count() == 20)
+    assert(f.count() == 200)
+  }
+
+  test("resize rewrites metadata and shrinks payload proportionally") {
+    val images = corpus.filter(_.kind == "image")
+    val small = resize(images, new FakeCodec, 32, 24).collect()
+    assert(small.forall(r => r.meta.width == 32 && r.meta.height == 24))
+    val orig = images.collect().map(r => r.media_id -> r.bytes.length).toMap
+    assert(small.forall(r => r.bytes.length <= orig(r.media_id)))
+  }
+
+  test("frame sampling is pure Catalyst and arithmetic is right") {
+    val frames = sampleFrames(corpus.toDF(), everyN = 10)
+    val videos = corpus.filter(_.kind == "video").collect()
+    val expected = videos.map(v => (v.meta.nFrames + 9) / 10).sum
+    assert(frames.count() == expected)
+    // ts of frame 30 at 30 fps = 1000 ms
+    val f30 = frames.filter(col("frame_idx") === 30).select("ts_ms")
+      .as[Long].collect()
+    assert(f30.forall(_ == 1000L))
+    // no UDF/serialization stage in the plan — and over parquet the
+    // binary column must be pruned out of the scan (ReadSchema)
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val fromParquet = sampleFrames(spark.read.parquet(dir), everyN = 10)
+    val plan = fromParquet.queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"), "frame sampling should not deserialize rows")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("bytes"), s"binary column not pruned: $readSchema")
+  }
+
+  test("decode batches respect DecodeBatchSize (vectorized-UDF shape)") {
+    val sizes = corpus.mapPartitions { it =>
+      it.grouped(Media.DecodeBatchSize).map(_.size)
+    }.collect()
+    assert(sizes.forall(_ <= Media.DecodeBatchSize))
+    assert(sizes.sum == 200)
+  }
+
+  test("features aggregate distributedly (per-kind mean norm)") {
+    val agg = extractFeatures(corpus, new FakeCodec)
+      .toDF()
+      .select(col("kind"),
+        sqrt(aggregate(col("feature").cast("array<double>"), lit(0.0),
+          (a, x) => a + x * x)).as("norm"))
+      .groupBy("kind").agg(avg("norm").as("avg_norm"), count(lit(1)).as("n"))
+      .collect()
+    assert(agg.length == 3)
+    assert(agg.forall(_.getAs[Double]("avg_norm") > 0.0))
+  }
+}
