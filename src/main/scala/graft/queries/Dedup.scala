@@ -92,8 +92,12 @@ object Dedup extends Catalog {
     // ----- E12: n-gram Jaccard near-dup pairs (inverted index) ------
     "q26_dedup_ngram_jaccard" -> Q(
       fn = (s, d) => {
+        // materialization barrier: the shingle arrays feed four plan
+        // branches (two join sides, two size lookups) — without it each
+        // branch re-runs the shingling over the raw text
         val sh = docs(s, d).select(col("doc_id"), shingles.as("sh"))
           .filter(size(col("sh")) > 0)
+          .localCheckpoint()
         val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
         val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
         ex.as("a").join(ex.as("b"),
@@ -124,33 +128,47 @@ object Dedup extends Catalog {
     // ----- E12: MinHash + LSH banding, verified ---------------------
     "q27_dedup_minhash_lsh" -> Q(
       fn = (s, d) => {
+        // barrier: shingle arrays feed the signature AND both verify
+        // joins — compute them once
         val sh = docs(s, d).select(col("doc_id"), shingles.as("sh"))
           .filter(size(col("sh")) > 0)
-        // portable MinHash: hash_i(s) = md5(s ++ ":" ++ i); signature =
-        // per-i minimum — pure Catalyst, no UDF, engine-independent
-        val sig = transform(
-          sequence(lit(0), lit(NumHashes - 1)),
-          i => array_min(transform(col("sh"),
-            sh0 => md5(concat(sh0, lit(":"), i.cast("string"))))))
+          .localCheckpoint()
+        // MinHash: hash_i(s) = xxhash64(s, i); band hash = hash of its
+        // RowsPerBand minima. Pure Catalyst, no UDF. Two deliberate
+        // shapes here:
+        //  - each band's minima are computed DIRECTLY inside the band
+        //    expression (no shared `sig` column): CollapseProject
+        //    inlines projected arrays into every element_at reference,
+        //    which exploded a shared signature into 16 recomputes per
+        //    row (~10× slowdown measured at sf0.1);
+        //  - xxhash64(shingle, seed) instead of md5-of-concat: no
+        //    string building, no MessageDigest allocation in a lambda
+        //    that runs NumHashes × |shingles| times per document.
+        def minHash(i: Column): Column =
+          array_min(transform(col("sh"), sh0 => xxhash64(sh0, i)))
+        val bandStructs = transform(sequence(lit(0), lit(Bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64((0 until RowsPerBand).map(r => minHash(b * RowsPerBand + r)): _*)
+              .as("bh")))
+        // banded buckets stay SKINNY (doc_id, band, bh) — the shingle
+        // arrays never travel through the candidate shuffle; they are
+        // joined back only for the (few) candidate pairs. The
+        // localCheckpoint is a materialization barrier so the
+        // self-join's two sides share ONE signature computation.
         val banded = sh
-          .withColumn("sig", sig)
-          .select(col("doc_id"), col("sh"),
-            explode(transform(sequence(lit(0), lit(Bands - 1)),
-              b => struct(
-                b.as("band"),
-                md5(concat_ws("|",
-                  slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))).as("bh"))))
-              .as("bb"))
-          .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bh"))
+          .select(col("doc_id"), explode(bandStructs).as("bb"))
+          .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+          .localCheckpoint()
         val cand = banded.as("a").join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-            col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
           .dropDuplicates("doc1", "doc2")
         // verify candidates with exact Jaccard — LSH is a filter, the
         // emitted pairs are exact
         cand
+          .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+          .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
           .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
           .withColumn("jaccard",
             col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
@@ -194,18 +212,38 @@ object Dedup extends Catalog {
     // ----- E12: embedding cosine near-dup pairs ---------------------
     "q29_embedding_near_dup" -> Q(
       fn = (s, d) => {
-        val e = Tables.load(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val withNorm = e.withColumn("norm",
-          sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-        withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .withColumn("dot",
-            aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-              lit(0.0), (a, x) => a + x))
-          .withColumn("cosine", col("dot") / (col("a.norm") * col("b.norm")))
-          .filter(col("cosine") >= 0.4)
-          .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
-            col("cosine"))
+        import s.implicits._
+        // Brute-force all-pairs kernel: the corpus is broadcast (like a
+        // broadcast-join build side) and each task sweeps a slice of
+        // row indices in a tight JVM loop — Catalyst higher-order
+        // lambdas are interpreted, ~20× slower for dense numeric work.
+        // Valid exactly while the corpus fits in an executor (which is
+        // the precondition of ANY O(n²) scan); the 100 TB path is LSH
+        // bucketing (q31) / banding (q27).
+        val vecs = Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .as[(Long, Array[Double])].collect().sortBy(_._1)
+        val norms = vecs.map { case (_, v) =>
+          var n = 0.0; var i = 0
+          while (i < v.length) { n += v(i) * v(i); i += 1 }
+          math.sqrt(n)
+        }
+        val bcV = s.sparkContext.broadcast(vecs)
+        val bcN = s.sparkContext.broadcast(norms)
+        val n = vecs.length
+        s.range(0, n).repartition(s.sparkContext.defaultParallelism)
+          .flatMap { iL =>
+            val vv = bcV.value; val nn = bcN.value
+            val i = iL.toInt
+            val (id1, v1) = vv(i)
+            Iterator.range(i + 1, n).flatMap { j =>
+              val (id2, v2) = vv(j)
+              var dot = 0.0; var k = 0
+              while (k < v1.length) { dot += v1(k) * v2(k); k += 1 }
+              val cos = dot / (nn(i) * nn(j))
+              if (cos >= 0.4) Iterator.single((id1, id2, cos)) else Iterator.empty
+            }
+          }.toDF("vec1", "vec2", "cosine")
       },
       sql = Some("""
         SELECT a.vec_id AS vec1, b.vec_id AS vec2,
