@@ -47,6 +47,7 @@ object Main {
       .appName(s"graft-${cfg.id}")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       // LLM calls are effectful — never re-run finished work
       .config("spark.speculation", "false")

@@ -190,20 +190,14 @@ object Dedup extends Catalog {
 
     // ----- E12: SimHash fingerprints --------------------------------
     "q28_dedup_simhash" -> Q(
-      fn = (s, d) => {
-        // 64-bit SimHash from xxhash64 token bits, emitted as a
-        // 64-char bitstring (no unsigned-long portability issues)
-        val bits = transform(
-          sequence(lit(63), lit(0), lit(-1)),
-          b => when(
-            aggregate(words, lit(0L),
-              (acc, t) => acc +
-                when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1, 1L)
-                  .otherwise(-1L)) > 0, lit("1")).otherwise(lit("0")))
+      fn = (s, d) =>
+        // native codegen'd Expression (graft.functions.SimHash64),
+        // registered by GraftExtensions: one pass over the tokens vs
+        // the 64 interpreted array-walks a higher-order-function
+        // formulation costs (SimHash64Spec proves bit-equality)
         docs(s, d)
           .filter(length(col("text")) > 0)
-          .select(col("doc_id"), concat_ws("", bits).as("simhash"))
-      },
+          .select(col("doc_id"), call_function("simhash64", words).as("simhash")),
       sql = None, // xxhash64 not portable to DuckDB — rows-only check;
       // value-level behavior covered by DedupSpec (hamming distance of
       // near-dup pairs vs random pairs)

@@ -1,0 +1,97 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.WeightedMean
+
+/** Source-format coverage (SURVEY.md §2B E1: parquet/CSV/JSON scans)
+  * and the custom-aggregate surface (E19).
+  *
+  * The test corpus ships as parquet only, so the CSV/JSON scans
+  * round-trip a table through the format under test (write once into a
+  * per-SF temp dir, then read back with an explicit schema). The
+  * oracle reads the original parquet — so the check proves the
+  * format's write→read path is lossless, including quoting/escaping
+  * (CSV) and number fidelity (JSON doubles).
+  */
+object Sources extends Catalog {
+
+  /** write `name` as `fmt` under /tmp once per (sf, table); reuse after */
+  private def roundTrip(
+      s: SparkSession, d: String, name: String, fmt: String): DataFrame = {
+    val key = Integer.toHexString(d.hashCode)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_src_${fmt}_${name}_$key"
+    val src = Tables.load(s, d, name)
+    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+      val w = src.write.mode("overwrite")
+      (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(dir)
+    }
+    s.read.schema(src.schema)
+      .format(fmt)
+      .options(if (fmt == "csv") Map("header" -> "true") else Map.empty[String, String])
+      .load(dir)
+  }
+
+  override def queries: Map[String, Q] = Map(
+
+    // ----- E1: CSV scan (with quoting-sensitive text columns) -------
+    "q40_csv_scan" -> Q(
+      fn = (s, d) =>
+        roundTrip(s, d, "part", "csv")
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("p_retailprice")).as("sum_price"),
+            max(col("p_size")).cast("long").as("max_size")),
+      sql = Some("""
+        SELECT p_brand, count(*) AS n, sum(p_retailprice) AS sum_price,
+               CAST(max(p_size) AS BIGINT) AS max_size
+        FROM part GROUP BY p_brand"""),
+      scaleNote = "schema'd CSV read — no inference pass; at 100 TB CSV scans parallelize per-file/per-split like parquet minus column pruning"),
+
+    // ----- E1: JSON scan (double fidelity through text) -------------
+    "q41_json_scan" -> Q(
+      fn = (s, d) =>
+        roundTrip(s, d, "customer", "json")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal")).as("sum_bal"),
+            avg(col("c_acctbal")).as("avg_bal")),
+      sql = Some("""
+        SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS sum_bal,
+               avg(c_acctbal) AS avg_bal
+        FROM customer GROUP BY c_mktsegment"""),
+      scaleNote = "explicit schema skips sampling-based inference (a full extra scan at 100 TB); shortest-roundtrip double formatting keeps numeric fidelity"),
+
+    // ----- E19: custom typed Aggregator (weighted mean) -------------
+    "q42_udaf_weighted_mean" -> Q(
+      fn = (s, d) =>
+        Tables.load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            WeightedMean.column(col("l_extendedprice"), col("l_quantity"))
+              .as("wmean_price"),
+            count(lit(1)).as("n")),
+      sql = Some("""
+        SELECT l_returnflag,
+               sum(l_extendedprice * l_quantity) / sum(l_quantity) AS wmean_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag"""),
+      scaleNote = "Aggregator gets map-side partial aggregation automatically (reduce per partition, merge at the exchange) — same shuffle profile as a built-in agg"),
+
+    // ----- E6 sketch variant: approximate distinct ------------------
+    "q43_approx_distinct" -> Q(
+      fn = (s, d) =>
+        Tables.load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts")),
+      sql = None, // HLL sketches are engine-specific — rows-only check;
+      // SourcesSpec asserts the ±2% error contract vs the exact count
+      scaleNote = "HLL++ sketch: no expand, constant memory per group, mergeable across partitions — the 100 TB answer to count-distinct")
+  )
+}

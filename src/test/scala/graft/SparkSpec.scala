@@ -18,6 +18,7 @@ object SparkSpec {
       .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
