@@ -23,7 +23,10 @@ final case class EnrichOptions(
       * partitions × this */
     concurrency: Int = 8,
     maxRetries: Int = 2,
-    retryBackoffMs: Long = 500)
+    retryBackoffMs: Long = 500,
+    /** request-rate cap per partition (0 = unlimited); cluster-wide
+      * rate = partitions × this — size it to the backend's quota */
+    maxReqPerSec: Double = 0.0)
 
 /** The reference's whole job — `process_item` mapped over a corpus
   * (SURVEY.md R3-R11) — as one declarative DataFrame transform.
@@ -132,7 +135,16 @@ object EnrichJob {
       }
     }
 
-    val source = it.map(r => Future(callOne(r))) // lazy — forced by enqueue
+    // simple per-partition pacing: submissions spaced >= 1/maxReqPerSec
+    val minIntervalNs =
+      if (opts.maxReqPerSec > 0) (1e9 / opts.maxReqPerSec).toLong else 0L
+    var nextSlotNs = System.nanoTime()
+    def throttle(): Unit = if (minIntervalNs > 0) {
+      val wait = nextSlotNs - System.nanoTime()
+      if (wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
+      nextSlotNs = math.max(nextSlotNs + minIntervalNs, System.nanoTime())
+    }
+    val source = it.map { r => throttle(); Future(callOne(r)) } // lazy — forced by enqueue
     val inflight = mutable.Queue.empty[Future[Called]]
     new Iterator[Called] {
       private def fill(): Unit =

@@ -92,6 +92,34 @@ object Sources extends Catalog {
             countDistinct(col("l_partkey")).as("exact_parts")),
       sql = None, // HLL sketches are engine-specific — rows-only check;
       // SourcesSpec asserts the ±2% error contract vs the exact count
-      scaleNote = "HLL++ sketch: no expand, constant memory per group, mergeable across partitions — the 100 TB answer to count-distinct")
+      scaleNote = "HLL++ sketch: no expand, constant memory per group, mergeable across partitions — the 100 TB answer to count-distinct"),
+
+    // ----- E18: the reference's whole job, at engine speed ----------
+    "q44_llm_enrich_fake" -> Q(
+      fn = (s, d) => {
+        // documents as {id, texts, images} records → the full parity
+        // pipeline (template render, per-partition async LLM stage,
+        // <think> strip, label append) on the deterministic fake
+        // backend — benchmarks ENGINE overhead, the reference's
+        // comparison point is 1 sequential request at a time
+        val records = Tables.load(s, d, "documents")
+          .select(col("doc_id").cast("string").as("id"),
+            map(lit("content"), col("text")).as("texts"),
+            array().cast("array<string>").as("images"))
+        val cfg = graft.core.JobConfig(
+          id = "bench-enrich",
+          erbTemplate = "summarize: <%= texts[:content] %>",
+          backendEndpoint = "http://fake", model = "fake",
+          outputLabel = "summary", systemErbTemplate = None,
+          params = Map.empty, useImages = false, responseFormat = None)
+        graft.pipeline.EnrichJob
+          .run(records, cfg, new graft.llm.FakeLlmClient(),
+            graft.pipeline.EnrichOptions(concurrency = 16))
+          .good
+          .select(col("id"), element_at(col("texts"), "summary").as("summary"))
+      },
+      sql = None, // response = murmur3 fingerprint of the prompt — not
+      // SQL-portable; EnrichJobSpec covers the record-level contract
+      scaleNote = "network boundary moves from driver↔API (reference) to executor-task↔API: throughput scales with partitions × per-partition concurrency")
   )
 }

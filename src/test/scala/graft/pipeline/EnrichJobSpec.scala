@@ -127,6 +127,18 @@ class EnrichJobSpec extends SparkSpec {
     assert(noSys.forall(_.startsWith("user=")))
   }
 
+  test("rate limit paces submissions (maxReqPerSec)") {
+    val df = (1 to 30).map(i => (i.toString, Map("content" -> s"d$i"), Seq.empty[String]))
+      .toDF("id", "texts", "images").coalesce(1)
+    val t0 = System.nanoTime()
+    val n = EnrichJob.run(df, cfg(), new FakeLlmClient(p => p),
+      EnrichOptions(concurrency = 8, maxReqPerSec = 100.0)).good.count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(n == 30)
+    // 30 requests at <=100/s on one partition need >= ~0.29s of pacing
+    assert(elapsed >= 0.25, s"rate limiter did not pace: ${elapsed}s")
+  }
+
   test("jsonl round trip: read → enrich → write matches reference example shape") {
     val d = Files.createTempDirectory("graft-e2e")
     val in = d.resolve("in.jsonl")
