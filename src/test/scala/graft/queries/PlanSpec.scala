@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan shape enforcement — the 100 TB design rules from the
+  * catalog scaleNotes, asserted so a regression in plan quality fails
+  * CI, not just the benchmark:
+  *  - filters and projections reach the parquet scan
+  *  - dimension joins broadcast
+  *  - top-k never global-sorts
+  *  - rank-limit windows prune in-shuffle (WindowGroupLimit)
+  *  - aggregates are two-phase (map-side partial)
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val all = Relational.queries ++ Dedup.queries ++ Similarity.queries
+    all(name).fn(spark, sf0001).queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicates and projection push into the parquet scan") {
+    val p = plan("q02_filter_project")
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("GreaterThanOrEqual(l_shipdate") ||
+      scanLine.contains("GreaterThanOrEqual(l_discount"), scanLine)
+    val readSchema = scanLine.substring(scanLine.indexOf("ReadSchema"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"projection not pruned: $readSchema")
+  }
+
+  test("q04: nation dimension joins via broadcast, never shuffled") {
+    val p = plan("q04_join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("q16: top-10 plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q16_top10_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Sort ["), "global sort should not appear")
+  }
+
+  test("q13: rank-limit window prunes in-shuffle via WindowGroupLimit") {
+    val p = plan("q13_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before exchange)") {
+    val p = plan("q01_agg_pricing_summary")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs:\n${p.take(600)}")
+  }
+
+  test("q26: near-dup join is an equi-join on shingle, not a cartesian product") {
+    val p = plan("q26_dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q27: LSH candidate join keys on (band, bucket-hash)") {
+    val p = plan("q27_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("q30: query vectors broadcast; corpus side never shuffles") {
+    val p = plan("q30_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(600))
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for knn probe")
+  }
+}
