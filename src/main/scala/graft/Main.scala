@@ -42,6 +42,9 @@ object Main {
         System.err.println(s"Error initializing job: ${e.getMessage}"); return 1
       }
 
+    // if a session already exists (tests, shared driver), reuse it and
+    // leave its lifecycle alone
+    val reusedSession = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName(s"graft-${cfg.id}")
@@ -63,7 +66,7 @@ object Main {
         result.deadLetter.write.mode("overwrite").json(s"$errDir/failed")
       }
       0
-    } finally spark.stop()
+    } finally { if (!reusedSession) spark.stop() }
   }
 
   private def parseFlags(rest: Array[String]): Map[String, String] = {

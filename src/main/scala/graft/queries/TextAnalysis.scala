@@ -161,6 +161,25 @@ object TextAnalysis extends Catalog {
                md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))), ' ')) AS fp_bow,
                md5(array_to_string(list_transform(string_split(lower(text),' '), w -> CAST(length(w) AS VARCHAR)), ',')) AS fp_shape
         FROM documents WHERE length(text) > 0"""),
-      scaleNote = "fingerprints shuffle as 16-byte keys for downstream groupBy dedup — never the document bodies")
+      scaleNote = "fingerprints shuffle as 16-byte keys for downstream groupBy dedup — never the document bodies"),
+
+    // ----- E16: map construction / map_keys / map_values / explode --
+    "q45_map_funcs" -> Q(
+      fn = (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"),
+            map(lit("lang"), col("lang"), lit("source"), col("source")).as("m"))
+          .select(col("doc_id"),
+            explode(map_from_arrays(map_keys(col("m")), map_values(col("m"))))
+              .as(Seq("k", "v")))
+          .groupBy(col("k"), col("v"))
+          .agg(count(lit(1)).as("n")),
+      sql = Some("""
+        SELECT k, v, count(*) AS n FROM (
+          SELECT doc_id, unnest(map_keys(m)) AS k, unnest(map_values(m)) AS v
+          FROM (SELECT doc_id, MAP {'lang': lang, 'source': source} AS m
+                FROM documents))
+        GROUP BY k, v"""),
+      scaleNote = "map explode is pipelined into the scan; the dynamic-key texts map in the enrich pipeline uses the same operators")
   )
 }

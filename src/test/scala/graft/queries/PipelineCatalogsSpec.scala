@@ -13,7 +13,7 @@ class PipelineCatalogsSpec extends SparkSpec {
 
   private val catalogs = Seq[(String, Catalog)](
     ("dedup", Dedup), ("similarity", Similarity), ("text", TextAnalysis),
-    ("streaming", Streaming))
+    ("streaming", Streaming), ("sources", Sources))
 
   for ((cname, cat) <- catalogs; (name, q) <- cat.queries) {
     test(s"[$cname] $name runs and returns rows at sf0.001") {

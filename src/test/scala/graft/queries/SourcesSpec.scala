@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sources catalog contracts that the DuckDB gate can't check. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q43: HLL approx distinct within the requested 2% of exact") {
+    val rows = Sources.queries("q43_approx_distinct").fn(spark, sf001)
+      .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err <= 0.06, s"approx=$approx exact=$exact err=$err") // 3σ of rsd=0.02
+    }
+  }
+
+  test("CSV round-trip is lossless for part (quoting, ints, doubles)") {
+    val direct = spark.read.parquet(s"$sf0001/part.parquet")
+    val viaCsv = Sources.queries("q40_csv_scan").fn(spark, sf0001)
+    val expected = direct.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("p_retailprice")).as("sum_price"),
+        max(col("p_size")).cast("long").as("max_size"))
+    assert(viaCsv.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(viaCsv).count() == 0)
+  }
+
+  test("JSON round-trip preserves double fidelity for customer") {
+    val direct = spark.read.parquet(s"$sf0001/customer.parquet")
+    val viaJson = Sources.queries("q41_json_scan").fn(spark, sf0001)
+    val expected = direct.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("c_acctbal")).as("sum_bal"),
+        avg(col("c_acctbal")).as("avg_bal"))
+    assert(viaJson.exceptAll(expected).count() == 0)
+  }
+
+  test("q44: fake-LLM enrichment covers every document deterministically") {
+    val a = Sources.queries("q44_llm_enrich_fake").fn(spark, sf0001)
+      .as[(String, String)].collect().toMap
+    val b = Sources.queries("q44_llm_enrich_fake").fn(spark, sf0001)
+      .as[(String, String)].collect().toMap
+    assert(a == b)
+    assert(a.size == spark.read.parquet(s"$sf0001/documents.parquet").count())
+    assert(a.values.forall(_.startsWith("FAKE[")))
+  }
+}

@@ -88,6 +88,29 @@ class StreamingSpec extends SparkSpec {
       == canon(batch, "w_start", "event_type", "n", "sum_value"))
   }
 
+  test("file-source streaming (readStream.parquet) matches batch") {
+    // real file source, not MemoryStream: events.parquet replayed via
+    // Trigger.AvailableNow against the same tumbling transform
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").outputMode("complete")
+      .queryName("file_sink").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val batch = EventStreams.tumblingCounts(
+        Tables.load(spark, sf0001, "events"), withWatermarkCol = false)
+      assert(canon(spark.table("file_sink"), "w_start", "event_type", "n", "sum_value")
+        == canon(batch, "w_start", "event_type", "n", "sum_value"))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivered event_ids") {
     val ms = MemoryStream[Event]
     val q = EventStreams.dedupedEvents(ms.toDF())
