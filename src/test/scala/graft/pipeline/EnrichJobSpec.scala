@@ -15,6 +15,11 @@ import graft.llm.FakeLlmClient
   * Mirrors spec/job_processor_spec.rb:96-114 and
   * spec/integration_spec.rb:53-59.
   */
+object EnrichJobSpec {
+  /** static so executor-side closures hit the same counter (local mode) */
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class EnrichJobSpec extends SparkSpec {
   import spark.implicits._
 
@@ -125,6 +130,42 @@ class EnrichJobSpec extends SparkSpec {
     val noSys = EnrichJob.run(inputDf, cfg(), probe)
       .good.select(element_at(col("texts"), "summary")).as[String].collect()
     assert(noSys.forall(_.startsWith("user=")))
+  }
+
+  test("runCached: second run makes zero backend calls, same output") {
+    val cacheDir = Files.createTempDirectory("graft-cache").resolve("c").toString
+    EnrichJobSpec.calls.set(0)
+    val counting = new graft.llm.LlmClient {
+      override def chat(ms: Seq[graft.llm.Msg], c: JobConfig): String = {
+        EnrichJobSpec.calls.incrementAndGet()
+        s"R:${ms.last.text}"
+      }
+    }
+    val r1 = EnrichJob.runCached(inputDf, cfg(), counting, cacheDir)
+      .good.orderBy("id").as[(String, Map[String, String], Seq[String])].collect()
+    assert(EnrichJobSpec.calls.get() == 2)
+    val r2 = EnrichJob.runCached(inputDf, cfg(), counting, cacheDir)
+      .good.orderBy("id").as[(String, Map[String, String], Seq[String])].collect()
+    assert(EnrichJobSpec.calls.get() == 2, "cache hits must not re-call the backend")
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1(0)._2("summary") == "R:summarize: hello world")
+  }
+
+  test("runCached: new records call only for the delta") {
+    val cacheDir = Files.createTempDirectory("graft-cache2").resolve("c").toString
+    EnrichJobSpec.calls.set(0)
+    val counting = new graft.llm.LlmClient {
+      override def chat(ms: Seq[graft.llm.Msg], c: JobConfig): String = {
+        EnrichJobSpec.calls.incrementAndGet(); "ok"
+      }
+    }
+    EnrichJob.runCached(inputDf, cfg(), counting, cacheDir).good.count()
+    assert(EnrichJobSpec.calls.get() == 2)
+    val grown = input :+ (("3", Map("content" -> "new doc"), Seq.empty[String]))
+    val n = EnrichJob.runCached(grown.toDF("id", "texts", "images"), cfg(), counting, cacheDir)
+      .good.count()
+    assert(n == 3)
+    assert(EnrichJobSpec.calls.get() == 3, "only the new record should call")
   }
 
   test("rate limit paces submissions (maxReqPerSec)") {
