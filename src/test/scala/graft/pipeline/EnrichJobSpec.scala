@@ -180,6 +180,39 @@ class EnrichJobSpec extends SparkSpec {
     assert(elapsed >= 0.25, s"rate limiter did not pace: ${elapsed}s")
   }
 
+  test("reference repo's own example input runs end-to-end (README.md:35 scenario)") {
+    // /root/reference/docs/example/input_sample.jsonl + the
+    // job_with_system.yml surface (paths re-pointed at our fixtures)
+    val refInput = "/root/reference/docs/example/input_sample.jsonl"
+    assume(Files.exists(java.nio.file.Paths.get(refInput)))
+    val d = jobDir()
+    Files.writeString(d.resolve("user_prompt.erb"),
+      "以下のテキストを要約してください：\n\n<%= texts[:content] %>")
+    Files.writeString(d.resolve("job.yml"),
+      s""":id: summarization-with-system
+         |:erb_filepath: user_prompt.erb
+         |:system_erb_filepath: sys.erb
+         |:backend_endpoint: http://localhost:8080
+         |:model: qwen3-0.6b
+         |:params:
+         |  :temperature: 0.3
+         |  :max_tokens: 200
+         |:use_images: false
+         |:output_label: summary""".stripMargin)
+    val jc = JobConfig.load(d.resolve("job.yml").toString)
+    val split = graft.io.Jsonl.read(spark, refInput)
+    assert(split.corrupt.count() == 0)
+    val out = EnrichJob.run(split.good, jc,
+      new FakeLlmClient(p => s"<think>考える</think>要約:${p.length}"))
+      .good.as[(String, Map[String, String], Seq[String])].collect()
+    assert(out.length == split.good.count())
+    // every record: content preserved, summary added, think stripped
+    out.foreach { case (_, texts, _) =>
+      assert(texts.contains("content"))
+      assert(texts("summary").startsWith("要約:"))
+    }
+  }
+
   test("jsonl round trip: read → enrich → write matches reference example shape") {
     val d = Files.createTempDirectory("graft-e2e")
     val in = d.resolve("in.jsonl")
