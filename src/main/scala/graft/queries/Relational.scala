@@ -499,6 +499,34 @@ object Relational extends Catalog {
                CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS BIGINT) AS n_long_words,
                CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS total_chars
         FROM documents"""),
-      scaleNote = "higher-order functions run inside codegen with no UDF boundary and no explode-shuffle")
+      scaleNote = "higher-order functions run inside codegen with no UDF boundary and no explode-shuffle"),
+
+    // ----- E5+: as-of join (custom operator, graft.operators) --------
+    "q46_asof_join" -> Q(
+      fn = (s, d) => {
+        val e = t(s, d, "events")
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("value").as("click_value"))
+        graft.operators.AsOfJoin
+          .asofJoin(errors, clicks, "user_id", "ts", "click_ts",
+            Seq("click_ts", "click_value"))
+          .filter(col("asof_click_ts").isNotNull) // inner as-of semantics
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("err_ts_us"),
+            unix_micros(col("asof_click_ts")).as("click_ts_us"),
+            col("asof_click_value").as("click_value"))
+      },
+      sql = Some("""
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts::TIMESTAMP) AS err_ts_us,
+               epoch_us(c.ts::TIMESTAMP) AS click_ts_us,
+               c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts"""),
+      scaleNote = "one-shuffle union-window as-of join (graft.operators.AsOfJoin) — never the per-key cross product a naive ts>=ts range join materializes")
   )
 }
