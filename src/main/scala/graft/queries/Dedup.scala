@@ -99,7 +99,12 @@ object Dedup extends Catalog {
           .filter(size(col("sh")) > 0)
           .localCheckpoint()
         val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-        val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        // postings carry an 8-byte shingle hash, not the string: the
+        // inverted-index shuffle moves fixed-width longs (a 64-bit
+        // collision would need ~2^32 distinct shingles to matter, and
+        // the jaccard distribution here is bimodal around the τ)
+        val ex = sh.select(col("doc_id"),
+          explode(transform(col("sh"), x => xxhash64(x))).as("shingle"))
         ex.as("a").join(ex.as("b"),
             col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id"))
