@@ -505,6 +505,44 @@ object Relational extends Catalog {
         FROM documents"""),
       scaleNote = "higher-order functions run inside codegen with no UDF boundary and no explode-shuffle"),
 
+    // ----- E7: explicit GROUPING SETS (SQL surface) ------------------
+    "q47_grouping_sets" -> Q(
+      fn = (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("gs_lineitem")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 sum(l_quantity) AS sum_qty, count(*) AS n
+          FROM gs_lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+      },
+      sql = Some("""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""),
+      scaleNote = "3 grouping sets = one Expand + one shuffle, same strategy as rollup/cube; also exercises the spark.sql text surface"),
+
+    // ----- E8: rangeBetween (value-based) window frame ---------------
+    "q48_range_frame" -> Q(
+      fn = (s, d) => {
+        // 30-day trailing spend per customer; epoch-seconds range frame
+        // keeps Spark and DuckDB peer semantics identical
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+          .rangeBetween(-30L * 86400, 0)
+        t(s, d, "orders")
+          .withColumn("spend_30d", sum(col("o_totalprice")).over(w))
+          .select(col("o_orderkey"), col("o_custkey"), col("spend_30d"))
+      },
+      sql = Some("""
+        SELECT o_orderkey, o_custkey,
+               sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY epoch(o_orderdate::TIMESTAMP)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS spend_30d
+        FROM orders"""),
+      scaleNote = "value-based frame evaluates with a sliding aggregate over the sorted partition — one shuffle on custkey, O(n) per partition"),
+
     // ----- E5+: as-of join (custom operator, graft.operators) --------
     "q46_asof_join" -> Q(
       fn = (s, d) => {

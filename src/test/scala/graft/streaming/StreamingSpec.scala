@@ -111,6 +111,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming events enrich against a static dimension") {
+    val ms = MemoryStream[Event]
+    val dim = Seq((0L, "control"), (1L, "treatment")).toDF("bucket", "cohort")
+    val joined = ms.toDF()
+      .withColumn("bucket", col("user_id") % 2)
+      .join(dim, "bucket") // static side broadcast into every micro-batch
+      .groupBy("cohort").agg(count(lit(1)).as("n"))
+    val q = joined.writeStream.format("memory").outputMode("complete")
+      .queryName("dim_sink").start()
+    try {
+      allEvents.grouped(400).foreach { c => ms.addData(c); q.processAllAvailable() }
+      val got = spark.table("dim_sink").as[(String, Long)].collect().toMap
+      val want = Tables.load(spark, sf0001, "events")
+        .withColumn("bucket", col("user_id") % 2)
+        .join(dim, "bucket").groupBy("cohort").count()
+        .as[(String, Long)].collect().toMap
+      assert(got == want)
+      assert(got.values.sum == allEvents.size)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivered event_ids") {
     val ms = MemoryStream[Event]
     val q = EventStreams.dedupedEvents(ms.toDF())
