@@ -21,8 +21,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // run twice, report the second: the first pays whole-stage-codegen
-      // javac + JIT warmup, which is per-process noise, not engine cost
+      // one warmup (codegen javac + JIT, per-process noise) then the
+      // min of two timed runs — min is the right statistic for "engine
+      // cost" under background-load variance on a shared box
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -32,7 +33,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once()
-      name -> once()
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
