@@ -61,6 +61,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
+  test("q46: as-of join is one window over one shuffle, no range-join blowup") {
+    val p = plan("q46_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+    assert(p.contains("Window"), "expected the union-window plan")
+    // exactly one exchange feeds the window (plus AQE wrappers)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges")
+  }
+
+  test("q48: range frame runs as a single window after one shuffle") {
+    val p = plan("q48_range_frame")
+    assert(p.contains("Window"), p.take(400))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+  }
+
   test("q30: query vectors broadcast; corpus side never shuffles") {
     val p = plan("q30_knn_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
