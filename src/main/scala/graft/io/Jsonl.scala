@@ -38,6 +38,17 @@ object Jsonl {
       corrupt = parsed.filter(bad).select(col("value")))
   }
 
+  /** Re-materialize records from a dead-letter dump (EnrichJob failures
+    * store the original record as a JSON string in `record`) so a
+    * failed slice can be re-enriched after the backend recovers —
+    * the operational half of the fail-soft contract.
+    */
+  def replayDeadLetter(spark: SparkSession, deadLetterDf: DataFrame): DataFrame =
+    deadLetterDf
+      .select(from_json(col("record"), Record.schema).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.id"), col("r.texts"), col("r.images"))
+
   /** Write records as one compact JSON object per line. texts/images
     * are normalized to {} / [] first — the reference always emits both
     * (lib/job_processor.rb:43-47).

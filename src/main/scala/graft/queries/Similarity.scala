@@ -122,6 +122,32 @@ object Similarity extends Catalog {
       // SimilaritySpec against q30
       scaleNote = "replaces the cross join with a (table,signature) bucket equi-join; signature computation is codegen'd; recall tunes via tables × bits per data distribution"),
 
+    // ----- LSH-bucketed near-dup pairs (scale path for q29) ---------
+    "q49_embedding_neardup_lsh" -> Q(
+      fn = (s, d) => {
+        // verify-then-emit: hyperplane buckets generate candidates, the
+        // exact cosine decides — emitted pairs carry TRUE similarities,
+        // only recall is approximate (rows-only check + spec subset
+        // assertion against q29's brute force)
+        val e = embeddings(s, d).withColumn("bits", lshBits(col("v")))
+        val buckets = e.select(col("vec_id"), col("v"), col("norm"),
+          explode(transform(sequence(lit(0), lit(LshTables - 1)),
+            t => struct(t.as("t"),
+              col("bits").substr(t * BitsPerTable + 1, lit(BitsPerTable)).as("sig"))))
+            .as("b"))
+          .select(col("vec_id"), col("v"), col("norm"), col("b.t"), col("b.sig"))
+        buckets.as("a").join(buckets.as("b"),
+            col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
+            (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+              .as("cosine"))
+          .dropDuplicates("vec1", "vec2")
+          .filter(col("cosine") >= 0.4)
+      },
+      sql = None,
+      scaleNote = "the 100 TB form of q29: (table,signature) equi-join replaces the O(n²) sweep; candidate count scales with bucket occupancy, not corpus²"),
+
     // ----- per-label centroids (embedding aggregation) --------------
     "q32_embedding_centroids" -> Q(
       fn = (s, d) =>

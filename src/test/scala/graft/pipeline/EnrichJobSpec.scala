@@ -168,6 +168,20 @@ class EnrichJobSpec extends SparkSpec {
     assert(EnrichJobSpec.calls.get() == 3, "only the new record should call")
   }
 
+  test("dead-letter replay: failed records re-enter the pipeline and succeed") {
+    val flaky = new FakeLlmClient(p =>
+      if (p.contains("goodbye")) throw new RuntimeException("down") else "ok")
+    val first = EnrichJob.run(inputDf, cfg(), flaky, EnrichOptions(maxRetries = 0))
+    assert(first.deadLetter.count() == 1)
+    val replayed = graft.io.Jsonl.replayDeadLetter(spark, first.deadLetter)
+    val second = EnrichJob.run(replayed, cfg(), new FakeLlmClient(_ => "recovered"))
+    val out = second.good.as[(String, Map[String, String], Seq[String])].head()
+    assert(out._1 == "2")
+    assert(out._2("summary") == "recovered")
+    assert(out._2("keep") == "me") // original payload survived the round trip
+    assert(out._3 == Seq("aW1n"))
+  }
+
   test("rate limit paces submissions (maxReqPerSec)") {
     val df = (1 to 30).map(i => (i.toString, Map("content" -> s"d$i"), Seq.empty[String]))
       .toDF("id", "texts", "images").coalesce(1)

@@ -85,6 +85,19 @@ class PipelineCatalogsSpec extends SparkSpec {
       assert(math.abs(brute(q)(n) - c) < 1e-12)
   }
 
+  test("embedding near-dup LSH emits a subset of brute force, with true cosines") {
+    val brute = Dedup.queries("q29_embedding_near_dup").fn(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Similarity.queries("q49_embedding_neardup_lsh").fn(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, c) =>
+      assert(brute.contains((a, b)), s"($a,$b) not in brute force")
+      assert(math.abs(brute((a, b)) - c) < 1e-9)
+    }
+  }
+
   test("centroids: 10 labels x 64 dims, counts match corpus") {
     val df = Similarity.queries("q32_embedding_centroids").fn(spark, sf0001)
     assert(df.count() == 10 * 64)
