@@ -254,6 +254,39 @@ object Dedup extends Catalog {
                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
         """),
-      scaleNote = "brute force stands in at test SF; the scale path is q31's hyperplane-LSH bucketing — same verify-then-emit pattern as q27")
+      scaleNote = "brute force stands in at test SF; the scale path is q31's hyperplane-LSH bucketing — same verify-then-emit pattern as q27"),
+
+    // ----- E12: CDC chunk-overlap near-dup (rolling hash) -----------
+    "q50_dedup_cdc_chunks" -> Q(
+      fn = (s, d) => {
+        // content-defined chunk fingerprints (native cdc_chunks
+        // expression, Gear rolling hash) → inverted-index join on
+        // 8-byte chunk hashes → pairs by shared-chunk count. The
+        // long-document near-dup signal: robust to insertions because
+        // chunk boundaries resynchronize after an edit.
+        val ch = docs(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"),
+            array_distinct(call_function("cdc_chunks", col("text"))).as("chunks"))
+          .localCheckpoint()
+        val ex = ch.select(col("doc_id"), explode(col("chunks")).as("chunk"))
+        val sizes = ch.select(col("doc_id"), size(col("chunks")).as("sz"))
+        ex.as("a").join(ex.as("b"),
+            col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .agg(count(lit(1)).as("shared_chunks"))
+          .join(sizes.withColumnRenamed("doc_id", "doc1")
+            .withColumnRenamed("sz", "sz1"), "doc1")
+          .withColumn("overlap",
+            col("shared_chunks").cast("double") / col("sz1"))
+          .filter(col("overlap") >= 0.5)
+          .select(col("doc1"), col("doc2"), col("shared_chunks"), col("overlap"))
+      },
+      sql = None, // Gear/xxhash chunking is not portable to DuckDB —
+      // rows-only; PipelineCatalogsSpec asserts agreement with the
+      // shingle-jaccard near-dup pairs and CdcChunksSpec the edit
+      // robustness
+      scaleNote = "chunks shuffle as 8-byte hashes; posting-list join like q26 but ~5x fewer postings than word-shingles on long docs")
   )
 }

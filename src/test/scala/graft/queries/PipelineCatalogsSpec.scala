@@ -85,6 +85,18 @@ class PipelineCatalogsSpec extends SparkSpec {
       assert(math.abs(brute(q)(n) - c) < 1e-12)
   }
 
+  test("cdc chunk-overlap pairs agree with shingle-jaccard near-dups") {
+    val jaccardPairs = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val cdcPairs = Dedup.queries("q50_dedup_cdc_chunks").fn(spark, sf0001)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(cdcPairs.nonEmpty)
+    // the two signals should substantially agree on this corpus
+    val agree = cdcPairs.intersect(jaccardPairs).size.toDouble /
+      math.max(cdcPairs.size, jaccardPairs.size)
+    assert(agree >= 0.5, s"cdc=$cdcPairs vs jaccard=$jaccardPairs")
+  }
+
   test("embedding near-dup LSH emits a subset of brute force, with true cosines") {
     val brute = Dedup.queries("q29_embedding_near_dup").fn(spark, sf0001)
       .as[(Long, Long, Double)].collect()
