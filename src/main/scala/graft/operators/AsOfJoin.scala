@@ -32,25 +32,34 @@ object AsOfJoin {
     val taggedLeft = left
       .withColumn("_ts", col(leftTime))
       .withColumn("_side", lit(1))
-      .withColumns(rightPayload.map(c => c -> lit(null).cast(
-        right.schema(c).dataType)).toMap)
+    // ONE struct carries the whole right row. Carrying each payload
+    // column independently with last(_, ignoreNulls) would skip a right
+    // row whose payload value is legitimately NULL (substituting an
+    // older row's value) and could mix values from different right rows
+    // across columns — the struct is atomic: all fields come from the
+    // same (latest) right row, NULL fields included.
     val taggedRight = right
       .select((key +: rightTime +: rightPayload).distinct.map(col): _*)
       .withColumn("_ts", col(rightTime))
       .withColumn("_side", lit(0))
-      .withColumns(lCols.filterNot((key +: rightTime +: rightPayload).contains)
-        .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
+      .select(col(key), col("_ts"), col("_side"),
+        struct(rightPayload.map(col): _*).as("_p"))
 
+    // missing columns (left's payload struct, right's left columns) are
+    // null-filled by name — no per-column null casting needed
     val unioned = taggedLeft.unionByName(
       taggedRight, allowMissingColumns = true)
 
+    // the struct value itself is the equal-timestamp tie-break among
+    // right rows: deterministic regardless of partition layout (left
+    // rows carry a null struct but never compete — _side splits them)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ts"), col("_side"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
-      .select(lCols.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
+    unioned
+      .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(lCols.map(col) ++
+        rightPayload.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -463,7 +463,9 @@ object Relational extends Catalog {
                count(lit(1)).as("n")),
       sql = Some("""
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               -- DuckDB sum(BIGINT) widens to HUGEINT (int128); the driver's
+               -- hash gate is type-sensitive, so pin the oracle back to int64
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
                count(*) AS n
         FROM events GROUP BY event_type"""),

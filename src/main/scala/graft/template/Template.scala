@@ -72,6 +72,10 @@ object Template {
   final class TemplateException(msg: String) extends IllegalArgumentException(msg)
 
   private val Tag = raw"<%=\s*(.*?)\s*%>".r
+  // non-output ERB tags (<% … %>, <%# … %>) are full Ruby in the
+  // reference — not portable, and silently passing them through as
+  // literal prompt text would send malformed prompts. Fail fast.
+  private val NonOutputTag = raw"<%[^=]".r
   private val TextsSym = raw"""texts\[\s*:(\w+)\s*\]""".r
   private val TextsStr = raw"""texts\[\s*['"]([^'"]+)['"]\s*\]""".r
   private val TextsLen = raw"""texts(?:\.keys)?\.(?:length|size|count)""".r
@@ -87,7 +91,16 @@ object Template {
       pos = m.end
     }
     if (pos < source.length) parts += Lit(source.substring(pos))
-    Template(parts.result())
+    val tpl = Template(parts.result())
+    tpl.parts.foreach {
+      case Lit(s) => NonOutputTag.findFirstIn(s).foreach { _ =>
+        throw new TemplateException(
+          "Unsupported non-output ERB tag (<% … %> / <%# … %>) — only " +
+            "<%= expression %> tags are supported")
+      }
+      case _ => ()
+    }
+    tpl
   }
 
   private def parseExpr(expr: String): Part = expr match {

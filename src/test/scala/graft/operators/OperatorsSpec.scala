@@ -30,6 +30,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out("t0").isEmpty)        // no quote yet
   }
 
+  test("asofJoin carries NULL payload values from the matching row, atomically") {
+    // the latest quote has px=NULL: as-of must emit that NULL, not an
+    // older row's px — and must not mix fields across right rows
+    val trades = Seq((1L, ts(200), "t1")).toDF("acct", "ts", "trade_id")
+    val quotes = Seq(
+      (1L, ts(100), Option(10.0), Option("early")),
+      (1L, ts(150), Option.empty[Double], Option("late")))
+      .toDF("acct", "q_ts", "px", "tag")
+    val out = AsOfJoin.asofJoin(trades, quotes, "acct", "ts", "q_ts",
+      Seq("px", "tag"))
+      .select("trade_id", "asof_px", "asof_tag")
+      .as[(String, Option[Double], Option[String])].collect()
+    assert(out.toSeq == Seq(("t1", None, Some("late"))))
+  }
+
   test("asofJoin result matches the naive range-join formulation on events") {
     val e = graft.core.Tables.load(spark, sf0001, "events")
     val errors = e.filter(col("event_type") === "error")

@@ -56,6 +56,17 @@ class TemplateSpec extends AnyFunSuite {
     }
   }
 
+  test("non-output ERB tags fail at compile time (no silent literal passthrough)") {
+    intercept[Template.TemplateException] {
+      Template.compile("a <% if x %>b<% end %> c")
+    }
+    intercept[Template.TemplateException] {
+      Template.compile("a <%# comment %> b")
+    }
+    // '<%' inside a supported output tag is still fine
+    assert(Template.compile("ok: <%= id %>").render(rec) == "ok: doc-1")
+  }
+
   test("Catalyst column path matches Scala render path") {
     val spark = graft.SparkSpec.session
     import spark.implicits._
