@@ -21,6 +21,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       (children: Seq[Expression]) => CdcChunks(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_sigs"),
+      new ExpressionInfo(classOf[LshSigs].getName, "lsh_sigs"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v,
+            org.apache.spark.sql.catalyst.expressions.IntegerLiteral(t),
+            org.apache.spark.sql.catalyst.expressions.IntegerLiteral(b)) =>
+          LshSigs(v, t, b)
+        case _ => throw new IllegalArgumentException(
+          "lsh_sigs(vector, tables, bits) requires integer-literal geometry")
+      }))
     ()
   }
 }

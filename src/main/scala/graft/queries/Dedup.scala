@@ -211,38 +211,25 @@ object Dedup extends Catalog {
     // ----- E12: embedding cosine near-dup pairs ---------------------
     "q29_embedding_near_dup" -> Q(
       fn = (s, d) => {
-        import s.implicits._
-        // Brute-force all-pairs kernel: the corpus is broadcast (like a
-        // broadcast-join build side) and each task sweeps a slice of
-        // row indices in a tight JVM loop — Catalyst higher-order
-        // lambdas are interpreted, ~20× slower for dense numeric work.
-        // Valid exactly while the corpus fits in an executor (which is
-        // the precondition of ANY O(n²) scan); the 100 TB path is LSH
-        // bucketing (q31) / banding (q27).
-        val vecs = Tables.load(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>"))
-          .as[(Long, Array[Double])].collect().sortBy(_._1)
-        val norms = vecs.map { case (_, v) =>
-          var n = 0.0; var i = 0
-          while (i < v.length) { n += v(i) * v(i); i += 1 }
-          math.sqrt(n)
-        }
-        val bcV = s.sparkContext.broadcast(vecs)
-        val bcN = s.sparkContext.broadcast(norms)
-        val n = vecs.length
-        s.range(0, n).repartition(s.sparkContext.defaultParallelism)
-          .flatMap { iL =>
-            val vv = bcV.value; val nn = bcN.value
-            val i = iL.toInt
-            val (id1, v1) = vv(i)
-            Iterator.range(i + 1, n).flatMap { j =>
-              val (id2, v2) = vv(j)
-              var dot = 0.0; var k = 0
-              while (k < v1.length) { dot += v1(k) * v2(k); k += 1 }
-              val cos = dot / (nn(i) * nn(j))
-              if (cos >= 0.4) Iterator.single((id1, id2, cos)) else Iterator.empty
-            }
-          }.toDF("vec1", "vec2", "cosine")
+        // Brute-force all-pairs kernel, fully declarative: a broadcast
+        // nested-loop self-join on vec_id< with the native codegen'd
+        // vec_dot expression — no driver-side collect, no interpreted
+        // higher-order lambdas. Spark broadcasts the build side itself;
+        // each task sweeps its stream-side slice against it in
+        // generated code. Valid exactly while one side fits in an
+        // executor (the precondition of ANY O(n²) scan); the 100 TB
+        // path is LSH bucketing (q49), same verify-then-emit pattern.
+        val e = Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+          .localCheckpoint() // one norm pass feeding both join sides
+        e.select(col("vec_id").as("vec1"), col("v").as("v1"), col("norm").as("n1"))
+          .join(broadcast(e.select(col("vec_id").as("vec2"), col("v").as("v2"),
+            col("norm").as("n2"))), col("vec1") < col("vec2"))
+          .withColumn("cosine",
+            call_function("vec_dot", col("v1"), col("v2")) / (col("n1") * col("n2")))
+          .filter(col("cosine") >= 0.4)
+          .select(col("vec1"), col("vec2"), col("cosine"))
       },
       sql = Some("""
         SELECT a.vec_id AS vec1, b.vec_id AS vec2,
@@ -254,7 +241,7 @@ object Dedup extends Catalog {
                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
         """),
-      scaleNote = "brute force stands in at test SF; the scale path is q31's hyperplane-LSH bucketing — same verify-then-emit pattern as q27"),
+      scaleNote = "documented small-corpus kernel (one side broadcast, codegen'd dot); the 100 TB path is q49's hyperplane-LSH bucketing — same verify-then-emit pattern as q27"),
 
     // ----- E12: CDC chunk-overlap near-dup (rolling hash) -----------
     "q50_dedup_cdc_chunks" -> Q(

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.LshSigs
 
 /** Approximate-nearest-neighbor / similarity search over the
   * `embeddings` table (Array[Float] column) — SURVEY.md §2B E12 and the
@@ -14,46 +15,70 @@ import graft.core.Tables
   *  - exact brute force (q30): the correctness baseline. Written as
   *    per-partition top-k + merge (TakeOrdered-style via ranking
   *    window), not a global sort.
-  *  - hyperplane LSH (q31): the scale path — bucket join instead of
-  *    cross join; candidates reranked with EXACT cosine so emitted
+  *  - hyperplane LSH (q31/q49): the scale path — bucket join instead
+  *    of cross join; candidates reranked with EXACT cosine so emitted
   *    scores are true, only recall is approximate.
+  *
+  * All dense-numeric kernels are native codegen'd expressions
+  * (`vec_dot`, `lsh_sigs` — graft.functions): Catalyst higher-order
+  * functions are interpreted and cost ~20× per pair, and a projected
+  * signature column gets re-inlined per consumer by CollapseProject
+  * (measured 82 s → sub-second on the minhash family in round 1).
   */
 object Similarity extends Catalog {
 
   private val K = 10
   private val NumQueries = 5
 
-  /** LSH geometry: `Tables` × `BitsPerTable` sign-random hyperplanes,
-    * components ±1 derived from MurmurHash3 (deterministic, no RNG
-    * state — survives task retry and resume).
+  /** LSH geometry: `LshTables` × `BitsPerTable` sign-random
+    * hyperplanes, components ±1 from MurmurHash3 (LshSigs.planeSign —
+    * deterministic, no RNG state, survives task retry and resume).
     */
   private val LshTables = 8
   private val BitsPerTable = 6
   private val Dim = 64
 
-  private[queries] def planeSign(p: Int, c: Int): Double =
-    if ((scala.util.hashing.MurmurHash3.stringHash(s"plane:$p:$c") & 1) == 1) 1.0 else -1.0
-
   private def embeddings(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** cosine similarity of pre-normed rows */
+  /** cosine similarity of pre-normed rows — native vec_dot kernel */
   private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
-    dot(va, vb) / (na * nb)
+    call_function("vec_dot", va, vb) / (na * nb)
 
-  /** 0/1 sign-bit string of the vector against all hyperplanes */
-  private def lshBits(v: Column): Column = {
-    val planes = typedlit(
-      (0 until LshTables * BitsPerTable).map(p =>
-        (0 until Dim).map(c => planeSign(p, c))))
-    concat_ws("", transform(sequence(lit(0), lit(LshTables * BitsPerTable - 1)),
-      p => when(dot(v, element_at(planes, p + 1)) > 0, "1").otherwise("0")))
-  }
+  /** skinny (vec_id, t, sig) bucket postings: 20 bytes/row through the
+    * candidate shuffle — the vectors never travel with the postings.
+    * localCheckpoint is the materialization barrier so a self-join's
+    * two sides share ONE signature computation (mirrors Dedup q27).
+    */
+  private def buckets(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(call_function("lsh_sigs", col("v"),
+        lit(LshTables), lit(BitsPerTable))).as(Seq("t", "sig")))
+      .localCheckpoint()
+
+  // ---- DuckDB mirror of the lsh_sigs kernel ------------------------
+  // The oracle computes the SAME signatures from the same ±1 plane
+  // matrix (emitted as literal DOUBLE[] lists), so the q49 comparison
+  // verifies the bucketing ALGORITHM end-to-end — no recall assumption.
+  // (The corpus has no planted high-cosine pairs — max background
+  // cosine ≈0.5–0.6 — so a "recall ≈ 1 vs brute force" oracle is
+  // impossible for any sub-quadratic candidate scheme; mirroring the
+  // algorithm is the honest exact check.)
+  private def planeList(p: Int): String =
+    (0 until Dim).map(c => if (LshSigs.planeSign(p, c) > 0) "1" else "-1")
+      .mkString("[", ",", "]")
+
+  private def sqlSigExpr(t: Int): String =
+    (0 until BitsPerTable).map { r =>
+      val bit = 1L << r
+      s"(CASE WHEN list_dot_product(v, ${planeList(t * BitsPerTable + r)}::DOUBLE[]) > 0 THEN $bit ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def sqlSigCase: String =
+    (0 until LshTables).map(t => s"WHEN $t THEN ${sqlSigExpr(t)}")
+      .mkString("CASE t ", " ", " END")
 
   override def queries: Map[String, Q] = Map(
 
@@ -92,61 +117,77 @@ object Similarity extends Catalog {
     // ----- LSH-bucketed ANN (scale path) ----------------------------
     "q31_knn_lsh" -> Q(
       fn = (s, d) => {
-        val e = embeddings(s, d).withColumn("bits", lshBits(col("v")))
-        val buckets = e.select(col("vec_id"), col("v"), col("norm"),
-          explode(transform(sequence(lit(0), lit(LshTables - 1)),
-            t => struct(t.as("t"),
-              col("bits").substr(t * BitsPerTable + 1, lit(BitsPerTable)).as("sig"))))
-            .as("b"))
-          .select(col("vec_id"), col("v"), col("norm"), col("b.t"), col("b.sig"))
-        val q = buckets.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"),
-            col("norm").as("qnorm"), col("t"), col("sig"))
-        val cand = buckets.join(q,
-            Seq("t", "sig"))
+        // e is NOT checkpointed: the candidate-side joins re-scan
+        // parquet (columnar, pruned) and recompute the native norm —
+        // cheaper than materializing the vectors twice. Only the
+        // buckets frame needs the barrier (self-joined).
+        val e = embeddings(s, d)
+        val b = buckets(e)
+        val qb = b.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("t"), col("sig"))
+        val cand = b.join(qb, Seq("t", "sig"))
           .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id"), col("v"), col("norm"),
-            col("qv"), col("qnorm"))
+          .select(col("query_id"), col("vec_id"))
           .dropDuplicates("query_id", "vec_id")
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("vec_id"))
         cand
+          .join(e.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+          .join(broadcast(e.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("norm").as("qnorm"))), "query_id")
           .withColumn("cosine", cosine(col("v"), col("qv"), col("norm"), col("qnorm")))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= K)
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             col("cosine"), col("rnk"))
       },
-      sql = None, // approximate by construction — correctness contract
-      // (candidates ⊆ corpus, exact rerank, recall floor) is asserted in
-      // SimilaritySpec against q30
-      scaleNote = "replaces the cross join with a (table,signature) bucket equi-join; signature computation is codegen'd; recall tunes via tables × bits per data distribution"),
+      sql = None, // approximate top-k: recall depends on bucket overlap
+      // of each query's true neighbors — contract (candidates ⊆ corpus,
+      // exact rerank, rank order) asserted in PipelineCatalogsSpec
+      scaleNote = "replaces the cross join with a (table,signature) bucket equi-join over skinny 20-byte postings; signature is one native codegen'd pass; vectors join back only for candidates"),
 
     // ----- LSH-bucketed near-dup pairs (scale path for q29) ---------
     "q49_embedding_neardup_lsh" -> Q(
       fn = (s, d) => {
         // verify-then-emit: hyperplane buckets generate candidates, the
-        // exact cosine decides — emitted pairs carry TRUE similarities,
-        // only recall is approximate (rows-only check + spec subset
-        // assertion against q29's brute force)
-        val e = embeddings(s, d).withColumn("bits", lshBits(col("v")))
-        val buckets = e.select(col("vec_id"), col("v"), col("norm"),
-          explode(transform(sequence(lit(0), lit(LshTables - 1)),
-            t => struct(t.as("t"),
-              col("bits").substr(t * BitsPerTable + 1, lit(BitsPerTable)).as("sig"))))
-            .as("b"))
-          .select(col("vec_id"), col("v"), col("norm"), col("b.t"), col("b.sig"))
-        buckets.as("a").join(buckets.as("b"),
+        // exact cosine decides — emitted pairs carry TRUE similarities.
+        // Oracled at the ALGORITHM level: the DuckDB twin computes the
+        // same plane signatures (literal ±1 matrix), same bucket join,
+        // same verify filter — hash-equal output, not a recall bound.
+        // same shape as q31: only the self-joined buckets frame is
+        // checkpointed; vector join-backs re-scan the (pruned) parquet
+        val e = embeddings(s, d)
+        val b = buckets(e)
+        val cand = b.as("a").join(b.as("b"),
             col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
             col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
-            (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
-              .as("cosine"))
+          .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"))
           .dropDuplicates("vec1", "vec2")
+        cand
+          .join(e.select(col("vec_id").as("vec1"), col("v").as("v1"),
+            col("norm").as("n1")), "vec1")
+          .join(e.select(col("vec_id").as("vec2"), col("v").as("v2"),
+            col("norm").as("n2")), "vec2")
+          .withColumn("cosine",
+            call_function("vec_dot", col("v1"), col("v2")) / (col("n1") * col("n2")))
           .filter(col("cosine") >= 0.4)
+          .select(col("vec1"), col("vec2"), col("cosine"))
       },
-      sql = None,
-      scaleNote = "the 100 TB form of q29: (table,signature) equi-join replaces the O(n²) sweep; candidate count scales with bucket occupancy, not corpus²"),
+      sql = Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                   FROM embeddings),
+        b AS (SELECT vec_id, t, $sqlSigCase AS sig
+              FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t)),
+        cand AS (SELECT DISTINCT a.vec_id AS vec1, c.vec_id AS vec2
+                 FROM b a JOIN b c ON a.t = c.t AND a.sig = c.sig AND a.vec_id < c.vec_id)
+        SELECT cand.vec1, cand.vec2,
+               list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+        FROM cand JOIN e x ON x.vec_id = cand.vec1
+                  JOIN e y ON y.vec_id = cand.vec2
+        WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4"""),
+      scaleNote = "the 100 TB form of q29: (table,signature) equi-join over skinny postings replaces the O(n²) sweep; candidate count scales with bucket occupancy, not corpus²; vectors rejoin only for candidates"),
 
     // ----- per-label centroids (embedding aggregation) --------------
     "q32_embedding_centroids" -> Q(

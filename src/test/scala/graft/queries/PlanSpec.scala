@@ -78,6 +78,23 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
   }
 
+  test("q49: embedding LSH candidates come from a bucket equi-join, never a cartesian") {
+    val p = plan("q49_embedding_neardup_lsh")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // the signature pass is the native codegen'd expression, computed
+    // once behind the checkpoint barrier — not re-inlined per join side
+    assert(!p.contains("aggregate(") && !p.contains("zip_with("),
+      "interpreted higher-order lambdas must not appear in the LSH plan")
+  }
+
+  test("q29: brute-force kernel broadcasts one side and stays codegen'd") {
+    val p = plan("q29_embedding_near_dup")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(p.contains("vec_dot"), "native vec_dot kernel expected in plan")
+    assert(!p.contains("zip_with("), "interpreted lambdas must not appear")
+  }
+
   test("q30: query vectors broadcast; corpus side never shuffles") {
     val p = plan("q30_knn_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
