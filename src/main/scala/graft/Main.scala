@@ -13,7 +13,12 @@ import graft.pipeline.{EnrichJob, EnrichOptions}
   * `bin/job.rb job.yml < in.jsonl > out.jsonl` re-expressed for a
   * distributed engine:
   *
-  *   Main job.yml --in in.jsonl --out outDir [--err errDir] [--fake]
+  *   Main job.yml [--in in.jsonl] [--out outDir] [--err errDir] [--fake]
+  *
+  * Drop-in parity with the reference's only documented invocation
+  * (bin/job.rb:18-24, README.md:35): with no `--in` the corpus is read
+  * from STDIN, with no `--out` the result JSONL streams to STDOUT —
+  * `graft.Main job.yml < in.jsonl > out.jsonl` just works.
   *
   * Exit-code contract matches the reference (bin/job.rb:6-24,
   * spec/bin_job_spec.rb:42-54): bad usage → 1, missing YAML → 1,
@@ -32,7 +37,6 @@ object Main {
     val flags = parseFlags(args.drop(1))
     val in = flags.get("in")
     val out = flags.get("out")
-    if (in.isEmpty || out.isEmpty) { System.err.println(usage); return 1 }
     if (!Files.exists(Paths.get(yamlPath))) {
       System.err.println(s"Job definition file not found: $yamlPath"); return 1
     }
@@ -58,9 +62,34 @@ object Main {
     try {
       val client: LlmClient =
         if (flags.contains("fake")) new FakeLlmClient() else new OpenAiClient()
-      val split = Jsonl.read(spark, in.get)
+      // no --in → STDIN parity mode: the stream must land somewhere
+      // every executor can read, so slurp it to a driver temp file
+      // (the reference is single-process and reads lazily; a cluster
+      // cannot — this is the one place a driver-side copy is correct)
+      val inPath = in.getOrElse {
+        val tmp = Files.createTempFile("graft-stdin-", ".jsonl")
+        Files.copy(System.in, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        tmp.toString
+      }
+      val outDir = out.getOrElse(
+        Files.createTempDirectory("graft-stdout-").resolve("result").toString)
+      val split = Jsonl.read(spark, inPath)
       val result = EnrichJob.run(split.good, cfg, client, EnrichOptions())
-      Jsonl.write(result.good, out.get)
+      Jsonl.write(result.good, outDir)
+      // no --out → stream the part files to STDOUT, reference-shaped
+      // (one JSON object per line; order across partitions is the
+      // engine's, as documented for every distributed sink here)
+      if (out.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        Files.list(Paths.get(outDir)).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .sortBy(_.getFileName.toString)
+          .foreach { p =>
+            val s = Files.lines(p)
+            try s.forEach(l => System.out.println(l)) finally s.close()
+          }
+      }
       flags.get("err").foreach { errDir =>
         split.corrupt.write.mode("overwrite").text(s"$errDir/corrupt")
         result.deadLetter.write.mode("overwrite").json(s"$errDir/failed")
@@ -84,5 +113,6 @@ object Main {
   }
 
   private val usage =
-    "Usage: graft.Main <job.yml> --in <input.jsonl> --out <outDir> [--err <errDir>] [--fake]"
+    "Usage: graft.Main <job.yml> [--in <input.jsonl>] [--out <outDir>] " +
+      "[--err <errDir>] [--fake]  (no --in: read STDIN; no --out: JSONL to STDOUT)"
 }

@@ -27,9 +27,24 @@ class MainSpec extends SparkSpec {
 
   test("no args → usage, exit 1") { assert(Main.run(Array.empty) == 1) }
 
-  test("missing --in/--out → usage, exit 1") {
+  test("reference parity: job.yml alone reads STDIN, writes JSONL to STDOUT") {
+    spark // ensure the shared session exists so Main reuses it
     val d = setup()
-    assert(Main.run(Array(d.resolve("job.yml").toString)) == 1)
+    val oldIn = System.in
+    val oldOut = System.out
+    val bout = new java.io.ByteArrayOutputStream()
+    val code =
+      try {
+        System.setIn(new java.io.ByteArrayInputStream(
+          Files.readAllBytes(d.resolve("in.jsonl"))))
+        System.setOut(new java.io.PrintStream(bout, true, "UTF-8"))
+        Main.run(Array(d.resolve("job.yml").toString, "--fake"))
+      } finally { System.setIn(oldIn); System.setOut(oldOut) }
+    assert(code == 0)
+    val lines = bout.toString("UTF-8").split("\n").filter(_.nonEmpty)
+    assert(lines.length == 2) // corrupt line dropped, job still exit 0
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    assert(lines.forall(_.contains(""""summary":"FAKE[""")))
   }
 
   test("missing YAML file → exit 1") {
