@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       (children: Seq[Expression]) => CdcChunks(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("token_stats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
+      (children: Seq[Expression]) => TokenStats(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
