@@ -80,7 +80,74 @@ object Similarity extends Catalog {
     (0 until LshTables).map(t => s"WHEN $t THEN ${sqlSigExpr(t)}")
       .mkString("CASE t ", " ", " END")
 
+  /** IVF-style ANN: a coarse quantizer assigns every corpus vector to
+    * its nearest codebook centroid (inverted lists); each query probes
+    * only the `nprobe` nearest cells and reranks candidates with the
+    * exact cosine. Package-visible so the spec can run it with
+    * nprobe = |cells|, where IVF must equal brute force exactly.
+    *
+    * Codebook here = per-label centroids (q32's aggregation
+    * re-assembled into vectors): the same plan shape a k-means
+    * codebook would have, with no RNG state to break task retry.
+    */
+  private[queries] def ivfKnn(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val e = embeddings(s, d)
+    val cent = Tables.load(s, d, "embeddings")
+      .select(col("label").cast("int").as("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("sc"))
+      .select(col("cell"), transform(col("sc"), f => f.getField("c")).as("cv"))
+      .withColumn("cnorm", sqrt(call_function("vec_dot", col("cv"), col("cv"))))
+      .localCheckpoint() // |cells| rows; feeds both assign branches
+    // corpus → inverted lists: argmax-cosine cell per vector. The
+    // scored frame is skinny (vec_id, cell, score); map-side partial
+    // max_by collapses the ×|cells| fanout before the shuffle.
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        (call_function("vec_dot", col("v"), col("cv")) / col("cnorm")).as("score"),
+        col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), col("score")).as("cell"))
+    // queries → nprobe nearest cells each
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("score",
+        call_function("vec_dot", col("qv"), col("cv")) / col("cnorm"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("cell"))))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    // candidates = inverted lists of the probed cells; exact rerank
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .join(e.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .join(broadcast(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qnorm"))), "query_id")
+      .withColumn("cosine", cosine(col("v"), col("qv"), col("norm"), col("qnorm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rnk"))
+  }
+
   override def queries: Map[String, Q] = Map(
+
+    // ----- IVF coarse-quantizer ANN (codebook scale path) -----------
+    "q51_knn_ivf" -> Q(
+      fn = (s, d) => ivfKnn(s, d, nprobe = 3),
+      sql = None, // approximate by construction; PipelineCatalogsSpec
+      // asserts nprobe=|cells| ≡ q30 brute force exactly, and the
+      // nprobe=3 contract (subset of corpus, true cosines, rank order)
+      scaleNote = "inverted-list ANN: corpus scored once against a broadcast codebook (skinny argmax shuffle), queries touch only nprobe cells — candidate count scales with cell occupancy; at 100 TB the inverted lists are the partitioning"),
 
     // ----- exact top-k cosine search (baseline) ---------------------
     "q30_knn_bruteforce" -> Q(

@@ -59,6 +59,31 @@ object EventStreams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** stream-stream interval join: every error is matched to the same
+    * user's clicks in the preceding 30 minutes. Both sides carry
+    * watermarks, so the join's buffered state expires instead of
+    * growing with the stream — the property that matters at 100 TB/day.
+    * Works identically on batch frames (withWatermark is a no-op there),
+    * which is how StreamingSpec anchors its correctness.
+    */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val e = errors
+      .select(col("user_id"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+      .withWatermark("err_ts", "10 minutes")
+    e.join(c,
+        col("user_id") === col("c_uid") &&
+        col("click_ts") >= col("err_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("err_ts"))
+      .select(col("err_id"), col("click_id"), col("user_id"),
+        unix_micros(col("err_ts")).as("err_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+  }
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** custom keyed state via flatMapGroupsWithState: running per-user

@@ -85,6 +85,37 @@ class PipelineCatalogsSpec extends SparkSpec {
       assert(math.abs(brute(q)(n) - c) < 1e-12)
   }
 
+  test("IVF with nprobe = all cells equals exact brute-force knn") {
+    val brute = Similarity.queries("q30_knn_bruteforce").fn(spark, sf0001)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val ivfAll = Similarity.ivfKnn(spark, sf0001, nprobe = 10)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(ivfAll == brute, "probing every cell must reduce IVF to exact search")
+  }
+
+  test("IVF nprobe=3 emits true cosines in rank order from the corpus") {
+    val exact = Similarity.queries("q30_knn_bruteforce").fn(spark, sf0001)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val ivf = Similarity.queries("q51_knn_ivf").fn(spark, sf0001)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(ivf.nonEmpty)
+    for ((_, rows) <- ivf.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true
+      })
+    }
+    ivf.foreach { case (q, n, c, _) =>
+      exact.get((q, n)).foreach(t => assert(math.abs(t - c) < 1e-12))
+    }
+  }
+
   test("cdc chunk-overlap pairs agree with shingle-jaccard near-dups") {
     val jaccardPairs = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
       .select("doc1", "doc2").as[(Long, Long)].collect().toSet

@@ -132,6 +132,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val q = EventStreams.clickErrorJoin(clicks.toDF(), errors.toDF())
+      .writeStream.format("memory").outputMode("append")
+      .queryName("ssj_sink").start()
+    try {
+      val (cs, es) = (allEvents.filter(_.event_type == "click"),
+        allEvents.filter(_.event_type == "error"))
+      // feed both sides in interleaved micro-batches — matches must
+      // form across batch boundaries from the join's buffered state
+      val chunks = 4
+      val cg = cs.grouped(math.max(1, cs.size / chunks)).toSeq
+      val eg = es.grouped(math.max(1, es.size / chunks)).toSeq
+      cg.zipAll(eg, Seq.empty[Event], Seq.empty[Event]).foreach { case (cc, ec) =>
+        clicks.addData(cc); errors.addData(ec); q.processAllAvailable()
+      }
+      val batch = EventStreams.clickErrorJoin(
+        Tables.load(spark, sf0001, "events").filter(col("event_type") === "click"),
+        Tables.load(spark, sf0001, "events").filter(col("event_type") === "error"))
+      val cols = Seq("err_id", "click_id", "user_id", "err_us", "click_us")
+      assert(canon(spark.table("ssj_sink"), cols: _*) == canon(batch, cols: _*))
+      assert(spark.table("ssj_sink").count() > 0)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivered event_ids") {
     val ms = MemoryStream[Event]
     val q = EventStreams.dedupedEvents(ms.toDF())
