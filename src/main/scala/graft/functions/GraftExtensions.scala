@@ -22,6 +22,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       (children: Seq[Expression]) => CdcChunks(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, org.apache.spark.sql.catalyst.expressions.IntegerLiteral(n)) =>
+          ShingleHashes(s, n)
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes(text, n) requires an integer-literal n")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s,
+            org.apache.spark.sql.catalyst.expressions.IntegerLiteral(b),
+            org.apache.spark.sql.catalyst.expressions.IntegerLiteral(r)) =>
+          MinHashBands(s, b, r)
+        case _ => throw new IllegalArgumentException(
+          "minhash_bands(hashes, bands, rowsPerBand) requires integer-literal geometry")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
       (children: Seq[Expression]) => TokenStats(children.head)))

@@ -23,15 +23,21 @@ object Dedup extends Catalog {
   /** whitespace tokens, lowered */
   private val words: Column = split(lower(col("text")), " ")
 
-  /** distinct 3-word shingles; empty for docs with < 3 tokens.
-    * DuckDB twin: list_transform(generate_series(...), i -> arr[i:i+2]).
+  /** distinct 3-word-shingle HASHES (8 bytes each), one native scan —
+    * graft.functions.ShingleHashes, hash-identical to
+    * xxhash64(array_join(slice(split(lower(text)," "),i,3)," ")); empty
+    * for docs with < 3 tokens. The materialization barrier matters:
+    * the shingle sets feed the posting explode, both verify-join sides
+    * and the size lookups — without it each branch re-shingles the raw
+    * text. DuckDB twin (oracle only): string shingles via
+    * list_transform(generate_series(...), i -> arr[i:i+2]).
     */
-  private val shingles: Column =
-    when(size(words) >= 3,
-      array_distinct(transform(
-        sequence(lit(1), size(words) - 2),
-        i => array_join(slice(words, i, lit(3)), " "))))
-      .otherwise(array().cast("array<string>"))
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        call_function("shingle_hashes", lower(col("text")), lit(3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
 
   /** DuckDB-side spelling of the same shingle set */
   private val sqlShingles: String =
@@ -92,19 +98,13 @@ object Dedup extends Catalog {
     // ----- E12: n-gram Jaccard near-dup pairs (inverted index) ------
     "q26_dedup_ngram_jaccard" -> Q(
       fn = (s, d) => {
-        // materialization barrier: the shingle arrays feed four plan
-        // branches (two join sides, two size lookups) — without it each
-        // branch re-runs the shingling over the raw text
-        val sh = docs(s, d).select(col("doc_id"), shingles.as("sh"))
-          .filter(size(col("sh")) > 0)
-          .localCheckpoint()
+        val sh = shingled(s, d)
         val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-        // postings carry an 8-byte shingle hash, not the string: the
+        // postings carry the 8-byte shingle hash, never the string: the
         // inverted-index shuffle moves fixed-width longs (a 64-bit
         // collision would need ~2^32 distinct shingles to matter, and
         // the jaccard distribution here is bimodal around the τ)
-        val ex = sh.select(col("doc_id"),
-          explode(transform(col("sh"), x => xxhash64(x))).as("shingle"))
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
         ex.as("a").join(ex.as("b"),
             col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -133,36 +133,22 @@ object Dedup extends Catalog {
     // ----- E12: MinHash + LSH banding, verified ---------------------
     "q27_dedup_minhash_lsh" -> Q(
       fn = (s, d) => {
-        // barrier: shingle arrays feed the signature AND both verify
-        // joins — compute them once
-        val sh = docs(s, d).select(col("doc_id"), shingles.as("sh"))
-          .filter(size(col("sh")) > 0)
-          .localCheckpoint()
-        // MinHash: hash_i(s) = xxhash64(s, i); band hash = hash of its
-        // RowsPerBand minima. Pure Catalyst, no UDF. Two deliberate
-        // shapes here:
-        //  - each band's minima are computed DIRECTLY inside the band
-        //    expression (no shared `sig` column): CollapseProject
-        //    inlines projected arrays into every element_at reference,
-        //    which exploded a shared signature into 16 recomputes per
-        //    row (~10× slowdown measured at sf0.1);
-        //  - xxhash64(shingle, seed) instead of md5-of-concat: no
-        //    string building, no MessageDigest allocation in a lambda
-        //    that runs NumHashes × |shingles| times per document.
-        def minHash(i: Column): Column =
-          array_min(transform(col("sh"), sh0 => xxhash64(sh0, i)))
-        val bandStructs = transform(sequence(lit(0), lit(Bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64((0 until RowsPerBand).map(r => minHash(b * RowsPerBand + r)): _*)
-              .as("bh")))
-        // banded buckets stay SKINNY (doc_id, band, bh) — the shingle
-        // arrays never travel through the candidate shuffle; they are
+        val sh = shingled(s, d)
+        // MinHash banding is ONE native pass (minhash_bands): all
+        // Bands × RowsPerBand minima accumulate in a single loop over
+        // the shingle set. (Round 1 spelled this in pure Catalyst —
+        // numHashes interpreted array_min(transform(...)) walks per
+        // document — and it dominated the query; the same CollapseProject
+        // re-inline hazard that motivated lsh_sigs applies here.)
+        // Banded buckets stay SKINNY (doc_id, band, bh) — the shingle
+        // sets never travel through the candidate shuffle; they are
         // joined back only for the (few) candidate pairs. The
         // localCheckpoint is a materialization barrier so the
         // self-join's two sides share ONE signature computation.
         val banded = sh
-          .select(col("doc_id"), explode(bandStructs).as("bb"))
-          .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+          .select(col("doc_id"),
+            posexplode(call_function("minhash_bands", col("sh"),
+              lit(Bands), lit(RowsPerBand))).as(Seq("band", "bh")))
           .localCheckpoint()
         val cand = banded.as("a").join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
