@@ -107,12 +107,7 @@ object EnrichJob {
       lit(cfg.model), lit(cfg.outputLabel)))
     val prompted = promptedFrame(records, cfg).withColumn("cacheKey", keyCol)
 
-    val cache: DataFrame =
-      try spark.read.parquet(cacheDir)
-      catch { case _: Throwable =>
-        Seq.empty[(String, String)].toDF("cacheKey", "response")
-      }
-    val cacheDeduped = cache.groupBy("cacheKey")
+    val cacheDeduped = readCache(spark, cacheDir).groupBy("cacheKey")
       .agg(min("response").as("cached_response"))
 
     val joined = prompted.join(cacheDeduped, Seq("cacheKey"), "left")
@@ -129,6 +124,7 @@ object EnrichJob {
 
     missCalled.filter(col("error").isNull)
       .select(col("cacheKey"), col("response"))
+      .withColumn("written_at", current_timestamp())
       .write.mode("append").parquet(cacheDir)
 
     val hitCalled = hits.select(col("id"), col("texts"), col("images"),
@@ -138,6 +134,63 @@ object EnrichJob {
         col("response"), col("error"))
         .unionByName(hitCalled),
       cfg)
+  }
+
+  /** Cache read tolerant of both schemas: pre-TTL files have no
+    * `written_at` column (mergeSchema unions them; a wholly-legacy
+    * cache gets a null column added).
+    */
+  private def readCache(
+      spark: org.apache.spark.sql.SparkSession, cacheDir: String): DataFrame = {
+    val raw =
+      try spark.read.option("mergeSchema", "true").parquet(cacheDir)
+      catch { case _: Throwable =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "cacheKey STRING, response STRING, written_at TIMESTAMP"))
+      }
+    val withTs =
+      if (raw.columns.contains("written_at")) raw
+      else raw.withColumn("written_at", lit(null).cast("timestamp"))
+    withTs.select(col("cacheKey"), col("response"), col("written_at"))
+  }
+
+  /** Offline cache maintenance: collapse duplicate keys (concurrent
+    * jobs append independently) and drop entries older than
+    * `maxAgeMs` (0 keeps all ages). Deleting from a response cache is
+    * always SAFE — a dropped entry only costs a re-call — but legacy
+    * rows with no timestamp are kept conservatively. The rewrite goes
+    * through a sibling temp dir + rename, so a reader sees either the
+    * old or the new cache; do not run concurrently with a writing job
+    * (the append-only contract covers jobs, not compaction).
+    */
+  def compactCache(
+      spark: org.apache.spark.sql.SparkSession,
+      cacheDir: String,
+      maxAgeMs: Long = 0L): Unit = {
+    val cache = readCache(spark, cacheDir)
+    val pruned =
+      if (maxAgeMs <= 0) cache
+      else cache.filter(col("written_at").isNull ||
+        col("written_at") >= timestamp_millis(
+          lit(System.currentTimeMillis() - maxAgeMs)))
+    // newest response per key; (timestamp, response) ordering makes the
+    // pick deterministic when timestamps tie or are absent
+    val compacted = pruned
+      .groupBy("cacheKey")
+      .agg(max_by(struct(col("response"), col("written_at")),
+        struct(coalesce(col("written_at"), lit("1970-01-01").cast("timestamp")),
+          col("response"))).as("m"))
+      .select(col("cacheKey"), col("m.response"), col("m.written_at"))
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(cacheDir)
+    val tmpPath = new org.apache.hadoop.fs.Path(cacheDir + "_compact_tmp")
+    val fs = dirPath.getFileSystem(hadoopConf)
+    compacted.write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(dirPath, true)
+    fs.rename(tmpPath, dirPath)
+    ()
   }
 
   /** prompt/sys render — Catalyst columns, shared by run/runCached */

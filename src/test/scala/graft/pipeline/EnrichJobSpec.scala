@@ -168,6 +168,46 @@ class EnrichJobSpec extends SparkSpec {
     assert(EnrichJobSpec.calls.get() == 3, "only the new record should call")
   }
 
+  test("compactCache: duplicate keys collapse; hits survive compaction") {
+    val cacheDir = Files.createTempDirectory("graft-cache3").resolve("c").toString
+    EnrichJobSpec.calls.set(0)
+    val counting = new graft.llm.LlmClient {
+      override def chat(ms: Seq[graft.llm.Msg], c: JobConfig): String = {
+        EnrichJobSpec.calls.incrementAndGet(); s"R:${ms.last.text}"
+      }
+    }
+    EnrichJob.runCached(inputDf, cfg(), counting, cacheDir).good.count()
+    // simulate a concurrent job double-appending the same keys
+    val dup = spark.read.parquet(cacheDir)
+    dup.write.mode("append").parquet(cacheDir)
+    assert(spark.read.parquet(cacheDir).count() == 4)
+    EnrichJob.compactCache(spark, cacheDir)
+    val after = spark.read.parquet(cacheDir)
+    assert(after.count() == 2, "one row per key after compaction")
+    assert(after.columns.contains("written_at"))
+    // compacted cache still serves hits — zero new backend calls
+    val before = EnrichJobSpec.calls.get()
+    EnrichJob.runCached(inputDf, cfg(), counting, cacheDir).good.count()
+    assert(EnrichJobSpec.calls.get() == before)
+  }
+
+  test("compactCache: age pruning drops expired entries, keeps legacy timestampless rows") {
+    val cacheDir = Files.createTempDirectory("graft-cache4").resolve("c").toString
+    // legacy schema: no written_at column at all
+    Seq(("legacy-key", "old-response")).toDF("cacheKey", "response")
+      .write.parquet(cacheDir)
+    // an expired entry and a fresh one
+    Seq(("stale-key", "stale", new java.sql.Timestamp(1000L)),
+      ("fresh-key", "fresh", new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("cacheKey", "response", "written_at")
+      .write.mode("append").parquet(cacheDir)
+    EnrichJob.compactCache(spark, cacheDir, maxAgeMs = 60L * 60 * 1000)
+    val keys = spark.read.parquet(cacheDir)
+      .select("cacheKey").as[String].collect().toSet
+    assert(keys == Set("legacy-key", "fresh-key"),
+      s"stale dropped, legacy kept: $keys")
+  }
+
   test("dead-letter replay: failed records re-enter the pipeline and succeed") {
     val flaky = new FakeLlmClient(p =>
       if (p.contains("goodbye")) throw new RuntimeException("down") else "ok")
