@@ -5,14 +5,16 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point — registers graft's native
-  * expressions into the session function registry, so they resolve in
-  * SQL text and via `call_function`.
+  * expressions into the session function registry (so they resolve in
+  * SQL text and via `call_function`) and the optimizer rules that
+  * rewrite interpreted idioms onto them.
   *
   * Enable with:
   *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
