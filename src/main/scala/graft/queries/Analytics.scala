@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Analytics-completeness catalog — the relational surface a user of a
+  * general OLAP engine reaches for beyond SURVEY §2B's core set:
+  * pivot, exact percentiles, statistical aggregates, distribution
+  * window functions, time-series gap-fill, ordered string aggregation.
+  * All Spark built-ins, all DuckDB-oracled.
+  */
+object Analytics extends Catalog {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.load(s, d, name)
+
+  override def queries: Map[String, Q] = Map(
+
+    // ----- PIVOT: wide conditional aggregation ----------------------
+    "q52_pivot" -> Q(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum(col("l_quantity"))),
+      sql = Some("""
+        SELECT l_linestatus,
+               sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS "A",
+               sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS "N",
+               sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS "R"
+        FROM lineitem GROUP BY 1"""),
+      scaleNote = "pivot with explicit values is one two-phase aggregation (no value-discovery pre-pass); output width is fixed, independent of input size"),
+
+    // ----- exact interpolated percentiles ---------------------------
+    "q53_percentiles" -> Q(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+            round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99")),
+      // rounded on BOTH sides: the linear-interpolation arithmetic
+      // (lower + (higher-lower)*f vs lower*(1-f) + higher*f) can differ
+      // in the last ulp between engines
+      sql = Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+               round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem GROUP BY 1"""),
+      scaleNote = "exact percentile buffers per-group values — fine per bounded group; at 100 TB with huge groups switch to approx_percentile (t-digest, mergeable sketches)"),
+
+    // ----- statistical aggregates -----------------------------------
+    "q54_stats_agg" -> Q(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_linestatus"))
+          .agg(
+            corr(col("l_quantity"), col("l_extendedprice")).as("corr_qp"),
+            covar_samp(col("l_quantity"), col("l_extendedprice")).as("covar_s"),
+            covar_pop(col("l_quantity"), col("l_extendedprice")).as("covar_p"),
+            stddev_samp(col("l_discount")).as("sd_disc"),
+            var_pop(col("l_tax")).as("var_tax")),
+      sql = Some("""
+        SELECT l_linestatus,
+               corr(l_quantity, l_extendedprice) AS corr_qp,
+               covar_samp(l_quantity, l_extendedprice) AS covar_s,
+               covar_pop(l_quantity, l_extendedprice) AS covar_p,
+               stddev_samp(l_discount) AS sd_disc,
+               var_pop(l_tax) AS var_tax
+        FROM lineitem GROUP BY 1"""),
+      scaleNote = "all are single-pass mergeable moments (partial agg before the shuffle) — the shape that scales linearly"),
+
+    // ----- distribution window functions ----------------------------
+    "q55_window_dist" -> Q(
+      fn = (s, d) => {
+        // unique o_orderkey in the ordering: ntile is row-order
+        // dependent on ties, so the tie-break makes it deterministic
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+      },
+      sql = Some("""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)"""),
+      scaleNote = "one shuffle on the partition key; distribution fns need the partition's row count but stream within the sorted partition"),
+
+    // ----- time-series gap-fill (resample to hourly, zero-fill) -----
+    "q56_gapfill" -> Q(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+        val bounds = ev.groupBy(col("event_type"))
+          .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+            date_trunc("hour", max(col("ts"))).as("h1"))
+        val hours = bounds.select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+            .as("hour"))
+        val counts = ev
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+        hours.join(counts, Seq("event_type", "hour"), "left")
+          .select(col("event_type"), unix_micros(col("hour")).as("h_us"),
+            coalesce(col("n"), lit(0L)).as("n"))
+      },
+      sql = Some("""
+        WITH b AS (SELECT event_type,
+                          time_bucket(INTERVAL 1 HOUR, min(ts::TIMESTAMP)) AS h0,
+                          time_bucket(INTERVAL 1 HOUR, max(ts::TIMESTAMP)) AS h1
+                   FROM events GROUP BY 1),
+        h AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM b),
+        c AS (SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS hour,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2)
+        SELECT h.event_type, epoch_us(h.hour) AS h_us, coalesce(c.n, 0) AS n
+        FROM h LEFT JOIN c ON h.event_type = c.event_type AND h.hour = c.hour"""),
+      scaleNote = "the dense hour spine is |types|×|hours| rows — tiny next to the events it joins; the join keys on (type, hour) so gap-fill shuffles the small aggregate, never raw events"),
+
+    // ----- ordered string aggregation -------------------------------
+    "q57_string_agg" -> Q(
+      fn = (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            array_join(array_sort(collect_list(col("c_name"))), "|").as("names"),
+            count(lit(1)).as("n")),
+      // collect_list order is nondeterministic — array_sort pins it;
+      // the oracle's ORDER BY inside string_agg is the same contract
+      sql = Some("""
+        SELECT n_name, string_agg(c_name, '|' ORDER BY c_name) AS names,
+               count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1"""),
+      scaleNote = "per-group payload grows with group size — acceptable for bounded dimension groups; unbounded groups want a top-k slice before the concat")
+  )
+}

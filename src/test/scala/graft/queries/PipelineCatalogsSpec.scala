@@ -13,7 +13,7 @@ class PipelineCatalogsSpec extends SparkSpec {
 
   private val catalogs = Seq[(String, Catalog)](
     ("dedup", Dedup), ("similarity", Similarity), ("text", TextAnalysis),
-    ("streaming", Streaming), ("sources", Sources))
+    ("streaming", Streaming), ("sources", Sources), ("analytics", Analytics))
 
   for ((cname, cat) <- catalogs; (name, q) <- cat.queries) {
     test(s"[$cname] $name runs and returns rows at sf0.001") {
