@@ -140,6 +140,73 @@ object Media {
           .as("frame_idx"))
       .withColumn("ts_ms", (col("frame_idx") / fps * 1000.0).cast("long"))
 
+  /** 64-bit perceptual hash of a pooled feature vector: bit i set when
+    * feature(i) clears the vector's mean — the aHash construction over
+    * whatever the codec's pooled features are (luminance grid for a
+    * real image codec). Near-identical images differ in few bits.
+    */
+  def phash64(feature: Array[Float]): Long = {
+    if (feature.isEmpty) return 0L
+    var mean = 0.0
+    feature.foreach(mean += _)
+    mean /= feature.length
+    var h = 0L
+    var i = 0
+    val n = math.min(64, feature.length)
+    while (i < n) {
+      if (feature(i) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** the 8 one-byte band keys of a phash — pure mirror of the Catalyst
+    * band extraction in [[imageNearDup]], unit-tested for the
+    * pigeonhole recall guarantee
+    */
+  def phashBandKeys(ph: Long): Seq[Long] =
+    (0 until 8).map(b => (ph >>> (b * 8)) & 0xffL)
+
+  /** Image near-dup pairs via perceptual-hash banding — the image-side
+    * analogue of the q27/q49 text pipeline: decode+pool → 64-bit
+    * phash → explode into 8 one-byte bands → candidate pairs from the
+    * (band, key) equi-join → verify with the EXACT hamming distance
+    * (bit_count of xor, codegen'd).
+    *
+    * Recall is a pigeonhole GUARANTEE, not a probability: ≤ maxHamming
+    * ≤ 7 differing bits cannot touch all 8 bands, so every true pair
+    * shares at least one bucket. Never a cartesian product; candidate
+    * count scales with bucket occupancy.
+    */
+  def imageNearDup(
+      media: Dataset[MediaRow],
+      codec: MediaCodec,
+      maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7,
+      "8 one-byte bands guarantee recall only up to hamming 7")
+    import media.sparkSession.implicits._
+    val hashed = extractFeatures(media.filter(_.kind == "image"), codec, 64)
+      .filter(_.decoded_ok)
+      .map(f => (f.media_id, phash64(f.feature)))
+      .toDF("media_id", "phash")
+      .localCheckpoint() // barrier: decode once, not once per join side
+    val bands = hashed.select(col("media_id"), col("phash"),
+      posexplode(transform(sequence(lit(0), lit(7)),
+        b => call_function("shiftrightunsigned", col("phash"), b * lit(8))
+          .bitwiseAND(lit(0xffL))))
+        .as(Seq("band", "key")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        col("a.phash").as("ph1"), col("b.phash").as("ph2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming",
+        bit_count(col("ph1").bitwiseXOR(col("ph2"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** deterministic synthetic media corpus for specs/bench (no media
     * libs in the container — bytes are generated, not read)
     */

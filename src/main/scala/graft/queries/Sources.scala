@@ -120,6 +120,26 @@ object Sources extends Catalog {
       },
       sql = None, // response = murmur3 fingerprint of the prompt — not
       // SQL-portable; EnrichJobSpec covers the record-level contract
-      scaleNote = "network boundary moves from driver↔API (reference) to executor-task↔API: throughput scales with partitions × per-partition concurrency")
+      scaleNote = "network boundary moves from driver↔API (reference) to executor-task↔API: throughput scales with partitions × per-partition concurrency"),
+
+    // ----- multimodal: perceptual-hash image near-dup ---------------
+    "q58_image_neardup" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        // deterministic synthetic media corpus (no media files ship in
+        // the test data — same stance as q44's fake backend) with
+        // byte-identical duplicate images planted every 7th image
+        val n = if (d.endsWith("0.001")) 90 else 600
+        val base = graft.multimodal.Media.synthetic(s, n)
+        val planted = base.union(
+          base.filter(r => r.kind == "image" && r.media_id % 7 == 0)
+            .map(r => r.copy(media_id = r.media_id + 1000000L)))
+        graft.multimodal.Media.imageNearDup(
+          planted, new graft.multimodal.Media.FakeCodec())
+      },
+      sql = None, // decode is the stubbed codec — not SQL-portable;
+      // MediaSpec covers planted-dup recall, exactness of hamming, and
+      // the banding pigeonhole guarantee
+      scaleNote = "image dedup at 100 TB: decode+phash is one map pass; candidates come from the 8-band (band,key) equi-join with pigeonhole-guaranteed recall ≤ hamming 7 — never a cartesian")
   )
 }

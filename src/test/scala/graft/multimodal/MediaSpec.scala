@@ -78,6 +78,44 @@ class MediaSpec extends SparkSpec {
     assert(sizes.sum == 200)
   }
 
+  test("imageNearDup finds planted duplicate images and no random pairs") {
+    import spark.implicits._
+    // plant: media 1000/1001 share identical bytes (identical decode →
+    // hamming 0); everything else is distinct synthetic content
+    val base = corpus.filter(_.kind == "image").collect().toSeq
+    val dupOf = base.head
+    val planted = base ++ Seq(
+      dupOf.copy(media_id = 1000L),
+      dupOf.copy(media_id = 1001L))
+    val pairs = Media.imageNearDup(spark.createDataset(planted), new FakeCodec)
+      .as[(Long, Long, Int)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((dupOf.media_id, 1000L)))
+    assert(ids.contains((dupOf.media_id, 1001L)))
+    assert(ids.contains((1000L, 1001L)))
+    pairs.filter(p => Set(p._1, p._2).subsetOf(Set(dupOf.media_id, 1000L, 1001L)))
+      .foreach(p => assert(p._3 == 0, s"identical bytes must hash identically: $p"))
+    // the fake codec avalanches, so unrelated synthetic images should
+    // essentially never land within hamming 7
+    val falsePairs = pairs.filterNot(p =>
+      Set(p._1, p._2).exists(Set(dupOf.media_id, 1000L, 1001L)))
+    assert(falsePairs.length <= 2, s"too many accidental pairs: ${falsePairs.toSeq}")
+  }
+
+  test("phash banding pigeonhole: any pair within hamming 7 shares a band") {
+    val rnd = new scala.util.Random(3)
+    (0 until 500).foreach { _ =>
+      val base = rnd.nextLong()
+      val k = rnd.nextInt(8) // 0..7 bit flips
+      val flipped = (0 until k).foldLeft(base) { (h, _) =>
+        h ^ (1L << rnd.nextInt(64))
+      }
+      val shared = Media.phashBandKeys(base).zip(Media.phashBandKeys(flipped))
+        .exists { case (a, b) => a == b }
+      assert(shared, f"hamming<=7 pair with no shared band: $base%x vs $flipped%x")
+    }
+  }
+
   test("features aggregate distributedly (per-kind mean norm)") {
     val agg = extractFeatures(corpus, new FakeCodec)
       .toDF()
