@@ -130,6 +130,50 @@ object Dedup extends Catalog {
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau"""),
       scaleNote = "inverted-index self-join on shingle — O(sum posting²) not O(n²); at 100 TB drop ultra-frequent shingles (stop-shingle cap) to bound posting lists"),
 
+    // ----- E12: n-gram Jaccard with a stop-shingle cap --------------
+    "q59_dedup_jaccard_capped" -> Q(
+      fn = (s, d) => {
+        // q26 with the 100 TB guard made real: postings whose shingle
+        // occurs in more than StopShingleCap documents are dropped
+        // BEFORE the self-join, bounding the worst-case posting-list
+        // blowup (a boilerplate header shared by 1M docs would
+        // otherwise emit 10^12 candidate pairs). At test SF no shingle
+        // exceeds the cap, so the output — and the oracle — equal
+        // q26's exactly; at scale the cap trades those pairs away
+        // deliberately (ultra-common shingles carry no dedup signal).
+        val StopShingleCap = 100
+        val sh = shingled(s, d)
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        val capped = ex.withColumn("pc",
+            count(lit(1)).over(Window.partitionBy(col("shingle"))))
+          .filter(col("pc") <= StopShingleCap)
+          .drop("pc")
+        capped.as("a").join(capped.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.withColumnRenamed("doc_id", "doc1")
+            .withColumnRenamed("sz", "sz1"), "doc1")
+          .join(sizes.withColumnRenamed("doc_id", "doc2")
+            .withColumnRenamed("sz", "sz2"), "doc2")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+          .filter(col("jaccard") >= JaccardTau)
+          .select(col("doc1"), col("doc2"), col("jaccard"))
+      },
+      sql = Some(s"""
+        WITH s AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau"""),
+      scaleNote = "the posting-frequency window shares the shingle shuffle partitioning (no extra exchange); the cap bounds sum(posting²) — the term that explodes on boilerplate shingles at 100 TB"),
+
     // ----- E12: MinHash + LSH banding, verified ---------------------
     "q27_dedup_minhash_lsh" -> Q(
       fn = (s, d) => {
