@@ -134,17 +134,25 @@ object Relational extends Catalog {
         val o = t(s, d, "orders")
         val c = t(s, d, "customer")
         // right outer: keep every customer, orders optional
+        // money sums go through DECIMAL: double accumulation order
+        // differs between engines (and between partitionings of the
+        // same engine), which flips the rounded 6th significant digit
+        // at sf0.1 — decimal addition is exact and associative, so the
+        // result is bit-stable at ANY scale factor and parallelism
         o.join(c, col("o_custkey") === col("c_custkey"), "right")
           .groupBy(col("c_custkey"))
           .agg(count(col("o_orderkey")).as("n_orders"),
-               coalesce(sum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+               coalesce(sum(col("o_totalprice").cast("decimal(18,4)")),
+                 lit(0).cast("decimal(18,4)")).cast("decimal(18,2)")
+                 .as("total_spent"))
       },
       sql = Some("""
         SELECT c_custkey, count(o_orderkey) AS n_orders,
-               coalesce(sum(o_totalprice), 0.0) AS total_spent
+               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+                 AS DECIMAL(18,2)) AS total_spent
         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         GROUP BY c_custkey"""),
-      scaleNote = "outer join then agg on the same key — Catalyst reuses the hash partitioning; count(col) skips nulls from non-matches"),
+      scaleNote = "outer join then agg on the same key — Catalyst reuses the hash partitioning; count(col) skips nulls from non-matches; decimal sum is exact at any partitioning"),
 
     // ----- E4: left-semi join (EXISTS) -------------------------------
     "q06_semi_join" -> Q(
@@ -309,19 +317,25 @@ object Relational extends Catalog {
         val w = Window.partitionBy(col("l_suppkey"))
           .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // decimal terms: window sums are NOT sequentially accumulated
+        // everywhere (DuckDB uses segment-tree aggregation), so double
+        // running sums differ in the last ulp between engines; decimal
+        // addition is exact and association-independent
         t(s, d, "lineitem")
-          .withColumn("running_rev", sum(revenue).over(w))
+          .withColumn("running_rev",
+            sum(revenue.cast("decimal(18,6)")).over(w)
+              .cast("decimal(18,4)"))
           .select(col("l_suppkey"), col("l_orderkey"),
             col("l_linenumber").cast("long").as("l_linenumber"), col("running_rev"))
       },
       sql = Some("""
         SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-               sum(l_extendedprice * (1.0 - l_discount)) OVER (
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) OVER (
                  PARTITION BY l_suppkey
                  ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_rev
         FROM lineitem"""),
-      scaleNote = "one shuffle on l_suppkey + in-partition sort; running frame is O(1) per row; total orderBy tie-break keeps float accumulation order identical across engines"),
+      scaleNote = "one shuffle on l_suppkey + in-partition sort; running frame is O(1) per row; decimal accumulation makes the running values engine- and association-independent"),
 
     // ----- E8: lag/lead ---------------------------------------------------
     "q15_lag_orders" -> Q(
