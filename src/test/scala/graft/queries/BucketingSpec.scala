@@ -63,6 +63,29 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("partition pruning: a filter on the partition column skips other partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.load(spark, sf0001, "orders")
+      .withColumn("status", col("o_orderstatus"))
+      .write.partitionBy("status").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("status") === "F")
+    val plan = q.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(scanLine.contains("(status"), s"partition filter not applied: $scanLine")
+    // pruning is observable at the file index: the scan's partition
+    // filters select exactly one of the three status directories
+    // (inputFiles would lie here — it lists pre-pruning)
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters)
+    assert(selected.size == 1, s"expected 1 pruned partition, got ${selected.size}")
+    val all = spark.read.parquet(dir)
+    assert(q.count() == all.filter(col("status") === "F").count())
+  }
+
   test("bucket pruning: an equality filter on the bucket column reads one bucket") {
     Tables.load(spark, sf0001, "customer")
       .write.bucketBy(8, "c_custkey").mode("overwrite").saveAsTable("b_customer")

@@ -14,7 +14,8 @@ import graft.SparkSpec
 class PlanSpec extends SparkSpec {
 
   private def plan(name: String): String = {
-    val all = Relational.queries ++ Dedup.queries ++ Similarity.queries
+    val all = Relational.queries ++ Dedup.queries ++ Similarity.queries ++
+      Analytics.queries ++ TextAnalysis.queries
     all(name).fn(spark, sf0001).queryExecution.executedPlan.toString
   }
 
@@ -100,5 +101,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(600))
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for knn probe")
+  }
+
+  test("q35: token statistics run on the native one-pass expression, not regex") {
+    val p = plan("q35_token_stats")
+    assert(p.contains("token_stats"), p.take(600))
+    assert(!p.contains("regexp_extract_all"), "regex tokenizer must be gone")
+  }
+
+  test("q56: gap-fill joins the hour spine on equi keys, never a cartesian") {
+    val p = plan("q56_gapfill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
+  test("q59: the stop-shingle cap keeps a bounded plan — no cartesian, no shuffle blowup") {
+    val p = plan("q59_dedup_jaccard_capped")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    val base = plan("q26_dedup_ngram_jaccard").linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    val capped = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // the frequency window costs at most its own shingle shuffle on
+    // top of q26's plan (both keyed on shingle — constant, not data-
+    // dependent)
+    assert(capped <= base + 2, s"q26=$base q59=$capped")
   }
 }
