@@ -546,16 +546,21 @@ object Relational extends Catalog {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
           .rangeBetween(-30L * 86400, 0)
+        // decimal terms, same reason as q14: sliding/segment-tree
+        // window accumulation orders differ between engines, and a
+        // double sum can flip the rounded 6th digit at larger SFs
         t(s, d, "orders")
-          .withColumn("spend_30d", sum(col("o_totalprice")).over(w))
+          .withColumn("spend_30d",
+            sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+              .cast("decimal(18,2)"))
           .select(col("o_orderkey"), col("o_custkey"), col("spend_30d"))
       },
       sql = Some("""
         SELECT o_orderkey, o_custkey,
-               sum(o_totalprice) OVER (
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
                  PARTITION BY o_custkey
                  ORDER BY epoch(o_orderdate::TIMESTAMP)
-                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS spend_30d
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS spend_30d
         FROM orders"""),
       scaleNote = "value-based frame evaluates with a sliding aggregate over the sorted partition — one shuffle on custkey, O(n) per partition"),
 
