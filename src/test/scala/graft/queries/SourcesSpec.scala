@@ -9,12 +9,16 @@ class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
   test("q43: HLL approx distinct within the requested 2% of exact") {
-    val rows = Sources.queries("q43_approx_distinct").fn(spark, sf001)
-      .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
-    assert(rows.nonEmpty)
-    rows.foreach { case (approx, exact) =>
-      val err = math.abs(approx - exact).toDouble / exact
-      assert(err <= 0.06, s"approx=$approx exact=$exact err=$err") // 3σ of rsd=0.02
+    val approx = Sources.queries("q43_approx_distinct").fn(spark, sf001)
+      .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
+    val exact = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.nonEmpty && approx.keySet == exact.keySet)
+    approx.foreach { case (flag, a) =>
+      val err = math.abs(a - exact(flag)).toDouble / exact(flag)
+      assert(err <= 0.06, s"$flag approx=$a exact=${exact(flag)} err=$err") // 3σ of rsd=0.02
     }
   }
 
