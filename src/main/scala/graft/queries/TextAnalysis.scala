@@ -167,6 +167,31 @@ object TextAnalysis extends Catalog {
         FROM documents WHERE length(text) > 0"""),
       scaleNote = "fingerprints shuffle as 16-byte keys for downstream groupBy dedup — never the document bodies"),
 
+    // ----- curation: deterministic stratified sample + split --------
+    "q60_hash_sample" -> Q(
+      fn = (s, d) => {
+        // hash-based sampling, NOT rand(): reproducible across engines,
+        // re-runs, and task retries (no RNG state), and any stratum's
+        // sample is a stable subset as rates change. Rate compare works
+        // on the md5 hex prefix lexicographically ('80'/'ff' ≈ 50%,
+        // '33'/'ff' ≈ 20%); independent salts decorrelate the sampling
+        // and split decisions.
+        val sampleH = substring(md5(concat(lit("s:"), col("doc_id").cast("string"))), 1, 2)
+        val splitH = substring(md5(concat(lit("t:"), col("doc_id").cast("string"))), 1, 2)
+        docs(s, d)
+          .filter(sampleH < when(col("lang") === "en", "80").otherwise("33"))
+          .select(col("doc_id"), col("lang"),
+            when(splitH < "cc", "train").otherwise("test").as("split"))
+      },
+      sql = Some("""
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+        WHERE substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+              CASE WHEN lang = 'en' THEN '80' ELSE '33' END"""),
+      scaleNote = "pure map-side filter+project — zero shuffle; sampling decisions are a function of the row alone, so the plan scales as one scan and survives speculative/retried tasks unchanged"),
+
     // ----- E16: map construction / map_keys / map_values / explode --
     "q45_map_funcs" -> Q(
       fn = (s, d) =>
