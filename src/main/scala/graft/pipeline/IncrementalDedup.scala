@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Incremental near-dup detection against a persisted shingle index —
+  * the operational form of q26 at 100 TB: a corpus that grows by
+  * batches must dedup each NEW batch against everything ingested
+  * before it WITHOUT re-scanning (or re-shingling) the old corpus.
+  *
+  * The index is two parquet tables under `indexDir`:
+  *   postings/  (doc_id, shingle)  — 8-byte shingle hashes
+  *   sizes/     (doc_id, sz)       — distinct-shingle counts
+  *
+  * Each `dedupBatch` call joins the new batch's postings against the
+  * full posting set (old ∪ new), emits exact-jaccard pairs whose
+  * RIGHT side is always a new document, then appends the new postings
+  * to the index. Old-old pairs were emitted by earlier calls — the
+  * work per batch is proportional to the BATCH, not the corpus.
+  *
+  * Contract: doc_ids are monotonically increasing across batches
+  * (append-only corpus) — that is what makes "a.doc_id < b.doc_id
+  * with b new" enumerate each pair exactly once across all calls.
+  */
+object IncrementalDedup {
+
+  private val PostingsSchema = StructType.fromDDL("doc_id BIGINT, shingle BIGINT")
+  private val SizesSchema = StructType.fromDDL("doc_id BIGINT, sz INT")
+
+  /** distinct 3-word-shingle hashes per doc (native one-pass kernel) */
+  private def shingleFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      call_function("shingle_hashes", lower(col("text")), lit(3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Dedup `newDocs` against the index and itself, then extend the
+    * index. Returns (doc1, doc2, jaccard) with jaccard ≥ tau and doc2
+    * always from the new batch.
+    */
+  def dedupBatch(
+      newDocs: DataFrame,
+      indexDir: String,
+      tau: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+
+    val sh = shingleFrame(newDocs).localCheckpoint()
+    val newPost = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val newSizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+
+    def emptyDf(schema: StructType) = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val oldPost =
+      try spark.read.schema(PostingsSchema).parquet(s"$indexDir/postings")
+        .localCheckpoint()
+      catch { case _: Throwable => emptyDf(PostingsSchema) }
+    val oldSizes =
+      try spark.read.schema(SizesSchema).parquet(s"$indexDir/sizes")
+        .localCheckpoint()
+      catch { case _: Throwable => emptyDf(SizesSchema) }
+
+    val allPost = oldPost.unionByName(newPost)
+    val allSizes = oldSizes.unionByName(newSizes)
+
+    val pairs = allPost.as("a").join(newPost.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(allSizes.withColumnRenamed("doc_id", "doc1")
+        .withColumnRenamed("sz", "sz1"), "doc1")
+      .join(newSizes.withColumnRenamed("doc_id", "doc2")
+        .withColumnRenamed("sz", "sz2"), "doc2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+      // materialize BEFORE the index append: the old-posting scan is
+      // lazy, and appending first would double-count the new batch
+      .localCheckpoint()
+
+    newPost.write.mode("append").parquet(s"$indexDir/postings")
+    newSizes.write.mode("append").parquet(s"$indexDir/sizes")
+    pairs
+  }
+}

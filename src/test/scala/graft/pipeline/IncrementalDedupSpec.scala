@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Dedup
+
+/** The incremental contract: processing the corpus in batches against
+  * the persisted index must find EXACTLY the pairs the one-shot q26
+  * finds — batch1-internal pairs on the first call, batch2-internal
+  * plus cross-batch pairs on the second, nothing twice.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-batch incremental dedup equals the one-shot near-dup pairs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0)
+    val b1 = docs.filter(col("doc_id") <= mid)
+    val b2 = docs.filter(col("doc_id") > mid)
+    assert(b1.count() > 0 && b2.count() > 0)
+
+    val idx = Files.createTempDirectory("graft-incdedup").toString
+    val p1 = IncrementalDedup.dedupBatch(b1, idx)
+      .as[(Long, Long, Double)].collect().toSet
+    val p2 = IncrementalDedup.dedupBatch(b2, idx)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val oneShot = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(p1.intersect(p2).isEmpty, "a pair must be emitted exactly once")
+    assert(p1.union(p2) == oneShot,
+      s"missing=${oneShot.diff(p1.union(p2)).take(5)} extra=${p1.union(p2).diff(oneShot).take(5)}")
+    // second call's right side is always a new-batch document
+    assert(p2.forall(_._2 > mid))
+
+    // index now covers the whole corpus: a third, empty-batch call
+    // cannot re-emit anything
+    val p3 = IncrementalDedup.dedupBatch(
+      docs.filter(lit(false)), idx)
+    assert(p3.count() == 0)
+  }
+}
