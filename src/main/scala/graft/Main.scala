@@ -62,18 +62,23 @@ object Main {
     try {
       val client: LlmClient =
         if (flags.contains("fake")) new FakeLlmClient() else new OpenAiClient()
-      // no --in → STDIN parity mode: the stream must land somewhere
-      // every executor can read, so slurp it to a driver temp file
-      // (the reference is single-process and reads lazily; a cluster
-      // cannot — this is the one place a driver-side copy is correct)
+      // no --in → STDIN parity mode, for LOCAL masters: the stream is
+      // slurped to a driver temp file, which executors can read only
+      // when they share the driver's filesystem (local[*] / single
+      // node — the mode a drop-in `job.yml < in.jsonl` user is in).
+      // On a real cluster, pass --in with a shared path instead.
       val inPath = in.getOrElse {
         val tmp = Files.createTempFile("graft-stdin-", ".jsonl")
+        tmp.toFile.deleteOnExit()
         Files.copy(System.in, tmp,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         tmp.toString
       }
-      val outDir = out.getOrElse(
-        Files.createTempDirectory("graft-stdout-").resolve("result").toString)
+      val outDir = out.getOrElse {
+        val d = Files.createTempDirectory("graft-stdout-")
+        d.toFile.deleteOnExit()
+        d.resolve("result").toString
+      }
       val split = Jsonl.read(spark, inPath)
       val result = EnrichJob.run(split.good, cfg, client, EnrichOptions())
       Jsonl.write(result.good, outDir)

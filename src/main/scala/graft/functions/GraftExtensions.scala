@@ -18,11 +18,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      (children: Seq[Expression]) => children match {
+        case Seq(tokens) => SimHash64(tokens)
+        case _ => throw new IllegalArgumentException(
+          s"simhash64(tokens) takes exactly 1 argument, got ${children.size}")
+      }))
     ext.injectFunction((
       FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
-      (children: Seq[Expression]) => CdcChunks(children.head)))
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => CdcChunks(text)
+        case _ => throw new IllegalArgumentException(
+          s"cdc_chunks(text) takes exactly 1 argument, got ${children.size}")
+      }))
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
@@ -46,11 +54,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
-      (children: Seq[Expression]) => TokenStats(children.head)))
+      (children: Seq[Expression]) => children match {
+        case Seq(s) => TokenStats(s)
+        case _ => throw new IllegalArgumentException(
+          s"token_stats(text) takes exactly 1 argument, got ${children.size}")
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => VecDot(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"vec_dot(a, b) takes exactly 2 arguments, got ${children.size}")
+      }))
     ext.injectFunction((
       FunctionIdentifier("lsh_sigs"),
       new ExpressionInfo(classOf[LshSigs].getName, "lsh_sigs"),

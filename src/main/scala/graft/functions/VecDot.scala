@@ -34,11 +34,27 @@ case class VecDot(left: Expression, right: Expression)
           s"(${l.simpleString(10)}, ${r.simpleString(10)})")
     }
 
+  // NULL-faithful to the higher-order formulation this replaces (and
+  // that VecDotRewrite rewrites): zip_with pads unequal lengths with
+  // nulls and a null term nullifies the whole sum — so unequal-length
+  // inputs or any null element must yield NULL, not a prefix dot.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VecDot.computeChecked(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("vecDotBoxed")
+      s"""
+        java.lang.Double $boxed = graft.functions.VecDot.computeChecked($a, $b);
+        if ($boxed == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $boxed.doubleValue();
+        }
+      """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
@@ -48,17 +64,20 @@ case class VecDot(left: Expression, right: Expression)
 }
 
 object VecDot {
-  /** static so generated code can call it directly; mismatched lengths
-    * dot the common prefix (embeddings here are fixed-width)
+  /** static so generated code can call it directly; null when the
+    * lengths differ or any element is null — the exact semantics of
+    * aggregate(zip_with(a, b, _*_), 0.0, _+_)
     */
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def computeChecked(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
-    s
+    java.lang.Double.valueOf(s)
   }
 }

@@ -50,11 +50,19 @@ object AsOfJoin {
     val unioned = taggedLeft.unionByName(
       taggedRight, allowMissingColumns = true)
 
-    // the struct value itself is the equal-timestamp tie-break among
-    // right rows: deterministic regardless of partition layout (left
-    // rows carry a null struct but never compete — _side splits them)
+    // the payload values are the equal-timestamp tie-break among right
+    // rows: deterministic regardless of partition layout (left rows
+    // carry nulls but never compete — _side splits them). Only
+    // ORDERABLE payload types participate: a map-typed payload column
+    // would make the sort unresolvable, and rows differing only in
+    // unorderable columns simply keep an arbitrary-but-consistent
+    // window order.
+    val tieBreak = rightPayload
+      .filter(c => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType))
+      .map(c => col("_p").getField(c))
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_ts"), col("_side"), col("_p"))
+      .orderBy(Seq(col("_ts"), col("_side")) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))

@@ -101,7 +101,12 @@ object EnrichJob {
     import spark.implicits._
 
     // idempotency key: request content, not record id — the same
-    // record re-templated differently must re-call
+    // record re-templated differently must re-call.
+    // KEY FORMAT v2: the NUL delimiter replaced the original space
+    // (which could collide two different prompt/sys splits and serve
+    // the WRONG cached response); caches written by the space-keyed
+    // version miss entirely after upgrade — one full re-call of the
+    // corpus, then compactCache reclaims the orphaned rows
     val keyCol = md5(concat_ws("\u0000",
       col("prompt"), coalesce(col("sys"), lit("")),
       lit(cfg.model), lit(cfg.outputLabel)))
@@ -186,10 +191,23 @@ object EnrichJob {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(cacheDir)
     val tmpPath = new org.apache.hadoop.fs.Path(cacheDir + "_compact_tmp")
+    val bakPath = new org.apache.hadoop.fs.Path(cacheDir + "_compact_old")
     val fs = dirPath.getFileSystem(hadoopConf)
     compacted.write.mode("overwrite").parquet(tmpPath.toString)
-    fs.delete(dirPath, true)
-    fs.rename(tmpPath, dirPath)
+    // swap via rename-aside, not delete-then-rename: a crash between
+    // the two renames leaves the full cache at _compact_old (recover
+    // by renaming it back), never destroyed. Directory renames are not
+    // atomic as a pair, so a concurrent reader can still catch the
+    // brief absent window — hence "do not run concurrently with a
+    // writing job" in the contract above.
+    fs.delete(bakPath, true) // stale leftover from an earlier crash
+    if (!fs.rename(dirPath, bakPath))
+      sys.error(s"compactCache: could not move $dirPath aside")
+    if (!fs.rename(tmpPath, dirPath)) {
+      fs.rename(bakPath, dirPath) // restore
+      sys.error(s"compactCache: could not install compacted cache at $dirPath")
+    }
+    fs.delete(bakPath, true)
     ()
   }
 

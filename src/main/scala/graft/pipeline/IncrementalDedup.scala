@@ -48,16 +48,26 @@ object IncrementalDedup {
     val newPost = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val newSizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
 
+    // the empty-index fallback fires ONLY when the path truly does not
+    // exist (first batch). A catch-all here would turn a corrupt
+    // footer or transient FS error into "first batch", silently drop
+    // every old-vs-new pair — unrecoverable, since later calls never
+    // revisit old-old/old-new pairs — and then corrupt the index by
+    // appending anyway. Read errors must propagate.
+    // The old side is deliberately NOT checkpointed: it is the whole
+    // corpus; a streamed, column-pruned parquet scan is the per-batch
+    // cost the module promises (pairs.localCheckpoint below is the
+    // only ordering barrier needed).
     def emptyDf(schema: StructType) = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    val oldPost =
-      try spark.read.schema(PostingsSchema).parquet(s"$indexDir/postings")
-        .localCheckpoint()
-      catch { case _: Throwable => emptyDf(PostingsSchema) }
-    val oldSizes =
-      try spark.read.schema(SizesSchema).parquet(s"$indexDir/sizes")
-        .localCheckpoint()
-      catch { case _: Throwable => emptyDf(SizesSchema) }
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readIfExists(sub: String, schema: StructType): DataFrame =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$sub")))
+        spark.read.schema(schema).parquet(s"$indexDir/$sub")
+      else emptyDf(schema)
+    val oldPost = readIfExists("postings", PostingsSchema)
+    val oldSizes = readIfExists("sizes", SizesSchema)
 
     val allPost = oldPost.unionByName(newPost)
     val allSizes = oldSizes.unionByName(newSizes)

@@ -45,6 +45,27 @@ class VecMathSpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
+  test("vec_dot NULL semantics match the HOF formulation exactly") {
+    // unequal lengths: zip_with pads with null → null sum; a null
+    // element likewise nullifies — vec_dot must agree, or the
+    // VecDotRewrite optimizer rule would silently change results
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+    val rows = df.select(
+      call_function("vec_dot", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null disagreement: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0) && !rows(2).isNullAt(0))
+  }
+
   test("lsh_sigs matches the per-plane sign model") {
     val tables = 8
     val bits = 6

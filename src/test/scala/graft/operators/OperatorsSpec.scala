@@ -45,6 +45,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("t1", None, Some("late"))))
   }
 
+  test("asofJoin carries unorderable (map) payload columns") {
+    // map payloads can't join the sort tie-break but must still be
+    // carried atomically with the matching row
+    val trades = Seq((1L, ts(200), "t1")).toDF("acct", "ts", "trade_id")
+    val quotes = Seq(
+      (1L, ts(100), Map("src" -> "early")),
+      (1L, ts(150), Map("src" -> "late")))
+      .toDF("acct", "q_ts", "attrs")
+    val out = AsOfJoin.asofJoin(trades, quotes, "acct", "ts", "q_ts",
+      Seq("q_ts", "attrs"))
+      .select("trade_id", "asof_attrs")
+      .as[(String, Map[String, String])].collect()
+    assert(out.toSeq == Seq(("t1", Map("src" -> "late"))))
+  }
+
   test("asofJoin result matches the naive range-join formulation on events") {
     val e = graft.core.Tables.load(spark, sf0001, "events")
     val errors = e.filter(col("event_type") === "error")
