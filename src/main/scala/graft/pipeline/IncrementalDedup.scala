@@ -34,6 +34,69 @@ object IncrementalDedup {
       call_function("shingle_hashes", lower(col("text")), lit(3)).as("sh"))
       .filter(size(col("sh")) > 0)
 
+  private val BucketsSchema = StructType.fromDDL("vec_id BIGINT, t INT, sig BIGINT")
+  private val VectorsSchema =
+    StructType.fromDDL("vec_id BIGINT, v ARRAY<DOUBLE>, norm DOUBLE")
+
+  /** The embedding-modality twin of [[dedupBatch]]: hyperplane-LSH
+    * buckets (same geometry as the q49 scale path) persisted under
+    * `indexDir` —
+    *   buckets/ (vec_id, t, sig)   — 20-byte postings
+    *   vectors/ (vec_id, v, norm)  — for the exact-cosine verify
+    * Each call buckets the NEW vectors, candidates them against the
+    * full bucket set, verifies with exact cosine, emits pairs whose
+    * right side is new, and appends the batch to the index. Same
+    * monotone-vec_id contract as dedupBatch.
+    */
+  def dedupEmbeddingBatch(
+      newVecs: DataFrame,
+      indexDir: String,
+      tau: Double = 0.4,
+      tables: Int = 8,
+      bits: Int = 6): DataFrame = {
+    val spark = newVecs.sparkSession
+    val e = newVecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+      .localCheckpoint()
+    val newBuckets = e.select(col("vec_id"),
+      posexplode(call_function("lsh_sigs", col("v"), lit(tables), lit(bits)))
+        .as(Seq("t", "sig")))
+
+    def emptyDf(schema: StructType) = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readIfExists(sub: String, schema: StructType): DataFrame =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$sub")))
+        spark.read.schema(schema).parquet(s"$indexDir/$sub")
+      else emptyDf(schema)
+    val oldBuckets = readIfExists("buckets", BucketsSchema)
+    val oldVectors = readIfExists("vectors", VectorsSchema)
+
+    val allBuckets = oldBuckets.unionByName(newBuckets)
+    val allVectors = oldVectors.unionByName(e)
+
+    val pairs = allBuckets.as("a").join(newBuckets.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"))
+      .dropDuplicates("vec1", "vec2")
+      .join(allVectors.select(col("vec_id").as("vec1"), col("v").as("v1"),
+        col("norm").as("n1")), "vec1")
+      .join(e.select(col("vec_id").as("vec2"), col("v").as("v2"),
+        col("norm").as("n2")), "vec2")
+      .withColumn("cosine",
+        call_function("vec_dot", col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") >= tau)
+      .select(col("vec1"), col("vec2"), col("cosine"))
+      .localCheckpoint() // before the append — see dedupBatch
+
+    newBuckets.write.mode("append").parquet(s"$indexDir/buckets")
+    e.write.mode("append").parquet(s"$indexDir/vectors")
+    pairs
+  }
+
   /** Dedup `newDocs` against the index and itself, then extend the
     * index. Returns (doc1, doc2, jaccard) with jaccard ≥ tau and doc2
     * always from the new batch.

@@ -44,4 +44,27 @@ class IncrementalDedupSpec extends SparkSpec {
       docs.filter(lit(false)), idx)
     assert(p3.count() == 0)
   }
+
+  test("two-batch incremental embedding dedup equals the one-shot LSH pairs") {
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val mid = vecs.agg(expr("percentile(vec_id, 0.5)")).head.getDouble(0)
+    val b1 = vecs.filter(col("vec_id") <= mid)
+    val b2 = vecs.filter(col("vec_id") > mid)
+
+    val idx = Files.createTempDirectory("graft-incembed").toString
+    val p1 = IncrementalDedup.dedupEmbeddingBatch(b1, idx)
+      .as[(Long, Long, Double)].collect().toSet
+    val p2 = IncrementalDedup.dedupEmbeddingBatch(b2, idx)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val oneShot = graft.queries.Similarity
+      .queries("q49_embedding_neardup_lsh").fn(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(p1.intersect(p2).isEmpty)
+    assert(p1.union(p2) == oneShot,
+      s"missing=${oneShot.diff(p1.union(p2)).take(5)} extra=${p1.union(p2).diff(oneShot).take(5)}")
+    assert(p2.forall(_._2 > mid))
+  }
 }
