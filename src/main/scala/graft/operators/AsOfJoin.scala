@@ -67,7 +67,7 @@ object AsOfJoin {
     unioned
       .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(lCols.map(col) ++
+      .select(lCols.toIndexedSeq.map(col) ++
         rightPayload.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
 }

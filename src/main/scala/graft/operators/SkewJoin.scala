@@ -23,7 +23,7 @@ object SkewJoin {
     // would break duplicates; positive pmod of a per-row hash is enough
     // and survives task retry because xxhash64 is input-deterministic)
     val salted = large.withColumn("_salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(buckets)).cast("int"))
+      pmod(xxhash64(struct(large.columns.toIndexedSeq.map(col): _*)), lit(buckets)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
