@@ -13,7 +13,7 @@ import graft.queries.{Analytics, Catalog, Dedup, Q, Relational, Similarity, Sour
 object SparkEntry {
 
   /** every capability catalog in the engine, merged in order */
-  private val catalogs: Seq[Catalog] =
+  private[graft] val catalogs: Seq[Catalog] =
     Seq(Relational, Analytics, Dedup, Similarity, TextAnalysis, Streaming, Sources)
 
   private lazy val all: Map[String, Q] =
