@@ -145,10 +145,21 @@ object Dedup extends Catalog {
         val sh = shingled(s, d)
         val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
         val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        val capped = ex.withColumn("pc",
-            count(lit(1)).over(Window.partitionBy(col("shingle"))))
-          .filter(col("pc") <= StopShingleCap)
-          .drop("pc")
+        // The stop-list (shingles in more than cap docs) is BY
+        // CONSTRUCTION tiny — only boilerplate crosses the cap — so:
+        // groupBy lets partial aggregation collapse each shingle on
+        // the map side before its one shuffle, the >cap filter leaves
+        // a broadcast-able handful, and a broadcast LEFT-ANTI join
+        // strips those postings with zero extra exchanges. (A
+        // count-over-window here would sort ALL postings — and, worse,
+        // an un-barriered window recomputes on both self-join sides.)
+        val stop = ex.groupBy(col("shingle")).agg(count(lit(1)).as("pc"))
+          .filter(col("pc") > StopShingleCap)
+          .select(col("shingle"))
+        // materialization barrier: the self-join below must share ONE
+        // capped-posting computation (same discipline as q27's banded)
+        val capped = ex.join(broadcast(stop), Seq("shingle"), "left_anti")
+          .localCheckpoint()
         capped.as("a").join(capped.as("b"),
             col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -172,7 +183,7 @@ object Dedup extends Catalog {
         WHERE len(a.sh) > 0 AND len(b.sh) > 0
           AND len(list_intersect(a.sh, b.sh)) * 1.0 /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau"""),
-      scaleNote = "the posting-frequency window shares the shingle shuffle partitioning (no extra exchange); the cap bounds sum(posting²) — the term that explodes on boilerplate shingles at 100 TB"),
+      scaleNote = "stop-list via groupBy (map-side partial agg) + broadcast anti-join, checkpointed before the self-join; the cap bounds sum(posting²) — the term that explodes on boilerplate shingles at 100 TB"),
 
     // ----- E12: MinHash + LSH banding, verified ---------------------
     "q27_dedup_minhash_lsh" -> Q(

@@ -134,25 +134,29 @@ object Relational extends Catalog {
         val o = t(s, d, "orders")
         val c = t(s, d, "customer")
         // right outer: keep every customer, orders optional
-        // money sums go through DECIMAL: double accumulation order
-        // differs between engines (and between partitionings of the
-        // same engine), which flips the rounded 6th significant digit
-        // at sf0.1 — decimal addition is exact and associative, so the
-        // result is bit-stable at ANY scale factor and parallelism
+        // money sums ACCUMULATE through DECIMAL (exact + associative,
+        // so bit-stable at any scale factor and parallelism — double
+        // accumulation order differs between engines and flips the
+        // rounded 6th significant digit at sf0.1) but the OUTPUT is
+        // BIGINT cents: the comparison hash is type-sensitive, and
+        // integer cents agree bit-for-bit across engines while a
+        // DECIMAL output column does not. o_totalprice has 2 decimal
+        // places, so cents are exact; the *100 decimal is integral and
+        // the long cast loses nothing.
         o.join(c, col("o_custkey") === col("c_custkey"), "right")
           .groupBy(col("c_custkey"))
           .agg(count(col("o_orderkey")).as("n_orders"),
-               coalesce(sum(col("o_totalprice").cast("decimal(18,4)")),
-                 lit(0).cast("decimal(18,4)")).cast("decimal(18,2)")
-                 .as("total_spent"))
+               (coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
+                 lit(0).cast("decimal(18,2)")) * 100).cast("long")
+                 .as("total_spent_cents"))
       },
       sql = Some("""
         SELECT c_custkey, count(o_orderkey) AS n_orders,
-               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0)
-                 AS DECIMAL(18,2)) AS total_spent
+               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) * 100
+                 AS BIGINT) AS total_spent_cents
         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         GROUP BY c_custkey"""),
-      scaleNote = "outer join then agg on the same key — Catalyst reuses the hash partitioning; count(col) skips nulls from non-matches; decimal sum is exact at any partitioning"),
+      scaleNote = "outer join then agg on the same key — Catalyst reuses the hash partitioning; count(col) skips nulls from non-matches; decimal accumulation is exact at any partitioning, BIGINT-cents output is hash-portable"),
 
     // ----- E4: left-semi join (EXISTS) -------------------------------
     "q06_semi_join" -> Q(
@@ -320,22 +324,30 @@ object Relational extends Catalog {
         // decimal terms: window sums are NOT sequentially accumulated
         // everywhere (DuckDB uses segment-tree aggregation), so double
         // running sums differ in the last ulp between engines; decimal
-        // addition is exact and association-independent
+        // addition is exact and association-independent. Output is
+        // BIGINT fixed-point in 10^-4 units: revenue terms have
+        // exactly 4 decimal places (2-decimal price × 2-decimal
+        // discount factor), so sum*10000 is integral and the long
+        // cast is lossless — NO rounding step anywhere (engines
+        // disagree on decimal scale-down: Spark rounds HALF_UP,
+        // DuckDB truncates), and the type-sensitive comparison hash
+        // accepts integers where it rejects DECIMAL columns.
         t(s, d, "lineitem")
-          .withColumn("running_rev",
-            sum(revenue.cast("decimal(18,6)")).over(w)
-              .cast("decimal(18,4)"))
+          .withColumn("running_rev_e4",
+            (sum(revenue.cast("decimal(18,6)")).over(w)
+              .cast("decimal(18,6)") * 10000).cast("long"))
           .select(col("l_suppkey"), col("l_orderkey"),
-            col("l_linenumber").cast("long").as("l_linenumber"), col("running_rev"))
+            col("l_linenumber").cast("long").as("l_linenumber"), col("running_rev_e4"))
       },
       sql = Some("""
         SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) OVER (
+               CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) OVER (
                  PARTITION BY l_suppkey
                  ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_rev
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) * 10000
+                 AS BIGINT) AS running_rev_e4
         FROM lineitem"""),
-      scaleNote = "one shuffle on l_suppkey + in-partition sort; running frame is O(1) per row; decimal accumulation makes the running values engine- and association-independent"),
+      scaleNote = "one shuffle on l_suppkey + in-partition sort; running frame is O(1) per row; decimal accumulation keeps the running values engine- and association-independent, BIGINT-cents output is hash-portable"),
 
     // ----- E8: lag/lead ---------------------------------------------------
     "q15_lag_orders" -> Q(
@@ -548,21 +560,23 @@ object Relational extends Catalog {
           .rangeBetween(-30L * 86400, 0)
         // decimal terms, same reason as q14: sliding/segment-tree
         // window accumulation orders differ between engines, and a
-        // double sum can flip the rounded 6th digit at larger SFs
+        // double sum can flip the rounded 6th digit at larger SFs.
+        // BIGINT-cents output for the type-sensitive comparison hash;
+        // o_totalprice has 2 decimals so cents are exact.
         t(s, d, "orders")
-          .withColumn("spend_30d",
-            sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
-              .cast("decimal(18,2)"))
-          .select(col("o_orderkey"), col("o_custkey"), col("spend_30d"))
+          .withColumn("spend_30d_cents",
+            (sum(col("o_totalprice").cast("decimal(18,2)")).over(w) * 100)
+              .cast("long"))
+          .select(col("o_orderkey"), col("o_custkey"), col("spend_30d_cents"))
       },
       sql = Some("""
         SELECT o_orderkey, o_custkey,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                  PARTITION BY o_custkey
                  ORDER BY epoch(o_orderdate::TIMESTAMP)
-                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS spend_30d
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) * 100 AS BIGINT) AS spend_30d_cents
         FROM orders"""),
-      scaleNote = "value-based frame evaluates with a sliding aggregate over the sorted partition — one shuffle on custkey, O(n) per partition"),
+      scaleNote = "value-based frame evaluates with a sliding aggregate over the sorted partition — one shuffle on custkey, O(n) per partition; decimal accumulation + BIGINT-cents output (hash-portable)"),
 
     // ----- E5+: as-of join (custom operator, graft.operators) --------
     "q46_asof_join" -> Q(
