@@ -65,8 +65,18 @@ object EventStreams {
     * growing with the stream — the property that matters at 100 TB/day.
     * Works identically on batch frames (withWatermark is a no-op there),
     * which is how StreamingSpec anchors its correctness.
+    *
+    * `joinType` extends the same plan to the OUTER variants a real
+    * sessionization pipeline needs: "left_outer" emits every error —
+    * null-padded when no click preceded it — and "full_outer"
+    * additionally emits clicks that never led to an error. In
+    * streaming, the null-padded rows are held back until the
+    * watermark passes the interval's end (only then is "no match"
+    * final); in batch they appear immediately, so the end state is
+    * identical — which is exactly what StreamingSpec asserts.
     */
-  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -78,8 +88,13 @@ object EventStreams {
     e.join(c,
         col("user_id") === col("c_uid") &&
         col("click_ts") >= col("err_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("click_ts") <= col("err_ts"))
-      .select(col("err_id"), col("click_id"), col("user_id"),
+        col("click_ts") <= col("err_ts"),
+        joinType)
+      // full outer: unmatched clicks have a null user_id on the error
+      // side — surface the click's own user so every output row is
+      // attributable
+      .select(col("err_id"), col("click_id"),
+        coalesce(col("user_id"), col("c_uid")).as("user_id"),
         unix_micros(col("err_ts")).as("err_us"),
         unix_micros(col("click_ts")).as("click_us"))
   }

@@ -158,6 +158,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** outer stream-stream joins hold null-padded rows until the
+    * watermark passes the interval end; a far-future sentinel on BOTH
+    * streams pushes the watermark past every real event so the final
+    * streaming table can be compared to the batch join exactly.
+    */
+  private def outerJoinReplay(joinType: String): Unit = {
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val q = EventStreams.clickErrorJoin(clicks.toDF(), errors.toDF(), joinType)
+      .writeStream.format("memory").outputMode("append")
+      .queryName(s"ssj_${joinType}_sink").start()
+    try {
+      val (cs, es) = (allEvents.filter(_.event_type == "click"),
+        allEvents.filter(_.event_type == "error"))
+      val chunks = 4
+      val cg = cs.grouped(math.max(1, cs.size / chunks)).toSeq
+      val eg = es.grouped(math.max(1, es.size / chunks)).toSeq
+      cg.zipAll(eg, Seq.empty[Event], Seq.empty[Event]).foreach { case (cc, ec) =>
+        clicks.addData(cc); errors.addData(ec); q.processAllAvailable()
+      }
+      val far = new java.sql.Timestamp(allEvents.last.ts.getTime + 24L * 3600 * 1000)
+      clicks.addData(Event(999998L, far, -1L, "click", 0.0, "{}"))
+      errors.addData(Event(999999L, far, -1L, "error", 0.0, "{}"))
+      q.processAllAvailable()
+      val stream = spark.table(s"ssj_${joinType}_sink")
+        .filter(!coalesce(col("err_id"), lit(0L)).isin(999999L) &&
+                !coalesce(col("click_id"), lit(0L)).isin(999998L))
+      val batch = EventStreams.clickErrorJoin(
+        Tables.load(spark, sf0001, "events").filter(col("event_type") === "click"),
+        Tables.load(spark, sf0001, "events").filter(col("event_type") === "error"),
+        joinType)
+      val cols = Seq("err_id", "click_id", "user_id", "err_us", "click_us")
+      assert(canon(stream, cols: _*) == canon(batch, cols: _*))
+      // the outer side really contributes: null-padded rows exist
+      assert(stream.filter(col("click_id").isNull).count() > 0,
+        "expected at least one unmatched error emitted with nulls")
+      if (joinType == "full_outer")
+        assert(stream.filter(col("err_id").isNull).count() > 0,
+          "expected at least one unmatched click emitted with nulls")
+    } finally q.stop()
+  }
+
+  test("stream-stream LEFT OUTER interval join matches batch incl. null padding") {
+    outerJoinReplay("left_outer")
+  }
+
+  test("stream-stream FULL OUTER interval join matches batch incl. null padding") {
+    outerJoinReplay("full_outer")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivered event_ids") {
     val ms = MemoryStream[Event]
     val q = EventStreams.dedupedEvents(ms.toDF())
