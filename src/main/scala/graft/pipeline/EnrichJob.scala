@@ -188,27 +188,11 @@ object EnrichJob {
         struct(coalesce(col("written_at"), lit("1970-01-01").cast("timestamp")),
           col("response"))).as("m"))
       .select(col("cacheKey"), col("m.response"), col("m.written_at"))
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val dirPath = new org.apache.hadoop.fs.Path(cacheDir)
-    val tmpPath = new org.apache.hadoop.fs.Path(cacheDir + "_compact_tmp")
-    val bakPath = new org.apache.hadoop.fs.Path(cacheDir + "_compact_old")
-    val fs = dirPath.getFileSystem(hadoopConf)
-    compacted.write.mode("overwrite").parquet(tmpPath.toString)
-    // swap via rename-aside, not delete-then-rename: a crash between
-    // the two renames leaves the full cache at _compact_old (recover
-    // by renaming it back), never destroyed. Directory renames are not
-    // atomic as a pair, so a concurrent reader can still catch the
-    // brief absent window — hence "do not run concurrently with a
-    // writing job" in the contract above.
-    fs.delete(bakPath, true) // stale leftover from an earlier crash
-    if (!fs.rename(dirPath, bakPath))
-      sys.error(s"compactCache: could not move $dirPath aside")
-    if (!fs.rename(tmpPath, dirPath)) {
-      fs.rename(bakPath, dirPath) // restore
-      sys.error(s"compactCache: could not install compacted cache at $dirPath")
+    // swap via rename-aside (DirSwap), not delete-then-rename: a crash
+    // leaves the full cache at _compact_old, never destroyed.
+    DirSwap.rewriteInPlace(spark, cacheDir) { tmp =>
+      compacted.write.mode("overwrite").parquet(tmp)
     }
-    fs.delete(bakPath, true)
-    ()
   }
 
   /** prompt/sys render — Catalyst columns, shared by run/runCached */

@@ -156,4 +156,44 @@ object IncrementalDedup {
     newSizes.write.mode("append").parquet(s"$indexDir/sizes")
     pairs
   }
+
+  /** every sub-table either modality appends to, with its read schema */
+  private val IndexTables = Seq(
+    "postings" -> PostingsSchema, "sizes" -> SizesSchema,
+    "buckets" -> BucketsSchema, "vectors" -> VectorsSchema)
+
+  /** Compact the index's per-batch appends into a bounded file count.
+    *
+    * Each `dedupBatch`/`dedupEmbeddingBatch` call appends one parquet
+    * file-set per sub-table, so after N batches every later call's
+    * old-side scan opens O(N × partitions) small files — linear read
+    * amplification in batch count. Compaction rewrites each sub-table
+    * to at most `targetFilesPerTable` files. The CONTENT is untouched
+    * (pure coalesce — no dedup, no reorder semantics), so pairs
+    * emitted by subsequent calls are identical before and after.
+    *
+    * Crash-safety and the single-writer contract are DirSwap's: a
+    * crash mid-swap leaves the original sub-table at `_compact_old`;
+    * do not run concurrently with a dedup call on the same index.
+    * At 100 TB, run this on a cadence (e.g. every K batches) — cost
+    * is one streamed rewrite of the index, no shuffle.
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      targetFilesPerTable: Int = 8): Unit = {
+    require(targetFilesPerTable > 0, "targetFilesPerTable must be positive")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexTables.foreach { case (sub, schema) =>
+      val dir = s"$indexDir/$sub"
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir))) {
+        DirSwap.rewriteInPlace(spark, dir) { tmp =>
+          spark.read.schema(schema).parquet(dir)
+            .coalesce(targetFilesPerTable)
+            .write.mode("overwrite").parquet(tmp)
+        }
+      }
+    }
+  }
 }

@@ -55,6 +55,8 @@ class IncrementalDedupSpec extends SparkSpec {
     val idx = Files.createTempDirectory("graft-incembed").toString
     val p1 = IncrementalDedup.dedupEmbeddingBatch(b1, idx)
       .as[(Long, Long, Double)].collect().toSet
+    // compacting between batches must not change what batch 2 emits
+    IncrementalDedup.compactIndex(spark, idx, targetFilesPerTable = 2)
     val p2 = IncrementalDedup.dedupEmbeddingBatch(b2, idx)
       .as[(Long, Long, Double)].collect().toSet
 
@@ -66,5 +68,47 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(p1.union(p2) == oneShot,
       s"missing=${oneShot.diff(p1.union(p2)).take(5)} extra=${p1.union(p2).diff(oneShot).take(5)}")
     assert(p2.forall(_._2 > mid))
+  }
+
+  test("compaction bounds index file count and leaves content + pairs unchanged") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val Seq(lo, hi) = docs.stat
+      .approxQuantile("doc_id", Array(0.33, 0.66), 0.0).toSeq
+    val b1 = docs.filter(col("doc_id") <= lo)
+    val b2 = docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+    val b3 = docs.filter(col("doc_id") > hi)
+    assert(b1.count() > 0 && b2.count() > 0 && b3.count() > 0)
+
+    // twin indexes: A never compacts, B compacts after every batch
+    val idxA = Files.createTempDirectory("graft-inc-nocompact").toString
+    val idxB = Files.createTempDirectory("graft-inc-compact").toString
+    val target = 1
+
+    def postings(idx: String) = spark.read.parquet(s"$idx/postings")
+      .as[(Long, Long)].collect().toSet
+    def parquetFiles(idx: String, sub: String): Int =
+      java.nio.file.Files.list(java.nio.file.Paths.get(idx, sub)).toArray
+        .map(_.toString).count(_.endsWith(".parquet"))
+
+    for (b <- Seq(b1, b2)) {
+      IncrementalDedup.dedupBatch(b, idxA).count()
+      IncrementalDedup.dedupBatch(b, idxB).count()
+      IncrementalDedup.compactIndex(spark, idxB, target)
+    }
+    // content identical, file count bounded (A's grows per batch)
+    assert(postings(idxA) == postings(idxB))
+    assert(parquetFiles(idxB, "postings") <= target,
+      s"expected <= $target files, got ${parquetFiles(idxB, "postings")}")
+    assert(parquetFiles(idxB, "sizes") <= target)
+    assert(parquetFiles(idxA, "postings") > target,
+      "vacuous test: the uncompacted twin should exceed the target")
+
+    // batch 3 sees identical pairs through either index
+    val pA = IncrementalDedup.dedupBatch(b3, idxA)
+      .as[(Long, Long, Double)].collect().toSet
+    val pB = IncrementalDedup.dedupBatch(b3, idxB)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pA == pB)
   }
 }
