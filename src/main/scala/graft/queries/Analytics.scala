@@ -32,7 +32,7 @@ object Analytics extends Catalog {
                sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS "N",
                sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS "R"
         FROM lineitem GROUP BY 1"""),
-      scaleNote = "pivot with explicit values is one two-phase aggregation (no value-discovery pre-pass); output width is fixed, independent of input size"),
+      scaleNote = "pivot with explicit values skips the value-discovery pre-pass; the input aggregates (two-phase) before pivoting, so the pivot exchange moves only |groups × values| rows"),
 
     // ----- exact interpolated percentiles ---------------------------
     "q53_percentiles" -> Q(

@@ -49,6 +49,24 @@ object Dedup extends Catalog {
   /** near-dup acceptance threshold (data has planted pairs at j≈0.99) */
   private val JaccardTau = 0.8
 
+  /** q59's pre-barrier plan: postings from the (doc_id, sh) shingle
+    * frame minus the stop-list of shingles occurring in more than
+    * `cap` documents. Exposed (package-private) so PlanSpec can assert
+    * the anti-join's broadcast build side and exchange count — the
+    * registered query hides them behind its localCheckpoint barrier.
+    */
+  private[graft] def cappedPostings(sh: DataFrame, cap: Int): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val stop = ex.groupBy(col("shingle")).agg(count(lit(1)).as("pc"))
+      .filter(col("pc") > cap)
+      .select(col("shingle"))
+    ex.join(broadcast(stop), Seq("shingle"), "left_anti")
+  }
+
+  /** the shingle frame for PlanSpec's use of [[cappedPostings]] */
+  private[graft] def shingleFrame(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+
   // MinHash/LSH geometry: 16 hashes = 8 bands × 2 rows.
   // P(candidate | j) = 1-(1-j²)^8 → 0.9997 at j=0.8, ~1 at the planted
   // j≈0.99 pairs, so verified-LSH output equals the brute-force oracle.
@@ -144,7 +162,6 @@ object Dedup extends Catalog {
         val StopShingleCap = 100
         val sh = shingled(s, d)
         val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-        val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
         // The stop-list (shingles in more than cap docs) is BY
         // CONSTRUCTION tiny — only boilerplate crosses the cap — so:
         // groupBy lets partial aggregation collapse each shingle on
@@ -153,13 +170,10 @@ object Dedup extends Catalog {
         // strips those postings with zero extra exchanges. (A
         // count-over-window here would sort ALL postings — and, worse,
         // an un-barriered window recomputes on both self-join sides.)
-        val stop = ex.groupBy(col("shingle")).agg(count(lit(1)).as("pc"))
-          .filter(col("pc") > StopShingleCap)
-          .select(col("shingle"))
-        // materialization barrier: the self-join below must share ONE
-        // capped-posting computation (same discipline as q27's banded)
-        val capped = ex.join(broadcast(stop), Seq("shingle"), "left_anti")
-          .localCheckpoint()
+        // The localCheckpoint is the materialization barrier: the
+        // self-join below must share ONE capped-posting computation
+        // (same discipline as q27's banded frame).
+        val capped = cappedPostings(sh, StopShingleCap).localCheckpoint()
         capped.as("a").join(capped.as("b"),
             col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id"))

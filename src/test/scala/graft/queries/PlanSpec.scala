@@ -15,9 +15,12 @@ class PlanSpec extends SparkSpec {
 
   private def plan(name: String): String = {
     val all = Relational.queries ++ Dedup.queries ++ Similarity.queries ++
-      Analytics.queries ++ TextAnalysis.queries
+      Analytics.queries ++ TextAnalysis.queries ++ Sources.queries
     all(name).fn(spark, sf0001).queryExecution.executedPlan.toString
   }
+
+  private def exchanges(p: String): Int =
+    p.linesIterator.count(_.contains("Exchange hashpartitioning"))
 
   test("q02: predicates and projection push into the parquet scan") {
     val p = plan("q02_filter_project")
@@ -120,10 +123,75 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
     val base = plan("q26_dedup_ngram_jaccard").linesIterator
       .count(_.contains("Exchange hashpartitioning"))
-    val capped = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    // the frequency window costs at most its own shingle shuffle on
-    // top of q26's plan (both keyed on shingle — constant, not data-
-    // dependent)
+    val capped = exchanges(p)
+    // the stop-list costs at most its own shingle shuffle on top of
+    // q26's plan (both keyed on shingle — constant, not data-dependent)
     assert(capped <= base + 2, s"q26=$base q59=$capped")
+  }
+
+  test("q59 stop-list: broadcast LEFT-ANTI join, one exchange on shingle") {
+    // the registered query hides this behind its checkpoint barrier —
+    // assert the pre-barrier plan directly
+    val p = Dedup.cappedPostings(Dedup.shingleFrame(spark, sf0001), 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"stop-list must anti-join as a broadcast build:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the tiny stop-list must never shuffle the postings for the anti-join")
+    // only the stop-list's own groupBy(shingle) shuffles; the postings
+    // side flows through with zero exchanges
+    assert(exchanges(p) == 1, s"expected 1 exchange:\n${p.take(800)}")
+  }
+
+  test("q52: explicit-values pivot aggregates before it pivots") {
+    val p = plan("q52_pivot")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"pivot must keep map-side partial aggregation:\n${p.take(600)}")
+    // Spark plans pivot as aggregate-then-pivot_first: the first
+    // exchange moves partial aggregates, the second only
+    // |groups × pivot values| rows — bounded by the output, never the
+    // input. A third exchange would mean a value-discovery pre-pass
+    // (no explicit values) or a lost partial agg.
+    assert(exchanges(p) == 2, s"got ${exchanges(p)}:\n${p.take(600)}")
+  }
+
+  test("q53: one fraction-array percentile agg, not one buffer per fraction") {
+    val p = plan("q53_percentiles")
+    assert(exchanges(p) == 1, p.take(600))
+    val calls = "percentile\\(".r.findAllIn(p).size
+    // partial + final phase = 2 mentions; four separate aggs would be 8
+    assert(calls <= 2, s"expected a single percentile buffer, saw $calls:\n${p.take(800)}")
+  }
+
+  test("q54: moment aggregates stay single-pass and two-phase") {
+    val p = plan("q54_stats_agg")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(600))
+    assert(exchanges(p) == 1, p.take(600))
+  }
+
+  test("q55: three distribution functions share one window and one shuffle") {
+    val p = plan("q55_window_dist")
+    assert(p.linesIterator.count(_.contains("Window ")) == 1,
+      s"ntile/percent_rank/cume_dist must share a single Window operator:\n${p.take(800)}")
+    assert(exchanges(p) == 1, p.take(600))
+  }
+
+  test("q57: dimension join broadcasts; string agg keeps partial aggregation") {
+    val p = plan("q57_string_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(exchanges(p) == 1,
+      "only the groupBy(n_name) may shuffle — the nation join must not")
+  }
+
+  test("q58: image near-dup candidates come from the banded equi-join") {
+    val p = plan("q58_image_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
+  test("q60: hash sampling is a pure map-side scan — zero exchanges") {
+    val p = plan("q60_hash_sample")
+    assert(!p.contains("Exchange"),
+      s"sampling must not shuffle:\n${p.take(600)}")
   }
 }
