@@ -18,10 +18,16 @@ import graft.core.Record
   *   - `texts.length` / `texts.size` / `texts.keys.length` / `texts.keys.size`
   *   - `images.length` / `images.size` / `images.count`
   *
-  * Anything else raises at COMPILE time on the driver — fail fast, not
-  * per-record on executors. Templates are parsed ONCE (the reference
-  * re-reads + re-parses per record, lib/job_processor.rb:113-114 —
-  * SURVEY.md §4.1 explicitly tells us not to copy that).
+  * This grammar is the SUPPORTED CONTRACT — it covers every ERB
+  * expression the reference's own specs and example templates exercise
+  * (verified by grep over /root/reference/spec and docs/example: only
+  * `texts[:label]` and `texts.keys.length` appear). The standard ERB
+  * escape `<%%` renders a literal `<%`. Anything else — unsupported
+  * expressions, non-output `<% %>`/`<%# %>` tags, unterminated tags —
+  * raises at COMPILE time on the driver: fail fast, not per-record on
+  * executors. Templates are parsed ONCE (the reference re-reads +
+  * re-parses per record, lib/job_processor.rb:113-114 — SURVEY.md §4.1
+  * explicitly tells us not to copy that).
   *
   * Two backends from one AST:
   *   - [[Template.column]]: a pure Catalyst expression (concat/element_at/
@@ -72,10 +78,6 @@ object Template {
   final class TemplateException(msg: String) extends IllegalArgumentException(msg)
 
   private val Tag = raw"<%=\s*(.*?)\s*%>".r
-  // non-output ERB tags (<% … %>, <%# … %>) are full Ruby in the
-  // reference — not portable, and silently passing them through as
-  // literal prompt text would send malformed prompts. Fail fast.
-  private val NonOutputTag = raw"<%[^=]".r
   private val TextsSym = raw"""texts\[\s*:(\w+)\s*\]""".r
   private val TextsStr = raw"""texts\[\s*['"]([^'"]+)['"]\s*\]""".r
   private val TextsLen = raw"""texts(?:\.keys)?\.(?:length|size|count)""".r
@@ -86,21 +88,45 @@ object Template {
     val parts = Seq.newBuilder[Part]
     var pos = 0
     for (m <- Tag.findAllMatchIn(source)) {
-      if (m.start > pos) parts += Lit(source.substring(pos, m.start))
+      if (m.start > pos) parts += Lit(validateLiteral(source.substring(pos, m.start)))
       parts += parseExpr(m.group(1))
       pos = m.end
     }
-    if (pos < source.length) parts += Lit(source.substring(pos))
-    val tpl = Template(parts.result())
-    tpl.parts.foreach {
-      case Lit(s) => NonOutputTag.findFirstIn(s).foreach { _ =>
-        throw new TemplateException(
-          "Unsupported non-output ERB tag (<% … %> / <%# … %>) — only " +
-            "<%= expression %> tags are supported")
+    if (pos < source.length) parts += Lit(validateLiteral(source.substring(pos)))
+    Template(parts.result())
+  }
+
+  /** Any `<%` left in a literal part after tag extraction is either the
+    * standard ERB escape `<%%` (render a literal `<%` — so `<%%= x %>`
+    * renders the text `<%= x %>`) or a malformed/unsupported tag:
+    * a non-output tag (`<% … %>`, `<%# … %>` — full Ruby in the
+    * reference, not portable, and silently passing them through would
+    * send malformed prompts), an unterminated `<%=`, or a trailing
+    * `<%`. Escapes are resolved here at compile time; everything else
+    * fails fast on the driver.
+    */
+  private def validateLiteral(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val idx = s.indexOf("<%", i)
+      if (idx < 0) { out.append(s.substring(i)); i = s.length }
+      else {
+        out.append(s.substring(i, idx))
+        if (idx + 2 < s.length && s.charAt(idx + 2) == '%') {
+          out.append("<%"); i = idx + 3 // <%% escape
+        } else if (idx + 2 < s.length && s.charAt(idx + 2) == '=') {
+          throw new TemplateException(
+            "Unterminated <%= tag (no closing %>) — refusing to emit it as literal prompt text")
+        } else {
+          throw new TemplateException(
+            "Unsupported or unterminated ERB tag at a '<%' — only <%= expression %> " +
+              "output tags are supported (<% … %> / <%# … %> are full Ruby in the " +
+              "reference and not portable); write <%% for a literal '<%'")
+        }
       }
-      case _ => ()
     }
-    tpl
+    out.toString
   }
 
   private def parseExpr(expr: String): Part = expr match {

@@ -67,6 +67,27 @@ class TemplateSpec extends AnyFunSuite {
     assert(Template.compile("ok: <%= id %>").render(rec) == "ok: doc-1")
   }
 
+  test("unterminated tags fail at compile time (no malformed-prompt passthrough)") {
+    intercept[Template.TemplateException] {
+      Template.compile("a <%= texts[:input]") // unterminated output tag
+    }
+    intercept[Template.TemplateException] {
+      Template.compile("trailing <%")
+    }
+    intercept[Template.TemplateException] {
+      Template.compile("a <% b") // unterminated non-output tag
+    }
+  }
+
+  test("standard ERB <%% escape renders a literal '<%'") {
+    assert(Template.compile("100<%% done").render(rec) == "100<% done")
+    // '<%%= x %>' is the escaped spelling OF the tag text itself
+    assert(Template.compile("show <%%= id %> raw").render(rec) == "show <%= id %> raw")
+    assert(Template.compile("end <%%").render(rec) == "end <%")
+    // escape composes with real tags in the same template
+    assert(Template.compile("<%% <%= id %>").render(rec) == "<% doc-1")
+  }
+
   test("Catalyst column path matches Scala render path") {
     val spark = graft.SparkSpec.session
     import spark.implicits._
