@@ -67,41 +67,64 @@ object Main {
       // when they share the driver's filesystem (local[*] / single
       // node — the mode a drop-in `job.yml < in.jsonl` user is in).
       // On a real cluster, pass --in with a shared path instead.
-      val inPath = in.getOrElse {
-        val tmp = Files.createTempFile("graft-stdin-", ".jsonl")
-        tmp.toFile.deleteOnExit()
-        Files.copy(System.in, tmp,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        tmp.toString
-      }
-      val outDir = out.getOrElse {
-        val d = Files.createTempDirectory("graft-stdout-")
-        d.toFile.deleteOnExit()
-        d.resolve("result").toString
-      }
-      val split = Jsonl.read(spark, inPath)
-      val result = EnrichJob.run(split.good, cfg, client, EnrichOptions())
-      Jsonl.write(result.good, outDir)
-      // no --out → stream the part files to STDOUT, reference-shaped
-      // (one JSON object per line; order across partitions is the
-      // engine's, as documented for every distributed sink here)
-      if (out.isEmpty) {
-        import scala.jdk.CollectionConverters._
-        Files.list(Paths.get(outDir)).iterator().asScala.toSeq
-          .filter(_.getFileName.toString.startsWith("part-"))
-          .sortBy(_.getFileName.toString)
-          .foreach { p =>
+      // parity-mode temp paths are cleaned in the finally below —
+      // deleteOnExit cannot remove non-empty directories, and an
+      // embedded caller (MainSpec, a long-lived driver) would leak
+      // disk per invocation
+      var stdinTmp: Option[java.nio.file.Path] = None
+      var stdoutTmp: Option[java.nio.file.Path] = None
+      try {
+        val inPath = in.getOrElse {
+          val tmp = Files.createTempFile("graft-stdin-", ".jsonl")
+          stdinTmp = Some(tmp)
+          Files.copy(System.in, tmp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          tmp.toString
+        }
+        val outDir = out.getOrElse {
+          val d = Files.createTempDirectory("graft-stdout-")
+          stdoutTmp = Some(d)
+          d.resolve("result").toString
+        }
+        val split = Jsonl.read(spark, inPath)
+        val result = EnrichJob.run(split.good, cfg, client, EnrichOptions())
+        Jsonl.write(result.good, outDir)
+        // no --out → stream the part files to STDOUT, reference-shaped
+        // (one JSON object per line; order across partitions is the
+        // engine's, as documented for every distributed sink here)
+        if (out.isEmpty) {
+          import scala.jdk.CollectionConverters._
+          val listing = Files.list(Paths.get(outDir))
+          val parts =
+            try listing.iterator().asScala.toSeq
+              .filter(_.getFileName.toString.startsWith("part-"))
+              .sortBy(_.getFileName.toString)
+            finally listing.close()
+          parts.foreach { p =>
             val s = Files.lines(p)
             try s.forEach(l => System.out.println(l)) finally s.close()
           }
+        }
+        flags.get("err").foreach { errDir =>
+          split.corrupt.write.mode("overwrite").text(s"$errDir/corrupt")
+          result.deadLetter.write.mode("overwrite").json(s"$errDir/failed")
+        }
+        0
+      } finally {
+        stdinTmp.foreach(p => Files.deleteIfExists(p))
+        stdoutTmp.foreach(deleteRecursively)
       }
-      flags.get("err").foreach { errDir =>
-        split.corrupt.write.mode("overwrite").text(s"$errDir/corrupt")
-        result.deadLetter.write.mode("overwrite").json(s"$errDir/failed")
-      }
-      0
     } finally { if (!reusedSession) spark.stop() }
   }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
 
   private def parseFlags(rest: Array[String]): Map[String, String] = {
     val m = Map.newBuilder[String, String]

@@ -21,8 +21,11 @@ object Verify {
     // so small queries fill the gaps left by big ones (~2× wall-clock
     // win vs sequential at sf0.01). Safe because each query writes its
     // own directory and any temp views use query-unique names.
+    // defensive parse: a malformed/empty/non-positive value must not
+    // abort the whole correctness dump before any query runs
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "6").toInt)
+      sys.env.get("SPARK_GRAFT_VERIFY_THREADS")
+        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(6))
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =

@@ -52,7 +52,14 @@ object Analytics extends Catalog {
             round(element_at(col("ps"), 4), 4).as("p99")),
       // rounded on BOTH sides: the linear-interpolation arithmetic
       // (lower + (higher-lower)*f vs lower*(1-f) + higher*f) can differ
-      // in the last ulp between engines
+      // in the last ulp between engines. round(,4) is NOT tie-flaky
+      // here — it relies on an invariant of this query, not luck:
+      // l_extendedprice has exactly 2 decimals and every fraction has
+      // exactly 2, so the true interpolated value is a multiple of
+      // 10^-4 — always 5×10^-5 from the nearest rounding boundary,
+      // while the cross-engine ulp disagreement is ~10^-10. Changing
+      // the fractions or the column to >2 decimals breaks the
+      // invariant; re-derive before editing.
       sql = Some("""
         SELECT l_returnflag,
                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

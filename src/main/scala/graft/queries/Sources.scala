@@ -131,8 +131,17 @@ object Sources extends Catalog {
         import s.implicits._
         // deterministic synthetic media corpus (no media files ship in
         // the test data — same stance as q44's fake backend) with
-        // byte-identical duplicate images planted every 7th image
-        val n = if (d.endsWith("0.001")) 90 else 600
+        // byte-identical duplicate images planted every 7th image.
+        // Corpus size is an explicit per-SF choice (test runtime), not
+        // a path-suffix sniff — an unrecognized dir fails loudly
+        // instead of silently picking a size
+        val n = new java.io.File(d).getName match {
+          case "sf0.001"           => 90
+          case "sf0.01" | "sf0.1"  => 600
+          case other => throw new IllegalArgumentException(
+            s"q58 media corpus size not defined for data dir '$other' — " +
+              "add the scale factor explicitly")
+        }
         val base = graft.multimodal.Media.synthetic(s, n)
         val planted = base.union(
           base.filter(r => r.kind == "image" && r.media_id % 7 == 0)
