@@ -43,9 +43,26 @@ object Media {
     def features(decoded: Array[Float], dim: Int): Array[Float]
   }
 
+  /** pooled histogram-ish features: mean of strided buckets — shared
+    * by both codecs so fake- and real-decoded buffers flow through the
+    * identical feature path
+    */
+  private[multimodal] def pooledFeatures(decoded: Array[Float], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < decoded.length) {
+      out(i % dim) += decoded(i)
+      i += 1
+    }
+    val per = math.max(1, decoded.length / dim)
+    (0 until dim).foreach(j => out(j) /= per.toFloat)
+    out
+  }
+
   /** Deterministic fake codec: "pixels" are a rolling transform of the
     * raw bytes — a pure function, so specs and resumed tasks always
-    * agree. A real codec (JPEG/PNG/PCM) drops in behind the same trait.
+    * agree. Kept for hermetic tests of the Spark-side plumbing; the
+    * real image path is [[ImageIoCodec]].
     */
   final class FakeCodec extends MediaCodec {
     override def decode(bytes: Array[Byte], meta: MediaMeta): Option[Array[Float]] = {
@@ -62,18 +79,54 @@ object Media {
         Some(out)
       }
     }
-    override def features(decoded: Array[Float], dim: Int): Array[Float] = {
-      // pooled histogram-ish features: mean of strided buckets
-      val out = new Array[Float](dim)
-      var i = 0
-      while (i < decoded.length) {
-        out(i % dim) += decoded(i)
-        i += 1
-      }
-      val per = math.max(1, decoded.length / dim)
-      (0 until dim).foreach(j => out(j) /= per.toFloat)
-      out
+    override def features(decoded: Array[Float], dim: Int): Array[Float] =
+      pooledFeatures(decoded, dim)
+  }
+
+  /** Real image decode via the JDK's built-in `javax.imageio` (no new
+    * dependency): JPEG/PNG/GIF/BMP bytes → row-major luminance buffer
+    * in [0,1]. The format is sniffed from the bytes (meta.format is
+    * advisory). Corrupt or non-image bytes → None, same fail-soft
+    * contract as FakeCodec. Audio/video formats have no JDK decoder —
+    * those stay behind the documented stub boundary.
+    *
+    * ImageIO readers are not thread-safe to share, but a new reader
+    * per call is exactly what ImageIO.read does — safe under Spark's
+    * one-codec-per-partition usage.
+    */
+  final class ImageIoCodec extends MediaCodec {
+    override def decode(bytes: Array[Byte], meta: MediaMeta): Option[Array[Float]] = {
+      if (bytes == null || bytes.isEmpty) None
+      else
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None // no registered reader recognized the bytes
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val out = new Array[Float](w * h)
+            var y = 0
+            var i = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                // ITU-R BT.601 luma
+                out(i) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+                i += 1
+                x += 1
+              }
+              y += 1
+            }
+            Some(out)
+          }
+        } catch { case _: Exception => None }
     }
+    override def features(decoded: Array[Float], dim: Int): Array[Float] =
+      pooledFeatures(decoded, dim)
   }
 
   /** Batched decode + feature extraction. One codec per partition,
