@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.operators.ConnectedComponents
 
 /** Deduplication catalog — the LLM-training-data operators mandated by
   * BASELINE.json beyond the reference's surface (the reference has no
@@ -67,6 +68,31 @@ object Dedup extends Catalog {
   private[graft] def shingleFrame(s: SparkSession, d: String): DataFrame =
     shingled(s, d)
 
+  /** q26's plan, shared with q61 (whose edges are exactly these pairs).
+    * Postings carry the 8-byte shingle hash, never the string: the
+    * inverted-index shuffle moves fixed-width longs (a 64-bit collision
+    * would need ~2^32 distinct shingles to matter, and the jaccard
+    * distribution here is bimodal around the τ).
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc1")
+        .withColumnRenamed("sz", "sz1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2")
+        .withColumnRenamed("sz", "sz2"), "doc2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= JaccardTau)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
   // MinHash/LSH geometry: 16 hashes = 8 bands × 2 rows.
   // P(candidate | j) = 1-(1-j²)^8 → 0.9997 at j=0.8, ~1 at the planted
   // j≈0.99 pairs, so verified-LSH output equals the brute-force oracle.
@@ -115,28 +141,7 @@ object Dedup extends Catalog {
 
     // ----- E12: n-gram Jaccard near-dup pairs (inverted index) ------
     "q26_dedup_ngram_jaccard" -> Q(
-      fn = (s, d) => {
-        val sh = shingled(s, d)
-        val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-        // postings carry the 8-byte shingle hash, never the string: the
-        // inverted-index shuffle moves fixed-width longs (a 64-bit
-        // collision would need ~2^32 distinct shingles to matter, and
-        // the jaccard distribution here is bimodal around the τ)
-        val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        ex.as("a").join(ex.as("b"),
-            col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.withColumnRenamed("doc_id", "doc1")
-            .withColumnRenamed("sz", "sz1"), "doc1")
-          .join(sizes.withColumnRenamed("doc_id", "doc2")
-            .withColumnRenamed("sz", "sz2"), "doc2")
-          .withColumn("jaccard",
-            col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
-          .filter(col("jaccard") >= JaccardTau)
-          .select(col("doc1"), col("doc2"), col("jaccard"))
-      },
+      fn = (s, d) => jaccardPairs(s, d),
       sql = Some(s"""
         WITH s AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
         SELECT a.doc_id AS doc1, b.doc_id AS doc2,
@@ -329,6 +334,53 @@ object Dedup extends Catalog {
       // rows-only; PipelineCatalogsSpec asserts agreement with the
       // shingle-jaccard near-dup pairs and CdcChunksSpec the edit
       // robustness
-      scaleNote = "chunks shuffle as 8-byte hashes; posting-list join like q26 but ~5x fewer postings than word-shingles on long docs")
+      scaleNote = "chunks shuffle as 8-byte hashes; posting-list join like q26 but ~5x fewer postings than word-shingles on long docs"),
+
+    // ----- E12: near-dup pairs → keep-one dup GROUPS ----------------
+    "q61_dedup_groups" -> Q(
+      fn = (s, d) => {
+        // The step every real dedup pipeline needs after pair
+        // generation: transitive closure. A~B and B~C must collapse to
+        // ONE kept doc even when A~C itself is below τ. Pairs are
+        // exactly q26's; components via O(log n)-round star
+        // contraction (operators/ConnectedComponents.scala — naive
+        // label propagation is O(diameter) rounds and dies on chained
+        // near-dups at scale). Output: every doc, its group
+        // representative (min doc_id), group size, and the keep-one
+        // verdict.
+        val pairs = jaccardPairs(s, d)
+          .select(col("doc1").as("u"), col("doc2").as("v"))
+        val labels = ConnectedComponents.run(pairs)
+        val ids = docs(s, d).select(col("doc_id"))
+        val grouped = ids
+          .join(labels, ids("doc_id") === labels("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("group_id"))
+        val sizes = grouped.groupBy(col("group_id"))
+          .agg(count(lit(1)).as("group_sz"))
+        grouped.join(sizes, "group_id")
+          .select(col("doc_id"), col("group_id"), col("group_sz"),
+            (col("doc_id") === col("group_id")).cast("int").as("kept"))
+      },
+      sql = Some(s"""
+        WITH RECURSIVE
+        s AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau),
+        edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS label FROM documents
+          UNION
+          SELECT e.v AS node, r.label FROM reach r JOIN edges e ON e.u = r.node),
+        lab AS (SELECT node AS doc_id, min(label) AS group_id FROM reach GROUP BY node)
+        SELECT doc_id, group_id,
+               count(*) OVER (PARTITION BY group_id) AS group_sz,
+               CAST(doc_id = group_id AS INT) AS kept
+        FROM lab"""),
+      scaleNote = "star contraction: O(log n) rounds of two groupBy-min shuffles on (long,long) edges, localCheckpoint per round truncates iterative lineage; edge volume = near-dup pairs only, not corpus size")
   )
 }
