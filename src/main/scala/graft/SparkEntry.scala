@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Catalog, Dedup, Q, Relational, Similarity, Sources, Streaming, TextAnalysis}
+import graft.queries.{Analytics, Catalog, Curation, Dedup, Q, Relational, Similarity, Sources, Streaming, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** every capability catalog in the engine, merged in order */
   private[graft] val catalogs: Seq[Catalog] =
-    Seq(Relational, Analytics, Dedup, Similarity, TextAnalysis, Streaming, Sources)
+    Seq(Relational, Analytics, Dedup, Similarity, TextAnalysis, Curation, Streaming, Sources)
 
   private lazy val all: Map[String, Q] =
     catalogs.flatMap(_.queries).toMap

@@ -160,6 +160,37 @@ object Analytics extends Catalog {
                count(*) AS n
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1"""),
-      scaleNote = "per-group payload grows with group size — acceptable for bounded dimension groups; unbounded groups want a top-k slice before the concat")
+      scaleNote = "per-group payload grows with group size — acceptable for bounded dimension groups; unbounded groups want a top-k slice before the concat"),
+
+    // ----- sketch percentiles (the q53 scale path made concrete) ----
+    "q64_approx_percentiles" -> Q(
+      fn = (s, d) =>
+        // approx_percentile is the mergeable-sketch (Greenwald-Khanna)
+        // answer to q53's scaleNote: bounded memory per group at any
+        // group size. Oracle-able because the sketch is EXACT while a
+        // group holds fewer values than `accuracy` (it retains every
+        // sample), and both engines then agree on the discrete-
+        // percentile convention (smallest element with cume_dist ≥ p —
+        // verified empirically against quantile_disc). At 100 TB you
+        // drop accuracy to the memory budget and the gate becomes a
+        // rank-error tolerance instead of equality.
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(expr(
+            "approx_percentile(l_quantity, array(0.25D, 0.50D, 0.75D, 0.99D), 1000000)")
+            .as("ps"))
+          .select(col("l_returnflag"),
+            element_at(col("ps"), 1).as("p25"),
+            element_at(col("ps"), 2).as("p50"),
+            element_at(col("ps"), 3).as("p75"),
+            element_at(col("ps"), 4).as("p99")),
+      sql = Some("""
+        SELECT l_returnflag,
+               quantile_disc(l_quantity, 0.25) AS p25,
+               quantile_disc(l_quantity, 0.50) AS p50,
+               quantile_disc(l_quantity, 0.75) AS p75,
+               quantile_disc(l_quantity, 0.99) AS p99
+        FROM lineitem GROUP BY 1"""),
+      scaleNote = "GK sketch: O(accuracy) memory per group regardless of group size, partial-aggregable (map-side combine) — the unbounded-group percentile plan; q53 stays the exact small-group twin")
   )
 }

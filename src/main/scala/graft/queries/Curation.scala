@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-data curation catalog — the filter/scrub/select/pack stages
+  * a 100 TB pretraining pipeline runs between raw crawl and tokenizer
+  * (public recipes: C4, Gopher, RefinedWeb — PAPERS.md). The reference
+  * (keyasuda/llm-batch-processor) stops at per-record LLM enrichment;
+  * these are the non-LLM curation operators that surround it in a real
+  * pipeline. All are pure map-side or single-shuffle plans.
+  */
+object Curation extends Catalog {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  // ---- q62: PII redaction ------------------------------------------
+  // The synthetic corpus carries no organic PII, so the query first
+  // injects a deterministic email/phone/IP per doc (a function of
+  // doc_id — honest and reproducible in both engines), then scrubs.
+  // The operator under test is the scrub; the injection just gives it
+  // something real to match at every scale factor.
+  // Patterns are the RE2 ∩ java.util.regex portable subset: character
+  // classes and bounded repetition only — no lookaround, no backrefs.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+  private val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  // ---- q63: Gopher-style quality gates (public heuristics) ---------
+  private val MinWords = 20
+  private val MaxWords = 200
+  private val MinMeanWlen = 3.0
+  private val MaxMeanWlen = 10.0
+  private val MaxRepetition = 0.9
+
+  // ---- q66: sequence packing ---------------------------------------
+  /** context-window budget in whitespace tokens */
+  private val PackCapacity = 256
+
+  override def queries: Map[String, Q] = Map(
+
+    "q62_pii_scrub" -> Q(
+      fn = (s, d) => {
+        val injected = concat(
+          col("text"),
+          lit(" contact doc"), col("doc_id"), lit("@example.com or +1-555-"),
+          lpad(col("doc_id").cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".1"))
+        docs(s, d)
+          .select(col("doc_id"), injected.as("raw"))
+          .select(
+            col("doc_id"),
+            // counts BEFORE scrubbing, from the same single projection
+            size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).as("n_email"),
+            size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))).as("n_phone"),
+            size(regexp_extract_all(col("raw"), lit(IpRe), lit(0))).as("n_ip"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("raw"), lit(EmailRe), lit("[EMAIL]")),
+                lit(PhoneRe), lit("[PHONE]")),
+              lit(IpRe), lit("[IP]")).as("scrubbed"))
+      },
+      // DuckDB regexp_replace needs the 'g' flag (first-match default);
+      // Spark's replaces all matches — semantics aligned explicitly.
+      sql = Some(s"""
+        WITH r AS (
+          SELECT doc_id,
+                 text || ' contact doc' || doc_id || '@example.com or +1-555-' ||
+                 lpad(CAST(doc_id AS VARCHAR), 4, '0') ||
+                 ' from 10.0.' || (doc_id % 256) || '.1' AS raw
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '$EmailRe')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS INT) AS n_phone,
+               CAST(len(regexp_extract_all(raw, '$IpRe')) AS INT) AS n_ip,
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                 '$EmailRe', '[EMAIL]', 'g'),
+                 '$PhoneRe', '[PHONE]', 'g'),
+                 '$IpRe', '[IP]', 'g') AS scrubbed
+        FROM r"""),
+      scaleNote = "pure map-side (zero shuffles); regex subset is RE2-compatible so the same patterns run on any engine; at 100 TB this is a fused single-pass projection"),
+
+    "q63_quality_filter" -> Q(
+      fn = (s, d) => {
+        val w = docs(s, d)
+          .select(col("doc_id"),
+            split(lower(col("text")), " ").as("words"),
+            length(regexp_replace(col("text"), lit(" "), lit(""))).as("n_alpha"))
+          .select(col("doc_id"),
+            size(col("words")).as("n_words"),
+            size(array_distinct(col("words"))).as("n_distinct"),
+            col("n_alpha"))
+        w.select(
+            col("doc_id"), col("n_words"), col("n_distinct"),
+            (col("n_alpha").cast("double") / col("n_words")).as("mean_wlen"),
+            (lit(1.0) - col("n_distinct").cast("double") / col("n_words")).as("repetition"))
+          .withColumn("passes",
+            (col("n_words").between(MinWords, MaxWords) &&
+              col("mean_wlen").between(MinMeanWlen, MaxMeanWlen) &&
+              col("repetition") < MaxRepetition).cast("int"))
+      },
+      sql = Some(s"""
+        WITH w AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(text), ' ')) AS INT) AS n_words,
+                 CAST(len(list_distinct(string_split(lower(text), ' '))) AS INT) AS n_distinct,
+                 len(replace(text, ' ', '')) AS n_alpha
+          FROM documents)
+        SELECT doc_id, n_words, n_distinct,
+               CAST(n_alpha AS DOUBLE) / n_words AS mean_wlen,
+               1.0 - CAST(n_distinct AS DOUBLE) / n_words AS repetition,
+               CAST(n_words BETWEEN $MinWords AND $MaxWords
+                    AND CAST(n_alpha AS DOUBLE) / n_words BETWEEN $MinMeanWlen AND $MaxMeanWlen
+                    AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words < $MaxRepetition
+                 AS INT) AS passes
+        FROM w"""),
+      scaleNote = "pure map-side; every metric is integer arithmetic + one IEEE division (correctly rounded in any engine) — no cross-engine float drift, no shuffle"),
+
+    "q65_tfidf_top_terms" -> Q(
+      fn = (s, d) => {
+        val base = docs(s, d)
+        val tf = base
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = base.agg(count(lit(1)).as("n_docs"))
+        // idf as the exact rational n_docs/df instead of log(n/df):
+        // tf*n_docs is exact integer arithmetic and ONE division is
+        // correctly rounded per IEEE-754 in every engine, so the score
+        // is bit-identical cross-engine (log() is only ~1-ulp accurate
+        // and would make ranking oracle-flaky). Monotone in the usual
+        // log formulation per fixed tf, and ranking is what's exposed.
+        val scored = tf
+          .join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("tf") * col("n_docs")).cast("double") / col("df"))
+        val byScore = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        scored
+          .withColumn("rk", row_number().over(byScore).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score"), col("rk"))
+      },
+      sql = Some("""
+        WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tf, df, score, rk FROM (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+                 CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score,
+                 row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY CAST(t.tf * n.n_docs AS DOUBLE) / d.df DESC, t.term) AS rk
+          FROM tf t JOIN d USING (term) CROSS JOIN n)
+        WHERE rk <= 3"""),
+      scaleNote = "one shuffle on (doc_id,term) for tf; df and the corpus count broadcast back (vocab ≪ corpus); WindowGroupLimit prunes the rank at 3"),
+
+    "q66_sequence_packing" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        // Greedy first-fit-in-order packing of docs into fixed token
+        // budgets (sample packing for training). Inherently sequential
+        // per source, so: shuffle once on source, secondary-sort by
+        // doc_id INSIDE each partition, then a constant-memory
+        // streaming pass — the classic secondary-sort pattern; no
+        // group materialization, no driver loop. A source's docs can
+        // exceed one executor's memory and this still streams.
+        val t = docs(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .repartition(col("source"))
+          .sortWithinPartitions(col("source"), col("doc_id"))
+          .as[(String, Long, Int)]
+        t.mapPartitions { it =>
+          var curSource: String = null
+          var fill = 0L
+          var pack = 0L
+          it.map { case (src, id, nt) =>
+            if (src != curSource) { curSource = src; pack = 0L; fill = nt.toLong }
+            else if (fill + nt > PackCapacity) { pack += 1; fill = nt.toLong }
+            else fill += nt
+            (src, id, nt, pack)
+          }
+        }.toDF("source", "doc_id", "n_tokens", "pack_id")
+      },
+      // the oracle replays the same greedy scan as a recursive CTE
+      // stepping row_number-ordered docs one at a time per source
+      sql = Some(s"""
+        WITH RECURSIVE
+        t AS (SELECT source, doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents),
+        p AS (
+          SELECT source, rn, doc_id, n_tokens,
+                 CAST(n_tokens AS BIGINT) AS fill, CAST(0 AS BIGINT) AS pack_id
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+                 CASE WHEN p.fill + t.n_tokens > $PackCapacity
+                      THEN CAST(t.n_tokens AS BIGINT)
+                      ELSE p.fill + t.n_tokens END,
+                 CASE WHEN p.fill + t.n_tokens > $PackCapacity
+                      THEN p.pack_id + 1 ELSE p.pack_id END
+          FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1)
+        SELECT source, doc_id, n_tokens, pack_id FROM p"""),
+      scaleNote = "one shuffle on source + in-partition secondary sort, then a constant-memory streaming scan (mapPartitions) — per-source sequential state without materializing any group")
+  )
+}

@@ -13,7 +13,8 @@ class PipelineCatalogsSpec extends SparkSpec {
 
   private val catalogs = Seq[(String, Catalog)](
     ("dedup", Dedup), ("similarity", Similarity), ("text", TextAnalysis),
-    ("streaming", Streaming), ("sources", Sources), ("analytics", Analytics))
+    ("streaming", Streaming), ("sources", Sources), ("analytics", Analytics),
+    ("curation", Curation))
 
   for ((cname, cat) <- catalogs; (name, q) <- cat.queries) {
     test(s"[$cname] $name runs and returns rows at sf0.001") {
