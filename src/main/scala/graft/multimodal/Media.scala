@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   * extraction / resize / frame-sampling as batched per-partition
   * stages.
   *
-  * The decode step is STUBBED behind [[MediaCodec]] — this container
-  * has no image/audio libraries, so [[FakeCodec]] derives deterministic
-  * "pixels" from the bytes. Everything Spark-side is real and tested:
+  * Decode is pluggable behind [[MediaCodec]]: images decode for REAL
+  * via [[ImageIoCodec]] (JDK-built-in javax.imageio — JPEG/PNG/GIF/BMP,
+  * no new dependency; spec'd against real encoded bytes). Audio/video
+  * have no JDK decoder and stay behind the documented [[FakeCodec]]
+  * stub (no media libraries in this container), which derives
+  * deterministic "pixels" from the bytes. Everything Spark-side is
+  * real and tested:
   * the schema, the binary column handling, the per-partition batch
   * shape (mirroring vectorized-UDF batching), and the frame-sampling
   * plan (pure Catalyst `sequence`+`explode`, no decode needed).

@@ -116,6 +116,73 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  // ---- real decode via the JDK's javax.imageio (no stub) ----------
+
+  private def encodeImage(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  /** deterministic 32×32 noise image — noise (not gradients) keeps the
+    * pooled features of distinct images far apart, so the only phash
+    * pairs are the planted ones
+    */
+  private def noiseImage(seed: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(seed)
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.setRGB(x, y, rnd.nextInt(0x1000000))
+    img
+  }
+
+  private val pngMeta = MediaMeta("png", 32, 32, 1, 0)
+
+  test("ImageIoCodec: real PNG decode is exact BT.601 luma, row-major") {
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // red
+    img.setRGB(1, 0, 0x00ff00) // green
+    img.setRGB(0, 1, 0x0000ff) // blue
+    img.setRGB(1, 1, 0xffffff) // white
+    val px = new ImageIoCodec()
+      .decode(encodeImage(img, "png"), MediaMeta("png", 2, 2, 1, 0)).get
+    // PNG is lossless, so the luma of each pixel is exact
+    val want = Seq(0.299f, 0.587f, 0.114f, 1.0f)
+    assert(px.length == 4)
+    for ((p, w) <- px.zip(want)) assert(math.abs(p - w) < 1e-6f, s"$p vs $w")
+  }
+
+  test("ImageIoCodec: real JPEG bytes decode; corrupt/empty bytes fail soft") {
+    val codec = new ImageIoCodec()
+    val jpeg = encodeImage(noiseImage(7), "jpg")
+    assert(jpeg.take(2).map(_ & 0xff).toSeq == Seq(0xff, 0xd8), "not a real JPEG")
+    val px = codec.decode(jpeg, MediaMeta("jpeg", 32, 32, 1, 0))
+    assert(px.exists(p => p.length == 32 * 32 && p.forall(v => v >= 0f && v <= 1f)))
+    // determinism: same bytes, same buffer
+    assert(px.get.sameElements(codec.decode(jpeg, pngMeta).get))
+    assert(codec.decode("not an image".getBytes, pngMeta).isEmpty)
+    assert(codec.decode(Array.empty[Byte], pngMeta).isEmpty)
+    assert(codec.decode(null, pngMeta).isEmpty)
+  }
+
+  test("imageNearDup on real-encoded bytes finds exactly the planted pair") {
+    // 30 distinct noise images + one near-identical copy of image 0
+    // (a single pixel nudged by one bit in the blue channel)
+    val distinct = (0L until 30L).map(i =>
+      MediaRow(i, "image", encodeImage(noiseImage(i), "png"), pngMeta))
+    val tweaked = noiseImage(0)
+    tweaked.setRGB(5, 5, tweaked.getRGB(5, 5) ^ 0x1)
+    val planted = MediaRow(100L, "image", encodeImage(tweaked, "png"), pngMeta)
+    val ds = spark.createDataset(distinct :+ planted).repartition(4)
+    val pairs = Media.imageNearDup(ds, new ImageIoCodec())
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 100L)),
+      s"got ${pairs.mkString(",")}")
+    assert(pairs.head._3 <= 2)
+  }
+
   test("features aggregate distributedly (per-kind mean norm)") {
     val agg = extractFeatures(corpus, new FakeCodec)
       .toDF()
