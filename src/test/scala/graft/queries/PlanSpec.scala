@@ -15,7 +15,8 @@ class PlanSpec extends SparkSpec {
 
   private def plan(name: String): String = {
     val all = Relational.queries ++ Dedup.queries ++ Similarity.queries ++
-      Analytics.queries ++ TextAnalysis.queries ++ Sources.queries
+      Analytics.queries ++ TextAnalysis.queries ++ Curation.queries ++
+      Sources.queries
     all(name).fn(spark, sf0001).queryExecution.executedPlan.toString
   }
 
@@ -193,5 +194,46 @@ class PlanSpec extends SparkSpec {
     val p = plan("q60_hash_sample")
     assert(!p.contains("Exchange"),
       s"sampling must not shuffle:\n${p.take(600)}")
+  }
+
+  test("q62/q63: scrub and quality gates are pure map-side — zero exchanges") {
+    for (q <- Seq("q62_pii_scrub", "q63_quality_filter")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n${p.take(600)}")
+    }
+  }
+
+  test("q64: sketch percentiles keep two-phase aggregation (mergeable sketch)") {
+    val p = plan("q64_approx_percentiles")
+    // GK sketches merge, so Spark must plan partial + final (the whole
+    // point of the sketch at 100 TB: map-side combine before one
+    // skinny shuffle of sketch state, never raw rows)
+    assert(p.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate") || l.contains("SortAggregate") ||
+        l.contains("HashAggregate")) >= 2, p.take(800))
+    assert(exchanges(p) == 1, s"expected 1 exchange:\n${p.take(800)}")
+  }
+
+  test("q65: df and corpus-count broadcast back to tf; rank prunes in-shuffle") {
+    val p = plan("q65_tfidf_top_terms")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row corpus count must broadcast, not shuffle")
+    assert(p.contains("WindowGroupLimit"), "rk<=3 must prune in-shuffle")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q66: packing is ONE exchange on source + in-partition sort, no global sort") {
+    val p = plan("q66_sequence_packing")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly the repartition(source) exchange:\n${p.take(800)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "secondary sort must stay within partitions — a global sort would " +
+        "serialize the corpus through one range shuffle")
+  }
+
+  test("q61: component labeling never degrades to a cartesian product") {
+    val p = plan("q61_dedup_groups")
+    assert(!p.contains("CartesianProduct"), p.take(800))
   }
 }
