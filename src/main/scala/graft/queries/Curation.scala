@@ -41,6 +41,11 @@ object Curation extends Catalog {
   /** context-window budget in whitespace tokens */
   private val PackCapacity = 256
 
+  // ---- q70: token chunking -----------------------------------------
+  /** chunk budget / stride in whitespace tokens (overlap = 8) */
+  private val ChunkBudget = 32
+  private val ChunkStride = 24
+
   override def queries: Map[String, Q] = Map(
 
     "q62_pii_scrub" -> Q(
@@ -213,6 +218,152 @@ object Curation extends Catalog {
                       THEN p.pack_id + 1 ELSE p.pack_id END
           FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1)
         SELECT source, doc_id, n_tokens, pack_id FROM p"""),
-      scaleNote = "one shuffle on source + in-partition secondary sort, then a constant-memory streaming scan (mapPartitions) — per-source sequential state without materializing any group")
+      scaleNote = "one shuffle on source + in-partition secondary sort, then a constant-memory streaming scan (mapPartitions) — per-source sequential state without materializing any group"),
+
+    // ---- benchmark decontamination -----------------------------------
+    // Flag training documents that share any 3-word shingle with the
+    // held-out test split (q60's salt-keyed split discipline: a doc is
+    // test iff md5('t:'||doc_id) prefix >= 'cc'). The standard
+    // pretraining hygiene step: n-gram overlap against the eval set.
+    "q67_decontaminate" -> Q(
+      fn = (s, d) => {
+        // one native shingle scan feeds both split branches (barrier)
+        val base = docs(s, d)
+          .select(col("doc_id"),
+            call_function("shingle_hashes", lower(col("text")), lit(3)).as("sh"),
+            (substring(md5(concat(lit("t:"), col("doc_id").cast("string"))), 1, 2)
+              >= "cc").as("is_test"))
+          .localCheckpoint()
+        // the eval set is small by construction — broadcast its shingles
+        val testSh = base.filter(col("is_test"))
+          .select(explode(col("sh")).as("shingle")).distinct()
+        base.filter(!col("is_test"))
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .join(broadcast(testSh), Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("shingle")).as("n_hits"))
+      },
+      // oracle spells shingles as strings (8-byte-hash vs string shingle
+      // sets have identical overlap counts — q26's established stance)
+      sql = Some(s"""
+        WITH s AS (SELECT doc_id, ${Dedup.sqlShingles} AS sh FROM documents),
+        split AS (SELECT doc_id, sh,
+          substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'cc' AS is_test
+          FROM s),
+        test_sh AS (SELECT DISTINCT unnest(sh) AS shingle FROM split WHERE is_test),
+        train AS (SELECT doc_id, unnest(sh) AS shingle FROM split WHERE NOT is_test)
+        SELECT tr.doc_id, count(DISTINCT tr.shingle) AS n_hits
+        FROM train tr JOIN test_sh t USING (shingle)
+        GROUP BY 1"""),
+      scaleNote = "eval sets are tiny vs the corpus, so their shingle set broadcasts — the 100 TB side streams map-only through a broadcast hash join (zero shuffle of the corpus); one groupBy on doc_id with partial agg"),
+
+    // ---- intra-document repetition removal ---------------------------
+    // Dedup repeated 5-word segments within each doc, keeping the first
+    // occurrence in order (the C4/RefinedWeb line-dedup step). The
+    // synthetic corpus has no organic repetition, so the query first
+    // injects a deterministic duplicate — the doc truncated to a 5-word
+    // boundary plus its own first (doc_id%3+1)*5 words — same honest
+    // injection stance as q62's PII.
+    "q68_repetition_removal" -> Q(
+      fn = (s, d) => {
+        val w = split(lower(col("text")), " ")
+        // Column./ is float division — floor+cast for the integer
+        // truncation the oracle's // spells
+        val m = floor(size(w) / lit(5)).cast("int") * lit(5)
+        val k = (pmod(col("doc_id"), lit(3)) + 1) * lit(5)
+        val injected = concat(
+          array_join(slice(w, lit(1), m), " "), lit(" "),
+          array_join(slice(w, lit(1), k.cast("int")), " "))
+        val segsOf = (t: org.apache.spark.sql.Column) => {
+          val w2 = split(t, " ")
+          transform(sequence(lit(1), floor(size(w2) / lit(5)).cast("int")),
+            j => array_join(slice(w2, (j - 1) * 5 + 1, lit(5)), " "))
+        }
+        docs(s, d)
+          .filter(size(w) >= 5)
+          .select(col("doc_id"), segsOf(injected).as("segs"))
+          .select(col("doc_id"),
+            array_join(
+              filter(col("segs"),
+                (x, i) => array_position(col("segs"), x) === (i + 1).cast("long")),
+              " ").as("dedup_text"),
+            (size(col("segs")) - size(array_distinct(col("segs"))))
+              .cast("int").as("n_removed"))
+      },
+      sql = Some("""
+        WITH raw AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                     FROM documents WHERE len(string_split(lower(text), ' ')) >= 5),
+        inj AS (SELECT doc_id,
+          array_to_string(w[1 : (len(w)//5)*5], ' ') || ' ' ||
+          array_to_string(w[1 : CAST(((doc_id % 3) + 1) * 5 AS INT)], ' ') AS t
+          FROM raw),
+        seg AS (SELECT doc_id,
+          list_transform(generate_series(1, len(string_split(t, ' '))//5),
+            j -> array_to_string((string_split(t, ' '))[(j-1)*5+1 : (j-1)*5+5], ' ')) AS segs
+          FROM inj)
+        SELECT doc_id,
+          array_to_string(list_filter(segs, (x, i) -> list_position(segs, x) = i), ' ') AS dedup_text,
+          CAST(len(segs) - len(list_distinct(segs)) AS INT) AS n_removed
+        FROM seg"""),
+      scaleNote = "pure map-side — the keep-first-distinct runs inside one row via higher-order filter/array_position (segments per doc are bounded by context length, so the per-row quadratic scan is constant work); zero shuffle at any corpus size"),
+
+    // ---- per-domain contribution cap ---------------------------------
+    // Cap any one source's contribution to the training mix at K docs,
+    // selected by a deterministic salted-hash rank (reproducible across
+    // runs/retries, stable as K changes — same discipline as q60).
+    "q69_domain_cap" -> Q(
+      fn = (s, d) => {
+        val rkw = Window.partitionBy(col("source"))
+          .orderBy(md5(concat(lit("c:"), col("doc_id").cast("string"))), col("doc_id"))
+        docs(s, d)
+          .select(col("doc_id"), col("source"))
+          .withColumn("rk", row_number().over(rkw).cast("long"))
+          .filter(col("rk") <= 15)
+      },
+      sql = Some("""
+        SELECT doc_id, source, rk FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5('c:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents) WHERE rk <= 15"""),
+      scaleNote = "one shuffle on source; WindowGroupLimit prunes each partition to K in-shuffle so no full-domain sort materializes; a skewed mega-domain splits under AQE and still only K rows survive per domain"),
+
+    // ---- fixed-budget token chunking with overlap ---------------------
+    // Split each doc into chunks of ChunkBudget whitespace tokens with
+    // stride ChunkStride (overlap 8) — the tokenize-and-chunk step that
+    // feeds sequence packing. chunk_md5 hashes the exact chunk text so
+    // the oracle verifies content, not just arithmetic.
+    "q70_token_chunks" -> Q(
+      fn = (s, d) => {
+        val w = split(col("text"), " ")
+        docs(s, d)
+          .select(col("doc_id"), w.as("w"), size(w).as("n"))
+          .withColumn("n_chunks",
+            lit(1) + greatest(lit(0),
+              ceil((col("n") - ChunkBudget).cast("double") / ChunkStride).cast("int")))
+          .select(col("doc_id"), col("w"), col("n"),
+            explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+          .select(col("doc_id"),
+            col("chunk_id").cast("long").as("chunk_id"),
+            (col("chunk_id") * ChunkStride + 1).cast("long").as("start_tok"),
+            least(lit(ChunkBudget), col("n") - col("chunk_id") * ChunkStride)
+              .cast("long").as("n_tokens"),
+            md5(array_join(
+              slice(col("w"), col("chunk_id") * ChunkStride + 1, lit(ChunkBudget)),
+              " ")).as("chunk_md5"))
+      },
+      sql = Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        n AS (SELECT doc_id, w, len(w) AS n,
+          1 + GREATEST(0, CAST(ceil((len(w) - $ChunkBudget) / $ChunkStride.0) AS INT)) AS n_chunks
+          FROM t)
+        SELECT doc_id, chunk_id,
+          CAST(chunk_id * $ChunkStride + 1 AS BIGINT) AS start_tok,
+          CAST(LEAST($ChunkBudget, n - chunk_id * $ChunkStride) AS BIGINT) AS n_tokens,
+          md5(array_to_string(
+            w[chunk_id*$ChunkStride+1 : chunk_id*$ChunkStride+$ChunkBudget], ' ')) AS chunk_md5
+        FROM (SELECT doc_id, w, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+              FROM n)"""),
+      scaleNote = "pure map-side explode — rows fan out ~n/stride per doc with no shuffle; at 100 TB this pipelines into the packing shuffle (q66) without materializing chunk text (downstream reads the (start,len) slice lazily)")
   )
 }

@@ -40,8 +40,9 @@ object Dedup extends Catalog {
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
 
-  /** DuckDB-side spelling of the same shingle set */
-  private val sqlShingles: String =
+  /** DuckDB-side spelling of the same shingle set (shared with the
+    * Curation catalog's q67 decontamination oracle) */
+  private[queries] val sqlShingles: String =
     """list_distinct(CASE WHEN len(string_split(lower(text),' ')) >= 3 THEN
       |  list_transform(generate_series(1, len(string_split(lower(text),' '))-2),
       |    i -> array_to_string((string_split(lower(text),' '))[i:i+2],' '))

@@ -66,6 +66,20 @@ object Sources extends Catalog {
         FROM customer GROUP BY c_mktsegment"""),
       scaleNote = "explicit schema skips sampling-based inference (a full extra scan at 100 TB); shortest-roundtrip double formatting keeps numeric fidelity"),
 
+    // ----- E1: ORC scan (columnar alternative to parquet) -----------
+    "q71_orc_scan" -> Q(
+      fn = (s, d) =>
+        roundTrip(s, d, "orders", "orc")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice")).as("sum_price"),
+            countDistinct(col("o_custkey")).as("n_cust")),
+      sql = Some("""
+        SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS sum_price,
+               count(DISTINCT o_custkey) AS n_cust
+        FROM orders GROUP BY o_orderpriority"""),
+      scaleNote = "ORC reads vectorized with predicate pushdown + column pruning like parquet; the oracle reads the original parquet, so green means the ORC write->read path is lossless incl. timestamp/double fidelity"),
+
     // ----- E19: custom typed Aggregator (weighted mean) -------------
     "q42_udaf_weighted_mean" -> Q(
       fn = (s, d) =>
