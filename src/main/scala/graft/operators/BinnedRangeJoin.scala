@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bin-bucketed interval join: point.ts ∈ [interval.lo, interval.hi]
+  * (exact bounds live in the caller's residual predicate).
+  *
+  * Why: Spark plans a pure range predicate as a hash/SMJ join only when
+  * an equi key exists, with the range as a residual FILTER — so one hot
+  * equi key (or none) degenerates to huge per-key fan-out (or a
+  * broadcast nested loop). Bucketing time into fixed bins adds a
+  * synthetic equi column on BOTH sides: the point side lands in exactly
+  * one bin, the interval side replicates into each bin it overlaps
+  * (⌈len/bin⌉+1 rows, bounded when intervals are bounded), and the join
+  * becomes a plain shuffled equi-join on (keys…, __bin) whose per-group
+  * size is bounded by bin width — the standard range-join binning
+  * technique in distributed SQL engines (see PAPERS.md).
+  *
+  * Correctness: each (point, interval) pair meets in at most ONE bin —
+  * the point's — so no dedup pass is needed; the residual predicate
+  * then enforces the exact bounds.
+  *
+  * Pick `binMicros` ≈ the typical interval length: smaller bins shrink
+  * join groups but replicate intervals more; larger bins the reverse.
+  */
+object BinnedRangeJoin {
+
+  /** @param points     point side; its `pointTs` timestamp is binned
+    * @param intervals  interval side; replicated across overlapped bins
+    * @param equi       (pointCol, intervalCol) equi-key pairs (may be empty;
+    *                   column names must be distinct across the two sides)
+    * @param residual   the exact range predicate (e.g. ts2 > ts1 && ts2 <= hi)
+    */
+  def join(
+      points: DataFrame, pointTs: String,
+      intervals: DataFrame, intervalLo: String, intervalHi: String,
+      equi: Seq[(String, String)],
+      binMicros: Long,
+      residual: Column): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    val p = points.withColumn("__bin",
+      expr(s"unix_micros($pointTs) div ${binMicros}L"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(
+        expr(s"unix_micros($intervalLo) div ${binMicros}L"),
+        expr(s"unix_micros($intervalHi) div ${binMicros}L"))))
+    val cond = (equi.map { case (a, b) => p(a) === iv(b) } :+
+      (p("__bin") === iv("__bin"))).reduce(_ && _)
+    p.join(iv, cond)
+      .drop("__bin")
+      .where(residual)
+  }
+}

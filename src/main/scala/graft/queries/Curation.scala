@@ -266,22 +266,30 @@ object Curation extends Catalog {
     // injection stance as q62's PII.
     "q68_repetition_removal" -> Q(
       fn = (s, d) => {
-        val w = split(lower(col("text")), " ")
+        val w0 = split(lower(col("text")), " ")
+        // The injected text is join(w[1..m]) ⊎ join(w[1..k]) with m, k
+        // both multiples of 5 — so its aligned 5-word segments are
+        // exactly segs(w)[1..m/5] ++ segs(w)[1..k/5]. Building them
+        // straight from ONE word array skips the join-then-re-split
+        // round-trip (which re-tokenized the ~2 KB string once per
+        // segment in the interpreted HOF path — 4× this query's cost).
+        val segsOf = (w: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =>
+          transform(sequence(lit(1), n),
+            j => array_join(slice(w, (j - 1) * 5 + 1, lit(5)), " "))
         // Column./ is float division — floor+cast for the integer
         // truncation the oracle's // spells
-        val m = floor(size(w) / lit(5)).cast("int") * lit(5)
-        val k = (pmod(col("doc_id"), lit(3)) + 1) * lit(5)
-        val injected = concat(
-          array_join(slice(w, lit(1), m), " "), lit(" "),
-          array_join(slice(w, lit(1), k.cast("int")), " "))
-        val segsOf = (t: org.apache.spark.sql.Column) => {
-          val w2 = split(t, " ")
-          transform(sequence(lit(1), floor(size(w2) / lit(5)).cast("int")),
-            j => array_join(slice(w2, (j - 1) * 5 + 1, lit(5)), " "))
-        }
+        val nseg = floor(size(col("w")) / lit(5)).cast("int")
+        // the copy is w[1..k] TRUNCATED to the doc (short docs!), and
+        // the re-split drops its partial trailing segment — so its
+        // aligned segment count is floor(min(k, n)/5)
+        val kseg = floor(
+          least((pmod(col("doc_id"), lit(3)) + 1) * lit(5), size(col("w")))
+            / lit(5)).cast("int")
         docs(s, d)
-          .filter(size(w) >= 5)
-          .select(col("doc_id"), segsOf(injected).as("segs"))
+          .filter(size(w0) >= 5)
+          .select(col("doc_id"), w0.as("w"))
+          .select(col("doc_id"),
+            concat(segsOf(col("w"), nseg), segsOf(col("w"), kseg)).as("segs"))
           .select(col("doc_id"),
             array_join(
               filter(col("segs"),
@@ -364,6 +372,35 @@ object Curation extends Catalog {
             w[chunk_id*$ChunkStride+1 : chunk_id*$ChunkStride+$ChunkBudget], ' ')) AS chunk_md5
         FROM (SELECT doc_id, w, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
               FROM n)"""),
-      scaleNote = "pure map-side explode — rows fan out ~n/stride per doc with no shuffle; at 100 TB this pipelines into the packing shuffle (q66) without materializing chunk text (downstream reads the (start,len) slice lazily)")
+      scaleNote = "pure map-side explode — rows fan out ~n/stride per doc with no shuffle; at 100 TB this pipelines into the packing shuffle (q66) without materializing chunk text (downstream reads the (start,len) slice lazily)"),
+
+    // ---- model-based quality filter (linear classifier scoring) ------
+    // The DCLM/fastText-style curation stage: score each embedding with
+    // a fixed linear classifier and keep positives. Weights are a
+    // deterministic function of the dimension index (the operator under
+    // test is the distributed scoring, not the training). Native
+    // vec_dot keeps the accumulation order identical to DuckDB's
+    // list_dot_product, so the score — and the keep decision — are
+    // bit-stable cross-engine (q29's established stance).
+    "q73_classifier_filter" -> Q(
+      fn = (s, d) => {
+        val dim = 64
+        val wts = array((0 until dim).map(i => lit(((i % 7) - 3) / 8.0)): _*)
+        Tables.load(s, d, "embeddings")
+          .select(col("vec_id"),
+            call_function("vec_dot",
+              col("embedding").cast("array<double>"), wts).as("score"))
+          .withColumn("kept", (col("score") > 0.0).cast("int"))
+      },
+      sql = Some("""
+        SELECT vec_id,
+               list_dot_product(embedding::DOUBLE[],
+                 list_transform(range(0, 64),
+                   i -> CAST((i % 7) - 3 AS DOUBLE) / 8.0)) AS score,
+               CAST(list_dot_product(embedding::DOUBLE[],
+                 list_transform(range(0, 64),
+                   i -> CAST((i % 7) - 3 AS DOUBLE) / 8.0)) > 0 AS INT) AS kept
+        FROM embeddings"""),
+      scaleNote = "pure map-side: one codegen'd dot product per row against a broadcast-literal weight vector — zero shuffle; a real fastText/DCLM filter at 100 TB is exactly this shape with learned weights")
   )
 }

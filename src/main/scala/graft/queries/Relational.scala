@@ -240,6 +240,35 @@ object Relational extends Catalog {
         GROUP BY e1.user_id"""),
       scaleNote = "equi-key user_id makes this a hash/SMJ join with the range as residual — never a cartesian; at 100 TB add a coarse time-bucket key to bound per-key fan-out"),
 
+    // ----- E5: the time-bucket scale path q09's note promises ---------
+    // Same result as q09 through operators.BinnedRangeJoin: a synthetic
+    // 5-minute bin column turns the interval predicate into a plain
+    // equi-join on (user_id, bin), bounding per-group fan-out even when
+    // one user dominates (the residual stays a filter, never a loop).
+    "q74_range_join_binned" -> Q(
+      fn = (s, d) => {
+        val e = t(s, d, "events")
+        val points = e.select(col("user_id").as("user_id2"), col("ts").as("ts2"))
+        val intervals = e.select(col("user_id"), col("ts").as("ts1"))
+          .withColumn("hi", col("ts1") + expr("INTERVAL 5 MINUTES"))
+        graft.operators.BinnedRangeJoin.join(
+            points, "ts2",
+            intervals, "ts1", "hi",
+            equi = Seq("user_id2" -> "user_id"),
+            binMicros = 5L * 60 * 1000 * 1000,
+            residual = col("ts2") > col("ts1") && col("ts2") <= col("hi"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_follow_events"))
+      },
+      sql = Some("""
+        SELECT e1.user_id, count(*) AS n_follow_events
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts
+         AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        GROUP BY e1.user_id"""),
+      scaleNote = "each interval replicates into ≤2 bins (bin = interval length); the join shuffles once on (user_id, bin) with bounded groups — no per-key quadratic blowup, no nested loop, and identical output to q09 (same oracle row)"),
+
     // ----- E6: exact count distinct -----------------------------------
     "q10_count_distinct" -> Q(
       fn = (s, d) =>

@@ -80,6 +80,28 @@ object Sources extends Catalog {
         FROM orders GROUP BY o_orderpriority"""),
       scaleNote = "ORC reads vectorized with predicate pushdown + column pruning like parquet; the oracle reads the original parquet, so green means the ORC write->read path is lossless incl. timestamp/double fidelity"),
 
+    // ----- E1: hive-style partitioned layout + partition pruning ----
+    // The 100 TB storage-layout primitive: data written partitioned by
+    // a low-cardinality column means a filter on it prunes whole
+    // directories at planning time (PartitionFilters in the scan, zero
+    // I/O for other partitions). PlanSpec asserts the pruning.
+    "q72_partitioned_scan" -> Q(
+      fn = (s, d) => {
+        val key = Integer.toHexString(d.hashCode)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_src_part_documents_$key"
+        val src = Tables.load(s, d, "documents")
+        if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+          src.write.mode("overwrite").partitionBy("lang").parquet(dir)
+        s.read.parquet(dir)
+          .filter(col("lang") === "en")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      },
+      sql = Some("""
+        SELECT source, count(*) AS n, sum(n_chars) AS sum_chars
+        FROM documents WHERE lang = 'en' GROUP BY source"""),
+      scaleNote = "lang=... directories are pruned at plan time (PartitionFilters, not data filters) — the scan never opens non-en files; at 100 TB partition-on-read-predicate is the first I/O lever before any row-group statistics"),
+
     // ----- E19: custom typed Aggregator (weighted mean) -------------
     "q42_udaf_weighted_mean" -> Q(
       fn = (s, d) =>

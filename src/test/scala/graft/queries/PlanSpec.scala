@@ -236,4 +236,53 @@ class PlanSpec extends SparkSpec {
     val p = plan("q61_dedup_groups")
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("q67: eval-set shingles broadcast; corpus side never shuffles pre-agg") {
+    val p = plan("q67_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"test-set shingles must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must stream map-only through the broadcast join")
+  }
+
+  test("q68/q70/q73: repetition removal, chunking, classifier are zero-exchange") {
+    for (q <- Seq("q68_repetition_removal", "q70_token_chunks",
+        "q73_classifier_filter")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n${p.take(600)}")
+    }
+  }
+
+  test("q69: domain cap prunes to K in-shuffle via WindowGroupLimit") {
+    val p = plan("q69_domain_cap")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(exchanges(p) == 1, s"expected the one source exchange:\n${p.take(800)}")
+  }
+
+  test("q71: the scan under the ORC round-trip is an ORC columnar scan") {
+    val p = plan("q71_orc_scan")
+    assert(p.toLowerCase.contains("orc"), p.take(800))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"two-phase agg expected over the ORC scan:\n${p.take(800)}")
+  }
+
+  test("q72: lang filter prunes partitions at plan time, not per-row") {
+    val p = plan("q72_partitioned_scan")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("lang") && scanLine.contains("en"),
+      s"expected lang=en in PartitionFilters:\n$scanLine")
+    // the partition column must NOT survive as a post-scan row filter
+    val dataFilters = p.linesIterator.filter(_.trim.startsWith("+- Filter"))
+    assert(!dataFilters.exists(_.contains("lang")),
+      s"lang must be partition-pruned, not row-filtered:\n${p.take(800)}")
+  }
+
+  test("q74: binned range join is a shuffled equi-join, never a nested loop") {
+    val p = plan("q74_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binning must produce an equi-join:\n${p.take(800)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("__bin") || p.contains("Join"), p.take(400))
+  }
 }
