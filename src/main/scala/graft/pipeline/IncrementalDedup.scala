@@ -162,6 +162,38 @@ object IncrementalDedup {
     "postings" -> PostingsSchema, "sizes" -> SizesSchema,
     "buckets" -> BucketsSchema, "vectors" -> VectorsSchema)
 
+  /** Structured-Streaming ingest: run [[dedupBatch]] as a foreachBatch
+    * sink, so a `readStream` of documents dedups continuously against
+    * the growing index and appends each micro-batch's near-dup pairs
+    * to `pairsDir`. foreachBatch (not a row sink) because the batch is
+    * the unit of the index contract: pairs must materialize before the
+    * index extends, and each batch needs the full old∪new join —
+    * per-row semantics can't express that. Micro-batch ids are
+    * monotone, so the append-only doc_id contract carries over as
+    * long as the SOURCE emits monotone doc_ids (same contract as the
+    * batch API). Exactly-once: foreachBatch re-runs a failed batch;
+    * dedupBatch's pairs-before-append barrier makes a re-run of a
+    * batch that died BEFORE its index append emit the same pairs, and
+    * `dropDuplicates` on read of pairsDir absorbs the died-after case
+    * (pairs are a deterministic function of (index, batch)).
+    *
+    * Caller starts/stops the returned query (e.g. `.trigger(
+    * AvailableNow)` for catch-up runs).
+    */
+  def streamingDedup(
+      streamingDocs: DataFrame,
+      indexDir: String,
+      pairsDir: String,
+      checkpointDir: String,
+      tau: Double = 0.8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    streamingDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupBatch(batch, indexDir, tau)
+          .write.mode("append").parquet(pairsDir)
+        ()
+      }
+
   /** Compact the index's per-batch appends into a bounded file count.
     *
     * Each `dedupBatch`/`dedupEmbeddingBatch` call appends one parquet

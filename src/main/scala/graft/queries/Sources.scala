@@ -102,6 +102,72 @@ object Sources extends Catalog {
         FROM documents WHERE lang = 'en' GROUP BY source"""),
       scaleNote = "lang=... directories are pruned at plan time (PartitionFilters, not data filters) — the scan never opens non-en files; at 100 TB partition-on-read-predicate is the first I/O lever before any row-group statistics"),
 
+    // ----- E1: schema evolution via mergeSchema ---------------------
+    // 100 TB datasets are written over months; late files carry new
+    // columns. One dir holds two generations of the documents table —
+    // v1 without `lang`, v2 with it — and a mergeSchema read unifies
+    // them (v1 rows read lang as NULL).
+    "q76_merged_schema_scan" -> Q(
+      fn = (s, d) => {
+        val key = Integer.toHexString(d.hashCode)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_src_evo_documents_$key"
+        val src = Tables.load(s, d, "documents")
+        // marker written after BOTH generations: a crash between the
+        // two appends re-runs the whole write (overwrite resets)
+        val done = Paths.get(dir, "_GRAFT_BOTH_GENERATIONS")
+        if (!Files.exists(done)) {
+          src.select(col("doc_id"), col("source"), col("n_chars"))
+            .write.mode("overwrite").parquet(dir)
+          src.select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+            .write.mode("append").parquet(dir)
+          Files.createFile(done)
+        }
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy(coalesce(col("lang"), lit("pre-schema")).as("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      },
+      sql = Some("""
+        SELECT coalesce(lang, 'pre-schema') AS lang,
+               count(*) AS n, sum(n_chars) AS sum_chars
+        FROM (SELECT doc_id, source, n_chars, NULL AS lang FROM documents
+              UNION ALL
+              SELECT doc_id, source, n_chars, lang FROM documents)
+        GROUP BY 1"""),
+      scaleNote = "schema merge happens at planning from file footers — no rewrite of old files when a column lands; absent columns read as NULL, so generation-spanning queries stay one scan"),
+
+    // ----- E18 composed with curation: LLM-judge quality filter -----
+    // The model-based rating stage a curation pipeline runs through an
+    // LLM judge: enrich each doc with a (fake, deterministic) judge
+    // response carrying a JSON score, parse it, keep docs scoring >=
+    // the bar. Exercises enrich -> JSON parse -> filter as ONE plan.
+    "q77_llm_judge_filter" -> Q(
+      fn = (s, d) => {
+        val records = Tables.load(s, d, "documents")
+          .select(col("doc_id").cast("string").as("id"),
+            map(lit("content"), col("text")).as("texts"),
+            array().cast("array<string>").as("images"))
+        val cfg = graft.core.JobConfig(
+          id = "judge",
+          erbTemplate = "rate the quality of: <%= texts[:content] %>",
+          backendEndpoint = "http://fake", model = "fake",
+          outputLabel = "rating", systemErbTemplate = None,
+          params = Map.empty, useImages = false, responseFormat = None)
+        // deterministic fake judge: JSON score = prompt-hash mod 100
+        val judge = new graft.llm.FakeLlmClient(p =>
+          s"""{"score": ${math.floorMod(
+            scala.util.hashing.MurmurHash3.stringHash(p), 100)}}""")
+        graft.pipeline.EnrichJob
+          .run(records, cfg, judge, graft.pipeline.EnrichOptions(concurrency = 16))
+          .good
+          .select(col("id"),
+            get_json_object(element_at(col("texts"), "rating"), "$.score")
+              .cast("int").as("score"))
+          .filter(col("score") >= 50)
+      },
+      sql = None, // judge response = murmur3 of the prompt — not SQL-
+      // portable; CurationSpec value-checks the kept set independently
+      scaleNote = "the judge call is the q44 enrich stage (executor-side pooled async clients); the parse+filter stays in the same codegen'd projection — no extra pass over the corpus"),
+
     // ----- E19: custom typed Aggregator (weighted mean) -------------
     "q42_udaf_weighted_mean" -> Q(
       fn = (s, d) =>

@@ -209,6 +209,33 @@ object TextAnalysis extends Catalog {
           FROM (SELECT doc_id, MAP {'lang': lang, 'source': source} AS m
                 FROM documents))
         GROUP BY k, v"""),
-      scaleNote = "map explode is pipelined into the scan; the dynamic-key texts map in the enrich pipeline uses the same operators")
+      scaleNote = "map explode is pipelined into the scan; the dynamic-key texts map in the enrich pipeline uses the same operators"),
+
+    // ----- corpus vocabulary statistics (tokenizer training) --------
+    // The frequency table a BPE/unigram tokenizer trains from: corpus-
+    // wide token counts with coverage share, top-K by frequency with a
+    // deterministic tie-break. cnt*1000000 div total (integer) instead
+    // of a float share: exact in both engines at any scale.
+    "q75_vocab_topk" -> Q(
+      fn = (s, d) => {
+        val tok = docs(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("token"))
+        val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        val total = counts.agg(sum(col("cnt")).as("total"))
+        counts.crossJoin(broadcast(total))
+          .select(col("token"), col("cnt"),
+            expr("cnt * 1000000L div total").as("ppm"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(30)
+      },
+      sql = Some("""
+        WITH c AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        counts AS (SELECT token, count(*) AS cnt FROM c GROUP BY token),
+        t AS (SELECT sum(cnt) AS total FROM counts)
+        SELECT token, cnt, CAST(cnt * 1000000 // total AS BIGINT) AS ppm
+        FROM counts CROSS JOIN t
+        ORDER BY cnt DESC, token LIMIT 30"""),
+      scaleNote = "partial agg collapses tokens map-side before one skinny (token,count) shuffle; the 1-row total broadcasts back; top-K plans as TakeOrderedAndProject — no global sort of the vocabulary")
   )
 }

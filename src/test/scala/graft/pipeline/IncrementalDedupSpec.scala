@@ -15,6 +15,36 @@ import graft.queries.Dedup
 class IncrementalDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming ingest (foreachBatch) reproduces the one-shot pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    val idx = Files.createTempDirectory("graft-sdedup-idx").toString
+    val pairsDir = Files.createTempDirectory("graft-sdedup-out").toString + "/pairs"
+    val ckpt = Files.createTempDirectory("graft-sdedup-ckpt").toString
+
+    val ms = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.streamingDedup(
+      ms.toDF().toDF("doc_id", "text"), idx, pairsDir, ckpt).start()
+    try {
+      // monotone doc_ids across micro-batches (the module contract)
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(pairsDir)
+      .dropDuplicates("doc1", "doc2")
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == oneShot,
+      s"missing=${oneShot.diff(streamed).take(5)} extra=${streamed.diff(oneShot).take(5)}")
+  }
+
   test("two-batch incremental dedup equals the one-shot near-dup pairs") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -123,4 +123,37 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("q68: dedup keeps first occurrences in order; injected copies always go") {
+    val rows = Curation.queries("q68_repetition_removal").fn(spark, sf001)
+      .select("doc_id", "dedup_text", "n_removed")
+      .as[(Long, String, Int)].collect()
+    assert(rows.nonEmpty)
+    // every doc's injected duplicate segments were removed
+    assert(rows.count(_._3 > 0) == rows.length,
+      "the injection guarantees at least one removable segment per doc")
+    for ((id, text, _) <- rows) {
+      val segs = text.split(" ").grouped(5).map(_.mkString(" ")).toSeq
+      assert(segs.distinct == segs, s"doc $id still has repeated segments")
+    }
+  }
+
+  test("q77: the judge filter keeps exactly the docs whose fake score >= 50") {
+    // independently recompute the deterministic judge decision from the
+    // raw corpus — same prompt construction, driver-side
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expect = docs.collect {
+      case (id, text)
+          if math.floorMod(scala.util.hashing.MurmurHash3.stringHash(
+            s"rate the quality of: $text"), 100) >= 50 =>
+        id.toString
+    }.toSet
+    assert(expect.nonEmpty && expect.size < docs.length,
+      "bar must split the corpus for the test to mean anything")
+    val kept = Sources.queries("q77_llm_judge_filter").fn(spark, sf001)
+      .select("id").as[String].collect().toSet
+    assert(kept == expect,
+      s"missing=${expect.diff(kept).take(5)} extra=${kept.diff(expect).take(5)}")
+  }
 }
