@@ -236,6 +236,43 @@ object TextAnalysis extends Catalog {
         SELECT token, cnt, CAST(cnt * 1000000 // total AS BIGINT) AS ppm
         FROM counts CROSS JOIN t
         ORDER BY cnt DESC, token LIMIT 30"""),
-      scaleNote = "partial agg collapses tokens map-side before one skinny (token,count) shuffle; the 1-row total broadcasts back; top-K plans as TakeOrderedAndProject — no global sort of the vocabulary")
+      scaleNote = "partial agg collapses tokens map-side before one skinny (token,count) shuffle; the 1-row total broadcasts back; top-K plans as TakeOrderedAndProject — no global sort of the vocabulary"),
+
+    // ----- skip-gram co-occurrence counts ---------------------------
+    // Word-vector / n-gram-LM training statistics: (w_i, w_{i+d})
+    // pair counts for d ∈ {1, 2}, top-K. Pairs expand map-side from
+    // each row's own token array — no positional self-join.
+    "q78_skipgram_counts" -> Q(
+      fn = (s, d) => {
+        // the word array goes through a projection boundary FIRST: the
+        // transform lambdas below reference it once per row as an
+        // attribute — inlining the split would re-tokenize the string
+        // per element (the interpreted-HOF O(n²) trap q68 hit)
+        val w = col("w")
+        val emptyPairs = array().cast(
+          "array<struct<w1:string,w2:string,dist:int>>")
+        def pairsAt(off: Int) =
+          when(size(w) > off, transform(sequence(lit(1), size(w) - off),
+            i => struct(element_at(w, i).as("w1"),
+              element_at(w, i + off).as("w2"), lit(off).as("dist"))))
+            .otherwise(emptyPairs)
+        docs(s, d)
+          .select(split(lower(col("text")), " ").as("w"))
+          .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"),
+            col("p.dist").as("dist"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w1"), col("w2"), col("dist"))
+          .limit(50)
+      },
+      sql = Some("""
+        WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents),
+        p AS (
+          SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2, 1 AS dist FROM w
+          UNION ALL
+          SELECT unnest(w[1:len(w)-2]), unnest(w[3:len(w)]), 2 FROM w)
+        SELECT w1, w2, dist, count(*) AS cnt FROM p GROUP BY 1, 2, 3
+        ORDER BY cnt DESC, w1, w2, dist LIMIT 50"""),
+      scaleNote = "pairs fan out ~2n per doc inside the scan projection (no self-join on position); partial agg collapses repeats map-side before the one (w1,w2,dist) shuffle; top-K is TakeOrderedAndProject")
   )
 }
