@@ -272,6 +272,82 @@ object Similarity extends Catalog {
                      unnest(embedding::DOUBLE[]) AS x
               FROM embeddings)
         GROUP BY 1, 2"""),
-      scaleNote = "posexplode fans 64× but partial agg collapses per partition before the shuffle; output is |labels|×dim rows regardless of input size")
+      scaleNote = "posexplode fans 64× but partial agg collapses per partition before the shuffle; output is |labels|×dim rows regardless of input size"),
+
+    // ----- int8 scalar quantization (ANN memory compression) --------
+    // The storage half of the ANN scale story: per-dimension min/max
+    // over the corpus → 8-bit codes (4× smaller than float32, 8× than
+    // the double working form), plus the reconstruction error each
+    // vector pays. The oracle mirrors the arithmetic step for step —
+    // every operation is a correctly-rounded IEEE op on identical
+    // doubles, so codes (and the md5 over them) are bit-identical
+    // cross-engine (q49's mirror-oracle stance); the error sum goes
+    // through vec_dot ≡ list_dot_product (q29's stance).
+    "q79_embedding_quantization" -> Q(
+      fn = (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+        // per-dim bounds: one 64-way partial agg, then ONE row of two
+        // arrays broadcast back to the corpus
+        val dims = e.select(posexplode(col("x")).as(Seq("i", "v")))
+          .groupBy(col("i")).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        val bounds = dims
+          .agg(array_sort(collect_list(struct(col("i"), col("lo")))).as("plo"),
+            array_sort(collect_list(struct(col("i"), col("hi")))).as("phi"))
+          .select(transform(col("plo"), p => p.getField("lo")).as("lo"),
+            transform(col("phi"), p => p.getField("hi")).as("hi"))
+        e.crossJoin(broadcast(bounds))
+          .select(col("vec_id"), col("x"), col("lo"), col("hi"),
+            transform(col("x"), (v, i) => {
+              val lo = element_at(col("lo"), i + 1)
+              val hi = element_at(col("hi"), i + 1)
+              when(hi > lo,
+                floor(((v - lo) * lit(255.0)) / (hi - lo)).cast("long"))
+                .otherwise(lit(0L))
+            }).as("codes"))
+          .select(col("vec_id"),
+            md5(array_join(transform(col("codes"), c => c.cast("string")), ","))
+              .as("code_md5"),
+            call_function("vec_dot",
+              zip_with(col("x"),
+                transform(col("codes"), (c, i) => {
+                  val lo = element_at(col("lo"), i + 1)
+                  val hi = element_at(col("hi"), i + 1)
+                  lo + ((c.cast("double") * (hi - lo)) / lit(255.0))
+                }),
+                (a, b) => a - b),
+              zip_with(col("x"),
+                transform(col("codes"), (c, i) => {
+                  val lo = element_at(col("lo"), i + 1)
+                  val hi = element_at(col("hi"), i + 1)
+                  lo + ((c.cast("double") * (hi - lo)) / lit(255.0))
+                }),
+                (a, b) => a - b)).as("sq_err"))
+      },
+      sql = Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        d AS (SELECT i, min(v) AS lo, max(v) AS hi FROM
+                (SELECT unnest(x) AS v,
+                        unnest(generate_series(1, len(x))) AS i FROM e)
+              GROUP BY i),
+        b AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM d),
+        c AS (SELECT vec_id, x, lo, hi,
+                list_transform(x, (v, i) ->
+                  CASE WHEN hi[i] > lo[i]
+                       THEN CAST(FLOOR(((v - lo[i]) * 255.0) / (hi[i] - lo[i])) AS BIGINT)
+                       ELSE 0 END) AS codes
+              FROM e CROSS JOIN b),
+        r AS (SELECT vec_id, codes,
+                list_transform(codes, (cd, i) ->
+                  lo[i] + ((CAST(cd AS DOUBLE) * (hi[i] - lo[i])) / 255.0)) AS deq,
+                x
+              FROM c)
+        SELECT vec_id,
+               md5(array_to_string(codes, ',')) AS code_md5,
+               list_dot_product(
+                 list_transform(generate_series(1, len(x)), i -> x[i] - deq[i]),
+                 list_transform(generate_series(1, len(x)), i -> x[i] - deq[i])) AS sq_err
+        FROM r"""),
+      scaleNote = "bounds are a 64-row agg broadcast back as ONE row — the corpus side is a single map pass emitting 64-byte codes instead of 512-byte doubles; at 100 TB the code table (and the bounds pair) IS the served ANN index, with exact rerank fetching raw vectors for finalists only")
   )
 }

@@ -176,4 +176,45 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(fps(0).getString(1) == fps(1).getString(1))
     assert(fps(0).getString(0) != fps(1).getString(0))
   }
+
+  test("q79: int8 error within the quantizer bound; knn survives quantization") {
+    val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val dim = raw.head._2.length
+    val lo = (0 until dim).map(i => raw.map(_._2(i)).min)
+    val hi = (0 until dim).map(i => raw.map(_._2(i)).max)
+    // the quantizer can be off by at most one step per dimension
+    val bound = (0 until dim).map { i =>
+      val s = (hi(i) - lo(i)) / 255.0; s * s
+    }.sum
+    val got = Similarity.queries("q79_embedding_quantization").fn(spark, sf0001)
+      .select("vec_id", "sq_err").as[(Long, Double)].collect()
+    assert(got.length == raw.length)
+    for ((id, err) <- got)
+      assert(err >= 0 && err <= bound + 1e-12, s"vec $id err=$err bound=$bound")
+
+    // neighborhoods survive: top-5 cosine neighbors of the first 10
+    // vectors, exact vs dequantized, must overlap heavily
+    def deq(x: Seq[Double]): Seq[Double] = x.indices.map { i =>
+      val step = hi(i) - lo(i)
+      val c = if (step > 0) math.floor(((x(i) - lo(i)) * 255.0) / step) else 0.0
+      lo(i) + ((c * step) / 255.0)
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(a.map(v => v * v).sum) * math.sqrt(b.map(v => v * v).sum))
+    }
+    val dq = raw.map { case (id, x) => id -> deq(x) }
+    def top5(all: Seq[(Long, Seq[Double])], qid: Long): Set[Long] = {
+      val q = all.find(_._1 == qid).get._2
+      all.filter(_._1 != qid).map { case (id, x) => id -> cos(q, x) }
+        .sortBy(-_._2).take(5).map(_._1).toSet
+    }
+    val overlaps = raw.take(10).map { case (qid, _) =>
+      top5(raw.toSeq, qid).intersect(top5(dq.toSeq, qid)).size
+    }
+    assert(overlaps.sum >= 40,
+      s"int8 quantization broke neighborhoods: overlaps=$overlaps (want avg >= 4/5)")
+  }
 }

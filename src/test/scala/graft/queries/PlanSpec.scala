@@ -277,6 +277,33 @@ class PlanSpec extends SparkSpec {
       s"lang must be partition-pruned, not row-filtered:\n${p.take(800)}")
   }
 
+  test("q75/q78: token-stat top-Ks take TakeOrderedAndProject after partial agg") {
+    for (q <- Seq("q75_vocab_topk", "q78_skipgram_counts")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n${p.take(600)}")
+      assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+        s"$q must partial-aggregate map-side:\n${p.take(600)}")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin"), s"$q must not join row sets:\n${p.take(600)}")
+    }
+  }
+
+  test("q78: the split happens once, in a projection below the explode") {
+    val p = plan("q78_skipgram_counts")
+    // the O(n²) trap: split(...) inlined into the HOF lambda re-tokenizes
+    // per element; the guard is a single split in its own Project
+    assert(p.linesIterator.count(_.contains("split(lower")) == 1,
+      s"expected exactly one split site:\n$p")
+  }
+
+  test("q79: bounds broadcast back to the corpus — no corpus-side shuffle") {
+    val p = plan("q79_embedding_quantization")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row bounds must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must not shuffle into the bounds join:\n${p.take(800)}")
+  }
+
   test("q74: binned range join is a shuffled equi-join, never a nested loop") {
     val p = plan("q74_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
