@@ -32,13 +32,19 @@ object BinnedRangeJoin {
     *                   column names must be distinct across the two sides)
     * @param residual   the exact range predicate (e.g. ts2 > ts1 && ts2 <= hi)
     */
+  private def checkInputs(a: DataFrame, b: DataFrame, binMicros: Long): Unit = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    require(!(a.columns ++ b.columns).contains("__bin"),
+      "__bin is reserved by BinnedRangeJoin")
+  }
+
   def join(
       points: DataFrame, pointTs: String,
       intervals: DataFrame, intervalLo: String, intervalHi: String,
       equi: Seq[(String, String)],
       binMicros: Long,
       residual: Column): DataFrame = {
-    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    checkInputs(points, intervals, binMicros)
     val p = points.withColumn("__bin",
       expr(s"unix_micros($pointTs) div ${binMicros}L"))
     val iv = intervals.withColumn("__bin",
@@ -48,6 +54,38 @@ object BinnedRangeJoin {
     val cond = (equi.map { case (a, b) => p(a) === iv(b) } :+
       (p("__bin") === iv("__bin"))).reduce(_ && _)
     p.join(iv, cond)
+      .drop("__bin")
+      .where(residual)
+  }
+
+  /** Interval×interval OVERLAP join ([aLo,aHi] ∩ [bLo,bHi] ≠ ∅), same
+    * binning idea with a different exactly-once rule: both sides
+    * replicate into every bin they cover, and a pair is attributed to
+    * the single shared bin holding the LATER of the two interval
+    * starts — overlapping intervals always share that bin, so each
+    * pair meets exactly once and no dedup pass is needed. The residual
+    * closes the exact bounds (callers pick open/closed edges).
+    */
+  def joinIntervals(
+      left: DataFrame, leftLo: String, leftHi: String,
+      right: DataFrame, rightLo: String, rightHi: String,
+      equi: Seq[(String, String)],
+      binMicros: Long,
+      residual: Column): DataFrame = {
+    checkInputs(left, right, binMicros)
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bin",
+        explode(sequence(
+          expr(s"unix_micros($lo) div ${binMicros}L"),
+          expr(s"unix_micros($hi) div ${binMicros}L"))))
+    val l = binned(left, leftLo, leftHi)
+    val r = binned(right, rightLo, rightHi)
+    val attribution = l("__bin") === greatest(
+      expr(s"unix_micros($leftLo) div ${binMicros}L"),
+      expr(s"unix_micros($rightLo) div ${binMicros}L"))
+    val cond = (equi.map { case (a, b) => l(a) === r(b) } :+
+      (l("__bin") === r("__bin")) :+ attribution).reduce(_ && _)
+    l.join(r, cond)
       .drop("__bin")
       .where(residual)
   }

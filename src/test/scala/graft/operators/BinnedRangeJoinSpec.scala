@@ -74,6 +74,47 @@ class BinnedRangeJoinSpec extends SparkSpec {
     assert(binned == naive)
   }
 
+  test("interval-overlap join ≡ naive overlap predicate (10 seeds)") {
+    for (seed <- 1 to 10) {
+      val rnd = new Random(100 + seed)
+      val aLen = 1 + rnd.nextInt(300)
+      val bLen = 1 + rnd.nextInt(300)
+      val binSec = 1 + rnd.nextInt(600)
+      val a = df(mkEvents(rnd, 50, 4), "ak", "alo")
+        .withColumn("ahi", col("alo") + expr(s"INTERVAL $aLen SECONDS"))
+      val b = df(mkEvents(rnd, 50, 4), "bk", "blo")
+        .withColumn("bhi", col("blo") + expr(s"INTERVAL $bLen SECONDS"))
+
+      val overlap = col("alo") <= col("bhi") && col("blo") <= col("ahi")
+      val naive = a.join(b, col("ak") === col("bk") && overlap)
+        .select(col("ak"), col("alo"), col("blo"))
+      val binned = BinnedRangeJoin.joinIntervals(
+          a, "alo", "ahi", b, "blo", "bhi",
+          equi = Seq("ak" -> "bk"),
+          binMicros = binSec.toLong * 1000000L,
+          residual = overlap)
+        .select(col("ak"), col("alo"), col("blo"))
+
+      val n = naive.groupBy("ak", "alo", "blo").count()
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().sorted
+      val g = binned.groupBy("ak", "alo", "blo").count()
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().sorted
+      assert(g.toSeq == n.toSeq,
+        s"seed=$seed aLen=$aLen bLen=$bLen bin=$binSec: " +
+          s"${g.length} vs ${n.length} groups")
+    }
+  }
+
+  test("rejects a reserved __bin column") {
+    val e = mkEvents(new Random(2), 5, 2)
+    val withBin = df(e, "pk", "pts").withColumn("__bin", lit(1L))
+    intercept[IllegalArgumentException] {
+      BinnedRangeJoin.join(withBin, "pts",
+        df(e, "ik", "lo").withColumn("hi", col("lo")), "lo", "hi",
+        Seq("pk" -> "ik"), 1000000L, lit(true))
+    }
+  }
+
   test("rejects a non-positive bin width") {
     val e = mkEvents(new Random(1), 5, 2)
     intercept[IllegalArgumentException] {
