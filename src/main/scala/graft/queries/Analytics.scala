@@ -191,6 +191,53 @@ object Analytics extends Catalog {
                quantile_disc(l_quantity, 0.75) AS p75,
                quantile_disc(l_quantity, 0.99) AS p99
         FROM lineitem GROUP BY 1"""),
-      scaleNote = "GK sketch: O(accuracy) memory per group regardless of group size, partial-aggregable (map-side combine) — the unbounded-group percentile plan; q53 stays the exact small-group twin")
+      scaleNote = "GK sketch: O(accuracy) memory per group regardless of group size, partial-aggregable (map-side combine) — the unbounded-group percentile plan; q53 stays the exact small-group twin"),
+
+    // ----- E8: value navigation windows (first/last/nth) ------------
+    "q80_window_navigation" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // full-partition frame so last_value sees the real last row,
+        // not the running default frame
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          first_value(col("o_totalprice")).over(w).as("first_price"),
+          last_value(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      },
+      sql = Some("""
+        SELECT o_orderkey, o_custkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER w AS last_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""),
+      scaleNote = "one shuffle on o_custkey; all three navigation functions share the sorted partition, and the unbounded frame is evaluated once per partition, not per row"),
+
+    // ----- SQL surface: correlated scalar subquery ------------------
+    // Catalyst decorrelates this into an aggregate + join — asserting
+    // the SQL text path produces the same plan family the DataFrame
+    // API would, which is what makes the SQL surface usable at scale.
+    "q81_correlated_scalar" -> Q(
+      fn = (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q81_orders")
+        s.sql("""
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 (SELECT avg(o2.o_totalprice) FROM q81_orders o2
+                  WHERE o2.o_custkey = o1.o_custkey) AS cust_avg
+          FROM q81_orders o1
+          WHERE o_totalprice > 100000""")
+      },
+      sql = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               (SELECT avg(o2.o_totalprice) FROM orders o2
+                WHERE o2.o_custkey = o1.o_custkey) AS cust_avg
+        FROM orders o1
+        WHERE o_totalprice > 100000"""),
+      scaleNote = "decorrelation rewrites the per-row subquery into ONE aggregate over orders joined back on o_custkey — O(n) instead of O(n²) re-execution; the filter pushes to the outer scan only, preserving the subquery's full-table aggregate semantics")
   )
 }

@@ -304,6 +304,23 @@ class PlanSpec extends SparkSpec {
       s"corpus must not shuffle into the bounds join:\n${p.take(800)}")
   }
 
+  test("q80: navigation functions share one window after one exchange") {
+    val p = plan("q80_window_navigation")
+    assert(p.linesIterator.count(_.contains("Window")) == 1,
+      s"three navigation fns must share ONE Window operator:\n${p.take(800)}")
+    assert(exchanges(p) == 1, s"expected one shuffle on o_custkey:\n${p.take(800)}")
+  }
+
+  test("q81: correlated scalar subquery decorrelates into agg + join") {
+    val p = plan("q81_correlated_scalar")
+    assert(p.contains("HashAggregate"),
+      s"subquery must become a standalone aggregate:\n${p.take(800)}")
+    assert(p.contains("Join") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+    // the outer filter must not leak into the subquery's aggregate input
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q74: binned range join is a shuffled equi-join, never a nested loop") {
     val p = plan("q74_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
