@@ -26,18 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object BinnedRangeJoin {
 
-  /** @param points     point side; its `pointTs` timestamp is binned
-    * @param intervals  interval side; replicated across overlapped bins
-    * @param equi       (pointCol, intervalCol) equi-key pairs (may be empty;
-    *                   column names must be distinct across the two sides)
-    * @param residual   the exact range predicate (e.g. ts2 > ts1 && ts2 <= hi)
-    */
   private def checkInputs(a: DataFrame, b: DataFrame, binMicros: Long): Unit = {
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")
     require(!(a.columns ++ b.columns).contains("__bin"),
       "__bin is reserved by BinnedRangeJoin")
   }
 
+  /** @param points     point side; its `pointTs` timestamp is binned
+    * @param intervals  interval side; replicated across overlapped bins
+    * @param equi       (pointCol, intervalCol) equi-key pairs (may be empty;
+    *                   column names must be distinct across the two sides)
+    * @param residual   the exact range predicate (e.g. ts2 > ts1 && ts2 <= hi)
+    */
   def join(
       points: DataFrame, pointTs: String,
       intervals: DataFrame, intervalLo: String, intervalHi: String,

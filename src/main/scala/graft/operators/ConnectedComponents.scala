@@ -87,7 +87,12 @@ object ConnectedComponents {
       // localCheckpoint per round: truncates the iterative lineage
       // (without it the plan doubles every round) and is the barrier
       // that keeps large-star's output from recomputing inside
-      // small-star's two references (sym + minNbr).
+      // small-star's two references (sym + minNbr). Storage for past
+      // rounds is reclaimed by the ContextCleaner once the dropped
+      // `cur` references are GC'd on the driver (Dataset.unpersist is
+      // a no-op for checkpoint blocks) — bounded in practice by GC
+      // cadence, not by round count; an explicit per-round free would
+      // need the internal checkpointed RDD handle.
       val next = smallStar(largeStar(cur).localCheckpoint()).localCheckpoint()
       val nextSig = signature(next)
       converged = nextSig == sig

@@ -38,6 +38,51 @@ object IncrementalDedup {
   private val VectorsSchema =
     StructType.fromDDL("vec_id BIGINT, v ARRAY<DOUBLE>, norm DOUBLE")
 
+  private def emptyDf(
+      spark: org.apache.spark.sql.SparkSession, schema: StructType) =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  /** Read an index sub-table: flat (legacy/compacted) files plus any
+    * per-batch `b<id>` subdirs. With `excludeBatch = Some(id)` that one
+    * subdir is skipped — it can only be a remnant of a FAILED earlier
+    * attempt at the batch being (re)processed, and including it would
+    * double-count the batch against itself on replay.
+    */
+  private def readIndexTable(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, sub: String, schema: StructType,
+      excludeBatch: Option[Long]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) emptyDf(spark, schema)
+    else {
+      val keep = fs.listStatus(root)
+        .map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          !n.startsWith("_") && !n.startsWith(".") &&
+            excludeBatch.forall(id => n != s"b$id")
+        }
+      if (keep.isEmpty) emptyDf(spark, schema)
+      else spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(keep.map(_.toString).toIndexedSeq: _*)
+    }
+  }
+
+  /** Extend an index sub-table. Batch-anonymous calls append (legacy
+    * layout); batch-identified calls OVERWRITE a deterministic per-
+    * batch subdir, which is what makes a replayed batch idempotent —
+    * the retry replaces its own partial remnant instead of appending a
+    * second copy.
+    */
+  private def writeIndexTable(
+      df: DataFrame, indexDir: String, sub: String,
+      batchId: Option[Long]): Unit = batchId match {
+    case None => df.write.mode("append").parquet(s"$indexDir/$sub")
+    case Some(id) => df.write.mode("overwrite").parquet(s"$indexDir/$sub/b$id")
+  }
+
   /** The embedding-modality twin of [[dedupBatch]]: hyperplane-LSH
     * buckets (same geometry as the q49 scale path) persisted under
     * `indexDir` —
@@ -53,7 +98,8 @@ object IncrementalDedup {
       indexDir: String,
       tau: Double = 0.4,
       tables: Int = 8,
-      bits: Int = 6): DataFrame = {
+      bits: Int = 6,
+      batchId: Option[Long] = None): DataFrame = {
     val spark = newVecs.sparkSession
     val e = newVecs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -63,16 +109,8 @@ object IncrementalDedup {
       posexplode(call_function("lsh_sigs", col("v"), lit(tables), lit(bits)))
         .as(Seq("t", "sig")))
 
-    def emptyDf(schema: StructType) = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readIfExists(sub: String, schema: StructType): DataFrame =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$sub")))
-        spark.read.schema(schema).parquet(s"$indexDir/$sub")
-      else emptyDf(schema)
-    val oldBuckets = readIfExists("buckets", BucketsSchema)
-    val oldVectors = readIfExists("vectors", VectorsSchema)
+    val oldBuckets = readIndexTable(spark, indexDir, "buckets", BucketsSchema, batchId)
+    val oldVectors = readIndexTable(spark, indexDir, "vectors", VectorsSchema, batchId)
 
     val allBuckets = oldBuckets.unionByName(newBuckets)
     val allVectors = oldVectors.unionByName(e)
@@ -92,8 +130,8 @@ object IncrementalDedup {
       .select(col("vec1"), col("vec2"), col("cosine"))
       .localCheckpoint() // before the append — see dedupBatch
 
-    newBuckets.write.mode("append").parquet(s"$indexDir/buckets")
-    e.write.mode("append").parquet(s"$indexDir/vectors")
+    writeIndexTable(newBuckets, indexDir, "buckets", batchId)
+    writeIndexTable(e, indexDir, "vectors", batchId)
     pairs
   }
 
@@ -104,7 +142,8 @@ object IncrementalDedup {
   def dedupBatch(
       newDocs: DataFrame,
       indexDir: String,
-      tau: Double = 0.8): DataFrame = {
+      tau: Double = 0.8,
+      batchId: Option[Long] = None): DataFrame = {
     val spark = newDocs.sparkSession
 
     val sh = shingleFrame(newDocs).localCheckpoint()
@@ -121,16 +160,8 @@ object IncrementalDedup {
     // corpus; a streamed, column-pruned parquet scan is the per-batch
     // cost the module promises (pairs.localCheckpoint below is the
     // only ordering barrier needed).
-    def emptyDf(schema: StructType) = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readIfExists(sub: String, schema: StructType): DataFrame =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$sub")))
-        spark.read.schema(schema).parquet(s"$indexDir/$sub")
-      else emptyDf(schema)
-    val oldPost = readIfExists("postings", PostingsSchema)
-    val oldSizes = readIfExists("sizes", SizesSchema)
+    val oldPost = readIndexTable(spark, indexDir, "postings", PostingsSchema, batchId)
+    val oldSizes = readIndexTable(spark, indexDir, "sizes", SizesSchema, batchId)
 
     val allPost = oldPost.unionByName(newPost)
     val allSizes = oldSizes.unionByName(newSizes)
@@ -152,8 +183,8 @@ object IncrementalDedup {
       // lazy, and appending first would double-count the new batch
       .localCheckpoint()
 
-    newPost.write.mode("append").parquet(s"$indexDir/postings")
-    newSizes.write.mode("append").parquet(s"$indexDir/sizes")
+    writeIndexTable(newPost, indexDir, "postings", batchId)
+    writeIndexTable(newSizes, indexDir, "sizes", batchId)
     pairs
   }
 
@@ -171,11 +202,15 @@ object IncrementalDedup {
     * per-row semantics can't express that. Micro-batch ids are
     * monotone, so the append-only doc_id contract carries over as
     * long as the SOURCE emits monotone doc_ids (same contract as the
-    * batch API). Exactly-once: foreachBatch re-runs a failed batch;
-    * dedupBatch's pairs-before-append barrier makes a re-run of a
-    * batch that died BEFORE its index append emit the same pairs, and
-    * `dropDuplicates` on read of pairsDir absorbs the died-after case
-    * (pairs are a deterministic function of (index, batch)).
+    * batch API). Replay safety: foreachBatch is at-least-once, so the
+    * micro-batch id is threaded into dedupBatch — the index append
+    * lands in a per-batch subdir with OVERWRITE, and the old-side read
+    * excludes the current batch's own subdir. A replayed batch
+    * therefore sees exactly the pre-batch index (whatever a crashed
+    * attempt half-wrote is ignored and then replaced), recomputes the
+    * identical pairs, and overwrites its own pairs subdir the same
+    * way — no double-counted postings, no inflated jaccards, no
+    * duplicate pairs to scrub on read.
     *
     * Caller starts/stops the returned query (e.g. `.trigger(
     * AvailableNow)` for catch-up runs).
@@ -188,9 +223,9 @@ object IncrementalDedup {
       tau: Double = 0.8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     streamingDocs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        dedupBatch(batch, indexDir, tau)
-          .write.mode("append").parquet(pairsDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        dedupBatch(batch, indexDir, tau, batchId = Some(id))
+          .write.mode("overwrite").parquet(s"$pairsDir/b$id")
         ()
       }
 
@@ -221,7 +256,14 @@ object IncrementalDedup {
       val dir = s"$indexDir/$sub"
       if (fs.exists(new org.apache.hadoop.fs.Path(dir))) {
         DirSwap.rewriteInPlace(spark, dir) { tmp =>
-          spark.read.schema(schema).parquet(dir)
+          // recursive: folds per-batch b<id> subdirs (streaming layout)
+          // into the flat compacted form along with legacy flat files.
+          // The no-in-flight-batch contract above is what makes
+          // erasing the b<id> layout safe: replay of a COMMITTED batch
+          // cannot happen, and only an in-flight batch's replay needs
+          // its own subdir excluded.
+          spark.read.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(dir)
             .coalesce(targetFilesPerTable)
             .write.mode("overwrite").parquet(tmp)
         }

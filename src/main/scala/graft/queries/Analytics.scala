@@ -238,6 +238,28 @@ object Analytics extends Catalog {
                 WHERE o2.o_custkey = o1.o_custkey) AS cust_avg
         FROM orders o1
         WHERE o_totalprice > 100000"""),
-      scaleNote = "decorrelation rewrites the per-row subquery into ONE aggregate over orders joined back on o_custkey — O(n) instead of O(n²) re-execution; the filter pushes to the outer scan only, preserving the subquery's full-table aggregate semantics")
+      scaleNote = "decorrelation rewrites the per-row subquery into ONE aggregate over orders joined back on o_custkey — O(n) instead of O(n²) re-execution; the filter pushes to the outer scan only, preserving the subquery's full-table aggregate semantics"),
+
+    // ----- unpivot / melt (inverse of q52) --------------------------
+    "q82_unpivot" -> Q(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("qty"),
+            sum(col("l_extendedprice")).as("price"),
+            sum(col("l_discount")).as("discount"))
+          .unpivot(
+            ids = Array(col("l_linestatus")),
+            values = Array(col("qty"), col("price"), col("discount")),
+            variableColumnName = "measure",
+            valueColumnName = "total"),
+      sql = Some("""
+        WITH a AS (
+          SELECT l_linestatus, sum(l_quantity) AS qty,
+                 sum(l_extendedprice) AS price, sum(l_discount) AS discount
+          FROM lineitem GROUP BY 1)
+        SELECT l_linestatus, measure, total
+        FROM a UNPIVOT (total FOR measure IN (qty, price, discount))"""),
+      scaleNote = "unpivot is a zero-shuffle Expand over the aggregated (tiny) frame — wide-to-long reshaping never touches the fact table after the two-phase agg")
   )
 }

@@ -227,16 +227,20 @@ object Curation extends Catalog {
     // pretraining hygiene step: n-gram overlap against the eval set.
     "q67_decontaminate" -> Q(
       fn = (s, d) => {
-        // one native shingle scan feeds both split branches (barrier)
         val base = docs(s, d)
           .select(col("doc_id"),
             call_function("shingle_hashes", lower(col("text")), lit(3)).as("sh"),
             (substring(md5(concat(lit("t:"), col("doc_id").cast("string"))), 1, 2)
               >= "cc").as("is_test"))
-          .localCheckpoint()
-        // the eval set is small by construction — broadcast its shingles
+        // ONLY the tiny eval side materializes (it is read to build the
+        // broadcast); the corpus side streams straight off the scan —
+        // pinning the whole corpus's shingle arrays behind a checkpoint
+        // would contradict the map-only scale note below. The shingle
+        // kernel runs once per side, which is the right trade: a cheap
+        // re-scan beats corpus-sized executor storage.
         val testSh = base.filter(col("is_test"))
           .select(explode(col("sh")).as("shingle")).distinct()
+          .localCheckpoint()
         base.filter(!col("is_test"))
           .select(col("doc_id"), explode(col("sh")).as("shingle"))
           .join(broadcast(testSh), Seq("shingle"))

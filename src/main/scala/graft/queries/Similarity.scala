@@ -296,6 +296,9 @@ object Similarity extends Catalog {
             array_sort(collect_list(struct(col("i"), col("hi")))).as("phi"))
           .select(transform(col("plo"), p => p.getField("lo")).as("lo"),
             transform(col("phi"), p => p.getField("hi")).as("hi"))
+        // each stage lands in its own projection so codes/diff are row
+        // attributes: Catalyst's CSE skips lambda-bearing expressions,
+        // so repeating the HOF tree would execute it twice per row
         e.crossJoin(broadcast(bounds))
           .select(col("vec_id"), col("x"), col("lo"), col("hi"),
             transform(col("x"), (v, i) => {
@@ -305,24 +308,18 @@ object Similarity extends Catalog {
                 floor(((v - lo) * lit(255.0)) / (hi - lo)).cast("long"))
                 .otherwise(lit(0L))
             }).as("codes"))
+          .select(col("vec_id"), col("codes"),
+            zip_with(col("x"),
+              transform(col("codes"), (c, i) => {
+                val lo = element_at(col("lo"), i + 1)
+                val hi = element_at(col("hi"), i + 1)
+                lo + ((c.cast("double") * (hi - lo)) / lit(255.0))
+              }),
+              (a, b) => a - b).as("diff"))
           .select(col("vec_id"),
             md5(array_join(transform(col("codes"), c => c.cast("string")), ","))
               .as("code_md5"),
-            call_function("vec_dot",
-              zip_with(col("x"),
-                transform(col("codes"), (c, i) => {
-                  val lo = element_at(col("lo"), i + 1)
-                  val hi = element_at(col("hi"), i + 1)
-                  lo + ((c.cast("double") * (hi - lo)) / lit(255.0))
-                }),
-                (a, b) => a - b),
-              zip_with(col("x"),
-                transform(col("codes"), (c, i) => {
-                  val lo = element_at(col("lo"), i + 1)
-                  val hi = element_at(col("hi"), i + 1)
-                  lo + ((c.cast("double") * (hi - lo)) / lit(255.0))
-                }),
-                (a, b) => a - b)).as("sq_err"))
+            call_function("vec_dot", col("diff"), col("diff")).as("sq_err"))
       },
       sql = Some("""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),

@@ -36,13 +36,44 @@ class IncrementalDedupSpec extends SparkSpec {
       }
     } finally q.stop()
 
-    val streamed = spark.read.parquet(pairsDir)
-      .dropDuplicates("doc1", "doc2")
+    val streamed = spark.read
+      .option("recursiveFileLookup", "true").parquet(pairsDir)
       .as[(Long, Long, Double)].collect().toSet
     val oneShot = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSet
     assert(streamed == oneShot,
       s"missing=${oneShot.diff(streamed).take(5)} extra=${streamed.diff(oneShot).take(5)}")
+  }
+
+  test("replaying a batch after its index append is idempotent (at-least-once safety)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0)
+    val b1 = docs.filter(col("doc_id") <= mid)
+    val b2 = docs.filter(col("doc_id") > mid)
+
+    val idx = Files.createTempDirectory("graft-replay-idx").toString
+    val p1 = IncrementalDedup.dedupBatch(b1, idx, batchId = Some(0L))
+      .as[(Long, Long, Double)].collect().toSet
+    // first attempt at batch 1 "crashes" AFTER the index append — the
+    // failure mode where an append-only index would double-count the
+    // batch against itself on replay
+    val firstTry = IncrementalDedup.dedupBatch(b2, idx, batchId = Some(1L))
+      .as[(Long, Long, Double)].collect().toSet
+    val replay = IncrementalDedup.dedupBatch(b2, idx, batchId = Some(1L))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(replay == firstTry, "replay must reproduce the identical pairs")
+
+    val oneShot = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(p1.union(replay) == oneShot,
+      "replayed run must still cover exactly the one-shot pairs with true jaccards")
+
+    // and the index holds each posting once: a later batch sees clean state
+    val p3 = IncrementalDedup.dedupBatch(
+      docs.filter(lit(false)), idx, batchId = Some(2L))
+      .as[(Long, Long, Double)].collect()
+    assert(p3.isEmpty)
   }
 
   test("two-batch incremental dedup equals the one-shot near-dup pairs") {
