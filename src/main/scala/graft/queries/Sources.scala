@@ -135,6 +135,38 @@ object Sources extends Catalog {
         GROUP BY 1"""),
       scaleNote = "schema merge happens at planning from file footers — no rewrite of old files when a column lands; absent columns read as NULL, so generation-spanning queries stay one scan"),
 
+    // ----- E1: dynamic partition pruning through a dim join ---------
+    // The runtime half of q72's story: the pruning predicate is not a
+    // literal but comes from a JOIN against a filtered dimension —
+    // Catalyst injects a dynamic-pruning subquery into the partitioned
+    // scan, so only the dim-selected lang partitions are read even
+    // though no literal lang filter exists in the query.
+    "q83_dynamic_partition_pruning" -> Q(
+      fn = (s, d) => {
+        val key = Integer.toHexString(d.hashCode)
+        val docDir = s"${sys.props("java.io.tmpdir")}/graft_src_part_documents_$key"
+        val src = Tables.load(s, d, "documents")
+        if (!Files.exists(Paths.get(docDir, "_SUCCESS")))
+          src.write.mode("overwrite").partitionBy("lang").parquet(docDir)
+        val dimDir = s"${sys.props("java.io.tmpdir")}/graft_src_langdim_$key"
+        if (!Files.exists(Paths.get(dimDir, "_SUCCESS")))
+          s.createDataFrame(Seq(
+              ("en", "germanic"), ("de", "germanic"),
+              ("fr", "romance"), ("es", "romance"), ("zh", "sinitic")))
+            .toDF("lang", "family")
+            .write.mode("overwrite").parquet(dimDir)
+        s.read.parquet(docDir)
+          .join(broadcast(
+            s.read.parquet(dimDir).filter(col("family") === "romance")), "lang")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      },
+      sql = Some("""
+        SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+        FROM documents WHERE lang IN ('fr', 'es')
+        GROUP BY lang, source"""),
+      scaleNote = "the dim filter's values flow into the fact scan as a dynamic-pruning subquery at RUNTIME — at 100 TB this is how a 5-row dimension decides which petabytes never get read; PlanSpec asserts the dynamicpruning expression on the scan"),
+
     // ----- E18 composed with curation: LLM-judge quality filter -----
     // The model-based rating stage a curation pipeline runs through an
     // LLM judge: enrich each doc with a (fake, deterministic) judge

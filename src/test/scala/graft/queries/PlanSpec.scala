@@ -321,6 +321,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q83: the dim filter prunes fact partitions at runtime (DPP)") {
+    val p = plan("q83_dynamic_partition_pruning")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic-pruning subquery on the partitioned scan:\n${p.take(1200)}")
+  }
+
   test("q74: binned range join is a shuffled equi-join, never a nested loop") {
     val p = plan("q74_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
