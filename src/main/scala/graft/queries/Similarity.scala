@@ -38,6 +38,13 @@ object Similarity extends Catalog {
   private val BitsPerTable = 6
   private val Dim = 64
 
+  /** q85 SemDeDup threshold: chosen in a wide gap of the within-cell
+    * cosine distribution (nearest observed cosines at sf0.001/sf0.01
+    * are 0.449/0.472 above and 0.411/0.412 below), so the verdict is
+    * stable against last-ulp cross-engine float differences.
+    */
+  private val SemTau = 0.43
+
   private def embeddings(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -90,9 +97,13 @@ object Similarity extends Catalog {
     * re-assembled into vectors): the same plan shape a k-means
     * codebook would have, with no RNG state to break task retry.
     */
-  private[queries] def ivfKnn(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    val e = embeddings(s, d)
-    val cent = Tables.load(s, d, "embeddings")
+  /** Deterministic coarse codebook: per-label centroids (q32's
+    * aggregation re-assembled into vectors) — the same plan shape a
+    * k-means codebook would have, with no RNG state to break task
+    * retry. Shared by the IVF index (q51) and semantic dedup (q85).
+    */
+  private def codebook(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
       .select(col("label").cast("int").as("cell"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
@@ -101,16 +112,24 @@ object Similarity extends Catalog {
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("sc"))
       .select(col("cell"), transform(col("sc"), f => f.getField("c")).as("cv"))
       .withColumn("cnorm", sqrt(call_function("vec_dot", col("cv"), col("cv"))))
-      .localCheckpoint() // |cells| rows; feeds both assign branches
-    // corpus → inverted lists: argmax-cosine cell per vector. The
-    // scored frame is skinny (vec_id, cell, score); map-side partial
-    // max_by collapses the ×|cells| fanout before the shuffle.
-    val assigned = e.crossJoin(broadcast(cent))
+      .localCheckpoint() // |cells| rows; feeds every assign branch
+
+  /** corpus → inverted lists: argmax-cosine cell per vector. The
+    * scored frame is skinny (vec_id, cell, score); map-side partial
+    * max_by collapses the ×|cells| fanout before the shuffle.
+    */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
       .select(col("vec_id"),
         (call_function("vec_dot", col("v"), col("cv")) / col("cnorm")).as("score"),
         col("cell"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), col("score")).as("cell"))
+
+  private[queries] def ivfKnn(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val e = embeddings(s, d)
+    val cent = codebook(s, d)
+    val assigned = assignCells(e, cent)
     // queries → nprobe nearest cells each
     val probes = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -148,6 +167,59 @@ object Similarity extends Catalog {
       // asserts nprobe=|cells| ≡ q30 brute force exactly, and the
       // nprobe=3 contract (subset of corpus, true cosines, rank order)
       scaleNote = "inverted-list ANN: corpus scored once against a broadcast codebook (skinny argmax shuffle), queries touch only nprobe cells — candidate count scales with cell occupancy; at 100 TB the inverted lists are the partitioning"),
+
+    // ----- SemDeDup: cluster-scoped semantic dedup ------------------
+    // The SemDeDup rule (Abbas et al. 2023): assign every embedding to
+    // a coarse cluster, then within each cluster drop any vector whose
+    // cosine to a LOWER-id cluster-mate reaches the threshold — the
+    // all-pairs search runs per cell, never across the corpus. The
+    // oracle recomputes the identical codebook/assignment/verdict in
+    // DuckDB (q49's mirror-oracle stance: same arithmetic both sides;
+    // τ sits in a wide gap of the within-cell cosine distribution at
+    // every test SF, so last-ulp centroid differences cannot flip a
+    // verdict).
+    "q85_semantic_dedup" -> Q(
+      fn = (s, d) => {
+        val e = embeddings(s, d)
+        val a = assignCells(e, codebook(s, d))
+          .join(e, "vec_id") // vec_id, cell, v, norm
+          .localCheckpoint() // barrier: assignment computed once, shared by both self-join sides
+        val dups = a.as("x")
+          .join(a.as("y"),
+            col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id"))
+          .filter(cosine(col("x.v"), col("y.v"),
+            col("x.norm"), col("y.norm")) >= SemTau)
+          .select(col("x.vec_id").as("vec_id")).distinct()
+        a.select(col("vec_id"), col("cell"))
+          .join(dups.withColumn("d", lit(1L)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            coalesce(col("d"), lit(0L)).as("is_dup"))
+      },
+      sql = Some(s"""
+        WITH e AS (SELECT vec_id, CAST(label AS INT) AS lbl,
+                          embedding::DOUBLE[] AS v FROM embeddings),
+        ex AS (SELECT lbl, unnest(v) AS x, unnest(range(len(v))) AS dim FROM e),
+        cd AS (SELECT lbl AS cell, dim, avg(x) AS c FROM ex GROUP BY 1, 2),
+        cent AS (SELECT cell, list(c ORDER BY dim) AS cv FROM cd GROUP BY cell),
+        assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, cent.cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.v, cent.cv) /
+                       sqrt(list_dot_product(cent.cv, cent.cv)) DESC,
+                     cent.cell) AS r
+            FROM e CROSS JOIN cent) WHERE r = 1),
+        a AS (SELECT s.vec_id, s.cell, e.v,
+                     sqrt(list_dot_product(e.v, e.v)) AS nrm
+              FROM assigned s JOIN e USING (vec_id))
+        SELECT x.vec_id, CAST(x.cell AS BIGINT) AS cell,
+               CAST(CASE WHEN EXISTS (
+                 SELECT 1 FROM a y
+                 WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+                   AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= $SemTau
+               ) THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        FROM a x"""),
+      scaleNote = "the quadratic pair search is scoped to a cell, so cost is sum(|cell|^2), not |corpus|^2 — cells are the shuffle partitioning and the codebook broadcasts; at 100 TB cell count grows with the corpus to hold |cell| roughly constant (this is SemDeDup's published scaling argument)"),
 
     // ----- exact top-k cosine search (baseline) ---------------------
     "q30_knn_bruteforce" -> Q(

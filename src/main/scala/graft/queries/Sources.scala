@@ -167,6 +167,42 @@ object Sources extends Catalog {
         GROUP BY lang, source"""),
       scaleNote = "the dim filter's values flow into the fact scan as a dynamic-pruning subquery at RUNTIME — at 100 TB this is how a 5-row dimension decides which petabytes never get read; PlanSpec asserts the dynamicpruning expression on the scan"),
 
+    // ----- E1/E4: runtime bloom-filter row pruning ------------------
+    // q83's DPP prunes whole PARTITIONS when the join key is the
+    // partition column; the runtime bloom filter is its row-level
+    // sibling for every other key: Catalyst plans a bloom sketch over
+    // the filtered dim side's join keys and injects
+    // might_contain(xxhash64(l_partkey)) into the FACT side, so rows
+    // that cannot join die at the scan instead of riding the shuffle.
+    // The thresholds that gate the rewrite are session-wide and sized
+    // for clusters, so the query plans on its own newSession() —
+    // Verify runs the catalog concurrently on one shared session, and
+    // mutating that session's conf here would race other queries.
+    "q84_bloom_filter_join" -> Q(
+      fn = (s0, d) => {
+        val s = s0.newSession()
+        // force the shuffle join the 100 TB plan has (a broadcast dim
+        // needs no bloom — the probe side already sees the keys)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        // default gate is a 10 GB probe-side scan; at sf0.01 the scan
+        // is KBs, so open the gate — the REWRITE is what's under test
+        s.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        Tables.load(s, d, "lineitem")
+          .join(Tables.load(s, d, "part").filter(col("p_type") === "ECONOMY"),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      },
+      sql = Some("""
+        SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'ECONOMY'
+        GROUP BY p_brand"""),
+      scaleNote = "the dim filter becomes a runtime bloom sketch probed inside the fact scan (might_contain on xxhash64 of the key) — rows that cannot join are dropped before the exchange, cutting the fact-side shuffle by the filter's selectivity on ANY join key, not just partition columns; PlanSpec asserts the injected filter and the scan-side placement"),
+
     // ----- E18 composed with curation: LLM-judge quality filter -----
     // The model-based rating stage a curation pipeline runs through an
     // LLM judge: enrich each doc with a (fake, deterministic) judge

@@ -327,6 +327,18 @@ class PlanSpec extends SparkSpec {
       s"expected a dynamic-pruning subquery on the partitioned scan:\n${p.take(1200)}")
   }
 
+  test("q84: the dim filter becomes a runtime bloom filter on the fact scan") {
+    val p = plan("q84_bloom_filter_join").toLowerCase
+    assert(p.contains("might_contain"),
+      s"expected an injected runtime bloom filter on the probe side:\n${p.take(1200)}")
+    // the probe must sit below the join (scan side), not above it —
+    // cheap structural check: might_contain appears after the last
+    // SortMergeJoin/ShuffledHashJoin header line in the tree dump
+    val joinAt = math.max(p.lastIndexOf("sortmergejoin"), p.lastIndexOf("shuffledhashjoin"))
+    assert(joinAt >= 0 && p.indexOf("might_contain") > joinAt,
+      "bloom probe should be on the scan side, below the join")
+  }
+
   test("q74: binned range join is a shuffled equi-join, never a nested loop") {
     val p = plan("q74_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
