@@ -28,8 +28,8 @@ object BinnedRangeJoin {
 
   private def checkInputs(a: DataFrame, b: DataFrame, binMicros: Long): Unit = {
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")
-    require(!(a.columns ++ b.columns).contains("__bin"),
-      "__bin is reserved by BinnedRangeJoin")
+    require(!(a.columns ++ b.columns).exists(Set("__bin", "__lo_bin")),
+      "__bin/__lo_bin are reserved by BinnedRangeJoin")
   }
 
   /** @param points     point side; its `pointTs` timestamp is binned
@@ -73,20 +73,25 @@ object BinnedRangeJoin {
       binMicros: Long,
       residual: Column): DataFrame = {
     checkInputs(left, right, binMicros)
+    // the lo-bin is precomputed PER SIDE (before the join), so the
+    // attribution predicate only references side-qualified columns —
+    // an unqualified expr() against the joined plan would be ambiguous
+    // (or silently bind the wrong side) when lo/hi names collide
+    // across the two inputs
     def binned(df: DataFrame, lo: String, hi: String) =
-      df.withColumn("__bin",
-        explode(sequence(
-          expr(s"unix_micros($lo) div ${binMicros}L"),
-          expr(s"unix_micros($hi) div ${binMicros}L"))))
+      df.withColumn("__lo_bin", expr(s"unix_micros($lo) div ${binMicros}L"))
+        .withColumn("__bin",
+          explode(sequence(
+            col("__lo_bin"),
+            expr(s"unix_micros($hi) div ${binMicros}L"))))
     val l = binned(left, leftLo, leftHi)
     val r = binned(right, rightLo, rightHi)
-    val attribution = l("__bin") === greatest(
-      expr(s"unix_micros($leftLo) div ${binMicros}L"),
-      expr(s"unix_micros($rightLo) div ${binMicros}L"))
+    val attribution = l("__bin") === greatest(l("__lo_bin"), r("__lo_bin"))
     val cond = (equi.map { case (a, b) => l(a) === r(b) } :+
       (l("__bin") === r("__bin")) :+ attribution).reduce(_ && _)
     l.join(r, cond)
       .drop("__bin")
+      .drop("__lo_bin")
       .where(residual)
   }
 }

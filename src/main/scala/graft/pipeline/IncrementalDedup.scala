@@ -42,16 +42,27 @@ object IncrementalDedup {
       spark: org.apache.spark.sql.SparkSession, schema: StructType) =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
+  /** Per-batch subdir name. `runId` (when non-empty) namespaces the
+    * batch id: micro-batch ids restart at 0 when a streaming
+    * checkpoint is reset, and without the namespace a fresh run's b0
+    * would silently OVERWRITE a prior run's b0 index subdir —
+    * committed postings lost with no error. [[streamingDedup]] derives
+    * runId from the checkpoint's persisted query id, which is exactly
+    * the token that changes on reset and survives restart.
+    */
+  private def subdirName(runId: String, id: Long): String =
+    if (runId.isEmpty) s"b$id" else s"b$runId-$id"
+
   /** Read an index sub-table: flat (legacy/compacted) files plus any
-    * per-batch `b<id>` subdirs. With `excludeBatch = Some(id)` that one
-    * subdir is skipped — it can only be a remnant of a FAILED earlier
-    * attempt at the batch being (re)processed, and including it would
-    * double-count the batch against itself on replay.
+    * per-batch `b<...>` subdirs. With `excludeBatch = Some(name)` that
+    * one subdir is skipped — it can only be a remnant of a FAILED
+    * earlier attempt at the batch being (re)processed, and including
+    * it would double-count the batch against itself on replay.
     */
   private def readIndexTable(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String, sub: String, schema: StructType,
-      excludeBatch: Option[Long]): DataFrame = {
+      excludeBatch: Option[String]): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) emptyDf(spark, schema)
@@ -61,7 +72,7 @@ object IncrementalDedup {
         .filter { p =>
           val n = p.getName
           !n.startsWith("_") && !n.startsWith(".") &&
-            excludeBatch.forall(id => n != s"b$id")
+            excludeBatch.forall(n != _)
         }
       if (keep.isEmpty) emptyDf(spark, schema)
       else spark.read.schema(schema)
@@ -78,9 +89,9 @@ object IncrementalDedup {
     */
   private def writeIndexTable(
       df: DataFrame, indexDir: String, sub: String,
-      batchId: Option[Long]): Unit = batchId match {
+      batchSubdir: Option[String]): Unit = batchSubdir match {
     case None => df.write.mode("append").parquet(s"$indexDir/$sub")
-    case Some(id) => df.write.mode("overwrite").parquet(s"$indexDir/$sub/b$id")
+    case Some(name) => df.write.mode("overwrite").parquet(s"$indexDir/$sub/$name")
   }
 
   /** The embedding-modality twin of [[dedupBatch]]: hyperplane-LSH
@@ -99,8 +110,10 @@ object IncrementalDedup {
       tau: Double = 0.4,
       tables: Int = 8,
       bits: Int = 6,
-      batchId: Option[Long] = None): DataFrame = {
+      batchId: Option[Long] = None,
+      runId: String = ""): DataFrame = {
     val spark = newVecs.sparkSession
+    val sub = batchId.map(subdirName(runId, _))
     val e = newVecs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(call_function("vec_dot", col("v"), col("v"))))
@@ -109,8 +122,8 @@ object IncrementalDedup {
       posexplode(call_function("lsh_sigs", col("v"), lit(tables), lit(bits)))
         .as(Seq("t", "sig")))
 
-    val oldBuckets = readIndexTable(spark, indexDir, "buckets", BucketsSchema, batchId)
-    val oldVectors = readIndexTable(spark, indexDir, "vectors", VectorsSchema, batchId)
+    val oldBuckets = readIndexTable(spark, indexDir, "buckets", BucketsSchema, sub)
+    val oldVectors = readIndexTable(spark, indexDir, "vectors", VectorsSchema, sub)
 
     val allBuckets = oldBuckets.unionByName(newBuckets)
     val allVectors = oldVectors.unionByName(e)
@@ -130,8 +143,8 @@ object IncrementalDedup {
       .select(col("vec1"), col("vec2"), col("cosine"))
       .localCheckpoint() // before the append — see dedupBatch
 
-    writeIndexTable(newBuckets, indexDir, "buckets", batchId)
-    writeIndexTable(e, indexDir, "vectors", batchId)
+    writeIndexTable(newBuckets, indexDir, "buckets", sub)
+    writeIndexTable(e, indexDir, "vectors", sub)
     pairs
   }
 
@@ -143,8 +156,10 @@ object IncrementalDedup {
       newDocs: DataFrame,
       indexDir: String,
       tau: Double = 0.8,
-      batchId: Option[Long] = None): DataFrame = {
+      batchId: Option[Long] = None,
+      runId: String = ""): DataFrame = {
     val spark = newDocs.sparkSession
+    val sub = batchId.map(subdirName(runId, _))
 
     val sh = shingleFrame(newDocs).localCheckpoint()
     val newPost = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -160,8 +175,8 @@ object IncrementalDedup {
     // corpus; a streamed, column-pruned parquet scan is the per-batch
     // cost the module promises (pairs.localCheckpoint below is the
     // only ordering barrier needed).
-    val oldPost = readIndexTable(spark, indexDir, "postings", PostingsSchema, batchId)
-    val oldSizes = readIndexTable(spark, indexDir, "sizes", SizesSchema, batchId)
+    val oldPost = readIndexTable(spark, indexDir, "postings", PostingsSchema, sub)
+    val oldSizes = readIndexTable(spark, indexDir, "sizes", SizesSchema, sub)
 
     val allPost = oldPost.unionByName(newPost)
     val allSizes = oldSizes.unionByName(newSizes)
@@ -183,8 +198,8 @@ object IncrementalDedup {
       // lazy, and appending first would double-count the new batch
       .localCheckpoint()
 
-    writeIndexTable(newPost, indexDir, "postings", batchId)
-    writeIndexTable(newSizes, indexDir, "sizes", batchId)
+    writeIndexTable(newPost, indexDir, "postings", sub)
+    writeIndexTable(newSizes, indexDir, "sizes", sub)
     pairs
   }
 
@@ -212,6 +227,15 @@ object IncrementalDedup {
     * way — no double-counted postings, no inflated jaccards, no
     * duplicate pairs to scrub on read.
     *
+    * Subdirs are namespaced by the checkpoint's persisted QUERY ID
+    * (`$checkpointDir/metadata`) — fresh when the checkpoint is reset,
+    * stable across restarts — so restarting a reset checkpoint (batch
+    * ids back at 0) cannot overwrite a prior run's committed subdirs.
+    * Remaining single-writer contract: one active stream per indexDir,
+    * and [[compactIndex]] must not run while a crashed batch awaits
+    * replay (compaction folds the remnant into the flat layout, where
+    * the replay's own-subdir exclusion can no longer see it).
+    *
     * Caller starts/stops the returned query (e.g. `.trigger(
     * AvailableNow)` for catch-up runs).
     */
@@ -220,14 +244,40 @@ object IncrementalDedup {
       indexDir: String,
       pairsDir: String,
       checkpointDir: String,
-      tau: Double = 0.8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      tau: Double = 0.8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = streamingDocs.sparkSession
+    // memoized per driver process; the metadata file exists by the time
+    // the first micro-batch runs (written at query start) and its id is
+    // the one token that distinguishes checkpoint generations
+    lazy val runId = checkpointQueryId(spark, checkpointDir)
     streamingDocs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        dedupBatch(batch, indexDir, tau, batchId = Some(id))
-          .write.mode("overwrite").parquet(s"$pairsDir/b$id")
+        dedupBatch(batch, indexDir, tau, batchId = Some(id), runId = runId)
+          .write.mode("overwrite").parquet(s"$pairsDir/${subdirName(runId, id)}")
         ()
       }
+  }
+
+  /** the streaming query id persisted in the checkpoint's metadata
+    * file; empty string (legacy un-namespaced layout) if unreadable
+    */
+  private def checkpointQueryId(
+      spark: org.apache.spark.sql.SparkSession, checkpointDir: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) ""
+      else {
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1).replaceAll("[^0-9a-zA-Z-]", "").take(8))
+          .getOrElse("")
+      }
+    } catch { case scala.util.control.NonFatal(_) => "" }
 
   /** Compact the index's per-batch appends into a bounded file count.
     *

@@ -124,7 +124,11 @@ object Similarity extends Catalog {
         (call_function("vec_dot", col("v"), col("cv")) / col("cnorm")).as("score"),
         col("cell"))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), col("score")).as("cell"))
+      // tie-break exact score ties by LOWEST cell (struct compares
+      // score first, then -cell), mirroring the q51/q85 oracles'
+      // "ORDER BY score DESC, cell" — without it an exact cosine tie
+      // picks a nondeterministic cell and can flip a dedup verdict
+      .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
 
   private[queries] def ivfKnn(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val e = embeddings(s, d)

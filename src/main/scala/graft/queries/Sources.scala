@@ -20,20 +20,70 @@ import graft.functions.WeightedMean
   */
 object Sources extends Catalog {
 
+  /** One lock object per target dir: Verify runs the catalog on a
+    * driver-side thread pool, and q72/q83 share the partitioned
+    * documents dir — without this, both could pass an exists() check
+    * and race two overwrite jobs onto the same path (committer
+    * conflicts / mixed part files).
+    */
+  private val dirLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  /** Idempotent, thread-safe one-time materialization of a derived
+    * dataset at `dir`. The first caller writes into a unique sibling
+    * tmp dir and atomically renames it into place, so `dir` either
+    * doesn't exist or is complete (its `_SUCCESS` comes from the last
+    * write inside `write`); concurrent callers serialize on the
+    * per-dir lock, later callers see the marker and skip. A leftover
+    * dir WITHOUT `_SUCCESS` (pre-atomic-rename legacy or torn copy)
+    * is cleared and rebuilt.
+    */
+  private def ensureDir(dir: String)(write: String => Unit): Unit = {
+    val lock = dirLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+        deleteRecursively(Paths.get(dir))
+        val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString
+        try {
+          write(tmp)
+          Files.move(Paths.get(tmp), Paths.get(dir),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } finally deleteRecursively(Paths.get(tmp))
+      }
+    }
+  }
+
   /** write `name` as `fmt` under /tmp once per (sf, table); reuse after */
   private def roundTrip(
       s: SparkSession, d: String, name: String, fmt: String): DataFrame = {
     val key = Integer.toHexString(d.hashCode)
     val dir = s"${sys.props("java.io.tmpdir")}/graft_src_${fmt}_${name}_$key"
     val src = Tables.load(s, d, name)
-    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+    ensureDir(dir) { tmp =>
       val w = src.write.mode("overwrite")
-      (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(dir)
+      (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(tmp)
     }
     s.read.schema(src.schema)
       .format(fmt)
       .options(if (fmt == "csv") Map("header" -> "true") else Map.empty[String, String])
       .load(dir)
+  }
+
+  /** the hive-partitioned documents layout shared by q72 and q83 */
+  private def partitionedDocs(s: SparkSession, d: String): String = {
+    val key = Integer.toHexString(d.hashCode)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_src_part_documents_$key"
+    ensureDir(dir) { tmp =>
+      Tables.load(s, d, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    }
+    dir
   }
 
   override def queries: Map[String, Q] = Map(
@@ -72,10 +122,16 @@ object Sources extends Catalog {
         roundTrip(s, d, "orders", "orc")
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice")).as("sum_price"),
+            // round to cents: the ORC round-trip regroups rows, so the
+            // double sum associates differently than DuckDB's scan of
+            // the original parquet (±1e-7 on a ~7.5e8 sum) — rounding
+            // to the money precision makes the output bit-identical on
+            // both engines regardless of summation order
+            round(sum(col("o_totalprice")), 2).as("sum_price"),
             countDistinct(col("o_custkey")).as("n_cust")),
       sql = Some("""
-        SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS sum_price,
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price,
                count(DISTINCT o_custkey) AS n_cust
         FROM orders GROUP BY o_orderpriority"""),
       scaleNote = "ORC reads vectorized with predicate pushdown + column pruning like parquet; the oracle reads the original parquet, so green means the ORC write->read path is lossless incl. timestamp/double fidelity"),
@@ -87,18 +143,14 @@ object Sources extends Catalog {
     // I/O for other partitions). PlanSpec asserts the pruning.
     "q72_partitioned_scan" -> Q(
       fn = (s, d) => {
-        val key = Integer.toHexString(d.hashCode)
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_src_part_documents_$key"
-        val src = Tables.load(s, d, "documents")
-        if (!Files.exists(Paths.get(dir, "_SUCCESS")))
-          src.write.mode("overwrite").partitionBy("lang").parquet(dir)
-        s.read.parquet(dir)
+        s.read.parquet(partitionedDocs(s, d))
           .filter(col("lang") === "en")
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
       },
       sql = Some("""
-        SELECT source, count(*) AS n, sum(n_chars) AS sum_chars
+        SELECT source, count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents WHERE lang = 'en' GROUP BY source"""),
       scaleNote = "lang=... directories are pruned at plan time (PartitionFilters, not data filters) — the scan never opens non-en files; at 100 TB partition-on-read-predicate is the first I/O lever before any row-group statistics"),
 
@@ -112,15 +164,14 @@ object Sources extends Catalog {
         val key = Integer.toHexString(d.hashCode)
         val dir = s"${sys.props("java.io.tmpdir")}/graft_src_evo_documents_$key"
         val src = Tables.load(s, d, "documents")
-        // marker written after BOTH generations: a crash between the
-        // two appends re-runs the whole write (overwrite resets)
-        val done = Paths.get(dir, "_GRAFT_BOTH_GENERATIONS")
-        if (!Files.exists(done)) {
+        // both generations land inside the tmp dir before the atomic
+        // rename, so the visible dir is always complete — no separate
+        // both-generations marker needed
+        ensureDir(dir) { tmp =>
           src.select(col("doc_id"), col("source"), col("n_chars"))
-            .write.mode("overwrite").parquet(dir)
+            .write.mode("overwrite").parquet(tmp)
           src.select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
-            .write.mode("append").parquet(dir)
-          Files.createFile(done)
+            .write.mode("append").parquet(tmp)
         }
         s.read.option("mergeSchema", "true").parquet(dir)
           .groupBy(coalesce(col("lang"), lit("pre-schema")).as("lang"))
@@ -128,7 +179,7 @@ object Sources extends Catalog {
       },
       sql = Some("""
         SELECT coalesce(lang, 'pre-schema') AS lang,
-               count(*) AS n, sum(n_chars) AS sum_chars
+               count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM (SELECT doc_id, source, n_chars, NULL AS lang FROM documents
               UNION ALL
               SELECT doc_id, source, n_chars, lang FROM documents)
@@ -144,17 +195,15 @@ object Sources extends Catalog {
     "q83_dynamic_partition_pruning" -> Q(
       fn = (s, d) => {
         val key = Integer.toHexString(d.hashCode)
-        val docDir = s"${sys.props("java.io.tmpdir")}/graft_src_part_documents_$key"
-        val src = Tables.load(s, d, "documents")
-        if (!Files.exists(Paths.get(docDir, "_SUCCESS")))
-          src.write.mode("overwrite").partitionBy("lang").parquet(docDir)
+        val docDir = partitionedDocs(s, d)
         val dimDir = s"${sys.props("java.io.tmpdir")}/graft_src_langdim_$key"
-        if (!Files.exists(Paths.get(dimDir, "_SUCCESS")))
+        ensureDir(dimDir) { tmp =>
           s.createDataFrame(Seq(
               ("en", "germanic"), ("de", "germanic"),
               ("fr", "romance"), ("es", "romance"), ("zh", "sinitic")))
             .toDF("lang", "family")
-            .write.mode("overwrite").parquet(dimDir)
+            .write.mode("overwrite").parquet(tmp)
+        }
         s.read.parquet(docDir)
           .join(broadcast(
             s.read.parquet(dimDir).filter(col("family") === "romance")), "lang")
@@ -162,7 +211,8 @@ object Sources extends Catalog {
           .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
       },
       sql = Some("""
-        SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+        SELECT lang, source, count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents WHERE lang IN ('fr', 'es')
         GROUP BY lang, source"""),
       scaleNote = "the dim filter's values flow into the fact scan as a dynamic-pruning subquery at RUNTIME — at 100 TB this is how a 5-row dimension decides which petabytes never get read; PlanSpec asserts the dynamicpruning expression on the scan"),

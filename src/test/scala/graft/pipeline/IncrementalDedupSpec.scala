@@ -76,6 +76,35 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(p3.isEmpty)
   }
 
+  test("a reset checkpoint (batch ids back at 0) cannot clobber a prior run's subdirs") {
+    // two streaming "runs" against one index: run 2's checkpoint was
+    // reset, so its micro-batch ids restart at 0. The runId namespace
+    // keeps run2/b0 distinct from run1/b0 — without it the second
+    // run's overwrite would silently erase run 1's committed postings.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0)
+    val b1 = docs.filter(col("doc_id") <= mid)
+    val b2 = docs.filter(col("doc_id") > mid)
+
+    val idx = Files.createTempDirectory("graft-runid-idx").toString
+    val p1 = IncrementalDedup.dedupBatch(b1, idx, batchId = Some(0L), runId = "run1")
+      .as[(Long, Long, Double)].collect().toSet
+    val p2 = IncrementalDedup.dedupBatch(b2, idx, batchId = Some(0L), runId = "run2")
+      .as[(Long, Long, Double)].collect().toSet
+
+    val oneShot = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    // run 2 saw run 1's postings (cross-run pairs present) AND run 1's
+    // subdir survived — union covers exactly the one-shot pairs
+    assert(p1.union(p2) == oneShot,
+      s"missing=${oneShot.diff(p1.union(p2)).take(5)} extra=${p1.union(p2).diff(oneShot).take(5)}")
+    // replay of run2/b0 is still idempotent under the namespace
+    val replay = IncrementalDedup.dedupBatch(b2, idx, batchId = Some(0L), runId = "run2")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(replay == p2)
+  }
+
   test("two-batch incremental dedup equals the one-shot near-dup pairs") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))
