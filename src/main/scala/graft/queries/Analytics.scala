@@ -260,6 +260,136 @@ object Analytics extends Catalog {
           FROM lineitem GROUP BY 1)
         SELECT l_linestatus, measure, total
         FROM a UNPIVOT (total FOR measure IN (qty, price, discount))"""),
-      scaleNote = "unpivot is a zero-shuffle Expand over the aggregated (tiny) frame — wide-to-long reshaping never touches the fact table after the two-phase agg")
+      scaleNote = "unpivot is a zero-shuffle Expand over the aggregated (tiny) frame — wide-to-long reshaping never touches the fact table after the two-phase agg"),
+
+    // ----- batch MERGE / upsert (SCD Type 1) ------------------------
+    // Snapshot maintenance: a delta of changed rows (7% price+status
+    // updates) and new rows (1% inserts under shifted keys) merges
+    // into the orders snapshot in ONE full-outer join. The delta is
+    // derived deterministically from the base so the oracle can
+    // mirror it exactly.
+    "q86_merge_upsert" -> Q(
+      fn = (s, d) => {
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val updates = base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          // additive update, NOT ×1.1+round: a single IEEE addition is
+          // bit-identical in both engines, while round(x*1.1, 2)
+          // diverges on .5 ties (Spark rounds the shortest-decimal
+          // rendering of the double, DuckDB the full binary value)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        val inserts = base.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"))
+        graft.operators.Upsert(
+          base, updates.unionByName(inserts), Seq("o_orderkey"))
+      },
+      sql = Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        upd AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus,
+                 o_totalprice + 1000.0 AS o_totalprice
+          FROM base WHERE o_orderkey % 7 = 0),
+        ins AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey,
+                 'N' AS o_orderstatus, o_totalprice
+          FROM base WHERE o_orderkey % 97 = 0),
+        delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN u.o_orderkey IS NOT NULL
+                    THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN u.o_orderkey IS NOT NULL
+                    THEN u.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+        FROM base b FULL OUTER JOIN delta u ON b.o_orderkey = u.o_orderkey"""),
+      scaleNote = "one full-outer shuffle join on the snapshot key; bucketed layouts co-locate it to zero exchange, AQE coalesces the tiny delta side — the MERGE primitive every incremental 100 TB snapshot rebuild reduces to"),
+
+    // ----- SCD Type 2 history build ---------------------------------
+    // Change-tracking: collapse each user's event_type stream into
+    // validity intervals [vf, vt) — change detection via lag, interval
+    // close via lead over the surviving change rows. The open interval
+    // (vt NULL) is the current state.
+    "q87_scd2_history" -> Q(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("vt_ts", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("vf"),
+            unix_micros(col("vt_ts")).as("vt"),
+            col("vt_ts").isNull.cast("int").as("is_current"))
+      },
+      sql = Some("""
+        WITH h AS (
+          SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+          FROM events),
+        c AS (
+          SELECT user_id, event_id, ts, event_type FROM h
+          WHERE prev IS NULL OR prev <> event_type),
+        iv AS (
+          SELECT user_id, event_type, ts,
+                 lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS vt_ts
+          FROM c)
+        SELECT user_id, event_type, epoch_us(ts) AS vf, epoch_us(vt_ts) AS vt,
+               CAST(vt_ts IS NULL AS INT) AS is_current
+        FROM iv"""),
+      scaleNote = "both windows share ONE shuffle+sort on user_id (same partition spec); change rows are a fraction of the input, so the second window sorts a shrunken frame — the standard distributed SCD2 build with no self-join"),
+
+    // ----- funnel analysis (staged conversion with time bounds) -----
+    // view → click-within-1h → purchase-within-1h: each stage is an
+    // aggregate of the previous stage's users, so the plan is three
+    // shrinking groupBys chained by equi-joins on user_id — never a
+    // per-user subquery.
+    "q88_funnel_stages" -> Q(
+      fn = (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val c = e.join(v, "user_id")
+          .filter(col("event_type") === "click" &&
+            col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 1 HOUR"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val p = e.join(c, "user_id")
+          .filter(col("event_type") === "purchase" &&
+            col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 1 HOUR"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select((lit(1) + col("t2").isNotNull.cast("int")
+            + col("t3").isNotNull.cast("int")).as("stage"))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      },
+      sql = Some("""
+        WITH v AS (
+          SELECT user_id, min(ts::TIMESTAMP) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        c AS (
+          SELECT e.user_id, min(e.ts::TIMESTAMP) AS t2
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > v.t1
+            AND e.ts::TIMESTAMP <= v.t1 + INTERVAL 1 HOUR
+          GROUP BY 1),
+        p AS (
+          SELECT e.user_id, min(e.ts::TIMESTAMP) AS t3
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t2
+            AND e.ts::TIMESTAMP <= c.t2 + INTERVAL 1 HOUR
+          GROUP BY 1)
+        SELECT CAST(1 + CAST(c.user_id IS NOT NULL AS INT)
+                 + CAST(p.user_id IS NOT NULL AS INT) AS INT) AS stage,
+               count(*) AS n_users
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        GROUP BY 1"""),
+      scaleNote = "three chained shrinking aggregations on user_id — one shuffle key throughout, so AQE reuses the partitioning; stage populations fall monotonically, never a cross join or per-user re-scan")
   )
 }

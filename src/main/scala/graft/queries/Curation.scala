@@ -405,6 +405,48 @@ object Curation extends Catalog {
                  list_transform(range(0, 64),
                    i -> CAST((i % 7) - 3 AS DOUBLE) / 8.0)) > 0 AS INT) AS kept
         FROM embeddings"""),
-      scaleNote = "pure map-side: one codegen'd dot product per row against a broadcast-literal weight vector — zero shuffle; a real fastText/DCLM filter at 100 TB is exactly this shape with learned weights")
+      scaleNote = "pure map-side: one codegen'd dot product per row against a broadcast-literal weight vector — zero shuffle; a real fastText/DCLM filter at 100 TB is exactly this shape with learned weights"),
+
+    // ---- q90: temperature-weighted source-mix resampling -----------
+    // The data-mixing stage: resample the corpus so each language's
+    // share follows count^(1/2) (temperature T=2 upweights low-
+    // resource langs, the multilingual-pretraining standard). The
+    // per-lang budget is derived from the corpus itself; rows are
+    // picked by md5 rank — reproducible across engines, re-runs, and
+    // task retries (q60's hash-sampling stance), and a lang's sample
+    // is a stable prefix as its budget grows.
+    "q90_lang_mix_resample" -> Q(
+      fn = (s, d) => {
+        val budget = 300
+        val counts = docs(s, d).groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"))
+        val targets = counts
+          .withColumn("wgt", sqrt(col("cnt")))
+          .withColumn("t_n",
+            round(lit(budget) * col("wgt") /
+              sum(col("wgt")).over(Window.partitionBy())).cast("long"))
+          .select(col("lang"), col("t_n"))
+        val rn = row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(md5(concat(lit("m:"), col("doc_id").cast("string"))),
+            col("doc_id")))
+        docs(s, d).join(broadcast(targets), "lang")
+          .withColumn("rn", rn)
+          .filter(col("rn") <= col("t_n"))
+          .select(col("doc_id"), col("lang"))
+      },
+      sql = Some("""
+        WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        t AS (
+          SELECT lang,
+                 CAST(round(300 * sqrt(cnt) /
+                   (SELECT sum(sqrt(cnt)) FROM c)) AS BIGINT) AS t_n
+          FROM c),
+        r AS (
+          SELECT d.doc_id, d.lang, t.t_n,
+                 row_number() OVER (PARTITION BY d.lang
+                   ORDER BY md5('m:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+          FROM documents d JOIN t USING (lang))
+        SELECT doc_id, lang FROM r WHERE rn <= t_n"""),
+      scaleNote = "budgets come from one tiny two-phase count agg (broadcast back); selection is one rank window per lang partition — at 100 TB replace row_number with the md5-threshold filter (q60) to avoid the global sort per lang, identical sample by construction")
   )
 }

@@ -382,6 +382,47 @@ object Dedup extends Catalog {
                count(*) OVER (PARTITION BY group_id) AS group_sz,
                CAST(doc_id = group_id AS INT) AS kept
         FROM lab"""),
-      scaleNote = "star contraction: O(log n) rounds of two groupBy-min shuffles on (long,long) edges, localCheckpoint per round truncates iterative lineage; edge volume = near-dup pairs only, not corpus size")
+      scaleNote = "star contraction: O(log n) rounds of two groupBy-min shuffles on (long,long) edges, localCheckpoint per round truncates iterative lineage; edge volume = near-dup pairs only, not corpus size"),
+
+    // ----- q89: sub-document (chunk-level) exact dedup --------------
+    // Paragraph/chunk granularity: split each doc into fixed 10-word
+    // chunks, dedup chunks ACROSS the corpus (first occurrence by
+    // (doc_id, position) wins), report per-doc survival. This is the
+    // dedup a pretraining pipeline runs when whole-doc dedup passes
+    // but boilerplate paragraphs repeat across pages.
+    "q89_chunk_dedup" -> Q(
+      fn = (s, d) => {
+        val ws = split(col("text"), " ")
+        val chunks = docs(s, d)
+          .select(col("doc_id"),
+            transform(
+              sequence(lit(0), ceil(size(ws) / lit(10.0)).cast("int") - 1),
+              i => array_join(slice(ws, i * 10 + 1, lit(10)), " ")).as("chunks"))
+          .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "chunk")))
+        val rn = row_number().over(
+          Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx")))
+        chunks.withColumn("rn", rn)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum((col("rn") === 1).cast("long")).as("n_kept"))
+      },
+      sql = Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        c AS (
+          SELECT doc_id,
+                 unnest(range(1, CAST(ceil(len(ws)/10.0) AS BIGINT) + 1)) AS idx,
+                 unnest(list_transform(
+                   range(1, CAST(ceil(len(ws)/10.0) AS BIGINT) + 1),
+                   i -> array_to_string(ws[((i-1)*10+1):(i*10)], ' '))) AS chunk
+          FROM w),
+        r AS (
+          SELECT doc_id, idx, chunk,
+                 row_number() OVER (PARTITION BY chunk
+                   ORDER BY doc_id, idx) AS rn
+          FROM c)
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM r GROUP BY doc_id"""),
+      scaleNote = "one shuffle on the chunk text (hash-partitioned; at 100 TB hash the chunk to 16 bytes first — same plan, skinnier key); chunking itself is map-side array ops inside codegen, and the survivors reassemble by (doc_id, idx) without re-reading the corpus")
   )
 }

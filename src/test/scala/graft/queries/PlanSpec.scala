@@ -339,6 +339,46 @@ class PlanSpec extends SparkSpec {
       "bloom probe should be on the scan side, below the join")
   }
 
+  test("q86: merge/upsert is one full-outer sort-merge join on the key") {
+    val p = plan("q86_merge_upsert")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"expected a full-outer SMJ (full outer cannot broadcast):\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
+  test("q87: SCD2's two windows share one shuffle on user_id") {
+    val p = plan("q87_scd2_history")
+    // lag (change detection) and lead (interval close) use the same
+    // partitioning+ordering — Spark must not re-exchange between them
+    assert(exchanges(p) == 1, s"expected 1 shuffle on user_id:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q88: funnel stages chain aggregations — no nested loops, partial aggs kept") {
+    val p = plan("q88_funnel_stages")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"stage aggregations must stay two-phase:\n${p.take(800)}")
+  }
+
+  test("q89: chunk dedup shuffles on chunk then doc_id — nothing else") {
+    val p = plan("q89_chunk_dedup")
+    // one exchange for the keeper window (partition by chunk), one for
+    // the per-doc survival agg (group by doc_id)
+    assert(exchanges(p) == 2, s"expected 2 exchanges:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q90: lang budgets broadcast back; selection is one rank window per lang") {
+    val p = plan("q90_lang_mix_resample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row budget table must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus must not shuffle into the budget join:\n${p.take(800)}")
+  }
+
   test("q74: binned range join is a shuffled equi-join, never a nested loop") {
     val p = plan("q74_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
