@@ -390,6 +390,50 @@ object Analytics extends Catalog {
                count(*) AS n_users
         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         GROUP BY 1"""),
-      scaleNote = "three chained shrinking aggregations on user_id — one shuffle key throughout, so AQE reuses the partitioning; stage populations fall monotonically, never a cross join or per-user re-scan")
+      scaleNote = "three chained shrinking aggregations on user_id — one shuffle key throughout, so AQE reuses the partitioning; stage populations fall monotonically, never a cross join or per-user re-scan"),
+
+    // ----- CDC changelog apply (ordered I/U/D materialization) ------
+    // The changelog is derived deterministically from orders: an
+    // insert for every key (seq 0), an update for keys %3=0 (seq 1),
+    // a delete for keys %5=0 (seq 2). Applying it must yield: %5 keys
+    // gone, remaining %3 keys updated, everything else original.
+    "q91_cdc_apply" -> Q(
+      fn = (s, d) => {
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val ins = base
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            lit(0L).as("seq"), lit("I").as("op"))
+        val upd = base.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + lit(500.0)).as("o_totalprice"),
+            lit(1L).as("seq"), lit("U").as("op"))
+        val del = base.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
+            lit(null).cast("double").as("o_totalprice"),
+            lit(2L).as("seq"), lit("D").as("op"))
+        graft.operators.CdcApply(
+          ins.unionByName(upd).unionByName(del),
+          Seq("o_orderkey"), "seq", "op")
+      },
+      sql = Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        log AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 0 AS seq, 'I' AS op FROM base
+          UNION ALL
+          SELECT o_orderkey, 'U', o_totalprice + 500.0, 1, 'U'
+          FROM base WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, NULL, NULL, 2, 'D'
+          FROM base WHERE o_orderkey % 5 = 0),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY seq DESC) AS rn
+          FROM log)
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM ranked WHERE rn = 1 AND op <> 'D'"""),
+      scaleNote = "one shuffle on the key; keep-last is a rank-1 window Spark executes as WindowGroupLimit, compacting per-key histories inside the exchange — the changelog never sorts globally and the snapshot materializes in a single pass")
   )
 }

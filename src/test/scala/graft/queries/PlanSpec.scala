@@ -379,6 +379,13 @@ class PlanSpec extends SparkSpec {
       s"the corpus must not shuffle into the budget join:\n${p.take(800)}")
   }
 
+  test("q91: CDC keep-last prunes per-key histories in-shuffle") {
+    val p = plan("q91_cdc_apply")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-1 keep-last must compact inside the exchange:\n${p.take(800)}")
+    assert(exchanges(p) == 1, s"expected one shuffle on the key:\n${p.take(800)}")
+  }
+
   test("q74: binned range join is a shuffled equi-join, never a nested loop") {
     val p = plan("q74_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
