@@ -633,6 +633,45 @@ object Relational extends Catalog {
         FROM (SELECT * FROM events WHERE event_type = 'error') e
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON e.user_id = c.user_id AND e.ts >= c.ts"""),
-      scaleNote = "one-shuffle union-window as-of join (graft.operators.AsOfJoin) — never the per-key cross product a naive ts>=ts range join materializes")
+      scaleNote = "one-shuffle union-window as-of join (graft.operators.AsOfJoin) — never the per-key cross product a naive ts>=ts range join materializes"),
+
+    // ----- SQL-string entry point (spark.sql, no DataFrame calls) ---
+    // The second API surface: the whole query — scans included, via
+    // `parquet.` table refs, so no temp-view registration that could
+    // race Verify's concurrent catalog — is one SQL string through
+    // spark.sql. Same Catalyst plan space as the DataFrame API
+    // (broadcast dim, two-phase agg, TakeOrderedAndProject top-k).
+    // Decimal accumulation + BIGINT fixed-point output per the q14
+    // hash-portability stance.
+    "q92_sql_entry" -> Q(
+      fn = (s, d) => s.sql(s"""
+        SELECT o_orderkey,
+               CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(18,6))) AS DECIMAL(18,6)) * 10000
+                 AS BIGINT) AS revenue_e4,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year
+        FROM parquet.`$d/customer.parquet`
+        JOIN parquet.`$d/orders.parquet` ON c_custkey = o_custkey
+        JOIN parquet.`$d/lineitem.parquet` ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderkey, year(o_orderdate)
+        ORDER BY revenue_e4 DESC, o_orderkey
+        LIMIT 10"""),
+      sql = Some("""
+        SELECT o_orderkey,
+               CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(18,6))) AS DECIMAL(18,6)) * 10000
+                 AS BIGINT) AS revenue_e4,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderkey, year(o_orderdate)
+        ORDER BY revenue_e4 DESC, o_orderkey
+        LIMIT 10"""),
+      scaleNote = "SQL text and DataFrame calls meet in the same Catalyst plan: filter pushdown into all three scans, customer broadcasts, one fact-fact shuffle on orderkey, TakeOrderedAndProject for the top-10 — parity asserted in PlanSpec")
   )
 }

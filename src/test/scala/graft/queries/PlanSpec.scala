@@ -386,6 +386,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p) == 1, s"expected one shuffle on the key:\n${p.take(800)}")
   }
 
+  test("q92: the SQL-string entry plans exactly like the DataFrame API would") {
+    val p = plan("q92_sql_entry")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must not global-sort:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the filtered customer dim must broadcast:\n${p.take(800)}")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("c_mktsegment")).getOrElse("")
+    assert(scanLine.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must push into the customer scan:\n$scanLine")
+  }
+
   test("q74: binned range join is a shuffled equi-join, never a nested loop") {
     val p = plan("q74_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
