@@ -317,6 +317,27 @@ object Sources extends Catalog {
       // SourcesSpec asserts the ±2% error contract vs the exact count
       scaleNote = "HLL++ sketch: no expand, constant memory per group, mergeable across partitions — the 100 TB answer to count-distinct"),
 
+    // ----- E6 sketch variant: persisted-sketch RE-aggregation -------
+    // q43 sketches once; this is the other half of the 100 TB sketch
+    // story: build fine-grained (event_type, day) sketches — the shape
+    // you'd PERSIST in a metrics table — then merge them up to
+    // per-type totals with hll_union_agg, never touching raw rows
+    // again. SourcesSpec asserts the merged estimate equals the
+    // one-shot sketch exactly (mergeability) and lands within
+    // tolerance of the exact distinct count.
+    "q93_sketch_reaggregate" -> Q(
+      fn = (s, d) => {
+        val daily = graft.core.Tables.load(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        daily.groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("approx_users"))
+      },
+      sql = None, // HLL sketch binaries are engine-specific (q43's
+      // stance); SourcesSpec proves merge-exactness + error contract
+      scaleNote = "sketches are mergeable state: the daily layer aggregates map-side and shuffles ~1.5 KB per (type, day) group; the rollup re-aggregates sketches without rescanning events — the pattern that turns 100 TB distinct-count dashboards into KB-scale metadata queries"),
+
     // ----- E18: the reference's whole job, at engine speed ----------
     "q44_llm_enrich_fake" -> Q(
       fn = (s, d) => {

@@ -22,6 +22,28 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("q93: merged daily sketches equal the one-shot sketch and track exact counts") {
+    val reagg = Sources.queries("q93_sketch_reaggregate").fn(spark, sf001)
+      .as[(String, Long)].collect().toMap
+    // mergeability: union of per-day sketches ≡ one sketch over all
+    // rows — not approximately, identically (same sketch state)
+    val oneShot = graft.core.Tables.load(spark, sf001, "events")
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(reagg == oneShot,
+      s"re-aggregated sketches must merge losslessly: $reagg vs $oneShot")
+    val exact = graft.core.Tables.load(spark, sf001, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(reagg.keySet == exact.keySet)
+    reagg.foreach { case (t, a) =>
+      val err = math.abs(a - exact(t)).toDouble / exact(t)
+      assert(err <= 0.06, s"$t approx=$a exact=${exact(t)} err=$err")
+    }
+  }
+
   test("CSV round-trip is lossless for part (quoting, ints, doubles)") {
     val direct = spark.read.parquet(s"$sf0001/part.parquet")
     val viaCsv = Sources.queries("q40_csv_scan").fn(spark, sf0001)
