@@ -447,6 +447,34 @@ object Curation extends Catalog {
                    ORDER BY md5('m:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
           FROM documents d JOIN t USING (lang))
         SELECT doc_id, lang FROM r WHERE rn <= t_n"""),
-      scaleNote = "budgets come from one tiny two-phase count agg (broadcast back); selection is one rank window per lang partition — at 100 TB replace row_number with the md5-threshold filter (q60) to avoid the global sort per lang, identical sample by construction")
+      scaleNote = "budgets come from one tiny two-phase count agg (broadcast back); selection is one rank window per lang partition — at 100 TB replace row_number with the md5-threshold filter (q60) to avoid the global sort per lang, identical sample by construction"),
+
+    // ---- q94: reproducible shard shuffle -----------------------------
+    // Training readers want the corpus in a RANDOM but REPRODUCIBLE
+    // order, written as shards (the WebDataset/TFRecord layout). Hash
+    // order IS the shuffle: shard = first md5 hex char (16 shards),
+    // within-shard order = full md5 rank. No RNG state, stable under
+    // retries, and sources/languages interleave automatically because
+    // the hash is independent of every payload attribute.
+    "q94_shard_shuffle" -> Q(
+      fn = (s, d) => {
+        val hx = md5(concat(lit("sh:"), col("doc_id").cast("string")))
+        docs(s, d)
+          .withColumn("hx", hx)
+          .withColumn("shard", substring(col("hx"), 1, 1))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("hx"), col("doc_id")))
+            .cast("long")) // DuckDB row_number is BIGINT; match it
+          .select(col("doc_id"), col("shard"), col("rk"))
+      },
+      sql = Some("""
+        WITH h AS (
+          SELECT doc_id, md5('sh:' || CAST(doc_id AS VARCHAR)) AS hx
+          FROM documents)
+        SELECT doc_id, substr(hx, 1, 1) AS shard,
+               row_number() OVER (PARTITION BY substr(hx, 1, 1)
+                 ORDER BY hx, doc_id) AS rk
+        FROM h"""),
+      scaleNote = "one shuffle, partitioned by shard — never a single-partition global sort; at 100 TB widen the shard prefix (2 hex chars = 256 shards) and write with partitionBy(shard) + sortWithinPartitions(hx): each output file is one reproducibly-shuffled training shard")
   )
 }

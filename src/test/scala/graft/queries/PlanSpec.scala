@@ -398,6 +398,14 @@ class PlanSpec extends SparkSpec {
       s"segment filter must push into the customer scan:\n$scanLine")
   }
 
+  test("q94: shard shuffle partitions by shard — never a single-partition global sort") {
+    val p = plan("q94_shard_shuffle")
+    assert(exchanges(p) == 1, s"expected one hash exchange on shard:\n${p.take(800)}")
+    assert(!p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"),
+      s"a global sort would serialize the corpus through one partition:\n${p.take(800)}")
+  }
+
   test("q74: binned range join is a shuffled equi-join, never a nested loop") {
     val p = plan("q74_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
