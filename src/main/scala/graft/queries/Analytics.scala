@@ -434,6 +434,70 @@ object Analytics extends Catalog {
           FROM log)
         SELECT o_orderkey, o_orderstatus, o_totalprice
         FROM ranked WHERE rn = 1 AND op <> 'D'"""),
-      scaleNote = "one shuffle on the key; keep-last is a rank-1 window Spark executes as WindowGroupLimit, compacting per-key histories inside the exchange — the changelog never sorts globally and the snapshot materializes in a single pass")
+      scaleNote = "one shuffle on the key; keep-last is a rank-1 window Spark executes as WindowGroupLimit, compacting per-key histories inside the exchange — the changelog never sorts globally and the snapshot materializes in a single pass"),
+
+    // ----- snapshot diff / reconciliation ---------------------------
+    // The audit half of the q86/q91 maintenance story: given two table
+    // versions (v2 = q86's merged snapshot), classify every key as
+    // added / removed / changed / same in ONE full-outer join, payload
+    // equality via null-safe comparison. At 100 TB this is the data-
+    // reconciliation pass run after every backfill.
+    "q95_table_diff" -> Q(
+      fn = (s, d) => {
+        val v1 = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        // v2 = the q86 upsert output, rebuilt inline (same derivation)
+        val updates = v1.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        val inserts = v1.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"))
+        val v2 = graft.operators.Upsert(
+          v1, updates.unionByName(inserts), Seq("o_orderkey"))
+          // drop the %13 keys so every diff class (incl. removed) occurs
+          .filter(col("o_orderkey") % 13 =!= 0)
+        val a = v1.as("a")
+        val b = v2.as("b")
+        a.join(b, col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+          .select(
+            coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+            when(col("a.o_orderkey").isNull, "added")
+              .when(col("b.o_orderkey").isNull, "removed")
+              .when(col("a.o_orderstatus") <=> col("b.o_orderstatus") &&
+                col("a.o_totalprice") <=> col("b.o_totalprice"), "same")
+              .otherwise("changed").as("diff"))
+          .groupBy(col("diff")).agg(count(lit(1)).as("n"))
+      },
+      sql = Some("""
+        WITH v1 AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        upd AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus,
+                 o_totalprice + 1000.0 AS o_totalprice
+          FROM v1 WHERE o_orderkey % 7 = 0),
+        ins AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey,
+                 'N' AS o_orderstatus, o_totalprice
+          FROM v1 WHERE o_orderkey % 97 = 0),
+        delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        v2 AS (
+          SELECT * FROM (
+            SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   CASE WHEN u.o_orderkey IS NOT NULL
+                        THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN u.o_orderkey IS NOT NULL
+                        THEN u.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+            FROM v1 b FULL OUTER JOIN delta u ON b.o_orderkey = u.o_orderkey)
+          WHERE o_orderkey % 13 <> 0)
+        SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+                     AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+                    THEN 'same' ELSE 'changed' END AS diff,
+               count(*) AS n
+        FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        GROUP BY 1"""),
+      scaleNote = "one full-outer shuffle join keyed like the snapshots themselves (bucketed layouts co-locate it); payload equality stays inside the join's projection — at 100 TB compare xxhash64 of the payload struct instead of column-by-column, same plan")
   )
 }

@@ -273,6 +273,48 @@ object TextAnalysis extends Catalog {
           SELECT unnest(w[1:len(w)-2]), unnest(w[3:len(w)]), 2 FROM w)
         SELECT w1, w2, dist, count(*) AS cnt FROM p GROUP BY 1, 2, 3
         ORDER BY cnt DESC, w1, w2, dist LIMIT 50"""),
-      scaleNote = "pairs fan out ~2n per doc inside the scan projection (no self-join on position); partial agg collapses repeats map-side before the one (w1,w2,dist) shuffle; top-K is TakeOrderedAndProject")
+      scaleNote = "pairs fan out ~2n per doc inside the scan projection (no self-join on position); partial agg collapses repeats map-side before the one (w1,w2,dist) shuffle; top-K is TakeOrderedAndProject"),
+
+    // ----- corpus-level similarity: source vocabulary overlap -------
+    // Pairwise Jaccard between each source's DISTINCT vocabulary —
+    // the corpus-composition matrix a data-mixing decision reads
+    // (which crawls duplicate each other's coverage). Same inverted-
+    // index shape as doc-level dedup (q26), one level up: postings are
+    // (word → source) and the self-join aggregates at the source-pair
+    // grain.
+    "q96_source_vocab_overlap" -> Q(
+      fn = (s, d) => {
+        val words = docs(s, d)
+          .select(col("source"), explode(split(lower(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .distinct()
+          .localCheckpoint() // shared by sizes + both join sides
+        val sz = words.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        words.as("a").join(words.as("b"),
+            col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("i"))
+          .join(sz.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+          .join(sz.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+          .select(col("src_a"), col("src_b"),
+            (col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+              .as("jaccard"))
+      },
+      sql = Some("""
+        WITH w0 AS (
+          SELECT DISTINCT source,
+                 unnest(string_split(lower(text), ' ')) AS word
+          FROM documents),
+        w AS (SELECT source, word FROM w0 WHERE length(word) > 0),
+        sz AS (SELECT source, count(*) AS n FROM w GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+          FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.source = src_a
+        JOIN sz sb ON sb.source = src_b"""),
+      scaleNote = "the distinct (source, word) frame is tiny relative to the corpus (vocab × sources) and is checkpointed once; the word self-join shuffles only vocab postings — at 100 TB hash words to 8 bytes first (q26's stance) and cap stop-words (q59's guard) for bounded posting lists")
   )
 }
