@@ -498,6 +498,36 @@ object Analytics extends Catalog {
                count(*) AS n
         FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
         GROUP BY 1"""),
-      scaleNote = "one full-outer shuffle join keyed like the snapshots themselves (bucketed layouts co-locate it); payload equality stays inside the join's projection — at 100 TB compare xxhash64 of the payload struct instead of column-by-column, same plan")
+      scaleNote = "one full-outer shuffle join keyed like the snapshots themselves (bucketed layouts co-locate it); payload equality stays inside the join's projection — at 100 TB compare xxhash64 of the payload struct instead of column-by-column, same plan"),
+
+    // ----- retention cohorts ----------------------------------------
+    // Product-analytics staple: bucket users by first-active week
+    // (cohort), count how many are active k weeks later. Integer week
+    // arithmetic on epoch micros (`div` — exact in both engines);
+    // weeks are Monday-truncated identically by both date_trunc's.
+    "q97_retention_cohorts" -> Q(
+      fn = (s, d) => {
+        val a = t(s, d, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+          .distinct()
+        val f = a.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+        a.join(f, "user_id")
+          .select(unix_micros(col("w0")).as("cohort_us"),
+            expr("(unix_micros(w) - unix_micros(w0)) div 604800000000").as("wk"))
+          .groupBy(col("cohort_us"), col("wk"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      sql = Some("""
+        WITH a AS (
+          SELECT DISTINCT user_id,
+                 date_trunc('week', ts::TIMESTAMP) AS w
+          FROM events),
+        f AS (SELECT user_id, min(w) AS w0 FROM a GROUP BY 1)
+        SELECT epoch_us(w0) AS cohort_us,
+               (epoch_us(w) - epoch_us(w0)) // 604800000000 AS wk,
+               count(*) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2"""),
+      scaleNote = "raw events collapse map-side into the (user, week) distinct before anything moves; every later exchange carries only user×week (then cohort×offset) rows and the first-week frame broadcasts back — the shuffled volume shrinks at each of the three stages, never re-touching raw events")
   )
 }
