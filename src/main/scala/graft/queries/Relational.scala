@@ -672,6 +672,42 @@ object Relational extends Catalog {
         GROUP BY o_orderkey, year(o_orderdate)
         ORDER BY revenue_e4 DESC, o_orderkey
         LIMIT 10"""),
-      scaleNote = "SQL text and DataFrame calls meet in the same Catalyst plan: filter pushdown into all three scans, customer broadcasts, one fact-fact shuffle on orderkey, TakeOrderedAndProject for the top-10 — parity asserted in PlanSpec")
+      scaleNote = "SQL text and DataFrame calls meet in the same Catalyst plan: filter pushdown into all three scans, customer broadcasts, one fact-fact shuffle on orderkey, TakeOrderedAndProject for the top-10 — parity asserted in PlanSpec"),
+
+    // ----- E16 depth: nested-JSON encode/decode round-trip ----------
+    // Serialize each order into a NESTED document (struct-in-struct +
+    // array), then recover scalars three ways: typed from_json over an
+    // explicit schema, a get_json_object path probe, and an array
+    // element. The oracle is the IDENTITY on the base columns — green
+    // means the whole encode→decode path is lossless, including
+    // doubles through JSON text (shortest-round-trip formatting).
+    "q98_json_nested_roundtrip" -> Q(
+      fn = (s, d) => {
+        val j = to_json(struct(
+          col("o_orderkey").as("id"),
+          struct(col("o_orderstatus").as("st"),
+            col("o_totalprice").as("price")).as("meta"),
+          array(col("o_orderpriority"), col("o_orderstatus")).as("tags")))
+        t(s, d, "orders")
+          .select(col("o_orderkey"), j.as("doc"))
+          .select(col("o_orderkey"),
+            from_json(col("doc"), org.apache.spark.sql.types.StructType.fromDDL(
+              "id BIGINT, meta STRUCT<st: STRING, price: DOUBLE>, tags ARRAY<STRING>"))
+              .as("p"),
+            get_json_object(col("doc"), "$.meta.price").cast("double")
+              .as("price_by_path"))
+          .select(col("o_orderkey"),
+            col("p.id").as("id"),
+            col("p.meta.st").as("st"),
+            col("p.meta.price").as("price"),
+            col("price_by_path"),
+            element_at(col("p.tags"), 1).as("tag0"))
+      },
+      sql = Some("""
+        SELECT o_orderkey, o_orderkey AS id, o_orderstatus AS st,
+               o_totalprice AS price, o_totalprice AS price_by_path,
+               o_orderpriority AS tag0
+        FROM orders"""),
+      scaleNote = "encode and decode are both codegen'd row-local projections — zero shuffle; at 100 TB this is the ETL boundary shape (nested event docs in, typed columns out) and the explicit from_json schema avoids any inference pass")
   )
 }

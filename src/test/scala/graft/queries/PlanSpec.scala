@@ -406,6 +406,11 @@ class PlanSpec extends SparkSpec {
       s"a global sort would serialize the corpus through one partition:\n${p.take(800)}")
   }
 
+  test("q98: JSON encode/decode is a pure map-side projection — zero exchanges") {
+    val p = plan("q98_json_nested_roundtrip")
+    assert(!p.contains("Exchange"), s"must not shuffle:\n${p.take(600)}")
+  }
+
   test("q74: binned range join is a shuffled equi-join, never a nested loop") {
     val p = plan("q74_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
