@@ -5,12 +5,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join — for each left row, the latest right row with
-  * `rightTime <= leftTime` within the same key (the canonical
-  * time-series enrichment operator; Spark has no built-in).
+  * `rightTime <= leftTime` (direction "backward", the default), or the
+  * earliest right row with `rightTime >= leftTime` ("forward"), within
+  * the same key (the canonical time-series enrichment operator; Spark
+  * has no built-in).
   *
   * Implementation is the ONE-SHUFFLE union-window plan, not a range
   * join: tag both inputs, union them, and carry the last right payload
   * forward with `last(_, ignoreNulls) over (partition key order time)`.
+  * The forward direction is the same plan on the REVERSED time order.
   * A naive `l.ts >= r.ts` join explodes to the full per-key cross
   * product before aggregation; this stays O(n log n) per key and
   * shuffles each row exactly once — the property that survives 100 TB.
@@ -18,6 +21,8 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param rightPayload right-side columns to carry (renamed as given)
+    * @param direction "backward" (latest right ≤ left) or "forward"
+    *                  (earliest right ≥ left)
     */
   def asofJoin(
       left: DataFrame,
@@ -25,7 +30,11 @@ object AsOfJoin {
       key: String,
       leftTime: String,
       rightTime: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     val lCols = left.columns
     // side ordering at equal timestamps: right (0) sorts before left
     // (1), so a right row at exactly leftTime matches (<= semantics)
@@ -61,8 +70,16 @@ object AsOfJoin {
       .filter(c => org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(right.schema(c).dataType))
       .map(c => col("_p").getField(c))
+    // forward = the identical carry-last plan on REVERSED time: _ts
+    // descends, right (_side 0) still sorts before left at equal _ts so
+    // the >= bound is inclusive, and the payload tie-break flips with
+    // the time order so the equal-timestamp choice among right rows is
+    // the same one the backward direction makes
+    val ordering =
+      if (fwd) Seq(col("_ts").desc, col("_side")) ++ tieBreak.map(_.desc)
+      else Seq(col("_ts"), col("_side")) ++ tieBreak
     val w = Window.partitionBy(col(key))
-      .orderBy(Seq(col("_ts"), col("_side")) ++ tieBreak: _*)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))

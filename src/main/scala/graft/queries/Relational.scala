@@ -708,6 +708,37 @@ object Relational extends Catalog {
                o_totalprice AS price, o_totalprice AS price_by_path,
                o_orderpriority AS tag0
         FROM orders"""),
-      scaleNote = "encode and decode are both codegen'd row-local projections — zero shuffle; at 100 TB this is the ETL boundary shape (nested event docs in, typed columns out) and the explicit from_json schema avoids any inference pass")
+      scaleNote = "encode and decode are both codegen'd row-local projections — zero shuffle; at 100 TB this is the ETL boundary shape (nested event docs in, typed columns out) and the explicit from_json schema avoids any inference pass"),
+
+    // ----- E5+: FORWARD as-of join ----------------------------------
+    // The mirror of q46: each error matched to the FIRST click at or
+    // after it — "what did the user do next". Same one-shuffle
+    // union-window operator on reversed time order.
+    "q99_asof_forward" -> Q(
+      fn = (s, d) => {
+        val e = t(s, d, "events")
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("value").as("click_value"))
+        graft.operators.AsOfJoin
+          .asofJoin(errors, clicks, "user_id", "ts", "click_ts",
+            Seq("click_ts", "click_value"), direction = "forward")
+          .filter(col("asof_click_ts").isNotNull) // inner as-of semantics
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("err_ts_us"),
+            unix_micros(col("asof_click_ts")).as("click_ts_us"),
+            col("asof_click_value").as("click_value"))
+      },
+      sql = Some("""
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts::TIMESTAMP) AS err_ts_us,
+               epoch_us(c.ts::TIMESTAMP) AS click_ts_us,
+               c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts <= c.ts"""),
+      scaleNote = "identical shuffle profile to q46 (one exchange on the key, carry-last over the reversed sort) — direction is a sort-order flag, not a different plan")
   )
 }

@@ -30,6 +30,45 @@ class OperatorsSpec extends SparkSpec {
     assert(out("t0").isEmpty)        // no quote yet
   }
 
+  test("asofJoin forward picks the earliest right row >= left time, per key") {
+    val trades = Seq(
+      (1L, ts(100), "t1"), (1L, ts(205), "t2"), (2L, ts(150), "t3"),
+      (1L, ts(400), "t4")) // after every quote
+      .toDF("acct", "ts", "trade_id")
+    val quotes = Seq(
+      (1L, ts(90), 10.0), (1L, ts(200), 11.0), (1L, ts(300), 12.0),
+      (2L, ts(150), 20.0)) // equal timestamp → matches (>=)
+      .toDF("acct", "q_ts", "px")
+    val out = AsOfJoin.asofJoin(trades, quotes, "acct", "ts", "q_ts",
+      Seq("q_ts", "px"), direction = "forward")
+      .select("trade_id", "asof_px").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("t1").contains(11.0)) // 100 → next quote@200
+    assert(out("t2").contains(12.0)) // 205 → next quote@300
+    assert(out("t3").contains(20.0)) // equal ts matches
+    assert(out("t4").isEmpty)        // nothing after
+  }
+
+  test("asofJoin forward matches the naive range-join formulation on events") {
+    val e = graft.core.Tables.load(spark, sf0001, "events")
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("click_ts"))
+    val naive = errors.join(clicks,
+        col("user_id") === col("c_uid") && col("click_ts") >= col("ts"))
+      .groupBy("event_id").agg(min("click_ts").as("click_ts"))
+      .select(col("event_id"), col("click_ts")).as[(Long, Timestamp)]
+      .collect().toMap
+    val fast = AsOfJoin.asofJoin(errors, clicks.withColumnRenamed("c_uid", "user_id"),
+        "user_id", "ts", "click_ts", Seq("click_ts"), direction = "forward")
+      .filter(col("asof_click_ts").isNotNull)
+      .select(col("event_id"), col("asof_click_ts")).as[(Long, Timestamp)]
+      .collect().toMap
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+
   test("asofJoin carries NULL payload values from the matching row, atomically") {
     // the latest quote has px=NULL: as-of must emit that NULL, not an
     // older row's px — and must not mix fields across right rows
