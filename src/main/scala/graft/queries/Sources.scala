@@ -302,6 +302,42 @@ object Sources extends Catalog {
         FROM lineitem GROUP BY l_returnflag"""),
       scaleNote = "Aggregator gets map-side partial aggregation automatically (reduce per partition, merge at the exchange) — same shuffle profile as a built-in agg"),
 
+    // ----- E19 + sketch family: Misra-Gries heavy hitters -----------
+    // Top-10 words per language via the bounded-memory frequent-items
+    // Aggregator. At this corpus's vocabulary (≈30 distinct words) the
+    // 64-counter sketch NEVER prunes, so its estimates are exactly the
+    // true counts and the DuckDB oracle checks them outright; the
+    // approximation guarantees at small capacity (underestimate-only,
+    // n/(capacity+1) error bound, heavy-hitters-always-present,
+    // partition-layout invariance) are HeavyHittersSpec's job.
+    "q100_heavy_hitters" -> Q(
+      fn = (s, d) => {
+        Tables.load(s, d, "documents")
+          .select(col("lang"),
+            explode(split(lower(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy(col("lang"))
+          .agg(graft.functions.HeavyHitters.column(col("word"), 64).as("hh"))
+          .select(col("lang"), posexplode(col("hh")))
+          .filter(col("pos") < 10)
+          .select(col("lang"), col("pos").cast("long").as("rk"),
+            col("col._1").as("word"), col("col._2").as("est"))
+      },
+      sql = Some("""
+        WITH w AS (
+          SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents),
+        c AS (
+          SELECT lang, word, count(*) AS est FROM w
+          WHERE length(word) > 0 GROUP BY 1, 2),
+        r AS (
+          SELECT lang, word, est,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY est DESC, word) - 1 AS rk
+          FROM c)
+        SELECT lang, rk, word, est FROM r WHERE rk < 10"""),
+      scaleNote = "the sketch shuffles at most `capacity` counters per (partition, lang) instead of the full per-lang vocabulary — two-phase like any built-in agg (reduce map-side, mergeable summaries at the exchange); at 100 TB with an unbounded vocab this replaces q75's exact full-vocabulary shuffle at a bounded n/capacity error"),
+
     // ----- E6 sketch variant: approximate distinct ------------------
     "q43_approx_distinct" -> Q(
       fn = (s, d) =>
