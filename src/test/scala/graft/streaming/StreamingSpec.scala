@@ -111,6 +111,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the reference's enrich job runs as a streaming service (E17 × E18)") {
+    // readStream of records → the SAME EnrichJob.run transform inside
+    // foreachBatch (batch = unit of the good/dead split, so the LLM
+    // stage executes once per record) → batchId-keyed parquet. The
+    // fake backend is deterministic, so streamed output ≡ the one-shot
+    // batch run of the identical job.
+    val records = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id").cast("string").as("id"),
+        map(lit("content"), col("text")).as("texts"),
+        array().cast("array<string>").as("images"))
+      .as[(String, Map[String, String], Seq[String])].collect().toSeq
+    val cfg = graft.core.JobConfig(
+      id = "stream-enrich",
+      erbTemplate = "summarize: <%= texts[:content] %>",
+      backendEndpoint = "http://fake", model = "fake",
+      outputLabel = "summary", systemErbTemplate = None,
+      params = Map.empty, useImages = false, responseFormat = None)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-senrich").toString + "/good"
+
+    val ms = MemoryStream[(String, Map[String, String], Seq[String])]
+    val q = ms.toDF().toDF("id", "texts", "images").writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.pipeline.EnrichJob
+          .run(batch, cfg, new graft.llm.FakeLlmClient(),
+            graft.pipeline.EnrichOptions(concurrency = 8))
+          .good
+          .write.mode("overwrite").parquet(s"$outDir/b$id")
+        ()
+      }.start()
+    try {
+      records.grouped(math.max(1, records.size / 3)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read
+      .option("recursiveFileLookup", "true").parquet(outDir)
+      .select(col("id"), element_at(col("texts"), "summary").as("s"))
+      .as[(String, String)].collect().toSet
+    val batch = graft.pipeline.EnrichJob
+      .run(records.toDF("id", "texts", "images"), cfg,
+        new graft.llm.FakeLlmClient(),
+        graft.pipeline.EnrichOptions(concurrency = 8))
+      .good
+      .select(col("id"), element_at(col("texts"), "summary").as("s"))
+      .as[(String, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == records.size)
+  }
+
   test("stream-static join: streaming events enrich against a static dimension") {
     val ms = MemoryStream[Event]
     val dim = Seq((0L, "control"), (1L, "treatment")).toDF("bucket", "cohort")
