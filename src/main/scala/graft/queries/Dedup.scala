@@ -423,6 +423,38 @@ object Dedup extends Catalog {
         SELECT doc_id, count(*) AS n_chunks,
                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM r GROUP BY doc_id"""),
-      scaleNote = "one shuffle on the chunk text (hash-partitioned; at 100 TB hash the chunk to 16 bytes first — same plan, skinnier key); chunking itself is map-side array ops inside codegen, and the survivors reassemble by (doc_id, idx) without re-reading the corpus")
+      scaleNote = "one shuffle on the chunk text (hash-partitioned; at 100 TB hash the chunk to 16 bytes first — same plan, skinnier key); chunking itself is map-side array ops inside codegen, and the survivors reassemble by (doc_id, idx) without re-reading the corpus"),
+
+    // ----- q101: blocked fuzzy match (edit distance) ----------------
+    // The record-linkage modality the token-set family can't express:
+    // pairs whose text PREFIXES are within levenshtein ≤ 10. Blocking
+    // on the first 8 chars turns the quadratic all-pairs comparison
+    // into an equi-join (the standard blocking tradeoff: a near-dup
+    // differing inside the first 8 chars is deliberately missed — at
+    // 100 TB recall comes from multiple blocking passes, same plan).
+    "q101_fuzzy_match_blocked" -> Q(
+      fn = (s, d) => {
+        val a = docs(s, d).select(col("doc_id"),
+          substring(lower(col("text")), 1, 40).as("t"),
+          substring(lower(col("text")), 1, 8).as("blk"))
+        a.as("x").join(a.as("y"),
+            col("x.blk") === col("y.blk") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .withColumn("dist",
+            levenshtein(col("x.t"), col("y.t")).cast("long"))
+          .filter(col("dist") <= 10)
+          .select(col("x.doc_id").as("doc1"),
+            col("y.doc_id").as("doc2"), col("dist"))
+      },
+      sql = Some("""
+        WITH a AS (
+          SELECT doc_id, substr(lower(text), 1, 40) AS t,
+                 substr(lower(text), 1, 8) AS blk
+          FROM documents)
+        SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+               CAST(levenshtein(x.t, y.t) AS BIGINT) AS dist
+        FROM a x JOIN a y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        WHERE levenshtein(x.t, y.t) <= 10"""),
+      scaleNote = "the O(len²) edit-distance kernel runs ONLY on blocked candidates from the equi-join — never all pairs; per-block fan-out is bounded by block cardinality (add the q59-style cap on hot blocks at scale), and the 40-char prefix caps the DP cost per pair")
   )
 }

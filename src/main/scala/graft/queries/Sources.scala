@@ -52,8 +52,15 @@ object Sources extends Catalog {
         val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString
         try {
           write(tmp)
-          Files.move(Paths.get(tmp), Paths.get(dir),
+          try Files.move(Paths.get(tmp), Paths.get(dir),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // cross-PROCESS racer (the in-process lock can't see it):
+            // if another JVM installed a complete dir while we wrote,
+            // losing the rename race is success — use theirs
+            case e: java.nio.file.FileSystemException
+                if Files.exists(Paths.get(dir, "_SUCCESS")) => ()
+          }
         } finally deleteRecursively(Paths.get(tmp))
       }
     }

@@ -411,6 +411,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"must not shuffle:\n${p.take(600)}")
   }
 
+  test("q101: fuzzy match compares only blocked candidates — equi-join, no cartesian") {
+    val p = plan("q101_fuzzy_match_blocked")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the edit-distance kernel must only see blocked pairs:\n${p.take(800)}")
+  }
+
   test("q74: binned range join is a shuffled equi-join, never a nested loop") {
     val p = plan("q74_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
