@@ -39,7 +39,10 @@ object HeavyHitters {
       * largest weight from the kept counters and drop the rest — the
       * Misra-Gries decrement step in batch form. Kept counters lose at
       * most `cut` each (stays an underestimate); dropped ones had
-      * weight ≤ cut, absorbed by the error bound.
+      * weight ≤ cut, absorbed by the error bound. Subtract-then-
+      * filter(>0) drops every counter AT the cut, so the result does
+      * not depend on which equal-weight counter the sort put at the
+      * boundary.
       */
     private def prune(m: Map[String, Long]): Map[String, Long] =
       if (m.size <= capacity) m
@@ -52,8 +55,19 @@ object HeavyHitters {
           .toMap
       }
 
-    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
-      prune(b.updated(a, b.getOrElse(a, 0L) + 1L))
+    override def reduce(b: Map[String, Long], a: String): Map[String, Long] = {
+      val m = b.updated(a, b.getOrElse(a, 0L) + 1L)
+      if (m.size <= capacity) m
+      else {
+        // overflow in reduce is always exactly capacity+1 counters, so
+        // the (capacity+1)-th largest IS the minimum — one O(capacity)
+        // min scan instead of prune()'s full sort on every unseen item
+        // of a high-cardinality stream
+        val cut = m.valuesIterator.min
+        m.iterator.map { case (k, v) => k -> (v - cut) }
+          .filter(_._2 > 0).toMap
+      }
+    }
 
     override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
       val m = mutable.Map.empty[String, Long] ++ x

@@ -72,11 +72,13 @@ object AsOfJoin {
       .map(c => col("_p").getField(c))
     // forward = the identical carry-last plan on REVERSED time: _ts
     // descends, right (_side 0) still sorts before left at equal _ts so
-    // the >= bound is inclusive, and the payload tie-break flips with
-    // the time order so the equal-timestamp choice among right rows is
-    // the same one the backward direction makes
+    // the >= bound is inclusive. The payload tie-break stays ASCENDING
+    // in both directions: carry-last then resolves duplicate right
+    // rows at the matching timestamp to the same (max-payload) row
+    // either way — flipping it with the time order would make q99 and
+    // q46 choose OPPOSITE rows at (key, ts) ties
     val ordering =
-      if (fwd) Seq(col("_ts").desc, col("_side")) ++ tieBreak.map(_.desc)
+      if (fwd) Seq(col("_ts").desc, col("_side")) ++ tieBreak
       else Seq(col("_ts"), col("_side")) ++ tieBreak
     val w = Window.partitionBy(col(key))
       .orderBy(ordering: _*)

@@ -25,8 +25,12 @@ object CdcApply {
   def apply(changelog: DataFrame, keys: Seq[String],
       seqCol: String, opCol: String): DataFrame = {
     require(keys.nonEmpty, "cdc apply needs at least one key column")
-    require((keys :+ seqCol :+ opCol).forall(changelog.columns.contains),
-      s"missing columns in changelog: ${changelog.columns.mkString(",")}")
+    val missing = (keys :+ seqCol :+ opCol).filterNot(changelog.columns.contains)
+    require(missing.isEmpty,
+      s"changelog is missing columns ${missing.mkString(",")} " +
+        s"(has: ${changelog.columns.mkString(",")})")
+    require(!changelog.columns.contains("__rn"),
+      "__rn is reserved by CdcApply")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
     changelog
       .withColumn("__rn", row_number().over(w))

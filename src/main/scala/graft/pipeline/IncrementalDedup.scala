@@ -53,6 +53,32 @@ object IncrementalDedup {
   private def subdirName(runId: String, id: Long): String =
     if (runId.isEmpty) s"b$id" else s"b$runId-$id"
 
+  /** Upgrade/reset hazard: under a run namespace, a LEGACY
+    * un-namespaced `b<id>` subdir whose id equals the batch being
+    * processed is ambiguous — it is either a pre-upgrade crashed
+    * attempt at THIS batch (must be excluded, or the batch
+    * double-counts itself) or a committed batch of some previous run
+    * (must be included, or its pairs' corpus half goes missing). The
+    * name alone cannot distinguish them, so fail fast with the
+    * resolution instead of silently picking one.
+    */
+  private def guardLegacyCollision(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, subs: Seq[String],
+      batchId: Option[Long], runId: String): Unit =
+    if (runId.nonEmpty) batchId.foreach { id =>
+      subs.foreach { sub =>
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub/b$id")
+        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+          sys.error(
+            s"IncrementalDedup: legacy un-namespaced subdir $p collides with " +
+              s"batch $id of run '$runId'. If it is a COMMITTED batch of a " +
+              "previous run, fold it into the flat layout with compactIndex() " +
+              "(only while no crashed batch awaits replay); if it is a crashed " +
+              "attempt's remnant, delete it. Then restart the stream.")
+      }
+    }
+
   /** Read an index sub-table: flat (legacy/compacted) files plus any
     * per-batch `b<...>` subdirs. With `excludeBatch = Some(name)` that
     * one subdir is skipped — it can only be a remnant of a FAILED
@@ -113,6 +139,7 @@ object IncrementalDedup {
       batchId: Option[Long] = None,
       runId: String = ""): DataFrame = {
     val spark = newVecs.sparkSession
+    guardLegacyCollision(spark, indexDir, Seq("buckets", "vectors"), batchId, runId)
     val sub = batchId.map(subdirName(runId, _))
     val e = newVecs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -159,6 +186,7 @@ object IncrementalDedup {
       batchId: Option[Long] = None,
       runId: String = ""): DataFrame = {
     val spark = newDocs.sparkSession
+    guardLegacyCollision(spark, indexDir, Seq("postings", "sizes"), batchId, runId)
     val sub = batchId.map(subdirName(runId, _))
 
     val sh = shingleFrame(newDocs).localCheckpoint()

@@ -58,6 +58,8 @@ object SnapshotSink {
       seqCol: String,
       opCol: Option[String],
       snapshotDir: String): Unit = {
+    require(!batch.columns.contains("__rn"),
+      "__rn is reserved by SnapshotSink")
     val spark = batch.sparkSession
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
     val last = batch.withColumn("__rn", row_number().over(w))
@@ -70,12 +72,31 @@ object SnapshotSink {
       last.filter(col(oc) === "D").select(keys.map(col): _*)
     }
 
-    val fs = new org.apache.hadoop.fs.Path(snapshotDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(snapshotDir))) {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(snapshotDir)
+    val bakPath = new org.apache.hadoop.fs.Path(snapshotDir + "_compact_old")
+    val fs = dirPath.getFileSystem(hc)
+    // crash inside a previous DirSwap's rename window: the dir is
+    // absent but the WHOLE prior snapshot sits at _compact_old.
+    // Treating that as "first batch" would silently reset the table to
+    // one batch's rows — restore the moved-aside snapshot instead
+    // (the documented DirSwap recovery, automated).
+    if (!fs.exists(dirPath) && fs.exists(bakPath)) {
+      if (!fs.rename(bakPath, dirPath))
+        sys.error(s"SnapshotSink: could not restore $bakPath to $dirPath")
+    }
+    if (!fs.exists(dirPath)) {
       // first batch: the compacted upserts ARE the snapshot (a key
-      // whose last op is a delete is already absent from `upserts`)
-      upserts.write.mode("overwrite").parquet(snapshotDir)
+      // whose last op is a delete is already absent from `upserts`).
+      // Written to a tmp sibling then renamed into place, so a crash
+      // mid-write can never leave a torn dir that wedges the replay —
+      // the visible dir either doesn't exist or is complete.
+      val tmpPath = new org.apache.hadoop.fs.Path(
+        snapshotDir + "_init_tmp")
+      fs.delete(tmpPath, true)
+      upserts.write.mode("overwrite").parquet(tmpPath.toString)
+      if (!fs.rename(tmpPath, dirPath))
+        sys.error(s"SnapshotSink: could not install first snapshot at $dirPath")
     } else {
       val snap = spark.read.parquet(snapshotDir)
       val merged0 = graft.operators.Upsert(snap, upserts, keys)

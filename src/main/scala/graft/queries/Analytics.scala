@@ -17,6 +17,56 @@ object Analytics extends Catalog {
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     Tables.load(s, d, name)
 
+  // ---- shared q86/q95 snapshot-maintenance fixtures ----------------
+  // ONE definition of the deterministic orders delta (7% additive
+  // price+status updates, 1% inserts under shifted keys) and its
+  // merged result, used by q86 (applies it) and q95 (diffs against
+  // it) on both the Spark and the oracle side — so the two queries
+  // cannot silently drift apart.
+  private def ordersBase(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  private def ordersDelta(base: DataFrame): DataFrame = {
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      // additive update, NOT ×1.1+round: a single IEEE addition is
+      // bit-identical in both engines, while round(x*1.1, 2) diverges
+      // on .5 ties (Spark rounds the shortest-decimal rendering of
+      // the double, DuckDB the full binary value)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    val inserts = base.filter(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    updates.unionByName(inserts)
+  }
+
+  private def ordersMerged(s: SparkSession, d: String): DataFrame = {
+    val base = ordersBase(s, d)
+    graft.operators.Upsert(base, ordersDelta(base), Seq("o_orderkey"))
+  }
+
+  /** the same derivation as CTEs, spliced into both oracles */
+  private val OrdersMergedCtes = """
+        base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        upd AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus,
+                 o_totalprice + 1000.0 AS o_totalprice
+          FROM base WHERE o_orderkey % 7 = 0),
+        ins AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey,
+                 'N' AS o_orderstatus, o_totalprice
+          FROM base WHERE o_orderkey % 97 = 0),
+        delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        merged AS (
+          SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+                 CASE WHEN u.o_orderkey IS NOT NULL
+                      THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+                 CASE WHEN u.o_orderkey IS NOT NULL
+                      THEN u.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+          FROM base b FULL OUTER JOIN delta u ON b.o_orderkey = u.o_orderkey)"""
+
   override def queries: Map[String, Q] = Map(
 
     // ----- PIVOT: wide conditional aggregation ----------------------
@@ -269,40 +319,10 @@ object Analytics extends Catalog {
     // derived deterministically from the base so the oracle can
     // mirror it exactly.
     "q86_merge_upsert" -> Q(
-      fn = (s, d) => {
-        val base = t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        val updates = base.filter(col("o_orderkey") % 7 === 0)
-          .withColumn("o_orderstatus", lit("U"))
-          // additive update, NOT ×1.1+round: a single IEEE addition is
-          // bit-identical in both engines, while round(x*1.1, 2)
-          // diverges on .5 ties (Spark rounds the shortest-decimal
-          // rendering of the double, DuckDB the full binary value)
-          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-        val inserts = base.filter(col("o_orderkey") % 97 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-            lit("N").as("o_orderstatus"), col("o_totalprice"))
-        graft.operators.Upsert(
-          base, updates.unionByName(inserts), Seq("o_orderkey"))
-      },
-      sql = Some("""
-        WITH base AS (
-          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        upd AS (
-          SELECT o_orderkey, 'U' AS o_orderstatus,
-                 o_totalprice + 1000.0 AS o_totalprice
-          FROM base WHERE o_orderkey % 7 = 0),
-        ins AS (
-          SELECT o_orderkey + 10000000 AS o_orderkey,
-                 'N' AS o_orderstatus, o_totalprice
-          FROM base WHERE o_orderkey % 97 = 0),
-        delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
-        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
-               CASE WHEN u.o_orderkey IS NOT NULL
-                    THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
-               CASE WHEN u.o_orderkey IS NOT NULL
-                    THEN u.o_totalprice ELSE b.o_totalprice END AS o_totalprice
-        FROM base b FULL OUTER JOIN delta u ON b.o_orderkey = u.o_orderkey"""),
+      fn = (s, d) => ordersMerged(s, d),
+      sql = Some(s"""
+        WITH $OrdersMergedCtes
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged"""),
       scaleNote = "one full-outer shuffle join on the snapshot key; bucketed layouts co-locate it to zero exchange, AQE coalesces the tiny delta side — the MERGE primitive every incremental 100 TB snapshot rebuild reduces to"),
 
     // ----- SCD Type 2 history build ---------------------------------
@@ -444,18 +464,10 @@ object Analytics extends Catalog {
     // reconciliation pass run after every backfill.
     "q95_table_diff" -> Q(
       fn = (s, d) => {
-        val v1 = t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        // v2 = the q86 upsert output, rebuilt inline (same derivation)
-        val updates = v1.filter(col("o_orderkey") % 7 === 0)
-          .withColumn("o_orderstatus", lit("U"))
-          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-        val inserts = v1.filter(col("o_orderkey") % 97 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-            lit("N").as("o_orderstatus"), col("o_totalprice"))
-        val v2 = graft.operators.Upsert(
-          v1, updates.unionByName(inserts), Seq("o_orderkey"))
-          // drop the %13 keys so every diff class (incl. removed) occurs
+        val v1 = ordersBase(s, d)
+        // v2 = the q86 upsert output (SHARED derivation — ordersMerged),
+        // minus the %13 keys so every diff class (incl. removed) occurs
+        val v2 = ordersMerged(s, d)
           .filter(col("o_orderkey") % 13 =!= 0)
         val a = v1.as("a")
         val b = v2.as("b")
@@ -469,34 +481,16 @@ object Analytics extends Catalog {
               .otherwise("changed").as("diff"))
           .groupBy(col("diff")).agg(count(lit(1)).as("n"))
       },
-      sql = Some("""
-        WITH v1 AS (
-          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        upd AS (
-          SELECT o_orderkey, 'U' AS o_orderstatus,
-                 o_totalprice + 1000.0 AS o_totalprice
-          FROM v1 WHERE o_orderkey % 7 = 0),
-        ins AS (
-          SELECT o_orderkey + 10000000 AS o_orderkey,
-                 'N' AS o_orderstatus, o_totalprice
-          FROM v1 WHERE o_orderkey % 97 = 0),
-        delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
-        v2 AS (
-          SELECT * FROM (
-            SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
-                   CASE WHEN u.o_orderkey IS NOT NULL
-                        THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
-                   CASE WHEN u.o_orderkey IS NOT NULL
-                        THEN u.o_totalprice ELSE b.o_totalprice END AS o_totalprice
-            FROM v1 b FULL OUTER JOIN delta u ON b.o_orderkey = u.o_orderkey)
-          WHERE o_orderkey % 13 <> 0)
+      sql = Some(s"""
+        WITH $OrdersMergedCtes,
+        v2 AS (SELECT * FROM merged WHERE o_orderkey % 13 <> 0)
         SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
                     WHEN b.o_orderkey IS NULL THEN 'removed'
                     WHEN a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
                      AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
                     THEN 'same' ELSE 'changed' END AS diff,
                count(*) AS n
-        FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        FROM base a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
         GROUP BY 1"""),
       scaleNote = "one full-outer shuffle join keyed like the snapshots themselves (bucketed layouts co-locate it); payload equality stays inside the join's projection — at 100 TB compare xxhash64 of the payload struct instead of column-by-column, same plan"),
 

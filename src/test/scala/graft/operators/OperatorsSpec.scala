@@ -49,6 +49,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out("t4").isEmpty)        // nothing after
   }
 
+  test("asofJoin resolves duplicate right timestamps to the same row in both directions") {
+    val trades = Seq((1L, ts(200), "t1")).toDF("acct", "ts", "trade_id")
+    val quotes = Seq( // two quotes at the exact matching timestamp
+      (1L, ts(200), 11.0), (1L, ts(200), 13.0))
+      .toDF("acct", "q_ts", "px")
+    def pick(direction: String): Option[Double] =
+      AsOfJoin.asofJoin(trades, quotes, "acct", "ts", "q_ts",
+        Seq("q_ts", "px"), direction = direction)
+        .select("asof_px").as[Option[Double]].head()
+    assert(pick("backward") == pick("forward"),
+      "equal-timestamp duplicate right rows must resolve identically")
+    assert(pick("backward").contains(13.0), "tie resolves to the max payload")
+  }
+
   test("asofJoin forward matches the naive range-join formulation on events") {
     val e = graft.core.Tables.load(spark, sf0001, "events")
     val errors = e.filter(col("event_type") === "error")

@@ -63,6 +63,26 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(once == twice)
   }
 
+  test("a crash inside the swap window restores the snapshot instead of resetting it") {
+    val root = Files.createTempDirectory("graft-snap4").toString
+    val snapDir = root + "/snap"
+    val b1 = log.take(6).toDF("k", "s", "seq", "op")
+    val b2 = log.drop(6).toDF("k", "s", "seq", "op")
+    SnapshotSink.applyBatch(b1, Seq("k"), "seq", Some("op"), snapDir)
+    // simulate dying between DirSwap's two renames: the dir is gone,
+    // the whole snapshot sits at _compact_old
+    Files.move(java.nio.file.Paths.get(snapDir),
+      java.nio.file.Paths.get(snapDir + "_compact_old"))
+    // next batch must RESTORE and merge — not treat this as batch 0
+    SnapshotSink.applyBatch(b2, Seq("k"), "seq", Some("op"), snapDir)
+    val got = spark.read.parquet(snapDir).as[(Long, String)].collect().toSet
+    val want = CdcApply(
+      log.toDF("k", "s", "seq", "op"), Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toSet
+    assert(got == want,
+      s"snapshot must survive a mid-swap crash: got $got want $want")
+  }
+
   test("pure upsert mode (no op column) keeps the latest row per key") {
     val snapDir = Files.createTempDirectory("graft-snap3").toString + "/snap"
     val b = Seq((1L, "a", 0L), (1L, "a2", 1L), (2L, "b", 0L))
