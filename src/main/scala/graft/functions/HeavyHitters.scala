@@ -56,6 +56,9 @@ object HeavyHitters {
       }
 
     override def reduce(b: Map[String, Long], a: String): Map[String, Long] = {
+      // skip nulls like built-in aggregates do — a null map key would
+      // crash the buffer encoder deep in serialization otherwise
+      if (a == null) return b
       val m = b.updated(a, b.getOrElse(a, 0L) + 1L)
       if (m.size <= capacity) m
       else {

@@ -281,31 +281,52 @@ object IncrementalDedup {
     streamingDocs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // same legacy-collision ambiguity as the index subdirs: a
+        // pairsDir/b<id> from before the namespace upgrade is either a
+        // crashed attempt's partial pairs (delete it) or a previous
+        // run's committed output (keep it) — fail fast rather than
+        // leave phantom pairs for recursive readers
+        if (runId.nonEmpty) {
+          val legacy = new org.apache.hadoop.fs.Path(s"$pairsDir/b$id")
+          if (legacy.getFileSystem(
+              batch.sparkSession.sparkContext.hadoopConfiguration).exists(legacy))
+            sys.error(
+              s"IncrementalDedup: legacy un-namespaced pairs subdir $legacy " +
+                s"collides with batch $id of run '$runId' — delete it if it is " +
+                "a crashed attempt's remnant, or move it aside if it is a " +
+                "previous run's committed output; then restart the stream.")
+        }
         dedupBatch(batch, indexDir, tau, batchId = Some(id), runId = runId)
           .write.mode("overwrite").parquet(s"$pairsDir/${subdirName(runId, id)}")
         ()
       }
   }
 
-  /** the streaming query id persisted in the checkpoint's metadata
-    * file; empty string (legacy un-namespaced layout) if unreadable
+  /** The streaming query id persisted in the checkpoint's metadata
+    * file; empty string ONLY when the file does not exist (legacy
+    * un-namespaced layout). A read/parse error must PROPAGATE — the
+    * same stance as the index read above: mapping a transient FS error
+    * to "" would silently demote the stream to the un-namespaced
+    * layout, where a reset checkpoint's b0 overwrites a prior run's
+    * committed b0 (the exact loss the namespace exists to prevent).
     */
   private def checkpointQueryId(
-      spark: org.apache.spark.sql.SparkSession, checkpointDir: String): String =
-    try {
-      val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) ""
-      else {
-        val in = fs.open(p)
-        val txt =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-          .map(_.group(1).replaceAll("[^0-9a-zA-Z-]", "").take(8))
-          .getOrElse("")
-      }
-    } catch { case scala.util.control.NonFatal(_) => "" }
+      spark: org.apache.spark.sql.SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ""
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1).replaceAll("[^0-9a-zA-Z-]", "").take(8))
+        .getOrElse(sys.error(
+          s"IncrementalDedup: checkpoint metadata at $p has no query id — " +
+            "refusing to fall back to the un-namespaced index layout"))
+    }
+  }
 
   /** Compact the index's per-batch appends into a bounded file count.
     *

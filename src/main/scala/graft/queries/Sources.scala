@@ -32,22 +32,33 @@ object Sources extends Catalog {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(p)
+      // close the walk stream before deleting: it holds open
+      // DirectoryStreams (leaked fds otherwise), and deleting under a
+      // live traversal is undefined anyway
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.delete)
     }
 
   /** Idempotent, thread-safe one-time materialization of a derived
     * dataset at `dir`. The first caller writes into a unique sibling
     * tmp dir and atomically renames it into place, so `dir` either
-    * doesn't exist or is complete (its `_SUCCESS` comes from the last
-    * write inside `write`); concurrent callers serialize on the
+    * doesn't exist or is complete; concurrent callers serialize on the
     * per-dir lock, later callers see the marker and skip. A leftover
-    * dir WITHOUT `_SUCCESS` (pre-atomic-rename legacy or torn copy)
-    * is cleared and rebuilt.
+    * dir WITHOUT the ready marker (pre-atomic-rename legacy or torn
+    * copy) is cleared and rebuilt.
+    *
+    * `readyFile` is the completeness witness — `_SUCCESS` by default,
+    * but a multi-write dir must use its OWN marker created as the LAST
+    * step inside `write`: `_SUCCESS` appears after the FIRST Spark
+    * write, so a torn legacy multi-write dir can carry `_SUCCESS`
+    * while missing later generations (q76's case).
     */
-  private def ensureDir(dir: String)(write: String => Unit): Unit = {
+  private def ensureDir(dir: String, readyFile: String = "_SUCCESS")(
+      write: String => Unit): Unit = {
     val lock = dirLocks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
-      if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+      if (!Files.exists(Paths.get(dir, readyFile))) {
         deleteRecursively(Paths.get(dir))
         val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString
         try {
@@ -59,7 +70,7 @@ object Sources extends Catalog {
             // if another JVM installed a complete dir while we wrote,
             // losing the rename race is success — use theirs
             case e: java.nio.file.FileSystemException
-                if Files.exists(Paths.get(dir, "_SUCCESS")) => ()
+                if Files.exists(Paths.get(dir, readyFile)) => ()
           }
         } finally deleteRecursively(Paths.get(tmp))
       }
@@ -131,9 +142,14 @@ object Sources extends Catalog {
           .agg(count(lit(1)).as("n"),
             // round to cents: the ORC round-trip regroups rows, so the
             // double sum associates differently than DuckDB's scan of
-            // the original parquet (±1e-7 on a ~7.5e8 sum) — rounding
-            // to the money precision makes the output bit-identical on
-            // both engines regardless of summation order
+            // the original parquet (±1e-7 on a ~7.5e8 sum). Rounding is
+            // SAFE here because the addends are exact 2-decimal money
+            // values (asserted property of the corpus): the true group
+            // sum is a whole number of cents, 0.005 away from any
+            // rounding boundary — 4 orders of magnitude beyond the
+            // association error, so both engines land on the same cent.
+            // For addends with unbounded decimals, use the q14/q92
+            // decimal-accumulation + fixed-point-BIGINT stance instead.
             round(sum(col("o_totalprice")), 2).as("sum_price"),
             countDistinct(col("o_custkey")).as("n_cust")),
       sql = Some("""
@@ -171,14 +187,18 @@ object Sources extends Catalog {
         val key = Integer.toHexString(d.hashCode)
         val dir = s"${sys.props("java.io.tmpdir")}/graft_src_evo_documents_$key"
         val src = Tables.load(s, d, "documents")
-        // both generations land inside the tmp dir before the atomic
-        // rename, so the visible dir is always complete — no separate
-        // both-generations marker needed
-        ensureDir(dir) { tmp =>
+        // completeness witness is the both-generations marker, NOT
+        // _SUCCESS: the gen-1 overwrite already writes _SUCCESS, so a
+        // torn LEGACY dir (pre-atomic-rename code crashed between the
+        // two generations) carries _SUCCESS while missing the lang
+        // generation — keying on the marker rebuilds it instead of
+        // accepting it
+        ensureDir(dir, readyFile = "_GRAFT_BOTH_GENERATIONS") { tmp =>
           src.select(col("doc_id"), col("source"), col("n_chars"))
             .write.mode("overwrite").parquet(tmp)
           src.select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
             .write.mode("append").parquet(tmp)
+          Files.createFile(Paths.get(tmp, "_GRAFT_BOTH_GENERATIONS"))
         }
         s.read.option("mergeSchema", "true").parquet(dir)
           .groupBy(coalesce(col("lang"), lit("pre-schema")).as("lang"))

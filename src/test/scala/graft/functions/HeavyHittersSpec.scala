@@ -60,6 +60,13 @@ class HeavyHittersSpec extends SparkSpec {
     assert(a == b && a.toMap == exact)
   }
 
+  test("null inputs are skipped like built-in aggregates") {
+    val df = Seq(Some("a"), None, Some("a"), None).toDF("x")
+    val sk = df.agg(HeavyHitters.column(col("x"), 4))
+      .as[Seq[(String, Long)]].head()
+    assert(sk == Seq(("a", 2L)))
+  }
+
   test("capacity contract is enforced") {
     intercept[IllegalArgumentException] {
       new HeavyHitters.MisraGries(0)
