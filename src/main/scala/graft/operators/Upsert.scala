@@ -32,13 +32,18 @@ object Upsert {
       s"keys ${keys.mkString(",")} must exist in both frames")
     val b = base.as("b")
     val u = delta.as("u")
-    val cond = keys.map(k => col(s"b.$k") === col(s"u.$k")).reduce(_ && _)
+    // backtick-escape every column reference: an unquoted name with a
+    // dot ("order.key") parses as a nested field path and resolves to
+    // the wrong thing (or nothing) instead of the column itself
+    def bq(side: String, c: String) =
+      col(s"$side.`${c.replace("`", "``")}`")
+    val cond = keys.map(k => bq("b", k) === bq("u", k)).reduce(_ && _)
     // key columns are non-null in delta (contract), so "any delta key
     // present" ⇔ the join matched / this is an insert row
-    val matched = keys.map(k => col(s"u.$k").isNotNull).reduce(_ && _)
+    val matched = keys.map(k => bq("u", k).isNotNull).reduce(_ && _)
     val out = base.columns.toSeq.map { c =>
-      if (keys.contains(c)) coalesce(col(s"u.$c"), col(s"b.$c")).as(c)
-      else when(matched, col(s"u.$c")).otherwise(col(s"b.$c")).as(c)
+      if (keys.contains(c)) coalesce(bq("u", c), bq("b", c)).as(c)
+      else when(matched, bq("u", c)).otherwise(bq("b", c)).as(c)
     }
     b.join(u, cond, "full_outer").select(out: _*)
   }

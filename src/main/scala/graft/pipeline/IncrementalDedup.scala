@@ -320,8 +320,11 @@ object IncrementalDedup {
       val txt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
+      // the FULL sanitized id — a truncated prefix (an earlier .take(8))
+      // can collide across checkpoint generations, silently merging the
+      // namespaces the runId exists to keep apart
       """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-        .map(_.group(1).replaceAll("[^0-9a-zA-Z-]", "").take(8))
+        .map(_.group(1).replaceAll("[^0-9a-zA-Z-]", ""))
         .getOrElse(sys.error(
           s"IncrementalDedup: checkpoint metadata at $p has no query id — " +
             "refusing to fall back to the un-namespaced index layout"))

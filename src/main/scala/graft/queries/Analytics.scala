@@ -35,8 +35,15 @@ object Analytics extends Catalog {
       // on .5 ties (Spark rounds the shortest-decimal rendering of
       // the double, DuckDB the full binary value)
       .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    // insert keys shifted past max(o_orderkey) — DERIVED, not a
+    // constant: a fixed +10M shift silently collides with real base
+    // keys once the SF grows the keyspace past it, violating Upsert's
+    // one-row-per-key delta contract. The 1-row max frame broadcasts
+    // into the insert scan (no driver action, no extra exchange).
+    val shift = base.agg((max(col("o_orderkey")) + 1L).as("__shift"))
     val inserts = base.filter(col("o_orderkey") % 97 === 0)
-      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+      .crossJoin(broadcast(shift))
+      .select((col("o_orderkey") + col("__shift")).as("o_orderkey"),
         lit("N").as("o_orderstatus"), col("o_totalprice"))
     updates.unionByName(inserts)
   }
@@ -55,7 +62,7 @@ object Analytics extends Catalog {
                  o_totalprice + 1000.0 AS o_totalprice
           FROM base WHERE o_orderkey % 7 = 0),
         ins AS (
-          SELECT o_orderkey + 10000000 AS o_orderkey,
+          SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base) AS o_orderkey,
                  'N' AS o_orderstatus, o_totalprice
           FROM base WHERE o_orderkey % 97 = 0),
         delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),

@@ -50,6 +50,17 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("column names containing dots resolve as columns, not field paths") {
+    // regression: keys once resolved via col("b.<name>"), so a key
+    // named "order.key" parsed as a nested-field path and the merge
+    // failed analysis (or worse, bound to a real struct field)
+    val b = Seq((1L, 10.0), (2L, 20.0)).toDF("order.key", "the.value")
+    val delta = Seq((2L, 99.0), (3L, 30.0)).toDF("order.key", "the.value")
+    val out = Upsert(b, delta, Seq("order.key"))
+      .as[(Long, Double)].collect().toSet
+    assert(out == Set((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
   test("column order differences between base and delta do not matter") {
     val delta = Seq(("z", 2L, 7.0)).toDF("s", "k", "v")
     val out = Upsert(base, delta, Seq("k"))

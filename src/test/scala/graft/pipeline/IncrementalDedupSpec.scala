@@ -105,6 +105,48 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(replay == p2)
   }
 
+  test("checkpoint query ids sharing an 8-char prefix stay distinct namespaces") {
+    // regression: the runId once truncated the checkpoint's query UUID
+    // to its first 8 chars, so two checkpoint generations whose UUIDs
+    // share a prefix collapsed into ONE namespace — run 2's b0
+    // overwrote run 1's committed b0. Seed two checkpoints with
+    // prefix-colliding ids (Spark reuses a pre-existing metadata id)
+    // and require the full one-shot pair set to survive both runs.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val mid = docs(docs.length / 2)._1
+    val halves = Seq(docs.filter(_._1 <= mid), docs.filter(_._1 > mid))
+
+    val idx = Files.createTempDirectory("graft-prefix-idx").toString
+    val pairsDir = Files.createTempDirectory("graft-prefix-out").toString + "/pairs"
+    val ids = Seq(
+      "aaaaaaaa-0000-4000-8000-000000000001",
+      "aaaaaaaa-0000-4000-8000-000000000002")
+    halves.zip(ids).foreach { case (half, id) =>
+      val ckpt = Files.createTempDirectory(s"graft-prefix-ckpt").toString
+      Files.write(java.nio.file.Paths.get(ckpt, "metadata"),
+        s"""{"id":"$id"}""".getBytes("UTF-8"))
+      val ms = MemoryStream[(Long, String)]
+      val q = IncrementalDedup.streamingDedup(
+        ms.toDF().toDF("doc_id", "text"), idx, pairsDir, ckpt).start()
+      try {
+        assert(q.id.toString == id, "checkpoint metadata id must be reused")
+        ms.addData(half); q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    val streamed = spark.read
+      .option("recursiveFileLookup", "true").parquet(pairsDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == oneShot,
+      s"missing=${oneShot.diff(streamed).take(5)} extra=${streamed.diff(oneShot).take(5)}")
+  }
+
   test("two-batch incremental dedup equals the one-shot near-dup pairs") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -25,6 +25,23 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q86 insert keys sit strictly above max base key at any SF") {
+    // the delta fixture derives its insert-key shift from
+    // max(o_orderkey)+1 — a fixed constant shift collides with real
+    // keys once the SF grows the keyspace past it, breaking Upsert's
+    // one-row-per-key contract. Inserts must be disjoint from base.
+    val base = spark.read.parquet(s"$sf0001/orders.parquet")
+    val maxKey = base.agg(max("o_orderkey")).as[Long].head()
+    val nBase = base.count()
+    val nIns = base.filter(col("o_orderkey") % 97 === 0).count()
+    val merged = Analytics.queries("q86_merge_upsert").fn(spark, sf0001)
+    assert(merged.count() == nBase + nIns, "inserts must not collide with base keys")
+    val inserted = merged.filter(col("o_orderstatus") === "N")
+    assert(inserted.count() == nIns)
+    assert(inserted.filter(col("o_orderkey") <= maxKey).count() == 0,
+      "every insert key must exceed max(base key)")
+  }
+
   test("exact dedup: n_unique equals n_docs (all sf texts are distinct)") {
     val r = Dedup.queries("q24_dedup_exact_hash").fn(spark, sf0001)
       .agg(sum("n_unique"), sum("n_docs")).head
