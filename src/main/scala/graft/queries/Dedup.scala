@@ -69,6 +69,27 @@ object Dedup extends Catalog {
   private[graft] def shingleFrame(s: SparkSession, d: String): DataFrame =
     shingled(s, d)
 
+  /** q101's pre-barrier plan: the blocked frame minus blocks with more
+    * than `cap` members — [[cappedPostings]]' stop-list shape applied
+    * to the blocking key. Package-private so PlanSpec can assert the
+    * broadcast anti-join the registered query hides behind its
+    * localCheckpoint barrier.
+    */
+  private[graft] def cappedBlocks(raw: DataFrame, cap: Int): DataFrame = {
+    val hot = raw.groupBy(col("blk")).agg(count(lit(1)).as("bc"))
+      .filter(col("bc") > cap)
+      .select(col("blk"))
+    raw.join(broadcast(hot), Seq("blk"), "left_anti")
+  }
+
+  /** q101's blocked frame (doc_id, 40-char compare prefix, 8-char
+    * blocking key), shared with PlanSpec
+    */
+  private[graft] def blockedFrame(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      substring(lower(col("text")), 1, 40).as("t"),
+      substring(lower(col("text")), 1, 8).as("blk"))
+
   /** q26's plan, shared with q61 (whose edges are exactly these pairs).
     * Postings carry the 8-byte shingle hash, never the string: the
     * inverted-index shuffle moves fixed-width longs (a 64-bit collision
@@ -434,9 +455,21 @@ object Dedup extends Catalog {
     // 100 TB recall comes from multiple blocking passes, same plan).
     "q101_fuzzy_match_blocked" -> Q(
       fn = (s, d) => {
-        val a = docs(s, d).select(col("doc_id"),
-          substring(lower(col("text")), 1, 40).as("t"),
-          substring(lower(col("text")), 1, 8).as("blk"))
+        // Hot-block cap (the q59 stop-shingle guard applied to the
+        // blocking key): a block shared by k docs costs k²/2
+        // levenshtein calls in the self-join below, so blocks with
+        // more than HotBlockCap members are dropped BEFORE the join —
+        // a boilerplate prefix ("copyright 20…") shared by 1M docs
+        // must not detonate the kernel. The >cap survivors are by
+        // construction a handful, so the stop-list broadcasts and the
+        // LEFT-ANTI strip adds zero exchanges. At every tested SF the
+        // largest block (165 docs at sf0.1) is under the cap, so the
+        // output — and the oracle — are identical to the uncapped
+        // join; at scale the cap trades those pairs away deliberately
+        // (recall over hot prefixes comes from extra blocking passes).
+        val HotBlockCap = 256
+        val a = cappedBlocks(blockedFrame(s, d), HotBlockCap)
+          .localCheckpoint() // barrier: cap once, not once per join side
         a.as("x").join(a.as("y"),
             col("x.blk") === col("y.blk") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -455,6 +488,6 @@ object Dedup extends Catalog {
                CAST(levenshtein(x.t, y.t) AS BIGINT) AS dist
         FROM a x JOIN a y ON x.blk = y.blk AND x.doc_id < y.doc_id
         WHERE levenshtein(x.t, y.t) <= 10"""),
-      scaleNote = "the O(len²) edit-distance kernel runs ONLY on blocked candidates from the equi-join — never all pairs; per-block fan-out is bounded by block cardinality (add the q59-style cap on hot blocks at scale), and the 40-char prefix caps the DP cost per pair")
+      scaleNote = "the O(len²) edit-distance kernel runs ONLY on blocked candidates from the equi-join — never all pairs; the hot-block cap (stop-list via map-side agg + broadcast anti-join, q59's guard on the blocking key) bounds per-block fan-out at k ≤ 256 so the worst block costs ≤ 32k comparisons, and the 40-char prefix caps the DP cost per pair")
   )
 }

@@ -417,6 +417,21 @@ class PlanSpec extends SparkSpec {
       s"the edit-distance kernel must only see blocked pairs:\n${p.take(800)}")
   }
 
+  test("q101 hot-block cap: broadcast LEFT-ANTI strip, one exchange on blk") {
+    // the registered query hides the cap behind its checkpoint
+    // barrier — assert the pre-barrier plan directly (q59's stop-list
+    // shape, applied to the blocking key)
+    val p = Dedup.cappedBlocks(Dedup.blockedFrame(spark, sf0001), 256)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"hot-block stop-list must anti-join as a broadcast build:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the tiny stop-list must never shuffle the blocked frame for the anti-join")
+    // only the stop-list's own groupBy(blk) shuffles; the blocked
+    // frame flows through with zero exchanges
+    assert(exchanges(p) == 1, s"expected 1 exchange:\n${p.take(800)}")
+  }
+
   test("q74: binned range join is a shuffled equi-join, never a nested loop") {
     val p = plan("q74_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
