@@ -285,4 +285,35 @@ object Media {
       MediaRow(id, kind, bytes, meta)
     }
   }
+
+  /** [[synthetic]] with REAL image bytes: every image row carries an
+    * actual PNG (deterministic 32×32 noise seeded by media_id, encoded
+    * executor-side through javax.imageio) so the registered image
+    * pipeline exercises the real decode path end-to-end. Noise — not
+    * gradients — keeps distinct images' pooled features far apart, so
+    * phash pairs come only from byte-identical plants. Audio/video
+    * rows keep generated bytes: they stay behind the documented
+    * [[FakeCodec]] stub boundary (no JDK decoder exists for them).
+    */
+  def syntheticEncoded(spark: SparkSession, n: Int, partitions: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    synthetic(spark, n, partitions).map { r =>
+      if (r.kind != "image") r
+      else {
+        val img = new java.awt.image.BufferedImage(
+          32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rnd = new scala.util.Random(r.media_id)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) { img.setRGB(x, y, rnd.nextInt(0x1000000)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        if (!javax.imageio.ImageIO.write(img, "png", bos))
+          sys.error("no PNG writer registered — JDK imageio missing?")
+        r.copy(bytes = bos.toByteArray, meta = MediaMeta("png", 32, 32, 1, 0))
+      }
+    }
+  }
 }

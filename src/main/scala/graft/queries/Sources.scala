@@ -434,11 +434,13 @@ object Sources extends Catalog {
       fn = (s, d) => {
         import s.implicits._
         // deterministic synthetic media corpus (no media files ship in
-        // the test data — same stance as q44's fake backend) with
-        // byte-identical duplicate images planted every 7th image.
-        // Corpus size is an explicit per-SF choice (test runtime), not
-        // a path-suffix sniff — an unrecognized dir fails loudly
-        // instead of silently picking a size
+        // the test data) whose image rows carry REAL PNG bytes, decoded
+        // through the REAL javax.imageio codec — no stub anywhere in
+        // this registered path. Byte-identical duplicate images are
+        // planted every 7th image. Corpus size is an explicit per-SF
+        // choice (test runtime), not a path-suffix sniff — an
+        // unrecognized dir fails loudly instead of silently picking a
+        // size
         val n = new java.io.File(d).getName match {
           case "sf0.001"           => 90
           case "sf0.01" | "sf0.1"  => 600
@@ -446,16 +448,16 @@ object Sources extends Catalog {
             s"q58 media corpus size not defined for data dir '$other' — " +
               "add the scale factor explicitly")
         }
-        val base = graft.multimodal.Media.synthetic(s, n)
+        val base = graft.multimodal.Media.syntheticEncoded(s, n)
         val planted = base.union(
           base.filter(r => r.kind == "image" && r.media_id % 7 == 0)
             .map(r => r.copy(media_id = r.media_id + 1000000L)))
         graft.multimodal.Media.imageNearDup(
-          planted, new graft.multimodal.Media.FakeCodec())
+          planted, new graft.multimodal.Media.ImageIoCodec())
       },
-      sql = None, // decode is the stubbed codec — not SQL-portable;
-      // MediaSpec covers planted-dup recall, exactness of hamming, and
-      // the banding pigeonhole guarantee
-      scaleNote = "image dedup at 100 TB: decode+phash is one map pass; candidates come from the 8-band (band,key) equi-join with pigeonhole-guaranteed recall ≤ hamming 7 — never a cartesian")
+      sql = None, // the decode is real but pixel-level, so no SQL twin;
+      // MediaSpec covers planted-dup recall on real-encoded bytes,
+      // exactness of hamming, and the banding pigeonhole guarantee
+      scaleNote = "image dedup at 100 TB: decode (real javax.imageio) + phash is one map pass; candidates come from the 8-band (band,key) equi-join with pigeonhole-guaranteed recall ≤ hamming 7 — never a cartesian")
   )
 }

@@ -183,6 +183,48 @@ class MediaSpec extends SparkSpec {
     assert(pairs.head._3 <= 2)
   }
 
+  test("syntheticEncoded: image rows are real PNGs that decode for real") {
+    val enc = Media.syntheticEncoded(spark, 30).collect()
+    val images = enc.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    // PNG magic bytes — these are real encoded files, not fakes
+    images.foreach(r => assert(
+      r.bytes.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47),
+      s"media ${r.media_id} is not a PNG"))
+    val codec = new ImageIoCodec()
+    images.foreach { r =>
+      val px = codec.decode(r.bytes, r.meta)
+      assert(px.exists(_.length == 32 * 32), s"media ${r.media_id} failed decode")
+    }
+    // non-image rows keep the stub boundary (generated bytes)
+    assert(enc.filter(_.kind != "image").forall(_.bytes.nonEmpty))
+    // deterministic across invocations (task-retry safe)
+    val enc2 = Media.syntheticEncoded(spark, 30).collect()
+      .map(r => r.media_id -> r.bytes).toMap
+    enc.foreach(r => assert(r.bytes.sameElements(enc2(r.media_id))))
+  }
+
+  test("registered q58 path (real codec) recalls exactly the planted dups") {
+    // mirror of the q58 construction at sf0.001 scale: 90 rows, images
+    // at id%3==0, byte-identical plants at id%7==0 → pairs (id, id+1M)
+    // for id%21==0
+    val base = Media.syntheticEncoded(spark, 90)
+    val planted = base.union(
+      base.filter(r => r.kind == "image" && r.media_id % 7 == 0)
+        .map(r => r.copy(media_id = r.media_id + 1000000L)))
+    val pairs = Media.imageNearDup(planted, new ImageIoCodec())
+      .as[(Long, Long, Int)].collect()
+    val expected = (0L until 90L)
+      .filter(id => id % 21 == 0).map(id => (id, id + 1000000L)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(got), s"missing planted pairs: ${expected.diff(got)}")
+    expected.foreach { e =>
+      val h = pairs.find(p => (p._1, p._2) == e).get._3
+      assert(h == 0, s"byte-identical plant $e must hash identically")
+    }
+    assert((got -- expected).size <= 2, s"too many accidental pairs: ${got -- expected}")
+  }
+
   test("features aggregate distributedly (per-kind mean norm)") {
     val agg = extractFeatures(corpus, new FakeCodec)
       .toDF()
