@@ -365,6 +365,59 @@ object Sources extends Catalog {
         SELECT lang, rk, word, est FROM r WHERE rk < 10"""),
       scaleNote = "the sketch shuffles at most `capacity` counters per (partition, lang) instead of the full per-lang vocabulary — two-phase like any built-in agg (reduce map-side, mergeable summaries at the exchange); at 100 TB with an unbounded vocab this replaces q75's exact full-vocabulary shuffle at a bounded n/capacity error"),
 
+    // ----- E19 sketch family: Misra-Gries UNDER PRUNE PRESSURE ------
+    // q100's corpus (~30 words) never overflows its 64 counters, so
+    // the prune path ran un-oracled. This query builds a planted-skew
+    // stream from lineitem — 5 hot items at ~6% of the stream each,
+    // plus a ~42k-item long tail of singletons — and sketches it at
+    // capacity 32, so the sketch prunes on nearly every input row.
+    // The OUTPUT is the Misra-Gries guarantee check itself: for every
+    // item with true freq > n/(capacity+1) (which the theorem says
+    // MUST be in the sketch), emit (item, true count, present,
+    // bound_ok). When the guarantee holds — always, it's a theorem —
+    // present/bound_ok are uniformly true, which is exactly what the
+    // DuckDB oracle computes from exact counts alone; any violation
+    // on the Spark side hash-mismatches the row. Integer arithmetic
+    // (cnt·33 > n) keeps the threshold comparison exact in both
+    // engines.
+    "q102_heavy_hitters_pruned" -> Q(
+      fn = (s, d) => {
+        val k = 32
+        val items = Tables.load(s, d, "lineitem").select(
+          when(col("l_orderkey") % 10 < 3,
+            concat(lit("hot"), (col("l_orderkey") % 5).cast("string")))
+            .otherwise(concat(lit("cold"), col("l_orderkey").cast("string"),
+              lit("_"), col("l_linenumber").cast("string")))
+            .as("item"))
+        val exact = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        val n = items.agg(count(lit(1)).as("n"))
+        val est = items
+          .agg(graft.functions.HeavyHitters.column(col("item"), k).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e._1").as("item"), col("e._2").as("est"))
+        exact.crossJoin(broadcast(n))
+          .filter(col("cnt") * (k + 1) > col("n"))
+          .join(est, Seq("item"), "left")
+          .select(col("item"), col("cnt"),
+            col("est").isNotNull.as("present"),
+            coalesce(
+              col("est") <= col("cnt") &&
+                (col("cnt") - col("est")) * (k + 1) <= col("n"),
+              lit(false)).as("bound_ok"))
+      },
+      sql = Some("""
+        WITH items AS (
+          SELECT CASE WHEN l_orderkey % 10 < 3
+                      THEN 'hot' || CAST(l_orderkey % 5 AS VARCHAR)
+                      ELSE 'cold' || CAST(l_orderkey AS VARCHAR) || '_' ||
+                           CAST(l_linenumber AS VARCHAR) END AS item
+          FROM lineitem),
+        tot AS (SELECT count(*) AS n FROM items),
+        c AS (SELECT item, count(*) AS cnt FROM items GROUP BY 1)
+        SELECT item, cnt, true AS present, true AS bound_ok
+        FROM c, tot WHERE cnt * 33 > n"""),
+      scaleNote = "the sketch shuffles ≤32 counters per partition regardless of the ~42k-item tail — the prune regime IS the 100 TB regime (unbounded vocab, bounded state); the exact groupBy alongside it exists only to state the guarantee and would be dropped in production"),
+
     // ----- E6 sketch variant: approximate distinct ------------------
     "q43_approx_distinct" -> Q(
       fn = (s, d) =>
