@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-level MERGE: [[Upsert]] against a snapshot stored
+  * `partitionBy(partitionCol)` on disk, rewriting ONLY the partition
+  * directories the delta touches. The batch-MERGE answer to the
+  * copy-on-write table-format trade: a 0.1% daily delta against a
+  * 100 TB snapshot must rewrite ~0.1% of the files, not all of them —
+  * a full-snapshot DirSwap (the unpartitioned
+  * [[graft.pipeline.SnapshotSink]] path) dies there.
+  *
+  * Plan shape: ONE full-outer merge join, exactly [[Upsert]]'s — but
+  * its snapshot side is the partition-PRUNED read of only the touched
+  * directories (`PartitionFilters` in the scan; untouched partitions
+  * are never opened, never shuffled, never rewritten), and the write
+  * lands only those partitions' replacement files.
+  *
+  * Contracts (on top of [[Upsert]]'s):
+  *   - `partitionCol` is functionally determined by the key columns —
+  *     a key's partition value never changes across updates (else the
+  *     stale copy in the old partition would survive the merge). A
+  *     partition column that IS a key satisfies this trivially.
+  *   - partition values are non-null (a null would land in Hive's
+  *     default-partition directory, which the touched-value pruning
+  *     does not model — fail fast instead).
+  *   - delta carries `partitionCol`; `deletes` (optional) carries the
+  *     key columns plus `partitionCol`.
+  *   - single writer per snapshotDir (the DirSwap contract).
+  *
+  * Crash safety: each partition installs via rename-aside (old dir
+  * preserved under `<snapshotDir>_merge_old/` until its replacement is
+  * in place); a crash mid-merge leaves SOME partitions new and some
+  * old — re-applying the same batch re-converges, because the merge is
+  * idempotent (same at-least-once stance as SnapshotSink's micro-batch
+  * replay). Leftover aside dirs are restored automatically on the next
+  * call. Table-level atomicity would need a manifest layer on top;
+  * the directory layout deliberately trades that for zero metadata
+  * infrastructure.
+  */
+object PartitionedUpsert {
+
+  def apply(
+      spark: SparkSession,
+      snapshotDir: String,
+      delta: DataFrame,
+      keys: Seq[String],
+      partitionCol: String,
+      deletes: Option[DataFrame] = None): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(delta.columns.contains(partitionCol),
+      s"delta must carry the partition column $partitionCol")
+    deletes.foreach(del => require(
+      del.columns.toSet == (keys :+ partitionCol).toSet,
+      s"deletes must carry exactly keys + $partitionCol, " +
+        s"got ${del.columns.mkString(",")}"))
+
+    val root = new Path(snapshotDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    restoreAside(fs, snapshotDir)
+
+    if (!fs.exists(root)) {
+      // first install: the delta IS the snapshot (minus deletes, whose
+      // keys are simply absent). Written to a tmp sibling then renamed
+      // into place — a crash mid-write never leaves a torn visible dir.
+      val init = deletes.fold(delta)(del =>
+        delta.join(broadcast(del.select(keys.map(col): _*)), keys, "left_anti"))
+      val tmp = new Path(snapshotDir + "_init_tmp")
+      fs.delete(tmp, true)
+      init.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+      if (!fs.rename(tmp, root))
+        sys.error(s"PartitionedUpsert: could not install first snapshot at $root")
+      return
+    }
+
+    // ---- touched partitions ----------------------------------------
+    // The touched-value set is small BY CONSTRUCTION — bounded by the
+    // delta, not the snapshot (that is the operator's entire point) —
+    // so collecting it is a metadata-scale driver action, the same
+    // class as a streaming batch id or a convergence probe.
+    val touchedDf = deletes
+      .fold(delta.select(col(partitionCol)))(del =>
+        delta.select(col(partitionCol))
+          .unionByName(del.select(col(partitionCol))))
+      .distinct()
+      .localCheckpoint() // reused for pruning AND the dir-name mapping
+    val touched = touchedDf.collect().map(_.get(0)).toSeq
+    require(!touched.contains(null),
+      s"PartitionedUpsert: null $partitionCol value in the delta — " +
+        "null partitions are outside the touched-partition contract")
+    if (touched.isEmpty) return
+
+    // ---- merge, on the pruned snapshot only ------------------------
+    val snap = touchedSnapshot(spark, snapshotDir, partitionCol, touched)
+    val merged0 = Upsert(snap, delta, keys)
+    val merged = deletes.fold(merged0)(del =>
+      // tiny per-batch delete set: broadcast anti-join
+      merged0.join(broadcast(del.select(keys.map(col): _*)), keys, "left_anti"))
+
+    // the lazy read of the old partitions inside this write is safe:
+    // swaps happen only after the tmp write completes
+    val tmpPath = new Path(snapshotDir + "_merge_tmp")
+    fs.delete(tmpPath, true)
+    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmpPath.toString)
+
+    // ---- touched directory names -----------------------------------
+    // Without deletes every touched partition has surviving rows, so
+    // tmp's own subdirs ARE the touched set. With deletes a partition
+    // can empty out (absent from tmp but its old dir must go) — get
+    // its directory NAME by having Spark write the touched values
+    // through the identical partitionBy path: exact same escaping as
+    // the real write, by construction, no internal-API use.
+    val newDirs = partDirs(fs, tmpPath, partitionCol)
+    val touchedDirs: Set[String] =
+      if (deletes.isEmpty) newDirs
+      else {
+        val scratch = new Path(snapshotDir + "_merge_names")
+        fs.delete(scratch, true)
+        touchedDf.withColumn("__x", lit(1))
+          .write.mode("overwrite").partitionBy(partitionCol).parquet(scratch.toString)
+        val names = partDirs(fs, scratch, partitionCol)
+        fs.delete(scratch, true)
+        names
+      }
+
+    // ---- per-partition rename-aside install ------------------------
+    val aside = new Path(snapshotDir + "_merge_old")
+    fs.mkdirs(aside)
+    touchedDirs.toSeq.sorted.foreach { name =>
+      val cur = new Path(root, name)
+      val nw = new Path(tmpPath, name)
+      val bak = new Path(aside, name)
+      fs.delete(bak, true) // stale leftover from an earlier crash
+      if (fs.exists(cur) && !fs.rename(cur, bak))
+        sys.error(s"PartitionedUpsert: could not move $cur aside")
+      if (fs.exists(nw) && !fs.rename(nw, cur)) {
+        fs.rename(bak, cur) // restore
+        sys.error(s"PartitionedUpsert: could not install $nw at $cur")
+      }
+      fs.delete(bak, true)
+    }
+    fs.delete(tmpPath, true)
+    fs.delete(aside, true)
+    ()
+  }
+
+  /** the partition-pruned snapshot read — package-private so the spec
+    * can assert `PartitionFilters` / input-file pruning directly
+    */
+  private[graft] def touchedSnapshot(
+      spark: SparkSession,
+      snapshotDir: String,
+      partitionCol: String,
+      values: Seq[Any]): DataFrame =
+    spark.read.parquet(snapshotDir)
+      .filter(col(partitionCol).isInCollection(values))
+
+  /** `<partitionCol>=<value>` child directory names of `dir` */
+  private def partDirs(fs: FileSystem, dir: Path, partitionCol: String): Set[String] =
+    fs.listStatus(dir)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(partitionCol + "="))
+      .toSet
+
+  /** Recover from a crash inside a previous call's swap loop: any dir
+    * under `_merge_old` whose snapshot slot is EMPTY was moved aside
+    * but never replaced — rename it back; one whose slot is occupied
+    * was already replaced — drop it. Leaves the snapshot at a mix of
+    * old and new partitions; replaying the crashed batch re-converges.
+    */
+  private def restoreAside(fs: FileSystem, snapshotDir: String): Unit = {
+    val aside = new Path(snapshotDir + "_merge_old")
+    if (fs.exists(aside)) {
+      val root = new Path(snapshotDir)
+      if (!fs.exists(root))
+        sys.error(s"PartitionedUpsert: aside dir $aside exists but snapshot " +
+          s"$root does not — refusing to guess; restore manually")
+      fs.listStatus(aside).foreach { st =>
+        val back = new Path(root, st.getPath.getName)
+        if (!fs.exists(back)) {
+          if (!fs.rename(st.getPath, back))
+            sys.error(s"PartitionedUpsert: could not restore ${st.getPath} to $back")
+        } else fs.delete(st.getPath, true)
+      }
+      fs.delete(aside, true)
+    }
+  }
+}

@@ -27,11 +27,16 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * leave the snapshot unchanged. Same single-writer contract as the
   * other DirSwap users: one active stream per snapshotDir.
   *
-  * Scale: the snapshot rewrites once per batch — at 100 TB that is
-  * the standard copy-on-write table-format trade (partition the
-  * snapshot and rewrite only partitions the delta touches; the merge
-  * plan here is already partition-prunable because Upsert keys the
-  * join on the snapshot key).
+  * Scale: with `partitionCol` set the snapshot is stored
+  * `partitionBy(partitionCol)` and each batch merges through
+  * [[graft.operators.PartitionedUpsert]] — only the partitions the
+  * batch touches are read, joined, and rewritten, which is the 100 TB
+  * path (a 0.1% delta rewrites ~0.1% of the files). Without it the
+  * snapshot rewrites in full once per batch via DirSwap — fine for
+  * small snapshots, the documented copy-on-write trade otherwise.
+  * `partitionCol` carries PartitionedUpsert's contract: key-derived
+  * (a key's partition never changes) and non-null, present in the
+  * stream's columns.
   */
 object SnapshotSink {
 
@@ -41,12 +46,13 @@ object SnapshotSink {
       seqCol: String,
       opCol: Option[String],
       snapshotDir: String,
-      checkpointDir: String): DataStreamWriter[Row] = {
+      checkpointDir: String,
+      partitionCol: Option[String] = None): DataStreamWriter[Row] = {
     require(keys.nonEmpty, "snapshot sink needs at least one key column")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, keys, seqCol, opCol, snapshotDir)
+        applyBatch(batch, keys, seqCol, opCol, snapshotDir, partitionCol)
         ()
       }
   }
@@ -57,7 +63,8 @@ object SnapshotSink {
       keys: Seq[String],
       seqCol: String,
       opCol: Option[String],
-      snapshotDir: String): Unit = {
+      snapshotDir: String,
+      partitionCol: Option[String] = None): Unit = {
     require(!batch.columns.contains("__rn"),
       "__rn is reserved by SnapshotSink")
     val spark = batch.sparkSession
@@ -68,8 +75,21 @@ object SnapshotSink {
     val upserts = opCol.fold(last.drop(seqCol)) { oc =>
       last.filter(col(oc) =!= "D").drop(seqCol, oc)
     }
+    // the partitioned path needs each delete's partition value to know
+    // which directories the batch touches
     val deletes = opCol.map { oc =>
-      last.filter(col(oc) === "D").select(keys.map(col): _*)
+      last.filter(col(oc) === "D")
+        .select((keys ++ partitionCol.toSeq).map(col): _*)
+    }
+
+    partitionCol match {
+      case Some(pc) =>
+        // PartitionedUpsert owns first-install, crash recovery, and the
+        // touched-partition-only rewrite
+        graft.operators.PartitionedUpsert(
+          spark, snapshotDir, upserts, keys, pc, deletes)
+        return
+      case None => ()
     }
 
     val hc = spark.sparkContext.hadoopConfiguration

@@ -332,6 +332,32 @@ object Analytics extends Catalog {
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged"""),
       scaleNote = "one full-outer shuffle join on the snapshot key; bucketed layouts co-locate it to zero exchange, AQE coalesces the tiny delta side — the MERGE primitive every incremental 100 TB snapshot rebuild reduces to"),
 
+    // ----- partition-level MERGE (storage-level q86) ----------------
+    // The SAME merge as q86, executed against a disk-backed snapshot
+    // stored partitionBy(p) with p = o_orderkey % 8 (key-derived, so a
+    // key's partition never moves): PartitionedUpsert prunes the
+    // snapshot read to the delta's touched partitions and swaps only
+    // those directories — the read-back must equal q86's in-memory
+    // merge, on q86's oracle. A fresh snapshot dir per invocation: the
+    // operator MUTATES its snapshot, so runs must not share state.
+    "q103_partitioned_merge" -> Q(
+      fn = (s, d) => {
+        def withP(df: DataFrame): DataFrame =
+          df.withColumn("p", pmod(col("o_orderkey"), lit(8)).cast("int"))
+        val base = ordersBase(s, d)
+        val dir = java.nio.file.Files.createTempDirectory("graft_q103_snap")
+          .toString + "/snapshot"
+        val op = graft.operators.PartitionedUpsert
+        op(s, dir, withP(base), Seq("o_orderkey"), "p")
+        op(s, dir, withP(ordersDelta(base)), Seq("o_orderkey"), "p")
+        s.read.parquet(dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      },
+      sql = Some(s"""
+        WITH $OrdersMergedCtes
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged"""),
+      scaleNote = "the snapshot side of the merge join is the partition-PRUNED scan of touched directories only (PartitionFilters), and only those directories' files rewrite — at 100 TB a 0.1% delta costs ~0.1% of the I/O, where q86's DirSwap install would rewrite everything"),
+
     // ----- SCD Type 2 history build ---------------------------------
     // Change-tracking: collapse each user's event_type stream into
     // validity intervals [vf, vt) — change detection via lag, interval

@@ -83,6 +83,51 @@ class SnapshotSinkSpec extends SparkSpec {
       s"snapshot must survive a mid-swap crash: got $got want $want")
   }
 
+  test("partitioned sink converges identically and rewrites only touched dirs") {
+    val snapDir = Files.createTempDirectory("graft-snap5").toString + "/snap"
+    def addP(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("p", (col("k") % 2).cast("int"))
+    def stamps(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(snapDir)
+      val st = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(p => p.toFile.isFile && p.getFileName.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString -> p.toFile.lastModified())
+          .toMap
+      } finally st.close()
+    }
+    val b1 = addP(log.take(6).toDF("k", "s", "seq", "op"))
+    val b2 = addP(log.drop(6).toDF("k", "s", "seq", "op"))
+    SnapshotSink.applyBatch(b1, Seq("k"), "seq", Some("op"), snapDir, Some("p"))
+    SnapshotSink.applyBatch(b2, Seq("k"), "seq", Some("op"), snapDir, Some("p"))
+    val got = spark.read.parquet(snapDir)
+      .select("k", "s").as[(Long, String)].collect().toSet
+    val oneShot = CdcApply(
+      log.toDF("k", "s", "seq", "op"), Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toSet
+    assert(got == oneShot,
+      s"partitioned path must converge to the same snapshot: got $got")
+    // replay safety holds through PartitionedUpsert too
+    SnapshotSink.applyBatch(b2, Seq("k"), "seq", Some("op"), snapDir, Some("p"))
+    assert(spark.read.parquet(snapDir)
+      .select("k", "s").as[(Long, String)].collect().toSet == oneShot)
+    // a batch touching ONLY p=0 (key 2) must leave p=1's files untouched
+    val before = stamps()
+    Thread.sleep(1100)
+    val b3 = addP(Seq((2L, "B2", 11L, "U")).toDF("k", "s", "seq", "op"))
+    SnapshotSink.applyBatch(b3, Seq("k"), "seq", Some("op"), snapDir, Some("p"))
+    val after = stamps()
+    assert(after.filter(_._1.startsWith("p=1")) ==
+      before.filter(_._1.startsWith("p=1")),
+      "untouched partition files must keep identical paths and mtimes")
+    assert(after.filter(_._1.startsWith("p=0")) !=
+      before.filter(_._1.startsWith("p=0")))
+    assert(spark.read.parquet(snapDir).filter(col("k") === 2)
+      .select("s").as[String].head() == "B2")
+  }
+
   test("pure upsert mode (no op column) keeps the latest row per key") {
     val snapDir = Files.createTempDirectory("graft-snap3").toString + "/snap"
     val b = Seq((1L, "a", 0L), (1L, "a2", 1L), (2L, "b", 0L))
