@@ -272,6 +272,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed pipeline: streaming dedup feeds a continuously-updated verdict snapshot") {
+    // END-TO-END composition of the two streaming maintenance pieces:
+    //   docs stream → IncrementalDedup.streamingDedup → per-batch pair
+    //   files → (file-source stream) → SnapshotSink (PARTITIONED) →
+    //   doc_id → best-match-jaccard snapshot, continuously upserted.
+    // The final snapshot must equal the one-shot q26 derivation: for
+    // every duplicate doc (doc2 side of a pair), its max jaccard.
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+    import graft.pipeline.{IncrementalDedup, SnapshotSink}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-comp-idx").toString
+    val pairsDir = java.nio.file.Files.createTempDirectory("graft-comp-p").toString + "/pairs"
+    val snapDir = java.nio.file.Files.createTempDirectory("graft-comp-s").toString + "/snap"
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft-comp-c1").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-comp-c2").toString
+    new java.io.File(pairsDir).mkdirs()
+
+    val ms = MemoryStream[(Long, String)]
+    val q1 = IncrementalDedup.streamingDedup(
+      ms.toDF().toDF("doc_id", "text"), idx, pairsDir, ckpt1).start()
+    val pairSchema = new StructType()
+      .add("doc1", LongType).add("doc2", LongType).add("jaccard", DoubleType)
+    // doc2 is always the newer doc, so each doc's verdict arrives in
+    // its own batch; seq = jaccard makes keep-last keep the best match
+    // (ties carry identical payloads — deterministic snapshot)
+    val verdicts = spark.readStream.schema(pairSchema)
+      .parquet(s"$pairsDir/*")
+      .select(col("doc2").as("doc_id"), col("jaccard"),
+        col("jaccard").as("seq"),
+        pmod(col("doc2"), lit(4)).cast("int").as("p"))
+    val q2 = SnapshotSink.run(
+      verdicts, Seq("doc_id"), "seq", None, snapDir, ckpt2,
+      partitionCol = Some("p")).start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        ms.addData(chunk)
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+      }
+    } finally { q1.stop(); q2.stop() }
+
+    val snap = spark.read.parquet(snapDir)
+      .select("doc_id", "jaccard").as[(Long, Double)].collect().toSet
+    val oneShot = graft.queries.Dedup.queries("q26_dedup_ngram_jaccard")
+      .fn(spark, sf0001)
+      .groupBy(col("doc2").as("doc_id"))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .as[(Long, Double)].collect().toSet
+    assert(snap == oneShot,
+      s"missing=${oneShot.diff(snap).take(5)} extra=${snap.diff(oneShot).take(5)}")
+    // the snapshot really is partitioned storage (the 100 TB path)
+    assert(new java.io.File(snapDir).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("p=")))
+  }
+
   test("foreachBatch idempotent sink: batchId-keyed writes survive replay") {
     // the exactly-once-to-external-systems pattern: foreachBatch gets
     // (df, batchId); writing to a batchId-keyed path makes redelivery
