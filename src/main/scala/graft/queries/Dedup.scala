@@ -352,10 +352,17 @@ object Dedup extends Catalog {
           .filter(col("overlap") >= 0.5)
           .select(col("doc1"), col("doc2"), col("shared_chunks"), col("overlap"))
       },
-      sql = None, // Gear/xxhash chunking is not portable to DuckDB —
-      // rows-only; PipelineCatalogsSpec asserts agreement with the
-      // shingle-jaccard near-dup pairs and CdcChunksSpec the edit
-      // robustness
+      sql = None, // Gear/xxhash chunking is not portable to DuckDB.
+      // A mirrored-arithmetic twin (the q79 trick) was evaluated and
+      // rejected: chunk boundaries depend on XXH64 (gear table AND
+      // chunk ids), whose unsigned-64 wrapping multiplies would need
+      // HUGEINT-modular emulation in SQL — DuckDB raises on signed
+      // BIGINT overflow rather than wrapping — so the mirror would be
+      // hundreds of lines of hand-rolled hash arithmetic that verifies
+      // the emulation, not the operator. Rows-only here;
+      // PipelineCatalogsSpec asserts agreement with the shingle-
+      // jaccard near-dup pairs and CdcChunksSpec the edit robustness
+      // + bit-equality of the kernel.
       scaleNote = "chunks shuffle as 8-byte hashes; posting-list join like q26 but ~5x fewer postings than word-shingles on long docs"),
 
     // ----- E12: near-dup pairs → keep-one dup GROUPS ----------------

@@ -343,8 +343,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("q86_merge_upsert")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
       s"expected a full-outer SMJ (full outer cannot broadcast):\n${p.take(800)}")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the single allowed nested-loop join is the BROADCAST of the
+    // 1-row max-key shift frame into the insert branch — constant
+    // size by construction, never a data×data loop
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"only the 1-row shift broadcast may nested-loop:\n${p.take(800)}")
   }
 
   test("q87: SCD2's two windows share one shuffle on user_id") {
