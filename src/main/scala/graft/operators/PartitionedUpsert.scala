@@ -92,9 +92,33 @@ object PartitionedUpsert {
         "null partitions are outside the touched-partition contract")
     if (touched.isEmpty) return
 
-    // ---- merge, on the pruned snapshot only ------------------------
-    val snap = touchedSnapshot(spark, snapshotDir, partitionCol, touched)
-    val merged0 = Upsert(snap, delta, keys)
+    // ---- touched directory names, BEFORE the read ------------------
+    // Computed by having Spark write the touched values through the
+    // identical partitionBy path: exact same escaping as the real
+    // write, by construction, no internal-API use. Knowing the names
+    // up front lets the snapshot read list ONLY the touched dirs —
+    // `spark.read.parquet(root)` would enumerate every file of every
+    // partition first (millions of LIST calls on a 100 TB snapshot)
+    // just to prune most of them away.
+    val touchedDirs: Set[String] = {
+      val scratch = new Path(snapshotDir + "_merge_names")
+      fs.delete(scratch, true)
+      touchedDf.withColumn("__x", lit(1))
+        .write.mode("overwrite").partitionBy(partitionCol).parquet(scratch.toString)
+      val names = partDirs(fs, scratch, partitionCol)
+      fs.delete(scratch, true)
+      names
+    }
+    val existingDirs = touchedDirs.filter(n => fs.exists(new Path(root, n)))
+
+    // ---- merge, on the touched partitions only ----------------------
+    // insert-only partitions have no snapshot side; the merge then
+    // degenerates to the delta itself
+    val merged0 =
+      if (existingDirs.isEmpty) delta
+      else Upsert(
+        touchedSnapshot(spark, snapshotDir, partitionCol, touched, existingDirs),
+        delta, keys)
     val merged = deletes.fold(merged0)(del =>
       // tiny per-batch delete set: broadcast anti-join
       merged0.join(broadcast(del.select(keys.map(col): _*)), keys, "left_anti"))
@@ -105,27 +129,9 @@ object PartitionedUpsert {
     fs.delete(tmpPath, true)
     merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmpPath.toString)
 
-    // ---- touched directory names -----------------------------------
-    // Without deletes every touched partition has surviving rows, so
-    // tmp's own subdirs ARE the touched set. With deletes a partition
-    // can empty out (absent from tmp but its old dir must go) — get
-    // its directory NAME by having Spark write the touched values
-    // through the identical partitionBy path: exact same escaping as
-    // the real write, by construction, no internal-API use.
-    val newDirs = partDirs(fs, tmpPath, partitionCol)
-    val touchedDirs: Set[String] =
-      if (deletes.isEmpty) newDirs
-      else {
-        val scratch = new Path(snapshotDir + "_merge_names")
-        fs.delete(scratch, true)
-        touchedDf.withColumn("__x", lit(1))
-          .write.mode("overwrite").partitionBy(partitionCol).parquet(scratch.toString)
-        val names = partDirs(fs, scratch, partitionCol)
-        fs.delete(scratch, true)
-        names
-      }
-
     // ---- per-partition rename-aside install ------------------------
+    // touchedDirs covers both cases: a dir present in tmp swaps in; a
+    // touched dir ABSENT from tmp was emptied by deletes and must go
     val aside = new Path(snapshotDir + "_merge_old")
     fs.mkdirs(aside)
     touchedDirs.toSeq.sorted.foreach { name =>
@@ -146,15 +152,21 @@ object PartitionedUpsert {
     ()
   }
 
-  /** the partition-pruned snapshot read — package-private so the spec
-    * can assert `PartitionFilters` / input-file pruning directly
+  /** The touched-partitions-only snapshot read — package-private so
+    * the spec can assert file-level pruning directly. Listing is
+    * restricted to the touched dirs from the start (basePath keeps the
+    * partition column derived from the paths); the residual
+    * isInCollection filter is belt-and-suspenders, pruning nothing the
+    * path list didn't already.
     */
   private[graft] def touchedSnapshot(
       spark: SparkSession,
       snapshotDir: String,
       partitionCol: String,
-      values: Seq[Any]): DataFrame =
-    spark.read.parquet(snapshotDir)
+      values: Seq[Any],
+      existingDirs: Set[String]): DataFrame =
+    spark.read.option("basePath", snapshotDir)
+      .parquet(existingDirs.toSeq.sorted.map(n => s"$snapshotDir/$n"): _*)
       .filter(col(partitionCol).isInCollection(values))
 
   /** `<partitionCol>=<value>` child directory names of `dir` */

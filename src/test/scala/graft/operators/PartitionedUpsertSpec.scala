@@ -94,7 +94,12 @@ class PartitionedUpsertSpec extends SparkSpec {
   test("snapshot read prunes to touched partitions (PartitionFilters + files)") {
     val dir = freshDir()
     PartitionedUpsert(spark, dir, base, Seq("k"), "p")
-    val pruned = PartitionedUpsert.touchedSnapshot(spark, dir, "p", Seq(1, 2))
+    val pruned = PartitionedUpsert.touchedSnapshot(
+      spark, dir, "p", Seq(1, 2), Set("p=1", "p=2"))
+    // the untouched dirs are never even LISTED — O(delta) metadata,
+    // not O(snapshot)
+    assert(pruned.inputFiles.forall(f => f.contains("p=1") || f.contains("p=2")),
+      s"listing must be restricted to touched dirs: ${pruned.inputFiles.toSeq.take(4)}")
     // collect() drives THIS dataset's queryExecution, so the scan
     // metrics below belong to the very plan that ran (count() would
     // execute a different, derived plan)
