@@ -124,10 +124,17 @@ object PartitionedUpsert {
       merged0.join(broadcast(del.select(keys.map(col): _*)), keys, "left_anti"))
 
     // the lazy read of the old partitions inside this write is safe:
-    // swaps happen only after the tmp write completes
+    // swaps happen only after the tmp write completes.
+    // repartition(partitionCol) first: without it every shuffle task
+    // writes a file into every touched dir (touched × tasks small
+    // files per merge — unbounded fragmentation for a long-running
+    // sink); with it each partition's rows land in one task → one
+    // file per dir per merge. The extra shuffle moves only the merged
+    // rows, which are delta-bounded by construction.
     val tmpPath = new Path(snapshotDir + "_merge_tmp")
     fs.delete(tmpPath, true)
-    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmpPath.toString)
+    merged.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmpPath.toString)
 
     // ---- per-partition rename-aside install ------------------------
     // touchedDirs covers both cases: a dir present in tmp swaps in; a

@@ -63,6 +63,46 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed snapshot MERGE: the full-outer upsert join pays zero exchange") {
+    // Upsert's scale story claims "bucketed layouts co-locate the
+    // merge to zero exchange" — prove it: snapshot and delta both
+    // bucketed on the key, the full-outer merge join consumes the
+    // bucket layout directly. (Full outer can never broadcast, so at
+    // 100 TB this IS the difference between shuffling the snapshot
+    // every merge and shuffling nothing.)
+    try {
+      val base = Tables.load(spark, sf0001, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      base.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_snap")
+      base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_delta")
+
+      val merged = graft.operators.Upsert(
+        spark.table("b_snap"), spark.table("b_delta"), Seq("o_orderkey"))
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed merge must not shuffle either side:\n${plan.take(1200)}")
+      assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+        plan.take(400))
+      assert(plan.contains("Bucketed: true"), plan.take(800))
+
+      // same answer as the unbucketed merge
+      val want = graft.operators.Upsert(
+        base, base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("U")), Seq("o_orderkey"))
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      val got = merged
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(got == want)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_snap")
+      spark.sql("DROP TABLE IF EXISTS b_delta")
+    }
+  }
+
   test("partition pruning: a filter on the partition column skips other partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.load(spark, sf0001, "orders")
