@@ -70,6 +70,18 @@ object PartitionedUpsert {
       val tmp = new Path(snapshotDir + "_init_tmp")
       fs.delete(tmp, true)
       init.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+      // null partition values are outside the touched-partition
+      // contract on EVERY path: a null row landing in Hive's default
+      // partition dir could never be updated or deleted by later
+      // merges. The tmp write surfaces them with zero extra scan —
+      // fail before install, leaving no snapshot behind.
+      val hiveDefault = new Path(tmp, s"$partitionCol=__HIVE_DEFAULT_PARTITION__")
+      if (fs.exists(hiveDefault)) {
+        fs.delete(tmp, true)
+        sys.error(
+          s"PartitionedUpsert: null $partitionCol value in the first-install " +
+            "delta — null partitions are outside the touched-partition contract")
+      }
       if (!fs.rename(tmp, root))
         sys.error(s"PartitionedUpsert: could not install first snapshot at $root")
       return

@@ -67,15 +67,24 @@ object IncrementalDedup {
       indexDir: String, subs: Seq[String],
       batchId: Option[Long], runId: String): Unit =
     if (runId.nonEmpty) batchId.foreach { id =>
+      // same ambiguity for a TRUNCATED-era name: runIds once kept only
+      // the first 8 chars of the checkpoint UUID, so a pre-upgrade
+      // subdir of this same checkpoint is b<runId.take(8)>-<id> — a
+      // crashed attempt there would double-count exactly like the
+      // un-namespaced case, and a committed one must not be dropped
+      val legacyNames =
+        Seq(s"b$id") ++ (if (runId.length > 8) Seq(s"b${runId.take(8)}-$id") else Nil)
       subs.foreach { sub =>
-        val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub/b$id")
-        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-          sys.error(
-            s"IncrementalDedup: legacy un-namespaced subdir $p collides with " +
-              s"batch $id of run '$runId'. If it is a COMMITTED batch of a " +
-              "previous run, fold it into the flat layout with compactIndex() " +
-              "(only while no crashed batch awaits replay); if it is a crashed " +
-              "attempt's remnant, delete it. Then restart the stream.")
+        legacyNames.foreach { ln =>
+          val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub/$ln")
+          if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+            sys.error(
+              s"IncrementalDedup: legacy subdir $p collides with " +
+                s"batch $id of run '$runId'. If it is a COMMITTED batch of a " +
+                "previous run, fold it into the flat layout with compactIndex() " +
+                "(only while no crashed batch awaits replay); if it is a crashed " +
+                "attempt's remnant, delete it. Then restart the stream.")
+        }
       }
     }
 
@@ -287,14 +296,20 @@ object IncrementalDedup {
         // run's committed output (keep it) — fail fast rather than
         // leave phantom pairs for recursive readers
         if (runId.nonEmpty) {
-          val legacy = new org.apache.hadoop.fs.Path(s"$pairsDir/b$id")
-          if (legacy.getFileSystem(
-              batch.sparkSession.sparkContext.hadoopConfiguration).exists(legacy))
-            sys.error(
-              s"IncrementalDedup: legacy un-namespaced pairs subdir $legacy " +
-                s"collides with batch $id of run '$runId' — delete it if it is " +
-                "a crashed attempt's remnant, or move it aside if it is a " +
-                "previous run's committed output; then restart the stream.")
+          // un-namespaced AND truncated-era (b<8-char-prefix>-<id>)
+          // legacy names — same ambiguity, same fail-fast resolution
+          val legacyNames = Seq(s"b$id") ++
+            (if (runId.length > 8) Seq(s"b${runId.take(8)}-$id") else Nil)
+          legacyNames.foreach { ln =>
+            val legacy = new org.apache.hadoop.fs.Path(s"$pairsDir/$ln")
+            if (legacy.getFileSystem(
+                batch.sparkSession.sparkContext.hadoopConfiguration).exists(legacy))
+              sys.error(
+                s"IncrementalDedup: legacy pairs subdir $legacy " +
+                  s"collides with batch $id of run '$runId' — delete it if it is " +
+                  "a crashed attempt's remnant, or move it aside if it is a " +
+                  "previous run's committed output; then restart the stream.")
+          }
         }
         dedupBatch(batch, indexDir, tau, batchId = Some(id), runId = runId)
           .write.mode("overwrite").parquet(s"$pairsDir/${subdirName(runId, id)}")

@@ -76,10 +76,13 @@ object SnapshotSink {
       last.filter(col(oc) =!= "D").drop(seqCol, oc)
     }
     // the partitioned path needs each delete's partition value to know
-    // which directories the batch touches
+    // which directories the batch touches; distinct, because the
+    // partition column may itself BE a key (blessed by the
+    // PartitionedUpsert contract) and a duplicated column name would
+    // make every later reference ambiguous
     val deletes = opCol.map { oc =>
       last.filter(col(oc) === "D")
-        .select((keys ++ partitionCol.toSeq).map(col): _*)
+        .select((keys ++ partitionCol.toSeq).distinct.map(col): _*)
     }
 
     partitionCol match {

@@ -345,8 +345,17 @@ object Analytics extends Catalog {
         def withP(df: DataFrame): DataFrame =
           df.withColumn("p", pmod(col("o_orderkey"), lit(8)).cast("int"))
         val base = ordersBase(s, d)
-        val dir = java.nio.file.Files.createTempDirectory("graft_q103_snap")
-          .toString + "/snapshot"
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_q103_snap")
+        // unlike every other registered query this one writes real
+        // files; reclaim them at JVM exit so repeated bench/profile
+        // runs don't accumulate snapshot copies in the temp dir
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(tmpRoot.toFile)
+        }
+        val dir = tmpRoot.toString + "/snapshot"
         val op = graft.operators.PartitionedUpsert
         op(s, dir, withP(base), Seq("o_orderkey"), "p")
         op(s, dir, withP(ordersDelta(base)), Seq("o_orderkey"), "p")

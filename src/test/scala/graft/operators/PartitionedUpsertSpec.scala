@@ -156,5 +156,14 @@ class PartitionedUpsertSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       PartitionedUpsert(spark, dir, nullP, Seq("k"), "p")
     }
+    // the FIRST-INSTALL path must reject nulls too (they would land in
+    // Hive's default-partition dir, unreachable by later merges) and
+    // must leave no snapshot behind when it does
+    val freshInit = freshDir()
+    intercept[RuntimeException] {
+      PartitionedUpsert(spark, freshInit, base.unionByName(nullP), Seq("k"), "p")
+    }
+    assert(!Files.exists(java.nio.file.Paths.get(freshInit)),
+      "a rejected first install must not leave a snapshot")
   }
 }

@@ -147,6 +147,26 @@ class IncrementalDedupSpec extends SparkSpec {
       s"missing=${oneShot.diff(streamed).take(5)} extra=${streamed.diff(oneShot).take(5)}")
   }
 
+  test("a truncated-era subdir (b<8-char-prefix>-<id>) fails fast, not double-counts") {
+    // regression companion to the full-runId fix: a stream that ran
+    // the TRUNCATION-era code and crashed mid-batch left a partial
+    // subdir named with the 8-char runId prefix. After upgrade the
+    // replay writes/excludes the full-id name, so the old remnant
+    // would silently be read as committed data — the guard must
+    // refuse to proceed instead.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val idx = Files.createTempDirectory("graft-trunc-idx").toString
+    val fullRunId = "aaaaaaaa-0000-4000-8000-000000000001"
+      .replaceAll("[^0-9a-zA-Z-]", "")
+    Files.createDirectories(
+      java.nio.file.Paths.get(idx, "postings", s"b${fullRunId.take(8)}-0"))
+    val e = intercept[RuntimeException] {
+      IncrementalDedup.dedupBatch(docs, idx, batchId = Some(0L), runId = fullRunId)
+    }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+  }
+
   test("two-batch incremental dedup equals the one-shot near-dup pairs") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -128,6 +128,27 @@ class SnapshotSinkSpec extends SparkSpec {
       .select("s").as[String].head() == "B2")
   }
 
+  test("the partition column may itself be a key (deletes stay unambiguous)") {
+    // regression: the partitioned deletes frame once selected
+    // keys ++ partitionCol verbatim, so partitionCol ∈ keys — a
+    // configuration PartitionedUpsert's contract explicitly blesses —
+    // duplicated the column and every later reference to it threw
+    // AMBIGUOUS_REFERENCE, failing each batch even with zero deletes
+    val snapDir = Files.createTempDirectory("graft-snap6").toString + "/snap"
+    val b1 = log.take(6).toDF("k", "s", "seq", "op")
+    val b2 = log.drop(6).toDF("k", "s", "seq", "op")
+    SnapshotSink.applyBatch(b1, Seq("k"), "seq", Some("op"), snapDir, Some("k"))
+    SnapshotSink.applyBatch(b2, Seq("k"), "seq", Some("op"), snapDir, Some("k"))
+    val got = spark.read.parquet(snapDir)
+      .select("k", "s").as[(Long, String)].collect().toSet
+    val oneShot = CdcApply(
+      log.toDF("k", "s", "seq", "op"), Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toSet
+    assert(got == oneShot)
+    // and the deleted key's partition directory is gone entirely
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(snapDir, "k=3")))
+  }
+
   test("pure upsert mode (no op column) keeps the latest row per key") {
     val snapDir = Files.createTempDirectory("graft-snap3").toString + "/snap"
     val b = Seq((1L, "a", 0L), (1L, "a2", 1L), (2L, "b", 0L))
