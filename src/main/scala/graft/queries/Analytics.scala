@@ -74,6 +74,48 @@ object Analytics extends Catalog {
                       THEN u.o_totalprice ELSE b.o_totalprice END AS o_totalprice
           FROM base b FULL OUTER JOIN delta u ON b.o_orderkey = u.o_orderkey)"""
 
+  // ---- shared q91/q104 CDC-log fixture -----------------------------
+  // ONE deterministic changelog over orders — an insert for every key
+  // (seq 0), an update for keys %3=0 (seq 1), a delete for keys %5=0
+  // (seq 2) — used by q91 (one-shot logical apply) and q104 (storage-
+  // level partitioned apply) against the same oracle, so the two
+  // cannot drift apart. Applying it must yield: %5 keys gone,
+  // remaining %3 keys updated, everything else original.
+  private def cdcLog(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = ordersBase(s, d)
+    val ins = base
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit(0L).as("seq"), lit("I").as("op"))
+    val upd = base.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + lit(500.0)).as("o_totalprice"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val del = base.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit(2L).as("seq"), lit("D").as("op"))
+    (ins, upd, del)
+  }
+
+  private val CdcAppliedSql = """
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        log AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 0 AS seq, 'I' AS op FROM base
+          UNION ALL
+          SELECT o_orderkey, 'U', o_totalprice + 500.0, 1, 'U'
+          FROM base WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, NULL, NULL, 2, 'D'
+          FROM base WHERE o_orderkey % 5 = 0),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY seq DESC) AS rn
+          FROM log)
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM ranked WHERE rn = 1 AND op <> 'D'"""
+
   override def queries: Map[String, Q] = Map(
 
     // ----- PIVOT: wide conditional aggregation ----------------------
@@ -461,42 +503,45 @@ object Analytics extends Catalog {
     // gone, remaining %3 keys updated, everything else original.
     "q91_cdc_apply" -> Q(
       fn = (s, d) => {
-        val base = t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        val ins = base
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-            lit(0L).as("seq"), lit("I").as("op"))
-        val upd = base.filter(col("o_orderkey") % 3 === 0)
-          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-            (col("o_totalprice") + lit(500.0)).as("o_totalprice"),
-            lit(1L).as("seq"), lit("U").as("op"))
-        val del = base.filter(col("o_orderkey") % 5 === 0)
-          .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
-            lit(null).cast("double").as("o_totalprice"),
-            lit(2L).as("seq"), lit("D").as("op"))
+        val (ins, upd, del) = cdcLog(s, d)
         graft.operators.CdcApply(
           ins.unionByName(upd).unionByName(del),
           Seq("o_orderkey"), "seq", "op")
       },
-      sql = Some("""
-        WITH base AS (
-          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        log AS (
-          SELECT o_orderkey, o_orderstatus, o_totalprice,
-                 0 AS seq, 'I' AS op FROM base
-          UNION ALL
-          SELECT o_orderkey, 'U', o_totalprice + 500.0, 1, 'U'
-          FROM base WHERE o_orderkey % 3 = 0
-          UNION ALL
-          SELECT o_orderkey, NULL, NULL, 2, 'D'
-          FROM base WHERE o_orderkey % 5 = 0),
-        ranked AS (
-          SELECT *, row_number() OVER (PARTITION BY o_orderkey
-                      ORDER BY seq DESC) AS rn
-          FROM log)
-        SELECT o_orderkey, o_orderstatus, o_totalprice
-        FROM ranked WHERE rn = 1 AND op <> 'D'"""),
+      sql = Some(CdcAppliedSql),
       scaleNote = "one shuffle on the key; keep-last is a rank-1 window Spark executes as WindowGroupLimit, compacting per-key histories inside the exchange — the changelog never sorts globally and the snapshot materializes in a single pass"),
+
+    // ----- partition-level CDC apply (storage-level q91) ------------
+    // q91's changelog replayed through the PARTITIONED SnapshotSink in
+    // two micro-batch applications: the inserts install the snapshot,
+    // then updates + deletes merge through PartitionedUpsert — the
+    // delete path (broadcast anti-join inside touched partitions,
+    // emptied-dir removal) under the same DuckDB oracle as q91. A
+    // fresh snapshot dir per invocation (the sink MUTATES it),
+    // reclaimed at JVM exit.
+    "q104_partitioned_cdc" -> Q(
+      fn = (s, d) => {
+        def withP(df: DataFrame): DataFrame =
+          df.withColumn("p", pmod(col("o_orderkey"), lit(8)).cast("int"))
+        val (ins, upd, del) = cdcLog(s, d)
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_q104_snap")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(tmpRoot.toFile)
+        }
+        val dir = tmpRoot.toString + "/snapshot"
+        val sink = graft.pipeline.SnapshotSink
+        sink.applyBatch(withP(ins),
+          Seq("o_orderkey"), "seq", Some("op"), dir, Some("p"))
+        sink.applyBatch(withP(upd.unionByName(del)),
+          Seq("o_orderkey"), "seq", Some("op"), dir, Some("p"))
+        s.read.parquet(dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      },
+      sql = Some(CdcAppliedSql),
+      scaleNote = "batch 2's merge reads and rewrites only the partitions its updates/deletes touch; deletes are a broadcast anti-join against the pruned snapshot slice — the CDC maintenance loop a 100 TB table actually runs, where q91 is its one-shot logical twin"),
 
     // ----- snapshot diff / reconciliation ---------------------------
     // The audit half of the q86/q91 maintenance story: given two table
