@@ -162,7 +162,170 @@ object Similarity extends Catalog {
         col("cosine"), col("rnk"))
   }
 
+  // ---- product quantization (q105/q106) ----------------------------
+
+  /** PQ geometry: Dim=64 split into `PqM` subspaces of `PqSubDim` dims.
+    * Codebook per subspace = per-label sub-centroids (the q32/q51
+    * deterministic-codebook stance: same plan shape as k-means, no RNG
+    * state to break task retry) — so codes are digits in [0, |labels|).
+    */
+  private val PqM = 8
+  private val PqSubDim = Dim / PqM
+
+  /** (cell, sub, cv): the PqM sub-codebooks. |labels|×PqM rows of
+    * PqSubDim doubles — broadcast-sized at any corpus scale.
+    *
+    * Centroids are rounded through float32 (the standard served-ANN
+    * codebook dtype) — which is also the cross-engine determinism
+    * guard: Spark and DuckDB may disagree on `avg` in the last double
+    * ulp (different partial-sum order), and md5-over-codes turns any
+    * argmin flip into a hard mismatch; float32 rounding absorbs
+    * ulp-level differences on both sides (q85's τ-gap stance, made
+    * unconditional).
+    */
+  private[queries] def pqCodebook(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(col("label").cast("int").as("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("cell"), (col("dim") / PqSubDim).cast("int").as("sub"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("sc"))
+      .select(col("cell"), col("sub"),
+        transform(col("sc"),
+          f => f.getField("c").cast("float").cast("double")).as("cv"))
+      .localCheckpoint()
+
+  /** corpus → (vec_id, codes, deq): per-sub argmin-L2 codeword
+    * (tie → lowest cell) and the concatenated reconstruction. The
+    * fanout rows carry PqSubDim-dim SLICES, never the full vector —
+    * at 100 TB the ×(|labels|·PqM) candidate stream is 64 bytes wide.
+    */
+  private[queries] def pqEncode(e: DataFrame, cents: DataFrame): DataFrame = {
+    val slices = e.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(PqM - 1)),
+          m => slice(col("v"), m * PqSubDim + 1, lit(PqSubDim)))).as(Seq("sub", "xs")))
+    // diff lands in its own projection: CSE skips lambda-bearing
+    // expressions, so vec_dot(zip_with(..), zip_with(..)) would run
+    // the zip twice per row (q79's stance)
+    val scored = slices.join(broadcast(cents), "sub")
+      .select(col("vec_id"), col("sub"), col("cell"), col("cv"),
+        zip_with(col("xs"), col("cv"), (a, b) => a - b).as("dxs"))
+      .select(col("vec_id"), col("sub"), col("cell"), col("cv"),
+        call_function("vec_dot", col("dxs"), col("dxs")).as("dist"))
+    scored
+      .groupBy(col("vec_id"), col("sub"))
+      // argmin with the oracle's tie order (dist ASC, cell ASC)
+      .agg(min_by(struct(col("cell"), col("cv")),
+        struct(col("dist"), col("cell"))).as("pick"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"),
+        col("pick.cell").as("cell"), col("pick.cv").as("cv")))).as("ps"))
+      .select(col("vec_id"),
+        transform(col("ps"), p => p.getField("cell")).as("codes"),
+        flatten(transform(col("ps"), p => p.getField("cv"))).as("deq"))
+  }
+
+  // DuckDB mirror CTEs shared by the q105/q106 oracles: identical
+  // centroid arithmetic (q32's avg hash-matches cross-engine), slice
+  // subtraction and sequential dot product (vec_dot ≡
+  // list_dot_product, q79's stance), same (dist, cell) tie order.
+  private def pqSqlCtes: String = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    ex AS (SELECT CAST(label AS INT) AS cell,
+                  unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                  unnest(embedding::DOUBLE[]) AS v
+           FROM embeddings),
+    cd AS (SELECT cell, dim,
+                  CAST(CAST(avg(v) AS FLOAT) AS DOUBLE) AS c
+           FROM ex GROUP BY 1, 2),
+    cent AS (SELECT cell, CAST(dim // $PqSubDim AS INT) AS sub,
+                    list(c ORDER BY dim) AS cv
+             FROM cd GROUP BY cell, CAST(dim // $PqSubDim AS INT)),
+    enc AS (SELECT e.vec_id, cent.sub, cent.cell, cent.cv,
+                   list_dot_product(
+                     list_transform(generate_series(1, $PqSubDim),
+                       i -> x[cent.sub * $PqSubDim + i] - cv[i]),
+                     list_transform(generate_series(1, $PqSubDim),
+                       i -> x[cent.sub * $PqSubDim + i] - cv[i])) AS dist
+            FROM e CROSS JOIN cent),
+    pick AS (SELECT vec_id, sub, cell, cv FROM
+              (SELECT enc.*, row_number() OVER (PARTITION BY vec_id, sub
+                 ORDER BY dist, cell) AS r FROM enc)
+             WHERE r = 1),
+    asm AS (SELECT vec_id, list(cell ORDER BY sub) AS codes,
+                   flatten(list(cv ORDER BY sub)) AS deq
+            FROM pick GROUP BY vec_id)"""
+
   override def queries: Map[String, Q] = Map(
+
+    // ----- product quantization: encode (ANN compression, q79's twin)
+    // Scalar int8 (q79) stores 64 codes/vector at 4× compression; PQ
+    // stores PqM=8 subspace codewords — 8 bytes/vector, 64× smaller
+    // than the float64 working form. Oracled bit-for-bit: codes via
+    // md5 over the digit string, reconstruction error via the same
+    // sequential dot product both sides (q79's mirror stance).
+    "q105_embedding_pq" -> Q(
+      fn = (s, d) => {
+        val e = embeddings(s, d)
+        pqEncode(e, pqCodebook(s, d))
+          .join(e.select(col("vec_id"), col("v")), "vec_id")
+          .select(col("vec_id"), col("codes"), col("deq"),
+            zip_with(col("v"), col("deq"), (a, b) => a - b).as("diff"))
+          .select(col("vec_id"),
+            md5(array_join(transform(col("codes"), c => c.cast("string")), ","))
+              .as("code_md5"),
+            call_function("vec_dot", col("diff"), col("diff")).as("sq_err"))
+      },
+      sql = Some(s"""
+        $pqSqlCtes
+        SELECT a.vec_id,
+               md5(array_to_string(a.codes, ',')) AS code_md5,
+               list_dot_product(
+                 list_transform(generate_series(1, len(e.x)), i -> e.x[i] - a.deq[i]),
+                 list_transform(generate_series(1, len(e.x)), i -> e.x[i] - a.deq[i])) AS sq_err
+        FROM asm a JOIN e USING (vec_id)"""),
+      scaleNote = "PQ is the served-index compression path: 8 one-byte codes/vector (64× vs float64) + a broadcast codebook of |labels|×8 sub-centroids; encode is one map pass whose fanout rows carry 8-dim slices, and per-(vec,sub) argmin collapses map-side before the shuffle"),
+
+    // ----- product quantization: ADC k-NN search (q106) -------------
+    // Asymmetric distance computation: queries keep exact vectors,
+    // corpus is ranked by L2 distance to its PQ reconstruction — the
+    // search half of the PQ index. Fully oracled (same reconstruction,
+    // same sequential arithmetic, same (dist, vec_id) rank order).
+    "q106_knn_pq_adc" -> Q(
+      fn = (s, d) => {
+        val e = embeddings(s, d)
+        val recon = pqEncode(e, pqCodebook(s, d)).select(col("vec_id"), col("deq"))
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist"), col("vec_id"))
+        recon.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            zip_with(col("qv"), col("deq"), (a, b) => a - b).as("diff"))
+          .select(col("query_id"), col("vec_id"),
+            call_function("vec_dot", col("diff"), col("diff")).as("adc_dist"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= K)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("adc_dist"), col("rnk"))
+      },
+      sql = Some(s"""
+        $pqSqlCtes
+        SELECT query_id, neighbor_id, adc_dist, rnk FROM (
+          SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+                 list_dot_product(
+                   list_transform(generate_series(1, len(q.x)), i -> q.x[i] - a.deq[i]),
+                   list_transform(generate_series(1, len(q.x)), i -> q.x[i] - a.deq[i])) AS adc_dist,
+                 CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_dot_product(
+                     list_transform(generate_series(1, len(q.x)), i -> q.x[i] - a.deq[i]),
+                     list_transform(generate_series(1, len(q.x)), i -> q.x[i] - a.deq[i])),
+                   a.vec_id) AS BIGINT) AS rnk
+          FROM e q JOIN asm a ON a.vec_id <> q.vec_id
+          WHERE q.vec_id < $NumQueries)
+        WHERE rnk <= $K"""),
+      scaleNote = "the PQ search path: queries broadcast against the code table (8 bytes/vector), distances come from reconstructions — at 100 TB the scan reads codes only (64× less I/O than raw vectors), rank-window prunes per-partition top-k before the merge, and exact rerank (q30's join-back shape) fetches raw vectors for finalists only"),
 
     // ----- IVF coarse-quantizer ANN (codebook scale path) -----------
     "q51_knn_ivf" -> Q(

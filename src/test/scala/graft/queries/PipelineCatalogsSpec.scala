@@ -234,4 +234,81 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(overlaps.sum >= 40,
       s"int8 quantization broke neighborhoods: overlaps=$overlaps (want avg >= 4/5)")
   }
+
+  test("q105: PQ error bounded by own-label centroid distance; codes valid digits") {
+    val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("int"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val dim = raw.head._3.length
+    // per-label full centroids, recomputed independently in plain
+    // Scala — rounded through float32 exactly as the served codebook
+    // is, so the argmin bound below is exact, not approximate
+    val cent = raw.groupBy(_._2).map { case (lbl, vs) =>
+      lbl -> (0 until dim).map(i => (vs.map(_._3(i)).sum / vs.length).toFloat.toDouble)
+    }
+    // per-sub argmin over label sub-centroids can only improve on
+    // keeping the own label in EVERY subspace, so summed PQ error
+    // <= full squared distance to the own-label centroid
+    val ownDist = raw.map { case (id, lbl, x) =>
+      id -> x.zip(cent(lbl)).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.toMap
+    val got = Similarity.queries("q105_embedding_pq").fn(spark, sf0001)
+      .select("vec_id", "sq_err").as[(Long, Double)].collect()
+    assert(got.length == raw.length)
+    for ((id, err) <- got)
+      assert(err >= 0 && err <= ownDist(id) + 1e-9,
+        s"vec $id: PQ err $err exceeds own-centroid bound ${ownDist(id)}")
+
+    // codes: 8 digits, each a label id — checked on the pre-md5 frame
+    val nLabels = cent.size
+    val enc = Similarity.pqEncode(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      Similarity.pqCodebook(spark, sf0001))
+    val codes = enc.select("vec_id", "codes").as[(Long, Seq[Int])].collect()
+    assert(codes.forall(_._2.length == 8))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < nLabels)))
+  }
+
+  test("q106: ADC ranking matches an independent plain-Scala PQ recomputation") {
+    val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("int"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Int, Seq[Double])].collect().sortBy(_._1)
+    val dim = raw.head._3.length
+    val subDim = 8
+    val cent = raw.groupBy(_._2).map { case (lbl, vs) =>
+      lbl -> (0 until dim).map(i => (vs.map(_._3(i)).sum / vs.length).toFloat.toDouble)
+    }
+    // encode every vector: per-sub argmin over label sub-centroids
+    // (tie -> lowest cell), reconstruction = chosen sub-centroids
+    def recon(x: Seq[Double]): Seq[Double] =
+      (0 until dim / subDim).flatMap { m =>
+        val xs = x.slice(m * subDim, (m + 1) * subDim)
+        cent.toSeq.map { case (cell, cv) =>
+          val cs = cv.slice(m * subDim, (m + 1) * subDim)
+          val d = xs.zip(cs).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, cell, cs)
+        }.minBy(t => (t._1, t._2))._3
+      }
+    val recons = raw.map { case (id, _, x) => id -> recon(x) }.toMap
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum
+    val want = raw.take(5).flatMap { case (qid, _, qx) =>
+      raw.filter(_._1 != qid)
+        .map { case (id, _, _) => (id, l2(qx, recons(id))) }
+        .sortBy { case (id, d) => (d, id) }.take(10).zipWithIndex
+        .map { case ((id, d), i) => (qid, id, d, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._4))
+    val got = Similarity.queries("q106_knn_pq_adc").fn(spark, sf0001)
+      .as[(Long, Long, Double, Long)].collect().sortBy(t => (t._1, t._4))
+    assert(got.length == want.length)
+    for ((g, w) <- got.zip(want)) {
+      assert(g._1 == w._1 && g._2 == w._2 && g._4 == w._4,
+        s"rank mismatch: got $g want $w")
+      assert(math.abs(g._3 - w._3) <= 1e-9 * math.max(1.0, w._3.abs),
+        s"adc_dist mismatch: got $g want $w")
+    }
+  }
 }

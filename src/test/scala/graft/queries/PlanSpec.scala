@@ -444,4 +444,24 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(800))
     assert(p.contains("__bin") || p.contains("Join"), p.take(400))
   }
+
+  test("q105: PQ codebook broadcasts; the slice fanout never cartesians") {
+    val p = plan("q105_embedding_pq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |labels|x8 sub-codebook must broadcast to the slice stream:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // per-(vec,sub) argmin must collapse map-side before its exchange
+    // (partial_min_by), or the x80 candidate fanout rides the shuffle
+    assert(p.contains("partial_min_by") || p.contains("partial min_by"),
+      s"argmin must aggregate partially before the shuffle:\n${p.take(1200)}")
+  }
+
+  test("q106: ADC search broadcasts queries; corpus codes never cartesian") {
+    val p = plan("q106_knn_pq_adc")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 5-query probe side must broadcast:\n${p.take(800)}")
+    // top-k per query prunes in-shuffle, as q30/q13 do
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
 }
