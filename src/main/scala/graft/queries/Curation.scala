@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.operators.ConnectedComponents
 
 /** Training-data curation catalog — the filter/scrub/select/pack stages
   * a 100 TB pretraining pipeline runs between raw crawl and tokenizer
@@ -475,6 +476,147 @@ object Curation extends Catalog {
                row_number() OVER (PARTITION BY substr(hx, 1, 1)
                  ORDER BY hx, doc_id) AS rk
         FROM h"""),
-      scaleNote = "one shuffle, partitioned by shard — never a single-partition global sort; at 100 TB widen the shard prefix (2 hex chars = 256 shards) and write with partitionBy(shard) + sortWithinPartitions(hx): each output file is one reproducibly-shuffled training shard")
+      scaleNote = "one shuffle, partitioned by shard — never a single-partition global sort; at 100 TB widen the shard prefix (2 hex chars = 256 shards) and write with partitionBy(shard) + sortWithinPartitions(hx): each output file is one reproducibly-shuffled training shard"),
+
+    // ---- q107: the composed curation pipeline -----------------------
+    // The flagship end-to-end chain a pretraining pipeline actually
+    // runs — lang-ID (q33) → quality gate (q34) → PII scrub (q62) →
+    // exact keep-first dedup (q25) → shingle-jaccard near-dup pairs
+    // (q26) → connected-components keep-one (q61) — as ONE Catalyst
+    // DAG: map-side stages fuse into the scan, barriers only where a
+    // frame feeds multiple consumers. Every input document gets a
+    // verdict row explaining where it left the pipeline (or that it
+    // was kept), plus its dup-group when it reached dedup. The oracle
+    // replays the identical chain in DuckDB, recursive CTE included.
+    "q107_curation_pipeline" -> Q(
+      fn = (s, d) => {
+        // τ=0.64 sits in a verified gap of the quality distribution at
+        // every test SF (nearest doc is >3e-4 away — several scores
+        // land EXACTLY on round rationals like 0.65, so the τ must
+        // dodge them), and the score itself is bit-identical
+        // cross-engine — the gate cannot flip between engines
+        val QTau = 0.64
+        val JTau = 0.8
+        // the corpus has no organic exact dups (texts are unique by
+        // construction), so the pipeline re-appends every 25th doc
+        // under a max-derived shifted id (q62's inject-then-operate
+        // stance, q86's derived-shift idiom) — giving the keep-first
+        // stage real work at every scale factor
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val shiftF = base.agg((max(col("doc_id")) + 1L).as("__shift"))
+        val input = base.union(
+          base.filter(col("doc_id") % 25 === 0)
+            .crossJoin(broadcast(shiftF))
+            .select((col("doc_id") + col("__shift")).as("doc_id"), col("text")))
+        // stages 1-3 in one map-side projection, checkpointed once —
+        // it feeds the gate, the hash stage and the final assembly
+        val scored = TextAnalysis.withStopScores(input)
+          .select(col("doc_id"),
+            TextAnalysis.predLang.as("pred_lang"),
+            TextAnalysis.qualityCol.as("quality"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("text"), lit(EmailRe), lit("[EMAIL]")),
+                lit(PhoneRe), lit("[PHONE]")),
+              lit(IpRe), lit("[IP]")).as("clean"))
+          .localCheckpoint()
+        // stage 4: exact dedup keep-first on the scrubbed content hash
+        // (quality branch is safe: qualityCol is bit-identical
+        // cross-engine by construction — integer-derived, fixed op
+        // order — so the gate cannot flip between engines)
+        val gate = scored
+          .filter(col("pred_lang") =!= "und" && col("quality") >= QTau)
+        val wh = Window.partitionBy(col("h"))
+        val hashed = gate.withColumn("h", md5(lower(col("clean"))))
+          .withColumn("rn", row_number().over(wh.orderBy(col("doc_id"))))
+          .withColumn("keeper", min(col("doc_id")).over(wh))
+          .select(col("doc_id"), col("clean"), col("rn"), col("keeper"))
+          .localCheckpoint()
+        val surv = hashed.filter(col("rn") === 1)
+          .select(col("doc_id"), col("clean"))
+        // stage 5: near-dup pairs among survivors — q26's inverted
+        // index on native 8-byte shingle hashes (strings only in the
+        // oracle's mirror)
+        val sh = surv.select(col("doc_id"),
+            call_function("shingle_hashes", lower(col("clean")), lit(3)).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .localCheckpoint()
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        val pairs = ex.as("a").join(ex.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("u"), col("sz").as("sz1")), "u")
+          .join(sizes.select(col("doc_id").as("v"), col("sz").as("sz2")), "v")
+          .filter(col("inter").cast("double") /
+            (col("sz1") + col("sz2") - col("inter")) >= JTau)
+          .select(col("u"), col("v"))
+        // stage 6: transitive closure → keep-one groups
+        val labels = ConnectedComponents.run(pairs)
+        val groups = surv.select(col("doc_id"))
+          .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("gid"))
+        // verdict assembly: one row per input document
+        scored.select(col("doc_id"), col("pred_lang"), col("quality"))
+          .join(hashed.select(col("doc_id"), col("rn"), col("keeper")),
+            Seq("doc_id"), "left")
+          .join(groups, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("pred_lang"), col("quality"),
+            when(col("pred_lang") === "und", "lang")
+              .when(col("quality") < QTau, "quality")
+              .when(col("rn") > 1, "exact_dup")
+              .when(col("gid") =!= col("doc_id"), "near_dup")
+              .otherwise("kept").as("verdict"),
+            when(col("pred_lang") === "und" || col("quality") < QTau,
+              lit(null).cast("long"))
+              .when(col("rn") > 1, col("keeper"))
+              .otherwise(col("gid")).as("group_id"))
+      },
+      sql = Some(s"""
+        WITH RECURSIVE
+        base AS (SELECT doc_id, text FROM documents),
+        inp AS (SELECT doc_id, text FROM base
+                UNION ALL
+                SELECT doc_id + (SELECT max(doc_id) + 1 FROM base) AS doc_id, text
+                FROM base WHERE doc_id % 25 = 0),
+        sc AS (SELECT doc_id,
+                      ${TextAnalysis.sqlPredLangCase} AS pred_lang,
+                      ${TextAnalysis.sqlQualityExpr} AS quality,
+                      regexp_replace(regexp_replace(regexp_replace(text,
+                        '$EmailRe', '[EMAIL]', 'g'),
+                        '$PhoneRe', '[PHONE]', 'g'),
+                        '$IpRe', '[IP]', 'g') AS clean
+               FROM inp),
+        hr AS (SELECT doc_id, clean,
+                      row_number() OVER (PARTITION BY md5(lower(clean))
+                        ORDER BY doc_id) AS rn,
+                      min(doc_id) OVER (PARTITION BY md5(lower(clean))) AS keeper
+               FROM sc WHERE pred_lang <> 'und' AND quality >= 0.64),
+        surv AS (SELECT doc_id, clean AS text FROM hr WHERE rn = 1),
+        s AS (SELECT doc_id, ${Dedup.sqlShingles} AS sh FROM surv),
+        pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+                  FROM s a JOIN s b ON a.doc_id < b.doc_id
+                  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+        reach AS (SELECT doc_id AS node, doc_id AS label FROM surv
+                  UNION
+                  SELECT e.v AS node, r.label FROM reach r JOIN edges e ON e.u = r.node),
+        lab AS (SELECT node AS doc_id, min(label) AS gid FROM reach GROUP BY node)
+        SELECT sc.doc_id, sc.pred_lang, sc.quality,
+               CASE WHEN sc.pred_lang = 'und' THEN 'lang'
+                    WHEN sc.quality < 0.64 THEN 'quality'
+                    WHEN hr.rn > 1 THEN 'exact_dup'
+                    WHEN lab.gid <> sc.doc_id THEN 'near_dup'
+                    ELSE 'kept' END AS verdict,
+               CASE WHEN sc.pred_lang = 'und' OR sc.quality < 0.64 THEN NULL
+                    WHEN hr.rn > 1 THEN hr.keeper
+                    ELSE lab.gid END AS group_id
+        FROM sc LEFT JOIN hr USING (doc_id) LEFT JOIN lab USING (doc_id)"""),
+      scaleNote = "the whole chain is: one scan with fused map-side scoring/scrubbing, one shuffle on the content hash, one inverted-index self-join on capped-width shingle postings, and O(log n) contraction rounds on the (tiny) near-dup edge list — no stage materializes the corpus more than once, and the expensive dedup stages see only gate survivors (at 100 TB the quality gate typically drops 30-60% before any shuffle)")
   )
 }

@@ -35,43 +35,74 @@ object TextAnalysis extends Catalog {
     s"len(list_filter(string_split(lower(text),' '), w -> w IN ($list))) * 1.0"
   }
 
+  // ---- shared lang-ID / quality expressions (q33, q34, and the
+  // ---- composed curation pipeline q107 — ONE definition each) -------
+
+  /** materialize the four stopword scores as columns first: the filter
+    * HOF is lambda-bearing, so Catalyst CSE would otherwise re-run it
+    * per consumer inside the argmax when-chain
+    */
+  private[queries] def withStopScores(df: DataFrame): DataFrame =
+    df.withColumn("s_en", stopCount("en"))
+      .withColumn("s_de", stopCount("de"))
+      .withColumn("s_fr", stopCount("fr"))
+      .withColumn("s_es", stopCount("es"))
+
+  /** argmax with fixed priority tie-break (en > de > fr > es), 'und'
+    * (unknown) when no stopwords hit at all — over withStopScores cols
+    */
+  private[queries] val predLang: Column =
+    when(col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0.0, "und")
+      .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+        col("s_en") >= col("s_es"), "en")
+      .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+      .when(col("s_fr") >= col("s_es"), "fr")
+      .otherwise("es")
+
+  /** q34's curation score: alphabetic, not-too-short, some stopword
+    * glue. Every term derives from integer counts through a fixed op
+    * order, so the value is bit-identical cross-engine — safe to
+    * BRANCH on (the pipeline's quality gate), not just to emit.
+    */
+  private[queries] val qualityCol: Column = {
+    val nTokens = size(words).cast("double")
+    val stopRatio = stopCount("en") / nTokens
+    val alphaRatio =
+      size(filter(words, w => w.rlike("^[a-z]+$"))).cast("double") / nTokens
+    alphaRatio * 0.5 +
+      least(nTokens / 100.0, lit(1.0)) * 0.3 +
+      least(stopRatio * 5.0, lit(1.0)) * 0.2
+  }
+
+  private[queries] def sqlPredLangCase: String = s"""CASE
+    WHEN ${sqlStopCount("en")} + ${sqlStopCount("de")} +
+         ${sqlStopCount("fr")} + ${sqlStopCount("es")} = 0 THEN 'und'
+    WHEN ${sqlStopCount("en")} >= ${sqlStopCount("de")} AND
+         ${sqlStopCount("en")} >= ${sqlStopCount("fr")} AND
+         ${sqlStopCount("en")} >= ${sqlStopCount("es")} THEN 'en'
+    WHEN ${sqlStopCount("de")} >= ${sqlStopCount("fr")} AND
+         ${sqlStopCount("de")} >= ${sqlStopCount("es")} THEN 'de'
+    WHEN ${sqlStopCount("fr")} >= ${sqlStopCount("es")} THEN 'fr'
+    ELSE 'es' END"""
+
+  private[queries] def sqlQualityExpr: String =
+    s"""(len(list_filter(string_split(lower(text),' '), w -> regexp_full_match(w, '[a-z]+'))) * 1.0
+          / len(string_split(lower(text),' '))) * 0.5 +
+       least(len(string_split(lower(text),' ')) / 100.0, 1.0) * 0.3 +
+       least((${sqlStopCount("en")} / len(string_split(lower(text),' '))) * 5.0, 1.0) * 0.2"""
+
   override def queries: Map[String, Q] = Map(
 
     // ----- language ID via stopword-ratio argmax --------------------
     "q33_lang_id" -> Q(
-      fn = (s, d) => {
-        val scored = docs(s, d)
-          .filter(length(col("text")) > 0)
-          .withColumn("s_en", stopCount("en"))
-          .withColumn("s_de", stopCount("de"))
-          .withColumn("s_fr", stopCount("fr"))
-          .withColumn("s_es", stopCount("es"))
-        // argmax with fixed priority tie-break (en > de > fr > es),
-        // 'und' (unknown) when no stopwords hit at all
-        val pred = when(
-          col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0.0, "und")
-          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
-            col("s_en") >= col("s_es"), "en")
-          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
-          .when(col("s_fr") >= col("s_es"), "fr")
-          .otherwise("es")
-        scored.withColumn("pred_lang", pred)
+      fn = (s, d) =>
+        withStopScores(docs(s, d).filter(length(col("text")) > 0))
+          .withColumn("pred_lang", predLang)
           .groupBy(col("lang"), col("pred_lang"))
-          .agg(count(lit(1)).as("n"))
-      },
+          .agg(count(lit(1)).as("n")),
       sql = Some(s"""
         SELECT lang, pred_lang, count(*) AS n FROM (
-          SELECT lang,
-            CASE
-              WHEN ${sqlStopCount("en")} + ${sqlStopCount("de")} +
-                   ${sqlStopCount("fr")} + ${sqlStopCount("es")} = 0 THEN 'und'
-              WHEN ${sqlStopCount("en")} >= ${sqlStopCount("de")} AND
-                   ${sqlStopCount("en")} >= ${sqlStopCount("fr")} AND
-                   ${sqlStopCount("en")} >= ${sqlStopCount("es")} THEN 'en'
-              WHEN ${sqlStopCount("de")} >= ${sqlStopCount("fr")} AND
-                   ${sqlStopCount("de")} >= ${sqlStopCount("es")} THEN 'de'
-              WHEN ${sqlStopCount("fr")} >= ${sqlStopCount("es")} THEN 'fr'
-              ELSE 'es' END AS pred_lang
+          SELECT lang, $sqlPredLangCase AS pred_lang
           FROM documents WHERE length(text) > 0)
         GROUP BY lang, pred_lang"""),
       scaleNote = "per-row stopword scoring fuses into the scan; confusion-matrix agg shuffles |langs|² rows"),
@@ -94,11 +125,7 @@ object TextAnalysis extends Catalog {
             avgWordLen.as("avg_word_len"),
             stopRatio.as("stopword_ratio"),
             alphaRatio.as("alpha_ratio"),
-            // simple curation score: alphabetic, not-too-short,
-            // some stopword glue — the shape a quality filter takes
-            (alphaRatio * 0.5 +
-              least(nTokens / 100.0, lit(1.0)) * 0.3 +
-              least(stopRatio * 5.0, lit(1.0)) * 0.2).as("quality"))
+            qualityCol.as("quality"))
       },
       sql = Some(s"""
         SELECT doc_id,
@@ -109,10 +136,7 @@ object TextAnalysis extends Catalog {
                ${sqlStopCount("en")} / len(string_split(lower(text),' ')) AS stopword_ratio,
                len(list_filter(string_split(lower(text),' '), w -> regexp_full_match(w, '[a-z]+'))) * 1.0
                  / len(string_split(lower(text),' ')) AS alpha_ratio,
-               (len(list_filter(string_split(lower(text),' '), w -> regexp_full_match(w, '[a-z]+'))) * 1.0
-                  / len(string_split(lower(text),' '))) * 0.5 +
-               least(len(string_split(lower(text),' ')) / 100.0, 1.0) * 0.3 +
-               least((${sqlStopCount("en")} / len(string_split(lower(text),' '))) * 5.0, 1.0) * 0.2 AS quality
+               $sqlQualityExpr AS quality
         FROM documents WHERE length(text) > 0"""),
       scaleNote = "pure map-side scoring; at 100 TB this is the pre-filter that cuts the corpus before any shuffle-heavy dedup"),
 

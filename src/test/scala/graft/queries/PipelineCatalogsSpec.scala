@@ -271,6 +271,40 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(codes.forall(_._2.forall(c => c >= 0 && c < nLabels)))
   }
 
+  test("q107: pipeline verdicts partition the corpus and stay internally consistent") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+    val nBase = base.count()
+    val maxBase = base.agg(max("doc_id")).as[Long].head()
+    val nInjected = base.filter(col("doc_id") % 25 === 0).count()
+    val out = Curation.queries("q107_curation_pipeline").fn(spark, sf0001)
+      .as[(Long, String, Double, String, Option[Long])].collect()
+    // one verdict row per input doc (base + injected exact dups)
+    assert(out.length == nBase + nInjected)
+    assert(out.map(_._1).distinct.length == out.length)
+    val byVerdict = out.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(byVerdict.keySet.subsetOf(
+      Set("lang", "quality", "exact_dup", "near_dup", "kept")))
+    // the fixture corpus exercises EVERY exit stage
+    for (v <- Seq("lang", "quality", "exact_dup", "near_dup", "kept"))
+      assert(byVerdict.getOrElse(v, 0) > 0, s"stage '$v' never fired")
+    for ((id, _, _, verdict, gid) <- out) verdict match {
+      case "lang" | "quality" =>
+        assert(gid.isEmpty, s"doc $id: filtered doc must have no group")
+      case "kept" =>
+        assert(gid.contains(id), s"doc $id: kept doc must lead its own group")
+      case _ => // exact_dup points at its keeper, near_dup at its rep
+        assert(gid.exists(_ < id), s"doc $id: $verdict must point at a lower id")
+    }
+    // an injected copy can never be the keeper: its original (same
+    // text, lower id) passes or fails every gate identically
+    assert(!out.exists(r => r._1 > maxBase && r._4 == "kept"))
+    // near-dup groups have >= 2 members among dedup-stage survivors
+    val reps = out.filter(_._4 == "near_dup").flatMap(_._5)
+    val kept = out.filter(_._4 == "kept").map(_._1).toSet
+    reps.foreach(r => assert(kept.contains(r),
+      s"near-dup rep $r must itself be kept"))
+  }
+
   test("q106: ADC ranking matches an independent plain-Scala PQ recomputation") {
     val raw = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("label").cast("int"),

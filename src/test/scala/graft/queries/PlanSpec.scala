@@ -445,6 +445,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__bin") || p.contains("Join"), p.take(400))
   }
 
+  test("q107: the composed pipeline never cartesians across any stage") {
+    // the pipeline's only BroadcastNestedLoopJoin is the 1-row shift
+    // frame (q86's idiom); candidate generation must stay an equi-join
+    val p = plan("q107_curation_pipeline")
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+  }
+
   test("q105: PQ codebook broadcasts; the slice fanout never cartesians") {
     val p = plan("q105_embedding_pq")
     assert(p.contains("BroadcastHashJoin"),
