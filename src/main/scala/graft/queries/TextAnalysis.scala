@@ -299,6 +299,65 @@ object TextAnalysis extends Catalog {
         ORDER BY cnt DESC, w1, w2, dist LIMIT 50"""),
       scaleNote = "pairs fan out ~2n per doc inside the scan projection (no self-join on position); partial agg collapses repeats map-side before the one (w1,w2,dist) shuffle; top-K is TakeOrderedAndProject"),
 
+    // ----- PMI collocations (tokenizer/quality diagnostics) ---------
+    // Pointwise mutual information over adjacent bigrams: the standard
+    // collocation extractor a tokenizer-training or phrase-mining pass
+    // runs. Ranking uses the exact rational c_xy·n²/(m·c_x·c_y)
+    // instead of its log (q65's idf stance): every product is exact
+    // integer arithmetic and the single division is correctly rounded,
+    // so the score — and the top-K cut — is bit-identical
+    // cross-engine, where log() at ~1-ulp accuracy would make the
+    // boundary oracle-flaky. Monotone in PMI, so the ranking is PMI's.
+    "q108_pmi_collocations" -> Q(
+      fn = (s, d) => {
+        val MinPairCount = 5
+        val w = col("w")
+        val emptyPairs = array().cast("array<struct<w1:string,w2:string>>")
+        val toks = docs(s, d).select(split(lower(col("text")), " ").as("w"))
+          .localCheckpoint() // bigram + unigram branches share one tokenize
+        val bigrams = toks
+          .select(explode(
+            when(size(w) > 1, transform(sequence(lit(1), size(w) - 1),
+              i => struct(element_at(w, i).as("w1"),
+                element_at(w, i + 1).as("w2"))))
+              .otherwise(emptyPairs)).as("p"))
+          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(count(lit(1)).as("c_xy"))
+        val uni = toks.select(explode(w).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        val totals = uni.agg(sum(col("c")).as("n_uni"))
+          .crossJoin(bigrams.agg(sum(col("c_xy")).as("n_bi")))
+        bigrams
+          .join(uni.select(col("word").as("w1"), col("c").as("c_x")), "w1")
+          .join(uni.select(col("word").as("w2"), col("c").as("c_y")), "w2")
+          .crossJoin(broadcast(totals))
+          .filter(col("c_xy") >= MinPairCount)
+          .withColumn("score",
+            (col("c_xy") * col("n_uni") * col("n_uni")).cast("double") /
+              (col("n_bi") * col("c_x") * col("c_y")).cast("double"))
+          .orderBy(col("score").desc, col("w1"), col("w2"))
+          .limit(50)
+          .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+            col("score"))
+      },
+      sql = Some("""
+        WITH w AS (SELECT string_split(lower(text),' ') AS w FROM documents),
+        bi AS (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 FROM w),
+        bc AS (SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+        uc AS (SELECT word, count(*) AS c FROM
+                 (SELECT unnest(w) AS word FROM w) GROUP BY 1),
+        t AS (SELECT (SELECT sum(c) FROM uc) AS n_uni,
+                     (SELECT sum(c_xy) FROM bc) AS n_bi)
+        SELECT bc.w1, bc.w2, c_xy, x.c AS c_x, y.c AS c_y,
+               CAST(c_xy * n_uni * n_uni AS DOUBLE) /
+                 CAST(n_bi * x.c * y.c AS DOUBLE) AS score
+        FROM bc JOIN uc x ON x.word = bc.w1
+                JOIN uc y ON y.word = bc.w2
+                CROSS JOIN t
+        WHERE c_xy >= 5
+        ORDER BY score DESC, w1, w2 LIMIT 50"""),
+      scaleNote = "bigrams fan out inside the scan projection (q78's shape) and collapse map-side before the one (w1,w2) shuffle; unigram counts broadcast back; top-K is TakeOrderedAndProject. Exact-integer products stay under 2^53 through ~10^7-token corpora — beyond that switch the score to log-space (ranking only needs monotonicity) and pre-filter with the min-count gate"),
+
     // ----- corpus-level similarity: source vocabulary overlap -------
     // Pairwise Jaccard between each source's DISTINCT vocabulary —
     // the corpus-composition matrix a data-mixing decision reads

@@ -452,6 +452,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1000))
   }
 
+  test("q108: PMI top-K is TakeOrdered over broadcast totals, no global sort") {
+    val p = plan("q108_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q105: PQ codebook broadcasts; the slice fanout never cartesians") {
     val p = plan("q105_embedding_pq")
     assert(p.contains("BroadcastHashJoin"),
