@@ -57,9 +57,15 @@ object PartitionedUpsert {
       s"deletes must carry exactly keys + $partitionCol, " +
         s"got ${del.columns.mkString(",")}"))
 
+    // normalize FIRST: with a trailing slash in snapshotDir, the
+    // string-concatenated `_merge_*`/`_init_tmp` siblings below would
+    // silently become CHILDREN of the root ("x/snap/" + "_init_tmp"),
+    // and the first-install rename would move the tmp dir INSIDE the
+    // root it just created — an empty-looking snapshot
     val root = new Path(snapshotDir)
+    val dir = root.toString
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    restoreAside(fs, snapshotDir)
+    restoreAside(fs, dir)
 
     if (!fs.exists(root)) {
       // first install: the delta IS the snapshot (minus deletes, whose
@@ -67,7 +73,7 @@ object PartitionedUpsert {
       // into place — a crash mid-write never leaves a torn visible dir.
       val init = deletes.fold(delta)(del =>
         delta.join(broadcast(del.select(keys.map(col): _*)), keys, "left_anti"))
-      val tmp = new Path(snapshotDir + "_init_tmp")
+      val tmp = new Path(dir + "_init_tmp")
       fs.delete(tmp, true)
       init.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
       // null partition values are outside the touched-partition
@@ -85,6 +91,23 @@ object PartitionedUpsert {
       if (!fs.rename(tmp, root))
         sys.error(s"PartitionedUpsert: could not install first snapshot at $root")
       return
+    }
+
+    // ---- layout guard ----------------------------------------------
+    // The merge path requires a snapshot THIS operator laid out. Run
+    // against a pre-existing flat (DirSwap-style) snapshot dir, the
+    // partition-dir listing would come up empty, the merge would
+    // silently ignore every existing row, and the installed p= dirs
+    // would corrupt the flat layout (mixed root-level files + partition
+    // dirs fail to read). Fail fast instead: everything visible in the
+    // root must be a `partitionCol=` dir (hidden _/. entries excepted).
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".") &&
+          !(st.isDirectory && n.startsWith(partitionCol + "=")))
+        sys.error(
+          s"PartitionedUpsert: $root is not a $partitionCol-partitioned " +
+            s"snapshot (found '$n') — refusing to merge into a foreign layout")
     }
 
     // ---- touched partitions ----------------------------------------
@@ -113,7 +136,7 @@ object PartitionedUpsert {
     // partition first (millions of LIST calls on a 100 TB snapshot)
     // just to prune most of them away.
     val touchedDirs: Set[String] = {
-      val scratch = new Path(snapshotDir + "_merge_names")
+      val scratch = new Path(dir + "_merge_names")
       fs.delete(scratch, true)
       touchedDf.withColumn("__x", lit(1))
         .write.mode("overwrite").partitionBy(partitionCol).parquet(scratch.toString)
@@ -129,7 +152,8 @@ object PartitionedUpsert {
     val merged0 =
       if (existingDirs.isEmpty) delta
       else Upsert(
-        touchedSnapshot(spark, snapshotDir, partitionCol, touched, existingDirs),
+        touchedSnapshot(spark, dir, partitionCol, touched, existingDirs,
+          delta.schema),
         delta, keys)
     val merged = deletes.fold(merged0)(del =>
       // tiny per-batch delete set: broadcast anti-join
@@ -143,21 +167,22 @@ object PartitionedUpsert {
     // sink); with it each partition's rows land in one task → one
     // file per dir per merge. The extra shuffle moves only the merged
     // rows, which are delta-bounded by construction.
-    val tmpPath = new Path(snapshotDir + "_merge_tmp")
+    val tmpPath = new Path(dir + "_merge_tmp")
     fs.delete(tmpPath, true)
     merged.repartition(col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(tmpPath.toString)
 
     // ---- per-partition rename-aside install ------------------------
     // touchedDirs covers both cases: a dir present in tmp swaps in; a
-    // touched dir ABSENT from tmp was emptied by deletes and must go
-    val aside = new Path(snapshotDir + "_merge_old")
+    // touched dir ABSENT from tmp was emptied by deletes and must go.
+    // (bak slots cannot pre-exist here: restoreAside drained and
+    // deleted the whole aside dir at entry.)
+    val aside = new Path(dir + "_merge_old")
     fs.mkdirs(aside)
     touchedDirs.toSeq.sorted.foreach { name =>
       val cur = new Path(root, name)
       val nw = new Path(tmpPath, name)
       val bak = new Path(aside, name)
-      fs.delete(bak, true) // stale leftover from an earlier crash
       if (fs.exists(cur) && !fs.rename(cur, bak))
         sys.error(s"PartitionedUpsert: could not move $cur aside")
       if (fs.exists(nw) && !fs.rename(nw, cur)) {
@@ -177,14 +202,24 @@ object PartitionedUpsert {
     * partition column derived from the paths); the residual
     * isInCollection filter is belt-and-suspenders, pruning nothing the
     * path list didn't already.
+    *
+    * The read takes the DELTA's schema explicitly: without one, Spark
+    * would INFER the partition column's type from the path strings —
+    * a string partition value with a non-canonical numeric rendering
+    * ("01", "1.50") would come back re-typed ("1", "1.5"), the merged
+    * rows would land in a differently-named directory outside the
+    * touched set, and the swap loop would silently drop them. With the
+    * schema supplied, the path value is cast to the declared type —
+    * identity for strings — so dir names round-trip exactly.
     */
   private[graft] def touchedSnapshot(
       spark: SparkSession,
       snapshotDir: String,
       partitionCol: String,
       values: Seq[Any],
-      existingDirs: Set[String]): DataFrame =
-    spark.read.option("basePath", snapshotDir)
+      existingDirs: Set[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("basePath", snapshotDir)
       .parquet(existingDirs.toSeq.sorted.map(n => s"$snapshotDir/$n"): _*)
       .filter(col(partitionCol).isInCollection(values))
 

@@ -62,20 +62,26 @@ object IncrementalDedup {
     * name alone cannot distinguish them, so fail fast with the
     * resolution instead of silently picking one.
     */
+  /** Every pre-upgrade spelling of batch `id`'s subdir under run
+    * `runId`: the un-namespaced era (`b<id>`) and the truncated era
+    * (`b<runId.take(8)>-<id>`, when runIds kept only the first 8 chars
+    * of the checkpoint UUID). ONE definition — the guard sites for the
+    * index subdirs and the pairs dir must always check the same list,
+    * or the next naming-era fix silently misses one path.
+    */
+  private def legacyBatchNames(runId: String, id: Long): Seq[String] =
+    Seq(s"b$id") ++ (if (runId.length > 8) Seq(s"b${runId.take(8)}-$id") else Nil)
+
   private def guardLegacyCollision(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String, subs: Seq[String],
       batchId: Option[Long], runId: String): Unit =
     if (runId.nonEmpty) batchId.foreach { id =>
-      // same ambiguity for a TRUNCATED-era name: runIds once kept only
-      // the first 8 chars of the checkpoint UUID, so a pre-upgrade
-      // subdir of this same checkpoint is b<runId.take(8)>-<id> — a
-      // crashed attempt there would double-count exactly like the
-      // un-namespaced case, and a committed one must not be dropped
-      val legacyNames =
-        Seq(s"b$id") ++ (if (runId.length > 8) Seq(s"b${runId.take(8)}-$id") else Nil)
+      // same ambiguity for a TRUNCATED-era name: a crashed attempt
+      // there would double-count exactly like the un-namespaced case,
+      // and a committed one must not be dropped
       subs.foreach { sub =>
-        legacyNames.foreach { ln =>
+        legacyBatchNames(runId, id).foreach { ln =>
           val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub/$ln")
           if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
             sys.error(
@@ -296,11 +302,7 @@ object IncrementalDedup {
         // run's committed output (keep it) — fail fast rather than
         // leave phantom pairs for recursive readers
         if (runId.nonEmpty) {
-          // un-namespaced AND truncated-era (b<8-char-prefix>-<id>)
-          // legacy names — same ambiguity, same fail-fast resolution
-          val legacyNames = Seq(s"b$id") ++
-            (if (runId.length > 8) Seq(s"b${runId.take(8)}-$id") else Nil)
-          legacyNames.foreach { ln =>
+          legacyBatchNames(runId, id).foreach { ln =>
             val legacy = new org.apache.hadoop.fs.Path(s"$pairsDir/$ln")
             if (legacy.getFileSystem(
                 batch.sparkSession.sparkContext.hadoopConfiguration).exists(legacy))

@@ -77,6 +77,23 @@ object Analytics extends Catalog {
   // ---- shared q91/q104 CDC-log fixture -----------------------------
   // ONE deterministic changelog over orders — an insert for every key
   // (seq 0), an update for keys %3=0 (seq 1), a delete for keys %5=0
+  /** Fresh JVM-exit-reclaimed snapshot root for the queries (q103,
+    * q104) that — unlike every other registered query — write real
+    * files: repeated bench/profile runs must not accumulate snapshot
+    * copies in the temp dir. One definition so the cleanup semantics
+    * cannot drift between the two.
+    */
+  private def tempSnapshotDir(prefix: String): String = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmpRoot.toFile)
+    }
+    tmpRoot.toString + "/snapshot"
+  }
+
   // (seq 2) — used by q91 (one-shot logical apply) and q104 (storage-
   // level partitioned apply) against the same oracle, so the two
   // cannot drift apart. Applying it must yield: %5 keys gone,
@@ -387,17 +404,7 @@ object Analytics extends Catalog {
         def withP(df: DataFrame): DataFrame =
           df.withColumn("p", pmod(col("o_orderkey"), lit(8)).cast("int"))
         val base = ordersBase(s, d)
-        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_q103_snap")
-        // unlike every other registered query this one writes real
-        // files; reclaim them at JVM exit so repeated bench/profile
-        // runs don't accumulate snapshot copies in the temp dir
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(tmpRoot.toFile)
-        }
-        val dir = tmpRoot.toString + "/snapshot"
+        val dir = tempSnapshotDir("graft_q103_snap")
         val op = graft.operators.PartitionedUpsert
         op(s, dir, withP(base), Seq("o_orderkey"), "p")
         op(s, dir, withP(ordersDelta(base)), Seq("o_orderkey"), "p")
@@ -524,14 +531,7 @@ object Analytics extends Catalog {
         def withP(df: DataFrame): DataFrame =
           df.withColumn("p", pmod(col("o_orderkey"), lit(8)).cast("int"))
         val (ins, upd, del) = cdcLog(s, d)
-        val tmpRoot = java.nio.file.Files.createTempDirectory("graft_q104_snap")
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(tmpRoot.toFile)
-        }
-        val dir = tmpRoot.toString + "/snapshot"
+        val dir = tempSnapshotDir("graft_q104_snap")
         val sink = graft.pipeline.SnapshotSink
         sink.applyBatch(withP(ins),
           Seq("o_orderkey"), "seq", Some("op"), dir, Some("p"))

@@ -368,8 +368,9 @@ object Sources extends Catalog {
     // ----- E19 sketch family: Misra-Gries UNDER PRUNE PRESSURE ------
     // q100's corpus (~30 words) never overflows its 64 counters, so
     // the prune path ran un-oracled. This query builds a planted-skew
-    // stream from lineitem — 5 hot items at ~6% of the stream each,
-    // plus a ~42k-item long tail of singletons — and sketches it at
+    // stream from lineitem — 5 hot items at ~10% of the stream each
+    // (orderkeys ≡ 0..4 mod 10 collapse onto hot0..hot4 via mod 5),
+    // plus a long tail of singletons — and sketches it at
     // capacity 32, so the sketch prunes on nearly every input row.
     // The OUTPUT is the Misra-Gries guarantee check itself: for every
     // item with true freq > n/(capacity+1) (which the theorem says
@@ -384,7 +385,10 @@ object Sources extends Catalog {
       fn = (s, d) => {
         val k = 32
         val items = Tables.load(s, d, "lineitem").select(
-          when(col("l_orderkey") % 10 < 3,
+          // % 10 < 5 with id % 5: orderkeys ≡ {0..4, 5..9 excluded}
+          // mod 10 map onto FIVE distinct hot ids (a `< 3` filter
+          // would alias onto only three — k%5 == k%10 for k%10 < 5)
+          when(col("l_orderkey") % 10 < 5,
             concat(lit("hot"), (col("l_orderkey") % 5).cast("string")))
             .otherwise(concat(lit("cold"), col("l_orderkey").cast("string"),
               lit("_"), col("l_linenumber").cast("string")))
@@ -407,7 +411,7 @@ object Sources extends Catalog {
       },
       sql = Some("""
         WITH items AS (
-          SELECT CASE WHEN l_orderkey % 10 < 3
+          SELECT CASE WHEN l_orderkey % 10 < 5
                       THEN 'hot' || CAST(l_orderkey % 5 AS VARCHAR)
                       ELSE 'cold' || CAST(l_orderkey AS VARCHAR) || '_' ||
                            CAST(l_linenumber AS VARCHAR) END AS item

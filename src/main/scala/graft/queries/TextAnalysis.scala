@@ -332,9 +332,17 @@ object TextAnalysis extends Catalog {
           .join(uni.select(col("word").as("w2"), col("c").as("c_y")), "w2")
           .crossJoin(broadcast(totals))
           .filter(col("c_xy") >= MinPairCount)
+          // each COUNT casts to double BEFORE the products: integer
+          // products would hit the Int64 cliff on large corpora
+          // (c_xy·n² > 2^63 wraps/throws in Spark while DuckDB's
+          // HUGEINT sails on — oracle divergence); double products are
+          // IEEE-rounded identically in both engines at any magnitude,
+          // so the score never overflows and never diverges
           .withColumn("score",
-            (col("c_xy") * col("n_uni") * col("n_uni")).cast("double") /
-              (col("n_bi") * col("c_x") * col("c_y")).cast("double"))
+            (col("c_xy").cast("double") * col("n_uni").cast("double") *
+              col("n_uni").cast("double")) /
+              (col("n_bi").cast("double") * col("c_x").cast("double") *
+                col("c_y").cast("double")))
           .orderBy(col("score").desc, col("w1"), col("w2"))
           .limit(50)
           .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
@@ -349,14 +357,14 @@ object TextAnalysis extends Catalog {
         t AS (SELECT (SELECT sum(c) FROM uc) AS n_uni,
                      (SELECT sum(c_xy) FROM bc) AS n_bi)
         SELECT bc.w1, bc.w2, c_xy, x.c AS c_x, y.c AS c_y,
-               CAST(c_xy * n_uni * n_uni AS DOUBLE) /
-                 CAST(n_bi * x.c * y.c AS DOUBLE) AS score
+               (CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)) /
+                 (CAST(n_bi AS DOUBLE) * CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE)) AS score
         FROM bc JOIN uc x ON x.word = bc.w1
                 JOIN uc y ON y.word = bc.w2
                 CROSS JOIN t
         WHERE c_xy >= 5
         ORDER BY score DESC, w1, w2 LIMIT 50"""),
-      scaleNote = "bigrams fan out inside the scan projection (q78's shape) and collapse map-side before the one (w1,w2) shuffle; unigram counts broadcast back; top-K is TakeOrderedAndProject. Exact-integer products stay under 2^53 through ~10^7-token corpora — beyond that switch the score to log-space (ranking only needs monotonicity) and pre-filter with the min-count gate"),
+      scaleNote = "bigrams fan out inside the scan projection (q78's shape) and collapse map-side before the one (w1,w2) shuffle; unigram counts broadcast back; top-K is TakeOrderedAndProject. Counts cast to double before the products, so the score has no integer-overflow cliff at any corpus size (individual counts stay exact through 2^53 ≈ 9·10^15 tokens); the min-count gate prunes the tail before the joins"),
 
     // ----- corpus-level similarity: source vocabulary overlap -------
     // Pairwise Jaccard between each source's DISTINCT vocabulary —

@@ -95,7 +95,7 @@ class PartitionedUpsertSpec extends SparkSpec {
     val dir = freshDir()
     PartitionedUpsert(spark, dir, base, Seq("k"), "p")
     val pruned = PartitionedUpsert.touchedSnapshot(
-      spark, dir, "p", Seq(1, 2), Set("p=1", "p=2"))
+      spark, dir, "p", Seq(1, 2), Set("p=1", "p=2"), base.schema)
     // the untouched dirs are never even LISTED — O(delta) metadata,
     // not O(snapshot)
     assert(pruned.inputFiles.forall(f => f.contains("p=1") || f.contains("p=2")),
@@ -139,6 +139,50 @@ class PartitionedUpsertSpec extends SparkSpec {
     }
     assert(got == want)
     assert(!Files.exists(aside))
+  }
+
+  test("string partition values with non-canonical numeric renderings round-trip") {
+    // without an explicit schema on the pruned read, Spark would INFER
+    // the partition type from the path ("p=01" -> int 1), snapshot-only
+    // rows would be rewritten under a differently-named dir outside the
+    // touched set, and the swap loop would silently drop them
+    val dir = freshDir()
+    val b = Seq((1L, "a", "01"), (2L, "b", "01"), (3L, "c", "1.50"))
+      .toDF("k", "s", "p")
+    PartitionedUpsert(spark, dir, b, Seq("k"), "p")
+    val delta = Seq((1L, "U", "01")).toDF("k", "s", "p")
+    PartitionedUpsert(spark, dir, delta, Seq("k"), "p")
+    val got = spark.read.schema(b.schema).parquet(dir)
+      .select("k", "s", "p").as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "U", "01"), (2L, "b", "01"), (3L, "c", "1.50")),
+      s"non-canonical string partition values must survive a merge: $got")
+    assert(Files.exists(Paths.get(dir, "p=01")) &&
+      !Files.exists(Paths.get(dir, "p=1")),
+      "the partition dir name must round-trip exactly")
+  }
+
+  test("merging into a foreign (non-partitioned) layout fails fast") {
+    val dir = freshDir()
+    // a flat DirSwap-style snapshot: plain parquet files, no p= dirs
+    base.drop("p").coalesce(1).write.parquet(dir)
+    val delta = withP(Seq((1L, "U", -1.0)).toDF("k", "s", "v"))
+    val e = intercept[RuntimeException] {
+      PartitionedUpsert(spark, dir, delta, Seq("k"), "p")
+    }
+    assert(e.getMessage.contains("foreign layout"), e.getMessage)
+  }
+
+  test("a trailing slash in snapshotDir is harmless on every path") {
+    val dir = freshDir()
+    PartitionedUpsert(spark, dir + "/", base, Seq("k"), "p")
+    assert(spark.read.parquet(dir).count() == 40,
+      "first install through a trailing-slash path must produce a readable snapshot")
+    val delta = withP(Seq((1L, "U", -1.0), (41L, "N", 410.0)).toDF("k", "s", "v"))
+    PartitionedUpsert(spark, dir + "/", delta, Seq("k"), "p")
+    val got = spark.read.parquet(dir)
+      .select("k", "s", "v").as[(Long, String, Double)].collect().toSet
+    assert(got == Upsert(base, delta, Seq("k"))
+      .select("k", "s", "v").as[(Long, String, Double)].collect().toSet)
   }
 
   test("contracts: missing partition col, bad deletes schema, null partition") {
