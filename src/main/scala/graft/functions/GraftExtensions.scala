@@ -60,6 +60,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"token_stats(text) takes exactly 1 argument, got ${children.size}")
       }))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s) => NfcNormalize(s)
+        case _ => throw new IllegalArgumentException(
+          s"nfc_normalize(text) takes exactly 1 argument, got ${children.size}")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => children match {

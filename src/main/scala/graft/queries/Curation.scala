@@ -617,6 +617,49 @@ object Curation extends Catalog {
                     WHEN hr.rn > 1 THEN hr.keeper
                     ELSE lab.gid END AS group_id
         FROM sc LEFT JOIN hr USING (doc_id) LEFT JOIN lab USING (doc_id)"""),
-      scaleNote = "the whole chain is: one scan with fused map-side scoring/scrubbing, one shuffle on the content hash, one inverted-index self-join on capped-width shingle postings, and O(log n) contraction rounds on the (tiny) near-dup edge list — no stage materializes the corpus more than once, and the expensive dedup stages see only gate survivors (at 100 TB the quality gate typically drops 30-60% before any shuffle)")
+      scaleNote = "the whole chain is: one scan with fused map-side scoring/scrubbing, one shuffle on the content hash, one inverted-index self-join on capped-width shingle postings, and O(log n) contraction rounds on the (tiny) near-dup edge list — no stage materializes the corpus more than once, and the expensive dedup stages see only gate survivors (at 100 TB the quality gate typically drops 30-60% before any shuffle)"),
+
+    // ---- q110: unigram LM scoring (perplexity-proxy filter) --------
+    // CCNet-style quality signal: fit a unigram language model on the
+    // corpus, then score every doc by its average negative
+    // log-likelihood per token. Low avg_nll ≈ common/predictable text,
+    // high ≈ rare or garbled — the axis a perplexity filter cuts on.
+    // (The published recipe uses a KenLM 5-gram; the unigram model is
+    // the same fit → broadcast → score plan with the model one
+    // aggregation away.) The score is a sum of ~1-ulp-accurate ln()
+    // terms, far inside the gate's 6-sig-fig float canonicalization —
+    // unlike a RANKED top-K (q65/q108's exact-rational stance), a
+    // per-doc score column has no boundary to flip.
+    "q110_unigram_logprob" -> Q(
+      fn = (s, d) => {
+        val tf = docs(s, d)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .localCheckpoint() // model fit + doc scoring share one tokenize
+        val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+        val total = model.agg(sum(col("cnt")).as("total"))
+        tf.join(broadcast(model), "term")
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_tokens"),
+            (-sum(col("tf").cast("double") *
+              log(col("cnt").cast("double") / col("total").cast("double"))) /
+              sum(col("tf")).cast("double")).as("avg_nll"))
+      },
+      sql = Some("""
+        WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        m AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+        t AS (SELECT sum(cnt) AS total FROM m)
+        SELECT tf.doc_id,
+               CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+               -sum(CAST(tf.tf AS DOUBLE) *
+                    ln(CAST(m.cnt AS DOUBLE) / CAST(t.total AS DOUBLE))) /
+                 CAST(sum(tf.tf) AS DOUBLE) AS avg_nll
+        FROM tf JOIN m USING (term) CROSS JOIN t
+        GROUP BY tf.doc_id"""),
+      scaleNote = "model fit is one (term) shuffle with map-side partial agg over the already-collapsed (doc_id, term) frame; vocab ≪ corpus so the model broadcasts back and scoring adds one (doc_id) shuffle — at 100 TB hash terms to 8 bytes (q26's stance) and swap the broadcast for a shuffle join only if the vocabulary outgrows executor memory")
   )
 }

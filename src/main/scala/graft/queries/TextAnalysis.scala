@@ -299,6 +299,46 @@ object TextAnalysis extends Catalog {
         ORDER BY cnt DESC, w1, w2, dist LIMIT 50"""),
       scaleNote = "pairs fan out ~2n per doc inside the scan projection (no self-join on position); partial agg collapses repeats map-side before the one (w1,w2,dist) shuffle; top-K is TakeOrderedAndProject"),
 
+    // ----- Unicode NFC normalization (canonicalization stage) -------
+    // The corpus is ASCII by construction, so the query injects a
+    // deterministic denormalized suffix per doc (q62's inject-then-
+    // operate stance): "e + combining acute" (→ precomposed é under
+    // NFC), the OHM SIGN singleton (→ GREEK CAPITAL OMEGA), and the
+    // ffi ligature (compatibility-only — NFC must LEAVE it alone).
+    // Both engines implement UAX#15 (JDK Normalizer / utf8proc) and
+    // NFC is a unique normal form, so the normalized bytes — and their
+    // md5 — are identical cross-engine.
+    "q109_unicode_normalize" -> Q(
+      fn = (s, d) => {
+        // explicit escapes: the suffix must stay DECOMPOSED in source
+        // (e + U+0301, OHM SIGN, ffi ligature) — a raw literal would be
+        // one editor NFC-pass away from silently precomposing it
+        val raw = concat(col("text"), lit(" cafe\u0301 \u2126 \uFB03"))
+        docs(s, d)
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            call_function("nfc_normalize", col("raw")).as("norm"),
+            col("raw"))
+          .select(col("doc_id"),
+            md5(col("norm")).as("norm_md5"),
+            (col("norm") =!= col("raw")).cast("int").as("changed"),
+            octet_length(col("raw")).as("bytes_raw"),
+            octet_length(col("norm")).as("bytes_norm"))
+      },
+      sql = Some("""
+        WITH r AS (
+          SELECT doc_id,
+                 text || ' caf' || chr(101) || chr(769) || ' ' ||
+                   chr(8486) || ' ' || chr(64259) AS raw
+          FROM documents),
+        n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM r)
+        SELECT doc_id, md5(norm) AS norm_md5,
+               CAST(norm <> raw AS INT) AS changed,
+               CAST(strlen(raw) AS INT) AS bytes_raw,
+               CAST(strlen(norm) AS INT) AS bytes_norm
+        FROM n"""),
+      scaleNote = "pure map-side, one codegen'd pass; the isNormalized quick-check makes already-NFC rows (in practice almost all) a zero-allocation pass-through — at 100 TB this fuses into the scan ahead of the hash/dedup stages that need canonical bytes"),
+
     // ----- PMI collocations (tokenizer/quality diagnostics) ---------
     // Pointwise mutual information over adjacent bigrams: the standard
     // collocation extractor a tokenizer-training or phrase-mining pass
@@ -365,6 +405,40 @@ object TextAnalysis extends Catalog {
         WHERE c_xy >= 5
         ORDER BY score DESC, w1, w2 LIMIT 50"""),
       scaleNote = "bigrams fan out inside the scan projection (q78's shape) and collapse map-side before the one (w1,w2) shuffle; unigram counts broadcast back; top-K is TakeOrderedAndProject. Counts cast to double before the products, so the score has no integer-overflow cliff at any corpus size (individual counts stay exact through 2^53 ≈ 9·10^15 tokens); the min-count gate prunes the tail before the joins"),
+
+    // ----- BPE merge-candidate pair counts (tokenizer training) -----
+    // The counting step of byte-pair encoding's first iteration: every
+    // adjacent symbol pair inside each word, weighted by the word's
+    // corpus frequency — the argmax is the first merge a BPE tokenizer
+    // learns. Counting per DISTINCT word and scaling by word count is
+    // the standard optimization (Sennrich et al. 2016, §3): the pair
+    // explosion runs over the vocabulary, not the corpus, so the
+    // fan-out stage is O(vocab · word_len) however big the corpus is.
+    "q111_bpe_pair_counts" -> Q(
+      fn = (s, d) => {
+        val wc = docs(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        wc.select(col("wc"),
+            explode(transform(sequence(lit(1), length(col("w")) - 1),
+              i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(50)
+      },
+      sql = Some("""
+        WITH wd AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents),
+        wc AS (SELECT w, count(*) AS wc FROM wd
+               WHERE length(w) >= 2 GROUP BY 1),
+        p AS (SELECT w, wc,
+                     unnest(generate_series(1, length(w) - 1)) AS i
+              FROM wc)
+        SELECT substr(w, CAST(i AS INT), 2) AS pair,
+               CAST(sum(wc) AS BIGINT) AS cnt
+        FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50"""),
+      scaleNote = "corpus collapses to (word, count) in one shuffle with map-side partial agg; the pair explosion + (pair) re-agg run over the vocabulary only — a BPE trainer iterates this with the learned merge applied, same plan shape each round; top-K is TakeOrderedAndProject with the (cnt, pair) total order"),
 
     // ----- corpus-level similarity: source vocabulary overlap -------
     // Pairwise Jaccard between each source's DISTINCT vocabulary —
