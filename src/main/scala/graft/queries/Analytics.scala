@@ -609,6 +609,87 @@ object Analytics extends Catalog {
                count(*) AS n_users
         FROM a JOIN f USING (user_id)
         GROUP BY 1, 2"""),
-      scaleNote = "raw events collapse map-side into the (user, week) distinct before anything moves; every later exchange carries only user×week (then cohort×offset) rows and the first-week frame broadcasts back — the shuffled volume shrinks at each of the three stages, never re-touching raw events")
+      scaleNote = "raw events collapse map-side into the (user, week) distinct before anything moves; every later exchange carries only user×week (then cohort×offset) rows and the first-week frame broadcasts back — the shuffled volume shrinks at each of the three stages, never re-touching raw events"),
+
+    // ----- q113: weighted PageRank (iterative graph analytics) ------
+    // The iterative-propagation modality ConnectedComponents (q61)
+    // doesn't cover: fixed-point rank diffusion over a weighted graph,
+    // expressed as the Pregel-on-DataFrames loop (join rank to edges,
+    // aggregate incoming mass, damp). Graph: suppliers co-occurring in
+    // the same order, edge weight = number of co-occurrences — the
+    // graph is dense, so the WEIGHTS carry all the signal and ranks
+    // are non-uniform. Fixed 5 iterations (not convergence-tested) so
+    // both engines run the exact same arithmetic; per-iteration mass
+    // is a sum of positive doubles (no cancellation) — 6-sig-fig safe.
+    "q113_pagerank_suppliers" -> Q(
+      fn = (s, d) => {
+        val Damp = 0.85
+        val Iters = 5
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") =!= col("b.l_suppkey"))
+          .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .localCheckpoint() // the edge list feeds out-strength + every round
+        val out = e.groupBy(col("u")).agg(sum(col("w")).as("wout"))
+        // transition probability u→v; row-stochastic by construction
+        val ew = e.join(out, "u")
+          .select(col("u"), col("v"),
+            (col("w").cast("double") / col("wout")).as("p"))
+          .localCheckpoint()
+        val nodes = ew.select(col("u").as("node")).distinct()
+          .localCheckpoint()
+        val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+        var r = nodes.crossJoin(broadcast(nn))
+          .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
+          .localCheckpoint()
+        for (_ <- 1 to Iters) {
+          // checkpoint per round: truncates the iterative lineage
+          // (q61's stance) — without it the plan doubles every round
+          r = ew.join(r, ew("u") === r("node"))
+            .groupBy(ew("v").as("node"))
+            .agg(sum(col("p") * col("r")).as("mass"))
+            .crossJoin(broadcast(nn))
+            .select(col("node"),
+              ((lit(1.0) - lit(Damp)) / col("n_nodes") +
+                lit(Damp) * col("mass")).as("r"))
+            .localCheckpoint()
+        }
+        // symmetric co-occurrence ⇒ every node has in-edges, so no
+        // node drops out of the aggregation and no dangling mass exists
+        r
+      },
+      sql = Some("""
+        WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+        e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_suppkey <> b.l_suppkey
+              GROUP BY 1, 2),
+        o AS (SELECT u, sum(w) AS wout FROM e GROUP BY 1),
+        ew AS (SELECT e.u, e.v, CAST(e.w AS DOUBLE) / o.wout AS p
+               FROM e JOIN o USING (u)),
+        n AS (SELECT count(DISTINCT u) AS n_nodes FROM ew),
+        r0 AS (SELECT DISTINCT u AS node, 1.0 / n.n_nodes AS r
+               FROM ew CROSS JOIN n),
+        r1 AS (SELECT ew.v AS node,
+                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r0.r) AS r
+               FROM ew JOIN r0 ON ew.u = r0.node CROSS JOIN n GROUP BY 1),
+        r2 AS (SELECT ew.v AS node,
+                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r1.r) AS r
+               FROM ew JOIN r1 ON ew.u = r1.node CROSS JOIN n GROUP BY 1),
+        r3 AS (SELECT ew.v AS node,
+                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r2.r) AS r
+               FROM ew JOIN r2 ON ew.u = r2.node CROSS JOIN n GROUP BY 1),
+        r4 AS (SELECT ew.v AS node,
+                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r3.r) AS r
+               FROM ew JOIN r3 ON ew.u = r3.node CROSS JOIN n GROUP BY 1),
+        r5 AS (SELECT ew.v AS node,
+                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r4.r) AS r
+               FROM ew JOIN r4 ON ew.u = r4.node CROSS JOIN n GROUP BY 1)
+        SELECT node, r FROM r5"""),
+      scaleNote = "the Pregel pattern on DataFrames: per round ONE shuffle joining the rank frame to the (pre-partitioned, checkpointed) edge list and ONE groupBy on the destination — at 100 TB pre-partition edges by u so the rank join co-locates without re-shuffling edges each round, and the per-round localCheckpoint keeps lineage O(1) instead of O(iterations). Mass aggregation is map-side partial; the node-count scalar broadcasts. Fixed iteration count keeps the oracle arithmetic identical — a convergence-tested variant adds q61's signature probe, same plan")
   )
 }

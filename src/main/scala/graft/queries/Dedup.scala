@@ -495,6 +495,82 @@ object Dedup extends Catalog {
                CAST(levenshtein(x.t, y.t) AS BIGINT) AS dist
         FROM a x JOIN a y ON x.blk = y.blk AND x.doc_id < y.doc_id
         WHERE levenshtein(x.t, y.t) <= 10"""),
-      scaleNote = "the O(len²) edit-distance kernel runs ONLY on blocked candidates from the equi-join — never all pairs; the hot-block cap (stop-list via map-side agg + broadcast anti-join, q59's guard on the blocking key) bounds per-block fan-out at k ≤ 256 so the worst block costs ≤ 32k comparisons, and the 40-char prefix caps the DP cost per pair")
+      scaleNote = "the O(len²) edit-distance kernel runs ONLY on blocked candidates from the equi-join — never all pairs; the hot-block cap (stop-list via map-side agg + broadcast anti-join, q59's guard on the blocking key) bounds per-block fan-out at k ≤ 256 so the worst block costs ≤ 32k comparisons, and the 40-char prefix caps the DP cost per pair"),
+
+    // ----- q112: sparse tf-idf cosine near-dup ----------------------
+    // The WEIGHTED companion of q26's set-Jaccard: documents as sparse
+    // tf-idf vectors over 3-word shingles, pair similarity = cosine,
+    // computed via the same inverted-index posting join (dot products
+    // accumulate per shared shingle — no document-vector materializes
+    // anywhere). Weights use q65's exact-rational idf (tf·N/df, one
+    // IEEE division) so the candidate SET is decided by the integer
+    // shared-shingle gate alone; the cosine itself is a sum of
+    // positive doubles (condition number 1 — no cancellation), far
+    // inside the gate's 6-sig-fig canonicalization.
+    "q112_sparse_cosine_pairs" -> Q(
+      fn = (s, d) => {
+        // df cap: shingles appearing in more docs than this are
+        // corpus boilerplate — dropped from the vectors entirely
+        // (prefix-filtering literature's standard move; q59's stop-
+        // shingle guard as a SEMANTIC, not just a plan guard). At
+        // every tested SF max df is 7, so nothing is pruned and the
+        // oracle sees the identical vocabulary.
+        val DfCap = 1000
+        val MinShared = 3
+        val base = docs(s, d)
+        val tf = base
+          .select(col("doc_id"), words.as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("ws")) - 2),
+              i => array_join(slice(col("ws"), i, lit(3)), " "))).as("sh"))
+          .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("tf"))
+          .localCheckpoint() // one tokenize feeds df, weights and both join sides
+        val dfreq = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= DfCap)
+        val n = base.agg(count(lit(1)).as("n_docs"))
+        val wt = tf.join(broadcast(dfreq), "sh")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("sh"),
+            ((col("tf") * col("n_docs")).cast("double") / col("df")).as("w"))
+          .localCheckpoint() // barrier: weigh once, not once per side
+        val nrm = wt.groupBy(col("doc_id"))
+          .agg(sqrt(sum(col("w") * col("w"))).as("nv"))
+        wt.as("a").join(wt.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(sum(col("a.w") * col("b.w")).as("dot"),
+            count(lit(1)).as("shared"))
+          .filter(col("shared") >= MinShared)
+          .join(nrm.select(col("doc_id").as("doc_a"), col("nv").as("na")), "doc_a")
+          .join(nrm.select(col("doc_id").as("doc_b"), col("nv").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("shared"),
+            (col("dot") / (col("na") * col("nb"))).as("cosine"))
+      },
+      sql = Some("""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents),
+        sg AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+               FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+               WHERE len(ws) >= 3),
+        tf AS (SELECT doc_id, sh, count(*) AS tf FROM sg GROUP BY 1, 2),
+        d AS (SELECT sh, count(*) AS df FROM tf GROUP BY 1
+              HAVING count(*) <= 1000),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        wt AS (SELECT tf.doc_id, tf.sh,
+                      CAST(tf.tf * n.n_docs AS DOUBLE) / d.df AS w
+               FROM tf JOIN d USING (sh) CROSS JOIN n),
+        nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nv FROM wt GROUP BY 1),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     sum(a.w * b.w) AS dot, count(*) AS shared
+              FROM wt a JOIN wt b
+                ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT p.doc_a, p.doc_b, p.shared,
+               p.dot / (x.nv * y.nv) AS cosine
+        FROM p JOIN nrm x ON x.doc_id = p.doc_a
+               JOIN nrm y ON y.doc_id = p.doc_b
+        WHERE p.shared >= 3"""),
+      scaleNote = "identical plan skeleton to q26: one tokenize shuffle to (doc,shingle,tf), vocab-sized df frame broadcasts back, and the pair dot-products accumulate map-side inside the posting equi-join's aggregation — no document vector ever materializes. The df cap is load-bearing at 100 TB: it bounds sum(df²) over the join exactly like q59's stop-shingle guard, and pruning boilerplate shingles is the standard prefix-filtering semantic, not an approximation. At scale swap string shingles for the 8-byte native shingle_hashes keys (q26's stance) and the norms join stops broadcasting (docs-sized) — AQE picks the shuffle join automatically")
   )
 }

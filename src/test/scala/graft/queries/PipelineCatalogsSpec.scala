@@ -345,4 +345,44 @@ class PipelineCatalogsSpec extends SparkSpec {
         s"adc_dist mismatch: got $g want $w")
     }
   }
+
+  test("q112: cosine bounded (0,1]; covers the jaccard near-dups at high score") {
+    val pairs = Dedup.queries("q112_sparse_cosine_pairs").fn(spark, sf0001)
+      .select("doc_a", "doc_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    for ((a, b, c) <- pairs) {
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(c > 0.0 && c <= 1.0 + 1e-12, s"cosine out of range: ($a,$b,$c)")
+    }
+    // the weighted signal must agree with the set signal on the
+    // planted near-dups: every jaccard≥τ pair appears with high cosine
+    val near = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(near.nonEmpty)
+    val byPair = pairs.map { case (a, b, c) => (a, b) -> c }.toMap
+    // near-dups must separate from the background: every planted pair
+    // outranks the best non-near pair (an absolute threshold would be
+    // arbitrary — idf weighting punishes edited RARE shingles harder
+    // than set-jaccard, e.g. pair (0,82) lands at 0.795)
+    val background = pairs.collect {
+      case (a, b, c) if !near((a, b)) => c }
+    for (p <- near) {
+      assert(byPair.contains(p), s"near-dup $p missing from sparse-cosine pairs")
+      assert(background.isEmpty || byPair(p) > background.max,
+        s"near-dup $p (${byPair(p)}) does not outrank background max ${background.max}")
+    }
+  }
+
+  test("q113: rank mass is conserved and every supplier node is ranked") {
+    val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
+      .select("node", "r").as[(Long, Double)].collect()
+    // with a symmetric (no-dangling) graph PageRank preserves total
+    // mass exactly: sum(r) = 1 up to float error, every r in (0,1)
+    assert(math.abs(r.map(_._2).sum - 1.0) < 1e-9, s"mass=${r.map(_._2).sum}")
+    assert(r.forall { case (_, x) => x > 0.0 && x < 1.0 })
+    assert(r.map(_._1).distinct.length == r.length, "duplicate nodes")
+    // the weights carry signal: ranks must NOT be uniform
+    val xs = r.map(_._2)
+    assert(xs.max - xs.min > 1e-6, "ranks unexpectedly uniform")
+  }
 }

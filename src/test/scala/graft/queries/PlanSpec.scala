@@ -477,4 +477,23 @@ class PlanSpec extends SparkSpec {
     // top-k per query prunes in-shuffle, as q30/q13 do
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
+
+  test("q112: pair scoring is a posting equi-join; df frame broadcasts") {
+    val p = plan("q112_sparse_cosine_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the vocab-sized df frame must broadcast back onto the tf frame
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // dot products accumulate via two-phase agg on the pair key
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(800))
+  }
+
+  test("q113: each PageRank round is one hash join + one agg, no cartesian") {
+    val p = plan("q113_pagerank_suppliers")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // lineage is checkpoint-truncated: the final plan must NOT contain
+    // the 5-fold unrolled join tree (≤ one join visible post-barrier)
+    assert(p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")) <= 2,
+      s"lineage not truncated:\n${p.take(1200)}")
+  }
 }
