@@ -690,6 +690,102 @@ object Analytics extends Catalog {
                       0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r4.r) AS r
                FROM ew JOIN r4 ON ew.u = r4.node CROSS JOIN n GROUP BY 1)
         SELECT node, r FROM r5"""),
-      scaleNote = "the Pregel pattern on DataFrames: per round ONE shuffle joining the rank frame to the (pre-partitioned, checkpointed) edge list and ONE groupBy on the destination — at 100 TB pre-partition edges by u so the rank join co-locates without re-shuffling edges each round, and the per-round localCheckpoint keeps lineage O(1) instead of O(iterations). Mass aggregation is map-side partial; the node-count scalar broadcasts. Fixed iteration count keeps the oracle arithmetic identical — a convergence-tested variant adds q61's signature probe, same plan")
+      scaleNote = "the Pregel pattern on DataFrames: per round ONE shuffle joining the rank frame to the (pre-partitioned, checkpointed) edge list and ONE groupBy on the destination — at 100 TB pre-partition edges by u so the rank join co-locates without re-shuffling edges each round, and the per-round localCheckpoint keeps lineage O(1) instead of O(iterations). Mass aggregation is map-side partial; the node-count scalar broadcasts. Fixed iteration count keeps the oracle arithmetic identical — a convergence-tested variant adds q61's signature probe, same plan"),
+
+    // ----- q114: EWMA smoothing (sequential time-series state) ------
+    // Exponentially-weighted moving average per user over the event
+    // stream — the smoothing/anomaly-baseline primitive window
+    // functions canNOT express (each row depends on the previous
+    // OUTPUT, not a frame of inputs; the closed-form pow() rewrite
+    // overflows for long series). So: q66's secondary-sort pattern —
+    // one shuffle on user, in-partition sort by (ts, event_id), then a
+    // constant-memory sequential scan. Both engines run the identical
+    // left-to-right recurrence s' = 0.3·x + 0.7·s, so doubles are
+    // bit-identical step by step.
+    "q114_ewma_smoothing" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        // both as literals: (1.0 - 0.3) != 0.7 in IEEE doubles, and the
+        // oracle's recurrence uses the literal — keep them bit-identical
+        val Alpha = 0.3
+        val Beta = 0.7
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .repartition(col("user_id"))
+          .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+          .select(col("user_id"), col("value"))
+          .as[(Long, Double)]
+          .mapPartitions { it =>
+            var cur = Long.MinValue
+            var sm = 0.0
+            var rn = 0L
+            it.map { case (u, x) =>
+              if (u != cur || rn == 0L) { cur = u; sm = x; rn = 1L }
+              else { sm = Alpha * x + Beta * sm; rn += 1 }
+              (u, rn, sm)
+            }
+          }
+          .toDF("user_id", "rn", "ewma")
+      },
+      sql = Some("""
+        WITH RECURSIVE b AS (
+          SELECT user_id, value AS x,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+          FROM events),
+        r AS (
+          SELECT user_id, rn, x AS s FROM b WHERE rn = 1
+          UNION ALL
+          SELECT b.user_id, b.rn, 0.3 * b.x + 0.7 * r.s
+          FROM b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        SELECT user_id, rn, s AS ewma FROM r"""),
+      scaleNote = "q66's stance: one shuffle on the series key + in-partition secondary sort, then a streaming constant-memory scan — a user's history can exceed executor memory and this still streams; no window materializes the series and no pow() rewrite risks overflow. At 100 TB the same plan holds with (user, day-bucket) composite keys if single users grow pathological histories"),
+
+    // ----- q115: triangle counting (multi-way graph join) -----------
+    // Per-node triangle membership on the supplier co-purchase graph —
+    // the canonical multi-way self-join analytic (clustering
+    // coefficient's numerator). The dense co-occurrence graph is first
+    // sparsified to its 500 heaviest edges by the exact (count,u,v)
+    // total order — an integer-deterministic selection at any SF (the
+    // graph analytics analogue of q59's hot-list guard).
+    "q115_triangle_counts" -> Q(
+      fn = (s, d) => {
+        val TopEdges = 500
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+          .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("u"), col("v"))
+          .limit(TopEdges)
+          .select(col("u"), col("v"))
+          .localCheckpoint() // the edge list feeds all three join legs
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.v") === col("e2.u"))
+          .join(e.as("e3"),
+            col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+          .select(col("e1.u").as("a"), col("e1.v").as("b"),
+            col("e2.v").as("cc"))
+        tri.select(explode(array(col("a"), col("b"), col("cc"))).as("supplier"))
+          .groupBy(col("supplier"))
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      sql = Some("""
+        WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+        ec AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS c
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_suppkey < b.l_suppkey
+               GROUP BY 1, 2),
+        e AS (SELECT u, v FROM ec ORDER BY c DESC, u, v LIMIT 500),
+        tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+               FROM e e1 JOIN e e2 ON e1.v = e2.u
+                         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        pn AS (SELECT unnest([a, b, c]) AS supplier FROM tr)
+        SELECT supplier, count(*) AS n_triangles
+        FROM pn GROUP BY 1"""),
+      scaleNote = "edges canonicalize u<v (each triangle enumerated exactly once) and the top-K sparsification is TakeOrderedAndProject over the co-occurrence agg — the two wedge/closure joins then run on the bounded edge list, which broadcasts. At true graph scale replace the weight cap with degree-ordered orientation (each edge points low→high degree), which bounds wedge fan-out at O(m^1.5) total work with the identical two-join plan")
   )
 }

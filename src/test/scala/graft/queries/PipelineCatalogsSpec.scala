@@ -373,6 +373,31 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q114: distributed EWMA equals the plain-Scala per-user recurrence") {
+    // the risky part is the secondary sort + partition-boundary state,
+    // so recompute sequentially from a driver-side collect and demand
+    // bit-equality (same double ops in the same order)
+    val got = Analytics.queries("q114_ewma_smoothing").fn(spark, sf0001)
+      .select("user_id", "rn", "ewma").as[(Long, Long, Double)].collect()
+      .map { case (u, rn, s) => (u, rn) -> s }.toMap
+    val raw = graft.core.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"),
+        col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy { case (u, ts, eid, _) => (u, ts, eid) }
+    val want: Map[(Long, Long), Double] =
+      raw.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+        var s = 0.0
+        rows.toSeq.zipWithIndex.map { case ((_, _, _, x), i) =>
+          s = if (i == 0) x else 0.3 * x + 0.7 * s
+          (u, i + 1L) -> s
+        }
+      }.toMap
+    assert(got.size == want.size)
+    for ((k, w) <- want)
+      assert(got(k) == w, s"$k: got ${got.get(k)} want $w")
+  }
+
   test("q113: rank mass is conserved and every supplier node is ranked") {
     val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
       .select("node", "r").as[(Long, Double)].collect()
