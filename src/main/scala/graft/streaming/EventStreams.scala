@@ -101,6 +101,36 @@ object EventStreams {
 
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class EwmaPoint(user_id: Long, rn: Long, ewma: Double)
+
+  /** streaming twin of batch q114: per-user EWMA as keyed sequential
+    * state. Rows inside a micro-batch are sorted by (ts, event_id)
+    * before folding — the group iterator's order after the shuffle is
+    * not contractual — and the recurrence then continues across
+    * batches from the stored (rn, ewma). Same 0.3/0.7 literals as the
+    * batch query, so a ts-ordered replay is bit-identical to it
+    * (StreamingSpec asserts exactly that).
+    */
+  def ewmaPerUser(events: Dataset[Event]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaPoint, EwmaPoint](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[EwmaPoint]) =>
+          var rn = state.getOption.map(_.rn).getOrElse(0L)
+          var s = state.getOption.map(_.ewma).getOrElse(0.0)
+          val out = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .map { e =>
+              s = if (rn == 0L) e.value else 0.3 * e.value + 0.7 * s
+              rn += 1
+              EwmaPoint(uid, rn, s)
+            }
+          if (out.nonEmpty) state.update(out.last)
+          out.iterator
+      }
+  }
+
   /** custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update — the E17 `mapGroupsWithState`
     * surface. State is one tiny struct per user; at 100 TB the state

@@ -381,4 +381,28 @@ class StreamingSpec extends SparkSpec {
         == canon(batch, "user_id", "n_events", "total_value"))
     } finally q.stop()
   }
+
+  test("streaming EWMA replay is bit-identical to the batch q114 series") {
+    // sequential keyed state across micro-batch boundaries: a
+    // ts-ordered replay must reproduce the batch secondary-sort scan
+    // EXACTLY (same literals, same fold order ⇒ same doubles)
+    val ms = MemoryStream[Event]
+    val q = EventStreams.ewmaPerUser(ms.toDS())
+      .writeStream.format("memory").outputMode("update")
+      .queryName("ewma_sink").start()
+    try {
+      val ordered = allEvents
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      ordered.grouped(300).foreach { c => ms.addData(c); q.processAllAvailable() }
+      val got = spark.table("ewma_sink")
+        .select("user_id", "rn", "ewma").as[(Long, Long, Double)].collect()
+        .map { case (u, rn, s) => (u, rn) -> s }.toMap
+      val want = graft.queries.Analytics
+        .queries("q114_ewma_smoothing").fn(spark, sf0001)
+        .select("user_id", "rn", "ewma").as[(Long, Long, Double)].collect()
+        .map { case (u, rn, s) => (u, rn) -> s }.toMap
+      assert(got.size == want.size, s"got ${got.size} want ${want.size}")
+      for ((k, w) <- want) assert(got(k) == w, s"$k: got ${got.get(k)} want $w")
+    } finally q.stop()
+  }
 }
