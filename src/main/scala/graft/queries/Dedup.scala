@@ -571,6 +571,50 @@ object Dedup extends Catalog {
         FROM p JOIN nrm x ON x.doc_id = p.doc_a
                JOIN nrm y ON y.doc_id = p.doc_b
         WHERE p.shared >= 3"""),
-      scaleNote = "identical plan skeleton to q26: one tokenize shuffle to (doc,shingle,tf), vocab-sized df frame broadcasts back, and the pair dot-products accumulate map-side inside the posting equi-join's aggregation — no document vector ever materializes. The df cap is load-bearing at 100 TB: it bounds sum(df²) over the join exactly like q59's stop-shingle guard, and pruning boilerplate shingles is the standard prefix-filtering semantic, not an approximation. At scale swap string shingles for the 8-byte native shingle_hashes keys (q26's stance) and the norms join stops broadcasting (docs-sized) — AQE picks the shuffle join automatically")
+      scaleNote = "identical plan skeleton to q26: one tokenize shuffle to (doc,shingle,tf), vocab-sized df frame broadcasts back, and the pair dot-products accumulate map-side inside the posting equi-join's aggregation — no document vector ever materializes. The df cap is load-bearing at 100 TB: it bounds sum(df²) over the join exactly like q59's stop-shingle guard, and pruning boilerplate shingles is the standard prefix-filtering semantic, not an approximation. At scale swap string shingles for the 8-byte native shingle_hashes keys (q26's stance) and the norms join stops broadcasting (docs-sized) — AQE picks the shuffle join automatically"),
+
+    // ----- q116: leakage-safe train/test split (group-aware) --------
+    // The eval-hygiene step q60's per-doc split gets WRONG at corpus
+    // scale: hashing doc_id puts two near-duplicate documents on
+    // opposite sides of the split, leaking training text into the
+    // held-out set. The correct unit of assignment is the DUP GROUP:
+    // q61's connected component (singletons = their own group), hashed
+    // with q60's salt-keyed md5 discipline — so a whole near-dup
+    // cluster moves together by construction, reproducibly, with no
+    // RNG state.
+    "q116_groupwise_split" -> Q(
+      fn = (s, d) => {
+        val pairs = jaccardPairs(s, d)
+          .select(col("doc1").as("u"), col("doc2").as("v"))
+        val labels = ConnectedComponents.run(pairs)
+        val ids = docs(s, d).select(col("doc_id"))
+        ids.join(labels, ids("doc_id") === labels("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("group_id"))
+          .select(col("doc_id"), col("group_id"),
+            when(substring(md5(concat(lit("g:"),
+                col("group_id").cast("string"))), 1, 2) < "cc",
+              "train").otherwise("test").as("split"))
+      },
+      sql = Some(s"""
+        WITH RECURSIVE
+        s AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau),
+        edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS label FROM documents
+          UNION
+          SELECT e.v AS node, r.label FROM reach r JOIN edges e ON e.u = r.node),
+        lab AS (SELECT node AS doc_id, min(label) AS group_id FROM reach GROUP BY node)
+        SELECT doc_id, group_id,
+               CASE WHEN substr(md5('g:' || CAST(group_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM lab"""),
+      scaleNote = "q61's component cost (O(log n) contraction rounds on the pair list) + a pure map-side hash projection — the split itself adds zero shuffles, and assignment is a function of the group label alone, so it survives retries/re-runs and stays stable when docs are added to an existing group's corpus")
   )
 }

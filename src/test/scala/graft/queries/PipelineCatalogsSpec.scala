@@ -373,6 +373,18 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q116: no near-dup pair straddles the train/test split") {
+    val split = Dedup.queries("q116_groupwise_split").fn(spark, sf0001)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val near = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
+      .select("doc1", "doc2").as[(Long, Long)].collect()
+    assert(near.nonEmpty)
+    for ((a, b) <- near)
+      assert(split(a) == split(b), s"leak: $a=${split(a)} vs $b=${split(b)}")
+    // both sides populated (split is ~80/20 by the cc threshold)
+    assert(split.values.toSet == Set("train", "test"))
+  }
+
   test("q114: distributed EWMA equals the plain-Scala per-user recurrence") {
     // the risky part is the secondary sort + partition-boundary state,
     // so recompute sequentially from a driver-side collect and demand
