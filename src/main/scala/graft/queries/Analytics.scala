@@ -642,24 +642,29 @@ object Analytics extends Catalog {
         val nodes = ew.select(col("u").as("node")).distinct()
           .localCheckpoint()
         val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+        // n_nodes rides IN the rank frame (constant column) so each
+        // round is exactly one join + one agg — recomputing and
+        // re-broadcasting the scalar per round would add 2 jobs/round
         var r = nodes.crossJoin(broadcast(nn))
-          .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
+          .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"),
+            col("n_nodes"))
           .localCheckpoint()
         for (_ <- 1 to Iters) {
           // checkpoint per round: truncates the iterative lineage
           // (q61's stance) — without it the plan doubles every round
           r = ew.join(r, ew("u") === r("node"))
             .groupBy(ew("v").as("node"))
-            .agg(sum(col("p") * col("r")).as("mass"))
-            .crossJoin(broadcast(nn))
+            .agg(sum(col("p") * col("r")).as("mass"),
+              first(col("n_nodes")).as("n_nodes"))
             .select(col("node"),
               ((lit(1.0) - lit(Damp)) / col("n_nodes") +
-                lit(Damp) * col("mass")).as("r"))
+                lit(Damp) * col("mass")).as("r"),
+              col("n_nodes"))
             .localCheckpoint()
         }
         // symmetric co-occurrence ⇒ every node has in-edges, so no
         // node drops out of the aggregation and no dangling mass exists
-        r
+        r.select(col("node"), col("r"))
       },
       sql = Some("""
         WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),

@@ -36,6 +36,9 @@ def canon(rows, cols):
 
 def main(outdir, sfdir):
     con = duckdb.connect()
+    # long-running oracles otherwise print a progress bar into stdout,
+    # which breaks harnesses that parse this script's output
+    con.execute("SET enable_progress_bar=false")
     for tname in TABLES:
         p = f"{sfdir}/{tname}.parquet"
         if os.path.exists(p):
