@@ -615,6 +615,59 @@ object Dedup extends Catalog {
                CASE WHEN substr(md5('g:' || CAST(group_id AS VARCHAR)), 1, 2) < 'cc'
                     THEN 'train' ELSE 'test' END AS split
         FROM lab"""),
-      scaleNote = "q61's component cost (O(log n) contraction rounds on the pair list) + a pure map-side hash projection — the split itself adds zero shuffles, and assignment is a function of the group label alone, so it survives retries/re-runs and stays stable when docs are added to an existing group's corpus")
+      scaleNote = "q61's component cost (O(log n) contraction rounds on the pair list) + a pure map-side hash projection — the split itself adds zero shuffles, and assignment is a function of the group label alone, so it survives retries/re-runs and stays stable when docs are added to an existing group's corpus"),
+
+    // ----- q117: duplicated n-gram coverage (exact-substring dup) ---
+    // The document-level statistic behind exact-substring dedup: for
+    // every 5-gram POSITION in a doc (with multiplicity — repeats
+    // inside one doc count, unlike q26's distinct shingle sets), is
+    // that 5-gram repeated anywhere in the corpus? dup_frac is the
+    // fraction of a doc that is corpus-duplicated text — the score a
+    // span-removal pass thresholds on. Positions move as 8-byte
+    // xxhash64 keys (q26's stance); the string 5-grams exist only in
+    // the oracle.
+    "q117_dup_ngram_coverage" -> Q(
+      fn = (s, d) => {
+        val N = 5
+        val base = docs(s, d)
+        val pos = base
+          .select(col("doc_id"), words.as("ws"))
+          .filter(size(col("ws")) >= N)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("ws")) - (N - 1)),
+              i => xxhash64(array_join(slice(col("ws"), i, lit(N)), " ")))).as("g"))
+        val occ = pos.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+        // build from the aggregated side: without the hint Catalyst's
+        // Generate-output estimate can elect to broadcast the POSITION
+        // frame (corpus-token-sized) — legal at test SF, lethal at 100 TB
+        val per = pos.join(occ.hint("shuffle_hash"), "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("np"),
+            sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("nd"))
+        base.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("np"), lit(0L)).as("n_pos"),
+            coalesce(col("nd"), lit(0L)).as("n_dup"),
+            when(col("np") > 0,
+              col("nd").cast("double") / col("np").cast("double")).as("dup_frac"))
+      },
+      sql = Some("""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents),
+        pos AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+                FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+                WHERE len(ws) >= 5),
+        occ AS (SELECT g, count(*) AS occ FROM pos GROUP BY g),
+        per AS (SELECT doc_id, count(*) AS np,
+                       sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS nd
+                FROM pos JOIN occ USING (g) GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(per.np, 0) AS n_pos,
+               coalesce(per.nd, 0) AS n_dup,
+               CASE WHEN per.np > 0
+                    THEN CAST(per.nd AS DOUBLE) / CAST(per.np AS DOUBLE)
+               END AS dup_frac
+        FROM documents d LEFT JOIN per USING (doc_id)"""),
+      scaleNote = "positions ≈ corpus token count, but every one moves as an 8-byte hash: the occurrence index aggregates with map-side partials (a boilerplate gram repeated 10⁹× costs one partial counter per partition, not a hot reducer — why this is a groupBy+join and NOT a count-over-window, whose per-g sort partition would concentrate every occurrence of a mega-dup gram), the shuffle_hash hint pins the BUILD side to the aggregated index so no stats misestimate ever broadcasts the position frame, and probe-side skew splits under AQE. One further doc_id shuffle folds positions to per-doc fractions; at 100 TB the occ frame is the corpus's duplicated-span index — persist it once and every later span-removal pass probes it for free")
   )
 }

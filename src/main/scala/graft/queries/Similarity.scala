@@ -584,6 +584,90 @@ object Similarity extends Catalog {
                  list_transform(generate_series(1, len(x)), i -> x[i] - deq[i]),
                  list_transform(generate_series(1, len(x)), i -> x[i] - deq[i])) AS sq_err
         FROM r"""),
-      scaleNote = "bounds are a 64-row agg broadcast back as ONE row — the corpus side is a single map pass emitting 64-byte codes instead of 512-byte doubles; at 100 TB the code table (and the bounds pair) IS the served ANN index, with exact rerank fetching raw vectors for finalists only")
+      scaleNote = "bounds are a 64-row agg broadcast back as ONE row — the corpus side is a single map pass emitting 64-byte codes instead of 512-byte doubles; at 100 TB the code table (and the bounds pair) IS the served ANN index, with exact rerank fetching raw vectors for finalists only"),
+
+    // ----- q118: Lloyd k-means (semantic clustering) ----------------
+    // The unsupervised companion of q32's per-label centroids and the
+    // fit step behind q85's SemDeDup cells / q51's IVF lists: seed one
+    // centroid per label (min vec_id — deterministic; production
+    // seeding is k-means‖ over a sample, same downstream plan), then
+    // two Lloyd rounds of assign → recompute, emitting the final
+    // assignment + squared L2. Fully oracled bit-for-bit via the
+    // q105/q106 stance: recomputed centroids round through float32 (so
+    // avg's last-ulp, order-dependent drift can't surface), distances
+    // are the same sequential diff dot product (vec_dot ≡
+    // list_dot_product), and argmin carries the explicit (dist, cid)
+    // tie order.
+    "q118_kmeans_lloyd" -> Q(
+      fn = (s, d) => {
+        val Rounds = 2
+        val e = Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("x"))
+          .localCheckpoint() // one load feeds seeds + every round's assign
+        val seeds = e.groupBy(col("label")).agg(min(col("vec_id")).as("cid"))
+        val c0 = e.join(seeds, col("vec_id") === col("cid"))
+          .select(col("cid"), col("x").as("c"))
+        // assign each vector to its nearest centroid; centroids are
+        // |k| rows so the candidate stream is a broadcast fanout, and
+        // the per-vector argmin collapses map-side (min_by partial agg)
+        def assign(cent: DataFrame): DataFrame =
+          e.select(col("vec_id"), col("x")).crossJoin(broadcast(cent))
+            // diff in its own projection: CSE skips lambda-bearing
+            // expressions, so vec_dot(zip_with(..), zip_with(..))
+            // would run the zip twice per row (q79's stance)
+            .select(col("vec_id"), col("cid"),
+              zip_with(col("x"), col("c"), (a, b) => a - b).as("dx"))
+            .select(col("vec_id"), col("cid"),
+              call_function("vec_dot", col("dx"), col("dx")).as("dist"))
+            .groupBy(col("vec_id"))
+            .agg(
+              min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"),
+              min(struct(col("dist"), col("cid"))).getField("dist").as("sq_dist"))
+        // recompute: per-(cluster, dim) mean over members, rounded
+        // through float32, reassembled in dim order
+        def recompute(asg: DataFrame): DataFrame =
+          asg.join(e, "vec_id")
+            .select(col("cluster").as("cid"),
+              posexplode(col("x")).as(Seq("dim", "xv")))
+            .groupBy(col("cid"), col("dim"))
+            .agg(avg(col("xv")).cast("float").cast("double").as("av"))
+            .groupBy(col("cid"))
+            .agg(array_sort(collect_list(struct(col("dim"), col("av")))).as("ps"))
+            .select(col("cid"), transform(col("ps"), p => p.getField("av")).as("c"))
+        val fitted = (1 to Rounds).foldLeft(c0)((c, _) => recompute(assign(c)))
+        assign(fitted).select(col("vec_id"), col("cluster"), col("sq_dist"))
+      },
+      sql = Some {
+        def dist(c: String) = s"""list_dot_product(
+            list_transform(generate_series(1, len(e.x)), i -> e.x[i] - $c.c[i]),
+            list_transform(generate_series(1, len(e.x)), i -> e.x[i] - $c.c[i]))"""
+        def round(n: Int, cPrev: String) = s"""
+          d$n AS (SELECT e.vec_id, $cPrev.cid, ${dist(cPrev)} AS dist
+                  FROM e CROSS JOIN $cPrev),
+          a$n AS (SELECT vec_id, cid FROM
+                   (SELECT d$n.*, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dist, cid) r FROM d$n)
+                  WHERE r = 1),
+          m$n AS (SELECT a$n.cid, unnest(generate_series(0, len(e.x) - 1)) AS dim,
+                         unnest(e.x) AS xv
+                  FROM a$n JOIN e USING (vec_id)),
+          c$n AS (SELECT cid, list(av ORDER BY dim) AS c FROM
+                   (SELECT cid, dim, CAST(CAST(avg(xv) AS FLOAT) AS DOUBLE) AS av
+                    FROM m$n GROUP BY cid, dim)
+                  GROUP BY cid)"""
+        s"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+        seeds AS (SELECT min(vec_id) AS cid FROM e GROUP BY label),
+        c0 AS (SELECT s.cid, e.x AS c FROM seeds s JOIN e ON e.vec_id = s.cid),
+        ${round(1, "c0")},
+        ${round(2, "c1")},
+        d3 AS (SELECT e.vec_id, c2.cid, ${dist("c2")} AS dist FROM e CROSS JOIN c2)
+        SELECT vec_id, cid AS cluster, dist AS sq_dist FROM
+         (SELECT d3.*, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cid) r FROM d3)
+        WHERE r = 1"""
+      },
+      scaleNote = "each round is two jobs with ONE corpus-wide shuffle between them: assignment is a broadcast fanout of |k| centroids with the argmin collapsing map-side (min_by partial agg — no rank window, no sort), and recompute's posexplode fans ×dim but partial-aggregates to |k|×dim rows before its shuffle (q32's shape). The corpus is never re-partitioned between rounds and centroids never exceed a broadcast; at 100 TB rounds are I/O-bound scans of a cached column — the same iterate-until-stable discipline as ConnectedComponents, with k·dim driver state")
   )
 }

@@ -130,6 +130,20 @@ class PlanSpec extends SparkSpec {
     assert(capped <= base + 2, s"q26=$base q59=$capped")
   }
 
+  test("q117: occurrence index is the build side; the position frame is never broadcast") {
+    val p = plan("q117_dup_ngram_coverage")
+    // the probe join must be a shuffled join building from the
+    // aggregated occ index — a BroadcastExchange directly over the
+    // position explode would be the stats-misestimate hazard the
+    // shuffle_hash hint exists to forbid
+    assert(p.contains("ShuffledHashJoin"), p.take(800))
+    val broadcastOverGenerate = p.linesIterator.sliding(6).exists(w =>
+      w.head.contains("BroadcastExchange") &&
+        w.tail.exists(_.contains("Generate explode")))
+    assert(!broadcastOverGenerate,
+      s"position frame must not broadcast:\n${p.take(1200)}")
+  }
+
   test("q59 stop-list: broadcast LEFT-ANTI join, one exchange on shingle") {
     // the registered query hides this behind its checkpoint barrier —
     // assert the pre-barrier plan directly
