@@ -668,6 +668,75 @@ object Dedup extends Catalog {
                     THEN CAST(per.nd AS DOUBLE) / CAST(per.np AS DOUBLE)
                END AS dup_frac
         FROM documents d LEFT JOIN per USING (doc_id)"""),
-      scaleNote = "positions ≈ corpus token count, but every one moves as an 8-byte hash: the occurrence index aggregates with map-side partials (a boilerplate gram repeated 10⁹× costs one partial counter per partition, not a hot reducer — why this is a groupBy+join and NOT a count-over-window, whose per-g sort partition would concentrate every occurrence of a mega-dup gram), the shuffle_hash hint pins the BUILD side to the aggregated index so no stats misestimate ever broadcasts the position frame, and probe-side skew splits under AQE. One further doc_id shuffle folds positions to per-doc fractions; at 100 TB the occ frame is the corpus's duplicated-span index — persist it once and every later span-removal pass probes it for free")
+      scaleNote = "positions ≈ corpus token count, but every one moves as an 8-byte hash: the occurrence index aggregates with map-side partials (a boilerplate gram repeated 10⁹× costs one partial counter per partition, not a hot reducer — why this is a groupBy+join and NOT a count-over-window, whose per-g sort partition would concentrate every occurrence of a mega-dup gram), the shuffle_hash hint pins the BUILD side to the aggregated index so no stats misestimate ever broadcasts the position frame, and probe-side skew splits under AQE. One further doc_id shuffle folds positions to per-doc fractions; at 100 TB the occ frame is the corpus's duplicated-span index — persist it once and every later span-removal pass probes it for free"),
+
+    // ----- q119: duplicated-span REMOVAL (the q117 transform) -------
+    // q117 measures; this rewrites. Every token covered by any
+    // corpus-duplicated 5-gram occurrence is dropped and the document
+    // reassembled from the survivors — the span-removal pass of
+    // exact-substring dedup (planted near-dup docs collapse to empty;
+    // organic docs lose only their boilerplate runs). Output is the
+    // cleaned text itself, so the oracle hash-checks the full rewrite,
+    // not a summary.
+    "q119_dup_span_removal" -> Q(
+      fn = (s, d) => {
+        val N = 5
+        val base = docs(s, d)
+        val toks = base.select(col("doc_id"), words.as("ws"))
+          .localCheckpoint() // one tokenize feeds positions AND the rebuild
+        val pos = toks.filter(size(col("ws")) >= N)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(1), size(col("ws")) - (N - 1)),
+              i => xxhash64(array_join(slice(col("ws"), i, lit(N)), " "))))
+              .as(Seq("p0", "g")))
+          .select(col("doc_id"), (col("p0") + 1).as("i"), col("g"))
+        val dup = pos.groupBy(col("g")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("g"))
+        // token indexes blanked by some duplicated occurrence: each
+        // flagged position covers [i, i+4]; overlaps collapse in the
+        // distinct
+        val rm = pos.join(dup.hint("shuffle_hash"), "g")
+          .select(col("doc_id"),
+            explode(sequence(col("i"), col("i") + (N - 1))).as("ri"))
+          .distinct()
+        val tk = toks
+          .select(col("doc_id"), posexplode(col("ws")).as(Seq("i0", "tok")))
+          .select(col("doc_id"), (col("i0") + 1).as("idx"), col("tok"))
+        val kept = tk.join(rm,
+          tk("doc_id") === rm("doc_id") && col("idx") === col("ri"), "left_anti")
+        val agg = kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("idx"), col("tok")))),
+              p => p.getField("tok")), " ").as("clean_text"))
+        base.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+      },
+      sql = Some("""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents),
+        pos AS (SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS g
+                FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+                WHERE len(ws) >= 5),
+        occ AS (SELECT g FROM (SELECT g, count(*) AS c FROM pos GROUP BY g)
+                WHERE c >= 2),
+        rm AS (SELECT DISTINCT doc_id, ri
+               FROM pos JOIN occ USING (g),
+                    unnest(generate_series(i, i + 4)) AS u(ri)),
+        tk AS (SELECT doc_id, i AS idx, ws[i] AS tok
+               FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+        kept AS (SELECT tk.* FROM tk
+                 WHERE NOT EXISTS (SELECT 1 FROM rm
+                                   WHERE rm.doc_id = tk.doc_id
+                                     AND rm.ri = tk.idx)),
+        agg AS (SELECT doc_id, count(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY idx) AS clean_text
+                FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(agg.n_kept, 0) AS n_kept,
+               coalesce(agg.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN agg USING (doc_id)"""),
+      scaleNote = "three shuffles end to end, all on compact keys: the 8-byte-gram occurrence index (q117's, reusable verbatim if persisted), the blank-list distinct on (doc_id, token-index) pairs — ≤5× the flagged positions, overlaps collapsing map-side — and the rebuild groupBy(doc_id). The rebuild's collect_list is bounded by per-doc token count (context-length order, q66/q70's stance), never corpus-sized; the kept/blank anti-join is an equi-join AQE sizes (broadcast at test SF, shuffled with skew split at 100 TB). The removal set is exact — no bloom shortcut — so the output text is reproducible byte-for-byte across engines")
   )
 }
