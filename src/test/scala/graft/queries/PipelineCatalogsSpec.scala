@@ -410,6 +410,31 @@ class PipelineCatalogsSpec extends SparkSpec {
       assert(got(k) == w, s"$k: got ${got.get(k)} want $w")
   }
 
+  test("q117/q119: planted near-dups read as duplicated text and collapse on span removal") {
+    // every doc in a q26 near-dup pair (planted j≈0.99) must be
+    // mostly duplicated 5-gram positions (measured floor at sf0.001:
+    // 0.857) and lose ≥85% of its tokens to span removal (measured
+    // ceiling: 9.1% kept)
+    val dupDocs = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
+      .select(explode(array(col("doc1"), col("doc2"))).as("doc_id")).distinct()
+    val nDup = dupDocs.count()
+    assert(nDup > 0, "fixture lost its planted near-dups")
+    val cov = Dedup.queries("q117_dup_ngram_coverage").fn(spark, sf0001)
+    assert(cov.join(dupDocs, "doc_id").filter(col("dup_frac") < 0.8).count() == 0,
+      "a planted near-dup doc scored as mostly-unique text")
+    val rem = Dedup.queries("q119_dup_span_removal").fn(spark, sf0001)
+    val orig = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("orig"))
+    assert(rem.join(dupDocs, "doc_id").join(orig, "doc_id")
+      .filter(col("n_kept") > col("orig") * 0.15).count() == 0,
+      "span removal left a planted near-dup mostly intact")
+    // structural invariant for EVERY doc: clean_text really contains
+    // n_kept tokens (the rebuild didn't lose or reorder survivors)
+    assert(rem.filter(col("n_kept") > 0 &&
+      size(split(col("clean_text"), " ")) =!= col("n_kept")).count() == 0,
+      "clean_text token count diverges from n_kept")
+  }
+
   test("q113: rank mass is conserved and every supplier node is ranked") {
     val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
       .select("node", "r").as[(Long, Double)].collect()
