@@ -246,10 +246,68 @@ object IncrementalDedup {
     pairs
   }
 
-  /** every sub-table either modality appends to, with its read schema */
+  private val SpansSchema = StructType.fromDDL("g BIGINT, cnt BIGINT")
+
+  /** The exact-substring modality: q117's duplicated-span statistic
+    * maintained incrementally. The index is one sub-table —
+    *   spans/ (g, cnt) — per-batch partial counts of 8-byte 5-gram
+    *   position hashes (mergeable: the true occurrence count of g is
+    *   the SUM over batch partials, so appends never rewrite)
+    * Each call counts the new batch's gram positions, probes them
+    * against the merged old∪new counts, and emits per-doc coverage
+    * (doc_id, n_pos, n_dup, dup_frac) for the BATCH docs — measured
+    * against the whole corpus ingested so far, so the last batch's
+    * coverage equals the one-shot q117 over the union (spec-proven).
+    * Coverage of EARLIER docs is monotone in corpus growth and is not
+    * re-emitted; re-probe an old slice by passing it again with
+    * dryRun=true. A dry run neither appends NOR unions the slice's own
+    * counts into the probe — the slice is already in the index, and
+    * self-counting it again would flag every one of its grams as
+    * duplicated (count ≥ 2 against itself).
+    */
+  def spanCoverageBatch(
+      newDocs: DataFrame,
+      indexDir: String,
+      n: Int = 5,
+      batchId: Option[Long] = None,
+      runId: String = "",
+      dryRun: Boolean = false): DataFrame = {
+    val spark = newDocs.sparkSession
+    guardLegacyCollision(spark, indexDir, Seq("spans"), batchId, runId)
+    val sub = batchId.map(subdirName(runId, _))
+    val pos = newDocs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => xxhash64(array_join(slice(col("ws"), i, lit(n)), " ")))).as("g"))
+      .localCheckpoint() // one tokenize feeds the batch counts AND the probe
+    val batchCnt = pos.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val oldCnt = readIndexTable(spark, indexDir, "spans", SpansSchema, sub)
+    val total = (if (dryRun) oldCnt else oldCnt.unionByName(batchCnt))
+      .groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
+    val perDoc = pos.join(total.hint("shuffle_hash"), "g") // q117's build-side stance
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("np"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("nd"))
+    val out = newDocs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("np"), lit(0L)).as("n_pos"),
+        coalesce(col("nd"), lit(0L)).as("n_dup"),
+        when(col("np") > 0,
+          col("nd").cast("double") / col("np").cast("double")).as("dup_frac"))
+      // materialize BEFORE the index append: the old-count scan is
+      // lazy, and appending first would double-count the new batch
+      .localCheckpoint()
+    if (!dryRun) writeIndexTable(batchCnt, indexDir, "spans", sub)
+    out
+  }
+
+  /** every sub-table any modality appends to, with its read schema */
   private val IndexTables = Seq(
     "postings" -> PostingsSchema, "sizes" -> SizesSchema,
-    "buckets" -> BucketsSchema, "vectors" -> VectorsSchema)
+    "buckets" -> BucketsSchema, "vectors" -> VectorsSchema,
+    "spans" -> SpansSchema)
 
   /** Structured-Streaming ingest: run [[dedupBatch]] as a foreachBatch
     * sink, so a `readStream` of documents dedups continuously against

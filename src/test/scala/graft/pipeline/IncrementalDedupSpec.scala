@@ -197,6 +197,42 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(p3.count() == 0)
   }
 
+  test("two-batch incremental span coverage equals one-shot q117 for the last batch") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0)
+    val b1 = docs.filter(col("doc_id") <= mid)
+    val b2 = docs.filter(col("doc_id") > mid)
+
+    val idx = Files.createTempDirectory("graft-spanidx").toString
+    IncrementalDedup.spanCoverageBatch(b1, idx, batchId = Some(0L)).count()
+    val c2 = IncrementalDedup.spanCoverageBatch(b2, idx, batchId = Some(1L))
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+
+    // batch 2's coverage is measured against b1 ∪ b2 = the whole
+    // corpus, so it must equal the one-shot q117 restricted to b2
+    val oneShot = Dedup.queries("q117_dup_ngram_coverage").fn(spark, sf0001)
+      .filter(col("doc_id") > mid)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(c2 == oneShot,
+      s"missing=${oneShot.diff(c2).take(3)} extra=${c2.diff(oneShot).take(3)}")
+
+    // a dry-run RE-PROBE of batch 1 now sees the full corpus counts:
+    // its coverage can only have grown vs the first pass, and the
+    // index itself must be unchanged by the probe
+    def spanRows() = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$idx/spans").count()
+    val before = spanRows()
+    val reprobe = IncrementalDedup.spanCoverageBatch(
+      b1, idx, batchId = Some(2L), dryRun = true)
+    val oneShotB1 = Dedup.queries("q117_dup_ngram_coverage").fn(spark, sf0001)
+      .filter(col("doc_id") <= mid)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(reprobe.as[(Long, Long, Long, Option[Double])].collect().toSet
+      == oneShotB1, "re-probe must equal one-shot coverage for batch 1")
+    assert(spanRows() == before, "dryRun must not extend the index")
+  }
+
   test("two-batch incremental embedding dedup equals the one-shot LSH pairs") {
     val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
