@@ -76,7 +76,12 @@ def main(outdir, sfdir, timeout):
             print(f"SKIP {name}: oracle exceeded {timeout}s (brute-force twin)")
             n["SKIP"] += 1
         else:
-            status, _, detail = q.get()
+            try:
+                # a child killed hard (OOM, segfault) exits without
+                # posting a result — that's a FAIL, not a hang
+                status, _, detail = q.get(timeout=5)
+            except Exception:
+                status, detail = "FAIL", f"checker died (exit {p.exitcode})"
             print(f"{status} {name}: {detail}")
             n[status] += 1
     print(f"\n{n['PASS']} pass / {n['FAIL']} fail / {n['SKIP']} skip")
