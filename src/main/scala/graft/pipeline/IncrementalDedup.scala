@@ -354,25 +354,58 @@ object IncrementalDedup {
     streamingDocs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // same legacy-collision ambiguity as the index subdirs: a
-        // pairsDir/b<id> from before the namespace upgrade is either a
-        // crashed attempt's partial pairs (delete it) or a previous
-        // run's committed output (keep it) — fail fast rather than
-        // leave phantom pairs for recursive readers
-        if (runId.nonEmpty) {
-          legacyBatchNames(runId, id).foreach { ln =>
-            val legacy = new org.apache.hadoop.fs.Path(s"$pairsDir/$ln")
-            if (legacy.getFileSystem(
-                batch.sparkSession.sparkContext.hadoopConfiguration).exists(legacy))
-              sys.error(
-                s"IncrementalDedup: legacy pairs subdir $legacy " +
-                  s"collides with batch $id of run '$runId' — delete it if it is " +
-                  "a crashed attempt's remnant, or move it aside if it is a " +
-                  "previous run's committed output; then restart the stream.")
-          }
-        }
+        guardLegacyOutSubdir(batch, pairsDir, runId, id, "pairs")
         dedupBatch(batch, indexDir, tau, batchId = Some(id), runId = runId)
           .write.mode("overwrite").parquet(s"$pairsDir/${subdirName(runId, id)}")
+        ()
+      }
+  }
+
+  /** Same legacy-collision ambiguity as the index subdirs: an
+    * un-namespaced `outDir/b<id>` from before the namespace upgrade is
+    * either a crashed attempt's partial output (delete it) or a
+    * previous run's committed output (keep it) — fail fast rather than
+    * leave phantom rows for recursive readers.
+    */
+  private def guardLegacyOutSubdir(
+      batch: DataFrame, outDir: String, runId: String,
+      id: Long, what: String): Unit =
+    if (runId.nonEmpty) legacyBatchNames(runId, id).foreach { ln =>
+      val legacy = new org.apache.hadoop.fs.Path(s"$outDir/$ln")
+      if (legacy.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration).exists(legacy))
+        sys.error(
+          s"IncrementalDedup: legacy $what subdir $legacy " +
+            s"collides with batch $id of run '$runId' — delete it if it is " +
+            "a crashed attempt's remnant, or move it aside if it is a " +
+            "previous run's committed output; then restart the stream.")
+    }
+
+  /** Streaming twin of [[spanCoverageBatch]] — the q117 duplicated-
+    * span statistic as a continuously-ingesting service: each
+    * micro-batch's per-doc coverage (measured against the corpus
+    * ingested so far, itself included) lands under `coverageDir`, and
+    * the span index grows by the batch's mergeable partial counts.
+    * Replay contract is [[streamingDedup]]'s: run-namespaced per-batch
+    * subdirs with OVERWRITE + own-subdir exclusion on the index read
+    * make at-least-once delivery idempotent, and a reset checkpoint
+    * cannot clobber committed subdirs. Single-writer per indexDir.
+    */
+  def streamingSpanCoverage(
+      streamingDocs: DataFrame,
+      indexDir: String,
+      coverageDir: String,
+      checkpointDir: String,
+      n: Int = 5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = streamingDocs.sparkSession
+    lazy val runId = checkpointQueryId(spark, checkpointDir)
+    streamingDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        guardLegacyOutSubdir(batch, coverageDir, runId, id, "coverage")
+        spanCoverageBatch(batch, indexDir, n, batchId = Some(id), runId = runId)
+          .write.mode("overwrite")
+          .parquet(s"$coverageDir/${subdirName(runId, id)}")
         ()
       }
   }

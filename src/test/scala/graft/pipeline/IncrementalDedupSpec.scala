@@ -45,6 +45,42 @@ class IncrementalDedupSpec extends SparkSpec {
       s"missing=${oneShot.diff(streamed).take(5)} extra=${streamed.diff(oneShot).take(5)}")
   }
 
+  test("streaming span coverage: the last micro-batch reads as one-shot q117") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    val idx = Files.createTempDirectory("graft-sspan-idx").toString
+    val covDir = Files.createTempDirectory("graft-sspan-out").toString + "/coverage"
+    val ckpt = Files.createTempDirectory("graft-sspan-ckpt").toString
+
+    val ms = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.streamingSpanCoverage(
+      ms.toDF().toDF("doc_id", "text"), idx, covDir, ckpt).start()
+    val chunks = docs.grouped(math.max(1, docs.length / 3)).toSeq
+    try {
+      chunks.foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+
+    // every ingested doc has exactly one coverage row...
+    val streamed = spark.read
+      .option("recursiveFileLookup", "true").parquet(covDir)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(streamed.length == docs.length)
+    assert(streamed.map(_._1).distinct.length == docs.length)
+    // ...and the LAST batch (whose probe saw the full corpus) matches
+    // the one-shot q117 exactly
+    val lastIds = chunks.last.map(_._1).toSet
+    val oneShot = Dedup.queries("q117_dup_ngram_coverage").fn(spark, sf0001)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .filter(r => lastIds(r._1)).toSet
+    val lastStreamed = streamed.filter(r => lastIds(r._1)).toSet
+    assert(lastStreamed == oneShot,
+      s"missing=${oneShot.diff(lastStreamed).take(3)} extra=${lastStreamed.diff(oneShot).take(3)}")
+  }
+
   test("replaying a batch after its index append is idempotent (at-least-once safety)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))
