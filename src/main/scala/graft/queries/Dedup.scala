@@ -82,13 +82,18 @@ object Dedup extends Catalog {
     raw.join(broadcast(hot), Seq("blk"), "left_anti")
   }
 
-  /** q101's blocked frame (doc_id, 40-char compare prefix, 8-char
-    * blocking key), shared with PlanSpec
+  /** q101/q120's blocked frame (doc_id, 40-char compare prefix, 8-char
+    * blocking key at `off`); q101 blocks on the first 8 chars, q120's
+    * second pass on chars 9–16
     */
-  private[graft] def blockedFrame(s: SparkSession, d: String): DataFrame =
+  private[graft] def blockedFrameBy(s: SparkSession, d: String, off: Int): DataFrame =
     docs(s, d).select(col("doc_id"),
       substring(lower(col("text")), 1, 40).as("t"),
-      substring(lower(col("text")), 1, 8).as("blk"))
+      substring(lower(col("text")), off, 8).as("blk"))
+
+  /** q101's blocked frame, shared with PlanSpec */
+  private[graft] def blockedFrame(s: SparkSession, d: String): DataFrame =
+    blockedFrameBy(s, d, 1)
 
   /** q26's plan, shared with q61 (whose edges are exactly these pairs).
     * Postings carry the 8-byte shingle hash, never the string: the
@@ -737,6 +742,46 @@ object Dedup extends Catalog {
         SELECT d.doc_id, coalesce(agg.n_kept, 0) AS n_kept,
                coalesce(agg.clean_text, '') AS clean_text
         FROM documents d LEFT JOIN agg USING (doc_id)"""),
-      scaleNote = "three shuffles end to end, all on compact keys: the 8-byte-gram occurrence index (q117's, reusable verbatim if persisted), the blank-list distinct on (doc_id, token-index) pairs — ≤5× the flagged positions, overlaps collapsing map-side — and the rebuild groupBy(doc_id). The rebuild's collect_list is bounded by per-doc token count (context-length order, q66/q70's stance), never corpus-sized; the kept/blank anti-join is an equi-join AQE sizes (broadcast at test SF, shuffled with skew split at 100 TB). The removal set is exact — no bloom shortcut — so the output text is reproducible byte-for-byte across engines")
+      scaleNote = "three shuffles end to end, all on compact keys: the 8-byte-gram occurrence index (q117's, reusable verbatim if persisted), the blank-list distinct on (doc_id, token-index) pairs — ≤5× the flagged positions, overlaps collapsing map-side — and the rebuild groupBy(doc_id). The rebuild's collect_list is bounded by per-doc token count (context-length order, q66/q70's stance), never corpus-sized; the kept/blank anti-join is an equi-join AQE sizes (broadcast at test SF, shuffled with skew split at 100 TB). The removal set is exact — no bloom shortcut — so the output text is reproducible byte-for-byte across engines"),
+
+    // ----- q120: multi-pass blocked fuzzy match (q101's recall arm) --
+    // q101's scaleNote promises that recall lost to single-key
+    // blocking (an edit inside the first 8 chars breaks the block)
+    // comes back from EXTRA BLOCKING PASSES over different keys — this
+    // is that operator: pass 1 blocks on chars 1–8, pass 2 on chars
+    // 9–16, candidate pairs union-distinct BEFORE the levenshtein
+    // kernel so each surviving pair pays the O(len²) DP exactly once.
+    "q120_fuzzy_match_multipass" -> Q(
+      fn = (s, d) => {
+        val HotBlockCap = 256
+        def pass(off: Int): DataFrame = {
+          val a = cappedBlocks(blockedFrameBy(s, d, off), HotBlockCap)
+            .localCheckpoint() // cap once per pass, not once per join side
+          a.as("x").join(a.as("y"),
+              col("x.blk") === col("y.blk") &&
+              col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+              col("x.t").as("t1"), col("y.t").as("t2"))
+        }
+        pass(1).unionByName(pass(9))
+          .dropDuplicates("doc1", "doc2")
+          .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+          .filter(col("dist") <= 10)
+          .select(col("doc1"), col("doc2"), col("dist"))
+      },
+      sql = Some("""
+        WITH a AS (
+          SELECT doc_id, substr(lower(text), 1, 40) AS t,
+                 substr(lower(text), 1, 8) AS b1,
+                 substr(lower(text), 9, 8) AS b2
+          FROM documents),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
+                 x.t AS t1, y.t AS t2
+          FROM a x JOIN a y
+            ON (x.b1 = y.b1 OR x.b2 = y.b2) AND x.doc_id < y.doc_id)
+        SELECT doc1, doc2, CAST(levenshtein(t1, t2) AS BIGINT) AS dist
+        FROM cand WHERE levenshtein(t1, t2) <= 10"""),
+      scaleNote = "each pass is q101's bounded plan (equi-join on an 8-char block key, hot-block cap via broadcast anti-join) — the multi-pass union multiplies cost by the NUMBER OF PASSES, never by pair count, and the dedup-before-kernel keeps the levenshtein work at |distinct candidates|. The oracle's OR-join spelling would be a nested-loop at scale; the engine never runs it — passes stay independent equi-joins, which is exactly why multi-pass blocking is the standard recall remedy at 100 TB")
   )
 }

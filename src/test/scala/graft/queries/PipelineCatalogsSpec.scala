@@ -435,6 +435,30 @@ class PipelineCatalogsSpec extends SparkSpec {
       "clean_text token count diverges from n_kept")
   }
 
+  test("q120: second blocking pass rescues pairs whose edit hits the first block key") {
+    // on the shipped corpus the multipass result must contain every
+    // single-pass pair
+    val p101 = Dedup.queries("q101_fuzzy_match_blocked").fn(spark, sf0001)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val p120 = Dedup.queries("q120_fuzzy_match_multipass").fn(spark, sf0001)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(p101.subsetOf(p120), s"multipass lost pairs: ${p101.diff(p120)}")
+
+    // fabricated corpus: one edit at char 3 — inside q101's block key,
+    // outside q120's second key — plus an unrelated doc
+    val dir = java.nio.file.Files.createTempDirectory("graft-q120").toString
+    Seq((1L, "aaXaaaaa the same forty char tail follows here"),
+        (2L, "aaYaaaaa the same forty char tail follows here"),
+        (3L, "completely different text with no match at all"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    assert(Dedup.queries("q101_fuzzy_match_blocked").fn(spark, dir).count() == 0,
+      "single-pass blocking should miss the prefix-edited pair")
+    val rescued = Dedup.queries("q120_fuzzy_match_multipass").fn(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rescued == Seq((1L, 2L, 1L)),
+      s"second pass must rescue exactly the edited pair: $rescued")
+  }
+
   test("q113: rank mass is conserved and every supplier node is ranked") {
     val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
       .select("node", "r").as[(Long, Double)].collect()
