@@ -739,6 +739,67 @@ object Relational extends Catalog {
         FROM (SELECT * FROM events WHERE event_type = 'error') e
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON e.user_id = c.user_id AND e.ts <= c.ts"""),
-      scaleNote = "identical shuffle profile to q46 (one exchange on the key, carry-last over the reversed sort) — direction is a sort-order flag, not a different plan")
+      scaleNote = "identical shuffle profile to q46 (one exchange on the key, carry-last over the reversed sort) — direction is a sort-order flag, not a different plan"),
+
+    // ----- E5/E19: NATIVE as-of join (custom LogicalPlan + Strategy
+    // + SparkPlan via SparkSessionExtensions) ------------------------
+    // q46's exact query and oracle, through the other extension route:
+    // graft.plans.AsOfJoinPlan planned by GraftStrategy onto
+    // AsOfJoinExec's streamed sorted-merge. Green here means the
+    // whole-operator Catalyst surface computes the same rows DuckDB's
+    // native ASOF JOIN does.
+    "q121_asof_native" -> Q(
+      fn = (s, d) => {
+        val e = t(s, d, "events")
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("value").as("click_value"))
+        graft.operators.NativeAsOfJoin
+          .asofJoin(errors, clicks, "user_id", "ts", "click_ts",
+            Seq("click_ts", "click_value"))
+          .filter(col("asof_click_ts").isNotNull) // inner as-of semantics
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("err_ts_us"),
+            unix_micros(col("asof_click_ts")).as("click_ts_us"),
+            col("asof_click_value").as("click_value"))
+      },
+      sql = Some("""
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts::TIMESTAMP) AS err_ts_us,
+               epoch_us(c.ts::TIMESTAMP) AS click_ts_us,
+               c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts"""),
+      scaleNote = "same two key exchanges as q46 but each side sorts separately (spillable SortExec) and the merge streams with ONE buffered row — no union-wide window frame; output keeps the left side's hash partitioning so downstream keyed ops skip their exchange (plan-asserted in NativeAsOfJoinSpec)"),
+
+    "q122_asof_native_forward" -> Q(
+      fn = (s, d) => {
+        val e = t(s, d, "events")
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("value").as("click_value"))
+        graft.operators.NativeAsOfJoin
+          .asofJoin(errors, clicks, "user_id", "ts", "click_ts",
+            Seq("click_ts", "click_value"), direction = "forward")
+          .filter(col("asof_click_ts").isNotNull) // inner as-of semantics
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("err_ts_us"),
+            unix_micros(col("asof_click_ts")).as("click_ts_us"),
+            col("asof_click_value").as("click_value"))
+      },
+      sql = Some("""
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts::TIMESTAMP) AS err_ts_us,
+               epoch_us(c.ts::TIMESTAMP) AS click_ts_us,
+               c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts <= c.ts"""),
+      scaleNote = "forward direction inside the same physical operator: the right side's required ordering flips only the payload tie-break columns, the merge takes the first qualifying row instead of the last — same O(n_l + n_r) streamed pass")
   )
 }
