@@ -20,20 +20,45 @@ object Tables {
   val broadcastable: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS); Spark reads it only with
-      // nanosAsLong (runtime conf), then we downscale to micros — the
-      // same truncation DuckDB applies when casting ns→us, so oracle
-      // comparisons agree.
+    if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    // normalize EVERY temporal column (events.ts, orders.o_orderdate,
+    // lineitem.l_shipdate — whichever this corpus generation carries);
+    // the LongType branch applies only to events.ts, where it means
+    // "TIMESTAMP(NANOS) surfaced via nanosAsLong" — elsewhere Long is
+    // just an id/measure column
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType => normalizeTs(df, f.name)
+        case org.apache.spark.sql.types.LongType
+            if name == "events" && f.name == "ts" => normalizeTs(df, f.name)
+        case _ => df
+      }
+    }
+  }
+
+  /** The driver regenerates the test corpus between rounds and the
+    * physical type of `events.ts` has drifted across generations:
+    * TIMESTAMP(NANOS) (readable only as Long via nanosAsLong),
+    * TIMESTAMP(MICROS) adjusted-to-UTC (reads as TimestampType), and
+    * TIMESTAMP(MICROS) naive (reads as TimestampNTZType under Spark 4's
+    * NTZ inference). Every query downstream assumes TimestampType, so
+    * normalize all three here — with UTC sessions (all graft builders
+    * pin spark.sql.session.timeZone=UTC) each branch preserves the
+    * stored microsecond value exactly, matching DuckDB's naive read.
+    */
+  def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame =
+    raw.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
         // integer `div`, NOT `/`: float division of ~1.7e18 ns exceeds
         // double mantissa precision and yields off-by-one microseconds
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
-  }
+        raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -77,10 +77,28 @@ object Sources extends Catalog {
     }
   }
 
+  /** Cache key for derived dirs: the sf dir path PLUS a fingerprint of
+    * every table file's (size, mtime). The driver regenerates the
+    * corpus between rounds IN PLACE (same path, new bytes), so a
+    * path-only key would let a stale derived dir from the previous
+    * generation satisfy this generation's queries — worse than wrong
+    * values, it can fail to READ outright (a pre-regeneration ORC dir
+    * written when a temporal column had a different physical type).
+    */
+  private def corpusKey(d: String): String = {
+    val fp = graft.core.Tables.all.map { t =>
+      val p = Paths.get(s"$d/$t.parquet")
+      if (Files.exists(p))
+        s"$t:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+      else s"$t:absent"
+    }.mkString(";")
+    Integer.toHexString(s"$d|$fp".hashCode)
+  }
+
   /** write `name` as `fmt` under /tmp once per (sf, table); reuse after */
   private def roundTrip(
       s: SparkSession, d: String, name: String, fmt: String): DataFrame = {
-    val key = Integer.toHexString(d.hashCode)
+    val key = corpusKey(d)
     val dir = s"${sys.props("java.io.tmpdir")}/graft_src_${fmt}_${name}_$key"
     val src = Tables.load(s, d, name)
     ensureDir(dir) { tmp =>
@@ -95,7 +113,7 @@ object Sources extends Catalog {
 
   /** the hive-partitioned documents layout shared by q72 and q83 */
   private def partitionedDocs(s: SparkSession, d: String): String = {
-    val key = Integer.toHexString(d.hashCode)
+    val key = corpusKey(d)
     val dir = s"${sys.props("java.io.tmpdir")}/graft_src_part_documents_$key"
     ensureDir(dir) { tmp =>
       Tables.load(s, d, "documents")
@@ -184,7 +202,7 @@ object Sources extends Catalog {
     // them (v1 rows read lang as NULL).
     "q76_merged_schema_scan" -> Q(
       fn = (s, d) => {
-        val key = Integer.toHexString(d.hashCode)
+        val key = corpusKey(d)
         val dir = s"${sys.props("java.io.tmpdir")}/graft_src_evo_documents_$key"
         val src = Tables.load(s, d, "documents")
         // completeness witness is the both-generations marker, NOT
@@ -221,7 +239,7 @@ object Sources extends Catalog {
     // though no literal lang filter exists in the query.
     "q83_dynamic_partition_pruning" -> Q(
       fn = (s, d) => {
-        val key = Integer.toHexString(d.hashCode)
+        val key = corpusKey(d)
         val docDir = partitionedDocs(s, d)
         val dimDir = s"${sys.props("java.io.tmpdir")}/graft_src_langdim_$key"
         ensureDir(dimDir) { tmp =>

@@ -97,8 +97,10 @@ class StreamingSpec extends SparkSpec {
       dir.resolve("part-0.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(dir.toString).schema
-    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same ts-generation normalization as the batch reader (the copied
+    // file carries whatever physical type this corpus generation uses)
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
     val q = EventStreams.tumblingCounts(stream)
       .writeStream.format("memory").outputMode("complete")
       .queryName("file_sink").trigger(Trigger.AvailableNow()).start()
