@@ -791,6 +791,46 @@ object Analytics extends Catalog {
         pn AS (SELECT unnest([a, b, c]) AS supplier FROM tr)
         SELECT supplier, count(*) AS n_triangles
         FROM pn GROUP BY 1"""),
-      scaleNote = "edges canonicalize u<v (each triangle enumerated exactly once) and the top-K sparsification is TakeOrderedAndProject over the co-occurrence agg — the two wedge/closure joins then run on the bounded edge list, which broadcasts. At true graph scale replace the weight cap with degree-ordered orientation (each edge points low→high degree), which bounds wedge fan-out at O(m^1.5) total work with the identical two-join plan")
+      scaleNote = "edges canonicalize u<v (each triangle enumerated exactly once) and the top-K sparsification is TakeOrderedAndProject over the co-occurrence agg — the two wedge/closure joins then run on the bounded edge list, which broadcasts. At true graph scale replace the weight cap with degree-ordered orientation (each edge points low→high degree), which bounds wedge fan-out at O(m^1.5) total work with the identical two-join plan"),
+
+    // ----- q123: OHLC bar downsampling (time-series resample) -------
+    // Per-hour open/high/low/close/volume bars per event_type — the
+    // standard resample that turns a raw event/tick stream into a
+    // fixed-cadence series. open/close pick the chronologically
+    // first/last value WITHOUT a sort or window: min_by/max_by on the
+    // (ts, event_id) struct — a total order, so the bar is
+    // deterministic even if two events share a timestamp.
+    "q123_ohlc_bars" -> Q(
+      fn = (s, d) =>
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+            count(lit(1)).as("n"),
+            sum(col("value")).as("volume"))
+          .select(unix_micros(col("window.start")).as("bar_start"),
+            col("event_type"), col("open"), col("high"), col("low"),
+            col("close"), col("n"), col("volume")),
+      sql = Some("""
+        WITH ranked AS (
+          SELECT time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS w,
+                 event_type, value,
+                 row_number() OVER (
+                   PARTITION BY time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP), event_type
+                   ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (
+                   PARTITION BY time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP), event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events)
+        SELECT epoch_us(w) AS bar_start, event_type,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n, sum(value) AS volume
+        FROM ranked GROUP BY 1, 2"""),
+      scaleNote = "one map-side-combinable shuffle on (window, type): min_by/max_by carry a single (value, orderkey) pair per group through partial aggregation — no sort, no per-series window materialization (the oracle's row_number twin is the plan this one avoids); the streaming form is q37's watermarked window with this agg")
   )
 }

@@ -533,6 +533,71 @@ object Sources extends Catalog {
       sql = None, // the decode is real but pixel-level, so no SQL twin;
       // MediaSpec covers planted-dup recall on real-encoded bytes,
       // exactness of hamming, and the banding pigeonhole guarantee
-      scaleNote = "image dedup at 100 TB: decode (real javax.imageio) + phash is one map pass; candidates come from the 8-band (band,key) equi-join with pigeonhole-guaranteed recall ≤ hamming 7 — never a cartesian")
+      scaleNote = "image dedup at 100 TB: decode (real javax.imageio) + phash is one map pass; candidates come from the 8-band (band,key) equi-join with pigeonhole-guaranteed recall ≤ hamming 7 — never a cartesian"),
+
+    // ----- E1 layout: Z-order (Morton) multi-dimension clustering ---
+    // LayoutSpec's range-clustering demo skips row groups on ONE
+    // column; real warehouses filter on several. Z-order interleaves
+    // the bits of two keys so that sorting on the single derived zval
+    // bounds the min/max span of BOTH keys inside every file — the
+    // Delta/Iceberg Z-ORDER primitive, built here from codegen'd
+    // shiftleft/and/or (no UDF). The query emits the locality witness
+    // itself: per zval-range bucket, the row count and both keys'
+    // spans — the exact footer min/max a reader would prune on.
+    "q124_zorder_layout" -> Q(
+      fn = (s, d) => {
+        // range-quantize BOTH keys into 8 bits first: interleaving raw
+        // keys of unequal bit width degenerates (the wider key owns
+        // every high bit, so z-order collapses to a 1-D sort on it).
+        // Integer arithmetic end-to-end — (k*256) div (max+1) — keeps
+        // the oracle bit-exact at any SF.
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_partkey").as("xr"), col("l_suppkey").as("yr"))
+        val m = li.agg(max(col("xr")).as("mx"), max(col("yr")).as("my"))
+        li.crossJoin(broadcast(m))
+          .select(expr("(xr * 256) div (mx + 1)").as("x"),
+            expr("(yr * 256) div (my + 1)").as("y"))
+          .withColumn("zval", zInterleave(col("x"), col("y"), bits = 8))
+          .withColumn("bucket", shiftright(col("zval"), 8))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      },
+      sql = Some(s"""
+        WITH m AS (
+          SELECT max(l_partkey) AS mx, max(l_suppkey) AS my FROM lineitem),
+        pts AS (
+          SELECT (l_partkey * 256) // (mx + 1) AS x,
+                 (l_suppkey * 256) // (my + 1) AS y
+          FROM lineitem, m),
+        z AS (SELECT x, y, ${zInterleaveSql("x", "y", bits = 8)} AS zval FROM pts)
+        SELECT zval >> 8 AS bucket, count(*) AS n,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM z GROUP BY 1"""),
+      scaleNote = "the 100 TB write path is zval → repartitionByRange(zval) → sortWithinPartitions(zval) → parquet, one range shuffle total; every produced file then carries tight footer min/max on BOTH keys (each bucket here fixes the top 4 bits of each dimension → both spans ≤ 1/16 of the domain), so predicates on either dimension prune files — 1-D range clustering can only serve one. The max-based quantizer is one broadcast scalar; production uses rank/percentile bins so dense ranges don't alias")
   )
+
+  /** Morton/Z-order bit interleave of two `bits`-bit quantized long
+    * columns — x occupies even bit positions, y odd. Pure
+    * shiftleft/and/or, so the whole derivation stays inside
+    * whole-stage codegen.
+    */
+  private[queries] def zInterleave(
+      x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** the identical interleave as DuckDB SQL over column names —
+    * generated term-by-term so Spark and the oracle share one formula
+    */
+  private def zInterleaveSql(x: String, y: String, bits: Int = 16): String =
+    (0 until bits).map { i =>
+      s"(((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " | ", ")")
 }

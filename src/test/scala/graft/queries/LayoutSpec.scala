@@ -71,4 +71,59 @@ class LayoutSpec extends SparkSpec {
       s"shuffled layout has nothing to skip: scanned $shuffledRows of $total")
     assert(clusteredRows >= kept1, "skipping may only over-approximate")
   }
+
+  test("z-order layout skips row groups on the SECOND dimension; 1-D clustering cannot") {
+    // the claim behind q124: sorting on the Morton interleave of two
+    // quantized keys bounds every row group's min/max span on BOTH
+    // raw columns, so a selective predicate on the dimension the 1-D
+    // layout did NOT sort by still skips. Same files, same rows, same
+    // query — only the layout differs.
+    val li = Tables.load(spark, sf001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val total = li.count()
+    val m = li.agg(max(col("l_partkey")).as("mx"), max(col("l_suppkey")).as("my"))
+    val quant = li.crossJoin(broadcast(m))
+      .withColumn("zval", Sources.zInterleave(
+        expr("(l_partkey * 256) div (mx + 1)"),
+        expr("(l_suppkey * 256) div (my + 1)"), bits = 8))
+      .drop("mx", "my")
+
+    val root = Files.createTempDirectory("graft-zorder").toString
+    val zDir = s"$root/zorder"
+    val xDir = s"$root/xonly"
+    quant.repartitionByRange(4, col("zval")).sortWithinPartitions(col("zval"))
+      .drop("zval")
+      .write.option("parquet.block.size", 64 * 1024).parquet(zDir)
+    quant.drop("zval")
+      .repartitionByRange(4, col("l_partkey")).sortWithinPartitions(col("l_partkey"))
+      .write.option("parquet.block.size", 64 * 1024).parquet(xDir)
+
+    // selective range on the SECOND dimension (suppkey — the one the
+    // 1-D layout ignores): ~6% of its domain
+    val my = m.head().getLong(1)
+    val (lo, hi) = (my * 40 / 100, my * 45 / 100)
+
+    def scanned(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .filter(col("l_suppkey") >= lo && col("l_suppkey") <= hi)
+      val kept = df.collect().length.toLong
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("GreaterThanOrEqual(l_suppkey"),
+        s"range filter must reach the parquet reader:\n${plan.toString.take(600)}")
+      (plan.collectLeaves().head.metrics("numOutputRows").value, kept)
+    }
+
+    val (zRows, keptZ) = scanned(zDir)
+    val (xRows, keptX) = scanned(xDir)
+    assert(keptZ == keptX, "same query, same answer, either layout")
+    // x-clustered: every row group spans the full suppkey domain —
+    // nothing skips. z-ordered: each group's suppkey span is bounded
+    // by its z-range (top interleaved bits pin a y slice), so groups
+    // outside the predicate's slice never decode.
+    assert(xRows > total * 9 / 10,
+      s"1-D x-clustered layout has nothing to skip on y: scanned $xRows of $total")
+    assert(zRows < xRows / 2,
+      s"z-order must skip row groups on the second dimension: scanned $zRows vs $xRows")
+    assert(zRows >= keptZ, "skipping may only over-approximate")
+  }
 }
