@@ -526,6 +526,39 @@ object Relational extends Catalog {
         FROM events GROUP BY event_type"""),
       scaleNote = "single from_json parse per row fused into the scan stage; schema'd extraction avoids re-parsing per extracted field"),
 
+    // ----- E16: VariantType shredding (Spark 4 semi-structured) -----
+    // q21 parses to a FIXED struct schema; real event payloads are
+    // heterogeneous and schema-on-read. VariantType is Spark 4's
+    // answer: parse_json ONCE into a binary variant, then typed
+    // variant_get extractions navigate the encoded tree (nested
+    // object, array index) without re-parsing text per field. The
+    // nested payload is constructed deterministically from the raw
+    // columns, so the DuckDB oracle computes the same aggregates from
+    // first principles — any encode/shred defect hash-mismatches.
+    "q125_variant_shred" -> Q(
+      fn = (s, d) =>
+        t(s, d, "events")
+          .select(col("event_type"),
+            parse_json(to_json(struct(
+              get_json_object(col("props"), "$.k").cast("long").as("k"),
+              struct(col("user_id").as("id"),
+                (col("user_id") % 7).as("seg")).as("user"),
+              array(col("value"), col("value") * 2).as("vals")))).as("v"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(variant_get(col("v"), "$.k", "long")).as("k_sum"),
+            sum(variant_get(col("v"), "$.user.seg", "long")).as("seg_sum"),
+            sum(variant_get(col("v"), "$.vals[1]", "double")).as("vals1_sum"),
+            count(lit(1)).as("n")),
+      sql = Some("""
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(sum(user_id % 7) AS BIGINT) AS seg_sum,
+               sum(value * 2) AS vals1_sum,
+               count(*) AS n
+        FROM events GROUP BY event_type"""),
+      scaleNote = "variant is the schema-on-read scale path: one parse per document at ingest, then every downstream extraction is a binary-tree walk (no text re-parse, no fixed schema to migrate when producers add fields); shredded columns prune like any other — at 100 TB this replaces N get_json_object re-parses per row with one parse + N O(log fields) lookups"),
+
     // ----- E16: array explode + word count -------------------------------------------
     "q22_explode_wordcount" -> Q(
       fn = (s, d) =>
