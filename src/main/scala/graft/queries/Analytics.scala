@@ -798,17 +798,23 @@ object Analytics extends Catalog {
     // standard resample that turns a raw event/tick stream into a
     // fixed-cadence series. open/close pick the chronologically
     // first/last value WITHOUT a sort or window: min_by/max_by on the
-    // (ts, event_id) struct — a total order, so the bar is
-    // deterministic even if two events share a timestamp.
+    // bare ts. The ordering key is deliberately the SCALAR timestamp,
+    // not a (ts, event_id) struct — a struct ordering key has a
+    // var-size agg buffer and silently demotes the whole query to
+    // SortAggregate (per-partition sorts); the scalar key keeps it
+    // HashAggregate (PlanSpec asserts). Determinism precondition:
+    // (event_type, ts) is unique in the corpus — verified at every SF
+    // and asserted in RelationalSpec; under ties, pack a composite
+    // scalar key or accept the SortAggregate demotion.
     "q123_ohlc_bars" -> Q(
       fn = (s, d) =>
         t(s, d, "events")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(
-            min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+            min_by(col("value"), col("ts")).as("open"),
             max(col("value")).as("high"),
             min(col("value")).as("low"),
-            max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+            max_by(col("value"), col("ts")).as("close"),
             count(lit(1)).as("n"),
             sum(col("value")).as("volume"))
           .select(unix_micros(col("window.start")).as("bar_start"),

@@ -510,4 +510,42 @@ class PlanSpec extends SparkSpec {
       l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")) <= 2,
       s"lineage not truncated:\n${p.take(1200)}")
   }
+
+  test("q123: OHLC bars are one two-phase agg shuffle — no sort, no window") {
+    val p = plan("q123_ohlc_bars")
+    // min_by/max_by fold open/close into the same partial agg as
+    // high/low — the row_number twin's per-series sort never appears
+    assert(exchanges(p) == 1, s"expected exactly one hash exchange:\n${p.take(800)}")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final HashAggregate:\n${p.take(800)}")
+    assert(!p.contains("Window") && !p.contains("Sort ["),
+      s"no window/sort may materialize the series:\n${p.take(800)}")
+  }
+
+  test("q124: z-order witness is one agg shuffle; quantizer maxes broadcast") {
+    val p = plan("q124_zorder_layout")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the 1-row max frame joins via broadcast nested loop (no key), and
+    // the only hash exchange is the bucket group-by
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(exchanges(p) == 1, s"expected exactly one hash exchange:\n${p.take(800)}")
+  }
+
+  test("q125: variant parse + shred stays in the scan stage's codegen") {
+    val p = plan("q125_variant_shred")
+    assert(exchanges(p) == 1, s"expected exactly one hash exchange:\n${p.take(800)}")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"variant extractions must partial-aggregate map-side:\n${p.take(800)}")
+    // parse_json/variant_get are native expressions, not UDFs — once
+    // AQE finalizes, the parse+shred stage compiles into whole-stage
+    // codegen, shown as "*(n)" stage markers in the final plan (the
+    // pre-execution adaptive plan doesn't show codegen spans, so
+    // materialize first)
+    val df = Relational.queries("q125_variant_shred").fn(spark, sf0001)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("parseJson")),
+      s"variant parse must sit inside a codegen stage:\n${fin.take(900)}")
+  }
 }

@@ -41,4 +41,22 @@ class RelationalSpec extends SparkSpec {
       assert(cols.forall(_.nonEmpty), s"$name: empty column name")
     }
   }
+
+  test("q123's determinism precondition: (event_type, ts) is unique in events") {
+    // q123's open/close use min_by/max_by ordered on the scalar ts (a
+    // struct key would demote the agg to SortAggregate). That is only
+    // deterministic — and only provably equal to the oracle's
+    // row_number tie-break — while no two events of a type share a
+    // timestamp. Microsecond timestamps make a collision vanishingly
+    // rare, but if the driver's generator ever changes, THIS is the
+    // test that must fail, not the correctness gate.
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq(sf0001, sf001)) {
+      val ev = graft.core.Tables.load(spark, sf, "events")
+      val dups = ev.groupBy(col("event_type"), col("ts"))
+        .count().filter(col("count") > 1).count()
+      assert(dups == 0, s"$sf: $dups duplicate (event_type, ts) pairs — " +
+        "switch q123's ordering key to a composite before trusting the oracle")
+    }
+  }
 }
