@@ -807,19 +807,8 @@ object Analytics extends Catalog {
     // and asserted in RelationalSpec; under ties, pack a composite
     // scalar key or accept the SortAggregate demotion.
     "q123_ohlc_bars" -> Q(
-      fn = (s, d) =>
-        t(s, d, "events")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(
-            min_by(col("value"), col("ts")).as("open"),
-            max(col("value")).as("high"),
-            min(col("value")).as("low"),
-            max_by(col("value"), col("ts")).as("close"),
-            count(lit(1)).as("n"),
-            sum(col("value")).as("volume"))
-          .select(unix_micros(col("window.start")).as("bar_start"),
-            col("event_type"), col("open"), col("high"), col("low"),
-            col("close"), col("n"), col("volume")),
+      fn = (s, d) => graft.streaming.EventStreams.ohlcBars(
+        t(s, d, "events"), withWatermarkCol = false),
       sql = Some("""
         WITH ranked AS (
           SELECT time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS w,

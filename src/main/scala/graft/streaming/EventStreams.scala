@@ -52,6 +52,27 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** per-hour OHLC bars per event_type — q123's transform, shared so
+    * the streaming replay and the batch oracle check the same plan.
+    * Ordering key is the scalar ts (not a struct): fixed-width agg
+    * buffer keeps both the batch HashAggregate and the streaming
+    * state row compact; see q123's determinism precondition.
+    */
+  def ohlcBars(events: DataFrame, withWatermarkCol: Boolean = true): DataFrame = {
+    val src = if (withWatermarkCol) events.withWatermark("ts", "10 minutes") else events
+    src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n"),
+        sum(col("value")).as("volume"))
+      .select(unix_micros(col("window.start")).as("bar_start"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n"), col("volume"))
+  }
+
   /** exactly-once-per-id view under late/duplicate delivery: streaming
     * dedup whose state expires with the watermark
     */

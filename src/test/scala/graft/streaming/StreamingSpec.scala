@@ -66,6 +66,16 @@ class StreamingSpec extends SparkSpec {
       == canon(batch, "w_start", "n", "avg_value"))
   }
 
+  test("OHLC bars: streaming complete-mode == batch (q123 twin)") {
+    val batch = EventStreams.ohlcBars(
+      Tables.load(spark, sf0001, "events"), withWatermarkCol = false)
+    val stream = replay(EventStreams.ohlcBars(_), "complete")
+    assert(canon(stream, "bar_start", "event_type", "open", "high",
+        "low", "close", "n", "volume")
+      == canon(batch, "bar_start", "event_type", "open", "high",
+        "low", "close", "n", "volume"))
+  }
+
   test("session window: streaming complete-mode == batch gaps-and-islands") {
     val batch = EventStreams.sessionCounts(
       Tables.load(spark, sf0001, "events"), withWatermarkCol = false)
