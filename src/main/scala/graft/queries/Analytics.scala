@@ -750,12 +750,18 @@ object Analytics extends Catalog {
     // Per-node triangle membership on the supplier co-purchase graph —
     // the canonical multi-way self-join analytic (clustering
     // coefficient's numerator). The dense co-occurrence graph is first
-    // sparsified to its 500 heaviest edges by the exact (count,u,v)
-    // total order — an integer-deterministic selection at any SF (the
-    // graph analytics analogue of q59's hot-list guard).
+    // sparsified to its heaviest edges by the exact (count,u,v) total
+    // order — an integer-deterministic selection at any SF (the graph
+    // analytics analogue of q59's hot-list guard). The cap SCALES with
+    // the node count (5·|supplier| ⇒ avg degree 10): a fixed cap made
+    // the sf0.1 subgraph's average degree ~1 and the statistic
+    // degenerated to zero triangles — a vacuous agreement with the
+    // oracle. The count() is one driver-side scalar per run, the same
+    // fixture-scale probe idiom as ConnectedComponents' convergence
+    // check.
     "q115_triangle_counts" -> Q(
       fn = (s, d) => {
-        val TopEdges = 500
+        val TopEdges = (t(s, d, "supplier").count() * 5).toInt
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"))
         val e = li.as("a").join(li.as("b"),
@@ -784,7 +790,9 @@ object Analytics extends Catalog {
                  ON a.l_orderkey = b.l_orderkey
                 AND a.l_suppkey < b.l_suppkey
                GROUP BY 1, 2),
-        e AS (SELECT u, v FROM ec ORDER BY c DESC, u, v LIMIT 500),
+        e AS (SELECT u, v FROM ec
+              QUALIFY row_number() OVER (ORDER BY c DESC, u, v)
+                      <= 5 * (SELECT count(*) FROM supplier)),
         tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
                FROM e e1 JOIN e e2 ON e1.v = e2.u
                          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
