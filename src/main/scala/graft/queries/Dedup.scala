@@ -51,6 +51,10 @@ object Dedup extends Catalog {
   /** near-dup acceptance threshold (data has planted pairs at j≈0.99) */
   private val JaccardTau = 0.8
 
+  /** q126's directed-containment threshold: planted near-dups sit at
+    * containment ≈ 0.99 in both directions; real subset quotes at 1.0 */
+  private val ContainTau = 0.9
+
   /** q59's pre-barrier plan: postings from the (doc_id, sh) shingle
     * frame minus the stop-list of shingles occurring in more than
     * `cap` documents. Exposed (package-private) so PlanSpec can assert
@@ -179,6 +183,47 @@ object Dedup extends Catalog {
           AND len(list_intersect(a.sh, b.sh)) * 1.0 /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau"""),
       scaleNote = "inverted-index self-join on shingle — O(sum posting²) not O(n²); at 100 TB drop ultra-frequent shingles (stop-shingle cap) to bound posting lists"),
+
+    // ----- E12: asymmetric containment (subset / quote detection) ---
+    // Jaccard DILUTES subset relations: a short doc quoted wholesale
+    // inside a long one has |A∩B|/|A∪B| ≈ |A|/|B| ≈ 0 but containment
+    // |A∩B|/|A| = 1. Training-data pipelines need this direction-aware
+    // signal (drop the contained doc, keep the superset) — it's the
+    // one near-dup semantic the symmetric q26/q27 family cannot see.
+    // Same inverted-index skeleton as q26: the intersection is counted
+    // ONCE per unordered pair in the posting join, then exploded into
+    // the two directed rows, each thresholded against ITS OWN size.
+    "q126_containment_pairs" -> Q(
+      fn = (s, d) => {
+        val sh = shingled(s, d)
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        ex.as("a").join(ex.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.withColumnRenamed("doc_id", "d1")
+            .withColumnRenamed("sz", "sz1"), "d1")
+          .join(sizes.withColumnRenamed("doc_id", "d2")
+            .withColumnRenamed("sz", "s2z"), "d2")
+          .select(explode(array(
+            struct(col("d1").as("doc_src"), col("d2").as("doc_tgt"),
+              (col("inter").cast("double") / col("sz1")).as("containment")),
+            struct(col("d2").as("doc_src"), col("d1").as("doc_tgt"),
+              (col("inter").cast("double") / col("s2z")).as("containment"))))
+            .as("p"))
+          .select(col("p.doc_src"), col("p.doc_tgt"), col("p.containment"))
+          .filter(col("containment") >= ContainTau)
+      },
+      sql = Some(s"""
+        WITH s AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
+        SELECT a.doc_id AS doc_src, b.doc_id AS doc_tgt,
+               len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) AS containment
+        FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= $ContainTau"""),
+      scaleNote = "cost identical to q26 (one posting equi-join on 8-byte hashes; the directed explode is row-local) and the q59 stop-shingle cap composes unchanged; the ratio is one IEEE division of exact ints, so the oracle row set is decided by integer arithmetic alone"),
 
     // ----- E12: n-gram Jaccard with a stop-shingle cap --------------
     "q59_dedup_jaccard_capped" -> Q(
