@@ -834,6 +834,37 @@ object Analytics extends Catalog {
                max(CASE WHEN rn_d = 1 THEN value END) AS close,
                count(*) AS n, sum(value) AS volume
         FROM ranked GROUP BY 1, 2"""),
-      scaleNote = "one map-side-combinable shuffle on (window, type): min_by/max_by carry a single (value, orderkey) pair per group through partial aggregation — no sort, no per-series window materialization (the oracle's row_number twin is the plan this one avoids); the streaming form is q37's watermarked window with this agg")
+      scaleNote = "one map-side-combinable shuffle on (window, type): min_by/max_by carry a single (value, orderkey) pair per group through partial aggregation — no sort, no per-series window materialization (the oracle's row_number twin is the plan this one avoids); the streaming form is q37's watermarked window with this agg"),
+
+    // ----- q127: small-file compaction preserves the table ----------
+    // The storage-maintenance pass behind every long-lived table:
+    // accrete the pathology deliberately (documents shattered into 40
+    // tiny part files), bin-pack it back with operators/Compact, and
+    // prove through the DuckDB gate that not one row changed — count,
+    // char mass, AND a per-row content digest per source. File-level
+    // guarantees (threshold files byte-untouched, crash-resume
+    // idempotency) are CompactSpec's.
+    "q127_compaction" -> Q(
+      fn = (s, d) => {
+        val dir = tempSnapshotDir("graft_q127_compact")
+        t(s, d, "documents").repartition(40)
+          .write.mode("overwrite").parquet(dir)
+        val stats = graft.operators.Compact(s, dir,
+          smallBytes = 8L * 1024 * 1024, targetBytes = 32L * 1024 * 1024)
+        require(stats.filesAfter < stats.filesBefore,
+          s"compaction must reduce the file count: $stats")
+        s.read.parquet(dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(md5(concat(col("doc_id").cast("string"), col("text"))))
+              .as("content_digests"))
+      },
+      sql = Some("""
+        SELECT source, count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               count(DISTINCT md5(CAST(doc_id AS VARCHAR) || text)) AS content_digests
+        FROM documents GROUP BY source"""),
+      scaleNote = "compaction reads ONLY sub-threshold files (driver-side metadata binning decides from the file listing alone) — a kilobyte-file cleanup on a 100 TB table costs the small-file bytes, not a table rewrite; the three-phase manifest protocol keeps every row readable at every step and replays to the same end state after a crash")
   )
 }
