@@ -100,6 +100,28 @@ object Compact {
     Stats(parts.length, after.length, small.map(_.getLen).sum)
   }
 
+  /** [[apply]] over every `col=value` partition directory of a
+    * hive-partitioned table root — the maintenance pass for
+    * [[graft.pipeline.SnapshotSink]]'s partitioned snapshots, which
+    * accrete one small file per partition per merged batch. Each
+    * partition compacts independently (the partition column is
+    * directory-encoded, so rewriting a partition's files in place
+    * preserves it); partitions crash-recover independently too, since
+    * each carries its own manifest.
+    */
+  def partitioned(
+      spark: SparkSession,
+      root: String,
+      smallBytes: Long,
+      targetBytes: Long): Stats = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    val all = parts.map(p => apply(spark, p.getPath.toString, smallBytes, targetBytes))
+    Stats(all.map(_.filesBefore).sum, all.map(_.filesAfter).sum,
+      all.map(_.bytesRewritten).sum)
+  }
+
   /** idempotent phase 3: install news, delete originals, drop manifest */
   private def installFromManifest(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {

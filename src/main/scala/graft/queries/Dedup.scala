@@ -573,7 +573,13 @@ object Dedup extends Catalog {
           .filter(size(col("ws")) >= 3)
           .select(col("doc_id"),
             explode(transform(sequence(lit(1), size(col("ws")) - 2),
-              i => array_join(slice(col("ws"), i, lit(3)), " "))).as("sh"))
+              i => array_join(slice(col("ws"), i, lit(3)), " "))).as("shs"))
+          // hash the shingle BEFORE the first shuffle: every downstream
+          // exchange (tf, df, weights, both posting sides) then moves
+          // 8-byte longs instead of ~20-char strings — q26's posting-
+          // key stance, same 2^-64-per-pair collision trade (a
+          // collision would merge two tf/df entries)
+          .select(col("doc_id"), xxhash64(col("shs")).as("sh"))
           .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("tf"))
           .localCheckpoint() // one tokenize feeds df, weights and both join sides
         val dfreq = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))

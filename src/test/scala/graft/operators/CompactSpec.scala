@@ -56,6 +56,29 @@ class CompactSpec extends SparkSpec {
       s"re-compaction must not churn: $again")
   }
 
+  test("partitioned compaction collapses per-partition files; partition values survive") {
+    val root = Files.createTempDirectory("graft-compact-part").toString + "/t"
+    val docs = Tables.load(spark, sf0001, "documents")
+    // the shape SnapshotSink's partitioned path accretes: many small
+    // files inside every lang= directory
+    docs.repartition(8).write.partitionBy("lang").parquet(root)
+    val byLang = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val partDirs = fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("lang="))
+    assert(partDirs.nonEmpty)
+    val filesBefore = partDirs.map(p => parquetFiles(p.getPath.toString).length).sum
+
+    val stats = Compact.partitioned(spark, root,
+      smallBytes = 8L * 1024 * 1024, targetBytes = 32L * 1024 * 1024)
+    assert(stats.filesBefore == filesBefore)
+    assert(stats.filesAfter == partDirs.length,
+      s"each partition should collapse to one file: $stats")
+    val after = spark.read.parquet(root).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == byLang, "partition values and per-partition rows must survive")
+  }
+
   test("a committed manifest with a half-done install resumes to the same state") {
     val dir = Files.createTempDirectory("graft-compact-crash").toString + "/t"
     val docs = Tables.load(spark, sf0001, "documents")
