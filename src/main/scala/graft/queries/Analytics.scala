@@ -634,8 +634,10 @@ object Analytics extends Catalog {
           .agg(count(lit(1)).as("w"))
           .localCheckpoint() // the edge list feeds out-strength + every round
         val out = e.groupBy(col("u")).agg(sum(col("w")).as("wout"))
-        // transition probability u→v; row-stochastic by construction
-        val ew = e.join(out, "u")
+        // transition probability u→v; row-stochastic by construction.
+        // out is node-sized — broadcast it so the edge frame never
+        // shuffles for the normalization
+        val ew = e.join(broadcast(out), "u")
           .select(col("u"), col("v"),
             (col("w").cast("double") / col("wout")).as("p"))
           .localCheckpoint()
@@ -651,8 +653,13 @@ object Analytics extends Catalog {
           .localCheckpoint()
         for (_ <- 1 to Iters) {
           // checkpoint per round: truncates the iterative lineage
-          // (q61's stance) — without it the plan doubles every round
-          r = ew.join(r, ew("u") === r("node"))
+          // (q61's stance) — without it the plan doubles every round.
+          // The rank frame is node-sized, so it BROADCASTS into the
+          // cached edge frame: per round the only exchange left is the
+          // group-by on v — the edges themselves never re-shuffle. (At
+          // graph scales where ranks outgrow broadcast, drop the hint
+          // and both sides hash-partition on the join key instead.)
+          r = ew.join(broadcast(r), ew("u") === r("node"))
             .groupBy(ew("v").as("node"))
             .agg(sum(col("p") * col("r")).as("mass"),
               first(col("n_nodes")).as("n_nodes"))
