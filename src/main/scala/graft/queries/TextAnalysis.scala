@@ -480,6 +480,54 @@ object TextAnalysis extends Catalog {
         FROM inter
         JOIN sz sa ON sa.source = src_a
         JOIN sz sb ON sb.source = src_b"""),
-      scaleNote = "the distinct (source, word) frame is tiny relative to the corpus (vocab × sources) and is checkpointed once; the word self-join shuffles only vocab postings — at 100 TB hash words to 8 bytes first (q26's stance) and cap stop-words (q59's guard) for bounded posting lists")
+      scaleNote = "the distinct (source, word) frame is tiny relative to the corpus (vocab × sources) and is checkpointed once; the word self-join shuffles only vocab postings — at 100 TB hash words to 8 bytes first (q26's stance) and cap stop-words (q59's guard) for bounded posting lists"),
+
+    // ----- E13: per-source vocabulary drift (KL divergence) ---------
+    // The corpus-monitoring statistic behind "did this ingest batch
+    // change the data mix": KL(p_source ‖ p_corpus) over unigram
+    // distributions. q96's set-overlap sees WHICH words differ;
+    // KL weighs HOW MUCH the frequency mass shifted — the number an
+    // ingestion dashboard alerts on. Every p and q is an exact count
+    // ratio (one IEEE division each), the ln is the same libm-vs-JVM
+    // trade q20/q110 already run green through the 6-sig-fig gate, and
+    // each KL term is p·ln(p/q) with p,q from the SAME count frame —
+    // no cancellation.
+    "q128_source_kl_drift" -> Q(
+      fn = (s, d) => {
+        val tok = docs(s, d)
+          .select(col("source"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+          .localCheckpoint() // one tokenize feeds all three marginals
+        val srcTot = tok.groupBy(col("source")).agg(sum(col("c")).as("st"))
+        val wTot = tok.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+        val tot = tok.agg(sum(col("c")).as("tot"))
+        tok
+          .join(broadcast(srcTot), "source") // |sources| rows
+          .join(wTot, "w") // vocab-sized: shuffles on w at scale
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("st"),
+            ((col("c").cast("double") / col("st")) *
+              log((col("c").cast("double") / col("st")) /
+                (col("cw").cast("double") / col("tot")))).as("term"))
+          .groupBy(col("source"))
+          .agg(first(col("st")).as("n_tokens"), sum(col("term")).as("kl"))
+      },
+      sql = Some("""
+        WITH tok AS (
+          SELECT source, w, count(*) AS c FROM (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+          WHERE length(w) > 0 GROUP BY 1, 2),
+        st AS (SELECT source, sum(c) AS st FROM tok GROUP BY 1),
+        cw AS (SELECT w, sum(c) AS cw FROM tok GROUP BY 1),
+        tot AS (SELECT sum(c) AS tot FROM tok)
+        SELECT tok.source, CAST(any_value(st.st) AS BIGINT) AS n_tokens,
+               sum((tok.c * 1.0 / st.st) *
+                   ln((tok.c * 1.0 / st.st) / (cw.cw * 1.0 / tot.tot))) AS kl
+        FROM tok JOIN st USING (source) JOIN cw USING (w) CROSS JOIN tot
+        GROUP BY 1"""),
+      scaleNote = "three marginals off one tokenized count frame (checkpointed once): the per-source totals broadcast (|sources| rows), the corpus word counts join on w — vocab-sized, the only real shuffle — and the KL reduction is an ordinary two-phase agg; at 100 TB hash words to 8 bytes (q26) and the whole statistic stays one tokenize + two shuffles")
   )
 }
