@@ -833,6 +833,53 @@ object Relational extends Catalog {
         FROM (SELECT * FROM events WHERE event_type = 'error') e
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON e.user_id = c.user_id AND e.ts <= c.ts"""),
-      scaleNote = "forward direction inside the same physical operator: the right side's required ordering flips only the payload tie-break columns, the merge takes the first qualifying row instead of the last — same O(n_l + n_r) streamed pass")
+      scaleNote = "forward direction inside the same physical operator: the right side's required ordering flips only the payload tie-break columns, the merge takes the first qualifying row instead of the last — same O(n_l + n_r) streamed pass"),
+
+    // ----- E4: salted skew join through the oracle gate -------------
+    // operators/SkewJoin under planted skew: half of lineitem's rows
+    // collapse onto ONE hot key, broadcast is disabled (q84's
+    // newSession pattern — a broadcast join has no reducer to skew,
+    // so salting would be vacuous), and the salted (key, _salt)
+    // shuffle must still produce the row-identical result the plain
+    // SQL join defines. PlanSpec asserts the exchange really carries
+    // the salt.
+    "q129_salted_skew_join" -> Q(
+      fn = (s0, d) => {
+        val s = s0.newSession()
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        skewJoinPlan(s, d)
+      },
+      sql = Some("""
+        WITH fact AS (
+          SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
+                      ELSE l_orderkey END AS k,
+                 l_quantity
+          FROM lineitem),
+        dim AS (SELECT DISTINCT k, k % 7 AS grp FROM fact)
+        SELECT grp, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS qty
+        FROM fact JOIN dim USING (k) GROUP BY grp"""),
+      scaleNote = "the manual fallback for when AQE's skew split cannot apply (bucketed/co-located inputs): the deterministic per-row salt spreads the hot key over 16 reducers and the small side replicates 16x — one hot key stops defining the stage's critical path; result is row-identical to the unsalted join by construction")
   )
+
+  /** q129's plan, shared with PlanSpec (which asserts the salt reaches
+    * the exchange). Skew is planted: keys ≡ 0–4 (mod 10) all collapse
+    * to key 0 — ~half the fact on one key.
+    */
+  private[queries] def skewJoinPlan(
+      s: SparkSession, d: String): DataFrame = {
+    val fact = t(s, d, "lineitem")
+      .select(
+        when(col("l_orderkey") % 10 < 5, lit(0L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity"))
+    val dim = fact.select(col("k")).distinct()
+      .withColumn("grp", pmod(col("k"), lit(7L)))
+      // the at-scale premise: the dim CANNOT broadcast — force the
+      // shuffle join the salt exists for
+      .hint("shuffle_hash")
+    graft.operators.SkewJoin.saltedJoin(fact, dim, "k")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+  }
 }

@@ -531,6 +531,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p) == 1, s"expected exactly one hash exchange:\n${p.take(800)}")
   }
 
+  test("q129: the salt reaches the exchange; no broadcast sneaks in") {
+    val all = Relational.queries
+    val df = all("q129_salted_skew_join").fn(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"),
+      s"a broadcast join has no reducer to skew — salting must face a shuffle:\n${p.take(600)}")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p.take(600))
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("_salt")),
+      s"the exchange must partition on (k, _salt):\n${p.take(900)}")
+  }
+
   test("q125: variant parse + shred stays in the scan stage's codegen") {
     val p = plan("q125_variant_shred")
     assert(exchanges(p) == 1, s"expected exactly one hash exchange:\n${p.take(800)}")
