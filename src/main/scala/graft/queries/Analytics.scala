@@ -872,6 +872,55 @@ object Analytics extends Catalog {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                count(DISTINCT md5(CAST(doc_id AS VARCHAR) || text)) AS content_digests
         FROM documents GROUP BY source"""),
-      scaleNote = "compaction reads ONLY sub-threshold files (driver-side metadata binning decides from the file listing alone) — a kilobyte-file cleanup on a 100 TB table costs the small-file bytes, not a table rewrite; the three-phase manifest protocol keeps every row readable at every step and replays to the same end state after a crash")
+      scaleNote = "compaction reads ONLY sub-threshold files (driver-side metadata binning decides from the file listing alone) — a kilobyte-file cleanup on a 100 TB table costs the small-file bytes, not a table rewrite; the three-phase manifest protocol keeps every row readable at every step and replays to the same end state after a crash"),
+
+    // ----- q130: versioned snapshot read path -----------------------
+    // operators/VersionedSnapshot through the gate: gen-0 is the base
+    // orders projection, gen-1 commits the q86 upsert applied to it,
+    // and the query reads whatever _LATEST resolves — so the oracle
+    // (the same merged-state SQL as q86's family) verifies that the
+    // pointer protocol serves exactly the last committed generation,
+    // while VersionedSnapshotSpec owns isolation/retention/crash.
+    "q130_versioned_read" -> Q(
+      fn = (s, d) => {
+        val root = tempSnapshotDir("graft_q130_vsnap")
+        val base = ordersBase(s, d)
+        graft.operators.VersionedSnapshot.commit(s, root, base)
+        val shift = base.agg(max(col("o_orderkey")).as("m"))
+        val delta = base.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("R").as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"))
+          .unionByName(base.filter(col("o_orderkey") % 1000 === 1)
+            .crossJoin(broadcast(shift))
+            .select((col("o_orderkey") + col("m")).as("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+        graft.operators.VersionedSnapshot.commit(s, root,
+          graft.operators.Upsert(
+            graft.operators.VersionedSnapshot.read(s, root), delta,
+            Seq("o_orderkey")))
+        graft.operators.VersionedSnapshot.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+      },
+      sql = Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        m AS (SELECT max(o_orderkey) AS m FROM base),
+        delta AS (
+          SELECT o_orderkey, 'R' AS o_orderstatus,
+                 o_totalprice * 1.1 AS o_totalprice
+          FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + m.m, o_orderstatus, o_totalprice
+          FROM base, m WHERE o_orderkey % 1000 = 1),
+        merged AS (
+          SELECT * FROM delta
+          UNION ALL
+          SELECT b.* FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM delta d
+                            WHERE d.o_orderkey = b.o_orderkey))
+        SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+        FROM merged GROUP BY 1"""),
+      scaleNote = "each commit is one generation-dir write + one atomic pointer rename — cost identical to the plain rewrite, but readers resolve an immutable directory and a crash can only leave the pointer on the previous complete generation; at 100 TB pair it with PartitionedUpsert inside the generation for delta-sized writes")
   )
 }
