@@ -668,6 +668,41 @@ object Similarity extends Catalog {
             ORDER BY dist, cid) r FROM d3)
         WHERE r = 1"""
       },
-      scaleNote = "each round is two jobs with ONE corpus-wide shuffle between them: assignment is a broadcast fanout of |k| centroids with the argmin collapsing map-side (min_by partial agg — no rank window, no sort), and recompute's posexplode fans ×dim but partial-aggregates to |k|×dim rows before its shuffle (q32's shape). The corpus is never re-partitioned between rounds and centroids never exceed a broadcast; at 100 TB rounds are I/O-bound scans of a cached column — the same iterate-until-stable discipline as ConnectedComponents, with k·dim driver state")
+      scaleNote = "each round is two jobs with ONE corpus-wide shuffle between them: assignment is a broadcast fanout of |k| centroids with the argmin collapsing map-side (min_by partial agg — no rank window, no sort), and recompute's posexplode fans ×dim but partial-aggregates to |k|×dim rows before its shuffle (q32's shape). The corpus is never re-partitioned between rounds and centroids never exceed a broadcast; at 100 TB rounds are I/O-bound scans of a cached column — the same iterate-until-stable discipline as ConnectedComponents, with k·dim driver state"),
+
+    // ----- E12: matryoshka prefix energy (truncation quality) -------
+    // The serving question behind matryoshka/truncatable embeddings:
+    // how much of each vector's L2 mass lives in its first k
+    // dimensions — i.e. how lossy is storing/searching a k-dim
+    // prefix. Per (label, k): the mean energy-retention ratio. Both
+    // engines fold the squares left-to-right over float→double-cast
+    // values (Spark `aggregate`, DuckDB list_sum), so the ratios are
+    // effectively bit-aligned and the 6-sig-fig gate has nothing to
+    // absorb but final-avg association.
+    "q131_matryoshka_energy" -> Q(
+      fn = (s, d) => {
+        val sq = (acc: Column, x: Column) => acc + x * x
+        Tables.load(s, d, "embeddings")
+          .select(col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("tot", aggregate(col("v"), lit(0.0), sq))
+          .select(col("label"), col("v"), col("tot"),
+            explode(array(lit(4), lit(8), lit(16), lit(32))).as("k"))
+          .withColumn("pref", aggregate(expr("slice(v, 1, k)"), lit(0.0), sq))
+          .groupBy(col("label"), col("k"))
+          .agg(count(lit(1)).as("n"),
+            avg(col("pref") / col("tot")).as("mean_energy"))
+      },
+      sql = Some("""
+        WITH v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        t AS (SELECT label, v,
+                     list_sum(list_transform(v, x -> x * x)) AS tot
+              FROM v),
+        e AS (SELECT label, k,
+                     list_sum(list_transform(v[1:k], x -> x * x)) / tot AS r
+              FROM t, unnest([4, 8, 16, 32]) AS u(k))
+        SELECT label, k, count(*) AS n, avg(r) AS mean_energy
+        FROM e GROUP BY 1, 2"""),
+      scaleNote = "one scan, row-local arithmetic (codegen'd higher-order fold — no UDF), one two-phase agg on (label, k): the ×4 prefix fanout happens before the shuffle but each row carries two doubles, not the vector; the statistic that decides whether the q30/q31 indexes can serve truncated prefixes at a fraction of the memory")
   )
 }
