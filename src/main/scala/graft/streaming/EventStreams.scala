@@ -152,6 +152,48 @@ object EventStreams {
       }
   }
 
+  /** The state-v2 twin of [[ewmaPerUser]] on Spark 4's
+    * transformWithState / StatefulProcessor API — identical semantics,
+    * but state lives behind a typed [[org.apache.spark.sql.streaming.ValueState]]
+    * handle in the RocksDB state store (the provider state-v2
+    * requires), where the old API serializes one opaque GroupState
+    * blob. The new surface matters at 100 TB: multiple independently-
+    * evolving state variables per key, TTL per variable, and timers —
+    * none of which GroupState can express without packing everything
+    * into one struct. StreamingSpec asserts a ts-ordered replay is
+    * row-identical to [[ewmaPerUser]]'s output and to batch q114.
+    */
+  class EwmaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, EwmaPoint] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[EwmaPoint] = _
+    override def init(outputMode: OutputMode, timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[EwmaPoint]("ewma",
+        org.apache.spark.sql.Encoders.product[EwmaPoint],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        uid: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[EwmaPoint] = {
+      var rn = if (st.exists()) st.get().rn else 0L
+      var s = if (st.exists()) st.get().ewma else 0.0
+      val out = rows.toSeq
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .map { e =>
+          s = if (rn == 0L) e.value else 0.3 * e.value + 0.7 * s
+          rn += 1
+          EwmaPoint(uid, rn, s)
+        }
+      if (out.nonEmpty) st.update(out.last)
+      out.iterator
+    }
+  }
+
+  def ewmaPerUserV2(events: Dataset[Event]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update — the E17 `mapGroupsWithState`
     * surface. State is one tiny struct per user; at 100 TB the state

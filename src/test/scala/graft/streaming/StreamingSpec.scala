@@ -417,4 +417,36 @@ class StreamingSpec extends SparkSpec {
       for ((k, w) <- want) assert(got(k) == w, s"$k: got ${got.get(k)} want $w")
     } finally q.stop()
   }
+
+  test("transformWithState (state v2) EWMA equals the GroupState version and batch q114") {
+    // the Spark 4 arbitrary-state API: typed ValueState handles in the
+    // RocksDB store (which state v2 requires — set for this query,
+    // restored after). Same recurrence, same fold order ⇒ the three
+    // implementations must agree double-for-double.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = EventStreams.ewmaPerUserV2(ms.toDS())
+      .writeStream.format("memory").outputMode("update")
+      .queryName("ewma_v2_sink").start()
+    try {
+      val ordered = allEvents
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      ordered.grouped(300).foreach { c => ms.addData(c); q.processAllAvailable() }
+      val got = spark.table("ewma_v2_sink")
+        .select("user_id", "rn", "ewma").as[(Long, Long, Double)].collect()
+        .map { case (u, rn, s) => (u, rn) -> s }.toMap
+      val want = graft.queries.Analytics
+        .queries("q114_ewma_smoothing").fn(spark, sf0001)
+        .select("user_id", "rn", "ewma").as[(Long, Long, Double)].collect()
+        .map { case (u, rn, s) => (u, rn) -> s }.toMap
+      assert(got.size == want.size, s"got ${got.size} want ${want.size}")
+      for ((k, w) <- want) assert(got(k) == w, s"$k: got ${got.get(k)} want $w")
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
 }
