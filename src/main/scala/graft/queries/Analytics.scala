@@ -83,7 +83,7 @@ object Analytics extends Catalog {
     * copies in the temp dir. One definition so the cleanup semantics
     * cannot drift between the two.
     */
-  private def tempSnapshotDir(prefix: String): String = {
+  private[queries] def tempSnapshotDir(prefix: String): String = {
     val tmpRoot = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {

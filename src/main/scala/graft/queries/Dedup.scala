@@ -225,6 +225,38 @@ object Dedup extends Catalog {
           AND len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= $ContainTau"""),
       scaleNote = "cost identical to q26 (one posting equi-join on 8-byte hashes; the directed explode is row-local) and the q59 stop-shingle cap composes unchanged; the ratio is one IEEE division of exact ints, so the oracle row set is decided by integer arithmetic alone"),
 
+    // ----- E11/E12: incremental dedup through the oracle gate -------
+    // pipeline/IncrementalDedup was spec-only; this runs the real
+    // thing — two ingestion batches against a fresh persisted index —
+    // and the DuckDB oracle is q26's ONE-SHOT pair SQL, so the gate
+    // itself proves batch-wise ingestion converges to the one-shot
+    // answer. Batches split at the median doc_id because the module
+    // emits each pair when its LARGER id arrives (ids ascend in
+    // ingestion order — the module's documented contract).
+    "q132_incremental_pairs" -> Q(
+      fn = (s, d) => {
+        val root = Analytics.tempSnapshotDir("graft_q132_idx")
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val half = base.agg(max(col("doc_id"))).head().getLong(0) / 2
+        val p1 = graft.pipeline.IncrementalDedup.dedupBatch(
+          base.filter(col("doc_id") <= half), root,
+          tau = JaccardTau, batchId = Some(0L), runId = "q132")
+        val p2 = graft.pipeline.IncrementalDedup.dedupBatch(
+          base.filter(col("doc_id") > half), root,
+          tau = JaccardTau, batchId = Some(1L), runId = "q132")
+        p1.unionByName(p2)
+      },
+      sql = Some(s"""
+        WITH s AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau"""),
+      scaleNote = "per-batch cost is new-postings × matching old postings (the old side is a streamed column-pruned scan of the persisted index, never recomputed, never checkpointed) — ingesting a 0.1% daily slice probes the index instead of re-shingling the corpus; the batch-subdir layout appends without rewriting"),
+
     // ----- E12: n-gram Jaccard with a stop-shingle cap --------------
     "q59_dedup_jaccard_capped" -> Q(
       fn = (s, d) => {
