@@ -194,6 +194,78 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class OpenSession(
+      user_id: Long, startUs: Long, lastUs: Long, n: Long, sum_value: Double)
+  final case class SessionOut(
+      user_id: Long, s_start: Long, s_end: Long, n: Long, sum_value: Double)
+
+  /** Hand-rolled 5-min-gap sessionization on the state-v2 TIMER
+    * surface — the piece neither `session_window` (no custom emit
+    * logic) nor GroupState (no first-class timers) exposes: sessions
+    * that close because a LATER event reveals the gap emit inline,
+    * and the dangling open session per key emits from
+    * `handleExpiredTimer` when the event-time watermark passes
+    * last + gap. Each input re-arms the key's single timer
+    * (deleteTimer + registerTimer). A ts-ordered replay must
+    * reproduce q39's batch gaps-and-islands exactly (StreamingSpec).
+    */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    private def close(o: OpenSession): SessionOut =
+      SessionOut(o.user_id, o.startUs, o.lastUs + gapMs * 1000L, o.n, o.sum_value)
+
+    override def init(outputMode: OutputMode, timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val out = collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = if (open.exists()) Some(open.get()) else None
+      cur.foreach(o => getHandle.deleteTimer(o.lastUs / 1000L + gapMs))
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
+        val us = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
+        cur match {
+          case Some(o) if us < o.lastUs + gapMs * 1000L =>
+            cur = Some(o.copy(lastUs = us, n = o.n + 1,
+              sum_value = o.sum_value + e.value))
+          case other =>
+            other.foreach(o => out += close(o)) // gap proven by this event
+            cur = Some(OpenSession(uid, us, us, 1L, e.value))
+        }
+      }
+      cur.foreach { o =>
+        open.update(o)
+        getHandle.registerTimer(o.lastUs / 1000L + gapMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        uid: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+      if (open.exists() &&
+          open.get().lastUs / 1000L + gapMs == info.getExpiryTimeInMs) {
+        val o = open.get(); open.clear()
+        Iterator.single(close(o))
+      } else Iterator.empty
+  }
+
+  /** q39's sessions rebuilt on transformWithState timers; input must
+    * carry a watermark (timer expiry is watermark-driven) */
+  def sessionsViaTimers(events: Dataset[Event], gapMin: Int = 5): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMin * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update — the E17 `mapGroupsWithState`
     * surface. State is one tiny struct per user; at 100 TB the state

@@ -418,6 +418,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state-v2 timers: hand-rolled sessionization equals batch session_window") {
+    // gap-closed sessions emit inline; each key's dangling session
+    // emits from handleExpiredTimer once the sentinel pushes the
+    // event-time watermark past every timer. Must equal q39's batch
+    // gaps-and-islands row-for-row.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = EventStreams.sessionsViaTimers(ms.toDS())
+      .writeStream.format("memory").outputMode("append")
+      .queryName("sess_timer_sink").start()
+    try {
+      val ordered = allEvents
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      ordered.grouped(300).foreach { c => ms.addData(c); q.processAllAvailable() }
+      val sentinel = Event(999999L,
+        new java.sql.Timestamp(ordered.last.ts.getTime + 24L * 3600 * 1000),
+        999999L, "sentinel", 0.0, "{}")
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+      val got = spark.table("sess_timer_sink")
+        .filter(col("user_id") =!= 999999L)
+      val batch = EventStreams.sessionCounts(
+        Tables.load(spark, sf0001, "events"), withWatermarkCol = false)
+      assert(canon(got, "user_id", "s_start", "s_end", "n", "sum_value")
+        == canon(batch, "user_id", "s_start", "s_end", "n", "sum_value"))
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("transformWithState (state v2) EWMA equals the GroupState version and batch q114") {
     // the Spark 4 arbitrary-state API: typed ValueState handles in the
     // RocksDB store (which state v2 requires — set for this query,
