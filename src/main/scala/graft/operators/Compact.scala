@@ -34,10 +34,11 @@ import org.apache.spark.sql.SparkSession
   *      next run clears and redoes them.
   *
   * Single-writer contract, same as [[graft.pipeline.SnapshotSink]]:
-  * one maintenance job per directory; readers in the install window
-  * of a RESUMED crash can see a partial install (duplicate-free —
-  * originals are deleted only after all news are in), so run it in
-  * the table's maintenance window.
+  * one maintenance job per directory. The protocol is LOSS-free at
+  * every step, not duplicate-free: between the first install and the
+  * last original's delete (phase 3 of every run) a concurrent reader
+  * sees binned rows twice — run it in the table's maintenance window,
+  * or serve readers through [[VersionedSnapshot]] generations.
   */
 object Compact {
 
@@ -78,7 +79,12 @@ object Compact {
     fs.delete(work, true) // pre-commit leftovers from an earlier crash
     val moves = bins.zipWithIndex.map { case ((fsList, _), i) =>
       val outDir = new Path(work, s"bin-$i")
-      spark.read.parquet(fsList.map(_.getPath.toString).toSeq: _*)
+      // mergeSchema: a long-lived dir legitimately holds files from
+      // several schema generations (the q76 layout); sampling one
+      // footer would adopt the narrow schema and the rewrite would
+      // silently DROP the newer columns before deleting the originals
+      spark.read.option("mergeSchema", "true")
+        .parquet(fsList.map(_.getPath.toString).toSeq: _*)
         .coalesce(1).write.mode("overwrite").parquet(outDir.toString)
       val produced = dataFiles(fs, outDir.toString)
       require(produced.length == 1, s"bin $i produced ${produced.length} files")

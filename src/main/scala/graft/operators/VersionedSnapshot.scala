@@ -10,8 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rewrite lands in a NEW `gen-<k>` directory and readers resolve
   * `_LATEST` (a one-line pointer file, installed by tmp-write +
   * rename, which HDFS/POSIX make atomic) — a reader that already
-  * resolved gen-k keeps a complete, immutable directory for as long
-  * as `keep` generations are retained. The same layout Iceberg/Delta
+  * resolved gen-k keeps a complete, immutable directory through the
+  * next `keep - 1` commits (commit k+keep prunes gen-k; size `keep`
+  * to the longest reader you need to protect). The same layout Iceberg/Delta
   * get from manifest trees, at directory granularity: the right
   * trade when the table is rewritten wholesale anyway (DirSwap's
   * callers) and list-scan cost is one directory.
@@ -75,8 +76,8 @@ object VersionedSnapshot {
     }
   }
 
-  /** read the live generation (the path stays valid for `keep`
-    * subsequent commits even as newer generations land) */
+  /** read the live generation (the resolved path stays valid through
+    * the next `keep - 1` commits as newer generations land) */
   def read(spark: SparkSession, root: String): DataFrame = {
     val gen = currentGen(spark, root).getOrElse(
       sys.error(s"VersionedSnapshot: no committed generation under $root"))

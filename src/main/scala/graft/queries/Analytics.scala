@@ -856,8 +856,18 @@ object Analytics extends Catalog {
         val dir = tempSnapshotDir("graft_q127_compact")
         t(s, d, "documents").repartition(40)
           .write.mode("overwrite").parquet(dir)
+        // thresholds derived from the ACTUAL shard sizes, not fixed
+        // bytes: a fixed 8 MB cutoff stops matching once the corpus
+        // grows the shards past it (the q115 fixed-cap lesson) — here
+        // every shard is always "small" and bins pack ~5 shards each,
+        // so the file count shrinks 40 → ~8 at any SF
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val lens = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen)
         val stats = graft.operators.Compact(s, dir,
-          smallBytes = 8L * 1024 * 1024, targetBytes = 32L * 1024 * 1024)
+          smallBytes = lens.max + 1, targetBytes = math.max(lens.max + 1, lens.sum / 8))
         require(stats.filesAfter < stats.filesBefore,
           s"compaction must reduce the file count: $stats")
         s.read.parquet(dir)

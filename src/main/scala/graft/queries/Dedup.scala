@@ -206,12 +206,12 @@ object Dedup extends Catalog {
           .join(sizes.withColumnRenamed("doc_id", "d1")
             .withColumnRenamed("sz", "sz1"), "d1")
           .join(sizes.withColumnRenamed("doc_id", "d2")
-            .withColumnRenamed("sz", "s2z"), "d2")
+            .withColumnRenamed("sz", "sz2"), "d2")
           .select(explode(array(
             struct(col("d1").as("doc_src"), col("d2").as("doc_tgt"),
               (col("inter").cast("double") / col("sz1")).as("containment")),
             struct(col("d2").as("doc_src"), col("d1").as("doc_tgt"),
-              (col("inter").cast("double") / col("s2z")).as("containment"))))
+              (col("inter").cast("double") / col("sz2")).as("containment"))))
             .as("p"))
           .select(col("p.doc_src"), col("p.doc_tgt"), col("p.containment"))
           .filter(col("containment") >= ContainTau)

@@ -92,14 +92,49 @@ object Sources extends Catalog {
         s"$t:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
       else s"$t:absent"
     }.mkString(";")
-    Integer.toHexString(s"$d|$fp".hashCode)
+    // md5, not String.hashCode: a 32-bit collision between two corpus
+    // generations would silently serve the stale derived dir — the
+    // exact failure this key exists to prevent
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|$fp".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** the SF-dir tag baked into every derived-dir name, so the stale-
+    * generation GC below never crosses scale factors (sf0.001 spec
+    * runs and sf0.01 Verify runs coexist; only old GENERATIONS of the
+    * SAME sf are reclaimed) */
+  private def sfTag(d: String): String =
+    new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Drop derived dirs for this site minted under a PREVIOUS corpus
+    * generation (same sf tag, different key suffix): content-keyed
+    * names mean a regeneration would otherwise leak a full table copy
+    * into /tmp per generation. Dev-tooling contract: one corpus
+    * generation per sf in use at a time (a process still reading an
+    * old generation's dir loses it).
+    */
+  private def dropStaleSiblings(prefix: String, liveKey: String): Unit = {
+    val tmp = Paths.get(sys.props("java.io.tmpdir"))
+    val stream = Files.list(tmp)
+    val stale = try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(prefix) && n != s"$prefix$liveKey" &&
+          !n.contains(".tmp-") // in-flight ensureDir writes
+      }.toList
+    } finally stream.close()
+    stale.foreach(deleteRecursively)
   }
 
   /** write `name` as `fmt` under /tmp once per (sf, table); reuse after */
   private def roundTrip(
       s: SparkSession, d: String, name: String, fmt: String): DataFrame = {
     val key = corpusKey(d)
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_src_${fmt}_${name}_$key"
+    val pfx = s"graft_src_${fmt}_${name}_${sfTag(d)}_"
+    dropStaleSiblings(pfx, key)
+    val dir = s"${sys.props("java.io.tmpdir")}/$pfx$key"
     val src = Tables.load(s, d, name)
     ensureDir(dir) { tmp =>
       val w = src.write.mode("overwrite")
@@ -114,7 +149,9 @@ object Sources extends Catalog {
   /** the hive-partitioned documents layout shared by q72 and q83 */
   private def partitionedDocs(s: SparkSession, d: String): String = {
     val key = corpusKey(d)
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_src_part_documents_$key"
+    val pfx = s"graft_src_part_documents_${sfTag(d)}_"
+    dropStaleSiblings(pfx, key)
+    val dir = s"${sys.props("java.io.tmpdir")}/$pfx$key"
     ensureDir(dir) { tmp =>
       Tables.load(s, d, "documents")
         .write.mode("overwrite").partitionBy("lang").parquet(tmp)
@@ -203,7 +240,9 @@ object Sources extends Catalog {
     "q76_merged_schema_scan" -> Q(
       fn = (s, d) => {
         val key = corpusKey(d)
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_src_evo_documents_$key"
+        val pfx = s"graft_src_evo_documents_${sfTag(d)}_"
+        dropStaleSiblings(pfx, key)
+        val dir = s"${sys.props("java.io.tmpdir")}/$pfx$key"
         val src = Tables.load(s, d, "documents")
         // completeness witness is the both-generations marker, NOT
         // _SUCCESS: the gen-1 overwrite already writes _SUCCESS, so a
@@ -241,7 +280,9 @@ object Sources extends Catalog {
       fn = (s, d) => {
         val key = corpusKey(d)
         val docDir = partitionedDocs(s, d)
-        val dimDir = s"${sys.props("java.io.tmpdir")}/graft_src_langdim_$key"
+        val dimPfx = s"graft_src_langdim_${sfTag(d)}_"
+        dropStaleSiblings(dimPfx, key)
+        val dimDir = s"${sys.props("java.io.tmpdir")}/$dimPfx$key"
         ensureDir(dimDir) { tmp =>
           s.createDataFrame(Seq(
               ("en", "germanic"), ("de", "germanic"),

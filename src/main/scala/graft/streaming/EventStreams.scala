@@ -130,7 +130,12 @@ object EventStreams {
     * not contractual — and the recurrence then continues across
     * batches from the stored (rn, ewma). Same 0.3/0.7 literals as the
     * batch query, so a ts-ordered replay is bit-identical to it
-    * (StreamingSpec asserts exactly that).
+    * (StreamingSpec asserts exactly that). Contract: the series order
+    * IS per-key arrival order across batches — a cross-batch late
+    * event folds at the position it ARRIVES, not at its timestamp
+    * (re-folding history would mean buffering the full series per
+    * key; feed the stream in order, or accept processing-order
+    * semantics — applies equally to [[ewmaPerUserV2]]).
     */
   def ewmaPerUser(events: Dataset[Event]): Dataset[EwmaPoint] = {
     import events.sparkSession.implicits._
@@ -207,7 +212,12 @@ object EventStreams {
     * `handleExpiredTimer` when the event-time watermark passes
     * last + gap. Each input re-arms the key's single timer
     * (deleteTimer + registerTimer). A ts-ordered replay must
-    * reproduce q39's batch gaps-and-islands exactly (StreamingSpec).
+    * reproduce q39's batch gaps-and-islands exactly (StreamingSpec);
+    * in-gap late arrivals fold in via min/max (see handleInputRows),
+    * while a late event that would BRIDGE two already-separated
+    * sessions merges only in `session_window` (which buffers windows
+    * until the watermark — the cost this hand-rolled emit-early
+    * variant deliberately avoids; documented trade, not a bug).
     */
   class SessionProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
@@ -231,7 +241,14 @@ object EventStreams {
         val us = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
         cur match {
           case Some(o) if us < o.lastUs + gapMs * 1000L =>
-            cur = Some(o.copy(lastUs = us, n = o.n + 1,
+            // min/max, never assignment: a cross-batch late event the
+            // watermark still admits may land INSIDE the open session,
+            // and rewinding lastUs to it would close the session a
+            // gap too early (diverging from batch session_window)
+            cur = Some(o.copy(
+              startUs = math.min(o.startUs, us),
+              lastUs = math.max(o.lastUs, us),
+              n = o.n + 1,
               sum_value = o.sum_value + e.value))
           case other =>
             other.foreach(o => out += close(o)) // gap proven by this event
