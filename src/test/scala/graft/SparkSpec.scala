@@ -10,6 +10,7 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sf0001 = "/root/testdata/sf0.001"
   val sf001  = "/root/testdata/sf0.01"
+  val sf01   = "/root/testdata/sf0.1"
 }
 
 object SparkSpec {

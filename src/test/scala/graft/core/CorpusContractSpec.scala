@@ -18,7 +18,7 @@ class CorpusContractSpec extends SparkSpec {
   private def t(sf: String, name: String) = Tables.load(spark, sf, name)
 
   test("temporal columns normalize to TimestampType at every SF") {
-    for (sf <- Seq(sf0001, sf001)) {
+    for (sf <- Seq(sf0001, sf001, sf01)) {
       assert(t(sf, "events").schema("ts").dataType == TimestampType,
         s"$sf events.ts must normalize to TimestampType (Tables.normalizeTs)")
       assert(t(sf, "orders").schema("o_orderdate").dataType == TimestampType,

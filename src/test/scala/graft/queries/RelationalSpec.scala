@@ -51,7 +51,7 @@ class RelationalSpec extends SparkSpec {
     // rare, but if the driver's generator ever changes, THIS is the
     // test that must fail, not the correctness gate.
     import org.apache.spark.sql.functions._
-    for (sf <- Seq(sf0001, sf001)) {
+    for (sf <- Seq(sf0001, sf001, sf01)) {
       val ev = graft.core.Tables.load(spark, sf, "events")
       val dups = ev.groupBy(col("event_type"), col("ts"))
         .count().filter(col("count") > 1).count()
