@@ -106,14 +106,15 @@ object Compact {
     Stats(parts.length, after.length, small.map(_.getLen).sum)
   }
 
-  /** [[apply]] over every `col=value` partition directory of a
-    * hive-partitioned table root — the maintenance pass for
-    * [[graft.pipeline.SnapshotSink]]'s partitioned snapshots, which
-    * accrete one small file per partition per merged batch. Each
-    * partition compacts independently (the partition column is
-    * directory-encoded, so rewriting a partition's files in place
-    * preserves it); partitions crash-recover independently too, since
-    * each carries its own manifest.
+  /** [[apply]] over every LEAF partition directory of a
+    * hive-partitioned table root (multi-level `a=1/b=2/` layouts
+    * recurse to the level that actually holds data files) — the
+    * maintenance pass for [[graft.pipeline.SnapshotSink]]'s
+    * partitioned snapshots, which accrete one small file per partition
+    * per merged batch. Each leaf compacts independently (partition
+    * columns are directory-encoded, so rewriting a leaf's files in
+    * place preserves them); leaves crash-recover independently too,
+    * since each carries its own manifest.
     */
   def partitioned(
       spark: SparkSession,
@@ -121,9 +122,15 @@ object Compact {
       smallBytes: Long,
       targetBytes: Long): Stats = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(dir: Path): Seq[Path] = {
+      val kids = fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (kids.isEmpty) Seq(dir) else kids.flatMap(k => leaves(k.getPath))
+    }
     val parts = fs.listStatus(new Path(root)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-    val all = parts.map(p => apply(spark, p.getPath.toString, smallBytes, targetBytes))
+      .flatMap(p => leaves(p.getPath))
+    val all = parts.map(p => apply(spark, p.toString, smallBytes, targetBytes))
     Stats(all.map(_.filesBefore).sum, all.map(_.filesAfter).sum,
       all.map(_.bytesRewritten).sum)
   }

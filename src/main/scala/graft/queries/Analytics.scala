@@ -768,7 +768,7 @@ object Analytics extends Catalog {
     // check.
     "q115_triangle_counts" -> Q(
       fn = (s, d) => {
-        val TopEdges = (t(s, d, "supplier").count() * 5).toInt
+        val TopEdges = math.min(t(s, d, "supplier").count() * 5, Int.MaxValue.toLong).toInt
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"))
         val e = li.as("a").join(li.as("b"),

@@ -232,7 +232,9 @@ object Dedup extends Catalog {
     // itself proves batch-wise ingestion converges to the one-shot
     // answer. Batches split at the median doc_id because the module
     // emits each pair when its LARGER id arrives (ids ascend in
-    // ingestion order — the module's documented contract).
+    // ingestion order — the module's documented contract). "Median"
+    // here means the id-RANGE midpoint, not the count median: any
+    // id-ordered split is complete, balance is irrelevant.
     "q132_incremental_pairs" -> Q(
       fn = (s, d) => {
         val root = Analytics.tempSnapshotDir("graft_q132_idx")

@@ -85,7 +85,10 @@ object Sources extends Catalog {
     * values, it can fail to READ outright (a pre-regeneration ORC dir
     * written when a temporal column had a different physical type).
     */
-  private def corpusKey(d: String): String = {
+  private val keyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def corpusKey(d: String): String = keyCache.computeIfAbsent(d, _ => {
     val fp = graft.core.Tables.all.map { t =>
       val p = Paths.get(s"$d/$t.parquet")
       if (Files.exists(p))
@@ -98,7 +101,7 @@ object Sources extends Catalog {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d|$fp".getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
-  }
+  })
 
   /** the SF-dir tag baked into every derived-dir name, so the stale-
     * generation GC below never crosses scale factors (sf0.001 spec
@@ -107,34 +110,51 @@ object Sources extends Catalog {
   private def sfTag(d: String): String =
     new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** one GC pass per (prefix, key) per JVM: corpus regeneration
+    * happens between process runs, so re-listing /tmp on every cache
+    * HIT (several queries x min-of-3 bench runs) is pure waste */
+  private val gcDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Drop derived dirs for this site minted under a PREVIOUS corpus
-    * generation (same sf tag, different key suffix): content-keyed
-    * names mean a regeneration would otherwise leak a full table copy
-    * into /tmp per generation. Dev-tooling contract: one corpus
-    * generation per sf in use at a time (a process still reading an
-    * old generation's dir loses it).
+    * generation (same sf tag, different key suffix) — plus any
+    * legacy-format dir from the pre-sfTag naming scheme (no underscore
+    * after the site prefix), which the prefix match would otherwise
+    * orphan forever. Content-keyed names mean a regeneration would
+    * otherwise leak a full table copy into /tmp per generation.
+    * Dev-tooling contract: one corpus generation per sf in use at a
+    * time (a process still reading an old generation's dir loses it).
+    * Deletes tolerate races: a concurrent JVM doing the same GC may
+    * win any individual file delete.
     */
-  private def dropStaleSiblings(prefix: String, liveKey: String): Unit = {
+  private def dropStaleSiblings(sitePrefix: String, tag: String, liveKey: String): Unit = {
+    if (!gcDone.add(s"$sitePrefix$tag|$liveKey")) return
     val tmp = Paths.get(sys.props("java.io.tmpdir"))
     val stream = Files.list(tmp)
     val stale = try {
       import scala.jdk.CollectionConverters._
       stream.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
-        n.startsWith(prefix) && n != s"$prefix$liveKey" &&
-          !n.contains(".tmp-") // in-flight ensureDir writes
+        if (!n.startsWith(sitePrefix) || n.contains(".tmp-")) false
+        else {
+          val rem = n.drop(sitePrefix.length)
+          // legacy pre-sfTag format (bare hex key), or this sf's stale key
+          !rem.contains("_") || (rem.startsWith(s"${tag}_") && rem != s"${tag}_$liveKey")
+        }
       }.toList
     } finally stream.close()
-    stale.foreach(deleteRecursively)
+    stale.foreach { p =>
+      try deleteRecursively(p)
+      catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+    }
   }
 
   /** write `name` as `fmt` under /tmp once per (sf, table); reuse after */
   private def roundTrip(
       s: SparkSession, d: String, name: String, fmt: String): DataFrame = {
     val key = corpusKey(d)
-    val pfx = s"graft_src_${fmt}_${name}_${sfTag(d)}_"
-    dropStaleSiblings(pfx, key)
-    val dir = s"${sys.props("java.io.tmpdir")}/$pfx$key"
+    val site = s"graft_src_${fmt}_${name}_"
+    dropStaleSiblings(site, sfTag(d), key)
+    val dir = s"${sys.props("java.io.tmpdir")}/$site${sfTag(d)}_$key"
     val src = Tables.load(s, d, name)
     ensureDir(dir) { tmp =>
       val w = src.write.mode("overwrite")
@@ -149,9 +169,8 @@ object Sources extends Catalog {
   /** the hive-partitioned documents layout shared by q72 and q83 */
   private def partitionedDocs(s: SparkSession, d: String): String = {
     val key = corpusKey(d)
-    val pfx = s"graft_src_part_documents_${sfTag(d)}_"
-    dropStaleSiblings(pfx, key)
-    val dir = s"${sys.props("java.io.tmpdir")}/$pfx$key"
+    dropStaleSiblings("graft_src_part_documents_", sfTag(d), key)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_src_part_documents_${sfTag(d)}_$key"
     ensureDir(dir) { tmp =>
       Tables.load(s, d, "documents")
         .write.mode("overwrite").partitionBy("lang").parquet(tmp)
@@ -240,9 +259,8 @@ object Sources extends Catalog {
     "q76_merged_schema_scan" -> Q(
       fn = (s, d) => {
         val key = corpusKey(d)
-        val pfx = s"graft_src_evo_documents_${sfTag(d)}_"
-        dropStaleSiblings(pfx, key)
-        val dir = s"${sys.props("java.io.tmpdir")}/$pfx$key"
+        dropStaleSiblings("graft_src_evo_documents_", sfTag(d), key)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_src_evo_documents_${sfTag(d)}_$key"
         val src = Tables.load(s, d, "documents")
         // completeness witness is the both-generations marker, NOT
         // _SUCCESS: the gen-1 overwrite already writes _SUCCESS, so a
@@ -280,9 +298,8 @@ object Sources extends Catalog {
       fn = (s, d) => {
         val key = corpusKey(d)
         val docDir = partitionedDocs(s, d)
-        val dimPfx = s"graft_src_langdim_${sfTag(d)}_"
-        dropStaleSiblings(dimPfx, key)
-        val dimDir = s"${sys.props("java.io.tmpdir")}/$dimPfx$key"
+        dropStaleSiblings("graft_src_langdim_", sfTag(d), key)
+        val dimDir = s"${sys.props("java.io.tmpdir")}/graft_src_langdim_${sfTag(d)}_$key"
         ensureDir(dimDir) { tmp =>
           s.createDataFrame(Seq(
               ("en", "germanic"), ("de", "germanic"),

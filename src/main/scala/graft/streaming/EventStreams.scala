@@ -231,33 +231,49 @@ object EventStreams {
         org.apache.spark.sql.Encoders.product[OpenSession],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
+    /** timer expiry in ms, CEILING of the microsecond session end:
+      * floor would let the watermark fire the timer up to 999 µs
+      * before the true end, splitting a session a just-in-time late
+      * event would have extended */
+    private def expiryMs(lastUs: Long): Long = (lastUs + 999) / 1000L + gapMs
+
     override def handleInputRows(
         uid: Long, rows: Iterator[Event],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val gapUs = gapMs * 1000L
       val out = collection.mutable.ArrayBuffer.empty[SessionOut]
       var cur = if (open.exists()) Some(open.get()) else None
-      cur.foreach(o => getHandle.deleteTimer(o.lastUs / 1000L + gapMs))
+      cur.foreach(o => getHandle.deleteTimer(expiryMs(o.lastUs)))
       rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
         val us = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
         cur match {
-          case Some(o) if us < o.lastUs + gapMs * 1000L =>
-            // min/max, never assignment: a cross-batch late event the
-            // watermark still admits may land INSIDE the open session,
-            // and rewinding lastUs to it would close the session a
-            // gap too early (diverging from batch session_window)
+          // overlap test on BOTH ends, min/max never assignment: a
+          // cross-batch late event the watermark still admits may land
+          // inside the open session (rewinding lastUs would close it a
+          // gap too early) or within one gap BEFORE its start (batch
+          // session_window chains it in)
+          case Some(o) if us + gapUs > o.startUs && us < o.lastUs + gapUs =>
             cur = Some(o.copy(
               startUs = math.min(o.startUs, us),
               lastUs = math.max(o.lastUs, us),
               n = o.n + 1,
               sum_value = o.sum_value + e.value))
-          case other =>
-            other.foreach(o => out += close(o)) // gap proven by this event
+          case Some(o) if us >= o.lastUs + gapUs =>
+            out += close(o) // gap proven by this event
+            cur = Some(OpenSession(uid, us, us, 1L, e.value))
+          case Some(_) =>
+            // far-late: a whole gap BEFORE the open session — its own
+            // completed session, emitted now (the open one is kept);
+            // an even-later sibling that would have extended it is the
+            // documented emit-early trade vs session_window
+            out += SessionOut(uid, us, us + gapUs, 1L, e.value)
+          case None =>
             cur = Some(OpenSession(uid, us, us, 1L, e.value))
         }
       }
       cur.foreach { o =>
         open.update(o)
-        getHandle.registerTimer(o.lastUs / 1000L + gapMs)
+        getHandle.registerTimer(expiryMs(o.lastUs))
       }
       out.iterator
     }
@@ -267,7 +283,7 @@ object EventStreams {
         tv: org.apache.spark.sql.streaming.TimerValues,
         info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
       if (open.exists() &&
-          open.get().lastUs / 1000L + gapMs == info.getExpiryTimeInMs) {
+          expiryMs(open.get().lastUs) == info.getExpiryTimeInMs) {
         val o = open.get(); open.clear()
         Iterator.single(close(o))
       } else Iterator.empty

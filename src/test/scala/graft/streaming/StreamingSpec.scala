@@ -451,6 +451,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state-v2 timers: watermark-admitted late events merge or split like batch") {
+    // the two late-arrival branches an in-order replay never reaches:
+    // an event one gap BEFORE the open session's start is its own
+    // completed session (batch session_window would also split), and
+    // an event just before the start chains in (batch would merge)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ev(id: Long, sec: Long): Event =
+      Event(id, new java.sql.Timestamp(sec * 1000), 1L, "t", 1.0, "{}")
+    val ms = MemoryStream[Event]
+    val q = EventStreams.sessionsViaTimers(ms.toDS())
+      .writeStream.format("memory").outputMode("append")
+      .queryName("sess_late_sink").start()
+    try {
+      ms.addData(Seq(ev(1, 1000))); q.processAllAvailable() // watermark 400s
+      // far-late (500s): a whole gap before [1000,1000] -> own session
+      // near-late (997s): inside one gap before start -> merges
+      ms.addData(Seq(ev(2, 500), ev(3, 997))); q.processAllAvailable()
+      val sentinel = Event(99, new java.sql.Timestamp(100000L * 1000), 9L, "s", 0.0, "{}")
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+      val got = spark.table("sess_late_sink").filter(col("user_id") === 1L)
+        .select("s_start", "s_end", "n").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(got == Set(
+        (500000000L, 800000000L, 1L),     // far-late singleton [500, 500+300)
+        (997000000L, 1300000000L, 2L)),   // merged [997 .. 1000+300)
+        s"got $got")
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("transformWithState (state v2) EWMA equals the GroupState version and batch q114") {
     // the Spark 4 arbitrary-state API: typed ValueState handles in the
     // RocksDB store (which state v2 requires — set for this query,
