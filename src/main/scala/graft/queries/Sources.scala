@@ -634,8 +634,86 @@ object Sources extends Catalog {
                min(x) AS min_x, max(x) AS max_x,
                min(y) AS min_y, max(y) AS max_y
         FROM z GROUP BY 1"""),
-      scaleNote = "the 100 TB write path is zval → repartitionByRange(zval) → sortWithinPartitions(zval) → parquet, one range shuffle total; every produced file then carries tight footer min/max on BOTH keys (each bucket here fixes the top 4 bits of each dimension → both spans ≤ 1/16 of the domain), so predicates on either dimension prune files — 1-D range clustering can only serve one. The max-based quantizer is one broadcast scalar; production uses rank/percentile bins so dense ranges don't alias")
+      scaleNote = "the 100 TB write path is zval → repartitionByRange(zval) → sortWithinPartitions(zval) → parquet, one range shuffle total; every produced file then carries tight footer min/max on BOTH keys (each bucket here fixes the top 4 bits of each dimension → both spans ≤ 1/16 of the domain), so predicates on either dimension prune files — 1-D range clustering can only serve one. The max-based quantizer is one broadcast scalar; production uses rank/percentile bins so dense ranges don't alias"),
+
+    // ----- E6 sketch family: KMV distinct + join-overlap estimation -
+    // The statistic a cost-based planner needs that q43's HLL cannot
+    // give: how many keys do two relations SHARE (the join's output
+    // driver). K-minimum-values: hash every key (salt-keyed md5, the
+    // q60 reproducibility discipline), keep the k smallest; the k-th
+    // smallest hash, read as a fraction U of the hash space, gives
+    // |distinct| ≈ (k-1)/U, and the fraction of the UNION's k-min set
+    // present in both sides estimates the Jaccard, hence the
+    // intersection. Every arithmetic step (12-hex-digit fraction,
+    // one division, one multiply) is generated identically for both
+    // engines, so the ESTIMATES themselves hash-match — and the exact
+    // counts sit beside them in the output as the accuracy witness.
+    "q133_kmv_overlap" -> Q(
+      fn = (s, d) => {
+        val K = 256
+        def keyed(df: DataFrame, c: String): DataFrame =
+          df.select(col(c).cast("long").as("key")).distinct()
+            .select(col("key"),
+              md5(concat(lit("kmv:"), col("key").cast("string"))).as("h"))
+            .localCheckpoint() // feeds k-min, membership and the exact count
+        val ha = keyed(Tables.load(s, d, "orders"), "o_orderkey")
+        val hb = keyed(Tables.load(s, d, "lineitem"), "l_orderkey")
+        val frac = (h: org.apache.spark.sql.Column) =>
+          expr(s"cast(conv(substr(h, 1, 12), 16, 10) as bigint)")
+            .cast("double") / lit(math.pow(16.0, 12))
+        def est(hs: DataFrame): DataFrame =
+          hs.select(col("h")).orderBy(col("h")).limit(K)
+            .agg(max(col("h")).as("h"))
+            .select(((lit(K - 1) / frac(col("h")))).as("e"))
+        val hu = ha.select(col("h")).union(hb.select(col("h"))).distinct()
+          .localCheckpoint()
+        val ku = hu.orderBy(col("h")).limit(K).localCheckpoint()
+        val inBoth = ku.join(ha.select(col("h")), Seq("h"), "left_semi")
+          .join(hb.select(col("h")), Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("nb"))
+        est(ha).withColumnRenamed("e", "est_a")
+          .crossJoin(est(hb).withColumnRenamed("e", "est_b"))
+          .crossJoin(est(hu).withColumnRenamed("e", "est_union"))
+          .crossJoin(broadcast(inBoth))
+          .crossJoin(broadcast(ha.agg(count(lit(1)).as("exact_a"))))
+          .crossJoin(broadcast(hb.agg(count(lit(1)).as("exact_b"))))
+          .select(lit(K).as("k"),
+            col("est_a"), col("exact_a"), col("est_b"), col("exact_b"),
+            (col("nb").cast("double") / lit(K) * col("est_union"))
+              .as("est_inter"))
+      },
+      sql = Some(s"""
+        WITH a AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS key FROM orders),
+        b AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS key FROM lineitem),
+        ha AS (SELECT md5('kmv:' || CAST(key AS VARCHAR)) AS h FROM a),
+        hb AS (SELECT md5('kmv:' || CAST(key AS VARCHAR)) AS h FROM b),
+        hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+        ka AS (SELECT max(h) AS h FROM (SELECT h FROM ha ORDER BY h LIMIT 256)),
+        kb AS (SELECT max(h) AS h FROM (SELECT h FROM hb ORDER BY h LIMIT 256)),
+        kumin AS (SELECT h FROM hu ORDER BY h LIMIT 256),
+        ku AS (SELECT max(h) AS h FROM kumin),
+        nb AS (SELECT count(*) AS nb FROM kumin
+               WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb))
+        SELECT 256 AS k,
+               255 / (CAST(${kmvValSql("ka.h")} AS DOUBLE) / ${BigInt(16).pow(12)}) AS est_a,
+               (SELECT count(*) FROM a) AS exact_a,
+               255 / (CAST(${kmvValSql("kb.h")} AS DOUBLE) / ${BigInt(16).pow(12)}) AS est_b,
+               (SELECT count(*) FROM b) AS exact_b,
+               CAST(nb.nb AS DOUBLE) / 256 *
+                 (255 / (CAST(${kmvValSql("ku.h")} AS DOUBLE) / ${BigInt(16).pow(12)})) AS est_inter
+        FROM ka, kb, ku, nb"""),
+      scaleNote = "KMV is a mergeable bounded-memory sketch: each partition keeps its k smallest hashes (TakeOrdered partial, k·16 bytes), merges keep the global k — one pass per relation, constant state, and set ALGEBRA (union/intersection estimates) that HLL union-only sketches cannot do; this is the join-size statistic a planner consults before choosing broadcast vs shuffle on derived keys that ANALYZE never profiled")
   )
+
+  /** numeric value of the first 12 hex chars of an md5 string as
+    * DuckDB SQL — the KMV fraction arithmetic, generated term-by-term
+    * so both engines share one formula (16^12 < 2^53: exact in BIGINT
+    * and in the double it divides into)
+    */
+  private def kmvValSql(h: String): String =
+    (0 until 12).map { i =>
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(11 - i)}"
+    }.mkString("(", " + ", ")")
 
   /** Morton/Z-order bit interleave of two `bits`-bit quantized long
     * columns — x occupies even bit positions, y odd. Pure
