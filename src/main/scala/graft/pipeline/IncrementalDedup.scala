@@ -294,8 +294,11 @@ object IncrementalDedup {
       .select(col("doc_id"),
         coalesce(col("np"), lit(0L)).as("n_pos"),
         coalesce(col("nd"), lit(0L)).as("n_dup"),
+        // round(…,6) mirrors one-shot q117's canonicalization
+        // discipline so incremental ≡ one-shot stays bit-exact
         when(col("np") > 0,
-          col("nd").cast("double") / col("np").cast("double")).as("dup_frac"))
+          round(col("nd").cast("double") / col("np").cast("double"), 6))
+          .as("dup_frac"))
       // materialize BEFORE the index append: the old-count scan is
       // lazy, and appending first would double-count the new batch
       .localCheckpoint()

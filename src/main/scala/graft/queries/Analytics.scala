@@ -897,9 +897,18 @@ object Analytics extends Catalog {
         val base = ordersBase(s, d)
         graft.operators.VersionedSnapshot.commit(s, root, base)
         val shift = base.agg(max(col("o_orderkey")).as("m"))
+        // reprice in integer CENTS: prices are exact cents stored as
+        // doubles, so floor(p*100+0.5) recovers the integer exactly,
+        // *11 DIV 10 is the 10% uplift in pure integer arithmetic,
+        // and the result double is bit-identical on both engines.
+        // round(x*1.1, 2) is NOT: Spark rounds the shortest decimal
+        // repr HALF_UP while DuckDB rounds the binary value, and they
+        // disagree on repr-ties (the round(2.675,2) problem — the r7
+        // driver-hash failure was 5 such cents)
         val delta = base.filter(col("o_orderkey") % 10 === 0)
           .select(col("o_orderkey"), lit("R").as("o_orderstatus"),
-            (col("o_totalprice") * 1.1).as("o_totalprice"))
+            expr("CAST((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 11) DIV 10 AS DOUBLE) / 100.0")
+              .as("o_totalprice"))
           .unionByName(base.filter(col("o_orderkey") % 1000 === 1)
             .crossJoin(broadcast(shift))
             .select((col("o_orderkey") + col("m")).as("o_orderkey"),
@@ -908,9 +917,15 @@ object Analytics extends Catalog {
           graft.operators.Upsert(
             graft.operators.VersionedSnapshot.read(s, root), delta,
             Seq("o_orderkey")))
+        // every stored price is a double within one ulp of exact
+        // cents, so floor(p*100+0.5) recovers the integer cents
+        // exactly on both engines; the LONG sum is order-independent
+        // and the final double division is then bit-stable
         graft.operators.VersionedSnapshot.read(s, root)
           .groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+          .agg(count(lit(1)).as("n"),
+            (sum(floor(col("o_totalprice") * 100 + lit(0.5))).cast("double")
+              / 100.0).as("total"))
       },
       sql = Some("""
         WITH base AS (
@@ -918,7 +933,8 @@ object Analytics extends Catalog {
         m AS (SELECT max(o_orderkey) AS m FROM base),
         delta AS (
           SELECT o_orderkey, 'R' AS o_orderstatus,
-                 o_totalprice * 1.1 AS o_totalprice
+                 CAST((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 11) // 10 AS DOUBLE) / 100.0
+                   AS o_totalprice
           FROM base WHERE o_orderkey % 10 = 0
           UNION ALL
           SELECT o_orderkey + m.m, o_orderstatus, o_totalprice
@@ -929,7 +945,9 @@ object Analytics extends Catalog {
           SELECT b.* FROM base b
           WHERE NOT EXISTS (SELECT 1 FROM delta d
                             WHERE d.o_orderkey = b.o_orderkey))
-        SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS total
         FROM merged GROUP BY 1"""),
       scaleNote = "each commit is one generation-dir write + one atomic pointer rename — cost identical to the plain rewrite, but readers resolve an immutable directory and a crash can only leave the pointer on the previous complete generation; at 100 TB pair it with PartitionedUpsert inside the generation for delta-sized writes")
   )

@@ -738,8 +738,14 @@ object Dedup extends Catalog {
           .select(col("doc_id"),
             coalesce(col("np"), lit(0L)).as("n_pos"),
             coalesce(col("nd"), lit(0L)).as("n_dup"),
+            // round(…,6): the ratio itself is a deterministic IEEE
+            // division, but the driver's hash gate compares full-
+            // precision text on both engines — q53's rounding
+            // discipline (Analytics.scala) pins both sides to the
+            // same 6-decimal double
             when(col("np") > 0,
-              col("nd").cast("double") / col("np").cast("double")).as("dup_frac"))
+              round(col("nd").cast("double") / col("np").cast("double"), 6))
+              .as("dup_frac"))
       },
       sql = Some("""
         WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
@@ -755,7 +761,7 @@ object Dedup extends Catalog {
                coalesce(per.np, 0) AS n_pos,
                coalesce(per.nd, 0) AS n_dup,
                CASE WHEN per.np > 0
-                    THEN CAST(per.nd AS DOUBLE) / CAST(per.np AS DOUBLE)
+                    THEN round(CAST(per.nd AS DOUBLE) / CAST(per.np AS DOUBLE), 6)
                END AS dup_frac
         FROM documents d LEFT JOIN per USING (doc_id)"""),
       scaleNote = "positions ≈ corpus token count, but every one moves as an 8-byte hash: the occurrence index aggregates with map-side partials (a boilerplate gram repeated 10⁹× costs one partial counter per partition, not a hot reducer — why this is a groupBy+join and NOT a count-over-window, whose per-g sort partition would concentrate every occurrence of a mega-dup gram), the shuffle_hash hint pins the BUILD side to the aggregated index so no stats misestimate ever broadcasts the position frame, and probe-side skew splits under AQE. One further doc_id shuffle folds positions to per-doc fractions; at 100 TB the occ frame is the corpus's duplicated-span index — persist it once and every later span-removal pass probes it for free"),
