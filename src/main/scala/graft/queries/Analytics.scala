@@ -190,19 +190,23 @@ object Analytics extends Catalog {
       fn = (s, d) =>
         t(s, d, "lineitem")
           .groupBy(col("l_linestatus"))
+          // round(,6) both sides: moment aggregates merge partials in
+          // partition order, so the raw doubles differ in the last
+          // 1-2 ulp between engines (measured ~1e-15 relative) — the
+          // q53/q117 canonicalization discipline
           .agg(
-            corr(col("l_quantity"), col("l_extendedprice")).as("corr_qp"),
-            covar_samp(col("l_quantity"), col("l_extendedprice")).as("covar_s"),
-            covar_pop(col("l_quantity"), col("l_extendedprice")).as("covar_p"),
-            stddev_samp(col("l_discount")).as("sd_disc"),
-            var_pop(col("l_tax")).as("var_tax")),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covar_s"),
+            round(covar_pop(col("l_quantity"), col("l_extendedprice")), 6).as("covar_p"),
+            round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+            round(var_pop(col("l_tax")), 6).as("var_tax")),
       sql = Some("""
         SELECT l_linestatus,
-               corr(l_quantity, l_extendedprice) AS corr_qp,
-               covar_samp(l_quantity, l_extendedprice) AS covar_s,
-               covar_pop(l_quantity, l_extendedprice) AS covar_p,
-               stddev_samp(l_discount) AS sd_disc,
-               var_pop(l_tax) AS var_tax
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+               round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_s,
+               round(covar_pop(l_quantity, l_extendedprice), 6) AS covar_p,
+               round(stddev_samp(l_discount), 6) AS sd_disc,
+               round(var_pop(l_tax), 6) AS var_tax
         FROM lineitem GROUP BY 1"""),
       scaleNote = "all are single-pass mergeable moments (partial agg before the shuffle) — the shape that scales linearly"),
 
@@ -670,8 +674,12 @@ object Analytics extends Catalog {
             .localCheckpoint()
         }
         // symmetric co-occurrence ⇒ every node has in-edges, so no
-        // node drops out of the aggregation and no dangling mass exists
-        r.select(col("node"), col("r"))
+        // node drops out of the aggregation and no dangling mass exists.
+        // round(,6) ONLY on the final emit (the iterations stay raw):
+        // per-round mass sums merge in partition order, so the last
+        // 1-2 ulp differ between engines — q117's canonicalization
+        // discipline pins the gate without touching the recurrence
+        r.select(col("node"), round(col("r"), 6).as("r"))
       },
       sql = Some("""
         WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
@@ -701,7 +709,7 @@ object Analytics extends Catalog {
         r5 AS (SELECT ew.v AS node,
                       0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r4.r) AS r
                FROM ew JOIN r4 ON ew.u = r4.node CROSS JOIN n GROUP BY 1)
-        SELECT node, r FROM r5"""),
+        SELECT node, round(r, 6) AS r FROM r5"""),
       scaleNote = "the Pregel pattern on DataFrames: per round ONE shuffle joining the rank frame to the (pre-partitioned, checkpointed) edge list and ONE groupBy on the destination — at 100 TB pre-partition edges by u so the rank join co-locates without re-shuffling edges each round, and the per-round localCheckpoint keeps lineage O(1) instead of O(iterations). Mass aggregation is map-side partial; the node-count scalar broadcasts. Fixed iteration count keeps the oracle arithmetic identical — a convergence-tested variant adds q61's signature probe, same plan"),
 
     // ----- q114: EWMA smoothing (sequential time-series state) ------
@@ -839,7 +847,7 @@ object Analytics extends Catalog {
                max(CASE WHEN rn_a = 1 THEN value END) AS open,
                max(value) AS high, min(value) AS low,
                max(CASE WHEN rn_d = 1 THEN value END) AS close,
-               count(*) AS n, sum(value) AS volume
+               count(*) AS n, round(sum(value), 6) AS volume
         FROM ranked GROUP BY 1, 2"""),
       scaleNote = "one map-side-combinable shuffle on (window, type): min_by/max_by carry a single (value, orderkey) pair per group through partial aggregation — no sort, no per-series window materialization (the oracle's row_number twin is the plan this one avoids); the streaming form is q37's watermarked window with this agg"),
 

@@ -643,9 +643,12 @@ object Curation extends Catalog {
           .crossJoin(broadcast(total))
           .groupBy(col("doc_id"))
           .agg(sum(col("tf")).as("n_tokens"),
-            (-sum(col("tf").cast("double") *
+            // round(,6) both sides: the ln-term sum merges in
+            // partition order, so raw low bits differ across engines
+            // (measured ~1e-15 relative) — q117's discipline
+            round(-sum(col("tf").cast("double") *
               log(col("cnt").cast("double") / col("total").cast("double"))) /
-              sum(col("tf")).cast("double")).as("avg_nll"))
+              sum(col("tf")).cast("double"), 6).as("avg_nll"))
       },
       sql = Some("""
         WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -655,9 +658,9 @@ object Curation extends Catalog {
         t AS (SELECT sum(cnt) AS total FROM m)
         SELECT tf.doc_id,
                CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-               -sum(CAST(tf.tf AS DOUBLE) *
+               round(-sum(CAST(tf.tf AS DOUBLE) *
                     ln(CAST(m.cnt AS DOUBLE) / CAST(t.total AS DOUBLE))) /
-                 CAST(sum(tf.tf) AS DOUBLE) AS avg_nll
+                 CAST(sum(tf.tf) AS DOUBLE), 6) AS avg_nll
         FROM tf JOIN m USING (term) CROSS JOIN t
         GROUP BY tf.doc_id"""),
       scaleNote = "model fit is one (term) shuffle with map-side partial agg over the already-collapsed (doc_id, term) frame; vocab ≪ corpus so the model broadcasts back and scoring adds one (doc_id) shuffle — at 100 TB hash terms to 8 bytes (q26's stance) and swap the broadcast for a shuffle join only if the vocabulary outgrows executor memory")

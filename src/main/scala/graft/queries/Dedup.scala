@@ -634,8 +634,11 @@ object Dedup extends Catalog {
           .filter(col("shared") >= MinShared)
           .join(nrm.select(col("doc_id").as("doc_a"), col("nv").as("na")), "doc_a")
           .join(nrm.select(col("doc_id").as("doc_b"), col("nv").as("nb")), "doc_b")
+          // round(,6): the dot-product partials merge in partition
+          // order, so raw low bits differ across engines (q117's
+          // canonicalization discipline)
           .select(col("doc_a"), col("doc_b"), col("shared"),
-            (col("dot") / (col("na") * col("nb"))).as("cosine"))
+            round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
       },
       sql = Some("""
         WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
@@ -657,7 +660,7 @@ object Dedup extends Catalog {
                 ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
         SELECT p.doc_a, p.doc_b, p.shared,
-               p.dot / (x.nv * y.nv) AS cosine
+               round(p.dot / (x.nv * y.nv), 6) AS cosine
         FROM p JOIN nrm x ON x.doc_id = p.doc_a
                JOIN nrm y ON y.doc_id = p.doc_b
         WHERE p.shared >= 3"""),

@@ -512,7 +512,10 @@ object TextAnalysis extends Catalog {
               log((col("c").cast("double") / col("st")) /
                 (col("cw").cast("double") / col("tot")))).as("term"))
           .groupBy(col("source"))
-          .agg(first(col("st")).as("n_tokens"), sum(col("term")).as("kl"))
+          // round(,6): the KL-term sum merges in partition order, so
+          // raw low bits differ across engines (q117's discipline)
+          .agg(first(col("st")).as("n_tokens"),
+            round(sum(col("term")), 6).as("kl"))
       },
       sql = Some("""
         WITH tok AS (
@@ -524,8 +527,8 @@ object TextAnalysis extends Catalog {
         cw AS (SELECT w, sum(c) AS cw FROM tok GROUP BY 1),
         tot AS (SELECT sum(c) AS tot FROM tok)
         SELECT tok.source, CAST(any_value(st.st) AS BIGINT) AS n_tokens,
-               sum((tok.c * 1.0 / st.st) *
-                   ln((tok.c * 1.0 / st.st) / (cw.cw * 1.0 / tot.tot))) AS kl
+               round(sum((tok.c * 1.0 / st.st) *
+                   ln((tok.c * 1.0 / st.st) / (cw.cw * 1.0 / tot.tot))), 6) AS kl
         FROM tok JOIN st USING (source) JOIN cw USING (w) CROSS JOIN tot
         GROUP BY 1"""),
       scaleNote = "three marginals off one tokenized count frame (checkpointed once): the per-source totals broadcast (|sources| rows), the corpus word counts join on w — vocab-sized, the only real shuffle — and the KL reduction is an ordinary two-phase agg; at 100 TB hash words to 8 bytes (q26) and the whole statistic stays one tokenize + two shuffles")

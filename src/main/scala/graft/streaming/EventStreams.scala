@@ -67,7 +67,10 @@ object EventStreams {
         min(col("value")).as("low"),
         max_by(col("value"), col("ts")).as("close"),
         count(lit(1)).as("n"),
-        sum(col("value")).as("volume"))
+        // round(,6): the only non-pick aggregate — the double sum
+        // merges partials in partition order, so raw low bits differ
+        // across engines/replays (q117's canonicalization discipline)
+        round(sum(col("value")), 6).as("volume"))
       .select(unix_micros(col("window.start")).as("bar_start"),
         col("event_type"), col("open"), col("high"), col("low"),
         col("close"), col("n"), col("volume"))
