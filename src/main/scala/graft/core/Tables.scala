@@ -20,9 +20,27 @@ object Tables {
   val broadcastable: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val raw = if (name == "events") {
+      // TIMESTAMP(NANOS) events can only be read with nanosAsLong=true,
+      // and the EXECUTION-time parquet reader re-reads the session conf
+      // lazily — so when the flag is actually needed it must stay set
+      // for the session (contract: all graft parquet reads route through
+      // Tables.load, whose normalizeTs repairs events.ts). When this
+      // corpus generation is NOT nanos (ts resolves to a timestamp
+      // type), restore the previous value immediately so the flag can't
+      // silently turn some later unrelated NANOS column into a Long.
+      val prev = spark.conf.getOption(NanosKey)
+      spark.conf.set(NanosKey, "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      val needsFlag = df.schema.fields.exists(f =>
+        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      if (!needsFlag) prev match {
+        case Some(v) => spark.conf.set(NanosKey, v)
+        case None    => spark.conf.unset(NanosKey)
+      }
+      df
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
     // normalize EVERY temporal column (events.ts, orders.o_orderdate,
     // lineitem.l_shipdate — whichever this corpus generation carries);
     // the LongType branch applies only to events.ts, where it means

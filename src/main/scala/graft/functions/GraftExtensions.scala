@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"simhash64(tokens) takes exactly 1 argument, got ${children.size}")
       }))
     ext.injectFunction((
+      FunctionIdentifier("simhash64_md5"),
+      new ExpressionInfo(classOf[SimHash64Md5].getName, "simhash64_md5"),
+      (children: Seq[Expression]) => children match {
+        case Seq(tokens) => SimHash64Md5(tokens)
+        case _ => throw new IllegalArgumentException(
+          s"simhash64_md5(tokens) takes exactly 1 argument, got ${children.size}")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       (children: Seq[Expression]) => children match {

@@ -44,8 +44,76 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** md5-token-hash variant of [[SimHash64]] — same single-pass
+  * accumulator, same bitstring output, but the per-token 64-bit hash
+  * is the FIRST 8 BYTES OF MD5 read big-endian. md5 is the one 64+-bit
+  * hash both Spark and DuckDB expose over identical bytes, which makes
+  * this variant mirror-oracle-able (q28): the DuckDB twin reads the
+  * same bits straight out of `md5(token)`'s hex. Costs ~2-3× the
+  * xxh64 variant per token — keep [[SimHash64]] for production paths
+  * that don't need a cross-engine witness.
+  */
+case class SimHash64Md5(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64_md5 expects array<string>, got ${other.simpleString(10)}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.computeMd5(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.computeMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Md5 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64_md5"
+}
+
 object SimHash64 {
   private val Seed = 42L // functions.xxhash64's fixed seed
+
+  // MessageDigest is stateful — one per executor thread
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** static so generated code can call it directly */
+  def computeMd5(arr: ArrayData): UTF8String = {
+    val counts = new Array[Int](64)
+    val md = Md5.get()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        // first 8 digest bytes big-endian == first 16 hex chars of
+        // md5's text form, msb first — the exact bits the SQL twin
+        // extracts digit-by-digit
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (digest(k) & 0xffL); k += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    emit(counts)
+  }
 
   /** static so generated code can call it directly */
   def compute(arr: ArrayData): UTF8String = {
@@ -64,6 +132,11 @@ object SimHash64 {
       }
       i += 1
     }
+    emit(counts)
+  }
+
+  /** shared counts → 64-char msb-first bitstring */
+  private def emit(counts: Array[Int]): UTF8String = {
     val out = new Array[Byte](64)
     var b = 63
     var j = 0

@@ -42,13 +42,23 @@ import org.apache.spark.sql.functions._
   */
 object PartitionedUpsert {
 
+  /** Above this many touched partitions the per-partition machinery
+    * (driver-side value list, dir-name probe write, per-dir rename
+    * loop) stops being metadata-scale; the merge falls back to a full
+    * snapshot rewrite, which is both driver-memory-bounded and — at
+    * that touch ratio — no longer meaningfully more IO than the
+    * partition-wise path anyway.
+    */
+  val MaxTouchedPartitions: Int = 100000
+
   def apply(
       spark: SparkSession,
       snapshotDir: String,
       delta: DataFrame,
       keys: Seq[String],
       partitionCol: String,
-      deletes: Option[DataFrame] = None): Unit = {
+      deletes: Option[DataFrame] = None,
+      maxTouched: Int = MaxTouchedPartitions): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(delta.columns.contains(partitionCol),
       s"delta must carry the partition column $partitionCol")
@@ -66,6 +76,7 @@ object PartitionedUpsert {
     val dir = root.toString
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     restoreAside(fs, dir)
+    restoreFull(fs, dir)
 
     if (!fs.exists(root)) {
       // first install: the delta IS the snapshot (minus deletes, whose
@@ -114,14 +125,23 @@ object PartitionedUpsert {
     // The touched-value set is small BY CONSTRUCTION — bounded by the
     // delta, not the snapshot (that is the operator's entire point) —
     // so collecting it is a metadata-scale driver action, the same
-    // class as a streaming batch id or a convergence probe.
+    // class as a streaming batch id or a convergence probe. The
+    // construction is still GUARDED: the collect goes through a
+    // limit(maxTouched+1) probe, so a pathological delta touching
+    // millions of partitions costs one extra row on the driver, never
+    // an unbounded list — it falls back to the full rewrite below.
     val touchedDf = deletes
       .fold(delta.select(col(partitionCol)))(del =>
         delta.select(col(partitionCol))
           .unionByName(del.select(col(partitionCol))))
       .distinct()
       .localCheckpoint() // reused for pruning AND the dir-name mapping
-    val touched = touchedDf.collect().map(_.get(0)).toSeq
+    val probe = touchedDf.limit(maxTouched + 1).collect().map(_.get(0)).toSeq
+    if (probe.length > maxTouched) {
+      fullRewrite(spark, dir, fs, delta, keys, partitionCol, deletes)
+      return
+    }
+    val touched = probe
     require(!touched.contains(null),
       s"PartitionedUpsert: null $partitionCol value in the delta — " +
         "null partitions are outside the touched-partition contract")
@@ -194,6 +214,65 @@ object PartitionedUpsert {
     fs.delete(tmpPath, true)
     fs.delete(aside, true)
     ()
+  }
+
+  /** Fallback when the delta touches more than `maxTouched` partition
+    * values: one [[Upsert]] over the WHOLE snapshot, installed by a
+    * single root-level swap. No driver-side value list exists on this
+    * path at all — the null-partition contract is enforced by the same
+    * zero-extra-scan Hive-default-dir probe the first install uses.
+    * Crash safety: rename root aside, rename tmp in ([[restoreFull]]
+    * recovers the one-rename-in window on the next call).
+    */
+  private def fullRewrite(
+      spark: SparkSession,
+      dir: String,
+      fs: FileSystem,
+      delta: DataFrame,
+      keys: Seq[String],
+      partitionCol: String,
+      deletes: Option[DataFrame]): Unit = {
+    val root = new Path(dir)
+    val snap = spark.read.schema(delta.schema).parquet(dir)
+    val merged0 = Upsert(snap, delta, keys)
+    val merged = deletes.fold(merged0)(del =>
+      merged0.join(broadcast(del.select(keys.map(col): _*)), keys, "left_anti"))
+    val tmp = new Path(dir + "_full_tmp")
+    fs.delete(tmp, true)
+    merged.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+    val hiveDefault = new Path(tmp, s"$partitionCol=__HIVE_DEFAULT_PARTITION__")
+    if (fs.exists(hiveDefault)) {
+      fs.delete(tmp, true)
+      sys.error(
+        s"PartitionedUpsert: null $partitionCol value in the delta — " +
+          "null partitions are outside the touched-partition contract")
+    }
+    val old = new Path(dir + "_full_old")
+    fs.delete(old, true)
+    if (!fs.rename(root, old))
+      sys.error(s"PartitionedUpsert: could not move $root aside for full rewrite")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(old, root) // restore
+      sys.error(s"PartitionedUpsert: could not install full rewrite at $root")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Recover from a crash inside [[fullRewrite]]'s two-rename swap:
+    * old present + root missing = crashed between renames, move the
+    * old snapshot back; both present = install completed, drop the old.
+    */
+  private def restoreFull(fs: FileSystem, snapshotDir: String): Unit = {
+    val old = new Path(snapshotDir + "_full_old")
+    if (fs.exists(old)) {
+      val root = new Path(snapshotDir)
+      if (!fs.exists(root)) {
+        if (!fs.rename(old, root))
+          sys.error(s"PartitionedUpsert: could not restore $old to $root")
+      } else fs.delete(old, true)
+    }
+    fs.delete(new Path(snapshotDir + "_full_tmp"), true)
   }
 
   /** The touched-partitions-only snapshot read — package-private so

@@ -52,10 +52,14 @@ object VersionedSnapshot {
     fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(root, Pointer)),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // prune generations a live reader can no longer be holding
+    // only names matching gen-<digits> participate: a stray sibling like
+    // gen-1.bak must not abort the prune after the pointer already moved
+    val GenName = "gen-(\\d+)".r
     fs.listStatus(new Path(root)).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("gen-") && n.stripPrefix("gen-").toLong <= next - keep)
-        fs.delete(st.getPath, true)
+      st.getPath.getName match {
+        case GenName(g) if g.toLong <= next - keep => fs.delete(st.getPath, true)
+        case _ => ()
+      }
     }
     next
   }

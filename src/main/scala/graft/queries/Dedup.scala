@@ -362,16 +362,38 @@ object Dedup extends Catalog {
     // ----- E12: SimHash fingerprints --------------------------------
     "q28_dedup_simhash" -> Q(
       fn = (s, d) =>
-        // native codegen'd Expression (graft.functions.SimHash64),
+        // native codegen'd Expression (graft.functions.SimHash64Md5),
         // registered by GraftExtensions: one pass over the tokens vs
         // the 64 interpreted array-walks a higher-order-function
-        // formulation costs (SimHash64Spec proves bit-equality)
+        // formulation costs. The md5 token hash (first 8 digest bytes
+        // big-endian) is the one 64-bit hash DuckDB can reproduce over
+        // identical bytes, so the whole simhash is mirror-oracled —
+        // the twin extracts each bit from md5()'s hex digit-by-digit.
+        // The xxh64 variant (SimHash64, ~2-3× faster/token) stays
+        // registered for production paths that don't need the witness;
+        // SimHash64Spec proves both against reference bit-walks.
         docs(s, d)
           .filter(length(col("text")) > 0)
-          .select(col("doc_id"), call_function("simhash64", words).as("simhash")),
-      sql = None, // xxhash64 not portable to DuckDB — rows-only check;
-      // value-level behavior covered by DedupSpec (hamming distance of
-      // near-dup pairs vs random pairs)
+          .select(col("doc_id"),
+            call_function("simhash64_md5", words).as("simhash")),
+      sql = Some("""
+        WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                   FROM documents WHERE len(text) > 0),
+        tok AS (SELECT doc_id, substr(md5(t), 1, 16) AS h
+                FROM (SELECT doc_id, unnest(toks) AS t FROM d)),
+        bits AS (SELECT doc_id, bb.b,
+                        CASE WHEN ((strpos('0123456789abcdef',
+                                     substr(h, 16 - bb.b // 4, 1)) - 1)
+                                   >> (bb.b % 4)) & 1 = 1
+                             THEN 1 ELSE -1 END AS s
+                 FROM tok CROSS JOIN
+                   (SELECT unnest(generate_series(0, 63)) AS b) bb),
+        cnt AS (SELECT doc_id, b, sum(s) AS c FROM bits GROUP BY 1, 2),
+        sh AS (SELECT doc_id,
+                      string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END, ''
+                                 ORDER BY b DESC) AS simhash
+               FROM cnt GROUP BY doc_id)
+        SELECT d.doc_id, sh.simhash FROM d JOIN sh USING (doc_id)"""),
       scaleNote = "pure per-row codegen expression — no shuffle at all; near-dup search then groups on bit-band substrings like q27"),
 
     // ----- E12: embedding cosine near-dup pairs ---------------------

@@ -330,9 +330,49 @@ object Similarity extends Catalog {
     // ----- IVF coarse-quantizer ANN (codebook scale path) -----------
     "q51_knn_ivf" -> Q(
       fn = (s, d) => ivfKnn(s, d, nprobe = 3),
-      sql = None, // approximate by construction; PipelineCatalogsSpec
-      // asserts nprobe=|cells| ≡ q30 brute force exactly, and the
-      // nprobe=3 contract (subset of corpus, true cosines, rank order)
+      // Mirror-oracled at the ALGORITHM level (q85's stance on the
+      // identical codebook/assignment arithmetic, q49's on the exact
+      // rerank): the twin rebuilds the per-label centroid codebook,
+      // assigns every vector to its argmax-score cell with the same
+      // (score DESC, cell) tie order, probes the same nprobe=3 cells
+      // per query, and reranks with the same sequential dot product —
+      // so the nprobe=3 approximation itself is verified hash-exact,
+      // not just bounded. PipelineCatalogsSpec additionally asserts
+      // nprobe=|cells| ≡ q30 brute force exactly.
+      sql = Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                   FROM embeddings),
+        ex AS (SELECT CAST(label AS INT) AS cell,
+                      unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                      unnest(embedding::DOUBLE[]) AS x
+               FROM embeddings),
+        cd AS (SELECT cell, dim, avg(x) AS c FROM ex GROUP BY 1, 2),
+        cent0 AS (SELECT cell, list(c ORDER BY dim) AS cv FROM cd GROUP BY cell),
+        cent AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM cent0),
+        assigned AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, cent.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, cent.cv) / cent.cnorm DESC, cent.cell) AS r
+          FROM e CROSS JOIN cent) WHERE r = 1),
+        probes AS (SELECT query_id, cell FROM (
+          SELECT e.vec_id AS query_id, cent.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, cent.cv) / cent.cnorm DESC, cent.cell) AS r
+          FROM e CROSS JOIN cent WHERE e.vec_id < $NumQueries) WHERE r <= 3),
+        scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                          list_dot_product(x.v, q.v) / (x.nrm * q.nrm) AS cosine
+                   FROM assigned a JOIN probes p USING (cell)
+                        JOIN e x ON x.vec_id = a.vec_id
+                        JOIN e q ON q.vec_id = p.query_id
+                   WHERE a.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, cosine, rnk FROM (
+          SELECT scored.*,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+        WHERE rnk <= $K"""),
+      // (the nprobe=3 contract: subset of corpus, true cosines, rank order)
       scaleNote = "inverted-list ANN: corpus scored once against a broadcast codebook (skinny argmax shuffle), queries touch only nprobe cells — candidate count scales with cell occupancy; at 100 TB the inverted lists are the partitioning"),
 
     // ----- SemDeDup: cluster-scoped semantic dedup ------------------
@@ -448,9 +488,34 @@ object Similarity extends Catalog {
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             col("cosine"), col("rnk"))
       },
-      sql = None, // approximate top-k: recall depends on bucket overlap
-      // of each query's true neighbors — contract (candidates ⊆ corpus,
-      // exact rerank, rank order) asserted in PipelineCatalogsSpec
+      // Mirror-oracled like q49: the twin computes the SAME plane
+      // signatures (literal ±1 matrix), the same bucket equi-join for
+      // candidates, and the same exact-cosine rerank with the same
+      // (cosine DESC, vec_id) tie order — so the comparison verifies
+      // the LSH-kNN ALGORITHM end-to-end, not a recall bound. Cosines
+      // are unrounded: vec_dot ≡ list_dot_product sequentially
+      // (q29/q49's proven stance), so ranks can't diverge either.
+      sql = Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                   FROM embeddings),
+        b AS (SELECT vec_id, t, $sqlSigCase AS sig
+              FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t)),
+        qb AS (SELECT vec_id AS query_id, t, sig FROM b
+               WHERE vec_id < $NumQueries),
+        cand AS (SELECT DISTINCT qb.query_id, b.vec_id
+                 FROM b JOIN qb ON b.t = qb.t AND b.sig = qb.sig
+                 WHERE b.vec_id <> qb.query_id),
+        scored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
+                          list_dot_product(x.v, q.v) / (x.nrm * q.nrm) AS cosine
+                   FROM cand JOIN e x ON x.vec_id = cand.vec_id
+                             JOIN e q ON q.vec_id = cand.query_id)
+        SELECT query_id, neighbor_id, cosine, rnk FROM (
+          SELECT scored.*,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored)
+        WHERE rnk <= $K"""),
       scaleNote = "replaces the cross join with a (table,signature) bucket equi-join over skinny 20-byte postings; signature is one native codegen'd pass; vectors join back only for candidates"),
 
     // ----- LSH-bucketed near-dup pairs (scale path for q29) ---------

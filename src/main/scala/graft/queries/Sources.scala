@@ -659,7 +659,7 @@ object Sources extends Catalog {
         val ha = keyed(Tables.load(s, d, "orders"), "o_orderkey")
         val hb = keyed(Tables.load(s, d, "lineitem"), "l_orderkey")
         val frac = (h: org.apache.spark.sql.Column) =>
-          expr(s"cast(conv(substr(h, 1, 12), 16, 10) as bigint)")
+          conv(substring(h, 1, 12), 16, 10).cast("long")
             .cast("double") / lit(math.pow(16.0, 12))
         def est(hs: DataFrame): DataFrame =
           hs.select(col("h")).orderBy(col("h")).limit(K)

@@ -247,6 +247,25 @@ object EventStreams {
       val out = collection.mutable.ArrayBuffer.empty[SessionOut]
       var cur = if (open.exists()) Some(open.get()) else None
       cur.foreach(o => getHandle.deleteTimer(expiryMs(o.lastUs)))
+      // second open run for far-late events: consecutive in-batch
+      // far-late siblings within one gap merge here exactly as batch
+      // session_window merges them (only the CROSS-batch sibling case
+      // remains the documented emit-early trade)
+      var late: Option[OpenSession] = None
+      def flushLate(): Unit = late.foreach { l =>
+        cur match {
+          case Some(o) if l.lastUs + gapUs > o.startUs =>
+            // the late run grew to within one gap of the open session:
+            // batch session_window would chain them — merge, not emit
+            cur = Some(o.copy(
+              startUs = math.min(o.startUs, l.startUs),
+              lastUs = math.max(o.lastUs, l.lastUs),
+              n = o.n + l.n,
+              sum_value = o.sum_value + l.sum_value))
+          case _ => out += close(l)
+        }
+        late = None
+      }
       rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
         val us = e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000
         cur match {
@@ -261,19 +280,29 @@ object EventStreams {
               lastUs = math.max(o.lastUs, us),
               n = o.n + 1,
               sum_value = o.sum_value + e.value))
+            flushLate() // a late run ending within a gap of us chains in
           case Some(o) if us >= o.lastUs + gapUs =>
-            out += close(o) // gap proven by this event
+            flushLate() // may extend cur's start before it closes
+            out += close(cur.get) // gap proven by this event
             cur = Some(OpenSession(uid, us, us, 1L, e.value))
           case Some(_) =>
-            // far-late: a whole gap BEFORE the open session — its own
-            // completed session, emitted now (the open one is kept);
-            // an even-later sibling that would have extended it is the
-            // documented emit-early trade vs session_window
-            out += SessionOut(uid, us, us + gapUs, 1L, e.value)
+            // far-late: a whole gap BEFORE the open session — grow the
+            // late run, merging ascending siblings within one gap
+            late match {
+              case Some(l) if us < l.lastUs + gapUs =>
+                late = Some(l.copy(lastUs = us, n = l.n + 1,
+                  sum_value = l.sum_value + e.value))
+              case Some(l) =>
+                out += close(l)
+                late = Some(OpenSession(uid, us, us, 1L, e.value))
+              case None =>
+                late = Some(OpenSession(uid, us, us, 1L, e.value))
+            }
           case None =>
             cur = Some(OpenSession(uid, us, us, 1L, e.value))
         }
       }
+      flushLate()
       cur.foreach { o =>
         open.update(o)
         getHandle.registerTimer(expiryMs(o.lastUs))

@@ -32,6 +32,48 @@ class SimHash64Spec extends SparkSpec {
     assert(df.count() == 100)
   }
 
+  /** the md5 variant's reference bit-walk: token hash = first 16 hex
+    * chars of md5 = first 8 digest bytes big-endian, split into two
+    * 32-bit halves (conv of all 16 digits would overflow signed long)
+    */
+  private def hofSimhashMd5 = {
+    val words = split(lower(col("text")), " ")
+    concat_ws("", transform(
+      sequence(lit(63), lit(0), lit(-1)),
+      b => {
+        def vote(t: org.apache.spark.sql.Column) = {
+          val hi = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+          val lo = conv(substring(md5(t), 9, 8), 16, 10).cast("long")
+          val bit = when(b >= 32, call_function("shiftright", hi, b - 32))
+            .otherwise(call_function("shiftright", lo, b))
+            .bitwiseAND(1)
+          when(bit === 1, 1L).otherwise(-1L)
+        }
+        when(aggregate(words, lit(0L), (acc, t) => acc + vote(t)) > 0,
+          lit("1")).otherwise(lit("0"))
+      }))
+  }
+
+  test("md5 variant matches its HOF bit-walk on real docs") {
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(length(col("text")) > 0).limit(100)
+      .select(
+        call_function("simhash64_md5", split(lower(col("text")), " ")).as("native"),
+        hofSimhashMd5.as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    assert(df.count() == 100)
+  }
+
+  test("md5 and xxh64 variants agree on shape, not value") {
+    val df = Seq("a few tokens here").toDF("text")
+      .select(
+        call_function("simhash64", split(col("text"), " ")).as("x"),
+        call_function("simhash64_md5", split(col("text"), " ")).as("m"))
+    val r = df.head()
+    assert(r.getString(0).length == 64 && r.getString(1).length == 64)
+    assert(r.getString(0) != r.getString(1), "different token hashes must differ")
+  }
+
   test("output is a 64-char bitstring") {
     val v = Seq("hello world foo").toDF("text")
       .select(call_function("simhash64", split(col("text"), " ")))

@@ -210,4 +210,39 @@ class PartitionedUpsertSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(freshInit)),
       "a rejected first install must not leave a snapshot")
   }
+
+  test("above maxTouched the merge falls back to a full rewrite, same answer") {
+    val dir = freshDir()
+    PartitionedUpsert(spark, dir, base, Seq("k"), "p")
+    Thread.sleep(1100)
+    val before = fileStamps(dir)
+    // delta touches 3 of the 4 partitions; cap at 2 forces the fallback
+    val delta = withP(Seq(
+      (1L, "U1", -1.0), (2L, "U2", -2.0), (3L, "U3", -3.0), (41L, "N41", 410.0)
+    ).toDF("k", "s", "v"))
+    PartitionedUpsert(spark, dir, delta, Seq("k"), "p", maxTouched = 2)
+    val got = spark.read.parquet(dir)
+      .select("k", "s", "v").as[(Long, String, Double)].collect().toSet
+    val want = Upsert(base, delta, Seq("k"))
+      .select("k", "s", "v").as[(Long, String, Double)].collect().toSet
+    assert(got == want, "fallback path must produce the identical merge")
+    // the fallback is a FULL rewrite: even the untouched partition's
+    // files are new (this is what distinguishes the path taken)
+    val after = fileStamps(dir)
+    assert(after.filter(_._1.startsWith("p=0")) !=
+      before.filter(_._1.startsWith("p=0")),
+      "full-rewrite fallback must have rewritten untouched partitions too")
+    // no scratch siblings left behind
+    assert(!Files.exists(Paths.get(dir + "_full_tmp")))
+    assert(!Files.exists(Paths.get(dir + "_full_old")))
+    // deletes flow through the fallback too
+    val delAll = withP((0L until 42L).filter(_ % 4 != 0)
+      .map(k => Tuple1(k)).toDF("k").select(col("k"))).select("k", "p")
+    PartitionedUpsert(spark, dir,
+      spark.emptyDataset[(Long, String, Double)].toDF("k", "s", "v")
+        .transform(withP),
+      Seq("k"), "p", deletes = Some(delAll), maxTouched = 2)
+    val left = spark.read.parquet(dir).select("k").as[Long].collect().toSet
+    assert(left == (0L until 40L).filter(_ % 4 == 0).toSet)
+  }
 }

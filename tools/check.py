@@ -6,11 +6,28 @@ part of the engine). Usage:
 
 Reads each <name>/ parquet dir dumped by graft.Verify, re-runs the
 matching oracle SQL from oracle_sql.json in DuckDB against the sf_dir
-parquet tables, canonicalizes both (columns sorted by name, rows
-sorted, floats rounded) and compares.
+parquet tables, canonicalizes both and compares.
+
+CANONICALIZATION CONTRACT (the one shared by engine authors, this
+replica, and the driver's gate — see also SURVEY.md "correctness
+gate"):
+  1. columns sorted BY NAME (so Spark and oracle column names must
+     match exactly — alias every computed column on both sides);
+  2. rows rendered as "|"-joined strings and sorted lexically (so
+     output order never matters, but every VALUE rendering does);
+  3. floats: the driver hashes at FULL precision (repr-level) —
+     set GRAFT_CHECK_FULLPREC=1 here to replicate that gate. The
+     default %.6g view is the looser dev loop. Because of (3), any
+     query emitting doubles must be bit-stable across partition merge
+     order and engines: either exact integer/decimal arithmetic, a
+     deterministic sequential reduction (vec_dot ≡ list_dot_product),
+     or round(x, 6) applied on BOTH engine and oracle sides (the
+     q53/q117 house pattern).
 """
 import json, math, sys, glob, os
 import duckdb
+
+FULLPREC = os.environ.get("GRAFT_CHECK_FULLPREC", "") not in ("", "0")
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -26,6 +43,8 @@ def canon(rows, cols):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
+                elif FULLPREC:
+                    v = repr(v)
                 else:
                     v = f"{v:.6g}"
             vals.append(str(v))
