@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Decode is pluggable behind [[MediaCodec]]: images decode for REAL
   * via [[ImageIoCodec]] (JDK-built-in javax.imageio — JPEG/PNG/GIF/BMP,
-  * no new dependency; spec'd against real encoded bytes). Audio/video
-  * have no JDK decoder and stay behind the documented [[FakeCodec]]
-  * stub (no media libraries in this container), which derives
-  * deterministic "pixels" from the bytes. Everything Spark-side is
-  * real and tested:
+  * no new dependency; spec'd against real encoded bytes), audio
+  * decodes for REAL via [[WavCodec]] (JDK-built-in javax.sound.sampled
+  * — WAV/AU/AIFF PCM and {U,A}-law). Only VIDEO has no JDK decoder and
+  * stays behind the documented [[FakeCodec]] stub (no media libraries
+  * in this container), which derives deterministic "pixels" from the
+  * bytes. Everything Spark-side is real and tested:
   * the schema, the binary column handling, the per-partition batch
   * shape (mirroring vectorized-UDF batching), and the frame-sampling
   * plan (pure Catalyst `sequence`+`explode`, no decode needed).
@@ -127,6 +128,56 @@ object Media {
             }
             Some(out)
           }
+        } catch { case _: Exception => None }
+    }
+    override def features(decoded: Array[Float], dim: Int): Array[Float] =
+      pooledFeatures(decoded, dim)
+  }
+
+  /** Real audio decode via the JDK's built-in `javax.sound.sampled`
+    * (no new dependency): WAV container bytes → normalized mono-mixed
+    * float samples in [-1, 1]. Any encoding the JDK can convert to
+    * PCM_SIGNED 16-bit (PCM, U-law, A-law WAV/AU/AIFF) decodes;
+    * corrupt or non-audio bytes → None, the same fail-soft contract as
+    * [[ImageIoCodec]]. Compressed codecs (mp3/aac) have no JDK decoder
+    * and remain behind the documented [[FakeCodec]] stub boundary —
+    * which now covers VIDEO ONLY in the synthetic corpus.
+    */
+  final class WavCodec extends MediaCodec {
+    override def decode(bytes: Array[Byte], meta: MediaMeta): Option[Array[Float]] = {
+      if (bytes == null || bytes.isEmpty) None
+      else
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              fmt.getSampleRate, 16, fmt.getChannels,
+              fmt.getChannels * 2, fmt.getSampleRate, false)
+            val pcm =
+              javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+            val data = pcm.readAllBytes()
+            val ch = fmt.getChannels
+            val nFrames = data.length / (2 * ch)
+            val out = new Array[Float](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              // mix channels to mono: mean of the little-endian s16 frames
+              var acc = 0.0f
+              var c = 0
+              while (c < ch) {
+                val idx = (f * ch + c) * 2
+                val s = (((data(idx + 1).toInt) << 8) | (data(idx) & 0xff)).toShort
+                acc += s / 32768.0f
+                c += 1
+              }
+              out(f) = acc / ch
+              f += 1
+            }
+            Some(out)
+          } finally ais.close()
         } catch { case _: Exception => None }
     }
     override def features(decoded: Array[Float], dim: Int): Array[Float] =
@@ -286,19 +337,39 @@ object Media {
     }
   }
 
-  /** [[synthetic]] with REAL image bytes: every image row carries an
-    * actual PNG (deterministic 32×32 noise seeded by media_id, encoded
-    * executor-side through javax.imageio) so the registered image
-    * pipeline exercises the real decode path end-to-end. Noise — not
-    * gradients — keeps distinct images' pooled features far apart, so
-    * phash pairs come only from byte-identical plants. Audio/video
-    * rows keep generated bytes: they stay behind the documented
-    * [[FakeCodec]] stub boundary (no JDK decoder exists for them).
+  /** [[synthetic]] with REAL image AND audio bytes: every image row
+    * carries an actual PNG (deterministic 32×32 noise seeded by
+    * media_id, encoded executor-side through javax.imageio) and every
+    * audio row an actual WAV (deterministic 16 kHz PCM16 noise,
+    * encoded through javax.sound.sampled), so both registered decode
+    * paths exercise real codecs end-to-end. Noise — not gradients —
+    * keeps distinct rows' pooled features far apart, so phash pairs
+    * come only from byte-identical plants. Video rows keep generated
+    * bytes: they alone stay behind the documented [[FakeCodec]] stub
+    * boundary (no JDK video decoder exists).
     */
   def syntheticEncoded(spark: SparkSession, n: Int, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     synthetic(spark, n, partitions).map { r =>
-      if (r.kind != "image") r
+      if (r.kind == "audio") {
+        val rnd = new scala.util.Random(r.media_id)
+        val samples = 1600 // 0.1 s at 16 kHz — enough signal, fast specs
+        val raw = new Array[Byte](samples * 2)
+        var i = 0
+        while (i < samples) {
+          val s = (rnd.nextInt(65536) - 32768).toShort
+          raw(2 * i) = (s & 0xff).toByte
+          raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), fmt, samples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        r.copy(bytes = bos.toByteArray, meta = MediaMeta("wav", 0, 0, 0, 16000))
+      } else if (r.kind != "image") r
       else {
         val img = new java.awt.image.BufferedImage(
           32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -91,7 +91,195 @@ object TextAnalysis extends Catalog {
        least(len(string_split(lower(text),' ')) / 100.0, 1.0) * 0.3 +
        least((${sqlStopCount("en")} / len(string_split(lower(text),' '))) * 5.0, 1.0) * 0.2"""
 
+  // ---- BPE: learn merges relationally, encode via broadcast dict ----
+  // The piece q111 (pair counts = one trainer round) points at: the
+  // FULL trainer loop plus corpus encoding, built so every step is
+  // mirrorable SQL. Key scale insight: after the first (word, freq)
+  // aggregation the whole learn loop runs on the VOCABULARY-sized
+  // frame (|vocab| × word-length rows — independent of corpus size),
+  // and the corpus-side encode is one broadcast dictionary join. The
+  // greedy left-to-right merge application is pure relational algebra:
+  // candidate positions → consecutive runs (pos - row_number) → keep
+  // odd ranks within each run (non-overlap) → rebuild and reindex.
+  private val BpeRounds = 6
+
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(words).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** initial (word, freq, pos, tok) frame: one character per token */
+  private def bpeEnc0(vocab: DataFrame): DataFrame =
+    vocab.select(col("word"), col("freq"),
+      posexplode(transform(sequence(lit(0), length(col("word")) - 1),
+        i => col("word").substr(i + 1, lit(1)))).as(Seq("pos", "tok")))
+
+  /** one trainer round: (merges row with the chosen pair, new encoding) */
+  private def bpeRound(enc: DataFrame, round: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val p = enc
+      .withColumn("nxt", lead(col("tok"), 1).over(wOrd))
+      .localCheckpoint() // shared by best-pair agg, candidates, rebuild
+    val best = p.filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("a"), col("nxt").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(1)
+      .localCheckpoint() // 1 row; feeds the candidate join AND the output
+    val cand = p.join(broadcast(best),
+        col("tok") === col("a") && col("nxt") === col("b"))
+      .select(col("word"), col("pos"))
+    // greedy non-overlap: candidates at consecutive positions form a
+    // run (they share a token); keep the 1st, 3rd, ... of each run —
+    // exactly left-to-right greedy BPE
+    val runs = cand.withColumn("grp",
+        col("pos") - row_number().over(wOrd))
+      .withColumn("rr", row_number().over(
+        Window.partitionBy(col("word"), col("grp")).orderBy(col("pos"))))
+      .filter(col("rr") % 2 === 1)
+      .select(col("word"), col("pos"))
+      .localCheckpoint() // joined twice below
+    val keptM = runs.select(col("word").as("kw"), col("pos").as("kp"))
+    val dropped = runs.select(col("word").as("dw"), (col("pos") + 1).as("dp"))
+    val newEnc = p
+      .join(dropped, col("word") === col("dw") && col("pos") === col("dp"),
+        "left_anti")
+      .join(keptM, col("word") === col("kw") && col("pos") === col("kp"),
+        "left")
+      .select(col("word"), col("freq"), col("pos").as("opos"),
+        when(col("kp").isNotNull, concat(col("tok"), col("nxt")))
+          .otherwise(col("tok")).as("tok"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("word")).orderBy(col("opos"))) - 1)
+      .drop("opos")
+      .localCheckpoint() // truncate the per-round lineage (q61/q113 stance)
+    val merge = best.select(lit(round.toLong).as("round"),
+      col("a"), col("b"), col("cnt"))
+    (merge, newEnc)
+  }
+
+  /** run the full loop; returns (all merges unioned, final encoding) */
+  private def bpeLearn(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    var enc = bpeEnc0(bpeVocab(s, d)).localCheckpoint()
+    val merges = (1 to BpeRounds).map { r =>
+      val (m, e) = bpeRound(enc, r)
+      enc = e
+      m
+    }
+    (merges.reduce(_.unionByName(_)), enc)
+  }
+
+  /** the DuckDB mirror: the identical rounds unrolled as CTE chains —
+    * same tie orders ((cnt DESC, a, b) for the argmax; pos for runs),
+    * same run/parity arithmetic, all-integer so hash-exact. Every CTE
+    * is AS MATERIALIZED: the chain references each round's frames 2-3
+    * times, and inlining would re-evaluate the whole prefix per
+    * reference — exponential across rounds (the SQL analogue of the
+    * engine's per-round localCheckpoint).
+    */
+  private def bpeSqlCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""
+      WITH v AS MATERIALIZED (SELECT w AS word, count(*) AS freq FROM (
+                   SELECT unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents WHERE len(text) > 0)
+                 WHERE len(w) > 0 GROUP BY w),
+      enc0 AS MATERIALIZED (SELECT word, freq, pos,
+                      substr(word, CAST(pos + 1 AS INT), 1) AS tok FROM (
+                 SELECT word, freq,
+                        unnest(generate_series(0, len(word) - 1)) AS pos
+                 FROM v))""")
+    for (r <- 1 to rounds) {
+      val prev = s"enc${r - 1}"
+      sb.append(s""",
+      p$r AS MATERIALIZED (SELECT word, freq, pos, tok,
+                     lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+              FROM $prev),
+      b$r AS MATERIALIZED (SELECT tok AS a, nxt AS b, c FROM (
+                SELECT tok, nxt, sum(freq) AS c FROM p$r
+                WHERE nxt IS NOT NULL GROUP BY tok, nxt)
+              ORDER BY c DESC, tok, nxt LIMIT 1),
+      c$r AS MATERIALIZED (SELECT p.word, p.pos FROM p$r p JOIN b$r b
+              ON p.tok = b.a AND p.nxt = b.b),
+      k$r AS MATERIALIZED (SELECT word, pos FROM (
+                SELECT word, pos, row_number() OVER
+                    (PARTITION BY word, grp ORDER BY pos) AS rr
+                FROM (SELECT word, pos,
+                             pos - row_number() OVER
+                               (PARTITION BY word ORDER BY pos) AS grp
+                      FROM c$r))
+              WHERE rr % 2 = 1),
+      enc$r AS MATERIALIZED (SELECT word, freq,
+                       row_number() OVER (PARTITION BY word ORDER BY opos) - 1 AS pos,
+                       tok FROM (
+                  SELECT p.word, p.freq, p.pos AS opos,
+                         CASE WHEN k.pos IS NOT NULL THEN p.tok || p.nxt
+                              ELSE p.tok END AS tok
+                  FROM p$r p
+                  LEFT JOIN k$r k ON k.word = p.word AND k.pos = p.pos
+                  WHERE NOT EXISTS (SELECT 1 FROM k$r d
+                                    WHERE d.word = p.word AND d.pos = p.pos - 1)))""")
+    }
+    sb.toString
+  }
+
   override def queries: Map[String, Q] = Map(
+
+    // ----- BPE trainer: the learned merge table ---------------------
+    "q134_bpe_learn_merges" -> Q(
+      fn = (s, d) => bpeLearn(s, d)._1,
+      sql = Some(bpeSqlCtes(BpeRounds) + "\n" +
+        (1 to BpeRounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, a, b, CAST(c AS BIGINT) AS cnt FROM b$r")
+          .mkString(" UNION ALL ")),
+      scaleNote = "after ONE corpus shuffle to (word, freq), every round runs on the vocab-sized frame — |vocab|×word-length rows whatever the corpus size; per round: one partial-agg groupBy, one broadcast 1-row join, three windows, all partitioned by word"),
+
+    // ----- BPE vocabulary encodings ---------------------------------
+    "q135_bpe_vocab_encode" -> Q(
+      fn = (s, d) => {
+        val (_, enc) = bpeLearn(s, d)
+        enc.groupBy(col("word"), col("freq"))
+          .agg(count(lit(1)).as("n_tokens"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("tok")))),
+              f => f.getField("tok")), " ").as("enc"))
+      },
+      sql = Some(bpeSqlCtes(BpeRounds) + s"""
+        SELECT word, freq, count(*) AS n_tokens,
+               string_agg(tok, ' ' ORDER BY pos) AS enc
+        FROM enc$BpeRounds GROUP BY word, freq"""),
+      scaleNote = "output is the dictionary itself (|vocab| rows) — this is the broadcast side of the corpus encode; the ordered string_agg runs per word over ≤ word-length tokens"),
+
+    // ----- BPE corpus encode: token counts via broadcast dictionary -
+    "q136_bpe_corpus_tokens" -> Q(
+      fn = (s, d) => {
+        val (_, enc) = bpeLearn(s, d)
+        val dict = enc.groupBy(col("word"))
+          .agg(count(lit(1)).as("n_tokens"))
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), explode(words).as("word"))
+          .filter(length(col("word")) > 0)
+          .join(broadcast(dict), "word")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("words"),
+            sum(col("n_tokens")).as("bpe_tokens"),
+            countDistinct(col("doc_id")).as("docs"))
+      },
+      sql = Some(bpeSqlCtes(BpeRounds) + s"""
+        , wenc AS (SELECT word, count(*) AS n_tokens
+                   FROM enc$BpeRounds GROUP BY word),
+        dw AS (SELECT doc_id, lang,
+                      unnest(string_split(lower(text), ' ')) AS w
+               FROM documents WHERE len(text) > 0)
+        SELECT lang, count(*) AS words,
+               CAST(sum(n_tokens) AS BIGINT) AS bpe_tokens,
+               count(DISTINCT doc_id) AS docs
+        FROM (SELECT doc_id, lang, w FROM dw WHERE len(w) > 0) d
+        JOIN wenc ON d.w = wenc.word
+        GROUP BY lang"""),
+      scaleNote = "the 100 TB encode: corpus joins the broadcast |vocab|-row dictionary (no shuffle beyond the final per-lang agg with map-side partials); re-tokenizing 100 TB is one scan + one broadcast hash join"),
 
     // ----- language ID via stopword-ratio argmax --------------------
     "q33_lang_id" -> Q(
