@@ -588,9 +588,73 @@ object Sources extends Catalog {
         graft.multimodal.Media.imageNearDup(
           planted, new graft.multimodal.Media.ImageIoCodec())
       },
-      sql = None, // the decode is real but pixel-level, so no SQL twin;
-      // MediaSpec covers planted-dup recall on real-encoded bytes,
-      // exactness of hamming, and the banding pigeonhole guarantee
+      // The oracle regenerates the PIXELS themselves: synthetic images
+      // are seeded java.util.Random noise and PNG is lossless, so
+      // decode(encode(px)) == px, and the whole decode → BT.601 luma →
+      // pooled-feature → aHash pipeline is mirrorable arithmetic.
+      //   * LCG: state' = (state·0x5DEECE66D + 0xB) mod 2^48 (HUGEINT —
+      //     the 83-bit product overflows BIGINT); nextInt(2^24) ≡
+      //     state' >> 24 for a power-of-two bound.
+      //   * float32 discipline (q105's stance, applied per-op): every
+      //     engine-side float add/mul rounds to 24 bits, and the exact
+      //     double result of a two-float op re-rounds to the identical
+      //     float, so CAST(… AS FLOAT) after each step is bit-exact.
+      //     The sequential accumulation order (pixel index, then dim
+      //     index) is pinned with list(… ORDER BY …) + list_reduce.
+      //   * banding is dropped on the oracle side: recall ≤ hamming 7
+      //     is a pigeonhole GUARANTEE, so candidate-join + filter ≡
+      //     all-pairs + filter over the same phashes (tiny corpus).
+      //   * corpus size keys off lineitem's cardinality (6k / 60k /
+      //     600k at sf0.001/0.01/0.1) — the SQL analogue of the
+      //     engine's explicit per-SF-dir size switch.
+      // Validated bit-exact vs an independent numpy float32 replica on
+      // every phash bit of both corpus sizes (tools/q58_proto.py).
+      sql = Some("""
+        WITH RECURSIVE
+        nn AS (SELECT CASE WHEN (SELECT count(*) FROM lineitem) < 30000
+                           THEN 90 ELSE 600 END AS n),
+        ids AS (
+          SELECT CAST(i AS BIGINT) AS id, CAST(i AS BIGINT) AS seed
+          FROM nn, range(0, 600) t(i) WHERE i < nn.n AND i % 3 = 0
+          UNION ALL
+          SELECT CAST(i + 1000000 AS BIGINT), CAST(i AS BIGINT)
+          FROM nn, range(0, 600) t(i) WHERE i < nn.n AND i % 21 = 0),
+        seeds AS (SELECT DISTINCT seed FROM ids),
+        st(seed, p, s) AS (
+          SELECT seed, -1,
+                 CAST(xor(seed, 25214903917) % 281474976710656 AS HUGEINT)
+          FROM seeds
+          UNION ALL
+          SELECT seed, p + 1,
+                 CAST((s * 25214903917 + 11) % 281474976710656 AS HUGEINT)
+          FROM st WHERE p < 1023),
+        px AS (SELECT seed, p, CAST(s // 16777216 AS BIGINT) AS rgb
+               FROM st WHERE p >= 0),
+        lum AS (SELECT seed, p,
+          CAST(CAST(CAST(CAST(CAST(0.299 AS FLOAT) * ((rgb >> 16) & 255) AS FLOAT)
+                 + CAST(CAST(0.587 AS FLOAT) * ((rgb >> 8) & 255) AS FLOAT) AS FLOAT)
+              + CAST(CAST(0.114 AS FLOAT) * (rgb & 255) AS FLOAT) AS FLOAT)
+            / CAST(255.0 AS FLOAT) AS FLOAT) AS l
+          FROM px),
+        feat AS (
+          SELECT seed, p % 64 AS j,
+                 CAST(list_reduce(list(l ORDER BY p),
+                                  (a, x) -> CAST(a + x AS FLOAT))
+                      / CAST(16.0 AS FLOAT) AS FLOAT) AS f
+          FROM lum GROUP BY seed, p % 64),
+        mh AS (
+          SELECT seed,
+                 list_reduce(list(CAST(f AS DOUBLE) ORDER BY j), (a, x) -> a + x)
+                   / 64.0 AS mean
+          FROM feat GROUP BY seed),
+        bits AS (
+          SELECT i.id, f.j, (CAST(f.f AS DOUBLE) > m.mean) AS bit
+          FROM feat f JOIN mh m USING (seed) JOIN ids i USING (seed))
+        SELECT a.id AS id1, b.id AS id2,
+               CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+        FROM bits a JOIN bits b ON a.j = b.j AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 7"""),
       scaleNote = "image dedup at 100 TB: decode (real javax.imageio) + phash is one map pass; candidates come from the 8-band (band,key) equi-join with pigeonhole-guaranteed recall ≤ hamming 7 — never a cartesian"),
 
     // ----- E1 layout: Z-order (Morton) multi-dimension clustering ---
