@@ -49,6 +49,241 @@ object Curation extends Catalog {
 
   override def queries: Map[String, Q] = Map(
 
+    // ---- q138: URL canonicalization + URL-level dedup ----------------
+    // The crawl-side sibling of q24's content dedup: two fetches of the
+    // same page differ only in URL NOISE (scheme/host case, default
+    // port, tracking params, fragments, trailing slash), so the pipeline
+    // canonicalizes before keying anything by URL. The corpus carries no
+    // URLs, so the query first derives a deterministic noisy URL per
+    // event (q62's inject-then-operate stance — every noise axis is a
+    // function of event columns, reproducible in both engines), then
+    // canonicalizes: lowercase scheme+host (ONLY those — paths are
+    // case-sensitive), strip the https default port :443 (keep :8080),
+    // drop utm_* params (keep the rest), strip the fragment, collapse
+    // the trailing slash ('' → '/'), and groups by the canonical form.
+    // Pure string/regexp arithmetic — bit-exact without rounding.
+    "q138_url_canonical_dedup" -> Q(
+      fn = (s, d) => {
+        val raw = Tables.load(s, d, "events").select(col("event_id"),
+          concat(
+            when(pmod(col("event_id"), lit(3)) === 0, "HTTPS").otherwise("https"),
+            lit("://WWW.Site"), pmod(col("user_id"), lit(20)).cast("string"),
+            lit(".COM"),
+            when(pmod(col("event_id"), lit(4)) === 0, ":443")
+              .when(pmod(col("event_id"), lit(4)) === 1, ":8080").otherwise(""),
+            lit("/Pages/"), col("event_type"),
+            when(pmod(col("event_id"), lit(2)) === 0, "/").otherwise(""),
+            lit("?utm_source=feed&id="), pmod(col("event_id"), lit(50)).cast("string"),
+            lit("&utm_campaign=x"),
+            when(pmod(col("event_id"), lit(5)) === 0,
+              concat(lit("#sec"), pmod(col("event_id"), lit(7)).cast("string")))
+              .otherwise("")).as("url"))
+        val nf = regexp_replace(col("url"), "#.*$", "")
+        val scheme = lower(regexp_extract(nf, "^([A-Za-z]+)://", 1))
+        val hostport = lower(regexp_extract(nf, "^[A-Za-z]+://([^/?#]*)", 1))
+        val host = when(scheme === "https",
+          regexp_replace(hostport, ":443$", "")).otherwise(hostport)
+        val rest = regexp_extract(nf, "^[A-Za-z]+://[^/?#]*(.*)$", 1)
+        val path0 = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+        val path = when(path0 === "", "/").otherwise(path0)
+        val qs = regexp_extract(rest, "\\?(.*)$", 1)
+        val kept = array_join(
+          filter(split(qs, "&"), p => substring(p, 1, 4) =!= "utm_"), "&")
+        raw
+          .select(col("event_id"),
+            concat(scheme, lit("://"), host, path,
+              when(kept === "", "").otherwise(concat(lit("?"), kept)))
+              .as("canon_url"))
+          .groupBy(col("canon_url"))
+          .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+      },
+      sql = Some("""
+        WITH u AS (
+          SELECT event_id,
+            (CASE WHEN event_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END) ||
+            '://WWW.Site' || CAST(user_id % 20 AS VARCHAR) || '.COM' ||
+            (CASE WHEN event_id % 4 = 0 THEN ':443'
+                  WHEN event_id % 4 = 1 THEN ':8080' ELSE '' END) ||
+            '/Pages/' || event_type ||
+            (CASE WHEN event_id % 2 = 0 THEN '/' ELSE '' END) ||
+            '?utm_source=feed&id=' || CAST(event_id % 50 AS VARCHAR) ||
+            '&utm_campaign=x' ||
+            (CASE WHEN event_id % 5 = 0
+                  THEN '#sec' || CAST(event_id % 7 AS VARCHAR) ELSE '' END) AS url
+          FROM events),
+        p AS (
+          SELECT event_id,
+            lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
+            lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]*)', 1)) AS hostport,
+            regexp_extract(nf, '^[A-Za-z]+://[^/?#]*(.*)$', 1) AS rest
+          FROM (SELECT event_id, regexp_replace(url, '#.*$', '') AS nf FROM u)),
+        c AS (
+          SELECT event_id,
+            scheme || '://' ||
+            (CASE WHEN scheme = 'https'
+                  THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END) ||
+            (CASE WHEN regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                                      '/+$', '') = ''
+                  THEN '/'
+                  ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                                      '/+$', '') END) ||
+            (CASE WHEN array_to_string(list_filter(
+                     string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+                     q -> substr(q, 1, 4) <> 'utm_'), '&') = ''
+                  THEN ''
+                  ELSE '?' || array_to_string(list_filter(
+                     string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+                     q -> substr(q, 1, 4) <> 'utm_'), '&') END) AS canon_url
+          FROM p)
+        SELECT canon_url, count(*) AS n_events,
+               min(event_id) AS first_event
+        FROM c GROUP BY 1"""),
+      scaleNote = "canonicalization is pure map-side regexp (fuses into the scan); the dedup groupBy shuffles on canon_url with map-side partials — at 100 TB this is the standard pre-dedup normalization pass, and the canonical key is what the q24/q25 exact-dedup family then hashes"),
+
+    // ---- q139: Gopher-style repetition signals ------------------------
+    // The WITHIN-doc repetition table from the Gopher/MassiveText
+    // quality rules (PAPERS.md) — complementary to q68 (which REWRITES
+    // docs) and q117 (which measures ACROSS-doc duplication): per doc,
+    // the fraction of characters claimed by the most frequent word
+    // 2-gram, and by all word 5-grams occurring more than once. Both
+    // are (integer count × integer gram length) / integer doc chars —
+    // ONE correctly-rounded division each, so bit-exact unrounded.
+    // Char fractions use occurrence×length (the published heuristic's
+    // form); overlaps can push a pathological doc past 1.0 — it's a
+    // filter signal, not a measure.
+    "q139_repetition_signals" -> Q(
+      fn = (s, d) => {
+        val w = split(lower(col("text")), " ")
+        val base = docs(s, d).filter(size(w) >= 2)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+            w.as("w"))
+          .localCheckpoint() // feeds the 2-gram and 5-gram sides once
+        val g2 = base.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1)))).as("g"))
+        val top2 = g2.groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("cnt").desc, col("g"))))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), (col("cnt") * length(col("g"))).as("top2_chars"))
+        val g5 = base.filter(size(col("w")) >= 5).select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("w")) - 4),
+            i => concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1), element_at(col("w"), i + 2),
+              element_at(col("w"), i + 3), element_at(col("w"), i + 4)))).as("g"))
+        val dup5 = g5.groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt") * length(col("g"))).as("dup5_chars"))
+        base.select(col("doc_id"), col("n_chars"))
+          .join(top2, Seq("doc_id"))
+          .join(dup5, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (col("top2_chars") / col("n_chars")).as("top2_frac"),
+            (coalesce(col("dup5_chars"), lit(0L)) / col("n_chars"))
+              .as("dup5_frac"))
+      },
+      sql = Some("""
+        WITH raw AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                 string_split(lower(text), ' ') AS w
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+        g2 AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1])) AS g FROM raw),
+        c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        t2 AS (SELECT doc_id, cnt * length(g) AS top2_chars FROM (
+                 SELECT doc_id, g, cnt, row_number() OVER
+                   (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rk FROM c2)
+               WHERE rk = 1),
+        g5 AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 4),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4])) AS g
+               FROM raw WHERE len(w) >= 5),
+        c5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+        d5 AS (SELECT doc_id, sum(cnt * length(g)) AS dup5_chars
+               FROM c5 WHERE cnt >= 2 GROUP BY 1)
+        SELECT r.doc_id,
+               t2.top2_chars / r.n_chars AS top2_frac,
+               coalesce(d5.dup5_chars, 0) / r.n_chars AS dup5_frac
+        FROM raw r JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)"""),
+      scaleNote = "grams shuffle on (doc_id, gram) with map-side partial counts — per-doc work is bounded by context length, total volume is O(corpus tokens); the per-doc top-1 collapses in-shuffle via WindowGroupLimit; at 100 TB this runs fused with the other per-doc quality passes (q34/q63) in one scan"),
+
+    // ---- q140: HTML boilerplate strip (text extraction) ---------------
+    // The crawl-extraction step upstream of EVERYTHING else in this
+    // catalog: raw HTML → clean text. The corpus is plain text, so the
+    // query wraps each doc in a deterministic HTML scaffold (script +
+    // style + comment + tags + the five standard entities — the same
+    // inject-then-operate stance as q62/q109), then extracts: drop
+    // <script>/<style> blocks, drop comments, strip tags, decode
+    // entities (&amp; LAST, so injected '&lt;' cannot double-decode),
+    // collapse whitespace. Patterns stay in the RE2 ∩ java.util.regex
+    // subset (lazy quantifiers + (?s), no lookaround); DuckDB needs the
+    // explicit 'g' option where Spark replaces globally by default.
+    "q140_html_extract" -> Q(
+      fn = (s, d) => {
+        val html = concat(
+          lit("<html><head><title>T&amp;C</title>" +
+            "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+            "<style>p { color: red; }</style></head><body><h1>"),
+          element_at(split(col("text"), " "), 1),
+          lit("</h1> <p>"), col("text"),
+          lit(" &amp; &lt;b&gt; &quot;q&quot; &#39;s&nbsp;tail</p>" +
+            "<!-- hidden --><div class=\"z\">end</div></body></html>"))
+        val noScript = regexp_replace(html, "(?s)<script.*?</script>", " ")
+        val noStyle = regexp_replace(noScript, "(?s)<style.*?</style>", " ")
+        val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+        val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+        val decoded = replace(replace(replace(replace(replace(
+          noTags,
+          lit("&nbsp;"), lit(" ")),
+          lit("&lt;"), lit("<")),
+          lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+          lit("&#39;"), lit("'"))
+        val fullDecoded = replace(decoded, lit("&amp;"), lit("&"))
+        val clean = trim(regexp_replace(fullDecoded, "\\s+", " "))
+        docs(s, d).select(col("doc_id"),
+          md5(clean).as("extract_md5"),
+          octet_length(clean).cast("long").as("n_bytes"))
+      },
+      sql = Some("""
+        WITH h AS (
+          SELECT doc_id,
+            '<html><head><title>T&amp;C</title>' ||
+            '<script type="text/javascript">var x = 1 < 2;</script>' ||
+            '<style>p { color: red; }</style></head><body><h1>' ||
+            string_split(text, ' ')[1] ||
+            '</h1> <p>' || text ||
+            ' &amp; &lt;b&gt; &quot;q&quot; &#39;s&nbsp;tail</p>' ||
+            '<!-- hidden --><div class="z">end</div></body></html>' AS html
+          FROM documents),
+        s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(html,
+                   '(?s)<script.*?</script>', ' ', 'g'),
+                   '(?s)<style.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g') AS t FROM h),
+        s2 AS (SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(t,
+                   '&nbsp;', ' '),
+                   '&lt;', '<'),
+                   '&gt;', '>'),
+                   '&quot;', '"'),
+                   '&#39;', ''''),
+                   '&amp;', '&') AS t FROM s1),
+        s3 AS (SELECT doc_id,
+                 trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean FROM s2)
+        SELECT doc_id, md5(clean) AS extract_md5,
+               CAST(strlen(clean) AS BIGINT) AS n_bytes
+        FROM s3"""),
+      scaleNote = "pure map-side regexp chain — one codegen'd pass that fuses into the scan; at 100 TB this IS the first pass over raw crawl bytes, and everything downstream (lang-ID, quality, dedup) reads its output, so keeping it shuffle-free and single-scan is the whole game"),
+
     "q62_pii_scrub" -> Q(
       fn = (s, d) => {
         val injected = concat(

@@ -700,6 +700,36 @@ object Sources extends Catalog {
         FROM z GROUP BY 1"""),
       scaleNote = "the 100 TB write path is zval → repartitionByRange(zval) → sortWithinPartitions(zval) → parquet, one range shuffle total; every produced file then carries tight footer min/max on BOTH keys (each bucket here fixes the top 4 bits of each dimension → both spans ≤ 1/16 of the domain), so predicates on either dimension prune files — 1-D range clustering can only serve one. The max-based quantizer is one broadcast scalar; production uses rank/percentile bins so dense ranges don't alias"),
 
+    // ----- E1: parquet aggregate pushdown (metadata-only scan) ------
+    // The cheapest query a 100 TB warehouse ever runs: COUNT/MIN/MAX
+    // answered from parquet FOOTER STATISTICS — zero row groups
+    // decoded, I/O proportional to file count, not data size. Spark
+    // ships this behind the DSv2 reader; the session default keeps the
+    // v1 path, so the query opens its own child session (same
+    // SparkContext, private SQLConf — Verify runs queries concurrently
+    // and a shared-conf flip would race the other scans). PlanSpec
+    // asserts the scan really shows PushedAggregation and no row-level
+    // aggregate runs above it. Timestamp/string columns are excluded
+    // by the pushdown rules, so the witnesses are long + double.
+    "q141_metadata_agg_pushdown" -> Q(
+      fn = (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.sources.useV1SourceList", "")
+        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        s2.read.parquet(s"$d/lineitem.parquet")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+      },
+      sql = Some("""
+        SELECT count(*) AS n_rows,
+               min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        FROM lineitem"""),
+      scaleNote = "the scan node itself answers the aggregate from footer stats (PushedAggregation) — at 100 TB that is thousands of footer reads instead of a full-corpus scan; falls back to a normal scan automatically the moment a predicate or an unsupported type enters the plan, so correctness never depends on the fast path"),
+
     // ----- E6 sketch family: KMV distinct + join-overlap estimation -
     // The statistic a cost-based planner needs that q43's HLL cannot
     // give: how many keys do two relations SHARE (the join's output

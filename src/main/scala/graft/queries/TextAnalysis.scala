@@ -227,6 +227,91 @@ object TextAnalysis extends Catalog {
 
   override def queries: Map[String, Q] = Map(
 
+    // ----- BM25 scored retrieval (lexical top-k search) -------------
+    // The retrieval modality the embedding-ANN family (q30/q31/q51)
+    // doesn't cover: exact lexical top-k by Okapi BM25 (k1 = 1.2,
+    // b = 0.75) for a fixed multi-term query. Per-term tf is computed
+    // MAP-SIDE with a filter HOF — no posting explode, no shuffle on
+    // the corpus at all; the stats the score needs (N, Σdl, per-term
+    // df) are ONE aggregate row broadcast back; the ranking is a
+    // global top-k (TakeOrdered — never a full sort). The idf keeps
+    // the rational (N - df + 0.5)/(df + 0.5) WITHOUT its log: log is
+    // monotone so the ranking is textbook BM25's, while the rational
+    // form stays in q79's mirror-arithmetic stance (identical parsed
+    // doubles through identically-ordered correctly-rounded IEEE ops
+    // — the oracle casts every non-exact literal to DOUBLE so DuckDB
+    // can't route the arithmetic through DECIMAL). round(,6) on the
+    // emitted score is the q53 emit discipline; the order-by uses the
+    // SAME rounded value on both sides so the cut is well-defined.
+    "q137_bm25_topk" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = Seq("table", "hash", "merge")
+        val base = docs(s, d).select(
+          col("doc_id") +: size(words).cast("long").as("dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(filter(words, w => w === lit(t))).cast("long").as(s"tf$i")
+            }: _*)
+        val stats = base.agg(
+          count(lit(1)).as("n"),
+          sum(col("dl")).as("sdl") +:
+            terms.indices.map(i =>
+              sum((col(s"tf$i") > 0).cast("long")).as(s"df$i")): _*)
+        def partScore(i: Int) = {
+          val tf = col(s"tf$i"); val df = col(s"df$i")
+          ((col("n") - df + lit(0.5)) / (df + lit(0.5))) *
+            ((tf * lit(2.2)) /
+              (tf + lit(1.2) * (lit(0.25) +
+                lit(0.75) * (col("dl") / (col("sdl") / col("n"))))))
+        }
+        base.crossJoin(broadcast(stats))
+          .filter(col("tf0") + col("tf1") + col("tf2") > 0)
+          .select(col("doc_id"),
+            round(partScore(0) + partScore(1) + partScore(2), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      },
+      sql = Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      w -> w = 'table')) AS BIGINT) AS tf0,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      w -> w = 'hash')) AS BIGINT) AS tf1,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      w -> w = 'merge')) AS BIGINT) AS tf2
+          FROM documents),
+        stats AS (
+          SELECT count(*) AS n, sum(dl) AS sdl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          FROM base),
+        sc AS (
+          SELECT doc_id, round(
+              (CAST(n - df0 + 0.5 AS DOUBLE) / CAST(df0 + 0.5 AS DOUBLE)) *
+                ((tf0 * CAST(2.2 AS DOUBLE)) /
+                 (tf0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                   CAST(0.75 AS DOUBLE) * (dl / (sdl / n)))))
+            + (CAST(n - df1 + 0.5 AS DOUBLE) / CAST(df1 + 0.5 AS DOUBLE)) *
+                ((tf1 * CAST(2.2 AS DOUBLE)) /
+                 (tf1 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                   CAST(0.75 AS DOUBLE) * (dl / (sdl / n)))))
+            + (CAST(n - df2 + 0.5 AS DOUBLE) / CAST(df2 + 0.5 AS DOUBLE)) *
+                ((tf2 * CAST(2.2 AS DOUBLE)) /
+                 (tf2 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                   CAST(0.75 AS DOUBLE) * (dl / (sdl / n))))), 6) AS score
+          FROM base CROSS JOIN stats
+          WHERE tf0 + tf1 + tf2 > 0),
+        top AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM top"""),
+      scaleNote = "tf via per-row HOF means the 100 TB corpus is ONE map pass + one broadcast stats row; top-k runs as TakeOrdered (per-partition heaps, k rows to the driver) — no global sort, no posting-list shuffle; for ad-hoc multi-query serving, flip to the q112 posting-index form (explode once, (term) equi-join per query) and reuse the same score expression"),
+
     // ----- BPE trainer: the learned merge table ---------------------
     "q134_bpe_learn_merges" -> Q(
       fn = (s, d) => bpeLearn(s, d)._1,

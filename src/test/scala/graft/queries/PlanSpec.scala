@@ -560,4 +560,24 @@ class PlanSpec extends SparkSpec {
       l.contains("*(") && l.contains("parseJson")),
       s"variant parse must sit inside a codegen stage:\n${fin.take(900)}")
   }
+
+  test("q141: COUNT/MIN/MAX answered from parquet footers (PushedAggregation)") {
+    val df = Sources.queries("q141_metadata_agg_pushdown").fn(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregate must push into the scan:\n${p.take(1200)}")
+    assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_quantity)"),
+      s"min/max must push into the scan:\n${p.take(1200)}")
+    // and the fast path computes exactly what the row-level plan does
+    val got = df.collect().head
+    val want = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.min("l_orderkey"),
+        org.apache.spark.sql.functions.max("l_orderkey"),
+        org.apache.spark.sql.functions.min("l_quantity"),
+        org.apache.spark.sql.functions.max("l_quantity"))
+      .collect().head
+    assert(got == want, s"footer stats disagree with row scan: $got vs $want")
+  }
 }
