@@ -47,6 +47,52 @@ object Curation extends Catalog {
   private val ChunkBudget = 32
   private val ChunkStride = 24
 
+  // ---- q142: the DuckDB mirror of the GD loop ----------------------
+  /** identical rounds unrolled as materialized CTEs (the bpeSqlCtes
+    * stance); every non-exact literal is CAST to DOUBLE so DuckDB
+    * can't route the arithmetic through DECIMAL, and each round's
+    * gradient/weights round to 6 dp exactly like the engine side
+    */
+  private def logregSql(rounds: Int): String = {
+    val dot = "w0 + w1*x1 + w2*x2 + w3*x3"
+    def grad(x: String) =
+      s"round(avg($x(y - 1.0/(1.0 + exp(-($dot))))), 6)"
+    val sb = new StringBuilder
+    sb.append("""
+      WITH f AS MATERIALIZED (
+        SELECT CAST(CASE WHEN len(w) >= 55 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+               CAST(len(list_filter(w, t -> regexp_full_match(t, '[a-z]+')))
+                    * 1.0 / len(w) AS DOUBLE) AS x1,
+               CAST(least(len(w) / CAST(100.0 AS DOUBLE), 1.0) AS DOUBLE) AS x2,
+               CAST(least((len(list_filter(w,
+                      t -> t IN ('the','a','of','and','to','is')))
+                    * 1.0 / len(w)) * CAST(5.0 AS DOUBLE), 1.0) AS DOUBLE) AS x3
+        FROM (SELECT string_split(lower(text), ' ') AS w
+              FROM documents WHERE length(text) > 0)),
+      w0t AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+                     CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+      g$r AS MATERIALIZED (SELECT
+          ${grad("")} AS g0, ${grad("x1 * ")} AS g1,
+          ${grad("x2 * ")} AS g2, ${grad("x3 * ")} AS g3
+        FROM f, w${r - 1}t),
+      w${r}t AS (SELECT
+          round(w0 + CAST(2.0 AS DOUBLE) * g0, 6) AS w0,
+          round(w1 + CAST(2.0 AS DOUBLE) * g1, 6) AS w1,
+          round(w2 + CAST(2.0 AS DOUBLE) * g2, 6) AS w2,
+          round(w3 + CAST(2.0 AS DOUBLE) * g3, 6) AS w3
+        FROM w${r - 1}t, g$r)""")
+    }
+    sb.append(s"""
+      SELECT w0, w1, w2, w3, count(*) AS n_docs,
+             CAST(sum(CASE WHEN (($dot) > 0) = (y = 1.0)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS acc
+      FROM f, w${rounds}t
+      GROUP BY w0, w1, w2, w3""")
+    sb.toString
+  }
+
   override def queries: Map[String, Q] = Map(
 
     // ---- q138: URL canonicalization + URL-level dedup ----------------
@@ -283,6 +329,66 @@ object Curation extends Catalog {
                CAST(strlen(clean) AS BIGINT) AS n_bytes
         FROM s3"""),
       scaleNote = "pure map-side regexp chain — one codegen'd pass that fuses into the scan; at 100 TB this IS the first pass over raw crawl bytes, and everything downstream (lang-ID, quality, dedup) reads its output, so keeping it shuffle-free and single-scan is the whole game"),
+
+    // ---- q142: logistic-regression gate distillation -----------------
+    // The TRAINING half of q73 (which only APPLIES fixed linear
+    // weights): full-batch gradient descent on a logistic model,
+    // distilling an expensive curation gate into a cheap linear scorer
+    // — the standard 100 TB practice (run the real gate on a sample,
+    // fit a linear/fastText-style model, apply the model everywhere).
+    // Label: the doc passes a token-budget gate (≥ 55 whitespace
+    // tokens); features: q34's alpha ratio / capped length / capped
+    // stopword glue. Five GD rounds at lr 2.0; each round is ONE
+    // aggregate over the feature frame (4 avg's) against a broadcast
+    // 1-row weight frame — the q113/q118 iteration shape, weights
+    // localCheckpoint'ed per round. Cross-engine bit-stability: the
+    // per-round gradient AND the updated weights round to 6 dp on both
+    // sides (q118's centroid-rounding stance — double sums are
+    // partition-order-sensitive, exp() is ~1 ulp, and the rounding
+    // absorbs both before anything feeds the next round). The final
+    // accuracy witness compares sign(w·x) to the label, so it only
+    // depends on the rounded weights and the exact-rational features.
+    "q142_logreg_distill" -> Q(
+      fn = (s, d) => {
+        val wArr = split(lower(col("text")), " ")
+        val nTok = size(wArr).cast("double")
+        val feats = docs(s, d).filter(length(col("text")) > 0)
+          .select(
+            when(size(wArr) >= 55, 1.0).otherwise(0.0).as("y"),
+            (size(filter(wArr, t => t.rlike("^[a-z]+$"))).cast("double") / nTok)
+              .as("x1"),
+            least(nTok / lit(100.0), lit(1.0)).as("x2"),
+            least((size(filter(wArr,
+              t => t.isin("the", "a", "of", "and", "to", "is"))).cast("double")
+              / nTok) * lit(5.0), lit(1.0)).as("x3"))
+          .localCheckpoint() // scanned once per GD round
+        val z = col("w0") + col("w1") * col("x1") +
+          col("w2") * col("x2") + col("w3") * col("x3")
+        val sig = lit(1.0) / (lit(1.0) + exp(-z))
+        val e = col("y") - sig
+        var wts = s.range(1).select(
+          lit(0.0).as("w0"), lit(0.0).as("w1"),
+          lit(0.0).as("w2"), lit(0.0).as("w3"))
+        for (_ <- 1 to 5) {
+          wts = feats.crossJoin(broadcast(wts)).agg(
+            round(min(col("w0")) + lit(2.0) * round(avg(e), 6), 6).as("w0"),
+            round(min(col("w1")) + lit(2.0) * round(avg(col("x1") * e), 6), 6)
+              .as("w1"),
+            round(min(col("w2")) + lit(2.0) * round(avg(col("x2") * e), 6), 6)
+              .as("w2"),
+            round(min(col("w3")) + lit(2.0) * round(avg(col("x3") * e), 6), 6)
+              .as("w3"))
+            .localCheckpoint() // 1 row; truncate per-round lineage
+        }
+        feats.crossJoin(broadcast(wts)).agg(
+          min(col("w0")).as("w0"), min(col("w1")).as("w1"),
+          min(col("w2")).as("w2"), min(col("w3")).as("w3"),
+          count(lit(1)).as("n_docs"),
+          (sum(when((z > 0) === (col("y") === 1.0), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("acc"))
+      },
+      sql = Some(logregSql(rounds = 5)),
+      scaleNote = "per round: one map-side-partial aggregate over the corpus (4 sums) + one broadcast of a 1-row weight frame — no shuffle of the data, ever; at 100 TB the feature frame is the one materialization (or recompute it per round if storage is tighter than compute), and minibatch SGD is the same plan over a q60-style hash sample per round"),
 
     "q62_pii_scrub" -> Q(
       fn = (s, d) => {

@@ -531,6 +531,26 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(row._3 == expectClean.getBytes("UTF-8").length.toLong)
   }
 
+  test("q142: GD distillation finds the gate feature and beats majority") {
+    val r = Curation.queries("q142_logreg_distill").fn(spark, sf0001)
+      .select("w0", "w1", "w2", "w3", "n_docs", "acc")
+      .as[(Double, Double, Double, Double, Long, Double)].head()
+    val (w0, w1, w2, w3, n, acc) = r
+    // the label is a token-count gate, and x2 is the (capped) token
+    // count — training must load the signal onto w2, positively and
+    // dominantly, not onto the noise features
+    assert(w2 > 0.5, s"w2=$w2 must carry the gate signal")
+    assert(math.abs(w2) > math.abs(w1) && math.abs(w2) > math.abs(w3),
+      s"w2 must dominate the noise features: $r")
+    // and the learned scorer must beat always-predict-majority
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(length(col("text")) > 0)
+    val pos = docs.filter(size(split(lower(col("text")), " ")) >= 55).count()
+    val majority = math.max(pos, n - pos).toDouble / n
+    assert(acc > majority + 0.05,
+      s"acc=$acc must clear the majority-class baseline $majority")
+  }
+
   test("q113: rank mass is conserved and every supplier node is ranked") {
     val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
       .select("node", "r").as[(Long, Double)].collect()
