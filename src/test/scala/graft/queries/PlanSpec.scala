@@ -561,6 +561,37 @@ class PlanSpec extends SparkSpec {
       s"variant parse must sit inside a codegen stage:\n${fin.take(900)}")
   }
 
+  test("q137: BM25 top-k plans as TakeOrdered with HOF tf (no posting explode)") {
+    val p = plan("q137_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n${p.take(800)}")
+    assert(!p.contains("Generate explode"),
+      "tf must come from the per-row filter HOF, not a posting explode")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row stats frame must broadcast")
+  }
+
+  test("q138: canonicalization is map-side — exactly the dedup groupBy shuffles") {
+    val p = plan("q138_url_canonical_dedup")
+    assert(exchanges(p) == 1,
+      s"only the canon_url groupBy may shuffle:\n${p.take(1000)}")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "dedup aggregate must be two-phase (map-side partial)")
+  }
+
+  test("q139: the per-doc top-1 2-gram prunes in-shuffle (WindowGroupLimit)") {
+    val p = plan("q139_repetition_signals")
+    assert(p.contains("WindowGroupLimit"), p.take(1000))
+  }
+
+  test("q142: GD rounds never shuffle the feature frame") {
+    val p = plan("q142_logreg_distill")
+    assert(exchanges(p) == 0,
+      s"the trainer is agg-over-broadcast only — no hash exchange:\n${p.take(1000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row weight frame must broadcast")
+  }
+
   test("q141: COUNT/MIN/MAX answered from parquet footers (PushedAggregation)") {
     val df = Sources.queries("q141_metadata_agg_pushdown").fn(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
