@@ -742,6 +742,103 @@ object Sources extends Catalog {
     // one division, one multiply) is generated identically for both
     // engines, so the ESTIMATES themselves hash-match — and the exact
     // counts sit beside them in the output as the accuracy witness.
+    // ----- E6: portable HLL — the sketch the oracle can REPLAY ------
+    // q43/q93 use Spark's built-in HLL++, whose register layout no
+    // other engine reproduces — they are rows-only by necessity. This
+    // is the constructive answer: a HyperLogLog built from PORTABLE
+    // primitives (md5-derived 48-bit hash — the q133 discipline — and
+    // a pure-integer leading-run CASE chain), so the DuckDB twin
+    // rebuilds the SAME registers and the ESTIMATES hash-match
+    // bit-for-bit. p = 9 → m = 512 registers; per-month sketches of
+    // distinct customers, then a register-wise max MERGE into the
+    // 'ALL' row — the q93 re-aggregation modality, now oracle-gated
+    // end to end. Register sums Σ2^-M are EXACT doubles (512 values,
+    // exponents in [-40, 0] — 50 mantissa bits), so only the
+    // small-range ln() branch needs the round(,6) emit discipline.
+    // Exact counts sit beside the estimates as the accuracy witness.
+    "q143_hll_portable" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.Column
+        val keys = Tables.load(s, d, "orders")
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("grp"),
+            col("o_custkey").as("k"))
+          .distinct()
+          .localCheckpoint() // shared by the sketch and the exact witness
+        val hashed = keys
+          .select(col("grp"),
+            conv(substring(md5(concat(lit("hll:"), col("k").cast("string"))),
+              1, 12), 16, 10).cast("long").as("h"))
+          .select(col("grp"),
+            shiftright(col("h"), 39).as("bucket"),
+            col("h").bitwiseAND(lit((1L << 39) - 1)).as("rem"))
+        val rho = (1 to 39).foldRight(lit(40): Column)((i, els) =>
+          when(col("rem") >= lit(1L << (39 - i)), lit(i)).otherwise(els))
+        val regs = hashed.select(col("grp"), col("bucket"), rho.as("r"))
+          .groupBy(col("grp"), col("bucket")).agg(max(col("r")).as("m"))
+          .localCheckpoint() // reused by per-group AND merged estimates
+        def estimate(df: DataFrame): DataFrame =
+          df.groupBy(col("grp"))
+            .agg(sum(pow(lit(2.0), -col("m"))).as("sp"),
+              count(lit(1)).as("present"))
+            .select(col("grp"), col("present").as("n_buckets"),
+              ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)))
+                * lit(262144.0)
+                / (col("sp") + (lit(512) - col("present")).cast("double")))
+                .as("raw"),
+              (lit(512) - col("present")).as("v"))
+            .select(col("grp"), col("n_buckets"),
+              when(col("raw") <= lit(1280.0) && col("v") > 0,
+                round(lit(512.0) * log(lit(512.0) / col("v").cast("double")), 6))
+                .otherwise(round(col("raw"), 6)).as("est"))
+        val perGroup = estimate(regs)
+        val merged = estimate(
+          regs.groupBy(col("bucket")).agg(max(col("m")).as("m"))
+            .select(lit("ALL").as("grp"), col("bucket"), col("m")))
+        val exactG = keys.groupBy(col("grp")).agg(count(lit(1)).as("n_exact"))
+        val exactAll = keys.select(col("k")).distinct()
+          .agg(count(lit(1)).as("n_exact"))
+          .select(lit("ALL").as("grp"), col("n_exact"))
+        perGroup.unionByName(merged)
+          .join(exactG.unionByName(exactAll), Seq("grp"))
+          .select(col("grp"), col("est"), col("n_buckets"), col("n_exact"))
+      },
+      sql = Some(s"""
+        WITH keys AS MATERIALIZED (
+          SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS grp,
+                          o_custkey AS k
+          FROM orders),
+        hm AS (SELECT grp, md5('hll:' || CAST(k AS VARCHAR)) AS hh FROM keys),
+        hx AS (SELECT grp, ${kmvValSql("hh")} AS h FROM hm),
+        br AS (SELECT grp, h // ${1L << 39} AS bucket,
+                      h % ${1L << 39} AS rem FROM hx),
+        rg AS MATERIALIZED (
+          SELECT grp, bucket, max($hllRhoSqlCase) AS m
+          FROM br GROUP BY 1, 2),
+        eg AS (SELECT grp, count(*) AS present,
+                      sum(power(CAST(2 AS DOUBLE), -m)) AS sp
+               FROM rg GROUP BY 1),
+        em AS (SELECT 'ALL' AS grp, bucket, max(m) AS m FROM rg GROUP BY 2),
+        ea AS (SELECT grp, count(*) AS present,
+                      sum(power(CAST(2 AS DOUBLE), -m)) AS sp
+               FROM em GROUP BY 1),
+        es AS (SELECT grp, present AS n_buckets,
+                      (CAST(0.7213 AS DOUBLE)
+                        / (1.0 + CAST(1.079 AS DOUBLE) / 512.0)) * 262144.0
+                        / (sp + CAST(512 - present AS DOUBLE)) AS raw,
+                      512 - present AS v
+               FROM (SELECT * FROM eg UNION ALL SELECT * FROM ea)),
+        fin AS (SELECT grp, n_buckets,
+                       CASE WHEN raw <= 1280.0 AND v > 0
+                            THEN round(512.0 * ln(512.0 / CAST(v AS DOUBLE)), 6)
+                            ELSE round(raw, 6) END AS est
+                FROM es),
+        ex AS (SELECT grp, count(*) AS n_exact FROM keys GROUP BY 1
+               UNION ALL
+               SELECT 'ALL', count(DISTINCT k) FROM keys)
+        SELECT fin.grp, fin.est, fin.n_buckets, ex.n_exact
+        FROM fin JOIN ex USING (grp)"""),
+      scaleNote = "the sketch IS the shuffle: each group moves ≤ 512 (bucket, max-rho) rows whatever its cardinality, partial-aggregated map-side; merges are register-wise max — associative, so daily sketches roll into monthly/'ALL' without touching raw keys again (persist the 512-row frames, the q93 modality); estimates are O(m) arithmetic on the merged frame"),
+
     "q133_kmv_overlap" -> Q(
       fn = (s, d) => {
         val K = 256
@@ -808,6 +905,14 @@ object Sources extends Catalog {
     (0 until 12).map { i =>
       s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(11 - i)}"
     }.mkString("(", " + ", ")")
+
+  /** q143: leading-run length of a 39-bit remainder as a pure integer
+    * CASE chain (1 + count of leading zero bits; 40 when rem = 0) —
+    * exact in both engines, no log2/float anywhere near the registers
+    */
+  private def hllRhoSqlCase: String =
+    (1 to 39).map(i => s"WHEN rem >= ${1L << (39 - i)} THEN $i")
+      .mkString("CASE ", " ", " ELSE 40 END")
 
   /** Morton/Z-order bit interleave of two `bits`-bit quantized long
     * columns — x occupies even bit positions, y odd. Pure

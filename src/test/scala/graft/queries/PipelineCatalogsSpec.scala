@@ -551,6 +551,30 @@ class PipelineCatalogsSpec extends SparkSpec {
       s"acc=$acc must clear the majority-class baseline $majority")
   }
 
+  test("q143: portable HLL estimates land inside the m=512 error bound, " +
+    "including the register-merged ALL row") {
+    val rows = Sources.queries("q143_hll_portable").fn(spark, sf0001)
+      .select("grp", "est", "n_buckets", "n_exact")
+      .as[(String, Double, Long, Long)].collect()
+    assert(rows.exists(_._1 == "ALL"), "the merged sketch row must exist")
+    assert(rows.forall(_._3 <= 512), "a p=9 sketch cannot exceed 512 registers")
+    // HLL relative error ~1.04/sqrt(m) = 4.6%; allow 3 sigma. The
+    // small-range rows route through linear counting, which is even
+    // tighter — one shared bound covers both regimes.
+    for ((grp, est, _, exact) <- rows if exact >= 20) {
+      val rel = math.abs(est - exact) / exact
+      assert(rel < 3 * 1.04 / math.sqrt(512),
+        s"$grp: est=$est exact=$exact rel=$rel")
+    }
+    // merging per-group registers must estimate the UNION, not the sum:
+    // ALL's exact distinct count is far below the per-month total
+    // (customers repeat across months), and the estimate must track it
+    val all = rows.find(_._1 == "ALL").get
+    val sumMonths = rows.filter(_._1 != "ALL").map(_._4).sum
+    assert(all._4 < sumMonths, "witness precondition: keys repeat across groups")
+    assert(math.abs(all._2 - all._4) / all._4 < 3 * 1.04 / math.sqrt(512))
+  }
+
   test("q113: rank mass is conserved and every supplier node is ranked") {
     val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
       .select("node", "r").as[(Long, Double)].collect()
