@@ -185,6 +185,106 @@ object Analytics extends Catalog {
         FROM lineitem GROUP BY 1"""),
       scaleNote = "exact percentile buffers per-group values — fine per bounded group; at 100 TB with huge groups switch to approx_percentile (t-digest, mergeable sketches)"),
 
+    // ----- mergeable histogram quantile sketch (q53's 100 TB path) --
+    // q53's scaleNote prescribes "mergeable sketches" for unbounded
+    // groups — this IS that operator, built portable (the q143
+    // stance) so the oracle replays it: fixed-width value-domain
+    // histograms (W = 5000 over o_totalprice, ~100 buckets), per
+    // priority class, merged by ADDING counts into the 'ALL' row —
+    // associativity is the whole point: daily histograms roll into
+    // monthly/global without revisiting raw values. Quantiles read
+    // off the merged histogram by cumulative-count crossing + linear
+    // interpolation inside the bucket: integer counts, one division,
+    // fixed op order — bit-exact, no rounding needed on the estimate.
+    // The exact quantile_cont rides beside it (q53's round(,4)
+    // invariant) as the accuracy witness; |est − exact| ≤ W by
+    // construction when both land in the same bucket.
+    "q144_histogram_quantiles" -> Q(
+      fn = (s, d) => {
+        val W = 5000.0
+        val src = t(s, d, "orders")
+          .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x"))
+        val hist = src
+          .groupBy(col("grp"),
+            floor(col("x") / lit(W)).cast("long").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // reused by the merged ALL histogram
+        val h = hist.unionByName(
+          hist.groupBy(col("b")).agg(sum(col("c")).as("c"))
+            .select(lit("ALL").as("grp"), col("b"), col("c")))
+        val cum = h
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy(col("grp")).orderBy(col("b"))))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+        val qdf = s.range(1).select(explode(array(
+          lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("q"))
+        val est = cum.crossJoin(broadcast(qdf))
+          .withColumn("r", col("q") * col("n"))
+          .filter(col("cum") >= col("r"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("grp"), col("q")).orderBy(col("b"))))
+          .filter(col("rk") === 1)
+          .select(col("grp"), col("q"),
+            (col("b") * lit(W) + lit(W) *
+              ((col("r") - (col("cum") - col("c")).cast("double"))
+                / col("c").cast("double"))).as("est"))
+        val exWide = src.groupBy(col("grp"))
+          .agg(expr("percentile(x, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"))
+          .unionByName(src
+            .agg(expr("percentile(x, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"))
+            .select(lit("ALL").as("grp"), col("ps")))
+        val ex = exWide.select(col("grp"),
+          posexplode(col("ps")).as(Seq("i", "v")))
+          .select(col("grp"),
+            element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)),
+              col("i").cast("int") + 1).as("q"),
+            round(col("v"), 4).as("exact"))
+        est.join(ex, Seq("grp", "q"))
+          .select(col("grp"), col("q"), col("est"), col("exact"))
+      },
+      sql = Some("""
+        WITH src AS (SELECT o_orderpriority AS grp, o_totalprice AS x
+                     FROM orders),
+        hist AS MATERIALIZED (
+          SELECT grp, CAST(floor(x / CAST(5000.0 AS DOUBLE)) AS BIGINT) AS b,
+                 count(*) AS c
+          FROM src GROUP BY 1, 2),
+        h AS (SELECT grp, b, CAST(c AS BIGINT) AS c FROM hist
+              UNION ALL
+              SELECT 'ALL', b, CAST(sum(c) AS BIGINT) FROM hist GROUP BY b),
+        cum AS (SELECT grp, b, c,
+                       sum(c) OVER (PARTITION BY grp ORDER BY b) AS cum,
+                       sum(c) OVER (PARTITION BY grp) AS n
+                FROM h),
+        qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q),
+        pick AS (SELECT grp, q, b, c, cum, q * n AS r,
+                        row_number() OVER (PARTITION BY grp, q ORDER BY b) AS rk
+                 FROM cum, qs WHERE cum >= q * n),
+        est AS (SELECT grp, q,
+                       b * CAST(5000.0 AS DOUBLE) + CAST(5000.0 AS DOUBLE) *
+                         ((r - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE)) AS est
+                FROM pick WHERE rk = 1),
+        exw AS (SELECT grp,
+                       round(quantile_cont(x, 0.25), 4) AS e1,
+                       round(quantile_cont(x, 0.50), 4) AS e2,
+                       round(quantile_cont(x, 0.75), 4) AS e3,
+                       round(quantile_cont(x, 0.90), 4) AS e4
+                FROM src GROUP BY 1
+                UNION ALL
+                SELECT 'ALL',
+                       round(quantile_cont(x, 0.25), 4),
+                       round(quantile_cont(x, 0.50), 4),
+                       round(quantile_cont(x, 0.75), 4),
+                       round(quantile_cont(x, 0.90), 4)
+                FROM src),
+        ex AS (SELECT grp, CAST(0.25 AS DOUBLE) AS q, e1 AS exact FROM exw
+               UNION ALL SELECT grp, CAST(0.5 AS DOUBLE), e2 FROM exw
+               UNION ALL SELECT grp, CAST(0.75 AS DOUBLE), e3 FROM exw
+               UNION ALL SELECT grp, CAST(0.9 AS DOUBLE), e4 FROM exw)
+        SELECT est.grp, est.q, est.est, ex.exact
+        FROM est JOIN ex ON est.grp = ex.grp AND est.q = ex.q"""),
+      scaleNote = "the histogram is the shuffle: each group moves ≤ ~100 (bucket, count) rows whatever its size, partial-aggregated map-side; merges ADD counts (associative/commutative), so per-shard histograms roll up without re-scanning — the fixed-W design trades t-digest's adaptive resolution for exact mergeability and replayability, and W is the explicit, documented error bound"),
+
     // ----- statistical aggregates -----------------------------------
     "q54_stats_agg" -> Q(
       fn = (s, d) =>

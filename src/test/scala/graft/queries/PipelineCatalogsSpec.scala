@@ -575,6 +575,27 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(math.abs(all._2 - all._4) / all._4 < 3 * 1.04 / math.sqrt(512))
   }
 
+  test("q144: histogram quantiles stay inside the bucket-width bound " +
+    "and are monotone in q") {
+    val W = 5000.0
+    val rows = Analytics.queries("q144_histogram_quantiles").fn(spark, sf0001)
+      .select("grp", "q", "est", "exact")
+      .as[(String, Double, Double, Double)].collect()
+    assert(rows.exists(_._1 == "ALL"), "the merged histogram row must exist")
+    // |est - exact| <= 2W: the estimate and the exact quantile can land
+    // in adjacent buckets at a crossing boundary, never further — W is
+    // the sketch's documented resolution
+    for ((grp, q, est, exact) <- rows)
+      assert(math.abs(est - exact) <= 2 * W, s"$grp q=$q est=$est exact=$exact")
+    // quantile estimates must be non-decreasing in q within each group
+    rows.groupBy(_._1).foreach { case (grp, rs) =>
+      val sorted = rs.sortBy(_._2).map(_._3)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true
+      }, s"$grp: estimates not monotone: ${sorted.mkString(",")}")
+    }
+  }
+
   test("q113: rank mass is conserved and every supplier node is ranked") {
     val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
       .select("node", "r").as[(Long, Double)].collect()
