@@ -742,6 +742,81 @@ object Sources extends Catalog {
     // one division, one multiply) is generated identically for both
     // engines, so the ESTIMATES themselves hash-match — and the exact
     // counts sit beside them in the output as the accuracy witness.
+    // ----- E6: portable Bloom filter (replayable membership sketch) -
+    // q84 proves Spark's built-in bloom JOIN PRUNING fires; this is
+    // the sketch itself, built portable (q143's stance) so the oracle
+    // rebuilds the SAME filter: m = 16384 bits as a distinct-positions
+    // frame, k = 4 md5-derived hash positions per key. Probe set =
+    // every customer (member) plus a shifted guaranteed-non-member
+    // twin; a candidate passes iff all 4 positions are set. The two
+    // hard Bloom properties are emitted as columns and spec-gated:
+    // ZERO false negatives (every member passes — a guarantee, not a
+    // probability), and the false-positive rate near the design point
+    // (1-e^(-kn/m))^k ≈ 0.9%. All-integer arithmetic except the one
+    // exact-int division — bit-exact unrounded.
+    "q145_bloom_portable" -> Q(
+      fn = (s, d) => {
+        def posCol(j: Int, k: org.apache.spark.sql.Column) =
+          pmod(conv(substring(md5(concat(lit(s"bl$j:"), k.cast("string"))),
+            1, 12), 16, 10).cast("long"), lit(16384L))
+        val bits = Tables.load(s, d, "orders")
+          .select(col("o_custkey").as("k")).distinct()
+          .select(explode(array((0 until 4).map(j => posCol(j, col("k"))): _*))
+            .as("pos"))
+          .distinct()
+          .localCheckpoint() // the filter — probed by 6000 candidate rows
+        val cust = Tables.load(s, d, "customer").select(col("c_custkey").as("k"))
+        val cands = cust.select(col("k"), lit(1L).as("is_member"))
+          .unionByName(cust.select((col("k") + lit(1000000L)).as("k"),
+            lit(0L).as("is_member")))
+        val probes = cands.select(col("k"), col("is_member"),
+          explode(array((0 until 4).map(j => posCol(j, col("k"))): _*)).as("pos"))
+        val perKey = probes
+          .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+          .groupBy(col("k"), col("is_member"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("mc"))
+        perKey.agg(
+          sum(col("is_member")).as("n_members"),
+          sum(lit(1L) - col("is_member")).as("n_nonmembers"),
+          sum(when(col("is_member") === 1 && col("mc") === 4, 1L)
+            .otherwise(0L)).as("n_member_pass"),
+          sum(when(col("is_member") === 0 && col("mc") === 4, 1L)
+            .otherwise(0L)).as("n_false_pos"))
+          .select(col("n_members"), col("n_nonmembers"),
+            col("n_member_pass"), col("n_false_pos"),
+            (col("n_false_pos").cast("double") / col("n_nonmembers"))
+              .as("fp_rate"))
+      },
+      sql = Some(s"""
+        WITH bk AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        bh AS (SELECT md5('bl' || j || ':' || CAST(k AS VARCHAR)) AS hh
+               FROM bk, js),
+        bits AS MATERIALIZED (
+          SELECT DISTINCT ${kmvValSql("hh")} % 16384 AS pos FROM bh),
+        cand AS (SELECT c_custkey AS k, CAST(1 AS BIGINT) AS is_member
+                 FROM customer
+                 UNION ALL
+                 SELECT c_custkey + 1000000, CAST(0 AS BIGINT) FROM customer),
+        chh AS (SELECT k, is_member,
+                       md5('bl' || j || ':' || CAST(k AS VARCHAR)) AS hh
+                FROM cand, js),
+        ch AS (SELECT k, is_member, ${kmvValSql("hh")} % 16384 AS pos FROM chh),
+        pk AS (SELECT k, is_member,
+                      sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS mc
+               FROM ch LEFT JOIN bits b ON ch.pos = b.pos
+               GROUP BY 1, 2)
+        SELECT sum(is_member) AS n_members,
+               sum(1 - is_member) AS n_nonmembers,
+               sum(CASE WHEN is_member = 1 AND mc = 4 THEN 1 ELSE 0 END)
+                 AS n_member_pass,
+               sum(CASE WHEN is_member = 0 AND mc = 4 THEN 1 ELSE 0 END)
+                 AS n_false_pos,
+               CAST(sum(CASE WHEN is_member = 0 AND mc = 4 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / sum(1 - is_member) AS fp_rate
+        FROM pk"""),
+      scaleNote = "the filter is ~2 KB of positions for 1.5k keys (m/8 bytes as a real bitset) and broadcasts to every probe task — at 100 TB this is the pre-join reduction for keys the built-in runtime filter can't see (cross-job, persisted, or shipped to another system); build is one distinct + map-side hash pass, probe is a broadcast join that drops (1 − fp) of the non-matching scan before the real join shuffles anything"),
+
     // ----- E6: portable HLL — the sketch the oracle can REPLAY ------
     // q43/q93 use Spark's built-in HLL++, whose register layout no
     // other engine reproduces — they are rows-only by necessity. This

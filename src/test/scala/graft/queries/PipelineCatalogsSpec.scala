@@ -596,6 +596,23 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q145: Bloom filter never false-negatives and holds the design FP rate") {
+    val r = Sources.queries("q145_bloom_portable").fn(spark, sf0001)
+      .select("n_members", "n_nonmembers", "n_member_pass", "n_false_pos",
+        "fp_rate")
+      .as[(Long, Long, Long, Long, Double)].head()
+    val (nm, nn, pass, fp, rate) = r
+    assert(nm > 0 && nn == nm)
+    // zero false negatives is a GUARANTEE of the structure, not a bound
+    assert(pass == nm, s"a Bloom filter may never miss a member: $r")
+    // design point (1 - e^(-kn/m))^k with k=4, m=16384; allow generous
+    // slack for the small sf0.001 build set (n=150 → fp ≈ 1e-6)
+    val n = nm.toDouble
+    val p = math.pow(1.0 - math.exp(-4.0 * n / 16384.0), 4)
+    assert(rate <= 5 * p + 0.01, s"fp rate $rate far above design point $p")
+    assert(fp == (rate * nn).round)
+  }
+
   test("q113: rank mass is conserved and every supplier node is ranked") {
     val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
       .select("node", "r").as[(Long, Double)].collect()
