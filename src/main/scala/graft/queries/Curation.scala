@@ -47,6 +47,14 @@ object Curation extends Catalog {
   private val ChunkBudget = 32
   private val ChunkStride = 24
 
+  /** q146: 12-hex-digit md5 prefix as a 48-bit integer (the q133
+    * discipline — DuckDB has no conv(); digit-by-digit strpos)
+    */
+  private def kmvHexSql(h: String): String =
+    (0 until 12).map { i =>
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(11 - i)}"
+    }.mkString("(", " + ", ")")
+
   // ---- q142: the DuckDB mirror of the GD loop ----------------------
   /** identical rounds unrolled as materialized CTEs (the bpeSqlCtes
     * stance); every non-exact literal is CAST to DOUBLE so DuckDB
@@ -389,6 +397,50 @@ object Curation extends Catalog {
       },
       sql = Some(logregSql(rounds = 5)),
       scaleNote = "per round: one map-side-partial aggregate over the corpus (4 sums) + one broadcast of a 1-row weight frame — no shuffle of the data, ever; at 100 TB the feature frame is the one materialization (or recompute it per round if storage is tighter than compute), and minibatch SGD is the same plan over a q60-style hash sample per round"),
+
+    // ---- q146: weighted sampling without replacement (A-ES) ----------
+    // q60/q69/q90 sample UNIFORMLY (salted-hash rank); a curation mix
+    // usually wants docs ∝ weight (quality, length, source priority).
+    // Efraimidis–Spirakis: give row i the key -ln(u_i)/w_i with u_i a
+    // reproducible md5 fraction (the q60 salt discipline), keep the K
+    // smallest — exactly a weight-proportional sample-without-
+    // replacement, and mergeable: per-partition top-K heaps combine by
+    // re-ranking, which is how TakeOrdered already executes it. Keys
+    // round to 12 dp on both sides (granularity 1e-12 vs key spacing
+    // ~1e-5 — no collision risk, but the ~1-ulp cross-engine ln()
+    // wobble is absorbed; the 6-dp house rounding would be too coarse
+    // HERE because keys live in [0, ~0.05]); rank orders by the
+    // ROUNDED key so the cut is cross-engine well-defined.
+    "q146_weighted_sample" -> Q(
+      fn = (s, d) => {
+        val K = 50
+        val frac = ((conv(substring(md5(concat(lit("ws:"),
+          col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long")
+          + lit(1L)).cast("double") / lit(281474976710656.0))
+        docs(s, d).filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars"),
+            round(-log(frac) / col("n_chars").cast("double"), 12)
+              .as("samp_key"))
+          .orderBy(col("samp_key"), col("doc_id"))
+          .limit(K)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("samp_key"), col("doc_id"))).cast("int"))
+      },
+      sql = Some(s"""
+        WITH h AS (SELECT doc_id, n_chars,
+                          md5('ws:' || CAST(doc_id AS VARCHAR)) AS hh
+                   FROM documents WHERE n_chars > 0),
+        k AS (SELECT doc_id, n_chars,
+                     round(-ln(CAST(${kmvHexSql("hh")} + 1 AS DOUBLE)
+                               / 281474976710656.0)
+                           / CAST(n_chars AS DOUBLE), 12) AS samp_key
+              FROM h),
+        top AS (SELECT doc_id, n_chars, samp_key FROM k
+                ORDER BY samp_key, doc_id LIMIT 50)
+        SELECT doc_id, n_chars, samp_key,
+               CAST(row_number() OVER (ORDER BY samp_key, doc_id) AS INT) AS rank
+        FROM top"""),
+      scaleNote = "keys are one map-side hash+ln per row; the K smallest run as TakeOrdered (per-partition heaps, K rows to the driver) — no sort, no shuffle of the corpus; for stratified weighted mixes, partition the rank by stratum (q69's WindowGroupLimit shape) with the same keys"),
 
     "q62_pii_scrub" -> Q(
       fn = (s, d) => {

@@ -613,6 +613,37 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(fp == (rate * nn).round)
   }
 
+  test("q146: weighted sample over-represents heavy docs, ranks are dense") {
+    val sample = Curation.queries("q146_weighted_sample").fn(spark, sf0001)
+      .select("doc_id", "n_chars", "samp_key", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(sample.map(_._4).toSeq == (1 to sample.length), "ranks not dense")
+    assert(sample.sliding(2).forall {
+      case Array(a, b) => a._3 <= b._3; case _ => true
+    }, "keys must be non-decreasing in rank")
+    // exactness: the selected set must equal an independent plain-Scala
+    // A-ES replica (same md5 fraction, same keys) — this pins the
+    // whole hash → key → top-K pipeline, far sharper than any
+    // statistical test at n=500
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("n_chars") > 0)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = corpus.map { case (id, nc) =>
+      val hex = md.digest(s"ws:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / math.pow(16, 12)
+      (-math.log(u) / nc, id)
+    }.sortBy(identity).take(sample.length).map(_._2).toSet
+    assert(sample.map(_._1).toSet == want,
+      "engine top-K disagrees with the independent A-ES replica")
+    // and the weighting must still carry SOME signal over uniform
+    val corpusMean = corpus.map(_._2).sum.toDouble / corpus.length
+    val sampleMean = sample.map(_._2).sum.toDouble / sample.length
+    assert(sampleMean > corpusMean,
+      s"weighting carried no signal: sample=$sampleMean corpus=$corpusMean")
+  }
+
   test("q113: rank mass is conserved and every supplier node is ranked") {
     val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
       .select("node", "r").as[(Long, Double)].collect()
