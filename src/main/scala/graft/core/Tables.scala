@@ -19,9 +19,12 @@ object Tables {
     */
   val broadcastable: Set[String] = Set("region", "nation")
 
+  /** serializes the events nanosAsLong save/set/probe/restore window */
+  private val nanosLock = new Object
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val raw = if (name == "events") {
+    val raw = if (name == "events") nanosLock.synchronized {
       // TIMESTAMP(NANOS) events can only be read with nanosAsLong=true,
       // and the EXECUTION-time parquet reader re-reads the session conf
       // lazily — so when the flag is actually needed it must stay set
@@ -30,6 +33,12 @@ object Tables {
       // corpus generation is NOT nanos (ts resolves to a timestamp
       // type), restore the previous value immediately so the flag can't
       // silently turn some later unrelated NANOS column into a Long.
+      // The whole save/set/probe/restore runs under a global lock:
+      // Verify loads tables from a driver-side thread pool, and an
+      // unsynchronized interleaving could capture another thread's
+      // temporary "true" as its prev and re-install it on restore —
+      // leaking the flag for the session, the exact corruption the
+      // restore exists to prevent.
       val prev = spark.conf.getOption(NanosKey)
       spark.conf.set(NanosKey, "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")

@@ -78,6 +78,24 @@ object PartitionedUpsert {
     restoreAside(fs, dir)
     restoreFull(fs, dir)
 
+    // An EMPTIED snapshot (deletes wiped every row — see fullRewrite's
+    // empty branch) is one root-level empty part file and no partition
+    // dirs. Logically it holds zero rows, so the merge degenerates to
+    // a first install: verify the file really is empty (a NON-empty
+    // root-level part file is a foreign flat layout → fall through to
+    // the layout guard below), sweep it, and take the install path.
+    if (fs.exists(root)) {
+      val entries = fs.listStatus(root)
+      val strayParts = entries.filter(st =>
+        st.isFile && st.getPath.getName.startsWith("part-"))
+      val hasPartDirs = entries.exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith(partitionCol + "="))
+      if (strayParts.nonEmpty && !hasPartDirs &&
+          spark.read.parquet(dir).isEmpty) {
+        fs.delete(root, true)
+      }
+    }
+
     if (!fs.exists(root)) {
       // first install: the delta IS the snapshot (minus deletes, whose
       // keys are simply absent). Written to a tmp sibling then renamed
@@ -213,6 +231,14 @@ object PartitionedUpsert {
     }
     fs.delete(tmpPath, true)
     fs.delete(aside, true)
+    // stray-file sweep: an emptied-then-refilled snapshot carries one
+    // root-level empty part file (see fullRewrite's empty branch);
+    // now that partition dirs exist again, a mixed layout would break
+    // schemaless partition discovery — remove it
+    fs.listStatus(root).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith("part-"))
+        fs.delete(st.getPath, false)
+    }
     ()
   }
 
@@ -239,8 +265,17 @@ object PartitionedUpsert {
       merged0.join(broadcast(del.select(keys.map(col): _*)), keys, "left_anti"))
     val tmp = new Path(dir + "_full_tmp")
     fs.delete(tmp, true)
-    merged.repartition(col(partitionCol))
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+    if (merged.isEmpty) {
+      // a delta whose deletes empty the table: a partitionBy write of
+      // zero rows produces a dir with ONLY _SUCCESS, which schemaless
+      // readers cannot infer — install one empty schema-bearing file
+      // instead (partitionCol becomes a regular column of the empty
+      // frame; the next install's stray-file sweep removes it when
+      // partition dirs return)
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    } else
+      merged.repartition(col(partitionCol))
+        .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
     val hiveDefault = new Path(tmp, s"$partitionCol=__HIVE_DEFAULT_PARTITION__")
     if (fs.exists(hiveDefault)) {
       fs.delete(tmp, true)

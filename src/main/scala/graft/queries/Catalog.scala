@@ -16,3 +16,16 @@ final case class Q(
 trait Catalog {
   def queries: Map[String, Q]
 }
+
+/** Shared oracle-SQL fragments (one definition — the q133/q143/q145/
+  * q146 hash family must stay in lockstep).
+  */
+private[queries] object OracleSql {
+  /** 12-hex-digit md5 prefix as a 48-bit integer: DuckDB has no
+    * conv(), so expand digit-by-digit via strpos
+    */
+  def hex48(h: String): String =
+    (0 until 12).map { i =>
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(11 - i)}"
+    }.mkString("(", " + ", ")")
+}

@@ -50,10 +50,7 @@ object Curation extends Catalog {
   /** q146: 12-hex-digit md5 prefix as a 48-bit integer (the q133
     * discipline — DuckDB has no conv(); digit-by-digit strpos)
     */
-  private def kmvHexSql(h: String): String =
-    (0 until 12).map { i =>
-      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(11 - i)}"
-    }.mkString("(", " + ", ")")
+  private def kmvHexSql(h: String): String = OracleSql.hex48(h)
 
   // ---- q142: the DuckDB mirror of the GD loop ----------------------
   /** identical rounds unrolled as materialized CTEs (the bpeSqlCtes

@@ -107,7 +107,12 @@ object Similarity extends Catalog {
       .select(col("label").cast("int").as("cell"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
-      .agg(avg(col("x")).as("c"))
+      // round through float32 (the pqCodebook/q118 stance): the sums
+      // behind avg() are exact doubles only while the embedding
+      // exponent spread stays narrow — data-dependent luck. Rounding
+      // pins the codebook bit-exactly cross-engine regardless, so an
+      // argmax or nprobe cut can never flip on a last-ulp centroid.
+      .agg(avg(col("x")).cast("float").cast("double").as("c"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("sc"))
       .select(col("cell"), transform(col("sc"), f => f.getField("c")).as("cv"))
@@ -188,7 +193,12 @@ object Similarity extends Catalog {
       .select(col("label").cast("int").as("cell"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
-      .agg(avg(col("x")).as("c"))
+      // round through float32 (the pqCodebook/q118 stance): the sums
+      // behind avg() are exact doubles only while the embedding
+      // exponent spread stays narrow — data-dependent luck. Rounding
+      // pins the codebook bit-exactly cross-engine regardless, so an
+      // argmax or nprobe cut can never flip on a last-ulp centroid.
+      .agg(avg(col("x")).cast("float").cast("double").as("c"))
       .groupBy(col("cell"), (col("dim") / PqSubDim).cast("int").as("sub"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("sc"))
       .select(col("cell"), col("sub"),
@@ -347,7 +357,7 @@ object Similarity extends Catalog {
                       unnest(generate_series(0, len(embedding) - 1)) AS dim,
                       unnest(embedding::DOUBLE[]) AS x
                FROM embeddings),
-        cd AS (SELECT cell, dim, avg(x) AS c FROM ex GROUP BY 1, 2),
+        cd AS (SELECT cell, dim, CAST(CAST(avg(x) AS FLOAT) AS DOUBLE) AS c FROM ex GROUP BY 1, 2),
         cent0 AS (SELECT cell, list(c ORDER BY dim) AS cv FROM cd GROUP BY cell),
         cent AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM cent0),
         assigned AS (SELECT vec_id, cell FROM (
@@ -406,7 +416,7 @@ object Similarity extends Catalog {
         WITH e AS (SELECT vec_id, CAST(label AS INT) AS lbl,
                           embedding::DOUBLE[] AS v FROM embeddings),
         ex AS (SELECT lbl, unnest(v) AS x, unnest(range(len(v))) AS dim FROM e),
-        cd AS (SELECT lbl AS cell, dim, avg(x) AS c FROM ex GROUP BY 1, 2),
+        cd AS (SELECT lbl AS cell, dim, CAST(CAST(avg(x) AS FLOAT) AS DOUBLE) AS c FROM ex GROUP BY 1, 2),
         cent AS (SELECT cell, list(c ORDER BY dim) AS cv FROM cd GROUP BY cell),
         assigned AS (
           SELECT vec_id, cell FROM (

@@ -976,10 +976,7 @@ object Sources extends Catalog {
     * so both engines share one formula (16^12 < 2^53: exact in BIGINT
     * and in the double it divides into)
     */
-  private def kmvValSql(h: String): String =
-    (0 until 12).map { i =>
-      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(11 - i)}"
-    }.mkString("(", " + ", ")")
+  private def kmvValSql(h: String): String = OracleSql.hex48(h)
 
   /** q143: leading-run length of a 39-bit remainder as a pure integer
     * CASE chain (1 + count of leading zero bits; 40 when rem = 0) —

@@ -179,21 +179,31 @@ object TextAnalysis extends Catalog {
     * corpus in place between rounds; concurrent Verify threads
     * serialize on computeIfAbsent so the trainer runs exactly once.
     */
-  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  // One live entry per (session, dir): a regeneration evicts and
+  // unpersists the previous generation's checkpointed frames instead
+  // of pinning one orphaned trainer result per generation in the
+  // block manager forever. Guarded by a plain lock — the trainer is
+  // the expensive part, and eviction must be atomic with insertion.
+  private val bpeCache = scala.collection.mutable.Map[
+    (SparkSession, String), (String, (DataFrame, DataFrame))]()
 
   private def bpeLearnCached(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    bpeCache.computeIfAbsent((s, {
+    bpeCache.synchronized {
       val p = java.nio.file.Paths.get(d, "documents.parquet")
-      val fp = if (java.nio.file.Files.exists(p))
+      val gen = if (java.nio.file.Files.exists(p))
         s"${java.nio.file.Files.size(p)}:" +
           s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
       else "absent"
-      s"$d|$fp"
-    }), _ => {
-      val (m, e) = bpeLearn(s, d)
-      (m.localCheckpoint(), e) // enc is already checkpointed per round
-    })
+      bpeCache.get((s, d)) match {
+        case Some((`gen`, frames)) => frames
+        case stale =>
+          stale.foreach { case (_, (m, e)) => m.unpersist(); e.unpersist() }
+          val (m, e) = bpeLearn(s, d)
+          val frames = (m.localCheckpoint(), e) // enc checkpointed per round
+          bpeCache.put((s, d), (gen, frames))
+          frames
+      }
+    }
 
   /** the DuckDB mirror: the identical rounds unrolled as CTE chains —
     * same tie orders ((cnt DESC, a, b) for the argmax; pos for runs),
@@ -258,15 +268,17 @@ object TextAnalysis extends Catalog {
     // MAP-SIDE with a filter HOF — no posting explode, no shuffle on
     // the corpus at all; the stats the score needs (N, Σdl, per-term
     // df) are ONE aggregate row broadcast back; the ranking is a
-    // global top-k (TakeOrdered — never a full sort). The idf keeps
-    // the rational (N - df + 0.5)/(df + 0.5) WITHOUT its log: log is
-    // monotone so the ranking is textbook BM25's, while the rational
-    // form stays in q79's mirror-arithmetic stance (identical parsed
-    // doubles through identically-ordered correctly-rounded IEEE ops
-    // — the oracle casts every non-exact literal to DOUBLE so DuckDB
-    // can't route the arithmetic through DECIMAL). round(,6) on the
-    // emitted score is the q53 emit discipline; the order-by uses the
-    // SAME rounded value on both sides so the cut is well-defined.
+    // global top-k (TakeOrdered — never a full sort). The idf is the
+    // Lucene/ATIRE form ln(1 + (N - df + 0.5)/(df + 0.5)) — the log
+    // CANNOT be dropped for a multi-term query (monotonicity does not
+    // commute with the sum over terms), and the +1 keeps idf positive
+    // for df > N/2. Arithmetic follows q79's mirror stance (identical
+    // parsed doubles, identical op order; the oracle casts every
+    // non-exact literal to DOUBLE so DuckDB can't route through
+    // DECIMAL), with ln() the one ~1-ulp op — absorbed by round(,6)
+    // on the emitted score (the q110 ln discipline); the order-by
+    // uses the SAME rounded value on both sides so the cut is
+    // well-defined.
     "q137_bm25_topk" -> Q(
       fn = (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -283,7 +295,7 @@ object TextAnalysis extends Catalog {
               sum((col(s"tf$i") > 0).cast("long")).as(s"df$i")): _*)
         def partScore(i: Int) = {
           val tf = col(s"tf$i"); val df = col(s"df$i")
-          ((col("n") - df + lit(0.5)) / (df + lit(0.5))) *
+          log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5))) *
             ((tf * lit(2.2)) /
               (tf + lit(1.2) * (lit(0.25) +
                 lit(0.75) * (col("dl") / (col("sdl") / col("n"))))))
@@ -316,15 +328,15 @@ object TextAnalysis extends Catalog {
           FROM base),
         sc AS (
           SELECT doc_id, round(
-              (CAST(n - df0 + 0.5 AS DOUBLE) / CAST(df0 + 0.5 AS DOUBLE)) *
+              ln(1.0 + CAST(n - df0 + 0.5 AS DOUBLE) / CAST(df0 + 0.5 AS DOUBLE)) *
                 ((tf0 * CAST(2.2 AS DOUBLE)) /
                  (tf0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
                    CAST(0.75 AS DOUBLE) * (dl / (sdl / n)))))
-            + (CAST(n - df1 + 0.5 AS DOUBLE) / CAST(df1 + 0.5 AS DOUBLE)) *
+            + ln(1.0 + CAST(n - df1 + 0.5 AS DOUBLE) / CAST(df1 + 0.5 AS DOUBLE)) *
                 ((tf1 * CAST(2.2 AS DOUBLE)) /
                  (tf1 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
                    CAST(0.75 AS DOUBLE) * (dl / (sdl / n)))))
-            + (CAST(n - df2 + 0.5 AS DOUBLE) / CAST(df2 + 0.5 AS DOUBLE)) *
+            + ln(1.0 + CAST(n - df2 + 0.5 AS DOUBLE) / CAST(df2 + 0.5 AS DOUBLE)) *
                 ((tf2 * CAST(2.2 AS DOUBLE)) /
                  (tf2 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
                    CAST(0.75 AS DOUBLE) * (dl / (sdl / n))))), 6) AS score

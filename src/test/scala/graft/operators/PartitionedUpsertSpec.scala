@@ -245,4 +245,33 @@ class PartitionedUpsertSpec extends SparkSpec {
     val left = spark.read.parquet(dir).select("k").as[Long].collect().toSet
     assert(left == (0L until 40L).filter(_ % 4 == 0).toSet)
   }
+
+  test("deletes that empty the table leave a schemaless-readable snapshot, " +
+    "and a refill restores the partitioned layout") {
+    val dir = freshDir()
+    PartitionedUpsert(spark, dir, base, Seq("k"), "p")
+    // wipe everything through the full-rewrite path (touches all 4
+    // partitions, cap at 2)
+    val delAll = withP((0L until 40L).map(Tuple1(_)).toDF("k")).select("k", "p")
+    val emptyDelta = spark.emptyDataset[(Long, String, Double)]
+      .toDF("k", "s", "v").transform(withP)
+    PartitionedUpsert(spark, dir, emptyDelta, Seq("k"), "p",
+      deletes = Some(delAll), maxTouched = 2)
+    // the emptied snapshot must stay readable WITHOUT a schema — an
+    // install of only _SUCCESS would fail UNABLE_TO_INFER_SCHEMA here
+    val emptied = spark.read.parquet(dir)
+    assert(emptied.count() == 0)
+    assert(emptied.columns.toSet == Set("k", "s", "v", "p"),
+      "the empty install must carry the full schema")
+    // refill through the partition-level path; the stray root-level
+    // empty file must be swept so partition discovery works again
+    val refill = withP(Seq((1L, "R1", 1.0), (2L, "R2", 2.0)).toDF("k", "s", "v"))
+    PartitionedUpsert(spark, dir, refill, Seq("k"), "p")
+    val back = spark.read.parquet(dir)
+      .select("k", "s", "v").as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "R1", 1.0), (2L, "R2", 2.0)))
+    assert(!Paths.get(dir).toFile.listFiles().exists(f =>
+      f.isFile && f.getName.startsWith("part-")),
+      "stray empty root file must be swept once partition dirs return")
+  }
 }
