@@ -156,13 +156,19 @@ object Sources extends Catalog {
     dropStaleSiblings(site, sfTag(d), key)
     val dir = s"${sys.props("java.io.tmpdir")}/$site${sfTag(d)}_$key"
     val src = Tables.load(s, d, name)
+    // per-format options, shared by write and read (xml needs the row
+    // element name on both sides)
+    val opts: Map[String, String] = fmt match {
+      case "csv" => Map("header" -> "true")
+      case "xml" => Map("rowTag" -> "row")
+      case _     => Map.empty
+    }
     ensureDir(dir) { tmp =>
-      val w = src.write.mode("overwrite")
-      (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(tmp)
+      src.write.mode("overwrite").options(opts).format(fmt).save(tmp)
     }
     s.read.schema(src.schema)
       .format(fmt)
-      .options(if (fmt == "csv") Map("header" -> "true") else Map.empty[String, String])
+      .options(opts)
       .load(dir)
   }
 
@@ -207,6 +213,20 @@ object Sources extends Catalog {
                avg(c_acctbal) AS avg_bal
         FROM customer GROUP BY c_mktsegment"""),
       scaleNote = "explicit schema skips sampling-based inference (a full extra scan at 100 TB); shortest-roundtrip double formatting keeps numeric fidelity"),
+
+    // ----- E1: XML scan (Spark 4 built-in, no external package) -----
+    "q147_xml_scan" -> Q(
+      fn = (s, d) =>
+        roundTrip(s, d, "supplier", "xml")
+          .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("s_acctbal")).as("sum_bal"),
+            min(col("s_name")).as("first_name")),
+      sql = Some("""
+        SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
+               sum(s_acctbal) AS sum_bal, min(s_name) AS first_name
+        FROM supplier GROUP BY 1"""),
+      scaleNote = "XML moved into Spark core in 4.0 (rowTag element per record); the explicit schema skips the sampling inference scan, and files split per-element like JSON lines — the oracle reading the original parquet proves the write→read round-trip lossless incl. markup escaping"),
 
     // ----- E1: ORC scan (columnar alternative to parquet) -----------
     "q71_orc_scan" -> Q(
