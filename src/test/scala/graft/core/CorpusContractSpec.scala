@@ -76,6 +76,31 @@ class CorpusContractSpec extends SparkSpec {
     assert(pairs > 0, "no high-jaccard document pairs — dedup fixtures are dead")
   }
 
+  test("r8 fixtures: key headroom, gate-label balance, query terms present") {
+    for (sf <- Seq(sf0001, sf001, sf01)) {
+      // q145's guaranteed-non-member probes are c_custkey + 1_000_000
+      // and q58's planted image ids are media_id + 1_000_000 — a
+      // corpus generation whose keys grow into that range would turn
+      // "guaranteed absent" into silent collisions
+      val maxCust = t(sf, "orders").agg(max(col("o_custkey"))).head.getLong(0)
+      assert(maxCust < 1000000L,
+        s"$sf: o_custkey reaches $maxCust — q145's shifted non-member " +
+          "probes would collide")
+      // q142's distillation label (>= 55 whitespace tokens) needs both
+      // classes populated or the GD gradient degenerates
+      val docs = t(sf, "documents").filter(length(col("text")) > 0)
+        .select(size(split(lower(col("text")), " ")).as("n"))
+      val pos = docs.filter(col("n") >= 55).count()
+      val neg = docs.filter(col("n") < 55).count()
+      assert(pos > 10 && neg > 10,
+        s"$sf: token-gate label split degenerate ($pos/$neg)")
+      // q137's fixed query terms must keep matching documents
+      val hits = t(sf, "documents")
+        .filter(col("text").rlike("\\b(table|hash|merge)\\b")).count()
+      assert(hits > 0, s"$sf: no document matches the q137 query terms")
+    }
+  }
+
   test("embeddings are fixed-dimension float vectors with a small label set") {
     val em = t(sf0001, "embeddings")
     assert(em.schema("embedding").dataType ==
