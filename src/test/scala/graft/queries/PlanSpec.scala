@@ -592,6 +592,18 @@ class PlanSpec extends SparkSpec {
       "the 1-row weight frame must broadcast")
   }
 
+  test("q145: the Bloom bit-set broadcasts to the probe side") {
+    val p = plan("q145_bloom_portable")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the ~2KB filter frame must broadcast, never shuffle the probes:\n${p.take(900)}")
+  }
+
+  test("q146: weighted sample plans as TakeOrdered (no global sort)") {
+    val p = plan("q146_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"K-smallest keys must run as per-partition heaps:\n${p.take(900)}")
+  }
+
   test("q141: COUNT/MIN/MAX answered from parquet footers (PushedAggregation)") {
     val df = Sources.queries("q141_metadata_agg_pushdown").fn(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
