@@ -185,6 +185,123 @@ object Analytics extends Catalog {
         FROM lineitem GROUP BY 1"""),
       scaleNote = "exact percentile buffers per-group values — fine per bounded group; at 100 TB with huge groups switch to approx_percentile (t-digest, mergeable sketches)"),
 
+    // ----- rolling z-score anomaly flags (pipeline monitoring) ------
+    // The drift/outlier monitor a production feed runs beside q148's
+    // structural audit: per user, each event's value scored against
+    // the mean/stddev of the 10 PRIOR rows; |z| > 3 flags the
+    // anomaly. The frame must EXCLUDE the current row: an inclusive
+    // n-row window bounds |z| at (n-1)/sqrt(n) ≈ 2.85, so a
+    // self-including 10-row monitor can never fire at the textbook
+    // 3-sigma cut — the spike would dilute its own baseline.
+    // Engines compute stddev differently (Welford vs sum-of-squares),
+    // so z rounds to 6 dp on both sides and the FLAG tests the
+    // ROUNDED z — the cut is cross-engine well-defined (q53's
+    // boundary stance). Warm-up rows (rn < 10) and degenerate windows
+    // (sd = 0) are excluded on both sides.
+    "q149_rolling_zscore" -> Q(
+      fn = (s, d) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val frame = ord.rowsBetween(-10, -1)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+          .withColumn("rn", row_number().over(ord))
+          .withColumn("mu", avg(col("value")).over(frame))
+          .withColumn("sd", stddev_samp(col("value")).over(frame))
+          .filter(col("rn") >= 11 && col("sd") > 0)
+          .select(col("event_id"), col("user_id"),
+            round((col("value") - col("mu")) / col("sd"), 6).as("z"))
+          .withColumn("is_anomaly", (abs(col("z")) > lit(3.0)).cast("long"))
+      },
+      sql = Some("""
+        WITH w AS (
+          SELECT event_id, user_id, value,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 avg(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS mu,
+                 stddev_samp(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS sd
+          FROM events)
+        SELECT event_id, user_id,
+               round((value - mu) / sd, 6) AS z,
+               CAST(abs(round((value - mu) / sd, 6)) > 3.0 AS BIGINT)
+                 AS is_anomaly
+        FROM w WHERE rn >= 11 AND sd > 0"""),
+      scaleNote = "one shuffle on user_id with in-partition secondary sort; the trailing frame is bounded (10 rows) so the window is constant-memory streaming — at 100 TB this is the q114 EWMA plan shape, and the streaming twin is transformWithState keeping a 10-deep ring buffer per key"),
+
+    // ----- declarative data-quality audit (Deequ-style) -------------
+    // The constraint suite a warehouse/training pipeline runs before
+    // trusting a snapshot (public shape: Amazon Deequ): completeness,
+    // key uniqueness, value ranges, accepted values, and referential
+    // integrity, each emitted as (constraint, metric, pass). The four
+    // orders constraints compute in ONE aggregate pass (one scan, one
+    // 1-row frame fanned out to constraint rows); the referential
+    // check is the only join. All metrics are exact-integer ratios or
+    // stored values — bit-exact unrounded.
+    "q148_quality_audit" -> Q(
+      fn = (s, d) => {
+        val o = t(s, d, "orders")
+        val li = t(s, d, "lineitem")
+        val agg = o.agg(
+          count(lit(1)).as("n"),
+          count(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderkey")).as("n_key"),
+          min(col("o_totalprice")).as("min_price"),
+          sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("n_status"))
+          .localCheckpoint() // 1 row; fans out to 4 constraint rows
+        def row(name: String, metric: org.apache.spark.sql.Column,
+            pass: org.apache.spark.sql.Column) =
+          agg.select(lit(name).as("check_name"), metric.as("metric"),
+            pass.cast("long").as("pass"))
+        val orphan = li.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+        row("orders.custkey_complete",
+            col("n_cust").cast("double") / col("n"), col("n_cust") === col("n"))
+          .unionByName(row("orders.orderkey_unique",
+            col("n_key").cast("double") / col("n"), col("n_key") === col("n")))
+          .unionByName(row("orders.totalprice_positive",
+            col("min_price"), col("min_price") > 0.0))
+          .unionByName(row("orders.status_accepted",
+            col("n_status").cast("double") / col("n"),
+            col("n_status") === col("n")))
+          .unionByName(orphan.select(
+            lit("lineitem.orderkey_referential").as("check_name"),
+            col("n_orphan").cast("double").as("metric"),
+            (col("n_orphan") === 0).cast("long").as("pass")))
+      },
+      sql = Some("""
+        WITH a AS (SELECT count(*) AS n,
+                          count(o_custkey) AS n_cust,
+                          count(DISTINCT o_orderkey) AS n_key,
+                          min(o_totalprice) AS min_price,
+                          sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                                   THEN 1 ELSE 0 END) AS n_status
+                   FROM orders),
+        orphan AS (SELECT count(*) AS n_orphan FROM lineitem
+                   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        SELECT 'orders.custkey_complete' AS check_name,
+               CAST(n_cust AS DOUBLE) / n AS metric,
+               CAST(n_cust = n AS BIGINT) AS pass FROM a
+        UNION ALL
+        SELECT 'orders.orderkey_unique', CAST(n_key AS DOUBLE) / n,
+               CAST(n_key = n AS BIGINT) FROM a
+        UNION ALL
+        SELECT 'orders.totalprice_positive', min_price,
+               CAST(min_price > 0.0 AS BIGINT) FROM a
+        UNION ALL
+        SELECT 'orders.status_accepted', CAST(n_status AS DOUBLE) / n,
+               CAST(n_status = n AS BIGINT) FROM a
+        UNION ALL
+        SELECT 'lineitem.orderkey_referential', CAST(n_orphan AS DOUBLE),
+               CAST(n_orphan = 0 AS BIGINT) FROM orphan"""),
+      scaleNote = "N scalar constraints over one table = ONE scan (a single partial-agg pass computes every metric; the fan-out to rows touches a 1-row frame); referential integrity is the only join and runs as a broadcast/shuffle anti-join on the key alone — at 100 TB the audit costs one pass per audited table plus one semi-join per FK, and the (constraint, metric, pass) frame is the artifact a pipeline gates deploys on"),
+
     // ----- mergeable histogram quantile sketch (q53's 100 TB path) --
     // q53's scaleNote prescribes "mergeable sketches" for unbounded
     // groups — this IS that operator, built portable (the q143

@@ -644,6 +644,53 @@ class PipelineCatalogsSpec extends SparkSpec {
       s"weighting carried no signal: sample=$sampleMean corpus=$corpusMean")
   }
 
+  test("q148: the audit passes the real corpus and catches every planted " +
+    "violation") {
+    val clean = Analytics.queries("q148_quality_audit").fn(spark, sf0001)
+      .select("check_name", "pass").as[(String, Long)].collect().toMap
+    assert(clean.size == 5 && clean.values.forall(_ == 1L),
+      s"the generated corpus must audit clean: $clean")
+    // planted corpus: null custkey, duplicate orderkey, negative price,
+    // unknown status, and an orphan lineitem key — one violation per
+    // constraint, every row of the report must flip to fail
+    val dir = java.nio.file.Files.createTempDirectory("graft-q148").toString
+    Seq[(java.lang.Long, java.lang.Long, String, java.lang.Double)](
+      (1L, 10L, "O", 100.0), (1L, null, "X", -5.0), (2L, 11L, "F", 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1.0), (99L, 2.0)).toDF("l_orderkey", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val dirty = Analytics.queries("q148_quality_audit").fn(spark, dir)
+      .select("check_name", "pass").as[(String, Long)].collect().toMap
+    assert(dirty.size == 5 && dirty.values.forall(_ == 0L),
+      s"every planted violation must be caught: $dirty")
+  }
+
+  test("q149: a planted spike is flagged, steady series are not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q149").toString
+    // user 1: gentle noise then one 100x spike at the end; user 2:
+    // strictly steady noise — only the spike row may flag
+    val rows = (0 until 15).map(i =>
+      (i.toLong, 1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"),
+        if (i == 14) 500.0 else 5.0 + (i % 3) * 0.1)) ++
+      (0 until 15).map(i =>
+        (100L + i, 2L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"),
+          7.0 + (i % 4) * 0.05))
+    rows.toDF("event_id", "user_id", "ts", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Analytics.queries("q149_rolling_zscore").fn(spark, dir)
+      .select("event_id", "user_id", "z", "is_anomaly")
+      .as[(Long, Long, Double, Long)].collect()
+    val flagged = out.filter(_._4 == 1L)
+    assert(flagged.map(_._1).toSeq == Seq(14L),
+      s"exactly the spike row must flag: ${flagged.toSeq}")
+    assert(flagged.head._3 > 3.0)
+    assert(out.forall(r => r._2 != 2L || r._4 == 0L),
+      "the steady series must never flag")
+    // warm-up exclusion: no row with fewer than 10 prior samples
+    assert(out.map(_._1).intersect((0L to 9L).toSeq).isEmpty)
+  }
+
   test("q113: rank mass is conserved and every supplier node is ranked") {
     val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
       .select("node", "r").as[(Long, Double)].collect()
