@@ -185,6 +185,48 @@ object Analytics extends Catalog {
         FROM lineitem GROUP BY 1"""),
       scaleNote = "exact percentile buffers per-group values — fine per bounded group; at 100 TB with huge groups switch to approx_percentile (t-digest, mergeable sketches)"),
 
+    // ----- partition freshness / gap audit (temporal completeness) --
+    // The third leg of the monitoring trio (q148 structural, q149
+    // statistical): per calendar day between the feed's min and max,
+    // the row count and a status — 'missing' (a day with zero events:
+    // the failed-ingest signature), 'sparse' (under half the mean
+    // daily volume, by EXACT integer cross-multiplication — no float
+    // threshold), else 'ok'. The calendar derives from ONE aggregate
+    // row fanned through sequence(), so the audit never assumes the
+    // feed is gapless — it measures it.
+    "q150_freshness_audit" -> Q(
+      fn = (s, d) => {
+        val byDay = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n"))
+          .localCheckpoint() // feeds the span row AND the per-day join
+        val span = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+          sum(col("n")).as("total"))
+        val cal = span.select(
+          explode(sequence(col("d0"), col("d1"))).as("day"),
+          col("total"),
+          (datediff(col("d1"), col("d0")) + 1).cast("long").as("n_days"))
+        cal.join(byDay, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"),
+            when(col("n").isNull, "missing")
+              .when(col("n") * col("n_days") * 2 < col("total"), "sparse")
+              .otherwise("ok").as("status"))
+      },
+      sql = Some("""
+        WITH byday AS (SELECT ts::DATE AS day, count(*) AS n
+                       FROM events GROUP BY 1),
+        span AS (SELECT min(day) AS d0, max(day) AS d1, sum(n) AS total,
+                        (max(day) - min(day) + 1) AS n_days FROM byday),
+        cal AS (SELECT unnest(generate_series(d0, d1,
+                         INTERVAL 1 DAY))::DATE AS day,
+                       total, n_days FROM span)
+        SELECT cal.day, coalesce(b.n, 0) AS n_events,
+               CASE WHEN b.n IS NULL THEN 'missing'
+                    WHEN b.n * n_days * 2 < total THEN 'sparse'
+                    ELSE 'ok' END AS status
+        FROM cal LEFT JOIN byday b USING (day)"""),
+      scaleNote = "per-day counts partial-aggregate map-side into ≤ |days| rows; the calendar is one aggregate row exploded and broadcast back — cost is the one scan whatever the feed size, and with a date-partitioned layout the scan itself reduces to listing partition dirs (footer/metadata only)"),
+
     // ----- rolling z-score anomaly flags (pipeline monitoring) ------
     // The drift/outlier monitor a production feed runs beside q148's
     // structural audit: per user, each event's value scored against

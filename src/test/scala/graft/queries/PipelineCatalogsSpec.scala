@@ -691,6 +691,30 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(out.map(_._1).intersect((0L to 9L).toSeq).isEmpty)
   }
 
+  test("q150: a planted ingest gap and a thin day are classified correctly") {
+    val clean = Analytics.queries("q150_freshness_audit").fn(spark, sf0001)
+      .select("status").as[String].collect()
+    assert(clean.forall(_ == "ok"), "the generated feed must audit clean")
+    // planted feed: days 1,2,4,5 heavy, day 3 absent, day 6 thin
+    val dir = java.nio.file.Files.createTempDirectory("graft-q150").toString
+    val rows = for {
+      d <- Seq(1, 2, 4, 5); i <- 0 until 100
+    } yield (d * 1000L + i,
+      java.sql.Timestamp.valueOf(f"2024-02-0$d%d 12:00:00"), 1.0)
+    (rows :+ ((6000L, java.sql.Timestamp.valueOf("2024-02-06 12:00:00"), 1.0)))
+      .toDF("event_id", "ts", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Analytics.queries("q150_freshness_audit").fn(spark, dir)
+      .select("day", "n_events", "status")
+      .as[(java.sql.Date, Long, String)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3))).toMap
+    assert(got.size == 6, s"calendar must span min..max: $got")
+    assert(got("2024-02-03") == ((0L, "missing")), s"gap not flagged: $got")
+    assert(got("2024-02-06") == ((1L, "sparse")), s"thin day not flagged: $got")
+    Seq("2024-02-01", "2024-02-02", "2024-02-04", "2024-02-05")
+      .foreach(d => assert(got(d) == ((100L, "ok")), s"$d misclassified: $got"))
+  }
+
   test("q113: rank mass is conserved and every supplier node is ranked") {
     val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
       .select("node", "r").as[(Long, Double)].collect()
