@@ -325,8 +325,9 @@ object Analytics extends Catalog {
                           sum(CASE WHEN o_orderstatus IN ('O','F','P')
                                    THEN 1 ELSE 0 END) AS n_status
                    FROM orders),
-        orphan AS (SELECT count(*) AS n_orphan FROM lineitem
-                   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        orphan AS (SELECT count(*) AS n_orphan FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey))
         SELECT 'orders.custkey_complete' AS check_name,
                CAST(n_cust AS DOUBLE) / n AS metric,
                CAST(n_cust = n AS BIGINT) AS pass FROM a

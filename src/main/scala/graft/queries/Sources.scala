@@ -160,7 +160,10 @@ object Sources extends Catalog {
     // element name on both sides)
     val opts: Map[String, String] = fmt match {
       case "csv" => Map("header" -> "true")
-      case "xml" => Map("rowTag" -> "row")
+      // ignoreSurroundingSpaces defaults true on READ, which would
+      // silently trim value whitespace - the round-trip must be
+      // byte-lossless, not lossless-after-trim
+      case "xml" => Map("rowTag" -> "row", "ignoreSurroundingSpaces" -> "false")
       case _     => Map.empty
     }
     ensureDir(dir) { tmp =>
@@ -220,11 +223,11 @@ object Sources extends Catalog {
         roundTrip(s, d, "supplier", "xml")
           .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
           .agg(count(lit(1)).as("n"),
-            sum(col("s_acctbal")).as("sum_bal"),
+            round(sum(col("s_acctbal")), 2).as("sum_bal"),
             min(col("s_name")).as("first_name")),
       sql = Some("""
         SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
-               sum(s_acctbal) AS sum_bal, min(s_name) AS first_name
+               round(sum(s_acctbal), 2) AS sum_bal, min(s_name) AS first_name
         FROM supplier GROUP BY 1"""),
       scaleNote = "XML moved into Spark core in 4.0 (rowTag element per record); the explicit schema skips the sampling inference scan, and files split per-element like JSON lines — the oracle reading the original parquet proves the write→read round-trip lossless incl. markup escaping"),
 

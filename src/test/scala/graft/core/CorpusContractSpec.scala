@@ -94,10 +94,15 @@ class CorpusContractSpec extends SparkSpec {
       val neg = docs.filter(col("n") < 55).count()
       assert(pos > 10 && neg > 10,
         s"$sf: token-gate label split degenerate ($pos/$neg)")
-      // q137's fixed query terms must keep matching documents
-      val hits = t(sf, "documents")
-        .filter(col("text").rlike("\\b(table|hash|merge)\\b")).count()
-      assert(hits > 0, s"$sf: no document matches the q137 query terms")
+      // q137's fixed query terms must keep matching documents - with
+      // q137's OWN tokenization (exact whitespace-split equality), not
+      // a looser word-boundary regex that punctuation-adjacent
+      // occurrences would satisfy while every tf stays 0
+      val toks = split(lower(col("text")), " ")
+      val hits = t(sf, "documents").filter(
+        array_contains(toks, "table") || array_contains(toks, "hash") ||
+          array_contains(toks, "merge")).count()
+      assert(hits > 0, s"$sf: no document tokenizes to a q137 query term")
     }
   }
 
