@@ -185,6 +185,65 @@ object Analytics extends Catalog {
         FROM lineitem GROUP BY 1"""),
       scaleNote = "exact percentile buffers per-group values — fine per bounded group; at 100 TB with huge groups switch to approx_percentile (t-digest, mergeable sketches)"),
 
+    // ----- PSI distribution drift (feature-shift monitor) -----------
+    // The fourth monitoring leg: population stability index of the
+    // event-value distribution between the feed's first and second
+    // fortnight — the standard "did the feature distribution move
+    // under my model/filters" check. Fixed-width value buckets
+    // (q144's quantizer), Laplace-smoothed shares (n+1)/(N+B) so an
+    // empty-on-one-side bucket contributes a finite term instead of
+    // ±∞, per-bucket contribution (pa−pb)·ln(pa/pb) ≥ 0 each. Shares
+    // are exact single divisions (bit-exact); only the ln terms carry
+    // a ~1-ulp wobble, absorbed by round(,6) on the contribution and
+    // on the TOTAL (summed UNROUNDED, rounded once — mirror order).
+    "q151_psi_drift" -> Q(
+      fn = (s, d) => {
+        val counts = t(s, d, "events")
+          .select(
+            (col("ts") < lit("2024-01-16").cast("timestamp")).as("is_a"),
+            floor(col("value") / lit(50.0)).cast("long").as("b"))
+          .groupBy(col("b"))
+          .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+            sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+          .localCheckpoint() // feeds totals AND shares
+        val tot = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+          count(lit(1)).as("nbuckets"))
+        val shares = counts.crossJoin(broadcast(tot)).select(col("b"),
+          ((col("na") + 1).cast("double")
+            / (col("ta") + col("nbuckets")).cast("double")).as("pa"),
+          ((col("nb") + 1).cast("double")
+            / (col("tb") + col("nbuckets")).cast("double")).as("pb"))
+        val term = (col("pa") - col("pb")) * log(col("pa") / col("pb"))
+        shares
+          .select(col("b").cast("string").as("bucket"), col("pa"), col("pb"),
+            round(term, 6).as("contrib"))
+          .unionByName(shares
+            .agg(round(sum(term), 6).as("contrib"))
+            .select(lit("TOTAL").as("bucket"),
+              lit(null).cast("double").as("pa"),
+              lit(null).cast("double").as("pb"), col("contrib")))
+      },
+      sql = Some("""
+        WITH e AS (SELECT (ts < TIMESTAMP '2024-01-16') AS is_a,
+                          CAST(floor(value / CAST(50.0 AS DOUBLE)) AS BIGINT)
+                            AS b
+                   FROM events),
+        c AS MATERIALIZED (
+          SELECT b, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+                    sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb
+          FROM e GROUP BY 1),
+        t AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS nbuckets FROM c),
+        p AS (SELECT b,
+                CAST(na + 1 AS DOUBLE) / CAST(ta + nbuckets AS DOUBLE) AS pa,
+                CAST(nb + 1 AS DOUBLE) / CAST(tb + nbuckets AS DOUBLE) AS pb
+              FROM c, t)
+        SELECT CAST(b AS VARCHAR) AS bucket, pa, pb,
+               round((pa - pb) * ln(pa / pb), 6) AS contrib FROM p
+        UNION ALL
+        SELECT 'TOTAL', NULL, NULL,
+               round(sum((pa - pb) * ln(pa / pb)), 6) FROM p"""),
+      scaleNote = "counts partial-aggregate map-side into ≤ |buckets| rows and the totals are one broadcast row — one scan whatever the feed size; the bucket frames are mergeable across shards/days (counts add, the q144 rollup stance), so a daily PSI needs no rescan of history"),
+
     // ----- partition freshness / gap audit (temporal completeness) --
     // The third leg of the monitoring trio (q148 structural, q149
     // statistical): per calendar day between the feed's min and max,

@@ -715,6 +715,27 @@ class PipelineCatalogsSpec extends SparkSpec {
       .foreach(d => assert(got(d) == ((100L, "ok")), s"$d misclassified: $got"))
   }
 
+  test("q151: stationary feed scores 'no shift', a planted drift crosses " +
+    "the classic 0.25 action threshold") {
+    val rows = Analytics.queries("q151_psi_drift").fn(spark, sf0001)
+      .select("bucket", "contrib").as[(String, Double)].collect()
+    assert(rows.forall(_._2 >= 0.0), "PSI contributions are non-negative")
+    val total = rows.find(_._1 == "TOTAL").get._2
+    assert(total < 0.1, s"the stationary generated feed must score <0.1: $total")
+    // planted drift: period A values cluster low, period B high
+    val dir = java.nio.file.Files.createTempDirectory("graft-q151").toString
+    val rowsA = (0 until 200).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 10.0 + i % 40))
+    val rowsB = (0 until 200).map(i => (1000L + i,
+      java.sql.Timestamp.valueOf("2024-01-25 00:00:00"), 300.0 + i % 40))
+    (rowsA ++ rowsB).toDF("event_id", "ts", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val drift = Analytics.queries("q151_psi_drift").fn(spark, dir)
+      .select("bucket", "contrib").as[(String, Double)].collect()
+      .find(_._1 == "TOTAL").get._2
+    assert(drift > 0.25, s"a full distribution swap must cross 0.25: $drift")
+  }
+
   test("q113: rank mass is conserved and every supplier node is ranked") {
     val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
       .select("node", "r").as[(Long, Double)].collect()
