@@ -230,7 +230,10 @@ object Analytics extends Catalog {
                    FROM events),
         c AS MATERIALIZED (
           SELECT b, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
-                    sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb
+                    -- NOT is_a, not the is_a ELSE-branch: a NULL ts must
+                    -- count in NEITHER period on both engines (the Spark
+                    -- side's !is_a is NULL there and falls to otherwise 0)
+                    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb
           FROM e GROUP BY 1),
         t AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS nbuckets FROM c),
         p AS (SELECT b,
