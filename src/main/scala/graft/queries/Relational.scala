@@ -668,6 +668,53 @@ object Relational extends Catalog {
           ON e.user_id = c.user_id AND e.ts >= c.ts"""),
       scaleNote = "one-shuffle union-window as-of join (graft.operators.AsOfJoin) — never the per-key cross product a naive ts>=ts range join materializes"),
 
+    // ----- point-in-time join against an SCD2 dimension -------------
+    // The warehouse-join modality q87 (SCD2 build) points at: each
+    // fact row joins the dimension VERSION valid at the fact's own
+    // time. With contiguous validity intervals, PIT ≡ as-of backward
+    // on valid_from — so the engine REUSES graft.operators.AsOfJoin
+    // (one-shuffle union-window, no per-key interval fan-out), while
+    // the oracle spells the textbook interval form (valid_from ≤ ts <
+    // valid_to) — the gate proves the two formulations equivalent.
+    // The versioned dimension derives deterministically from supplier
+    // (3 rate versions every 2 years across the 1995–2001 shipdate
+    // span); every arithmetic value is an exact small integer so the
+    // weighted sum is exact in doubles at any partition order.
+    "q152_pit_scd2_join" -> Q(
+      fn = (s, d) => {
+        val hist = t(s, d, "supplier")
+          .select(col("s_suppkey"),
+            explode(array(lit(0), lit(1), lit(2))).as("v"))
+          .select(col("s_suppkey").as("l_suppkey"),
+            col("v").cast("long").as("v"),
+            concat((lit(1995) + col("v") * 2).cast("string"), lit("-01-01"))
+              .cast("timestamp").as("valid_from"),
+            (pmod(col("s_suppkey"), lit(7)) + col("v") * 3 + 1).as("rate"))
+        val li = t(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_shipdate"), col("l_quantity"))
+        graft.operators.AsOfJoin
+          .asofJoin(li, hist, "l_suppkey", "l_shipdate", "valid_from",
+            Seq("v", "rate"))
+          .groupBy(col("asof_v").as("v"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity") * col("asof_rate")).as("weighted_qty"))
+      },
+      sql = Some("""
+        WITH hist AS (
+          SELECT s_suppkey, CAST(v AS BIGINT) AS v,
+                 CAST((1995 + v*2) || '-01-01' AS TIMESTAMP) AS valid_from,
+                 CAST((1997 + v*2) || '-01-01' AS TIMESTAMP) AS valid_to,
+                 s_suppkey % 7 + v * 3 + 1 AS rate
+          FROM supplier, (SELECT unnest([0, 1, 2]) AS v) t)
+        SELECT h.v, count(*) AS n,
+               sum(l.l_quantity * h.rate) AS weighted_qty
+        FROM lineitem l JOIN hist h
+          ON h.s_suppkey = l.l_suppkey
+         AND l.l_shipdate >= h.valid_from
+         AND (h.v = 2 OR l.l_shipdate < h.valid_to)
+        GROUP BY h.v"""),
+      scaleNote = "PIT-as-as-of is the 100 TB form: one shuffle on the key, union-window, no interval fan-out — the naive interval join replicates each fact row per candidate version and filters (|versions|× the I/O); dimension history stays version-count-sized so at scale it is often broadcastable outright"),
+
     // ----- SQL-string entry point (spark.sql, no DataFrame calls) ---
     // The second API surface: the whole query — scans included, via
     // `parquet.` table refs, so no temp-view registration that could

@@ -736,6 +736,16 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(drift > 0.25, s"a full distribution swap must cross 0.25: $drift")
   }
 
+  test("q152: PIT join matches every fact to exactly one dimension version") {
+    val rows = Relational.queries("q152_pit_scd2_join").fn(spark, sf0001)
+      .select("v", "n").as[(Long, Long)].collect().toMap
+    assert(rows.keySet == Set(0L, 1L, 2L),
+      s"all three validity windows must receive facts: $rows")
+    val total = spark.read.parquet(s"$sf0001/lineitem.parquet").count()
+    assert(rows.values.sum == total,
+      "PIT must be match-exactly-one: no fact dropped, none duplicated")
+  }
+
   test("q113: rank mass is conserved and every supplier node is ranked") {
     val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
       .select("node", "r").as[(Long, Double)].collect()
