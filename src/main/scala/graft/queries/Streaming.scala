@@ -19,6 +19,69 @@ object Streaming extends Catalog {
 
   override def queries: Map[String, Q] = Map(
 
+    // ----- session-scoped first-touch attribution -------------------
+    // The classic attribution query over q39's sessions: within each
+    // 5-minute-gap session, credit the session's purchases to its
+    // FIRST click (by ts, event_id) — first-touch; sessions lacking a
+    // click or a purchase drop out. The engine states it as ONE
+    // session_window aggregate (min-of-struct picks the first click,
+    // conditional sums take the purchases); the oracle rebuilds the
+    // sessions as q39's gaps-and-islands and joins three per-session
+    // frames — the gate proves the single-agg and the relational
+    // formulations equivalent. Purchase-value sums round(,6) (q123's
+    // multi-addend double emit discipline).
+    "q153_session_attribution" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.functions._
+        events(s, d)
+          .groupBy(session_window(col("ts"), "5 minutes").as("w"),
+            col("user_id"))
+          .agg(
+            min(when(col("event_type") === "click",
+              struct(col("ts"), col("event_id")))).as("fc"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_purchases"),
+            round(sum(when(col("event_type") === "purchase", col("value"))), 6)
+              .as("attributed_value"))
+          .filter(col("fc").isNotNull && col("n_purchases") > 0)
+          .select(col("user_id"),
+            unix_micros(col("w.start")).as("s_start"),
+            col("fc.event_id").as("first_click_id"),
+            col("n_purchases"), col("attributed_value"))
+      },
+      sql = Some("""
+        WITH marked AS (
+          SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type, value,
+                 CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w
+                        >= INTERVAL 5 MINUTE
+                      OR lag(ts::TIMESTAMP) OVER w IS NULL THEN 1 ELSE 0
+                 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM marked
+        ), st AS (
+          SELECT user_id, sid, epoch_us(min(ts)) AS s_start
+          FROM sessions GROUP BY 1, 2
+        ), fc AS (
+          SELECT user_id, sid, event_id FROM (
+            SELECT user_id, sid, event_id, row_number() OVER
+              (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rk
+            FROM sessions WHERE event_type = 'click') WHERE rk = 1
+        ), p AS (
+          SELECT user_id, sid, count(*) AS n_purchases,
+                 round(sum(value), 6) AS attributed_value
+          FROM sessions WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT st.user_id, st.s_start, fc.event_id AS first_click_id,
+               p.n_purchases, p.attributed_value
+        FROM st
+        JOIN fc ON fc.user_id = st.user_id AND fc.sid = st.sid
+        JOIN p ON p.user_id = st.user_id AND p.sid = st.sid"""),
+      scaleNote = "one shuffle on user_id, sessions merge in-state inside the session_window aggregate, and the whole attribution is conditional columns of that ONE agg — no session materialization, no self-joins (the oracle's three-frame join is the formulation this plan avoids); the streaming twin is the same aggregate behind a watermark"),
+
     // ----- tumbling window agg --------------------------------------
     "q37_tumbling_window" -> Q(
       fn = (s, d) => EventStreams.tumblingCounts(events(s, d), withWatermarkCol = false),

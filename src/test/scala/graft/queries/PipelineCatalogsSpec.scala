@@ -746,6 +746,29 @@ class PipelineCatalogsSpec extends SparkSpec {
       "PIT must be match-exactly-one: no fact dropped, none duplicated")
   }
 
+  test("q153: first-touch credit goes to the session's FIRST click, and " +
+    "click-less / purchase-less sessions drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q153").toString
+    def ts(m: Int, s: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:$s%02d")
+    Seq(
+      // user 1, session A: view, click(2), click(3), purchase(10.5), purchase(2.25)
+      (1L, 1L, ts(0, 0), "view", 0.0), (2L, 1L, ts(1, 0), "click", 0.0),
+      (3L, 1L, ts(2, 0), "click", 0.0), (4L, 1L, ts(3, 0), "purchase", 10.5),
+      (5L, 1L, ts(4, 0), "purchase", 2.25),
+      // user 1, session B (after the 5-min gap): purchase but NO click → drops
+      (6L, 1L, ts(20, 0), "purchase", 99.0),
+      // user 2: click but NO purchase → drops
+      (7L, 2L, ts(0, 0), "click", 0.0), (8L, 2L, ts(1, 0), "view", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Streaming.queries("q153_session_attribution").fn(spark, dir)
+      .select("user_id", "first_click_id", "n_purchases", "attributed_value")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 2L, 12.75)),
+      s"exactly session A, credited to click 2: ${out.toSeq}")
+  }
+
   test("q113: rank mass is conserved and every supplier node is ranked") {
     val r = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
       .select("node", "r").as[(Long, Double)].collect()
