@@ -687,7 +687,14 @@ object Relational extends Catalog {
             explode(array(lit(0), lit(1), lit(2))).as("v"))
           .select(col("s_suppkey").as("l_suppkey"),
             col("v").cast("long").as("v"),
-            concat((lit(1995) + col("v") * 2).cast("string"), lit("-01-01"))
+            // v0 anchors at a far-past sentinel, not 1995: the engine's
+            // as-of is left-preserving while the oracle's interval join
+            // is inner, and the two are equivalent only if EVERY fact
+            // time has a covering version — a regenerated corpus with
+            // pre-1995 shipdates must not open a null-v divergence
+            when(col("v") === 0, lit("1900-01-01"))
+              .otherwise(concat((lit(1995) + col("v") * 2).cast("string"),
+                lit("-01-01")))
               .cast("timestamp").as("valid_from"),
             (pmod(col("s_suppkey"), lit(7)) + col("v") * 3 + 1).as("rate"))
         val li = t(s, d, "lineitem")
@@ -702,7 +709,9 @@ object Relational extends Catalog {
       sql = Some("""
         WITH hist AS (
           SELECT s_suppkey, CAST(v AS BIGINT) AS v,
-                 CAST((1995 + v*2) || '-01-01' AS TIMESTAMP) AS valid_from,
+                 CASE WHEN v = 0 THEN TIMESTAMP '1900-01-01'
+                      ELSE CAST((1995 + v*2) || '-01-01' AS TIMESTAMP)
+                 END AS valid_from,
                  CAST((1997 + v*2) || '-01-01' AS TIMESTAMP) AS valid_to,
                  s_suppkey % 7 + v * 3 + 1 AS rate
           FROM supplier, (SELECT unnest([0, 1, 2]) AS v) t)

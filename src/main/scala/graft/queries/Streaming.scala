@@ -52,15 +52,22 @@ object Streaming extends Catalog {
       sql = Some("""
         WITH marked AS (
           SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type, value,
+                 -- STRICTLY > gap: Spark's session_window merges an
+                 -- event landing at exactly lastEvent + gap into the
+                 -- session (inclusive window-touch merge), so the
+                 -- islands twin must only break on a LARGER gap —
+                 -- proven by the exact-300s boundary case in
+                 -- PipelineCatalogsSpec (invisible on the continuous
+                 -- corpus, where exact boundaries have measure zero)
                  CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w
-                        >= INTERVAL 5 MINUTE
+                        > INTERVAL 5 MINUTE
                       OR lag(ts::TIMESTAMP) OVER w IS NULL THEN 1 ELSE 0
                  END AS new_s
           FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
           SELECT user_id, ts, event_id, event_type, value,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
           FROM marked
         ), st AS (
@@ -107,14 +114,20 @@ object Streaming extends Catalog {
       fn = (s, d) => EventStreams.sessionCounts(events(s, d), withWatermarkCol = false),
       sql = Some("""
         WITH marked AS (
-          SELECT user_id, ts::TIMESTAMP AS ts, value,
-                 CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w >= INTERVAL 5 MINUTE
+          SELECT user_id, ts::TIMESTAMP AS ts, event_id, value,
+                 -- strictly > gap: see q153's boundary note (Spark
+                 -- merges an exactly-touching event into the session)
+                 CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w > INTERVAL 5 MINUTE
                       OR lag(ts::TIMESTAMP) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
           FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          -- event_id tiebreak: two untied ORDER BY ts sorts could place
+          -- duplicate-(user,ts) rows differently across the lag and the
+          -- running-sum windows (latent sid flake; engine session_window
+          -- is natively tie-deterministic)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
           SELECT user_id, ts, value,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
           FROM marked)
         SELECT user_id,

@@ -238,7 +238,7 @@ object EventStreams {
       * floor would let the watermark fire the timer up to 999 µs
       * before the true end, splitting a session a just-in-time late
       * event would have extended */
-    private def expiryMs(lastUs: Long): Long = (lastUs + 999) / 1000L + gapMs
+    private def expiryMs(lastUs: Long): Long = (lastUs + 999) / 1000L + gapMs + 1
 
     override def handleInputRows(
         uid: Long, rows: Iterator[Event],
@@ -254,7 +254,7 @@ object EventStreams {
       var late: Option[OpenSession] = None
       def flushLate(): Unit = late.foreach { l =>
         cur match {
-          case Some(o) if l.lastUs + gapUs > o.startUs =>
+          case Some(o) if l.lastUs + gapUs >= o.startUs =>
             // the late run grew to within one gap of the open session:
             // batch session_window would chain them — merge, not emit
             cur = Some(o.copy(
@@ -274,14 +274,19 @@ object EventStreams {
           // inside the open session (rewinding lastUs would close it a
           // gap too early) or within one gap BEFORE its start (batch
           // session_window chains it in)
-          case Some(o) if us + gapUs > o.startUs && us < o.lastUs + gapUs =>
+          // boundary comparisons are INCLUSIVE on the touch: batch
+          // session_window merges an event landing at exactly
+          // lastEvent + gap (proven by the q153 boundary spec), so the
+          // replay-equivalence contract demands <= / >= here and the
+          // strict > only on the close
+          case Some(o) if us + gapUs >= o.startUs && us <= o.lastUs + gapUs =>
             cur = Some(o.copy(
               startUs = math.min(o.startUs, us),
               lastUs = math.max(o.lastUs, us),
               n = o.n + 1,
               sum_value = o.sum_value + e.value))
             flushLate() // a late run ending within a gap of us chains in
-          case Some(o) if us >= o.lastUs + gapUs =>
+          case Some(o) if us > o.lastUs + gapUs =>
             flushLate() // may extend cur's start before it closes
             out += close(cur.get) // gap proven by this event
             cur = Some(OpenSession(uid, us, us, 1L, e.value))
@@ -289,7 +294,7 @@ object EventStreams {
             // far-late: a whole gap BEFORE the open session — grow the
             // late run, merging ascending siblings within one gap
             late match {
-              case Some(l) if us < l.lastUs + gapUs =>
+              case Some(l) if us <= l.lastUs + gapUs =>
                 late = Some(l.copy(lastUs = us, n = l.n + 1,
                   sum_value = l.sum_value + e.value))
               case Some(l) =>

@@ -759,14 +759,24 @@ class PipelineCatalogsSpec extends SparkSpec {
       // user 1, session B (after the 5-min gap): purchase but NO click → drops
       (6L, 1L, ts(20, 0), "purchase", 99.0),
       // user 2: click but NO purchase → drops
-      (7L, 2L, ts(0, 0), "click", 0.0), (8L, 2L, ts(1, 0), "view", 0.0))
+      (7L, 2L, ts(0, 0), "click", 0.0), (8L, 2L, ts(1, 0), "view", 0.0),
+      // user 3: two clicks at the SAME ts → event_id tiebreak (9 wins);
+      // a purchase landing EXACTLY 5 minutes after the previous event
+      // MERGES (Spark session_window's inclusive window-touch — the
+      // boundary case that exposed the oracle's former >= convention);
+      // one second past the gap strands
+      (10L, 3L, ts(0, 0), "click", 0.0), (9L, 3L, ts(0, 0), "click", 0.0),
+      (11L, 3L, ts(1, 0), "purchase", 4.5),
+      (12L, 3L, ts(6, 0), "purchase", 77.0),
+      (13L, 3L, ts(11, 1), "purchase", 999.0))
       .toDF("event_id", "user_id", "ts", "event_type", "value")
       .write.parquet(s"$dir/events.parquet")
     val out = Streaming.queries("q153_session_attribution").fn(spark, dir)
       .select("user_id", "first_click_id", "n_purchases", "attributed_value")
-      .as[(Long, Long, Long, Double)].collect()
-    assert(out.toSeq == Seq((1L, 2L, 2L, 12.75)),
-      s"exactly session A, credited to click 2: ${out.toSeq}")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, 2L, 12.75), (3L, 9L, 2L, 81.5)),
+      s"session A credits click 2; user 3's tied clicks resolve to id 9, " +
+        s"the exact-gap purchase merges, the past-gap one strands: ${out.toSeq}")
   }
 
   test("q113: rank mass is conserved and every supplier node is ranked") {

@@ -451,6 +451,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state-v2 timers: an event at EXACTLY last + gap merges (inclusive " +
+    "touch), one second past splits — matching session_window") {
+    // the boundary case the continuous corpus never produces: batch
+    // session_window merges a window that exactly touches the open
+    // session (proven by q153's boundary spec), so the timer replay
+    // must too — the processor's former >=/< convention split here
+    def ev(id: Long, sec: Long) = Event(id,
+      java.sql.Timestamp.from(
+        java.sql.Timestamp.valueOf("2024-03-01 10:00:00").toInstant
+          .plusSeconds(sec)),
+      7L, "click", 1.0, "{}")
+    val fixture = Seq(ev(1, 0), ev(2, 300), ev(3, 601))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = EventStreams.sessionsViaTimers(ms.toDS())
+      .writeStream.format("memory").outputMode("append")
+      .queryName("sess_edge_sink").start()
+    try {
+      ms.addData(fixture); q.processAllAvailable()
+      ms.addData(Seq(Event(99L,
+        java.sql.Timestamp.valueOf("2024-03-02 10:00:00"), 999999L,
+        "sentinel", 0.0, "{}")))
+      q.processAllAvailable()
+      val got = spark.table("sess_edge_sink")
+        .filter(col("user_id") =!= 999999L)
+      val batch = EventStreams.sessionCounts(
+        fixture.toDS().toDF(), withWatermarkCol = false)
+      assert(canon(got, "user_id", "s_start", "s_end", "n", "sum_value")
+        == canon(batch, "user_id", "s_start", "s_end", "n", "sum_value"))
+      // and the shape itself: exactly two sessions, sized 2 + 1
+      val ns = got.select("n").as[Long].collect().sorted.toSeq
+      assert(ns == Seq(1L, 2L),
+        s"exact-touch must merge, past-gap must split: $ns")
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("state-v2 timers: watermark-admitted late events merge or split like batch") {
     // the two late-arrival branches an in-order replay never reaches:
     // an event one gap BEFORE the open session's start is its own
