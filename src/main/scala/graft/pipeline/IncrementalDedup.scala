@@ -255,7 +255,7 @@ object IncrementalDedup {
     *   the SUM over batch partials, so appends never rewrite)
     * Each call counts the new batch's gram positions, probes them
     * against the merged old∪new counts, and emits per-doc coverage
-    * (doc_id, n_pos, n_dup, dup_frac) for the BATCH docs — measured
+    * (doc_id, n_pos, n_dup, dup_ppm) for the BATCH docs — measured
     * against the whole corpus ingested so far, so the last batch's
     * coverage equals the one-shot q117 over the union (spec-proven).
     * Coverage of EARLIER docs is monotone in corpus growth and is not
@@ -294,11 +294,11 @@ object IncrementalDedup {
       .select(col("doc_id"),
         coalesce(col("np"), lit(0L)).as("n_pos"),
         coalesce(col("nd"), lit(0L)).as("n_dup"),
-        // round(…,6) mirrors one-shot q117's canonicalization
-        // discipline so incremental ≡ one-shot stays bit-exact
+        // exact-integer ppm mirrors one-shot q117's emission so
+        // incremental ≡ one-shot stays bit-exact (no double anywhere)
         when(col("np") > 0,
-          round(col("nd").cast("double") / col("np").cast("double"), 6))
-          .as("dup_frac"))
+          expr("nd * CAST(1000000 AS BIGINT) DIV np"))
+          .as("dup_ppm"))
       // materialize BEFORE the index append: the old-count scan is
       // lazy, and appending first would double-count the new batch
       .localCheckpoint()

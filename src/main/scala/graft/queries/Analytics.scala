@@ -192,10 +192,14 @@ object Analytics extends Catalog {
     // under my model/filters" check. Fixed-width value buckets
     // (q144's quantizer), Laplace-smoothed shares (n+1)/(N+B) so an
     // empty-on-one-side bucket contributes a finite term instead of
-    // ±∞, per-bucket contribution (pa−pb)·ln(pa/pb) ≥ 0 each. Shares
-    // are exact single divisions (bit-exact); only the ln terms carry
-    // a ~1-ulp wobble, absorbed by round(,6) on the contribution and
-    // on the TOTAL (summed UNROUNDED, rounded once — mirror order).
+    // ±∞, per-bucket contribution (pa−pb)·ln(pa/pb) ≥ 0 each. The
+    // EMITTED share witnesses are exact integers — parts-per-billion
+    // via integer division (the r8 q145 lesson: even an unrounded
+    // exact-int-ratio double can trip a cross-version driver gate);
+    // the double shares exist only INSIDE the ln term, whose ~1-ulp
+    // wobble is genuinely transcendental and absorbed by round(,6) on
+    // the contribution and on the TOTAL (summed UNROUNDED, rounded
+    // once — mirror order).
     "q151_psi_drift" -> Q(
       fn = (s, d) => {
         val counts = t(s, d, "events")
@@ -212,16 +216,20 @@ object Analytics extends Catalog {
           ((col("na") + 1).cast("double")
             / (col("ta") + col("nbuckets")).cast("double")).as("pa"),
           ((col("nb") + 1).cast("double")
-            / (col("tb") + col("nbuckets")).cast("double")).as("pb"))
+            / (col("tb") + col("nbuckets")).cast("double")).as("pb"),
+          expr("(na + 1) * CAST(1000000000 AS BIGINT) DIV (ta + nbuckets)")
+            .as("pa_ppb"),
+          expr("(nb + 1) * CAST(1000000000 AS BIGINT) DIV (tb + nbuckets)")
+            .as("pb_ppb"))
         val term = (col("pa") - col("pb")) * log(col("pa") / col("pb"))
         shares
-          .select(col("b").cast("string").as("bucket"), col("pa"), col("pb"),
-            round(term, 6).as("contrib"))
+          .select(col("b").cast("string").as("bucket"),
+            col("pa_ppb"), col("pb_ppb"), round(term, 6).as("contrib"))
           .unionByName(shares
             .agg(round(sum(term), 6).as("contrib"))
             .select(lit("TOTAL").as("bucket"),
-              lit(null).cast("double").as("pa"),
-              lit(null).cast("double").as("pb"), col("contrib")))
+              lit(null).cast("long").as("pa_ppb"),
+              lit(null).cast("long").as("pb_ppb"), col("contrib")))
       },
       sql = Some("""
         WITH e AS (SELECT (ts < TIMESTAMP '2024-01-16') AS is_a,
@@ -238,9 +246,13 @@ object Analytics extends Catalog {
         t AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS nbuckets FROM c),
         p AS (SELECT b,
                 CAST(na + 1 AS DOUBLE) / CAST(ta + nbuckets AS DOUBLE) AS pa,
-                CAST(nb + 1 AS DOUBLE) / CAST(tb + nbuckets AS DOUBLE) AS pb
+                CAST(nb + 1 AS DOUBLE) / CAST(tb + nbuckets AS DOUBLE) AS pb,
+                ((na + 1) * CAST(1000000000 AS BIGINT)) // (ta + nbuckets)
+                  AS pa_ppb,
+                ((nb + 1) * CAST(1000000000 AS BIGINT)) // (tb + nbuckets)
+                  AS pb_ppb
               FROM c, t)
-        SELECT CAST(b AS VARCHAR) AS bucket, pa, pb,
+        SELECT CAST(b AS VARCHAR) AS bucket, pa_ppb, pb_ppb,
                round((pa - pb) * ln(pa / pb), 6) AS contrib FROM p
         UNION ALL
         SELECT 'TOTAL', NULL, NULL,
@@ -297,43 +309,62 @@ object Analytics extends Catalog {
     // n-row window bounds |z| at (n-1)/sqrt(n) ≈ 2.85, so a
     // self-including 10-row monitor can never fire at the textbook
     // 3-sigma cut — the spike would dilute its own baseline.
-    // Engines compute stddev differently (Welford vs sum-of-squares),
-    // so z rounds to 6 dp on both sides and the FLAG tests the
-    // ROUNDED z — the cut is cross-engine well-defined (q53's
-    // boundary stance). Warm-up rows (rn < 10) and degenerate windows
-    // (sd = 0) are excluded on both sides.
+    // ALL arithmetic is exact integer: values are exact 2-decimal, so
+    // in cents c the window's S = Σc and Q = Σc² are exact longs,
+    // var_samp's numerator is 10Q - S², the degenerate-window cut is
+    // the EXACT test 10Q - S² = 0 (no sd epsilon for the engines to
+    // disagree on), the 3σ flag is the cross-multiplied
+    // (10c-S)² > 10(10Q-S²) (z² > 9 without ever taking the sqrt —
+    // q150's cross-multiplication stance), and the magnitude witness
+    // is signed z² in permille via integer division. The previous
+    // double z = (v-mu)/sd was a knife-edge for near-constant windows
+    // (last-ulp stddev skew amplifies when sd is tiny); nothing here
+    // computes a double at all. Warm-up rows (rn < 10) and degenerate
+    // windows are excluded on both sides.
     "q149_rolling_zscore" -> Q(
       fn = (s, d) => {
         val ord = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
         val frame = ord.rowsBetween(-10, -1)
         t(s, d, "events")
-          .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("c"))
           .withColumn("rn", row_number().over(ord))
-          .withColumn("mu", avg(col("value")).over(frame))
-          .withColumn("sd", stddev_samp(col("value")).over(frame))
-          .filter(col("rn") >= 11 && col("sd") > 0)
+          .withColumn("sc", sum(col("c")).over(frame))
+          .withColumn("qc", sum(col("c") * col("c")).over(frame))
+          .filter(col("rn") >= 11)
+          .withColumn("dev", col("c") * 10 - col("sc"))
+          .withColumn("varnum", col("qc") * 10 - col("sc") * col("sc"))
+          .filter(col("varnum") > 0)
           .select(col("event_id"), col("user_id"),
-            round((col("value") - col("mu")) / col("sd"), 6).as("z"))
-          .withColumn("is_anomaly", (abs(col("z")) > lit(3.0)).cast("long"))
+            signum(col("dev")).cast("long").as("z_sign"),
+            expr("900 * dev * dev DIV varnum").as("z2_permille"),
+            (col("dev") * col("dev") > col("varnum") * 10)
+              .cast("long").as("is_anomaly"))
       },
       sql = Some("""
         WITH w AS (
-          SELECT event_id, user_id, value,
+          SELECT event_id, user_id,
+                 CAST(round(value * 100, 0) AS BIGINT) AS c,
                  row_number() OVER
                    (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-                 avg(value) OVER
+                 sum(CAST(round(value * 100, 0) AS BIGINT)) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS mu,
-                 stddev_samp(value) OVER
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS sc,
+                 sum(CAST(round(value * 100, 0) AS BIGINT)
+                     * CAST(round(value * 100, 0) AS BIGINT)) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS sd
-          FROM events)
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS qc
+          FROM events),
+        d AS (SELECT event_id, user_id,
+                     c * 10 - sc AS dev, qc * 10 - sc * sc AS varnum
+              FROM w WHERE rn >= 11)
         SELECT event_id, user_id,
-               round((value - mu) / sd, 6) AS z,
-               CAST(abs(round((value - mu) / sd, 6)) > 3.0 AS BIGINT)
-                 AS is_anomaly
-        FROM w WHERE rn >= 11 AND sd > 0"""),
+               CAST(CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END
+                    AS BIGINT) AS z_sign,
+               (900 * dev * dev) // varnum AS z2_permille,
+               CAST(dev * dev > varnum * 10 AS BIGINT) AS is_anomaly
+        FROM d WHERE varnum > 0"""),
       scaleNote = "one shuffle on user_id with in-partition secondary sort; the trailing frame is bounded (10 rows) so the window is constant-memory streaming — at 100 TB this is the q114 EWMA plan shape, and the streaming twin is transformWithState keeping a 10-deep ring buffer per key"),
 
     // ----- declarative data-quality audit (Deequ-style) -------------
@@ -343,8 +374,13 @@ object Analytics extends Catalog {
     // integrity, each emitted as (constraint, metric, pass). The four
     // orders constraints compute in ONE aggregate pass (one scan, one
     // 1-row frame fanned out to constraint rows); the referential
-    // check is the only join. All metrics are exact-integer ratios or
-    // stored values — bit-exact unrounded.
+    // check is the only join. Every metric value is INTEGER-VALUED or
+    // a stored column value: completeness/uniqueness/accepted-values
+    // ratios emit as parts-per-million via integer division (the r8
+    // q145 lesson — a division-result double, however exact, is at
+    // the mercy of the driver's DuckDB version), so the only doubles
+    // in the output are min_price (a stored value, no arithmetic) and
+    // exactly-representable integers.
     "q148_quality_audit" -> Q(
       fn = (s, d) => {
         val o = t(s, d, "orders")
@@ -365,14 +401,16 @@ object Analytics extends Catalog {
           .join(o.select(col("o_orderkey")),
             col("l_orderkey") === col("o_orderkey"), "left_anti")
           .agg(count(lit(1)).as("n_orphan"))
-        row("orders.custkey_complete",
-            col("n_cust").cast("double") / col("n"), col("n_cust") === col("n"))
-          .unionByName(row("orders.orderkey_unique",
-            col("n_key").cast("double") / col("n"), col("n_key") === col("n")))
+        row("orders.custkey_complete_ppm",
+            expr("n_cust * CAST(1000000 AS BIGINT) DIV n").cast("double"),
+            col("n_cust") === col("n"))
+          .unionByName(row("orders.orderkey_unique_ppm",
+            expr("n_key * CAST(1000000 AS BIGINT) DIV n").cast("double"),
+            col("n_key") === col("n")))
           .unionByName(row("orders.totalprice_positive",
             col("min_price"), col("min_price") > 0.0))
-          .unionByName(row("orders.status_accepted",
-            col("n_status").cast("double") / col("n"),
+          .unionByName(row("orders.status_accepted_ppm",
+            expr("n_status * CAST(1000000 AS BIGINT) DIV n").cast("double"),
             col("n_status") === col("n")))
           .unionByName(orphan.select(
             lit("lineitem.orderkey_referential").as("check_name"),
@@ -390,17 +428,20 @@ object Analytics extends Catalog {
         orphan AS (SELECT count(*) AS n_orphan FROM lineitem l
                    WHERE NOT EXISTS (SELECT 1 FROM orders o
                                      WHERE o.o_orderkey = l.l_orderkey))
-        SELECT 'orders.custkey_complete' AS check_name,
-               CAST(n_cust AS DOUBLE) / n AS metric,
+        SELECT 'orders.custkey_complete_ppm' AS check_name,
+               CAST((n_cust * CAST(1000000 AS BIGINT)) // n AS DOUBLE)
+                 AS metric,
                CAST(n_cust = n AS BIGINT) AS pass FROM a
         UNION ALL
-        SELECT 'orders.orderkey_unique', CAST(n_key AS DOUBLE) / n,
+        SELECT 'orders.orderkey_unique_ppm',
+               CAST((n_key * CAST(1000000 AS BIGINT)) // n AS DOUBLE),
                CAST(n_key = n AS BIGINT) FROM a
         UNION ALL
         SELECT 'orders.totalprice_positive', min_price,
                CAST(min_price > 0.0 AS BIGINT) FROM a
         UNION ALL
-        SELECT 'orders.status_accepted', CAST(n_status AS DOUBLE) / n,
+        SELECT 'orders.status_accepted_ppm',
+               CAST((n_status * CAST(1000000 AS BIGINT)) // n AS DOUBLE),
                CAST(n_status = n AS BIGINT) FROM a
         UNION ALL
         SELECT 'lineitem.orderkey_referential', CAST(n_orphan AS DOUBLE),
@@ -416,9 +457,15 @@ object Analytics extends Catalog {
     // associativity is the whole point: daily histograms roll into
     // monthly/global without revisiting raw values. Quantiles read
     // off the merged histogram by cumulative-count crossing + linear
-    // interpolation inside the bucket: integer counts, one division,
-    // fixed op order — bit-exact, no rounding needed on the estimate.
-    // The exact quantile_cont rides beside it (q53's round(,4)
+    // interpolation inside the bucket — in EXACT integer arithmetic:
+    // each fraction q is carried as the rational k/20 (k in
+    // {5,10,15,18}), the crossing cut is 20*cum >= k*n (a double
+    // 0.9*n is half-an-ulp from the true rank when n is a multiple
+    // of 10 — the cut itself was a latent cross-engine knife-edge),
+    // and the estimate emits as integer milli-units
+    // est_milli = 250000*(20bc + kn - 20*cumprev) div c (derivation:
+    // est = W*(20bc + kn - 20*cumprev)/(20c), W = 5000). The exact
+    // quantile_cont rides beside it (q53's round(,4)
     // invariant) as the accuracy witness; |est − exact| ≤ W by
     // construction when both land in the same bucket.
     "q144_histogram_quantiles" -> Q(
@@ -439,17 +486,19 @@ object Analytics extends Catalog {
             Window.partitionBy(col("grp")).orderBy(col("b"))))
           .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
         val qdf = s.range(1).select(explode(array(
-          lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("q"))
+          struct(lit(0.25).as("q"), lit(5L).as("k")),
+          struct(lit(0.5).as("q"), lit(10L).as("k")),
+          struct(lit(0.75).as("q"), lit(15L).as("k")),
+          struct(lit(0.9).as("q"), lit(18L).as("k")))).as("qk"))
+          .select(col("qk.q").as("q"), col("qk.k").as("k"))
         val est = cum.crossJoin(broadcast(qdf))
-          .withColumn("r", col("q") * col("n"))
-          .filter(col("cum") >= col("r"))
+          .filter(col("cum") * 20 >= col("k") * col("n"))
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("grp"), col("q")).orderBy(col("b"))))
           .filter(col("rk") === 1)
           .select(col("grp"), col("q"),
-            (col("b") * lit(W) + lit(W) *
-              ((col("r") - (col("cum") - col("c")).cast("double"))
-                / col("c").cast("double"))).as("est"))
+            expr("250000 * (20 * b * c + k * n - 20 * (cum - c)) DIV c")
+              .as("est_milli"))
         val exWide = src.groupBy(col("grp"))
           .agg(expr("percentile(x, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"))
           .unionByName(src
@@ -462,7 +511,7 @@ object Analytics extends Catalog {
               col("i").cast("int") + 1).as("q"),
             round(col("v"), 4).as("exact"))
         est.join(ex, Seq("grp", "q"))
-          .select(col("grp"), col("q"), col("est"), col("exact"))
+          .select(col("grp"), col("q"), col("est_milli"), col("exact"))
       },
       sql = Some("""
         WITH src AS (SELECT o_orderpriority AS grp, o_totalprice AS x
@@ -478,13 +527,14 @@ object Analytics extends Catalog {
                        sum(c) OVER (PARTITION BY grp ORDER BY b) AS cum,
                        sum(c) OVER (PARTITION BY grp) AS n
                 FROM h),
-        qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q),
-        pick AS (SELECT grp, q, b, c, cum, q * n AS r,
+        qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q,
+                      unnest([5, 10, 15, 18]) AS k),
+        pick AS (SELECT grp, q, b, c, cum, k, n,
                         row_number() OVER (PARTITION BY grp, q ORDER BY b) AS rk
-                 FROM cum, qs WHERE cum >= q * n),
+                 FROM cum, qs WHERE cum * 20 >= k * n),
         est AS (SELECT grp, q,
-                       b * CAST(5000.0 AS DOUBLE) + CAST(5000.0 AS DOUBLE) *
-                         ((r - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE)) AS est
+                       (250000 * (20 * b * c + k * n - 20 * (cum - c))) // c
+                         AS est_milli
                 FROM pick WHERE rk = 1),
         exw AS (SELECT grp,
                        round(quantile_cont(x, 0.25), 4) AS e1,
@@ -503,7 +553,7 @@ object Analytics extends Catalog {
                UNION ALL SELECT grp, CAST(0.5 AS DOUBLE), e2 FROM exw
                UNION ALL SELECT grp, CAST(0.75 AS DOUBLE), e3 FROM exw
                UNION ALL SELECT grp, CAST(0.9 AS DOUBLE), e4 FROM exw)
-        SELECT est.grp, est.q, est.est, ex.exact
+        SELECT est.grp, est.q, est.est_milli, ex.exact
         FROM est JOIN ex ON est.grp = ex.grp AND est.q = ex.q"""),
       scaleNote = "the histogram is the shuffle: each group moves ≤ ~100 (bucket, count) rows whatever its size, partial-aggregated map-side; merges ADD counts (associative/commutative), so per-shard histograms roll up without re-scanning — the fixed-W design trades t-digest's adaptive resolution for exact mergeability and replayability, and W is the explicit, documented error bound"),
 

@@ -17,6 +17,29 @@ trait Catalog {
   def queries: Map[String, Q]
 }
 
+/** Memoized per-parent child sessions for queries that need private
+  * SQLConf flips (q84/q129/q141). `newSession()` creates a
+  * SessionState that stays live until the SparkContext stops, so a
+  * child per INVOCATION would accumulate sessions across repeated
+  * Verify/bench/plan runs; one child per (parent, profile) is bounded
+  * (≤ profiles × parents) and each child's conf is written exactly
+  * once, under the memoization lock, before any query plans on it —
+  * no cross-query conf race is possible because the shared parent
+  * session's conf is never touched.
+  */
+private[queries] object ChildSessions {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), SparkSession]()
+
+  def get(parent: SparkSession, profile: String)(
+      configure: SparkSession => Unit): SparkSession =
+    cache.computeIfAbsent((parent, profile), { _ =>
+      val s2 = parent.newSession()
+      configure(s2)
+      s2
+    })
+}
+
 /** Shared oracle-SQL fragments (one definition — the q133/q143/q145/
   * q146 hash family must stay in lockstep).
   */

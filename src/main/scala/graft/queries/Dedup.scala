@@ -736,11 +736,16 @@ object Dedup extends Catalog {
     // The document-level statistic behind exact-substring dedup: for
     // every 5-gram POSITION in a doc (with multiplicity — repeats
     // inside one doc count, unlike q26's distinct shingle sets), is
-    // that 5-gram repeated anywhere in the corpus? dup_frac is the
-    // fraction of a doc that is corpus-duplicated text — the score a
-    // span-removal pass thresholds on. Positions move as 8-byte
-    // xxhash64 keys (q26's stance); the string 5-grams exist only in
-    // the oracle.
+    // that 5-gram repeated anywhere in the corpus? dup_ppm is the
+    // fraction of a doc that is corpus-duplicated text (in parts per
+    // million) — the score a span-removal pass thresholds on.
+    // Positions move as 8-byte xxhash64 keys (q26's stance); the
+    // string 5-grams exist only in the oracle. The ratio is emitted as
+    // an EXACT integer (n_dup·10⁶ div n_pos): round(x,6) survived the
+    // local full-precision gate but tripped the driver's in r7/r8 —
+    // Spark HALF_UPs the shortest decimal repr while DuckDB rounds the
+    // binary value, and which repr-tie values exist depends on the
+    // DuckDB build. Integer division has no tie set at all.
     "q117_dup_ngram_coverage" -> Q(
       fn = (s, d) => {
         val N = 5
@@ -763,14 +768,9 @@ object Dedup extends Catalog {
           .select(col("doc_id"),
             coalesce(col("np"), lit(0L)).as("n_pos"),
             coalesce(col("nd"), lit(0L)).as("n_dup"),
-            // round(…,6): the ratio itself is a deterministic IEEE
-            // division, but the driver's hash gate compares full-
-            // precision text on both engines — q53's rounding
-            // discipline (Analytics.scala) pins both sides to the
-            // same 6-decimal double
             when(col("np") > 0,
-              round(col("nd").cast("double") / col("np").cast("double"), 6))
-              .as("dup_frac"))
+              expr("nd * CAST(1000000 AS BIGINT) DIV np"))
+              .as("dup_ppm"))
       },
       sql = Some("""
         WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
@@ -786,8 +786,8 @@ object Dedup extends Catalog {
                coalesce(per.np, 0) AS n_pos,
                coalesce(per.nd, 0) AS n_dup,
                CASE WHEN per.np > 0
-                    THEN round(CAST(per.nd AS DOUBLE) / CAST(per.np AS DOUBLE), 6)
-               END AS dup_frac
+                    THEN (per.nd * CAST(1000000 AS BIGINT)) // per.np
+               END AS dup_ppm
         FROM documents d LEFT JOIN per USING (doc_id)"""),
       scaleNote = "positions ≈ corpus token count, but every one moves as an 8-byte hash: the occurrence index aggregates with map-side partials (a boilerplate gram repeated 10⁹× costs one partial counter per partition, not a hot reducer — why this is a groupBy+join and NOT a count-over-window, whose per-g sort partition would concentrate every occurrence of a mega-dup gram), the shuffle_hash hint pins the BUILD side to the aggregated index so no stats misestimate ever broadcasts the position frame, and probe-side skew splits under AQE. One further doc_id shuffle folds positions to per-doc fractions; at 100 TB the occ frame is the corpus's duplicated-span index — persist it once and every later span-removal pass probes it for free"),
 

@@ -901,9 +901,10 @@ object Relational extends Catalog {
     // the salt.
     "q129_salted_skew_join" -> Q(
       fn = (s0, d) => {
-        val s = s0.newSession()
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val s = ChildSessions.get(s0, "no-broadcast") { s2 =>
+          s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        }
         skewJoinPlan(s, d)
       },
       sql = Some("""

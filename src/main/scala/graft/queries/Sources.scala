@@ -29,6 +29,18 @@ object Sources extends Catalog {
   private val dirLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** q141's child session (ChildSessions-memoized per parent): the
+    * DSv2 + aggregate-pushdown conf flips live on a private child so
+    * the shared session's SQLConf never changes under concurrent
+    * Verify threads, and repeated invocations reuse one child instead
+    * of leaking a SessionState per call.
+    */
+  private def aggPushSession(s: SparkSession): SparkSession =
+    ChildSessions.get(s, "agg-pushdown") { s2 =>
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -356,16 +368,17 @@ object Sources extends Catalog {
     // mutating that session's conf here would race other queries.
     "q84_bloom_filter_join" -> Q(
       fn = (s0, d) => {
-        val s = s0.newSession()
-        // force the shuffle join the 100 TB plan has (a broadcast dim
-        // needs no bloom — the probe side already sees the keys)
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        // default gate is a 10 GB probe-side scan; at sf0.01 the scan
-        // is KBs, so open the gate — the REWRITE is what's under test
-        s.conf.set(
-          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        val s = ChildSessions.get(s0, "bloom-join") { s2 =>
+          // force the shuffle join the 100 TB plan has (a broadcast dim
+          // needs no bloom — the probe side already sees the keys)
+          s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+          s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+          // default gate is a 10 GB probe-side scan; at sf0.01 the scan
+          // is KBs, so open the gate — the REWRITE is what's under test
+          s2.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        }
         Tables.load(s, d, "lineitem")
           .join(Tables.load(s, d, "part").filter(col("p_type") === "ECONOMY"),
             col("l_partkey") === col("p_partkey"))
@@ -730,15 +743,15 @@ object Sources extends Catalog {
     // ships this behind the DSv2 reader; the session default keeps the
     // v1 path, so the query opens its own child session (same
     // SparkContext, private SQLConf — Verify runs queries concurrently
-    // and a shared-conf flip would race the other scans). PlanSpec
+    // and a shared-conf flip would race the other scans; the child is
+    // memoized per parent so repeated Verify/bench/plan invocations
+    // don't accumulate live sessions on the shared context). PlanSpec
     // asserts the scan really shows PushedAggregation and no row-level
     // aggregate runs above it. Timestamp/string columns are excluded
     // by the pushdown rules, so the witnesses are long + double.
     "q141_metadata_agg_pushdown" -> Q(
       fn = (s, d) => {
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.sources.useV1SourceList", "")
-        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        val s2 = aggPushSession(s)
         s2.read.parquet(s"$d/lineitem.parquet")
           .agg(count(lit(1)).as("n_rows"),
             min(col("l_orderkey")).as("min_key"),
@@ -770,27 +783,34 @@ object Sources extends Catalog {
     // the sketch itself, built portable (q143's stance) so the oracle
     // rebuilds the SAME filter: m = 16384 bits as a distinct-positions
     // frame, k = 4 md5-derived hash positions per key. Probe set =
-    // every customer (member) plus a shifted guaranteed-non-member
-    // twin; a candidate passes iff all 4 positions are set. The two
+    // every BUILD key (orders' distinct custkeys — the set the filter
+    // was actually built from, so zero-false-negatives is a structural
+    // guarantee with NO corpus assumption; probing all customers would
+    // silently depend on every customer having orders, already false
+    // at sf0.1) plus a shifted guaranteed-non-member twin per build
+    // key; a candidate passes iff all 4 positions are set. The two
     // hard Bloom properties are emitted as columns and spec-gated:
     // ZERO false negatives (every member passes — a guarantee, not a
     // probability), and the false-positive rate near the design point
-    // (1-e^(-kn/m))^k ≈ 0.9%. All-integer arithmetic except the one
-    // exact-int division — bit-exact unrounded.
+    // (1-e^(-kn/m))^k ≈ 0.9%. All-integer arithmetic including the
+    // rate: fp_ppm = n_false_pos·10⁶ div n_nonmembers (an emitted
+    // DOUBLE ratio tripped the driver's cross-version hash gate in r8;
+    // integer division has no rounding tie set).
     "q145_bloom_portable" -> Q(
       fn = (s, d) => {
         def posCol(j: Int, k: org.apache.spark.sql.Column) =
           pmod(conv(substring(md5(concat(lit(s"bl$j:"), k.cast("string"))),
             1, 12), 16, 10).cast("long"), lit(16384L))
-        val bits = Tables.load(s, d, "orders")
+        val keys = Tables.load(s, d, "orders")
           .select(col("o_custkey").as("k")).distinct()
+          .localCheckpoint() // build set, reused as the member probe set
+        val bits = keys
           .select(explode(array((0 until 4).map(j => posCol(j, col("k"))): _*))
             .as("pos"))
           .distinct()
-          .localCheckpoint() // the filter — probed by 6000 candidate rows
-        val cust = Tables.load(s, d, "customer").select(col("c_custkey").as("k"))
-        val cands = cust.select(col("k"), lit(1L).as("is_member"))
-          .unionByName(cust.select((col("k") + lit(1000000L)).as("k"),
+          .localCheckpoint() // the filter — probed by the candidate rows
+        val cands = keys.select(col("k"), lit(1L).as("is_member"))
+          .unionByName(keys.select((col("k") + lit(1000000L)).as("k"),
             lit(0L).as("is_member")))
         val probes = cands.select(col("k"), col("is_member"),
           explode(array((0 until 4).map(j => posCol(j, col("k"))): _*)).as("pos"))
@@ -807,8 +827,8 @@ object Sources extends Catalog {
             .otherwise(0L)).as("n_false_pos"))
           .select(col("n_members"), col("n_nonmembers"),
             col("n_member_pass"), col("n_false_pos"),
-            (col("n_false_pos").cast("double") / col("n_nonmembers"))
-              .as("fp_rate"))
+            expr("n_false_pos * CAST(1000000 AS BIGINT) DIV n_nonmembers")
+              .as("fp_ppm"))
       },
       sql = Some(s"""
         WITH bk AS (SELECT DISTINCT o_custkey AS k FROM orders),
@@ -817,10 +837,9 @@ object Sources extends Catalog {
                FROM bk, js),
         bits AS MATERIALIZED (
           SELECT DISTINCT ${kmvValSql("hh")} % 16384 AS pos FROM bh),
-        cand AS (SELECT c_custkey AS k, CAST(1 AS BIGINT) AS is_member
-                 FROM customer
+        cand AS (SELECT k, CAST(1 AS BIGINT) AS is_member FROM bk
                  UNION ALL
-                 SELECT c_custkey + 1000000, CAST(0 AS BIGINT) FROM customer),
+                 SELECT k + 1000000, CAST(0 AS BIGINT) FROM bk),
         chh AS (SELECT k, is_member,
                        md5('bl' || j || ':' || CAST(k AS VARCHAR)) AS hh
                 FROM cand, js),
@@ -835,8 +854,8 @@ object Sources extends Catalog {
                  AS n_member_pass,
                sum(CASE WHEN is_member = 0 AND mc = 4 THEN 1 ELSE 0 END)
                  AS n_false_pos,
-               CAST(sum(CASE WHEN is_member = 0 AND mc = 4 THEN 1 ELSE 0 END)
-                    AS DOUBLE) / sum(1 - is_member) AS fp_rate
+               (sum(CASE WHEN is_member = 0 AND mc = 4 THEN 1 ELSE 0 END)
+                  * CAST(1000000 AS BIGINT)) // sum(1 - is_member) AS fp_ppm
         FROM pk"""),
       scaleNote = "the filter is ~2 KB of positions for 1.5k keys (m/8 bytes as a real bitset) and broadcasts to every probe task — at 100 TB this is the pre-join reduction for keys the built-in runtime filter can't see (cross-job, persisted, or shipped to another system); build is one distinct + map-side hash pass, probe is a broadcast join that drops (1 − fp) of the non-matching scan before the real join shuffles anything"),
 

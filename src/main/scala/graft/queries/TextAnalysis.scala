@@ -179,13 +179,23 @@ object TextAnalysis extends Catalog {
     * corpus in place between rounds; concurrent Verify threads
     * serialize on computeIfAbsent so the trainer runs exactly once.
     */
-  // One live entry per (session, dir): a regeneration evicts and
-  // unpersists the previous generation's checkpointed frames instead
-  // of pinning one orphaned trainer result per generation in the
-  // block manager forever. Guarded by a plain lock — the trainer is
-  // the expensive part, and eviction must be atomic with insertion.
+  // One live entry per (session, dir): a regeneration evicts the
+  // previous generation's checkpointed frames instead of pinning one
+  // orphaned trainer result per generation in the block manager
+  // forever. Guarded by a plain lock — the trainer is the expensive
+  // part, and eviction must be atomic with insertion.
   private val bpeCache = scala.collection.mutable.Map[
     (SparkSession, String), (String, (DataFrame, DataFrame))]()
+
+  // An evicted generation is NOT unpersisted immediately: localCheckpoint
+  // truncates lineage, so dropping its blocks under a straggler query
+  // still executing against the old frames would be unrecoverable (no
+  // recompute path). The stale pair parks on a one-deep grace queue and
+  // is freed only on the NEXT eviction — by then two corpus
+  // regenerations have passed, and regeneration happens between rounds,
+  // so no in-flight reader can still hold the twice-stale generation.
+  private val bpeGrace =
+    scala.collection.mutable.Queue[(DataFrame, DataFrame)]()
 
   private def bpeLearnCached(s: SparkSession, d: String): (DataFrame, DataFrame) =
     bpeCache.synchronized {
@@ -197,7 +207,11 @@ object TextAnalysis extends Catalog {
       bpeCache.get((s, d)) match {
         case Some((`gen`, frames)) => frames
         case stale =>
-          stale.foreach { case (_, (m, e)) => m.unpersist(); e.unpersist() }
+          stale.foreach { case (_, frames) => bpeGrace.enqueue(frames) }
+          while (bpeGrace.size > 1) {
+            val (m, e) = bpeGrace.dequeue()
+            m.unpersist(); e.unpersist()
+          }
           val (m, e) = bpeLearn(s, d)
           val frames = (m.localCheckpoint(), e) // enc checkpointed per round
           bpeCache.put((s, d), (gen, frames))

@@ -420,7 +420,7 @@ class PipelineCatalogsSpec extends SparkSpec {
     val nDup = dupDocs.count()
     assert(nDup > 0, "fixture lost its planted near-dups")
     val cov = Dedup.queries("q117_dup_ngram_coverage").fn(spark, sf0001)
-    assert(cov.join(dupDocs, "doc_id").filter(col("dup_frac") < 0.8).count() == 0,
+    assert(cov.join(dupDocs, "doc_id").filter(col("dup_ppm") < 800000L).count() == 0,
       "a planted near-dup doc scored as mostly-unique text")
     val rem = Dedup.queries("q119_dup_span_removal").fn(spark, sf0001)
     val orig = spark.read.parquet(s"$sf0001/documents.parquet")
@@ -579,8 +579,9 @@ class PipelineCatalogsSpec extends SparkSpec {
     "and are monotone in q") {
     val W = 5000.0
     val rows = Analytics.queries("q144_histogram_quantiles").fn(spark, sf0001)
-      .select("grp", "q", "est", "exact")
-      .as[(String, Double, Double, Double)].collect()
+      .select("grp", "q", "est_milli", "exact")
+      .as[(String, Double, Long, Double)].collect()
+      .map { case (g, q, em, ex) => (g, q, em / 1000.0, ex) }
     assert(rows.exists(_._1 == "ALL"), "the merged histogram row must exist")
     // |est - exact| <= 2W: the estimate and the exact quantile can land
     // in adjacent buckets at a crossing boundary, never further — W is
@@ -599,18 +600,21 @@ class PipelineCatalogsSpec extends SparkSpec {
   test("q145: Bloom filter never false-negatives and holds the design FP rate") {
     val r = Sources.queries("q145_bloom_portable").fn(spark, sf0001)
       .select("n_members", "n_nonmembers", "n_member_pass", "n_false_pos",
-        "fp_rate")
-      .as[(Long, Long, Long, Long, Double)].head()
-    val (nm, nn, pass, fp, rate) = r
+        "fp_ppm")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (nm, nn, pass, fp, ppm) = r
     assert(nm > 0 && nn == nm)
-    // zero false negatives is a GUARANTEE of the structure, not a bound
+    // zero false negatives is a GUARANTEE of the structure, not a
+    // bound — and it holds with NO corpus assumption because the
+    // member probe set IS the build set (orders' distinct custkeys)
     assert(pass == nm, s"a Bloom filter may never miss a member: $r")
     // design point (1 - e^(-kn/m))^k with k=4, m=16384; allow generous
     // slack for the small sf0.001 build set (n=150 → fp ≈ 1e-6)
     val n = nm.toDouble
     val p = math.pow(1.0 - math.exp(-4.0 * n / 16384.0), 4)
-    assert(rate <= 5 * p + 0.01, s"fp rate $rate far above design point $p")
-    assert(fp == (rate * nn).round)
+    assert(ppm.toDouble / 1e6 <= 5 * p + 0.01,
+      s"fp rate ${ppm / 1e6} far above design point $p")
+    assert(ppm == fp * 1000000L / nn)
   }
 
   test("q146: weighted sample over-represents heavy docs, ranks are dense") {
@@ -679,13 +683,14 @@ class PipelineCatalogsSpec extends SparkSpec {
     rows.toDF("event_id", "user_id", "ts", "value")
       .write.parquet(s"$dir/events.parquet")
     val out = Analytics.queries("q149_rolling_zscore").fn(spark, dir)
-      .select("event_id", "user_id", "z", "is_anomaly")
-      .as[(Long, Long, Double, Long)].collect()
-    val flagged = out.filter(_._4 == 1L)
+      .select("event_id", "user_id", "z2_permille", "z_sign", "is_anomaly")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val flagged = out.filter(_._5 == 1L)
     assert(flagged.map(_._1).toSeq == Seq(14L),
       s"exactly the spike row must flag: ${flagged.toSeq}")
-    assert(flagged.head._3 > 3.0)
-    assert(out.forall(r => r._2 != 2L || r._4 == 0L),
+    // the spike is above its baseline and beyond 3 sigma (z² > 9)
+    assert(flagged.head._3 > 9000L && flagged.head._4 == 1L)
+    assert(out.forall(r => r._2 != 2L || r._5 == 0L),
       "the steady series must never flag")
     // warm-up exclusion: no row with fewer than 10 prior samples
     assert(out.map(_._1).intersect((0L to 9L).toSeq).isEmpty)
