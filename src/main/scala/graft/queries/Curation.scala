@@ -91,8 +91,9 @@ object Curation extends Catalog {
     }
     sb.append(s"""
       SELECT w0, w1, w2, w3, count(*) AS n_docs,
-             CAST(sum(CASE WHEN (($dot) > 0) = (y = 1.0)
-                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS acc
+             (sum(CASE WHEN (($dot) > 0) = (y = 1.0)
+                       THEN 1 ELSE 0 END) * CAST(1000000 AS BIGINT))
+               // count(*) AS acc_ppm
       FROM f, w${rounds}t
       GROUP BY w0, w1, w2, w3""")
     sb.toString
@@ -199,7 +200,10 @@ object Curation extends Catalog {
     // the fraction of characters claimed by the most frequent word
     // 2-gram, and by all word 5-grams occurring more than once. Both
     // are (integer count × integer gram length) / integer doc chars —
-    // ONE correctly-rounded division each, so bit-exact unrounded.
+    // pure rationals, so they emit as exact integer ppm (the
+    // q117/q145 driver-gate lesson; the 5-gram side's oracle sum() is
+    // HUGEINT in DuckDB, whose division coercion is exactly the
+    // version-skew class that tripped q145).
     // Char fractions use occurrence×length (the published heuristic's
     // form); overlaps can push a pathological doc past 1.0 — it's a
     // filter signal, not a measure.
@@ -234,9 +238,10 @@ object Curation extends Catalog {
           .join(top2, Seq("doc_id"))
           .join(dup5, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            (col("top2_chars") / col("n_chars")).as("top2_frac"),
-            (coalesce(col("dup5_chars"), lit(0L)) / col("n_chars"))
-              .as("dup5_frac"))
+            expr("top2_chars * CAST(1000000 AS BIGINT) DIV n_chars")
+              .as("top2_ppm"),
+            expr("coalesce(dup5_chars, CAST(0 AS BIGINT))" +
+              " * CAST(1000000 AS BIGINT) DIV n_chars").as("dup5_ppm"))
       },
       sql = Some("""
         WITH raw AS (
@@ -260,8 +265,10 @@ object Curation extends Catalog {
         d5 AS (SELECT doc_id, sum(cnt * length(g)) AS dup5_chars
                FROM c5 WHERE cnt >= 2 GROUP BY 1)
         SELECT r.doc_id,
-               t2.top2_chars / r.n_chars AS top2_frac,
-               coalesce(d5.dup5_chars, 0) / r.n_chars AS dup5_frac
+               (t2.top2_chars * CAST(1000000 AS BIGINT)) // r.n_chars
+                 AS top2_ppm,
+               (coalesce(d5.dup5_chars, 0) * CAST(1000000 AS BIGINT))
+                 // r.n_chars AS dup5_ppm
         FROM raw r JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)"""),
       scaleNote = "grams shuffle on (doc_id, gram) with map-side partial counts — per-doc work is bounded by context length, total volume is O(corpus tokens); the per-doc top-1 collapses in-shuffle via WindowGroupLimit; at 100 TB this runs fused with the other per-doc quality passes (q34/q63) in one scan"),
 
@@ -389,8 +396,13 @@ object Curation extends Catalog {
           min(col("w0")).as("w0"), min(col("w1")).as("w1"),
           min(col("w2")).as("w2"), min(col("w3")).as("w3"),
           count(lit(1)).as("n_docs"),
+          // training accuracy is a pure rational (n_correct/n): emit
+          // as exact integer ppm (the q117/q145 driver-gate lesson)
           (sum(when((z > 0) === (col("y") === 1.0), 1L).otherwise(0L))
-            .cast("double") / count(lit(1))).as("acc"))
+            * lit(1000000L)).as("ncs"),
+          count(lit(1)).as("nds"))
+          .select(col("w0"), col("w1"), col("w2"), col("w3"), col("n_docs"),
+            expr("ncs DIV nds").as("acc_ppm"))
       },
       sql = Some(logregSql(rounds = 5)),
       scaleNote = "per round: one map-side-partial aggregate over the corpus (4 sums) + one broadcast of a 1-row weight frame — no shuffle of the data, ever; at 100 TB the feature frame is the one materialization (or recompute it per round if storage is tighter than compute), and minibatch SGD is the same plan over a q60-style hash sample per round"),

@@ -494,9 +494,9 @@ class PipelineCatalogsSpec extends SparkSpec {
 
   test("q139: repetition signals are sane and a planted repeat dominates") {
     val df = Curation.queries("q139_repetition_signals").fn(spark, sf0001)
-    val rows = df.select("doc_id", "top2_frac", "dup5_frac")
-      .as[(Long, Double, Double)].collect()
-    assert(rows.forall { case (_, t, d) => t > 0.0 && d >= 0.0 })
+    val rows = df.select("doc_id", "top2_ppm", "dup5_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (_, t, d) => t > 0L && d >= 0L })
     // hand-built corpus: a doc that is one 5-gram looped 8 times must
     // max out both signals vs a no-repeat doc
     val dir = java.nio.file.Files.createTempDirectory("graft-q139").toString
@@ -504,11 +504,11 @@ class PipelineCatalogsSpec extends SparkSpec {
         (2L, "each word here appears exactly once in this doc"))
       .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
     val m = Curation.queries("q139_repetition_signals").fn(spark, dir)
-      .select("doc_id", "top2_frac", "dup5_frac")
-      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    assert(m(1L)._1 > 0.3 && m(1L)._2 > 0.9,
+      .select("doc_id", "top2_ppm", "dup5_ppm")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L)._1 > 300000L && m(1L)._2 > 900000L,
       s"looped doc must light up both signals: ${m(1L)}")
-    assert(m(2L)._2 == 0.0, "no 5-gram repeats in the distinct doc")
+    assert(m(2L)._2 == 0L, "no 5-gram repeats in the distinct doc")
     assert(m(1L)._1 > m(2L)._1 && m(1L)._2 > m(2L)._2)
   }
 
@@ -533,9 +533,10 @@ class PipelineCatalogsSpec extends SparkSpec {
 
   test("q142: GD distillation finds the gate feature and beats majority") {
     val r = Curation.queries("q142_logreg_distill").fn(spark, sf0001)
-      .select("w0", "w1", "w2", "w3", "n_docs", "acc")
-      .as[(Double, Double, Double, Double, Long, Double)].head()
-    val (w0, w1, w2, w3, n, acc) = r
+      .select("w0", "w1", "w2", "w3", "n_docs", "acc_ppm")
+      .as[(Double, Double, Double, Double, Long, Long)].head()
+    val (w0, w1, w2, w3, n, accPpm) = r
+    val acc = accPpm / 1e6
     // the label is a token-count gate, and x2 is the (capped) token
     // count — training must load the signal onto w2, positively and
     // dominantly, not onto the noise features
