@@ -60,6 +60,16 @@ object CdcChunks {
   private val Gear: Array[Long] =
     Array.tabulate(256)(i => XXH64.hashLong(i.toLong, 0x9e3779b97f4a7c15L))
 
+  /** The gear constants as unsigned decimals — the q50 oracle mirror
+    * inlines these as HUGEINT literals so the DuckDB twin replays the
+    * exact boundary walk without emulating XXH64 (the table is 256
+    * CONSTANTS; only its generation needed the hash).
+    */
+  private[graft] def gearUnsigned: IndexedSeq[BigInt] = {
+    val mask = (BigInt(1) << 64) - 1
+    Gear.map(g => BigInt(g) & mask).toIndexedSeq
+  }
+
   /** static so generated code can call it directly */
   def compute(s: UTF8String): ArrayData = {
     val bytes = s.getBytes

@@ -48,6 +48,71 @@ object Dedup extends Catalog {
       |    i -> array_to_string((string_split(lower(text),' '))[i:i+2],' '))
       |ELSE [] END)""".stripMargin
 
+  /** q50's DuckDB twin: replay CdcChunks' Gear rolling-hash boundary
+    * walk exactly — gear table inlined as 256 HUGEINT literals,
+    * h' = (2h + gear[byte]) mod 2^64 per byte via a recursive CTE,
+    * boundary when len ≥ 16 and (h' mod 64 = 0 or len ≥ 256), plus
+    * the trailing chunk. Chunks join on their TEXT (the engine's
+    * xxhash64 ids are just a collision-free compression of the same
+    * key). ascii(substr(text,i,1)) IS the byte because the corpus is
+    * ASCII (regexp-checked across SFs at r9); the walk carries only
+    * (doc_id, i, h, start) so the recursion materializes
+    * O(total corpus bytes) small rows at max-doc-length depth.
+    */
+  private lazy val cdcMirrorSql: String = {
+    val gear = graft.functions.CdcChunks.gearUnsigned.mkString(", ")
+    s"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, text, CAST(length(text) AS INT) AS n
+          FROM documents WHERE length(text) > 0),
+    gear AS (SELECT unnest(generate_series(0, 255)) AS code,
+                    unnest(CAST([$gear] AS HUGEINT[])) AS g),
+    bytes AS MATERIALIZED (
+      SELECT doc_id, i, g FROM (
+        SELECT d.doc_id, t.i, ascii(substr(d.text, t.i, 1)) AS code
+        FROM d, unnest(generate_series(1, d.n)) AS t(i)) x
+      JOIN gear USING (code)),
+    walk AS (
+      SELECT doc_id, 0 AS i, CAST(0 AS HUGEINT) AS h, 0 AS st,
+             CAST(NULL AS INT) AS cs, CAST(NULL AS INT) AS cl
+      FROM d
+      UNION ALL
+      SELECT doc_id, i, h,
+             CASE WHEN bdy THEN i ELSE st END,
+             CASE WHEN bdy THEN st END,
+             CASE WHEN bdy THEN i - st END
+      FROM (
+        SELECT w.doc_id, w.i + 1 AS i,
+               (w.h * 2 + b.g) % CAST('18446744073709551616' AS HUGEINT)
+                 AS h,
+               w.st,
+               (w.i + 1 - w.st >= 16 AND
+                ((w.h * 2 + b.g) % CAST('18446744073709551616' AS HUGEINT)
+                   % 64 = 0
+                 OR w.i + 1 - w.st >= 256)) AS bdy
+        FROM walk w JOIN bytes b ON b.doc_id = w.doc_id AND b.i = w.i + 1
+      ) step),
+    ch AS (
+      SELECT DISTINCT doc_id, chunk FROM (
+        SELECT w.doc_id, substr(d.text, w.cs + 1, w.cl) AS chunk
+        FROM walk w JOIN d USING (doc_id) WHERE w.cs IS NOT NULL
+        UNION ALL
+        SELECT w.doc_id, substr(d.text, w.st + 1, d.n - w.st)
+        FROM walk w JOIN d USING (doc_id)
+        WHERE w.i = d.n AND w.st < d.n) u),
+    sz AS (SELECT doc_id, count(*) AS sz FROM ch GROUP BY 1),
+    pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                     count(*) AS shared_chunks
+              FROM ch a JOIN ch b ON a.chunk = b.chunk
+                                 AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT p.doc1, p.doc2, p.shared_chunks,
+           (p.shared_chunks * CAST(1000000 AS BIGINT)) // s1.sz
+             AS overlap_ppm
+    FROM pairs p JOIN sz s1 ON s1.doc_id = p.doc1
+    WHERE p.shared_chunks * 2 >= s1.sz"""
+  }
+
   /** near-dup acceptance threshold (data has planted pairs at j≈0.99) */
   private val JaccardTau = 0.8
 
@@ -453,22 +518,26 @@ object Dedup extends Catalog {
           .agg(count(lit(1)).as("shared_chunks"))
           .join(sizes.withColumnRenamed("doc_id", "doc1")
             .withColumnRenamed("sz", "sz1"), "doc1")
-          .withColumn("overlap",
-            col("shared_chunks").cast("double") / col("sz1"))
-          .filter(col("overlap") >= 0.5)
-          .select(col("doc1"), col("doc2"), col("shared_chunks"), col("overlap"))
+          // exact-integer cut and witness (the r9 rational discipline):
+          // overlap >= 0.5 is 2*shared >= sz, overlap emits as ppm
+          .filter(col("shared_chunks") * 2 >= col("sz1"))
+          .select(col("doc1"), col("doc2"), col("shared_chunks"),
+            expr("shared_chunks * CAST(1000000 AS BIGINT) DIV sz1")
+              .as("overlap_ppm"))
       },
-      sql = None, // Gear/xxhash chunking is not portable to DuckDB.
-      // A mirrored-arithmetic twin (the q79 trick) was evaluated and
-      // rejected: chunk boundaries depend on XXH64 (gear table AND
-      // chunk ids), whose unsigned-64 wrapping multiplies would need
-      // HUGEINT-modular emulation in SQL — DuckDB raises on signed
-      // BIGINT overflow rather than wrapping — so the mirror would be
-      // hundreds of lines of hand-rolled hash arithmetic that verifies
-      // the emulation, not the operator. Rows-only here;
-      // PipelineCatalogsSpec asserts agreement with the shingle-
-      // jaccard near-dup pairs and CdcChunksSpec the edit robustness
-      // + bit-equality of the kernel.
+      // Oracled since r9. The r8 rejection ("would need hundreds of
+      // lines of XXH64 emulation") dissolved on inspection: (a) the
+      // gear table is 256 CONSTANTS — only its GENERATION used XXH64,
+      // so the mirror inlines the values as HUGEINT literals; (b) the
+      // rolling hash itself is shift-add mod 2^64 — two HUGEINT ops
+      // per byte; (c) the 8-byte chunk ids exist only as join keys,
+      // and joining on the chunk TEXT has identical semantics (modulo
+      // a ~2^-64 xxhash collision, which would be an engine-side
+      // correctness event worth failing on anyway). The walk is a
+      // recursive CTE over (doc, byte) — corpus docs are ASCII and
+      // <= 577 bytes (checked at r9), so the recursion depth is the
+      // max doc length and the state is O(live docs) rows/iteration.
+      sql = Some(cdcMirrorSql),
       scaleNote = "chunks shuffle as 8-byte hashes; posting-list join like q26 but ~5x fewer postings than word-shingles on long docs"),
 
     // ----- E12: near-dup pairs → keep-one dup GROUPS ----------------
