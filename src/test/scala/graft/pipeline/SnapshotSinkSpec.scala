@@ -159,4 +159,63 @@ class SnapshotSinkSpec extends SparkSpec {
     val snap = spark.read.parquet(snapDir).as[(Long, String)].collect().toSet
     assert(snap == Set((1L, "a2"), (2L, "B")))
   }
+
+  test("streaming restart after a mid-swap crash replays the uncommitted " +
+    "batch onto the restored snapshot (exactly-once end-to-end)") {
+    // The full failure path under the REAL foreachBatch machinery, not
+    // applyBatch in isolation: a file-source stream processes batch 1,
+    // then the process "dies" inside batch 2's DirSwap window — after
+    // move-aside, before install, before the checkpoint commits the
+    // batch. On restart from the same checkpoint the source re-delivers
+    // batch 2; the sink must first restore the moved-aside snapshot,
+    // then merge, ending at exactly the one-shot result. A naive sink
+    // would either reset the table to batch 2 (treating the absent dir
+    // as first-install) or double-apply.
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val root = Files.createTempDirectory("graft-snap6").toString
+    val srcDir = root + "/src"
+    val snapDir = root + "/snap"
+    val ckpt = root + "/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val schema = new StructType()
+      .add("k", LongType).add("s", StringType)
+      .add("seq", LongType).add("op", StringType)
+    def startStream() = SnapshotSink.run(
+      spark.readStream.schema(schema).parquet(s"$srcDir/*"),
+      Seq("k"), "seq", Some("op"), snapDir, ckpt).start()
+
+    val b1 = log.take(6)
+    val b2 = log.drop(6)
+    b1.toDF("k", "s", "seq", "op").write.parquet(s"$srcDir/b1")
+    val q1 = startStream()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(snapDir).count() > 0)
+
+    // batch 2 lands, but the run that would process it dies inside the
+    // swap: the dir is absent, the WHOLE batch-1 snapshot sits at
+    // _compact_old, and the checkpoint never committed batch 2
+    b2.toDF("k", "s", "seq", "op").write.parquet(s"$srcDir/b2")
+    Files.move(java.nio.file.Paths.get(snapDir),
+      java.nio.file.Paths.get(snapDir + "_compact_old"))
+
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(snapDir).as[(Long, String)].collect().toSet
+    val want = CdcApply(
+      log.toDF("k", "s", "seq", "op"), Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toSet
+    assert(got == want,
+      s"restart must restore+merge, not reset or double-apply: " +
+        s"missing=${want.diff(got)} extra=${got.diff(want)}")
+    assert(!Files.exists(java.nio.file.Paths.get(snapDir + "_compact_old")),
+      "recovery must clean up the moved-aside generation")
+
+    // a third restart with no new data must be a no-op (the replay
+    // half of exactly-once: committed batches never re-apply)
+    val before = spark.read.parquet(snapDir).as[(Long, String)].collect().toSet
+    val q3 = startStream()
+    try q3.processAllAvailable() finally q3.stop()
+    val after = spark.read.parquet(snapDir).as[(Long, String)].collect().toSet
+    assert(after == before)
+  }
 }
