@@ -451,6 +451,102 @@ object Curation extends Catalog {
         FROM top"""),
       scaleNote = "keys are one map-side hash+ln per row; the K smallest run as TakeOrdered (per-partition heaps, K rows to the driver) — no sort, no shuffle of the corpus; for stratified weighted mixes, partition the rank by stratum (q69's WindowGroupLimit shape) with the same keys"),
 
+    // ---- q154: token-budget waterfill across sources -----------------
+    // The mixture-allocation step between curation and tokenization:
+    // given a token budget B, per-source target weights, and a hard
+    // per-source repetition cap (max 2 epochs — the public finding
+    // that repeating data beyond a few epochs stops helping), allocate
+    // B ∝ weight, cap the sources that would over-repeat, and
+    // redistribute their surplus to the uncapped sources — classic
+    // waterfilling. All arithmetic is exact integers (tokens, integer
+    // division), so the mirror is bit-exact with no float anywhere.
+    // Rounds are FIXED at 6 on both sides (a fixed unroll keeps the
+    // oracle a finite CTE chain): once no new source caps, further
+    // rounds are identity, and the mirror is bit-exact at any round
+    // count because both sides run the same 6 updates; the SPEC
+    // asserts round 6 is already a fixed point on the shipped corpus.
+    // Weights derive from the source name (deterministic in both
+    // engines); budget = 1.5x the corpus so caps genuinely bind.
+    "q154_mixture_waterfill" -> Q(
+      fn = (s, d) => {
+        val base = docs(s, d).filter(length(col("text")) > 0)
+          .groupBy(col("source"))
+          .agg(sum(size(split(lower(col("text")), " ")).cast("long")).as("a"))
+          .withColumn("w",
+            pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) + 1L)
+          .withColumn("cap", col("a") * 2)
+          .withColumn("capped", lit(false))
+          .localCheckpoint()
+        val b = base.agg(expr("3 * sum(a) DIV 2").as("b"))
+        var st = base.crossJoin(broadcast(b)).localCheckpoint()
+        for (_ <- 1 to 6) {
+          val tot = st.agg(
+            (max(col("b")) -
+              sum(when(col("capped"), col("cap")).otherwise(0L))).as("rbud"),
+            sum(when(col("capped"), 0L).otherwise(col("w"))).as("wsum"))
+          st = st.crossJoin(broadcast(tot))
+            .withColumn("capped", col("capped") ||
+              (col("wsum") > 0 &&
+                expr("w * greatest(rbud, CAST(0 AS BIGINT)) DIV wsum") >= col("cap")))
+            .drop("rbud", "wsum")
+            .localCheckpoint() // 20-ish rows; truncate per-round lineage
+        }
+        val totF = st.agg(
+          (max(col("b")) -
+            sum(when(col("capped"), col("cap")).otherwise(0L))).as("rbud"),
+          sum(when(col("capped"), 0L).otherwise(col("w"))).as("wsum"))
+        st.crossJoin(broadcast(totF))
+          .select(col("source"), col("a").as("a_tokens"), col("w").as("weight"),
+            col("cap").as("cap_tokens"), col("capped").cast("long").as("capped"),
+            when(col("capped"), col("cap"))
+              .when(col("wsum") > 0, expr("w * greatest(rbud, CAST(0 AS BIGINT)) DIV wsum"))
+              .otherwise(0L).as("alloc_tokens"))
+          .withColumn("epochs_ppm",
+            expr("alloc_tokens * CAST(1000000 AS BIGINT) DIV a_tokens"))
+      },
+      sql = Some {
+        def tot(prev: String) =
+          s"""(SELECT max(b) - sum(CASE WHEN capped THEN cap ELSE 0 END)
+                 AS rbud,
+               sum(CASE WHEN capped THEN 0 ELSE w END) AS wsum
+               FROM $prev)"""
+        val rounds = (1 to 6).map { r =>
+          val prev = if (r == 1) "s0" else s"s${r - 1}"
+          s""",
+          t$r AS MATERIALIZED ${tot(prev)},
+          s$r AS MATERIALIZED (
+            SELECT source, a, w, cap, b,
+                   capped OR (wsum > 0 AND (w * greatest(rbud, CAST(0 AS HUGEINT))) // wsum >= cap)
+                     AS capped
+            FROM $prev, t$r)"""
+        }.mkString
+        s"""
+        WITH av AS (
+          SELECT source,
+                 sum(CAST(len(string_split(lower(text), ' ')) AS BIGINT))
+                   AS a
+          FROM documents WHERE length(text) > 0 GROUP BY 1),
+        s0 AS MATERIALIZED (
+          SELECT source, a,
+                 CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w,
+                 a * 2 AS cap,
+                 (SELECT (3 * sum(a)) // 2 FROM av) AS b,
+                 FALSE AS capped
+          FROM av)$rounds,
+        tf AS ${tot("s6")}
+        SELECT source, a AS a_tokens, w AS weight, cap AS cap_tokens,
+               CAST(capped AS BIGINT) AS capped,
+               CASE WHEN capped THEN cap
+                    WHEN wsum > 0 THEN (w * greatest(rbud, CAST(0 AS HUGEINT))) // wsum
+                    ELSE 0 END AS alloc_tokens,
+               (CASE WHEN capped THEN cap
+                     WHEN wsum > 0 THEN (w * greatest(rbud, CAST(0 AS HUGEINT))) // wsum
+                     ELSE 0 END * CAST(1000000 AS BIGINT)) // a
+                 AS epochs_ppm
+        FROM s6, tf"""
+      },
+      scaleNote = "the corpus contributes ONE map-side-partial token-count shuffle into <=|sources| rows; the waterfill loop then runs entirely on that tiny frame with 1-row broadcast totals per round — zero further data passes at any corpus size, and the output is the sampling-rate table every downstream epoch-aware reader joins against (broadcast)"),
+
     "q62_pii_scrub" -> Q(
       fn = (s, d) => {
         val injected = concat(

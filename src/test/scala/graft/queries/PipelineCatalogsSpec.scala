@@ -618,6 +618,41 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(ppm == fp * 1000000L / nn)
   }
 
+  test("q154: waterfill honors caps, splits the rest by weight, and has " +
+    "converged within the fixed rounds") {
+    val rows = Curation.queries("q154_mixture_waterfill").fn(spark, sf0001)
+      .select("source", "a_tokens", "weight", "cap_tokens", "capped",
+        "alloc_tokens", "epochs_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    val budget = 3 * rows.map(_._2).sum / 2
+    val (capped, open) = rows.partition(_._5 == 1L)
+    assert(capped.nonEmpty && open.nonEmpty,
+      "the 1.5x budget must cap some sources and leave others open")
+    // a capped source gets EXACTLY its 2-epoch cap, never more
+    capped.foreach { r =>
+      assert(r._6 == r._4 && r._7 == 2000000L, s"capped misallocated: $r")
+    }
+    rows.foreach(r => assert(r._6 <= r._4, s"over-repetition: $r"))
+    // open sources split the residual budget proportionally to weight,
+    // exactly up to integer-division floors (|a_i*w_j - a_j*w_i| is
+    // bounded by the floor losses scaled by the weights)
+    for (i <- open; j <- open)
+      assert(math.abs(i._6 * j._3 - j._6 * i._3) <= i._3 * j._3,
+        s"open allocations not weight-proportional: $i vs $j")
+    // the budget is spent to within the open sources' floor losses
+    val spent = rows.map(_._6).sum
+    assert(spent <= budget && budget - spent <= open.map(_._3).sum,
+      s"spent=$spent budget=$budget")
+    // fixed point: replaying one more waterfill round caps nothing new
+    val residual = budget - capped.map(_._4).sum
+    val wsum = open.map(_._3).sum
+    open.foreach { r =>
+      assert(r._3 * math.max(residual, 0L) / wsum < r._4,
+        s"round 7 would still cap $r — raise the unroll count")
+    }
+  }
+
   test("q146: weighted sample over-represents heavy docs, ranks are dense") {
     val sample = Curation.queries("q146_weighted_sample").fn(spark, sf0001)
       .select("doc_id", "n_chars", "samp_key", "rank")
