@@ -58,21 +58,28 @@ object Curation extends Catalog {
     * can't route the arithmetic through DECIMAL, and each round's
     * gradient/weights round to 6 dp exactly like the engine side
     */
-  private def logregSql(rounds: Int): String = {
-    val dot = "w0 + w1*x1 + w2*x2 + w3*x3"
+  private val LogregDot = "w0 + w1*x1 + w2*x2 + w3*x3"
+
+  /** the WITH body shared by q142 (train) and q155 (calibration):
+    * per-doc features f (now carrying doc_id) and the unrolled GD
+    * rounds ending at w<rounds>t
+    */
+  private def logregCtes(rounds: Int): String = {
+    val dot = LogregDot
     def grad(x: String) =
       s"round(avg($x(y - 1.0/(1.0 + exp(-($dot))))), 6)"
     val sb = new StringBuilder
     sb.append("""
       WITH f AS MATERIALIZED (
-        SELECT CAST(CASE WHEN len(w) >= 55 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+        SELECT doc_id,
+               CAST(CASE WHEN len(w) >= 55 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
                CAST(len(list_filter(w, t -> regexp_full_match(t, '[a-z]+')))
                     * 1.0 / len(w) AS DOUBLE) AS x1,
                CAST(least(len(w) / CAST(100.0 AS DOUBLE), 1.0) AS DOUBLE) AS x2,
                CAST(least((len(list_filter(w,
                       t -> t IN ('the','a','of','and','to','is')))
                     * 1.0 / len(w)) * CAST(5.0 AS DOUBLE), 1.0) AS DOUBLE) AS x3
-        FROM (SELECT string_split(lower(text), ' ') AS w
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
               FROM documents WHERE length(text) > 0)),
       w0t AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
                      CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)""")
@@ -89,14 +96,57 @@ object Curation extends Catalog {
           round(w3 + CAST(2.0 AS DOUBLE) * g3, 6) AS w3
         FROM w${r - 1}t, g$r)""")
     }
-    sb.append(s"""
+    sb.toString
+  }
+
+  private def logregSql(rounds: Int): String =
+    s"""${logregCtes(rounds)}
       SELECT w0, w1, w2, w3, count(*) AS n_docs,
-             (sum(CASE WHEN (($dot) > 0) = (y = 1.0)
+             (sum(CASE WHEN (($LogregDot) > 0) = (y = 1.0)
                        THEN 1 ELSE 0 END) * CAST(1000000 AS BIGINT))
                // count(*) AS acc_ppm
       FROM f, w${rounds}t
-      GROUP BY w0, w1, w2, w3""")
-    sb.toString
+      GROUP BY w0, w1, w2, w3"""
+
+  /** Shared by q142 (train + accuracy) and q155 (calibration): the
+    * per-doc feature frame (with doc_id) and the 5-round GD weights as
+    * a 1-row frame. Cheap enough to refit per invocation: five
+    * map-side-partial aggregates over the checkpointed features.
+    */
+  private def logregFit(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val wArr = split(lower(col("text")), " ")
+    val nTok = size(wArr).cast("double")
+    val feats = docs(s, d).filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        when(size(wArr) >= 55, 1.0).otherwise(0.0).as("y"),
+        (size(filter(wArr, t => t.rlike("^[a-z]+$"))).cast("double") / nTok)
+          .as("x1"),
+        least(nTok / lit(100.0), lit(1.0)).as("x2"),
+        least((size(filter(wArr,
+          t => t.isin("the", "a", "of", "and", "to", "is"))).cast("double")
+          / nTok) * lit(5.0), lit(1.0)).as("x3"))
+      .localCheckpoint() // scanned once per GD round
+    val z = col("w0") + col("w1") * col("x1") +
+      col("w2") * col("x2") + col("w3") * col("x3")
+    val sig = lit(1.0) / (lit(1.0) + exp(-z))
+    val e = col("y") - sig
+    var wts = s.range(1).select(
+      lit(0.0).as("w0"), lit(0.0).as("w1"),
+      lit(0.0).as("w2"), lit(0.0).as("w3"))
+    for (_ <- 1 to 5) {
+      wts = feats.crossJoin(broadcast(wts)).agg(
+        round(min(col("w0")) + lit(2.0) * round(avg(e), 6), 6).as("w0"),
+        round(min(col("w1")) + lit(2.0) * round(avg(col("x1") * e), 6), 6)
+          .as("w1"),
+        round(min(col("w2")) + lit(2.0) * round(avg(col("x2") * e), 6), 6)
+          .as("w2"),
+        round(min(col("w3")) + lit(2.0) * round(avg(col("x3") * e), 6), 6)
+          .as("w3"))
+        .localCheckpoint() // 1 row; truncate per-round lineage
+    }
+    (feats, wts)
   }
 
   override def queries: Map[String, Q] = Map(
@@ -362,36 +412,9 @@ object Curation extends Catalog {
     // depends on the rounded weights and the exact-rational features.
     "q142_logreg_distill" -> Q(
       fn = (s, d) => {
-        val wArr = split(lower(col("text")), " ")
-        val nTok = size(wArr).cast("double")
-        val feats = docs(s, d).filter(length(col("text")) > 0)
-          .select(
-            when(size(wArr) >= 55, 1.0).otherwise(0.0).as("y"),
-            (size(filter(wArr, t => t.rlike("^[a-z]+$"))).cast("double") / nTok)
-              .as("x1"),
-            least(nTok / lit(100.0), lit(1.0)).as("x2"),
-            least((size(filter(wArr,
-              t => t.isin("the", "a", "of", "and", "to", "is"))).cast("double")
-              / nTok) * lit(5.0), lit(1.0)).as("x3"))
-          .localCheckpoint() // scanned once per GD round
+        val (feats, wts) = logregFit(s, d)
         val z = col("w0") + col("w1") * col("x1") +
           col("w2") * col("x2") + col("w3") * col("x3")
-        val sig = lit(1.0) / (lit(1.0) + exp(-z))
-        val e = col("y") - sig
-        var wts = s.range(1).select(
-          lit(0.0).as("w0"), lit(0.0).as("w1"),
-          lit(0.0).as("w2"), lit(0.0).as("w3"))
-        for (_ <- 1 to 5) {
-          wts = feats.crossJoin(broadcast(wts)).agg(
-            round(min(col("w0")) + lit(2.0) * round(avg(e), 6), 6).as("w0"),
-            round(min(col("w1")) + lit(2.0) * round(avg(col("x1") * e), 6), 6)
-              .as("w1"),
-            round(min(col("w2")) + lit(2.0) * round(avg(col("x2") * e), 6), 6)
-              .as("w2"),
-            round(min(col("w3")) + lit(2.0) * round(avg(col("x3") * e), 6), 6)
-              .as("w3"))
-            .localCheckpoint() // 1 row; truncate per-round lineage
-        }
         feats.crossJoin(broadcast(wts)).agg(
           min(col("w0")).as("w0"), min(col("w1")).as("w1"),
           min(col("w2")).as("w2"), min(col("w3")).as("w3"),
@@ -406,6 +429,52 @@ object Curation extends Catalog {
       },
       sql = Some(logregSql(rounds = 5)),
       scaleNote = "per round: one map-side-partial aggregate over the corpus (4 sums) + one broadcast of a 1-row weight frame — no shuffle of the data, ever; at 100 TB the feature frame is the one materialization (or recompute it per round if storage is tighter than compute), and minibatch SGD is the same plan over a q60-style hash sample per round"),
+
+    // ---- q155: classifier calibration bins ---------------------------
+    // The audit that decides whether q142's distilled quality scorer
+    // can gate a corpus: decile-bin the docs by model score and emit
+    // the empirical positive rate per bin — a calibrated monotone
+    // staircase means the score is usable as a threshold; a flat or
+    // non-monotone one means retrain. Bins are RANK deciles computed
+    // from exact integers (bin = (rn−1)·10 div n + 1 over the rounded
+    // score's total order with doc_id tie-break — the q137/q146 rank
+    // discipline, no ntile() semantics dependence), the positive rate
+    // is exact ppm, and the bin's score range emits as min/max of the
+    // already-rounded score (order-free, bit-exact).
+    "q155_calibration_bins" -> Q(
+      fn = (s, d) => {
+        val (feats, wts) = logregFit(s, d)
+        val z = col("w0") + col("w1") * col("x1") +
+          col("w2") * col("x2") + col("w3") * col("x3")
+        val scored = feats.crossJoin(broadcast(wts))
+          .select(col("doc_id"), col("y"), round(z, 6).as("zr"))
+        val n = scored.agg(count(lit(1)).as("n"))
+        scored.crossJoin(broadcast(n))
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("zr"), col("doc_id"))))
+          .withColumn("bin", expr("(rn - 1) * 10 DIV n + 1"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+            min(col("zr")).as("z_min"), max(col("zr")).as("z_max"))
+          .withColumn("pos_ppm",
+            expr("n_pos * CAST(1000000 AS BIGINT) DIV n_docs"))
+      },
+      sql = Some(s"""${logregCtes(rounds = 5)},
+        scored AS MATERIALIZED (
+          SELECT doc_id, y, round($LogregDot, 6) AS zr FROM f, w5t),
+        nn AS (SELECT count(*) AS n FROM scored),
+        r AS (SELECT doc_id, y, zr,
+                     row_number() OVER (ORDER BY zr, doc_id) AS rn
+              FROM scored)
+        SELECT ((rn - 1) * 10) // n + 1 AS bin,
+               count(*) AS n_docs,
+               sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n_pos,
+               min(zr) AS z_min, max(zr) AS z_max,
+               (sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                  * CAST(1000000 AS BIGINT)) // count(*) AS pos_ppm
+        FROM r, nn GROUP BY 1"""),
+      scaleNote = "training is q142's zero-data-shuffle loop; scoring is map-side; the decile assignment is ONE global sort (Spark range-partitions orderBy, so it distributes — the single-partition row_number window here is the test-scale spelling; at 100 TB replace the exact rank with q64 approx-quantile bin boundaries broadcast to a map-side bucketer and the bin stats stay one partial agg)"),
 
     // ---- q146: weighted sampling without replacement (A-ES) ----------
     // q60/q69/q90 sample UNIFORMLY (salted-hash rank); a curation mix

@@ -653,6 +653,30 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q155: calibration bins are balanced rank-deciles with a monotone " +
+    "positive-rate staircase") {
+    val rows = Curation.queries("q155_calibration_bins").fn(spark, sf0001)
+      .select("bin", "n_docs", "n_pos", "z_min", "z_max", "pos_ppm")
+      .as[(Long, Long, Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val n = rows.map(_._2).sum
+    rows.foreach(r => assert(math.abs(r._2 - n / 10) <= 1,
+      s"rank deciles must be balanced: $r"))
+    // score ranges tile the score axis in bin order (rank binning on a
+    // total order can never interleave)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 <= b._4 + 1e-12, s"overlap: $a $b")
+      case _ =>
+    }
+    // the calibration staircase: positive rate non-decreasing in score,
+    // and the scorer genuinely separates (low bins near 0, top near 1)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._6 <= b._6; case _ => true
+    }, s"pos_ppm must be monotone: ${rows.map(_._6).toSeq}")
+    assert(rows.head._6 < 200000L && rows.last._6 > 800000L,
+      s"scorer fails to separate: ${rows.map(_._6).toSeq}")
+  }
+
   test("q146: weighted sample over-represents heavy docs, ranks are dense") {
     val sample = Curation.queries("q146_weighted_sample").fn(spark, sf0001)
       .select("doc_id", "n_chars", "samp_key", "rank")
