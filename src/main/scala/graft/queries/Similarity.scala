@@ -778,6 +778,119 @@ object Similarity extends Catalog {
               FROM t, unnest([4, 8, 16, 32]) AS u(k))
         SELECT label, k, count(*) AS n, avg(r) AS mean_energy
         FROM e GROUP BY 1, 2"""),
-      scaleNote = "one scan, row-local arithmetic (codegen'd higher-order fold — no UDF), one two-phase agg on (label, k): the ×4 prefix fanout happens before the shuffle but each row carries two doubles, not the vector; the statistic that decides whether the q30/q31 indexes can serve truncated prefixes at a fraction of the memory")
+      scaleNote = "one scan, row-local arithmetic (codegen'd higher-order fold — no UDF), one two-phase agg on (label, k): the ×4 prefix fanout happens before the shuffle but each row carries two doubles, not the vector; the statistic that decides whether the q30/q31 indexes can serve truncated prefixes at a fraction of the memory"),
+
+    // ----- q156: per-source KMV sketch similarity matrix -------------
+    // Which SOURCES overlap (shared boilerplate, mirrored crawls)
+    // without a corpus-level pair sweep: build one k-minimum-values
+    // signature per source over its 3-word-shingle space (k = 64
+    // smallest md5-derived 48-bit hashes — the q133/q146 portable-hash
+    // family), then estimate every pair's Jaccard from signatures
+    // alone: take the k smallest of the two signatures' union and
+    // count how many sit in BOTH (the standard KMV-union estimator).
+    // The exact per-pair Jaccard rides beside it as the accuracy
+    // witness (q143's stance: the sketch is the operator, the exact
+    // value gates it). Everything emitted is an exact integer — hash
+    // ranks, match counts, ppm ratios — so the DuckDB twin rebuilds
+    // the SAME signatures and the estimates hash-match bit-for-bit.
+    "q156_source_sketch_overlap" -> Q(
+      fn = (s, d) => {
+        val Kmv = 64
+        val sh = Tables.load(s, d, "documents")
+          .select(col("source"), split(lower(col("text")), " ").as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("source"),
+            explode(transform(sequence(lit(1), size(col("ws")) - 2),
+              i => conv(substring(md5(concat(lit("sv:"),
+                array_join(slice(col("ws"), i, lit(3)), " "))), 1, 12),
+                16, 10).cast("long"))).as("h"))
+          .distinct()
+          .localCheckpoint() // feeds the signatures AND the exact witness
+        val sig = sh
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("h"))))
+          .filter(col("rn") <= Kmv)
+          .select(col("source"), col("h"))
+          .localCheckpoint() // 64 rows/source — the shipped artifact
+        val srcs = sig.select(col("source")).distinct()
+        val prs = srcs.select(col("source").as("src1"))
+          .join(srcs.select(col("source").as("src2")),
+            col("src1") < col("src2"))
+        def side(df: DataFrame, a: Int, b: Int) =
+          prs.join(df, df("source") === prs(if (a == 1) "src1" else "src2"))
+            .select(col("src1"), col("src2"), col("h"),
+              lit(a.toLong).as("in1"), lit(b.toLong).as("in2"))
+        def overlap(base: DataFrame, kCap: Option[Int]) = {
+          val u = side(base, 1, 0)
+            .unionByName(
+              prs.join(base, base("source") === prs("src2"))
+                .select(col("src1"), col("src2"), col("h"),
+                  lit(0L).as("in1"), lit(1L).as("in2")))
+            .groupBy(col("src1"), col("src2"), col("h"))
+            .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
+          val ranked = kCap.fold(u) { k =>
+            u.withColumn("rn", row_number().over(
+              Window.partitionBy(col("src1"), col("src2")).orderBy(col("h"))))
+              .filter(col("rn") <= k).drop("rn")
+          }
+          ranked.groupBy(col("src1"), col("src2"))
+            .agg(sum(col("in1") * col("in2")).as("m"),
+              count(lit(1)).as("k"))
+        }
+        val est = overlap(sig, Some(Kmv))
+          .select(col("src1"), col("src2"),
+            expr("m * CAST(1000000 AS BIGINT) DIV k").as("est_ppm"))
+        val exact = overlap(sh, None)
+          .select(col("src1"), col("src2"),
+            expr("m * CAST(1000000 AS BIGINT) DIV k").as("exact_ppm"))
+        est.join(exact, Seq("src1", "src2"))
+      },
+      sql = Some(s"""
+        WITH w AS (SELECT source, string_split(lower(text), ' ') AS ws
+                   FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        g AS (SELECT source,
+                     md5('sv:' || array_to_string(ws[i:i+2], ' ')) AS hh
+              FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+        sh AS MATERIALIZED (
+          SELECT DISTINCT source, ${OracleSql.hex48("hh")} AS h FROM g),
+        sig AS MATERIALIZED (
+          SELECT source, h FROM (
+            SELECT source, h, row_number() OVER
+              (PARTITION BY source ORDER BY h) AS rn FROM sh)
+          WHERE rn <= 64),
+        srcs AS (SELECT DISTINCT source FROM sig),
+        prs AS (SELECT a.source AS src1, b.source AS src2
+                FROM srcs a JOIN srcs b ON a.source < b.source),
+        uest AS (SELECT src1, src2, h, max(in1) AS in1, max(in2) AS in2
+                 FROM (
+                   SELECT p.src1, p.src2, s.h, 1 AS in1, 0 AS in2
+                   FROM prs p JOIN sig s ON s.source = p.src1
+                   UNION ALL
+                   SELECT p.src1, p.src2, s.h, 0, 1
+                   FROM prs p JOIN sig s ON s.source = p.src2) u
+                 GROUP BY 1, 2, 3),
+        kest AS (SELECT src1, src2, in1, in2 FROM (
+                   SELECT src1, src2, in1, in2, row_number() OVER
+                     (PARTITION BY src1, src2 ORDER BY h) AS rn FROM uest)
+                 WHERE rn <= 64),
+        est AS (SELECT src1, src2,
+                       (sum(in1 * in2) * CAST(1000000 AS BIGINT)) // count(*)
+                         AS est_ppm
+                FROM kest GROUP BY 1, 2),
+        uex AS (SELECT src1, src2, h, max(in1) AS in1, max(in2) AS in2
+                FROM (
+                  SELECT p.src1, p.src2, s.h, 1 AS in1, 0 AS in2
+                  FROM prs p JOIN sh s ON s.source = p.src1
+                  UNION ALL
+                  SELECT p.src1, p.src2, s.h, 0, 1
+                  FROM prs p JOIN sh s ON s.source = p.src2) u
+                GROUP BY 1, 2, 3),
+        ex AS (SELECT src1, src2,
+                      (sum(in1 * in2) * CAST(1000000 AS BIGINT)) // count(*)
+                        AS exact_ppm
+               FROM uex GROUP BY 1, 2)
+        SELECT est.src1, est.src2, est.est_ppm, ex.exact_ppm
+        FROM est JOIN ex ON est.src1 = ex.src1 AND est.src2 = ex.src2"""),
+      scaleNote = "the corpus is touched ONCE (shingle-hash + per-source distinct, map-side partials); the signature frame is k·8 bytes per source — a mergeable, persistable artifact (new shards fold in by re-ranking, the KMV merge law), and the all-pairs matrix runs on signatures alone: |sources|²·k tiny rows, never corpus-sized. The exact witness sides exist for the GATE at test SF — at 100 TB you ship only the sketch path; PipelineCatalogsSpec pins the estimator error against the exact values")
   )
 }

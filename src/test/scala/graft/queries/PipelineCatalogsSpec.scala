@@ -677,6 +677,42 @@ class PipelineCatalogsSpec extends SparkSpec {
       s"scorer fails to separate: ${rows.map(_._6).toSeq}")
   }
 
+  test("q156: KMV source sketches cover all pairs inside the estimator " +
+    "bound and separate planted overlap from disjoint sources") {
+    val rows = Similarity.queries("q156_source_sketch_overlap").fn(spark, sf0001)
+      .select("src1", "src2", "est_ppm", "exact_ppm")
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.length == 20 * 19 / 2, "every source pair must appear")
+    rows.foreach { r =>
+      assert(r._3 >= 0 && r._3 <= 1000000L && r._4 >= 0 && r._4 <= 1000000L)
+      // 3-sigma of the k=64 KMV estimator at worst-case variance
+      // (sqrt(0.25/64) = 0.0625) — a sketch outside this is broken
+      assert(math.abs(r._3 - r._4) <= 187500L,
+        s"estimate outside the k=64 error bound: $r")
+    }
+    // planted overlap: A and B share half their docs verbatim, C is
+    // disjoint — the sketch alone must rank (A,B) far above (A,C)
+    val dir = java.nio.file.Files.createTempDirectory("graft-q156").toString
+    def txt(seed: Int) = (0 until 40)
+      .map(j => s"tok${seed}x$j").mkString(" ")
+    val docs =
+      (1 to 10).map(i => (i.toLong, "A", txt(i))) ++
+        (1 to 5).map(i => (100L + i, "B", txt(i))) ++
+        (6 to 10).map(i => (100L + i, "B", txt(1000 + i))) ++
+        (1 to 10).map(i => (200L + i, "C", txt(2000 + i)))
+    docs.toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = Similarity.queries("q156_source_sketch_overlap").fn(spark, dir)
+      .select("src1", "src2", "est_ppm")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("A", "B")) > 250000L,
+      s"half-shared sources must sketch as overlapping: $m")
+    assert(m(("A", "C")) < 100000L && m(("B", "C")) < 100000L,
+      s"disjoint sources must sketch near zero: $m")
+    assert(m(("A", "B")) > 3 * m(("A", "C")))
+  }
+
   test("q146: weighted sample over-represents heavy docs, ranks are dense") {
     val sample = Curation.queries("q146_weighted_sample").fn(spark, sf0001)
       .select("doc_id", "n_chars", "samp_key", "rank")
