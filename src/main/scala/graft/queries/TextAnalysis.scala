@@ -854,6 +854,62 @@ object TextAnalysis extends Catalog {
                    ln((tok.c * 1.0 / st.st) / (cw.cw * 1.0 / tot.tot))), 6) AS kl
         FROM tok JOIN st USING (source) JOIN cw USING (w) CROSS JOIN tot
         GROUP BY 1"""),
-      scaleNote = "three marginals off one tokenized count frame (checkpointed once): the per-source totals broadcast (|sources| rows), the corpus word counts join on w — vocab-sized, the only real shuffle — and the KL reduction is an ordinary two-phase agg; at 100 TB hash words to 8 bytes (q26) and the whole statistic stays one tokenize + two shuffles")
+      scaleNote = "three marginals off one tokenized count frame (checkpointed once): the per-source totals broadcast (|sources| rows), the corpus word counts join on w — vocab-sized, the only real shuffle — and the KL reduction is an ordinary two-phase agg; at 100 TB hash words to 8 bytes (q26) and the whole statistic stays one tokenize + two shuffles"),
+
+    // ----- q157: n-gram novelty (first-occurrence attribution) ------
+    // The dataset-diversity decay diagnostic: for each doc (in
+    // doc_id ingestion order), what fraction of its DISTINCT 5-grams
+    // has never appeared in any earlier doc? q117 measures global
+    // duplication (order-free); novelty is the ORDER-SENSITIVE
+    // attribution — the curve that shows when additional data stops
+    // contributing new text, and the statistic a dataset-growth audit
+    // plots per ingestion slice. Grams move as 8-byte xxhash64 keys
+    // (q26/q117 stance); the strings live only in the oracle. Exact
+    // integer emission throughout (counts + novelty ppm).
+    "q157_ngram_novelty" -> Q(
+      fn = (s, d) => {
+        val n = 5
+        val base = docs(s, d)
+        val pos = base
+          .select(col("doc_id"), words.as("ws"))
+          .filter(size(col("ws")) >= n)
+          .select(col("doc_id"),
+            explode(array_distinct(
+              transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+                i => xxhash64(array_join(slice(col("ws"), i, lit(n)), " ")))))
+              .as("g"))
+        val first = pos.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+        // q117's build-side stance: the aggregated first-occurrence
+        // index is the build side, never the corpus-sized gram frame
+        val per = pos.join(first.hint("shuffle_hash"), "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("np"),
+            sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("nn"))
+        base.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("np"), lit(0L)).as("n_grams"),
+            coalesce(col("nn"), lit(0L)).as("n_novel"),
+            when(col("np") > 0,
+              expr("nn * CAST(1000000 AS BIGINT) DIV np"))
+              .as("novelty_ppm"))
+      },
+      sql = Some("""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents),
+        pos AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+                FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+                WHERE len(ws) >= 5),
+        f AS (SELECT g, min(doc_id) AS fd FROM pos GROUP BY 1),
+        per AS (SELECT doc_id, count(*) AS np,
+                       sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS nn
+                FROM pos JOIN f USING (g) GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(per.np, 0) AS n_grams,
+               coalesce(per.nn, 0) AS n_novel,
+               CASE WHEN per.np > 0
+                    THEN (per.nn * CAST(1000000 AS BIGINT)) // per.np
+               END AS novelty_ppm
+        FROM documents d LEFT JOIN per USING (doc_id)"""),
+      scaleNote = "one gram shuffle with map-side partial min (a boilerplate gram repeated everywhere costs one partial per partition), one probe join with the aggregated index pinned as build side, one doc_id fold — q117's plan with min(doc_id) in place of count. The first-occurrence index is incrementally maintainable (min is mergeable), so a growing corpus re-probes only new batches — the IncrementalDedup modality applies unchanged")
   )
 }

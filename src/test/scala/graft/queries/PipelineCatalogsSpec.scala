@@ -713,6 +713,39 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(m(("A", "B")) > 3 * m(("A", "C")))
   }
 
+  test("q157: novelty attributes every distinct gram exactly once, in " +
+    "ingestion order") {
+    val nov = TextAnalysis.queries("q157_ngram_novelty").fn(spark, sf0001)
+      .select("doc_id", "n_grams", "n_novel", "novelty_ppm")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    // conservation: every distinct corpus gram is novel for EXACTLY one
+    // doc — the first-occurrence attribution partitions the gram set
+    val distinctGrams = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(explode(array_distinct(
+        transform(sequence(lit(1), size(col("ws")) - 4),
+          i => xxhash64(array_join(slice(col("ws"), i, lit(5)), " "))))).as("g"))
+      .distinct().count()
+    assert(nov.map(_._3).sum == distinctGrams,
+      "sum of per-doc novel grams must equal the distinct corpus grams")
+    // the earliest doc with >= 5 tokens is 100% novel by definition
+    val firstDoc = nov.filter(_._2 > 0).minBy(_._1)
+    assert(firstDoc._4.contains(1000000L), s"first doc not fully novel: $firstDoc")
+    // planted order-sensitivity: an exact later duplicate scores 0,
+    // a fresh doc scores 1e6, regardless of global duplication
+    val dir = java.nio.file.Files.createTempDirectory("graft-q157").toString
+    val t = (0 until 30).map(j => s"w$j").mkString(" ")
+    val u = (0 until 30).map(j => s"v$j").mkString(" ")
+    Seq((1L, t), (2L, t), (3L, u)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.queries("q157_ngram_novelty").fn(spark, dir)
+      .select("doc_id", "novelty_ppm").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(m(1L).contains(1000000L) && m(2L).contains(0L) &&
+      m(3L).contains(1000000L), s"order attribution broken: $m")
+  }
+
   test("q146: weighted sample over-represents heavy docs, ranks are dense") {
     val sample = Curation.queries("q146_weighted_sample").fn(spark, sf0001)
       .select("doc_id", "n_chars", "samp_key", "rank")
