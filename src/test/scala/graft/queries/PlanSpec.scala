@@ -144,6 +144,17 @@ class PlanSpec extends SparkSpec {
       s"position frame must not broadcast:\n${p.take(1200)}")
   }
 
+  test("q157: first-occurrence index is the build side, position frame " +
+    "never broadcast (q117's stance)") {
+    val p = plan("q157_ngram_novelty")
+    assert(p.contains("ShuffledHashJoin"), p.take(800))
+    val broadcastOverGenerate = p.linesIterator.sliding(6).exists(w =>
+      w.head.contains("BroadcastExchange") &&
+        w.tail.exists(_.contains("Generate explode")))
+    assert(!broadcastOverGenerate,
+      s"gram frame must not broadcast:\n${p.take(1200)}")
+  }
+
   test("q59 stop-list: broadcast LEFT-ANTI join, one exchange on shingle") {
     // the registered query hides this behind its checkpoint barrier —
     // assert the pre-barrier plan directly
