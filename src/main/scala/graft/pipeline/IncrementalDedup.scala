@@ -306,11 +306,70 @@ object IncrementalDedup {
     out
   }
 
+  private val FirstsSchema = StructType.fromDDL("g BIGINT, fd BIGINT")
+
+  /** The q157 novelty modality maintained incrementally: the index is
+    * one sub-table —
+    *   firsts/ (g, fd) — per-batch MIN doc_id per distinct 5-gram
+    *   (mergeable: the true first occurrence is the MIN over batch
+    *   partials, so appends never rewrite)
+    * Each call emits per-doc (doc_id, n_grams, n_novel, novelty_ppm)
+    * for the BATCH docs, attributed against everything ingested so
+    * far. Under the file-wide append-only monotone doc_id contract
+    * (batches arrive in ingestion order) the last batch's output
+    * equals the one-shot q157 over the union (spec-proven), and the
+    * novelty of earlier docs is final — never re-emitted. A dryRun
+    * re-probes an already-ingested slice without appending; unlike the
+    * spans modality it still unions the slice's own firsts into the
+    * probe, because min is idempotent under self-union (a count is
+    * not — that asymmetry is why spanCoverageBatch's dryRun must NOT
+    * self-union while this one may).
+    */
+  def noveltyBatch(
+      newDocs: DataFrame,
+      indexDir: String,
+      n: Int = 5,
+      batchId: Option[Long] = None,
+      runId: String = "",
+      dryRun: Boolean = false): DataFrame = {
+    val spark = newDocs.sparkSession
+    guardLegacyCollision(spark, indexDir, Seq("firsts"), batchId, runId)
+    val sub = batchId.map(subdirName(runId, _))
+    val pos = newDocs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+            i => xxhash64(array_join(slice(col("ws"), i, lit(n)), " ")))))
+          .as("g"))
+      .localCheckpoint() // one tokenize feeds the batch firsts AND the probe
+    val batchFirst = pos.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+    val oldFirst = readIndexTable(spark, indexDir, "firsts", FirstsSchema, sub)
+    val total = oldFirst.unionByName(batchFirst)
+      .groupBy(col("g")).agg(min(col("fd")).as("fd"))
+    val perDoc = pos.join(total.hint("shuffle_hash"), "g") // q117's build side
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("np"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("nn"))
+    val out = newDocs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("np"), lit(0L)).as("n_grams"),
+        coalesce(col("nn"), lit(0L)).as("n_novel"),
+        when(col("np") > 0,
+          expr("nn * CAST(1000000 AS BIGINT) DIV np")).as("novelty_ppm"))
+      // materialize BEFORE the index append: the old-firsts scan is
+      // lazy, and appending first would let the batch shadow itself
+      .localCheckpoint()
+    if (!dryRun) writeIndexTable(batchFirst, indexDir, "firsts", sub)
+    out
+  }
+
   /** every sub-table any modality appends to, with its read schema */
   private val IndexTables = Seq(
     "postings" -> PostingsSchema, "sizes" -> SizesSchema,
     "buckets" -> BucketsSchema, "vectors" -> VectorsSchema,
-    "spans" -> SpansSchema)
+    "spans" -> SpansSchema, "firsts" -> FirstsSchema)
 
   /** Structured-Streaming ingest: run [[dedupBatch]] as a foreachBatch
     * sink, so a `readStream` of documents dedups continuously against

@@ -820,7 +820,7 @@ object Similarity extends Catalog {
           prs.join(df, df("source") === prs(if (a == 1) "src1" else "src2"))
             .select(col("src1"), col("src2"), col("h"),
               lit(a.toLong).as("in1"), lit(b.toLong).as("in2"))
-        def overlap(base: DataFrame, kCap: Option[Int]) = {
+        def overlap(base: DataFrame, kCap: Int) = {
           val u = side(base, 1, 0)
             .unionByName(
               prs.join(base, base("source") === prs("src2"))
@@ -828,21 +828,37 @@ object Similarity extends Catalog {
                   lit(0L).as("in1"), lit(1L).as("in2")))
             .groupBy(col("src1"), col("src2"), col("h"))
             .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
-          val ranked = kCap.fold(u) { k =>
-            u.withColumn("rn", row_number().over(
-              Window.partitionBy(col("src1"), col("src2")).orderBy(col("h"))))
-              .filter(col("rn") <= k).drop("rn")
-          }
-          ranked.groupBy(col("src1"), col("src2"))
+          u.withColumn("rn", row_number().over(
+            Window.partitionBy(col("src1"), col("src2")).orderBy(col("h"))))
+            .filter(col("rn") <= kCap).drop("rn")
+            .groupBy(col("src1"), col("src2"))
             .agg(sum(col("in1") * col("in2")).as("m"),
               count(lit(1)).as("k"))
         }
-        val est = overlap(sig, Some(Kmv))
+        val est = overlap(sig, Kmv)
           .select(col("src1"), col("src2"),
             expr("m * CAST(1000000 AS BIGINT) DIV k").as("est_ppm"))
-        val exact = overlap(sh, None)
+        // exact witness via the posting self-join (|A∩B| per pair, then
+        // |A∪B| = szA + szB − |A∩B|): same integers as a union sweep,
+        // but the work is one equi-join on the gram hash — no
+        // pair-count-times expansion of the full shingle sets (the
+        // union-sweep spelling was the suite's slowest query at sf0.1)
+        val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+        val inter = sh.select(col("source").as("src1"), col("h"))
+          .join(sh.select(col("source").as("src2"), col("h")), Seq("h"))
+          .filter(col("src1") < col("src2"))
+          .groupBy(col("src1"), col("src2")).agg(count(lit(1)).as("inter"))
+        val exact = prs
+          .join(inter, Seq("src1", "src2"), "left")
+          .join(broadcast(sz.withColumnRenamed("source", "src1")
+            .withColumnRenamed("sz", "sz1")), Seq("src1"))
+          .join(broadcast(sz.withColumnRenamed("source", "src2")
+            .withColumnRenamed("sz", "sz2")), Seq("src2"))
           .select(col("src1"), col("src2"),
-            expr("m * CAST(1000000 AS BIGINT) DIV k").as("exact_ppm"))
+            expr("coalesce(inter, CAST(0 AS BIGINT))" +
+              " * CAST(1000000 AS BIGINT)" +
+              " DIV (sz1 + sz2 - coalesce(inter, CAST(0 AS BIGINT)))")
+              .as("exact_ppm"))
         est.join(exact, Seq("src1", "src2"))
       },
       sql = Some(s"""

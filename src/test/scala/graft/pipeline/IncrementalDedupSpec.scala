@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.queries.Dedup
+import graft.queries.{Dedup, TextAnalysis}
 
 /** The incremental contract: processing the corpus in batches against
   * the persisted index must find EXACTLY the pairs the one-shot q26
@@ -267,6 +267,42 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(reprobe.as[(Long, Long, Long, Option[Double])].collect().toSet
       == oneShotB1, "re-probe must equal one-shot coverage for batch 1")
     assert(spanRows() == before, "dryRun must not extend the index")
+  }
+
+  test("two-batch incremental novelty equals one-shot q157 for each batch") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0)
+    val b1 = docs.filter(col("doc_id") <= mid)
+    val b2 = docs.filter(col("doc_id") > mid)
+
+    val idx = Files.createTempDirectory("graft-novidx").toString
+    // unlike span coverage, novelty of EARLIER docs never changes as
+    // the corpus grows (first-occurrence is final under monotone
+    // ingestion), so BOTH batches' outputs must match one-shot q157
+    val c1 = IncrementalDedup.noveltyBatch(b1, idx, batchId = Some(0L))
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val c2 = IncrementalDedup.noveltyBatch(b2, idx, batchId = Some(1L))
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val oneShot = TextAnalysis.queries("q157_ngram_novelty").fn(spark, sf0001)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val os1 = oneShot.filter(_._1 <= mid)
+    val os2 = oneShot.filter(_._1 > mid)
+    assert(c1 == os1,
+      s"missing=${os1.diff(c1).take(3)} extra=${c1.diff(os1).take(3)}")
+    assert(c2 == os2,
+      s"missing=${os2.diff(c2).take(3)} extra=${c2.diff(os2).take(3)}")
+
+    // a dry-run re-probe of batch 1 must reproduce its (final) result
+    // and leave the index untouched
+    def firstRows() = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$idx/firsts").count()
+    val before = firstRows()
+    val reprobe = IncrementalDedup.noveltyBatch(
+      b1, idx, batchId = Some(2L), dryRun = true)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(reprobe == os1, "dry-run re-probe must equal one-shot novelty")
+    assert(firstRows() == before, "dryRun must not extend the index")
   }
 
   test("two-batch incremental embedding dedup equals the one-shot LSH pairs") {
