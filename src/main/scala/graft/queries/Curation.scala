@@ -476,6 +476,85 @@ object Curation extends Catalog {
         FROM r, nn GROUP BY 1"""),
       scaleNote = "training is q142's zero-data-shuffle loop; scoring is map-side; the decile assignment is ONE global sort (Spark range-partitions orderBy, so it distributes — the single-partition row_number window here is the test-scale spelling; at 100 TB replace the exact rank with q64 approx-quantile bin boundaries broadcast to a map-side bucketer and the bin stats stay one partial agg)"),
 
+    // ---- q158: ensemble quality selection (Borda rank fusion) --------
+    // No single quality signal survives contact with a 100 TB crawl:
+    // the heuristic score (q34) is gameable, the unigram LM (q110)
+    // favors repetitive text, the classifier (q142) inherits its
+    // label's blind spots — so production curation FUSES them (the
+    // FineWeb/DCLM-style ensemble stance). Borda fusion: rank the
+    // corpus under each signal independently (ties broken by doc_id
+    // on the 6-dp-rounded score — the q137/q146 rank discipline),
+    // sum the ranks, keep the best 100. Ranks, sums, and the final
+    // cut are ALL exact integers; the doubles exist only inside each
+    // signal's already-proven mirror.
+    "q158_quality_rank_fusion" -> Q(
+      fn = (s, d) => {
+        val (feats, wts) = logregFit(s, d)
+        val zExpr = col("w0") + col("w1") * col("x1") +
+          col("w2") * col("x2") + col("w3") * col("x3")
+        val clf = feats.crossJoin(broadcast(wts))
+          .select(col("doc_id"), round(zExpr, 6).as("zc"))
+        val ql = docs(s, d).filter(length(col("text")) > 0)
+          .select(col("doc_id"), round(TextAnalysis.qualityCol, 6).as("ql"))
+        val tf = docs(s, d).filter(length(col("text")) > 0)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .localCheckpoint() // model fit + doc scoring share one tokenize
+        val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+        val total = model.agg(sum(col("cnt")).as("total"))
+        val nll = tf.join(broadcast(model), "term")
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"))
+          .agg(round(-sum(col("tf").cast("double") *
+            log(col("cnt").cast("double") / col("total").cast("double"))) /
+            sum(col("tf")).cast("double"), 6).as("nl"))
+        val j = ql.join(clf, Seq("doc_id")).join(nll, Seq("doc_id"))
+          .withColumn("r_quality", row_number().over(
+            Window.orderBy(col("ql").desc, col("doc_id"))))
+          .withColumn("r_lm", row_number().over(
+            Window.orderBy(col("nl"), col("doc_id"))))
+          .withColumn("r_clf", row_number().over(
+            Window.orderBy(col("zc").desc, col("doc_id"))))
+          .withColumn("borda",
+            (col("r_quality") + col("r_lm") + col("r_clf")).cast("long"))
+        j.orderBy(col("borda"), col("doc_id")).limit(100)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("borda"), col("doc_id"))).cast("int"))
+          .select(col("doc_id"), col("r_quality"), col("r_lm"), col("r_clf"),
+            col("borda"), col("rank"))
+      },
+      sql = Some(s"""${logregCtes(rounds = 5)},
+        zc AS (SELECT doc_id, round($LogregDot, 6) AS zc FROM f, w5t),
+        qlt AS (SELECT doc_id, round(${TextAnalysis.sqlQualityExpr}, 6) AS ql
+                FROM documents WHERE length(text) > 0),
+        wt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+               FROM documents WHERE length(text) > 0),
+        tf AS MATERIALIZED (
+          SELECT doc_id, term, count(*) AS tf FROM wt GROUP BY 1, 2),
+        m AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+        t AS (SELECT sum(cnt) AS total FROM m),
+        nll AS (SELECT tf.doc_id,
+                       round(-sum(CAST(tf.tf AS DOUBLE) *
+                            ln(CAST(m.cnt AS DOUBLE)
+                               / CAST(t.total AS DOUBLE))) /
+                         CAST(sum(tf.tf) AS DOUBLE), 6) AS nl
+                FROM tf JOIN m USING (term) CROSS JOIN t
+                GROUP BY tf.doc_id),
+        r AS (SELECT qlt.doc_id,
+                     row_number() OVER (ORDER BY ql DESC, qlt.doc_id)
+                       AS r_quality,
+                     row_number() OVER (ORDER BY nl, qlt.doc_id) AS r_lm,
+                     row_number() OVER (ORDER BY zc DESC, qlt.doc_id) AS r_clf
+              FROM qlt JOIN zc USING (doc_id) JOIN nll USING (doc_id)),
+        b AS (SELECT doc_id, r_quality, r_lm, r_clf,
+                     CAST(r_quality + r_lm + r_clf AS BIGINT) AS borda
+              FROM r)
+        SELECT doc_id, r_quality, r_lm, r_clf, borda,
+               CAST(row_number() OVER (ORDER BY borda, doc_id) AS INT) AS rank
+        FROM b ORDER BY borda, doc_id LIMIT 100"""),
+      scaleNote = "each signal is its own proven one-or-two-shuffle plan (heuristic: map-side; LM: vocab shuffle + broadcast model; classifier: zero-data-shuffle GD); fusion adds three global rank sorts — Spark range-partitions orderBy so they distribute, and at 100 TB the exact ranks swap for q64 approx-quantile bucket ranks (broadcast boundaries, map-side bucketing) with the same integer Borda arithmetic downstream; the final cut is TakeOrdered, never a full sort of the fused frame"),
+
     // ---- q146: weighted sampling without replacement (A-ES) ----------
     // q60/q69/q90 sample UNIFORMLY (salted-hash rank); a curation mix
     // usually wants docs ∝ weight (quality, length, source priority).

@@ -746,6 +746,45 @@ class PipelineCatalogsSpec extends SparkSpec {
       m(3L).contains(1000000L), s"order attribution broken: $m")
   }
 
+  test("q158: Borda fusion is a dense integer ranking that puts a " +
+    "unanimously-good doc first and a unanimously-bad doc last") {
+    val rows = Curation.queries("q158_quality_rank_fusion").fn(spark, sf0001)
+      .select("doc_id", "r_quality", "r_lm", "r_clf", "borda", "rank")
+      .as[(Long, Int, Int, Int, Long, Int)].collect().sortBy(_._6)
+    assert(rows.length == 100)
+    assert(rows.map(_._6).toSeq == (1 to 100), "final ranks must be dense")
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._5 <= b._5; case _ => true
+    }, "borda must be non-decreasing in rank")
+    rows.foreach(r => assert(r._5 == r._2.toLong + r._3 + r._4,
+      s"borda must be the exact rank sum: $r"))
+    // planted consensus: a long, alphabetic, stopword-glued doc of
+    // common words wins the heuristic AND the LM signal outright; a
+    // short garbled doc loses both. The tiny corpus makes the third
+    // (trained-classifier) signal unreliable BY DESIGN — the test
+    // pins fusion's whole point: a two-signal consensus survives one
+    // arbitrary dissenting ranking (|r_clf difference| < the two
+    // unanimous margins), so good must still fuse above bad
+    val dir = java.nio.file.Files.createTempDirectory("graft-q158").toString
+    val good = Seq.fill(12)("the cat and the dog of the house is a friend")
+      .mkString(" ")
+    val bad = "zz9$ qq8# vv7! kk6%"
+    val mids = (1 to 3).map(i =>
+      (10L + i, Seq.fill(6)(s"word$i some plain text here").mkString(" ")))
+    ((Seq((1L, good), (2L, bad)) ++ mids))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val p = Curation.queries("q158_quality_rank_fusion").fn(spark, dir)
+      .select("doc_id", "r_quality", "r_lm", "rank")
+      .as[(Long, Int, Int, Int)].collect()
+    val byId = p.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 1 && byId(1L)._3 == 1,
+      s"good doc must win both deterministic signals: ${p.toSeq}")
+    assert(byId(2L)._2 == p.length && byId(2L)._3 == p.length,
+      s"garbled doc must lose both deterministic signals: ${p.toSeq}")
+    assert(byId(1L)._4 < byId(2L)._4,
+      s"two-signal consensus must survive the dissenting third: ${p.toSeq}")
+  }
+
   test("q146: weighted sample over-represents heavy docs, ranks are dense") {
     val sample = Curation.queries("q146_weighted_sample").fn(spark, sf0001)
       .select("doc_id", "n_chars", "samp_key", "rank")
