@@ -472,6 +472,38 @@ object IncrementalDedup {
       }
   }
 
+  /** Streaming twin of [[noveltyBatch]] — q157's first-occurrence
+    * novelty as a continuously-ingesting service: each micro-batch's
+    * per-doc novelty (attributed against everything ingested so far)
+    * lands under `noveltyDir`, and the firsts index grows by the
+    * batch's mergeable min(doc_id) partials. Replay contract is
+    * [[streamingDedup]]'s: run-namespaced per-batch subdirs with
+    * OVERWRITE + own-subdir exclusion on the index read make
+    * at-least-once delivery idempotent, and a reset checkpoint cannot
+    * clobber committed subdirs. Single-writer per indexDir. Novelty of
+    * earlier batches is FINAL under the monotone doc_id contract, so
+    * the union of all emitted subdirs is exactly the one-shot q157
+    * over the corpus so far.
+    */
+  def streamingNovelty(
+      streamingDocs: DataFrame,
+      indexDir: String,
+      noveltyDir: String,
+      checkpointDir: String,
+      n: Int = 5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = streamingDocs.sparkSession
+    lazy val runId = checkpointQueryId(spark, checkpointDir)
+    streamingDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        guardLegacyOutSubdir(batch, noveltyDir, runId, id, "novelty")
+        noveltyBatch(batch, indexDir, n, batchId = Some(id), runId = runId)
+          .write.mode("overwrite")
+          .parquet(s"$noveltyDir/${subdirName(runId, id)}")
+        ()
+      }
+  }
+
   /** The streaming query id persisted in the checkpoint's metadata
     * file; empty string ONLY when the file does not exist (legacy
     * un-namespaced layout). A read/parse error must PROPAGATE — the

@@ -81,6 +81,38 @@ class IncrementalDedupSpec extends SparkSpec {
       s"missing=${oneShot.diff(lastStreamed).take(3)} extra=${lastStreamed.diff(oneShot).take(3)}")
   }
 
+  test("streaming novelty: the union of all micro-batch outputs IS one-shot q157") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    val idx = Files.createTempDirectory("graft-snov-idx").toString
+    val novDir = Files.createTempDirectory("graft-snov-out").toString + "/novelty"
+    val ckpt = Files.createTempDirectory("graft-snov-ckpt").toString
+
+    val ms = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.streamingNovelty(
+      ms.toDF().toDF("doc_id", "text"), idx, novDir, ckpt).start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // novelty is FINAL per batch (first-occurrence never changes under
+    // monotone ingestion), so the WHOLE streamed output — not just the
+    // last batch — must equal the one-shot q157 over the corpus
+    val streamed = spark.read
+      .option("recursiveFileLookup", "true").parquet(novDir)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val oneShot = TextAnalysis.queries("q157_ngram_novelty").fn(spark, sf0001)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(streamed == oneShot,
+      s"missing=${oneShot.diff(streamed).take(3)} extra=${streamed.diff(oneShot).take(3)}")
+  }
+
   test("replaying a batch after its index append is idempotent (at-least-once safety)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))
