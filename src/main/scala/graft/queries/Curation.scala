@@ -908,6 +908,79 @@ object Curation extends Catalog {
         GROUP BY 1"""),
       scaleNote = "eval sets are tiny vs the corpus, so their shingle set broadcasts — the 100 TB side streams map-only through a broadcast hash join (zero shuffle of the corpus); one groupBy on doc_id with partial agg"),
 
+    // ---- q159: benchmark leakage audit (q67's inverse view) ----------
+    // q67 answers "which TRAINING docs touch the eval set" (and drops
+    // them); this answers the question the eval owner asks: per EVAL
+    // item, is it represented in the training corpus, and where? For
+    // each eval doc: its strongest-overlap training doc, the shared
+    // distinct-shingle count, containment in ppm, and a leaked flag at
+    // the 50% containment cut — the report that decides which
+    // benchmarks are compromised for a given corpus snapshot. Same
+    // deterministic doc_id-hash split as q67; all emissions are exact
+    // integers, the cut is the cross-multiplied 2·shared ≥ n_sh, and
+    // the best-match tie breaks (shared DESC, train_doc) on both
+    // engines.
+    "q159_leakage_audit" -> Q(
+      fn = (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"),
+            call_function("shingle_hashes", lower(col("text")), lit(3)).as("sh"),
+            (substring(md5(concat(lit("t:"), col("doc_id").cast("string"))), 1, 2)
+              >= "cc").as("is_test"))
+          .filter(size(col("sh")) > 0)
+        val evalSide = base.filter(col("is_test"))
+          .select(col("doc_id").as("eval_id"), col("sh"))
+          .localCheckpoint() // tiny; feeds sizes AND the broadcast probe
+        val evalSz = evalSide
+          .select(col("eval_id"), size(col("sh")).cast("long").as("n_sh"))
+        val evalSh = evalSide
+          .select(col("eval_id"), explode(col("sh")).as("shingle"))
+        val shared = base.filter(!col("is_test"))
+          .select(col("doc_id").as("train_doc"), explode(col("sh")).as("shingle"))
+          .join(broadcast(evalSh), Seq("shingle"))
+          .groupBy(col("eval_id"), col("train_doc"))
+          .agg(count(lit(1)).as("n_shared"))
+        val best = shared.withColumn("rk", row_number().over(
+          Window.partitionBy(col("eval_id"))
+            .orderBy(col("n_shared").desc, col("train_doc"))))
+          .filter(col("rk") === 1).drop("rk")
+        evalSz.join(best, Seq("eval_id"), "left")
+          .select(col("eval_id"), col("n_sh"),
+            col("train_doc").as("best_train_doc"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            expr("coalesce(n_shared, CAST(0 AS BIGINT))" +
+              " * CAST(1000000 AS BIGINT) DIV n_sh").as("contain_ppm"),
+            (coalesce(col("n_shared"), lit(0L)) * 2 >= col("n_sh"))
+              .cast("long").as("leaked"))
+      },
+      sql = Some(s"""
+        WITH s AS (SELECT doc_id, ${Dedup.sqlShingles} AS sh FROM documents),
+        split AS (SELECT doc_id, sh,
+          substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'cc' AS is_test
+          FROM s WHERE len(sh) > 0),
+        ev AS (SELECT doc_id AS eval_id, CAST(len(sh) AS BIGINT) AS n_sh
+               FROM split WHERE is_test),
+        evsh AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle
+                 FROM split WHERE is_test),
+        tr AS (SELECT doc_id AS train_doc, unnest(sh) AS shingle
+               FROM split WHERE NOT is_test),
+        shared AS (SELECT eval_id, train_doc, count(*) AS n_shared
+                   FROM tr JOIN evsh USING (shingle) GROUP BY 1, 2),
+        best AS (SELECT eval_id, train_doc, n_shared FROM (
+                   SELECT eval_id, train_doc, n_shared, row_number() OVER
+                     (PARTITION BY eval_id
+                      ORDER BY n_shared DESC, train_doc) AS rk
+                   FROM shared) WHERE rk = 1)
+        SELECT ev.eval_id, ev.n_sh,
+               best.train_doc AS best_train_doc,
+               coalesce(best.n_shared, 0) AS n_shared,
+               (coalesce(best.n_shared, 0) * CAST(1000000 AS BIGINT))
+                 // ev.n_sh AS contain_ppm,
+               CAST(coalesce(best.n_shared, 0) * 2 >= ev.n_sh AS BIGINT)
+                 AS leaked
+        FROM ev LEFT JOIN best USING (eval_id)"""),
+      scaleNote = "the eval side is tiny and broadcasts (q67's stance), so the 100 TB corpus streams map-only through the broadcast join; per-pair counts exist only for (train, eval) docs that actually share a shingle, the per-eval argmax collapses in-shuffle via WindowGroupLimit, and the report frame is |eval| rows — the audit costs one corpus scan regardless of corpus size"),
+
     // ---- intra-document repetition removal ---------------------------
     // Dedup repeated 5-word segments within each doc, keeping the first
     // occurrence in order (the C4/RefinedWeb line-dedup step). The

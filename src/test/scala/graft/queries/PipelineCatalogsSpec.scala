@@ -785,6 +785,44 @@ class PipelineCatalogsSpec extends SparkSpec {
       s"two-signal consensus must survive the dissenting third: ${p.toSeq}")
   }
 
+  test("q159: leakage audit flags exactly the near-dup pairs that straddle " +
+    "the split and nothing in the clean majority") {
+    val rows = Curation.queries("q159_leakage_audit").fn(spark, sf0001)
+      .select("eval_id", "n_sh", "n_shared", "contain_ppm", "leaked")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "one report row per eval item")
+    // the flag IS the cross-multiplied cut — no hidden float threshold
+    rows.foreach { r =>
+      assert((r._5 == 1L) == (2 * r._3 >= r._2), s"flag/cut mismatch: $r")
+      assert(r._4 == r._3 * 1000000L / r._2)
+    }
+    def isTest(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t:$id".getBytes("UTF-8"))
+      f"${md(0) & 0xff}%02x" >= "cc"
+    }
+    // every planted near-dup pair (j≈0.99) with one side in the eval
+    // split must flag its eval side leaked — containment ≥ jaccard ≥ τ
+    val pairs = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
+      .select("doc1", "doc2").as[(Long, Long)].collect()
+    val straddling = pairs.flatMap { case (a, b) =>
+      (isTest(a), isTest(b)) match {
+        case (true, false) => Some(a)
+        case (false, true) => Some(b)
+        case _             => None
+      }
+    }.toSet
+    assert(straddling.nonEmpty, "fixture must have straddling near-dups")
+    val byId = rows.map(r => r._1 -> r._5).toMap
+    straddling.foreach(id =>
+      assert(byId(id) == 1L, s"straddling near-dup $id must flag leaked"))
+    // the organic majority is clean — leakage is the exception
+    assert(rows.count(_._5 == 1L) <= rows.length / 4,
+      s"too many leaked rows: ${rows.count(_._5 == 1L)}/${rows.length}")
+  }
+
   test("q146: weighted sample over-represents heavy docs, ranks are dense") {
     val sample = Curation.queries("q146_weighted_sample").fn(spark, sf0001)
       .select("doc_id", "n_chars", "samp_key", "rank")
