@@ -320,7 +320,10 @@ object Analytics extends Catalog {
     // double z = (v-mu)/sd was a knife-edge for near-constant windows
     // (last-ulp stddev skew amplifies when sd is tiny); nothing here
     // computes a double at all. Warm-up rows (rn < 10) and degenerate
-    // windows are excluded on both sides.
+    // windows are excluded on both sides. Long-range contract: the z²
+    // numerator 900·dev² needs |value| ≤ ~$50k to stay well inside
+    // Long (the oracle rides HUGEINT and would NOT overflow with it) —
+    // pinned by CorpusContractSpec's events.value range check.
     "q149_rolling_zscore" -> Q(
       fn = (s, d) => {
         val ord = Window.partitionBy(col("user_id"))

@@ -149,6 +149,58 @@ object Curation extends Catalog {
     (feats, wts)
   }
 
+  /** Per-doc unigram-LM average NLL — ONE definition shared by q110
+    * (the scoring operator, every doc) and q158's r_lm signal (docs
+    * with text only): fit on collapsed (doc_id, term) counts,
+    * broadcast the vocab model, score. The 6-dp rounding is the q110
+    * emission discipline (ln-term sums merge in partition order).
+    */
+  private def unigramNll(
+      s: SparkSession, d: String, nonEmptyOnly: Boolean): DataFrame = {
+    val base0 = docs(s, d)
+    val base = if (nonEmptyOnly) base0.filter(length(col("text")) > 0)
+               else base0
+    val tf = base
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // model fit + doc scoring share one tokenize
+    val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("total"))
+    tf.join(broadcast(model), "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        // round(,6) both sides: the ln-term sum merges in
+        // partition order, so raw low bits differ across engines
+        // (measured ~1e-15 relative) — q117's discipline
+        round(-sum(col("tf").cast("double") *
+          log(col("cnt").cast("double") / col("total").cast("double"))) /
+          sum(col("tf")).cast("double"), 6).as("avg_nll"))
+  }
+
+  /** the DuckDB spelling of [[unigramNll]], as a CTE chain ending at
+    * `nll(doc_id, n_tokens, avg_nll)` — composed into q110's and
+    * q158's oracles so the two can never drift
+    */
+  private def nllSqlCtes(nonEmptyOnly: Boolean): String = {
+    val where = if (nonEmptyOnly) " WHERE length(text) > 0" else ""
+    s"""wt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents$where),
+        tf AS MATERIALIZED (
+          SELECT doc_id, term, count(*) AS tf FROM wt GROUP BY 1, 2),
+        m AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+        t AS (SELECT sum(cnt) AS total FROM m),
+        nll AS (SELECT tf.doc_id,
+                       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                       round(-sum(CAST(tf.tf AS DOUBLE) *
+                            ln(CAST(m.cnt AS DOUBLE)
+                               / CAST(t.total AS DOUBLE))) /
+                         CAST(sum(tf.tf) AS DOUBLE), 6) AS avg_nll
+                FROM tf JOIN m USING (term) CROSS JOIN t
+                GROUP BY tf.doc_id)"""
+  }
+
   override def queries: Map[String, Q] = Map(
 
     // ---- q138: URL canonicalization + URL-level dedup ----------------
@@ -436,41 +488,46 @@ object Curation extends Catalog {
     // the empirical positive rate per bin — a calibrated monotone
     // staircase means the score is usable as a threshold; a flat or
     // non-monotone one means retrain. Bins are RANK deciles computed
-    // from exact integers (bin = (rn−1)·10 div n + 1 over the rounded
-    // score's total order with doc_id tie-break — the q137/q146 rank
-    // discipline, no ntile() semantics dependence), the positive rate
-    // is exact ppm, and the bin's score range emits as min/max of the
-    // already-rounded score (order-free, bit-exact).
+    // from exact integers (bin = (rn-1)*10 div n + 1 over the score's
+    // total order with doc_id tie-break, no ntile() semantics
+    // dependence), the positive rate is exact ppm, and the bin's score
+    // range emits as min/max of the raw score (order-free). The rank
+    // key is the RAW z, not round(z, 6): z is rational-valued (dot of
+    // 6-dp weights with rational features), and rounding a rational
+    // reintroduces the q117 repr-tie class — whereas the raw double is
+    // bit-identical cross-engine (fixed op order on identical inputs,
+    // the same proven stance as q142's z > 0 branch), so comparisons
+    // on it are exact.
     "q155_calibration_bins" -> Q(
       fn = (s, d) => {
         val (feats, wts) = logregFit(s, d)
         val z = col("w0") + col("w1") * col("x1") +
           col("w2") * col("x2") + col("w3") * col("x3")
         val scored = feats.crossJoin(broadcast(wts))
-          .select(col("doc_id"), col("y"), round(z, 6).as("zr"))
+          .select(col("doc_id"), col("y"), z.as("z"))
         val n = scored.agg(count(lit(1)).as("n"))
         scored.crossJoin(broadcast(n))
           .withColumn("rn",
-            row_number().over(Window.orderBy(col("zr"), col("doc_id"))))
+            row_number().over(Window.orderBy(col("z"), col("doc_id"))))
           .withColumn("bin", expr("(rn - 1) * 10 DIV n + 1"))
           .groupBy(col("bin"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
-            min(col("zr")).as("z_min"), max(col("zr")).as("z_max"))
+            min(col("z")).as("z_min"), max(col("z")).as("z_max"))
           .withColumn("pos_ppm",
             expr("n_pos * CAST(1000000 AS BIGINT) DIV n_docs"))
       },
       sql = Some(s"""${logregCtes(rounds = 5)},
         scored AS MATERIALIZED (
-          SELECT doc_id, y, round($LogregDot, 6) AS zr FROM f, w5t),
+          SELECT doc_id, y, $LogregDot AS z FROM f, w5t),
         nn AS (SELECT count(*) AS n FROM scored),
-        r AS (SELECT doc_id, y, zr,
-                     row_number() OVER (ORDER BY zr, doc_id) AS rn
+        r AS (SELECT doc_id, y, z,
+                     row_number() OVER (ORDER BY z, doc_id) AS rn
               FROM scored)
         SELECT ((rn - 1) * 10) // n + 1 AS bin,
                count(*) AS n_docs,
                sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n_pos,
-               min(zr) AS z_min, max(zr) AS z_max,
+               min(z) AS z_min, max(z) AS z_max,
                (sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
                   * CAST(1000000 AS BIGINT)) // count(*) AS pos_ppm
         FROM r, nn GROUP BY 1"""),
@@ -482,9 +539,13 @@ object Curation extends Catalog {
     // favors repetitive text, the classifier (q142) inherits its
     // label's blind spots — so production curation FUSES them (the
     // FineWeb/DCLM-style ensemble stance). Borda fusion: rank the
-    // corpus under each signal independently (ties broken by doc_id
-    // on the 6-dp-rounded score — the q137/q146 rank discipline),
-    // sum the ranks, keep the best 100. Ranks, sums, and the final
+    // corpus under each signal independently with doc_id tie-breaks,
+    // sum the ranks, keep the best 100. Rank keys: the RAW heuristic
+    // and classifier scores (both rational-valued with fixed op order,
+    // bit-identical cross-engine — q107/q142 branch on them raw;
+    // rounding a rational for ranking would reintroduce the q117
+    // repr-tie class) and the 6-dp-rounded LM score (transcendental —
+    // its rounding is the q110 emission already proven tie-safe).
     // cut are ALL exact integers; the doubles exist only inside each
     // signal's already-proven mirror.
     "q158_quality_rank_fusion" -> Q(
@@ -493,22 +554,11 @@ object Curation extends Catalog {
         val zExpr = col("w0") + col("w1") * col("x1") +
           col("w2") * col("x2") + col("w3") * col("x3")
         val clf = feats.crossJoin(broadcast(wts))
-          .select(col("doc_id"), round(zExpr, 6).as("zc"))
+          .select(col("doc_id"), zExpr.as("zc"))
         val ql = docs(s, d).filter(length(col("text")) > 0)
-          .select(col("doc_id"), round(TextAnalysis.qualityCol, 6).as("ql"))
-        val tf = docs(s, d).filter(length(col("text")) > 0)
-          .select(col("doc_id"),
-            explode(split(lower(col("text")), " ")).as("term"))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-          .localCheckpoint() // model fit + doc scoring share one tokenize
-        val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
-        val total = model.agg(sum(col("cnt")).as("total"))
-        val nll = tf.join(broadcast(model), "term")
-          .crossJoin(broadcast(total))
-          .groupBy(col("doc_id"))
-          .agg(round(-sum(col("tf").cast("double") *
-            log(col("cnt").cast("double") / col("total").cast("double"))) /
-            sum(col("tf")).cast("double"), 6).as("nl"))
+          .select(col("doc_id"), TextAnalysis.qualityCol.as("ql"))
+        val nll = unigramNll(s, d, nonEmptyOnly = true)
+          .select(col("doc_id"), col("avg_nll").as("nl"))
         val j = ql.join(clf, Seq("doc_id")).join(nll, Seq("doc_id"))
           .withColumn("r_quality", row_number().over(
             Window.orderBy(col("ql").desc, col("doc_id"))))
@@ -525,26 +575,14 @@ object Curation extends Catalog {
             col("borda"), col("rank"))
       },
       sql = Some(s"""${logregCtes(rounds = 5)},
-        zc AS (SELECT doc_id, round($LogregDot, 6) AS zc FROM f, w5t),
-        qlt AS (SELECT doc_id, round(${TextAnalysis.sqlQualityExpr}, 6) AS ql
+        zc AS (SELECT doc_id, $LogregDot AS zc FROM f, w5t),
+        qlt AS (SELECT doc_id, ${TextAnalysis.sqlQualityExpr} AS ql
                 FROM documents WHERE length(text) > 0),
-        wt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-               FROM documents WHERE length(text) > 0),
-        tf AS MATERIALIZED (
-          SELECT doc_id, term, count(*) AS tf FROM wt GROUP BY 1, 2),
-        m AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
-        t AS (SELECT sum(cnt) AS total FROM m),
-        nll AS (SELECT tf.doc_id,
-                       round(-sum(CAST(tf.tf AS DOUBLE) *
-                            ln(CAST(m.cnt AS DOUBLE)
-                               / CAST(t.total AS DOUBLE))) /
-                         CAST(sum(tf.tf) AS DOUBLE), 6) AS nl
-                FROM tf JOIN m USING (term) CROSS JOIN t
-                GROUP BY tf.doc_id),
+        ${nllSqlCtes(nonEmptyOnly = true)},
         r AS (SELECT qlt.doc_id,
                      row_number() OVER (ORDER BY ql DESC, qlt.doc_id)
                        AS r_quality,
-                     row_number() OVER (ORDER BY nl, qlt.doc_id) AS r_lm,
+                     row_number() OVER (ORDER BY avg_nll, qlt.doc_id) AS r_lm,
                      row_number() OVER (ORDER BY zc DESC, qlt.doc_id) AS r_clf
               FROM qlt JOIN zc USING (doc_id) JOIN nll USING (doc_id)),
         b AS (SELECT doc_id, r_quality, r_lm, r_clf,
@@ -1350,38 +1388,10 @@ object Curation extends Catalog {
     // unlike a RANKED top-K (q65/q108's exact-rational stance), a
     // per-doc score column has no boundary to flip.
     "q110_unigram_logprob" -> Q(
-      fn = (s, d) => {
-        val tf = docs(s, d)
-          .select(col("doc_id"),
-            explode(split(lower(col("text")), " ")).as("term"))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-          .localCheckpoint() // model fit + doc scoring share one tokenize
-        val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
-        val total = model.agg(sum(col("cnt")).as("total"))
-        tf.join(broadcast(model), "term")
-          .crossJoin(broadcast(total))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("tf")).as("n_tokens"),
-            // round(,6) both sides: the ln-term sum merges in
-            // partition order, so raw low bits differ across engines
-            // (measured ~1e-15 relative) — q117's discipline
-            round(-sum(col("tf").cast("double") *
-              log(col("cnt").cast("double") / col("total").cast("double"))) /
-              sum(col("tf")).cast("double"), 6).as("avg_nll"))
-      },
-      sql = Some("""
-        WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-                   FROM documents),
-        tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
-        m AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
-        t AS (SELECT sum(cnt) AS total FROM m)
-        SELECT tf.doc_id,
-               CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-               round(-sum(CAST(tf.tf AS DOUBLE) *
-                    ln(CAST(m.cnt AS DOUBLE) / CAST(t.total AS DOUBLE))) /
-                 CAST(sum(tf.tf) AS DOUBLE), 6) AS avg_nll
-        FROM tf JOIN m USING (term) CROSS JOIN t
-        GROUP BY tf.doc_id"""),
+      fn = (s, d) => unigramNll(s, d, nonEmptyOnly = false),
+      sql = Some(s"""
+        WITH ${nllSqlCtes(nonEmptyOnly = false)}
+        SELECT doc_id, n_tokens, avg_nll FROM nll"""),
       scaleNote = "model fit is one (term) shuffle with map-side partial agg over the already-collapsed (doc_id, term) frame; vocab ≪ corpus so the model broadcasts back and scoring adds one (doc_id) shuffle — at 100 TB hash terms to 8 bytes (q26's stance) and swap the broadcast for a shuffle join only if the vocabulary outgrows executor memory")
   )
 }

@@ -190,12 +190,15 @@ object TextAnalysis extends Catalog {
   // An evicted generation is NOT unpersisted immediately: localCheckpoint
   // truncates lineage, so dropping its blocks under a straggler query
   // still executing against the old frames would be unrecoverable (no
-  // recompute path). The stale pair parks on a one-deep grace queue and
-  // is freed only on the NEXT eviction — by then two corpus
-  // regenerations have passed, and regeneration happens between rounds,
-  // so no in-flight reader can still hold the twice-stale generation.
-  private val bpeGrace =
-    scala.collection.mutable.Queue[(DataFrame, DataFrame)]()
+  // recompute path). The stale pair parks on a one-deep PER-KEY grace
+  // slot and is freed only on that key's NEXT eviction — by then two
+  // regenerations of that corpus have passed, and regeneration happens
+  // between rounds, so no in-flight reader can still hold the
+  // twice-stale generation. Per-key, not a shared queue: interleaved
+  // regenerations of two different corpora must not count against each
+  // other's grace period.
+  private val bpeGrace = scala.collection.mutable.Map[
+    (SparkSession, String), (DataFrame, DataFrame)]()
 
   private def bpeLearnCached(s: SparkSession, d: String): (DataFrame, DataFrame) =
     bpeCache.synchronized {
@@ -207,10 +210,10 @@ object TextAnalysis extends Catalog {
       bpeCache.get((s, d)) match {
         case Some((`gen`, frames)) => frames
         case stale =>
-          stale.foreach { case (_, frames) => bpeGrace.enqueue(frames) }
-          while (bpeGrace.size > 1) {
-            val (m, e) = bpeGrace.dequeue()
-            m.unpersist(); e.unpersist()
+          stale.foreach { case (_, frames) =>
+            bpeGrace.put((s, d), frames).foreach { case (gm, ge) =>
+              gm.unpersist(); ge.unpersist()
+            }
           }
           val (m, e) = bpeLearn(s, d)
           val frames = (m.localCheckpoint(), e) // enc checkpointed per round

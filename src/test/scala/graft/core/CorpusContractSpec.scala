@@ -106,6 +106,24 @@ class CorpusContractSpec extends SparkSpec {
     }
   }
 
+  test("events.value stays exact-2-decimal and inside q149's long-safe range") {
+    // q149 computes in integer cents with LONG arithmetic: the z²
+    // numerator 900·dev² needs dev = 10c − S ≤ ~3e9 to stay 4 orders
+    // under Long.MaxValue, i.e. value ≤ ~$50k (the shipped max is
+    // ~$560). The oracle side rides HUGEINT and would NOT overflow, so
+    // a silently grown value range would surface as a baffling gate
+    // mismatch — pin it here with the property named instead. The
+    // 2-decimal exactness is what makes cents exact in the first
+    // place (also load-bearing for q01-family sum stability).
+    for (sf <- Seq(sf0001, sf001, sf01)) {
+      val ev = t(sf, "events").select(col("value"))
+      assert(ev.filter(col("value") =!= round(col("value"), 2)).count() == 0,
+        s"$sf: events.value must be exact 2-decimal")
+      assert(ev.filter(abs(col("value")) > 50000.0).count() == 0,
+        s"$sf: |events.value| must stay <= 50000 (q149 long-cents bound)")
+    }
+  }
+
   test("embeddings are fixed-dimension float vectors with a small label set") {
     val em = t(sf0001, "embeddings")
     assert(em.schema("embedding").dataType ==
