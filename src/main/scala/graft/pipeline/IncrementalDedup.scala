@@ -365,11 +365,86 @@ object IncrementalDedup {
     out
   }
 
+  private val KmvSchema = StructType.fromDDL("source STRING, h BIGINT")
+
+  /** Incremental maintenance of q156's per-source KMV signatures —
+    * the source-overlap matrix as a continuously-refreshable service.
+    * Each call: signature the NEW batch's shingle hashes (k smallest
+    * per source), fold into the persisted signature frame under
+    * `indexDir/kmv`, and emit the refreshed all-pairs overlap matrix
+    * (src1, src2, est_ppm) over every source ingested so far.
+    *
+    * Correct by the KMV merge law — kmin(A ∪ B) =
+    * kmin(kmin(A) ∪ kmin(B)) — so the per-batch partial is the
+    * batch's own k-min signature (≤ k·|sources| rows, the only thing
+    * ever persisted), the merged signature equals the one-shot
+    * signature over the union corpus, and the matrix is bit-identical
+    * to q156's estimate path (same kernel: Similarity.kmvShingles /
+    * kmvSignature / kmvOverlapEst). Unlike the dedup modalities this
+    * needs NO doc_id monotonicity: signatures are order-free sets.
+    * The corpus is touched once per batch; the matrix recompute runs
+    * on signatures alone (|sources|²·k tiny rows).
+    */
+  def kmvOverlapBatch(
+      newDocs: DataFrame,
+      indexDir: String,
+      k: Int = 64,
+      batchId: Option[Long] = None,
+      runId: String = "",
+      dryRun: Boolean = false): DataFrame = {
+    val spark = newDocs.sparkSession
+    guardLegacyCollision(spark, indexDir, Seq("kmv"), batchId, runId)
+    val sub = batchId.map(subdirName(runId, _))
+    val batchSig = graft.queries.Similarity
+      .kmvSignature(graft.queries.Similarity.kmvShingles(newDocs), k)
+      .localCheckpoint() // one corpus pass; reused by merge AND append
+    val oldSig = readIndexTable(spark, indexDir, "kmv", KmvSchema, sub)
+    // distinct: the same shingle hash may reach the k-min cut of more
+    // than one batch partial — a duplicate would double-count one rank
+    val merged = graft.queries.Similarity.kmvSignature(
+      oldSig.unionByName(batchSig).distinct(), k)
+    val out = graft.queries.Similarity.kmvOverlapEst(merged, k)
+      // materialize BEFORE the index append: the old-signature scan is
+      // lazy, and appending first would let the batch shadow itself
+      .localCheckpoint()
+    if (!dryRun) writeIndexTable(batchSig, indexDir, "kmv", sub)
+    out
+  }
+
+  /** Streaming twin of [[kmvOverlapBatch]]: each micro-batch folds its
+    * signature partial into the index and lands the refreshed overlap
+    * matrix under `matrixDir` (the LAST batch's subdir is the current
+    * matrix; earlier subdirs are the matrix's history). Replay
+    * contract is [[streamingDedup]]'s: run-namespaced per-batch
+    * subdirs with OVERWRITE + own-subdir exclusion on the index read
+    * make at-least-once delivery idempotent. Single-writer per
+    * indexDir.
+    */
+  def streamingKmvOverlap(
+      streamingDocs: DataFrame,
+      indexDir: String,
+      matrixDir: String,
+      checkpointDir: String,
+      k: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = streamingDocs.sparkSession
+    lazy val runId = checkpointQueryId(spark, checkpointDir)
+    streamingDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        guardLegacyOutSubdir(batch, matrixDir, runId, id, "matrix")
+        kmvOverlapBatch(batch, indexDir, k, batchId = Some(id), runId = runId)
+          .write.mode("overwrite")
+          .parquet(s"$matrixDir/${subdirName(runId, id)}")
+        ()
+      }
+  }
+
   /** every sub-table any modality appends to, with its read schema */
   private val IndexTables = Seq(
     "postings" -> PostingsSchema, "sizes" -> SizesSchema,
     "buckets" -> BucketsSchema, "vectors" -> VectorsSchema,
-    "spans" -> SpansSchema, "firsts" -> FirstsSchema)
+    "spans" -> SpansSchema, "firsts" -> FirstsSchema,
+    "kmv" -> KmvSchema)
 
   /** Structured-Streaming ingest: run [[dedupBatch]] as a foreachBatch
     * sink, so a `readStream` of documents dedups continuously against

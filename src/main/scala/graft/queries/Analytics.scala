@@ -237,13 +237,17 @@ object Analytics extends Catalog {
                             AS b
                    FROM events),
         c AS MATERIALIZED (
-          SELECT b, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+          SELECT b, CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END)
+                         AS BIGINT) AS na,
                     -- NOT is_a, not the is_a ELSE-branch: a NULL ts must
                     -- count in NEITHER period on both engines (the Spark
                     -- side's !is_a is NULL there and falls to otherwise 0)
-                    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb
+                    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)
+                         AS BIGINT) AS nb
           FROM e GROUP BY 1),
-        t AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS nbuckets FROM c),
+        t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                     CAST(sum(nb) AS BIGINT) AS tb,
+                     count(*) AS nbuckets FROM c),
         p AS (SELECT b,
                 CAST(na + 1 AS DOUBLE) / CAST(ta + nbuckets AS DOUBLE) AS pa,
                 CAST(nb + 1 AS DOUBLE) / CAST(tb + nbuckets AS DOUBLE) AS pb,
@@ -351,13 +355,15 @@ object Analytics extends Catalog {
                  CAST(round(value * 100, 0) AS BIGINT) AS c,
                  row_number() OVER
                    (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-                 sum(CAST(round(value * 100, 0) AS BIGINT)) OVER
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS sc,
-                 sum(CAST(round(value * 100, 0) AS BIGINT)
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+                   AS BIGINT) AS sc,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
                      * CAST(round(value * 100, 0) AS BIGINT)) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS qc
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+                   AS BIGINT) AS qc
           FROM events),
         d AS (SELECT event_id, user_id,
                      c * 10 - sc AS dev, qc * 10 - sc * sc AS varnum
@@ -425,8 +431,9 @@ object Analytics extends Catalog {
                           count(o_custkey) AS n_cust,
                           count(DISTINCT o_orderkey) AS n_key,
                           min(o_totalprice) AS min_price,
-                          sum(CASE WHEN o_orderstatus IN ('O','F','P')
-                                   THEN 1 ELSE 0 END) AS n_status
+                          CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_status
                    FROM orders),
         orphan AS (SELECT count(*) AS n_orphan FROM lineitem l
                    WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -527,8 +534,10 @@ object Analytics extends Catalog {
               UNION ALL
               SELECT 'ALL', b, CAST(sum(c) AS BIGINT) FROM hist GROUP BY b),
         cum AS (SELECT grp, b, c,
-                       sum(c) OVER (PARTITION BY grp ORDER BY b) AS cum,
-                       sum(c) OVER (PARTITION BY grp) AS n
+                       CAST(sum(c) OVER (PARTITION BY grp ORDER BY b)
+                            AS BIGINT) AS cum,
+                       CAST(sum(c) OVER (PARTITION BY grp)
+                            AS BIGINT) AS n
                 FROM h),
         qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q,
                       unnest([5, 10, 15, 18]) AS k),

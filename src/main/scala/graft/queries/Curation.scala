@@ -102,8 +102,9 @@ object Curation extends Catalog {
   private def logregSql(rounds: Int): String =
     s"""${logregCtes(rounds)}
       SELECT w0, w1, w2, w3, count(*) AS n_docs,
-             (sum(CASE WHEN (($LogregDot) > 0) = (y = 1.0)
-                       THEN 1 ELSE 0 END) * CAST(1000000 AS BIGINT))
+             (CAST(sum(CASE WHEN (($LogregDot) > 0) = (y = 1.0)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                * CAST(1000000 AS BIGINT))
                // count(*) AS acc_ppm
       FROM f, w${rounds}t
       GROUP BY w0, w1, w2, w3"""
@@ -364,7 +365,8 @@ object Curation extends Catalog {
                         w[i+3] || ' ' || w[i+4])) AS g
                FROM raw WHERE len(w) >= 5),
         c5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2),
-        d5 AS (SELECT doc_id, sum(cnt * length(g)) AS dup5_chars
+        d5 AS (SELECT doc_id, CAST(sum(cnt * length(g)) AS BIGINT)
+                 AS dup5_chars
                FROM c5 WHERE cnt >= 2 GROUP BY 1)
         SELECT r.doc_id,
                (t2.top2_chars * CAST(1000000 AS BIGINT)) // r.n_chars
@@ -526,9 +528,10 @@ object Curation extends Catalog {
               FROM scored)
         SELECT ((rn - 1) * 10) // n + 1 AS bin,
                count(*) AS n_docs,
-               sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n_pos,
+               CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos,
                min(z) AS z_min, max(z) AS z_max,
-               (sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+               (CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
                   * CAST(1000000 AS BIGINT)) // count(*) AS pos_ppm
         FROM r, nn GROUP BY 1"""),
       scaleNote = "training is q142's zero-data-shuffle loop; scoring is map-side; the decile assignment is ONE global sort (Spark range-partitions orderBy, so it distributes — the single-partition row_number window here is the test-scale spelling; at 100 TB replace the exact rank with q64 approx-quantile bin boundaries broadcast to a map-side bucketer and the bin stats stay one partial agg)"),
@@ -692,9 +695,11 @@ object Curation extends Catalog {
       },
       sql = Some {
         def tot(prev: String) =
-          s"""(SELECT max(b) - sum(CASE WHEN capped THEN cap ELSE 0 END)
+          s"""(SELECT max(b) - CAST(sum(CASE WHEN capped THEN cap ELSE 0 END)
+                                    AS BIGINT)
                  AS rbud,
-               sum(CASE WHEN capped THEN 0 ELSE w END) AS wsum
+               CAST(sum(CASE WHEN capped THEN 0 ELSE w END) AS BIGINT)
+                 AS wsum
                FROM $prev)"""
         val rounds = (1 to 6).map { r =>
           val prev = if (r == 1) "s0" else s"s${r - 1}"
@@ -702,31 +707,31 @@ object Curation extends Catalog {
           t$r AS MATERIALIZED ${tot(prev)},
           s$r AS MATERIALIZED (
             SELECT source, a, w, cap, b,
-                   capped OR (wsum > 0 AND (w * greatest(rbud, CAST(0 AS HUGEINT))) // wsum >= cap)
+                   capped OR (wsum > 0 AND (w * greatest(rbud, CAST(0 AS BIGINT))) // wsum >= cap)
                      AS capped
             FROM $prev, t$r)"""
         }.mkString
         s"""
         WITH av AS (
           SELECT source,
-                 sum(CAST(len(string_split(lower(text), ' ')) AS BIGINT))
-                   AS a
+                 CAST(sum(CAST(len(string_split(lower(text), ' ')) AS BIGINT))
+                      AS BIGINT) AS a
           FROM documents WHERE length(text) > 0 GROUP BY 1),
         s0 AS MATERIALIZED (
           SELECT source, a,
                  CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w,
                  a * 2 AS cap,
-                 (SELECT (3 * sum(a)) // 2 FROM av) AS b,
+                 (SELECT (3 * CAST(sum(a) AS BIGINT)) // 2 FROM av) AS b,
                  FALSE AS capped
           FROM av)$rounds,
         tf AS ${tot("s6")}
         SELECT source, a AS a_tokens, w AS weight, cap AS cap_tokens,
                CAST(capped AS BIGINT) AS capped,
                CASE WHEN capped THEN cap
-                    WHEN wsum > 0 THEN (w * greatest(rbud, CAST(0 AS HUGEINT))) // wsum
+                    WHEN wsum > 0 THEN (w * greatest(rbud, CAST(0 AS BIGINT))) // wsum
                     ELSE 0 END AS alloc_tokens,
                (CASE WHEN capped THEN cap
-                     WHEN wsum > 0 THEN (w * greatest(rbud, CAST(0 AS HUGEINT))) // wsum
+                     WHEN wsum > 0 THEN (w * greatest(rbud, CAST(0 AS BIGINT))) // wsum
                      ELSE 0 END * CAST(1000000 AS BIGINT)) // a
                  AS epochs_ppm
         FROM s6, tf"""

@@ -453,7 +453,8 @@ object Dedup extends Catalog {
                              THEN 1 ELSE -1 END AS s
                  FROM tok CROSS JOIN
                    (SELECT unnest(generate_series(0, 63)) AS b) bb),
-        cnt AS (SELECT doc_id, b, sum(s) AS c FROM bits GROUP BY 1, 2),
+        cnt AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS c
+                FROM bits GROUP BY 1, 2),
         sh AS (SELECT doc_id,
                       string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END, ''
                                  ORDER BY b DESC) AS simhash
@@ -849,7 +850,8 @@ object Dedup extends Catalog {
                 WHERE len(ws) >= 5),
         occ AS (SELECT g, count(*) AS occ FROM pos GROUP BY g),
         per AS (SELECT doc_id, count(*) AS np,
-                       sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS nd
+                       CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nd
                 FROM pos JOIN occ USING (g) GROUP BY doc_id)
         SELECT d.doc_id,
                coalesce(per.np, 0) AS n_pos,

@@ -30,6 +30,62 @@ object Similarity extends Catalog {
   private val K = 10
   private val NumQueries = 5
 
+  // ---- q156 KMV kernel, shared with the incremental maintenance
+  // path (IncrementalDedup.kmvOverlapBatch / streamingKmvOverlap).
+  // K-minimum-values signatures are mergeable — kmin(A ∪ B) =
+  // kmin(kmin(A) ∪ kmin(B)) — so a per-batch partial signature frame
+  // folds into the running index and the merged matrix is
+  // bit-identical to the one-shot q156 estimate path. Keeping the
+  // hash domain, the signature cut, and the estimator in ONE place is
+  // what makes that equality structural rather than coincidental.
+
+  /** q156's hash domain: distinct md5-derived 48-bit 3-word-shingle
+    * hashes per source (the q133/q146 portable-hash family).
+    */
+  private[graft] def kmvShingles(docs: DataFrame): DataFrame =
+    docs.select(col("source"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 2),
+          i => conv(substring(md5(concat(lit("sv:"),
+            array_join(slice(col("ws"), i, lit(3)), " "))), 1, 12),
+            16, 10).cast("long"))).as("h"))
+      .distinct()
+
+  /** per-source k-minimum-values signature of a (source, h) frame */
+  private[graft] def kmvSignature(sh: DataFrame, k: Int): DataFrame =
+    sh.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("h"))
+
+  /** all-pairs KMV-union Jaccard estimates from signatures alone:
+    * per pair, the k smallest of the two signatures' union, counting
+    * how many sit in both — |sources|²·k tiny rows, never
+    * corpus-sized.
+    */
+  private[graft] def kmvOverlapEst(sig: DataFrame, k: Int): DataFrame = {
+    val srcs = sig.select(col("source")).distinct()
+    val prs = srcs.select(col("source").as("src1"))
+      .join(srcs.select(col("source").as("src2")), col("src1") < col("src2"))
+    val u = prs.join(sig, sig("source") === prs("src1"))
+      .select(col("src1"), col("src2"), col("h"),
+        lit(1L).as("in1"), lit(0L).as("in2"))
+      .unionByName(
+        prs.join(sig, sig("source") === prs("src2"))
+          .select(col("src1"), col("src2"), col("h"),
+            lit(0L).as("in1"), lit(1L).as("in2")))
+      .groupBy(col("src1"), col("src2"), col("h"))
+      .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
+    u.withColumn("rn", row_number().over(
+        Window.partitionBy(col("src1"), col("src2")).orderBy(col("h"))))
+      .filter(col("rn") <= k).drop("rn")
+      .groupBy(col("src1"), col("src2"))
+      .agg(sum(col("in1") * col("in2")).as("m"), count(lit(1)).as("k"))
+      .select(col("src1"), col("src2"),
+        expr("m * CAST(1000000 AS BIGINT) DIV k").as("est_ppm"))
+  }
+
   /** LSH geometry: `LshTables` × `BitsPerTable` sign-random
     * hyperplanes, components ±1 from MurmurHash3 (LshSigs.planeSign —
     * deterministic, no RNG state, survives task retry and resume).
@@ -796,48 +852,15 @@ object Similarity extends Catalog {
     "q156_source_sketch_overlap" -> Q(
       fn = (s, d) => {
         val Kmv = 64
-        val sh = Tables.load(s, d, "documents")
-          .select(col("source"), split(lower(col("text")), " ").as("ws"))
-          .filter(size(col("ws")) >= 3)
-          .select(col("source"),
-            explode(transform(sequence(lit(1), size(col("ws")) - 2),
-              i => conv(substring(md5(concat(lit("sv:"),
-                array_join(slice(col("ws"), i, lit(3)), " "))), 1, 12),
-                16, 10).cast("long"))).as("h"))
-          .distinct()
+        val sh = kmvShingles(Tables.load(s, d, "documents"))
           .localCheckpoint() // feeds the signatures AND the exact witness
-        val sig = sh
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("source")).orderBy(col("h"))))
-          .filter(col("rn") <= Kmv)
-          .select(col("source"), col("h"))
+        val sig = kmvSignature(sh, Kmv)
           .localCheckpoint() // 64 rows/source — the shipped artifact
         val srcs = sig.select(col("source")).distinct()
         val prs = srcs.select(col("source").as("src1"))
           .join(srcs.select(col("source").as("src2")),
             col("src1") < col("src2"))
-        def side(df: DataFrame, a: Int, b: Int) =
-          prs.join(df, df("source") === prs(if (a == 1) "src1" else "src2"))
-            .select(col("src1"), col("src2"), col("h"),
-              lit(a.toLong).as("in1"), lit(b.toLong).as("in2"))
-        def overlap(base: DataFrame, kCap: Int) = {
-          val u = side(base, 1, 0)
-            .unionByName(
-              prs.join(base, base("source") === prs("src2"))
-                .select(col("src1"), col("src2"), col("h"),
-                  lit(0L).as("in1"), lit(1L).as("in2")))
-            .groupBy(col("src1"), col("src2"), col("h"))
-            .agg(max(col("in1")).as("in1"), max(col("in2")).as("in2"))
-          u.withColumn("rn", row_number().over(
-            Window.partitionBy(col("src1"), col("src2")).orderBy(col("h"))))
-            .filter(col("rn") <= kCap).drop("rn")
-            .groupBy(col("src1"), col("src2"))
-            .agg(sum(col("in1") * col("in2")).as("m"),
-              count(lit(1)).as("k"))
-        }
-        val est = overlap(sig, Kmv)
-          .select(col("src1"), col("src2"),
-            expr("m * CAST(1000000 AS BIGINT) DIV k").as("est_ppm"))
+        val est = kmvOverlapEst(sig, Kmv)
         // exact witness via the posting self-join (|A∩B| per pair, then
         // |A∪B| = szA + szB − |A∩B|): same integers as a union sweep,
         // but the work is one equi-join on the gram hash — no
@@ -890,7 +913,8 @@ object Similarity extends Catalog {
                      (PARTITION BY src1, src2 ORDER BY h) AS rn FROM uest)
                  WHERE rn <= 64),
         est AS (SELECT src1, src2,
-                       (sum(in1 * in2) * CAST(1000000 AS BIGINT)) // count(*)
+                       (CAST(sum(in1 * in2) AS BIGINT)
+                          * CAST(1000000 AS BIGINT)) // count(*)
                          AS est_ppm
                 FROM kest GROUP BY 1, 2),
         uex AS (SELECT src1, src2, h, max(in1) AS in1, max(in2) AS in2
@@ -902,7 +926,8 @@ object Similarity extends Catalog {
                   FROM prs p JOIN sh s ON s.source = p.src2) u
                 GROUP BY 1, 2, 3),
         ex AS (SELECT src1, src2,
-                      (sum(in1 * in2) * CAST(1000000 AS BIGINT)) // count(*)
+                      (CAST(sum(in1 * in2) AS BIGINT)
+                         * CAST(1000000 AS BIGINT)) // count(*)
                         AS exact_ppm
                FROM uex GROUP BY 1, 2)
         SELECT est.src1, est.src2, est.est_ppm, ex.exact_ppm

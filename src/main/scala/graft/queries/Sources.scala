@@ -664,7 +664,7 @@ object Sources extends Catalog {
           SELECT seed, p + 1,
                  CAST((s * 25214903917 + 11) % 281474976710656 AS HUGEINT)
           FROM st WHERE p < 1023),
-        px AS (SELECT seed, p, CAST(s // 16777216 AS BIGINT) AS rgb
+        px AS (SELECT seed, p, CAST(s AS BIGINT) // 16777216 AS rgb
                FROM st WHERE p >= 0),
         lum AS (SELECT seed, p,
           CAST(CAST(CAST(CAST(CAST(0.299 AS FLOAT) * ((rgb >> 16) & 255) AS FLOAT)
@@ -845,17 +845,20 @@ object Sources extends Catalog {
                 FROM cand, js),
         ch AS (SELECT k, is_member, ${kmvValSql("hh")} % 16384 AS pos FROM chh),
         pk AS (SELECT k, is_member,
-                      sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS mc
+                      CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS mc
                FROM ch LEFT JOIN bits b ON ch.pos = b.pos
                GROUP BY 1, 2)
-        SELECT sum(is_member) AS n_members,
-               sum(1 - is_member) AS n_nonmembers,
-               sum(CASE WHEN is_member = 1 AND mc = 4 THEN 1 ELSE 0 END)
-                 AS n_member_pass,
-               sum(CASE WHEN is_member = 0 AND mc = 4 THEN 1 ELSE 0 END)
-                 AS n_false_pos,
-               (sum(CASE WHEN is_member = 0 AND mc = 4 THEN 1 ELSE 0 END)
-                  * CAST(1000000 AS BIGINT)) // sum(1 - is_member) AS fp_ppm
+        SELECT CAST(sum(is_member) AS BIGINT) AS n_members,
+               CAST(sum(1 - is_member) AS BIGINT) AS n_nonmembers,
+               CAST(sum(CASE WHEN is_member = 1 AND mc = 4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_member_pass,
+               CAST(sum(CASE WHEN is_member = 0 AND mc = 4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos,
+               (CAST(sum(CASE WHEN is_member = 0 AND mc = 4 THEN 1 ELSE 0 END)
+                     AS BIGINT)
+                  * CAST(1000000 AS BIGINT))
+                 // CAST(sum(1 - is_member) AS BIGINT) AS fp_ppm
         FROM pk"""),
       scaleNote = "the filter is ~2 KB of positions for 1.5k keys (m/8 bytes as a real bitset) and broadcasts to every probe task — at 100 TB this is the pre-join reduction for keys the built-in runtime filter can't see (cross-job, persisted, or shipped to another system); build is one distinct + map-side hash pass, probe is a broadcast join that drops (1 − fp) of the non-matching scan before the real join shuffles anything"),
 

@@ -582,7 +582,7 @@ object TextAnalysis extends Catalog {
         WITH c AS (
           SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
         counts AS (SELECT token, count(*) AS cnt FROM c GROUP BY token),
-        t AS (SELECT sum(cnt) AS total FROM counts)
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
         SELECT token, cnt, CAST(cnt * 1000000 // total AS BIGINT) AS ppm
         FROM counts CROSS JOIN t
         ORDER BY cnt DESC, token LIMIT 30"""),
@@ -904,7 +904,8 @@ object TextAnalysis extends Catalog {
                 WHERE len(ws) >= 5),
         f AS (SELECT g, min(doc_id) AS fd FROM pos GROUP BY 1),
         per AS (SELECT doc_id, count(*) AS np,
-                       sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS nn
+                       CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nn
                 FROM pos JOIN f USING (g) GROUP BY 1)
         SELECT d.doc_id,
                coalesce(per.np, 0) AS n_grams,

@@ -403,4 +403,70 @@ class IncrementalDedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(pA == pB)
   }
+
+  test("two-batch incremental KMV overlap equals one-shot q156 estimates") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0)
+    val b1 = docs.filter(col("doc_id") <= mid)
+    val b2 = docs.filter(col("doc_id") > mid)
+
+    val idx = Files.createTempDirectory("graft-kmvidx").toString
+    // matrix after batch 1 covers batch-1 sources only; after batch 2
+    // the merged signatures must make it equal the one-shot estimate
+    // path over the FULL corpus (the KMV merge law, end to end)
+    IncrementalDedup.kmvOverlapBatch(b1, idx, batchId = Some(0L)).count()
+    val m2 = IncrementalDedup.kmvOverlapBatch(b2, idx, batchId = Some(1L))
+      .as[(String, String, Long)].collect().toSet
+    val oneShot = graft.queries.Similarity
+      .queries("q156_source_sketch_overlap").fn(spark, sf0001)
+      .select(col("src1"), col("src2"), col("est_ppm"))
+      .as[(String, String, Long)].collect().toSet
+    assert(m2 == oneShot,
+      s"missing=${oneShot.diff(m2).take(3)} extra=${m2.diff(oneShot).take(3)}")
+
+    // a dry-run re-probe of an empty batch reproduces the matrix and
+    // leaves the signature index untouched
+    def kmvRows() = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$idx/kmv").count()
+    val before = kmvRows()
+    val reprobe = IncrementalDedup.kmvOverlapBatch(
+      b2.limit(0), idx, batchId = Some(2L), dryRun = true)
+      .as[(String, String, Long)].collect().toSet
+    assert(reprobe == oneShot, "dry-run re-probe must equal the matrix")
+    assert(kmvRows() == before, "dryRun must not extend the index")
+  }
+
+  test("streaming KMV overlap: the last micro-batch's matrix IS one-shot q156") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+
+    val idx = Files.createTempDirectory("graft-skmv-idx").toString
+    val matDir = Files.createTempDirectory("graft-skmv-out").toString + "/matrix"
+    val ckpt = Files.createTempDirectory("graft-skmv-ckpt").toString
+
+    val ms = MemoryStream[(Long, String, String)]
+    val q = IncrementalDedup.streamingKmvOverlap(
+      ms.toDF().toDF("doc_id", "text", "source"), idx, matDir, ckpt).start()
+    val chunks = docs.grouped(math.max(1, docs.length / 3)).toSeq
+    try {
+      chunks.foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+
+    // the LAST subdir is the current matrix — its signatures saw the
+    // full corpus, so it must equal the one-shot q156 estimate path
+    val subdirs = java.nio.file.Files.list(java.nio.file.Paths.get(matDir))
+      .toArray.map(_.toString).filter(!_.contains("/_")).sorted
+    val last = spark.read.parquet(subdirs.last)
+      .as[(String, String, Long)].collect().toSet
+    val oneShot = graft.queries.Similarity
+      .queries("q156_source_sketch_overlap").fn(spark, sf0001)
+      .select(col("src1"), col("src2"), col("est_ppm"))
+      .as[(String, String, Long)].collect().toSet
+    assert(last == oneShot,
+      s"missing=${oneShot.diff(last).take(3)} extra=${last.diff(oneShot).take(3)}")
+  }
 }

@@ -33,6 +33,52 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def type_class(t):
+    """Coarse class of a DuckDB column type, for cross-side comparison.
+    The driver's schema_match is NAME-level only — it stayed green
+    through the r9 HUGEINT incident — so this local lint must be
+    stricter: an oracle emitting HUGEINT where Spark dumps BIGINT is a
+    portability bug even when every value compares equal locally."""
+    t = t.upper()
+    base = t.split("(")[0].strip()
+    if base in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"):
+        return "int"
+    if base in ("FLOAT", "REAL", "DOUBLE", "DECIMAL"):
+        return "float"
+    if base in ("VARCHAR", "CHAR", "TEXT", "STRING", "BPCHAR"):
+        return "str"
+    if base == "BOOLEAN":
+        return "bool"
+    return base  # DATE/TIMESTAMP/LIST/STRUCT compare on the exact type
+
+
+def lint_types(con, name, sql, spark_files):
+    """r10 lint (VERDICT r9 item 2): DuckDB `//` with ANY HUGEINT
+    operand is the exact driver-fail discriminator (all 10 r9 reds had
+    it; all 14 driver-passing `//`-oracles divide plain BIGINTs), and
+    a sum()-born HUGEINT stays HUGEINT through every CTE alias. The
+    output-level enforcement: no HUGEINT column may reach the oracle's
+    result, and every oracle column's type CLASS must equal the Spark
+    dump's. Returns a list of lint-error strings (empty = clean)."""
+    errs = []
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    otypes = {r[0]: r[1] for r in desc}
+    for cname, ctype in otypes.items():
+        if "HUGEINT" in ctype.upper():
+            errs.append(f"oracle col {cname} is {ctype} "
+                        "(HUGEINT must be CAST to BIGINT at birth)")
+    sdesc = con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet({spark_files!r})").fetchall()
+    stypes = {r[0]: r[1] for r in sdesc}
+    for cname in sorted(set(otypes) & set(stypes)):
+        oc, sc = type_class(otypes[cname]), type_class(stypes[cname])
+        if oc != sc:
+            errs.append(f"col {cname}: oracle {otypes[cname]} ({oc}) vs "
+                        f"spark {stypes[cname]} ({sc})")
+    return errs
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -84,6 +130,14 @@ def main(outdir, sfdir):
             continue
         if sorted(gcols) != sorted(wcols):
             print(f"FAIL {name}: cols {sorted(gcols)} != {sorted(wcols)}")
+            n_fail += 1
+            continue
+        try:
+            lint = lint_types(con, name, sql, files)
+        except Exception as e:
+            lint = [f"lint error: {e}"]
+        if lint:
+            print(f"FAIL {name}: TYPELINT " + "; ".join(lint))
             n_fail += 1
             continue
         g, w = canon(got, gcols), canon(want, wcols)

@@ -11,6 +11,8 @@ BASELINE.md) — single-threaded it agrees with the engine everywhere.
 """
 import json, math, sys, glob, os, multiprocessing as mp
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -53,6 +55,13 @@ def check_one(outdir, sfdir, name, sql, q):
         q.put(("FAIL", name, str(e))); return
     if sorted(gcols) != sorted(wcols):
         q.put(("FAIL", name, f"cols {sorted(gcols)} != {sorted(wcols)}")); return
+    try:
+        from check import lint_types
+        lint = lint_types(con, name, sql, files)
+    except Exception as e:
+        lint = [f"lint error: {e}"]
+    if lint:
+        q.put(("FAIL", name, "TYPELINT " + "; ".join(lint))); return
     g, w = canon(got, gcols), canon(want, wcols)
     if g == w:
         q.put(("PASS", name, f"{len(g)} rows"))
