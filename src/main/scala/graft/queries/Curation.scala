@@ -1024,6 +1024,103 @@ object Curation extends Catalog {
         FROM ev LEFT JOIN best USING (eval_id)"""),
       scaleNote = "the eval side is tiny and broadcasts (q67's stance), so the 100 TB corpus streams map-only through the broadcast join; per-pair counts exist only for (train, eval) docs that actually share a shingle, the per-eval argmax collapses in-shuffle via WindowGroupLimit, and the report frame is |eval| rows — the audit costs one corpus scan regardless of corpus size"),
 
+    // ---- q160: DSIR-style importance resampling ----------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023,
+    // PAPERS.md): score every raw doc by how target-like its hashed
+    // n-gram bag is, then keep the top-K — the published method for
+    // steering a 100 TB crawl toward a target distribution without a
+    // trained classifier (complementary to q142's logreg distillation:
+    // DSIR is generative/count-based, q142 discriminative). Target set
+    // here = the q142-positive class (≥ 55 tokens — same gate, so the
+    // two selectors are directly comparable); features = unigrams +
+    // word bigrams hashed into B = 4096 buckets (md5-derived 48-bit,
+    // the q133 portable family); per-bucket Laplace-smoothed log-ratio
+    // ln p_target(f) − ln p_raw(f); per-doc importance = Σ over the
+    // doc's gram occurrences. The log-ratio is transcendental, so the
+    // per-doc sum rounds to 6 dp on both sides (q128's KL discipline —
+    // partition merge order + ~1 ulp ln skew both absorbed), and the
+    // top-K cut ranks the ROUNDED score with doc_id tie-break
+    // (q137/q146 discipline) so selection membership is well-defined.
+    "q160_dsir_importance" -> Q(
+      fn = (s, d) => {
+        val B = 4096L
+        val K = 100
+        val base = docs(s, d).filter(length(col("text")) > 0)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .withColumn("is_t", size(col("ws")) >= 55)
+        val uni = base.select(col("doc_id"), col("is_t"),
+          explode(col("ws")).as("g"))
+        val bi = base.filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), col("is_t"),
+            explode(transform(sequence(lit(1), size(col("ws")) - 1),
+              i => concat_ws(" ", element_at(col("ws"), i),
+                element_at(col("ws"), i + 1)))).as("g"))
+        val grams = uni.unionByName(bi)
+          .filter(length(col("g")) > 0)
+          .select(col("doc_id"),
+            pmod(conv(substring(md5(concat(lit("ds:"), col("g"))), 1, 12),
+              16, 10).cast("long"), lit(B)).as("f"),
+            col("is_t"))
+          .localCheckpoint() // one gram pass feeds stats AND scoring
+        val bucket = grams.groupBy(col("f"))
+          .agg(count(lit(1)).as("cr"),
+            sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+        val tot = bucket.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+        val ratio = bucket.crossJoin(broadcast(tot))
+          .select(col("f"),
+            (log((col("ct") + 1).cast("double") / (col("t") + B).cast("double"))
+              - log((col("cr") + 1).cast("double") / (col("r") + B).cast("double")))
+              .as("lr"))
+        val per = grams.join(broadcast(ratio), Seq("f"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            round(sum(col("lr")), 6).as("logw"),
+            // the SUM is the textbook DSIR weight but is length-
+            // confounded (every extra gram adds an E[lr] < 0 term
+            // under the raw distribution); ranking uses the per-gram
+            // mean, which compares docs of different lengths fairly
+            round(sum(col("lr")) / count(lit(1)), 6).as("logw_pg"))
+        per.withColumn("rk", row_number().over(
+            Window.orderBy(col("logw_pg").desc, col("doc_id"))))
+          .select(col("doc_id"), col("n_grams"), col("logw"),
+            col("logw_pg"), (col("rk") <= K).cast("long").as("selected"))
+      },
+      sql = Some(s"""
+        WITH base AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS ws,
+                 len(string_split(lower(text), ' ')) >= 55 AS is_t
+          FROM documents WHERE length(text) > 0),
+        uni AS (SELECT doc_id, is_t, unnest(ws) AS g FROM base),
+        bi AS (SELECT doc_id, is_t,
+                 unnest(list_transform(generate_series(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1])) AS g
+               FROM base WHERE len(ws) >= 2),
+        gh AS (SELECT doc_id, is_t, md5('ds:' || g) AS hh
+               FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u
+               WHERE length(g) > 0),
+        grams AS MATERIALIZED (
+          SELECT doc_id, is_t, ${OracleSql.hex48("hh")} % 4096 AS f FROM gh),
+        bucket AS (SELECT f, count(*) AS cr,
+                          CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END)
+                               AS BIGINT) AS ct
+                   FROM grams GROUP BY 1),
+        tot AS (SELECT CAST(sum(cr) AS BIGINT) AS r,
+                       CAST(sum(ct) AS BIGINT) AS t FROM bucket),
+        ratio AS (SELECT f,
+                    ln(CAST(ct + 1 AS DOUBLE) / CAST(t + 4096 AS DOUBLE))
+                      - ln(CAST(cr + 1 AS DOUBLE) / CAST(r + 4096 AS DOUBLE))
+                      AS lr
+                  FROM bucket, tot),
+        per AS (SELECT doc_id, count(*) AS n_grams,
+                       round(sum(lr), 6) AS logw,
+                       round(sum(lr) / count(*), 6) AS logw_pg
+                FROM grams JOIN ratio USING (f) GROUP BY 1)
+        SELECT doc_id, n_grams, logw, logw_pg,
+               CAST(row_number() OVER (ORDER BY logw_pg DESC, doc_id) <= 100
+                    AS BIGINT) AS selected
+        FROM per"""),
+      scaleNote = "grams collapse map-side into B = 4096 bucket partials (ONE skinny shuffle whatever the corpus size); the log-ratio frame is 4096 rows and BROADCASTS to the scoring join, so scoring is map-side and the per-doc fold is the second and last shuffle; the global top-K rank is the test-scale spelling — at 100 TB the cut becomes a broadcast score threshold from q64-style approx-quantiles (selection by threshold, not rank), with everything else unchanged"),
+
     // ---- intra-document repetition removal ---------------------------
     // Dedup repeated 5-word segments within each doc, keeping the first
     // occurrence in order (the C4/RefinedWeb line-dedup step). The

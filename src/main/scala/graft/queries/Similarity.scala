@@ -932,6 +932,55 @@ object Similarity extends Catalog {
                FROM uex GROUP BY 1, 2)
         SELECT est.src1, est.src2, est.est_ppm, ex.exact_ppm
         FROM est JOIN ex ON est.src1 = ex.src1 AND est.src2 = ex.src2"""),
-      scaleNote = "the corpus is touched ONCE (shingle-hash + per-source distinct, map-side partials); the signature frame is k·8 bytes per source — a mergeable, persistable artifact (new shards fold in by re-ranking, the KMV merge law), and the all-pairs matrix runs on signatures alone: |sources|²·k tiny rows, never corpus-sized. The exact witness sides exist for the GATE at test SF — at 100 TB you ship only the sketch path; PipelineCatalogsSpec pins the estimator error against the exact values")
+      scaleNote = "the corpus is touched ONCE (shingle-hash + per-source distinct, map-side partials); the signature frame is k·8 bytes per source — a mergeable, persistable artifact (new shards fold in by re-ranking, the KMV merge law), and the all-pairs matrix runs on signatures alone: |sources|²·k tiny rows, never corpus-sized. The exact witness sides exist for the GATE at test SF — at 100 TB you ship only the sketch path; PipelineCatalogsSpec pins the estimator error against the exact values"),
+
+    // ----- q161: semantic (embedding-level) leakage audit -----------
+    // q159 audits train/eval contamination at the n-gram level; this
+    // is its SEMANTIC twin — paraphrased or re-rendered benchmark
+    // items share no shingles but sit next to each other in embedding
+    // space, so decontamination audits at 100 TB run both. Split:
+    // every 20th vec_id is an eval item (deterministic in both
+    // engines); per eval item, the nearest TRAIN vector by exact
+    // cosine (vec_dot native kernel) with the vec_id tie-break, and a
+    // flag at cos ≥ 0.9. The cosine is q30's proven bit-identical
+    // emission (identical double-fold on identical inputs); the flag
+    // branches on that bit-identical value against an exact literal,
+    // the q29/q107 raw-double-branch stance.
+    "q161_semantic_leakage" -> Q(
+      fn = (s, d) => {
+        val e = embeddings(s, d)
+        val ev = e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("eval_id"), col("v").as("qv"),
+            col("norm").as("qnorm"))
+        val w = Window.partitionBy(col("eval_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        e.filter(col("vec_id") % 20 =!= 0)
+          .join(broadcast(ev), col("vec_id") =!= col("eval_id"))
+          .withColumn("cosine",
+            cosine(col("v"), col("qv"), col("norm"), col("qnorm")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("eval_id"), col("vec_id").as("best_train_id"),
+            col("cosine"),
+            (col("cosine") >= 0.9).cast("long").as("flagged"))
+      },
+      sql = Some("""
+        SELECT eval_id, best_train_id, cosine,
+               CAST(cosine >= 0.9 AS BIGINT) AS flagged
+        FROM (
+          SELECT q.vec_id AS eval_id, e.vec_id AS best_train_id,
+                 list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cosine,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) DESC,
+                   e.vec_id) AS rk
+          FROM embeddings q JOIN embeddings e
+            ON e.vec_id % 20 <> 0 AND e.vec_id <> q.vec_id
+          WHERE q.vec_id % 20 = 0)
+        WHERE rk = 1"""),
+      scaleNote = "the eval side is benchmark-sized and BROADCASTS (q30/q159 stance), so the 100 TB train corpus streams map-only through one broadcast nested-loop; the per-eval argmax collapses in-shuffle via WindowGroupLimit before the |eval|-row report; at extreme eval sizes the brute pass swaps for the q31 LSH-bucketed candidates with exact-cosine rerank, same report shape")
   )
 }

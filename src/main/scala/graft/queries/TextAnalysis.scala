@@ -914,6 +914,51 @@ object TextAnalysis extends Catalog {
                     THEN (per.nn * CAST(1000000 AS BIGINT)) // per.np
                END AS novelty_ppm
         FROM documents d LEFT JOIN per USING (doc_id)"""),
-      scaleNote = "one gram shuffle with map-side partial min (a boilerplate gram repeated everywhere costs one partial per partition), one probe join with the aggregated index pinned as build side, one doc_id fold — q117's plan with min(doc_id) in place of count. The first-occurrence index is incrementally maintainable (min is mergeable), so a growing corpus re-probes only new batches — the IncrementalDedup modality applies unchanged")
+      scaleNote = "one gram shuffle with map-side partial min (a boilerplate gram repeated everywhere costs one partial per partition), one probe join with the aggregated index pinned as build side, one doc_id fold — q117's plan with min(doc_id) in place of count. The first-occurrence index is incrementally maintainable (min is mergeable), so a growing corpus re-probes only new batches — the IncrementalDedup modality applies unchanged"),
+
+    // ----- q162: char-bigram entropy (compression-ratio signal) -----
+    // The quality gate that catches what token ratios (q34) miss:
+    // machine-generated or template text compresses far better than
+    // organic prose, and Shannon entropy of the character-bigram
+    // distribution is the deterministic, library-free proxy for
+    // compression ratio (the zlib-ratio heuristic in public curation
+    // recipes, PAPERS.md). Per doc over lower(text): H = −Σ p ln p in
+    // NATS over the bigram distribution, plus the distinct/total
+    // bigram counts. p is an exact rational (cnt/n); ln is
+    // transcendental, so the per-doc sum rounds to 6 dp on both sides
+    // (q128's discipline — partition merge order + ~1 ulp ln skew
+    // both absorbed by the rounding).
+    "q162_char_entropy" -> Q(
+      fn = (s, d) => {
+        val bg = docs(s, d)
+          .select(col("doc_id"), lower(col("text")).as("t"))
+          .filter(length(col("t")) >= 2)
+          .select(col("doc_id"),
+            (length(col("t")) - 1).cast("long").as("n"),
+            explode(transform(sequence(lit(1), length(col("t")) - 1),
+              i => col("t").substr(i, lit(2)))).as("bg"))
+        bg.groupBy(col("doc_id"), col("n"), col("bg"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(first(col("n")).as("n_bigrams"),
+            count(lit(1)).as("n_distinct"),
+            round(-sum((col("cnt").cast("double") / col("n").cast("double")) *
+              log(col("cnt").cast("double") / col("n").cast("double"))), 6)
+              .as("entropy"))
+      },
+      sql = Some("""
+        WITH t AS (SELECT doc_id, lower(text) AS t,
+                          CAST(length(lower(text)) - 1 AS BIGINT) AS n
+                   FROM documents WHERE length(lower(text)) >= 2),
+        bg AS (SELECT doc_id, n, substr(t, i, 2) AS bg
+               FROM t, unnest(generate_series(1, CAST(n AS INTEGER))) AS u(i)),
+        c AS (SELECT doc_id, n, bg, count(*) AS cnt
+              FROM bg GROUP BY 1, 2, 3)
+        SELECT doc_id, any_value(n) AS n_bigrams,
+               count(*) AS n_distinct,
+               round(-sum((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) *
+                 ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy
+        FROM c GROUP BY doc_id"""),
+      scaleNote = "bigrams shuffle on (doc_id, bg) with map-side partial counts — per-doc work is bounded by context length, total volume is O(corpus bytes); the per-doc fold is the q139 shape and at 100 TB this fuses with the other per-doc quality passes (q34/q63/q139) into one scan + one skinny shuffle, feeding the q158 ensemble as another fused signal")
   )
 }

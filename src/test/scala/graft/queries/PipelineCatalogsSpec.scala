@@ -823,6 +823,93 @@ class PipelineCatalogsSpec extends SparkSpec {
       s"too many leaked rows: ${rows.count(_._5 == 1L)}/${rows.length}")
   }
 
+  test("q160: DSIR importance separates the target class and selects " +
+    "exactly the top-100 by rounded score") {
+    val rows = Curation.queries("q160_dsir_importance").fn(spark, sf0001)
+      .select("doc_id", "n_grams", "logw", "logw_pg", "selected")
+      .as[(Long, Long, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.count(_._5 == 1L) == math.min(100, rows.length),
+      "selected must be exactly the top-K")
+    // selection membership is the rank over (rounded logw_pg desc, id)
+    val ranked = rows.sortBy(r => (-r._4, r._1)).map(_._1).take(100).toSet
+    rows.foreach(r => assert((r._5 == 1L) == ranked(r._1),
+      s"selected flag must equal the rank cut: $r"))
+    // the whole point of DSIR: docs FROM the target class (>= 55
+    // tokens, the q142 label) must out-score the rest on the
+    // per-gram importance (the sum is length-confounded by design —
+    // every extra gram adds an E[lr] < 0 term under p_raw)
+    val isT = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+        (size(split(lower(col("text")), " ")) >= 55).as("t"))
+      .as[(Long, Boolean)].collect().toMap
+    val (tgt, rest) = rows.partition(r => isT(r._1))
+    assert(tgt.nonEmpty && rest.nonEmpty, "fixture must have both classes")
+    assert(tgt.map(_._4).sum / tgt.length > rest.map(_._4).sum / rest.length,
+      "target-class docs must out-score the rest on per-gram importance")
+    // and the selected set is ENRICHED in the target class vs base rate
+    val baseRate = tgt.length.toDouble / rows.length
+    val selRate = rows.filter(_._5 == 1L).count(r => isT(r._1)).toDouble /
+      math.min(100, rows.length)
+    assert(selRate > baseRate,
+      s"selection must enrich the target class: $selRate <= $baseRate")
+  }
+
+  test("q161: semantic leakage reports the true cross-split cosine argmax") {
+    val rows = Similarity.queries("q161_semantic_leakage").fn(spark, sf0001)
+      .select("eval_id", "best_train_id", "cosine", "flagged")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r._1 % 20 == 0 && r._2 % 20 != 0, s"split sides wrong: $r")
+      assert((r._4 == 1L) == (r._3 >= 0.9), s"flag/threshold mismatch: $r")
+    }
+    // brute-force the argmax from the raw vectors (tiny at sf0.001)
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val byId = vecs.toMap
+    val train = vecs.filter(_._1 % 20 != 0)
+    rows.foreach { r =>
+      val q = byId(r._1)
+      val best = train.map { case (id, v) =>
+        (dot(q, v) / (math.sqrt(dot(q, q)) * math.sqrt(dot(v, v))), id)
+      }.maxBy { case (c, id) => (c, -id) }
+      assert(best._2 == r._2 || math.abs(best._1 - r._3) < 1e-12,
+        s"argmax mismatch for eval ${r._1}: got ${r._2}, want ${best._2}")
+    }
+  }
+
+  test("q162: char-bigram entropy is exact on planted degenerate docs " +
+    "and bounded by ln(n_distinct)") {
+    val rows = TextAnalysis.queries("q162_char_entropy").fn(spark, sf0001)
+      .select("doc_id", "n_bigrams", "n_distinct", "entropy")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._3 <= r._2, s"distinct cannot exceed total: $r")
+      assert(r._4 >= -1e-9 && r._4 <= math.log(r._3.toDouble) + 1e-6,
+        s"entropy out of [0, ln(n_distinct)]: $r")
+    }
+    // planted: a constant doc has zero entropy; a doc whose bigrams
+    // are all distinct sits exactly at ln(n)
+    val dir = java.nio.file.Files.createTempDirectory("graft-q162").toString
+    Seq((1L, "aaaaaaaaaa"), (2L, "abcdefghij"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val p = TextAnalysis.queries("q162_char_entropy").fn(spark, dir)
+      .select("doc_id", "n_distinct", "entropy")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(p(1L)._2 == 1L && p(1L)._3 == 0.0, s"constant doc: ${p(1L)}")
+    assert(p(2L)._2 == 9L &&
+      math.abs(p(2L)._3 - BigDecimal(math.log(9.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"all-distinct doc must sit at round(ln 9, 6): ${p(2L)}")
+  }
+
   test("q146: weighted sample over-represents heavy docs, ranks are dense") {
     val sample = Curation.queries("q146_weighted_sample").fn(spark, sf0001)
       .select("doc_id", "n_chars", "samp_key", "rank")

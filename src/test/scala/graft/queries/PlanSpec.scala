@@ -634,4 +634,13 @@ class PlanSpec extends SparkSpec {
       .collect().head
     assert(got == want, s"footer stats disagree with row scan: $got vs $want")
   }
+
+  test("q160: the 4096-bucket log-ratio frame broadcasts into map-side scoring") {
+    val p = plan("q160_dsir_importance")
+    // scoring must be a broadcast join against the B-row ratio frame —
+    // a shuffled join here would move the corpus-sized gram frame a
+    // second time; no cartesian anywhere
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
