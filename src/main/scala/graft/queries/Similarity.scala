@@ -981,6 +981,107 @@ object Similarity extends Catalog {
             ON e.vec_id % 20 <> 0 AND e.vec_id <> q.vec_id
           WHERE q.vec_id % 20 = 0)
         WHERE rk = 1"""),
-      scaleNote = "the eval side is benchmark-sized and BROADCASTS (q30/q159 stance), so the 100 TB train corpus streams map-only through one broadcast nested-loop; the per-eval argmax collapses in-shuffle via WindowGroupLimit before the |eval|-row report; at extreme eval sizes the brute pass swaps for the q31 LSH-bucketed candidates with exact-cosine rerank, same report shape")
+      scaleNote = "the eval side is benchmark-sized and BROADCASTS (q30/q159 stance), so the 100 TB train corpus streams map-only through one broadcast nested-loop; the per-eval argmax collapses in-shuffle via WindowGroupLimit before the |eval|-row report; at extreme eval sizes the brute pass swaps for the q31 LSH-bucketed candidates with exact-cosine rerank, same report shape"),
+
+    // ----- q163: greedy k-center coreset (diversity selection) ------
+    // The diversity-sampling operator the dedup family doesn't give
+    // you: near-dup removal deletes REDUNDANCY, k-center selects
+    // COVERAGE — the classic farthest-first traversal (Gonzalez 1985,
+    // the 2-approximation to the k-center objective; the coreset
+    // construction behind diversity-aware data selection, PAPERS.md).
+    // Start at the minimum vec_id; each round adds the point FARTHEST
+    // from the chosen set (max over the running min squared L2), with
+    // vec_id tie-breaks. Each round is ONE aggregate over a running
+    // (vec_id, mind) frame against a broadcast 1-row center — the
+    // q142/q113 iteration shape. All distances are fixed-order double
+    // arithmetic over identical inputs (d² = n2 + cn2 − 2·dot, the
+    // native vec_dot fold ≡ DuckDB list_dot_product), so the argmax
+    // comparisons are bit-identical cross-engine; the emitted d²
+    // rounds to 6 dp.
+    "q163_kcenter_coreset" -> Q(
+      fn = (s, d) => {
+        val Kc = 8
+        val e = Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          // n2 straight from the dot — a sqrt-then-square round-trip
+          // would double-round what the oracle computes exactly
+          .withColumn("n2", call_function("vec_dot", col("v"), col("v")))
+          .localCheckpoint()
+        def dist2(cn2: Column, cv: Column) =
+          col("n2") + cn2 - lit(2.0) * call_function("vec_dot", col("v"), cv)
+        val c0 = e.orderBy(col("vec_id")).limit(1)
+          .select(col("vec_id").as("cid"), col("v").as("cv"),
+            col("n2").as("cn2"))
+          .localCheckpoint()
+        var centers = c0
+        var st = e.crossJoin(broadcast(c0))
+          .select(col("vec_id"), col("v"), col("n2"),
+            dist2(col("cn2"), col("cv")).as("mind"))
+          .localCheckpoint()
+        for (_ <- 1 until Kc) {
+          val next = st.orderBy(col("mind").desc, col("vec_id")).limit(1)
+            .select(col("vec_id").as("cid"), col("v").as("cv"),
+              col("n2").as("cn2"))
+            .localCheckpoint()
+          centers = centers.unionByName(next)
+          st = st.crossJoin(broadcast(next))
+            .select(col("vec_id"), col("v"), col("n2"),
+              least(col("mind"), dist2(col("cn2"), col("cv"))).as("mind"))
+            .localCheckpoint()
+        }
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dd"), col("cid"))
+        e.crossJoin(broadcast(centers))
+          .withColumn("dd", dist2(col("cn2"), col("cv")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("cid").as("center_id"),
+            round(col("dd"), 6).as("d2"))
+      },
+      sql = Some(kcenterSql(8)),
+      scaleNote = "per round: the corpus-sized (vec_id, mind) frame takes ONE broadcast of a 1-row center and one TakeOrdered argmax (per-partition heaps, one row to the driver) — k rounds cost k map-passes and zero data shuffles; the final assignment is one broadcast of the k-row center set with the per-vec argmin collapsing in-shuffle via WindowGroupLimit. At 100 TB the mind frame is the only state (8 bytes/vector beyond the vectors) and persists across rounds; the same loop yields k-means++ seeding by swapping argmax for weighted sampling on the same frame")
   )
+
+  /** The DuckDB mirror of the farthest-first loop: identical rounds
+    * unrolled as MATERIALIZED CTEs (the logregSql/bpeSqlCtes stance);
+    * every distance is spelled in the same op order as the engine's
+    * `n2 + cn2 - 2.0 * dot`.
+    */
+  private def kcenterSql(k: Int): String = {
+    def d2(vp: String, cp: String) =
+      s"$vp.n2 + $cp.cn2 - CAST(2.0 AS DOUBLE) * list_dot_product($vp.v, $cp.cv)"
+    val sb = new StringBuilder
+    sb.append("""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+                   AS n2
+          FROM embeddings),
+        c0 AS MATERIALIZED (
+          SELECT vec_id AS cid, v AS cv, n2 AS cn2
+          FROM e ORDER BY vec_id LIMIT 1),
+        s0 AS MATERIALIZED (
+          SELECT e.vec_id, e.v, e.n2, """ + d2("e", "c") + """ AS mind
+          FROM e, c0 c)""")
+    for (r <- 1 until k) {
+      sb.append(s""",
+        c$r AS MATERIALIZED (
+          SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM s${r - 1}
+          ORDER BY mind DESC, vec_id LIMIT 1),
+        s$r AS MATERIALIZED (
+          SELECT s.vec_id, s.v, s.n2,
+                 least(s.mind, ${d2("s", "c")}) AS mind
+          FROM s${r - 1} s, c$r c)""")
+    }
+    sb.append(s""",
+        cs AS (${(0 until k).map(r => s"SELECT cid, cv, cn2 FROM c$r")
+          .mkString(" UNION ALL ")})
+        SELECT vec_id, center_id, round(d2, 6) AS d2 FROM (
+          SELECT e.vec_id, c.cid AS center_id,
+                 ${d2("e", "c")} AS d2,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${d2("e", "c")}, c.cid) AS rk
+          FROM e, cs c) WHERE rk = 1""")
+    sb.toString
+  }
 }

@@ -910,6 +910,44 @@ class PipelineCatalogsSpec extends SparkSpec {
       s"all-distinct doc must sit at round(ln 9, 6): ${p(2L)}")
   }
 
+  test("q163: k-center assignment matches a plain-Scala farthest-first replica") {
+    val rows = Similarity.queries("q163_kcenter_coreset").fn(spark, sf0001)
+      .select("vec_id", "center_id", "d2")
+      .as[(Long, Long, Double)].collect()
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(rows.length == vecs.length, "one assignment row per vector")
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val n2 = vecs.map { case (id, v) => id -> dot(v, v) }.toMap
+    val byId = vecs.toMap
+    def d2(a: Long, b: Long) = n2(a) + n2(b) - 2.0 * dot(byId(a), byId(b))
+    // greedy farthest-first from the min vec_id, id tie-breaks
+    var centers = Vector(vecs.head._1)
+    var mind = vecs.map { case (id, _) => id -> d2(id, centers.head) }.toMap
+    while (centers.length < 8) {
+      val next = mind.toSeq.maxBy { case (id, m) => (m, -id) }._1
+      centers :+= next
+      mind = mind.map { case (id, m) => id -> math.min(m, d2(id, next)) }
+    }
+    val wantCenters = centers.toSet
+    assert(rows.map(_._2).toSet == wantCenters,
+      s"centers differ: got ${rows.map(_._2).toSet}, want $wantCenters")
+    rows.foreach { r =>
+      val best = centers.map(c => (d2(r._1, c), c)).minBy(identity)
+      assert(best._2 == r._2, s"assignment mismatch for ${r._1}: $r vs $best")
+      assert(math.abs(BigDecimal(best._1).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble - r._3) < 1e-9,
+        s"d2 mismatch for ${r._1}: $r vs ${best._1}")
+    }
+    // every center is assigned to itself at distance zero
+    centers.foreach { c =>
+      val r = rows.find(_._1 == c).get
+      assert(r._2 == c && r._3 == 0.0, s"center self-assignment: $r")
+    }
+  }
+
   test("q146: weighted sample over-represents heavy docs, ranks are dense") {
     val sample = Curation.queries("q146_weighted_sample").fn(spark, sf0001)
       .select("doc_id", "n_chars", "samp_key", "rank")
