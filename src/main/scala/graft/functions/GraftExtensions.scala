@@ -70,6 +70,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"token_stats(text) takes exactly 1 argument, got ${children.size}")
       }))
     ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s) => CharEntropy(s)
+        case _ => throw new IllegalArgumentException(
+          s"char_entropy(text) takes exactly 1 argument, got ${children.size}")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => children match {
