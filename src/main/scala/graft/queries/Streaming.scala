@@ -135,6 +135,45 @@ object Streaming extends Catalog {
                epoch_us(max(ts) + INTERVAL 5 MINUTE) AS s_end,
                count(*) AS n, sum(value) AS sum_value
         FROM sessions GROUP BY user_id, sid"""),
-      scaleNote = "session_window is a first-class Spark operator — one shuffle on user_id, sessions merged in-state; the SQL twin is the gaps-and-islands equivalent")
+      scaleNote = "session_window is a first-class Spark operator — one shuffle on user_id, sessions merged in-state; the SQL twin is the gaps-and-islands equivalent"),
+
+    // ----- q164: deterministic per-key uniform k-sample -------------
+    // The batch twin of EventStreams.reservoirPerUser — a uniform
+    // without-replacement sample of k = 4 events per user that a
+    // STREAM can maintain with k rows of state per key: rank every
+    // event by a salt-keyed md5 hash (the q60/q146 reproducibility
+    // discipline — the "randomness" is a pure function of event_id,
+    // so retries, replays, and re-runs agree) and keep the k smallest
+    // per user. Min-k of a fixed hash order is mergeable (the KMV
+    // law), which is exactly why the streaming version needs no
+    // arrival-order-dependent Algorithm-R state; StreamingSpec
+    // asserts the final streamed sample equals this query.
+    "q164_reservoir_sample" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            conv(substring(md5(concat(lit("rs:"),
+              col("event_id").cast("string"))), 1, 12), 16, 10)
+              .cast("long").as("samp_rank"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("samp_rank"), col("event_id"))).cast("long"))
+          .filter(col("rn") <= 4)
+      },
+      sql = Some(s"""
+        WITH h AS (
+          SELECT user_id, event_id,
+                 ${OracleSql.hex48("md5('rs:' || CAST(event_id AS VARCHAR))")}
+                   AS samp_rank
+          FROM events)
+        SELECT user_id, event_id, samp_rank, rn
+        FROM (SELECT user_id, event_id, samp_rank,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY samp_rank, event_id) AS rn
+              FROM h)
+        WHERE rn <= 4"""),
+      scaleNote = "the rank is one map-side hash; the per-key top-k collapses in-shuffle via WindowGroupLimit (per-partition heaps before the user_id exchange), so the plan is one skinny shuffle whatever the feed size — and the streaming twin holds k rows per key in the state store, folding new batches by the same mergeable min-k law")
   )
 }

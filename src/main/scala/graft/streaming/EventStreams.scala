@@ -356,4 +356,53 @@ object EventStreams {
           Iterator.single(next)
       }
   }
+
+  final case class SamplePick(
+      user_id: Long, event_id: Long, samp_rank: Long, rn: Long, ver: Long)
+  final case class ReservoirState(ver: Long, picks: Seq[(Long, Long)])
+
+  /** q164's salt-keyed rank: the first 12 hex digits of
+    * md5("rs:" + event_id) as a 48-bit integer — byte-for-byte the
+    * value Spark's `conv(substring(md5(…), 1, 12), 16, 10)` and the
+    * oracle's hex48 compute, so the streaming state ranks by the SAME
+    * total order the batch twin sorts by.
+    */
+  private[graft] def sampleRank(eventId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rs:$eventId".getBytes("UTF-8"))
+    (0 until 6).foldLeft(0L)((acc, i) => (acc << 8) | (md(i) & 0xffL))
+  }
+
+  /** Streaming per-key uniform k-sample — the deterministic
+    * reservoir: keep the k events with the SMALLEST salt-keyed hash
+    * ranks per user. Min-k of a fixed hash order is mergeable (the
+    * KMV law q156 rides), so — unlike classic Algorithm R, whose
+    * sample depends on arrival order and RNG state — the state is k
+    * rows per key, any batch split yields the same final sample, and
+    * that sample equals the one-shot batch q164 (the DuckDB-oracled
+    * twin). At-least-once redelivery folds in by event_id dedup: a
+    * replayed event re-inserts the identical (rank, id) pair. Each
+    * update emits the key's full current sample stamped with a
+    * monotone per-key version, so a consumer (and the spec) selects
+    * the latest sample as `ver = max(ver) per key`.
+    */
+  def reservoirPerUser(events: Dataset[Event], k: Int = 4): Dataset[SamplePick] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ReservoirState, SamplePick](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[ReservoirState]) =>
+          val prev = state.getOption.getOrElse(ReservoirState(0L, Seq.empty))
+          val merged = (prev.picks ++
+            rows.map(e => (sampleRank(e.event_id), e.event_id)))
+            .distinct
+            .sorted
+            .take(k)
+          val ver = prev.ver + 1
+          state.update(ReservoirState(ver, merged))
+          merged.iterator.zipWithIndex.map { case ((rk, id), i) =>
+            SamplePick(uid, id, rk, i + 1L, ver)
+          }
+      }
+  }
 }

@@ -394,6 +394,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming reservoir: final per-key sample equals batch q164 " +
+    "regardless of batch split, and redelivery is a no-op") {
+    val ms = MemoryStream[Event]
+    val q = EventStreams.reservoirPerUser(ms.toDS())
+      .writeStream.format("memory").outputMode("update")
+      .queryName("reservoir_sink").start()
+    try {
+      // deliberately unordered chunks + a full redelivery of chunk 2:
+      // the sample is a pure function of the event SET
+      val chunks = allEvents.sortBy(_.event_id).reverse.grouped(300).toSeq
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      ms.addData(chunks(math.min(1, chunks.length - 1)))
+      q.processAllAvailable()
+      val emitted = spark.table("reservoir_sink")
+        .select("user_id", "event_id", "samp_rank", "rn", "ver")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val maxVer = emitted.groupBy(_._1).map { case (u, rs) =>
+        u -> rs.map(_._5).max
+      }
+      val got = emitted.filter(r => r._5 == maxVer(r._1))
+        .map(r => (r._1, r._2, r._3, r._4)).toSet
+      val want = graft.queries.Streaming
+        .queries("q164_reservoir_sample").fn(spark, sf0001)
+        .select("user_id", "event_id", "samp_rank", "rn")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want,
+        s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming EWMA replay is bit-identical to the batch q114 series") {
     // sequential keyed state across micro-batch boundaries: a
     // ts-ordered replay must reproduce the batch secondary-sort scan
