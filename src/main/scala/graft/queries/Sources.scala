@@ -1013,7 +1013,69 @@ object Sources extends Catalog {
                CAST(nb.nb AS DOUBLE) / 256 *
                  (255 / (CAST(${kmvValSql("ku.h")} AS DOUBLE) / ${BigInt(16).pow(12)})) AS est_inter
         FROM ka, kb, ku, nb"""),
-      scaleNote = "KMV is a mergeable bounded-memory sketch: each partition keeps its k smallest hashes (TakeOrdered partial, k·16 bytes), merges keep the global k — one pass per relation, constant state, and set ALGEBRA (union/intersection estimates) that HLL union-only sketches cannot do; this is the join-size statistic a planner consults before choosing broadcast vs shuffle on derived keys that ANALYZE never profiled")
+      scaleNote = "KMV is a mergeable bounded-memory sketch: each partition keeps its k smallest hashes (TakeOrdered partial, k·16 bytes), merges keep the global k — one pass per relation, constant state, and set ALGEBRA (union/intersection estimates) that HLL union-only sketches cannot do; this is the join-size statistic a planner consults before choosing broadcast vs shuffle on derived keys that ANALYZE never profiled"),
+
+    // ----- E6: portable Count-Min sketch (point-frequency sketch) ---
+    // The frequency sketch the family still lacked: HLL (q143) counts
+    // distincts, Bloom (q145) answers membership, MG (q100/q102)
+    // finds heavy hitters above a threshold — Count-Min answers
+    // "how often did THIS key occur" for EVERY key in bounded memory,
+    // with the one-sided guarantee est ≥ exact (hash collisions only
+    // ever ADD). d = 4 rows × w = 1024 columns of exact integer
+    // counters, row hashes from the q133 portable md5 family, so the
+    // DuckDB twin rebuilds the SAME 4096 counters and the estimates
+    // hash-match bit-for-bit. Every build key is probed (q145's
+    // build-set stance) with the exact count beside the estimate as
+    // the accuracy witness, and the never-under guarantee emitted as
+    // a column the gate checks on every row.
+    "q165_countmin_sketch" -> Q(
+      fn = (s, d) => {
+        val W = 1024L
+        def pos(j: Int, k: org.apache.spark.sql.Column) =
+          pmod(conv(substring(md5(concat(lit(s"cm$j:"), k.cast("string"))),
+            1, 12), 16, 10).cast("long"), lit(W))
+        val keys = Tables.load(s, d, "orders").select(col("o_custkey").as("k"))
+        val cells = keys
+          .select(explode(array((0 until 4).map(j =>
+            struct(lit(j.toLong).as("j"), pos(j, col("k")).as("c"))): _*))
+            .as("jc"))
+          .groupBy(col("jc.j").as("j"), col("jc.c").as("c"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // the sketch — d·w = 4096 cells
+        val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("exact"))
+        exact
+          .select(col("k"), col("exact"),
+            explode(array((0 until 4).map(j =>
+              struct(lit(j.toLong).as("j"), pos(j, col("k")).as("c"))): _*))
+              .as("jc"))
+          .select(col("k"), col("exact"),
+            col("jc.j").as("j"), col("jc.c").as("c"))
+          .join(broadcast(cells), Seq("j", "c"))
+          .groupBy(col("k"), col("exact"))
+          .agg(min(col("cnt")).as("est"))
+          .select(col("k").as("custkey"), col("exact"), col("est"),
+            (col("est") - col("exact")).as("overest"),
+            (col("est") >= col("exact")).cast("long").as("never_under"))
+      },
+      sql = Some(s"""
+        WITH keys AS (SELECT o_custkey AS k FROM orders),
+        js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        bh AS (SELECT j, md5('cm' || j || ':' || CAST(k AS VARCHAR)) AS hh
+               FROM keys, js),
+        cells AS MATERIALIZED (
+          SELECT j, ${kmvValSql("hh")} % 1024 AS c, count(*) AS cnt
+          FROM bh GROUP BY 1, 2),
+        ex AS (SELECT k, count(*) AS exact FROM keys GROUP BY 1),
+        pr AS (SELECT k, exact, j,
+                      ${kmvValSql("md5('cm' || j || ':' || CAST(k AS VARCHAR))")}
+                        % 1024 AS c
+               FROM ex, js)
+        SELECT pr.k AS custkey, pr.exact, min(c2.cnt) AS est,
+               min(c2.cnt) - pr.exact AS overest,
+               CAST(min(c2.cnt) >= pr.exact AS BIGINT) AS never_under
+        FROM pr JOIN cells c2 USING (j, c)
+        GROUP BY 1, 2"""),
+      scaleNote = "the sketch is one map-side explode (×d per row, 16-byte structs) into a d·w-cell partial aggregate — 4096 counters whatever the feed size, mergeable by cell-wise ADD (daily sketches roll up like q144's histograms); probing broadcasts the 4096-cell frame, so point estimates for any key set are map-side. The exact side exists for the GATE — at 100 TB you ship only the sketch and probe it for free")
   )
 
   /** numeric value of the first 12 hex chars of an md5 string as

@@ -635,6 +635,15 @@ class PlanSpec extends SparkSpec {
     assert(got == want, s"footer stats disagree with row scan: $got vs $want")
   }
 
+  test("q164: per-key top-k sample prunes in-shuffle via WindowGroupLimit") {
+    val all = Streaming.queries
+    val p = all("q164_reservoir_sample").fn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must prune before the exchange:\n${p.take(1200)}")
+    assert(exchanges(p) == 1, s"expected one exchange:\n${p.take(1200)}")
+  }
+
   test("q160: the 4096-bucket log-ratio frame broadcasts into map-side scoring") {
     val p = plan("q160_dsir_importance")
     // scoring must be a broadcast join against the B-row ratio frame —

@@ -22,6 +22,26 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("q165: Count-Min never underestimates, is not vacuously exact, " +
+    "and stays inside the 3eN/w tail bound") {
+    val rows = Sources.queries("q165_countmin_sketch").fn(spark, sf001)
+      .select("custkey", "exact", "est", "overest", "never_under")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the structural guarantee, on EVERY key: collisions only add
+    rows.foreach(r => assert(r._5 == 1L && r._3 >= r._2 && r._4 == r._3 - r._2,
+      s"one-sided guarantee violated: $r"))
+    // collisions must actually occur at this load factor (15k keys
+    // into 1024 columns) or the sketch test is vacuous
+    assert(rows.exists(_._4 > 0L), "no collisions — vacuous fixture")
+    // Markov tail: P[overest > e*N/w] < e^-d per key; with d = 4 rows
+    // a 3x-eN/w excess should be essentially absent
+    val n = rows.map(_._2).sum
+    val bound = 3.0 * math.E * n / 1024.0
+    val worst = rows.map(_._4).max
+    assert(worst <= bound, s"overest $worst exceeds 3eN/w = $bound")
+  }
+
   test("q93: merged daily sketches equal the one-shot sketch and track exact counts") {
     val reagg = Sources.queries("q93_sketch_reaggregate").fn(spark, sf001)
       .as[(String, Long)].collect().toMap
