@@ -981,7 +981,78 @@ object Similarity extends Catalog {
             ON e.vec_id % 20 <> 0 AND e.vec_id <> q.vec_id
           WHERE q.vec_id % 20 = 0)
         WHERE rk = 1"""),
-      scaleNote = "the eval side is benchmark-sized and BROADCASTS (q30/q159 stance), so the 100 TB train corpus streams map-only through one broadcast nested-loop; the per-eval argmax collapses in-shuffle via WindowGroupLimit before the |eval|-row report; at extreme eval sizes the brute pass swaps for the q31 LSH-bucketed candidates with exact-cosine rerank, same report shape"),
+      scaleNote = "the eval side is benchmark-sized and BROADCASTS (q30/q159 stance), so the 100 TB train corpus streams map-only through one broadcast nested-loop; the per-eval argmax collapses in-shuffle via WindowGroupLimit before the |eval|-row report; at extreme eval sizes the brute pass swaps for q166 (the LSH-bucketed variant of this exact report)"),
+
+    // ----- q166: semantic leakage audit, LSH-bucketed scale path ----
+    // q161's 100 TB form: instead of the brute eval × train sweep
+    // (quadratic by design at test SF), candidates come from shared
+    // hyperplane-LSH buckets (q49's geometry and its algorithm-level
+    // oracle mirror), reranked with the EXACT cosine so every emitted
+    // similarity is true — only RECALL is approximate, and an eval
+    // item whose buckets catch no train vector reports a null best
+    // (the honest answer, not a fabricated neighbor). The spec pins
+    // the structural contract against q161: a bucketed best is never
+    // better than the true argmax, and equality of ids implies
+    // bit-equal cosines.
+    "q166_semantic_leakage_lsh" -> Q(
+      fn = (s, d) => {
+        val e = embeddings(s, d)
+        val b = buckets(e)
+        val evB = b.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("eval_id"), col("t"), col("sig"))
+        val trB = b.filter(col("vec_id") % 20 =!= 0)
+          .select(col("vec_id").as("train_id"), col("t"), col("sig"))
+        val cand = trB.join(evB, Seq("t", "sig"))
+          .select(col("eval_id"), col("train_id"))
+          .dropDuplicates("eval_id", "train_id")
+        val ranked = cand
+          .join(e.select(col("vec_id").as("eval_id"), col("v").as("qv"),
+            col("norm").as("qn")), "eval_id")
+          .join(e.select(col("vec_id").as("train_id"), col("v").as("tv"),
+            col("norm").as("tn")), "train_id")
+          .withColumn("cosine",
+            call_function("vec_dot", col("qv"), col("tv")) /
+              (col("qn") * col("tn")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("eval_id"))
+              .orderBy(col("cosine").desc, col("train_id"))))
+          .filter(col("rk") === 1)
+          .select(col("eval_id"), col("train_id"), col("cosine"))
+        e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("eval_id"))
+          .join(ranked, Seq("eval_id"), "left")
+          .select(col("eval_id"), col("train_id").as("best_train_id"),
+            col("cosine"),
+            coalesce((col("cosine") >= 0.9).cast("long"), lit(0L))
+              .as("flagged"))
+      },
+      sql = Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          sqrt(list_dot_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[])) AS nrm
+                   FROM embeddings),
+        b AS (SELECT vec_id, t, $sqlSigCase AS sig
+              FROM e CROSS JOIN
+                (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t)),
+        cand AS (SELECT DISTINCT ev.vec_id AS eval_id, tr.vec_id AS train_id
+                 FROM b ev JOIN b tr ON ev.t = tr.t AND ev.sig = tr.sig
+                 WHERE ev.vec_id % 20 = 0 AND tr.vec_id % 20 <> 0),
+        ranked AS (
+          SELECT eval_id, train_id, cosine FROM (
+            SELECT c.eval_id, c.train_id,
+                   list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine,
+                   row_number() OVER (PARTITION BY c.eval_id ORDER BY
+                     list_dot_product(x.v, y.v) / (x.nrm * y.nrm) DESC,
+                     c.train_id) AS rk
+            FROM cand c JOIN e x ON x.vec_id = c.eval_id
+                        JOIN e y ON y.vec_id = c.train_id)
+          WHERE rk = 1)
+        SELECT q.vec_id AS eval_id, r.train_id AS best_train_id,
+               r.cosine,
+               coalesce(CAST(r.cosine >= 0.9 AS BIGINT), 0) AS flagged
+        FROM e q LEFT JOIN ranked r ON r.eval_id = q.vec_id
+        WHERE q.vec_id % 20 = 0"""),
+      scaleNote = "the audit's scale form: candidates come from a (table, signature) equi-join of skinny postings — cost tracks bucket occupancy, not eval × train — vectors rejoin only for candidates, and the per-eval argmax collapses in-shuffle via WindowGroupLimit; recall tunes with the q31/q49 geometry (more tables → higher recall, same report shape), and the brute q161 stays beside it as the test-SF ground truth"),
 
     // ----- q163: greedy k-center coreset (diversity selection) ------
     // The diversity-sampling operator the dedup family doesn't give

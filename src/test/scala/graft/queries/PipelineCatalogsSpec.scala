@@ -884,6 +884,41 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q166: LSH-bucketed leakage audit is bounded by the exact q161 " +
+    "argmax and agrees bit-for-bit when it finds the true neighbor") {
+    val lsh = Similarity.queries("q166_semantic_leakage_lsh").fn(spark, sf0001)
+      .select("eval_id", "best_train_id", "cosine", "flagged")
+      .as[(Long, Option[Long], Option[Double], Long)].collect()
+    val exact = Similarity.queries("q161_semantic_leakage").fn(spark, sf0001)
+      .select("eval_id", "best_train_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(lsh.length == exact.size, "both audits report every eval item")
+    // bucket candidates are a SUBSET of all train vectors: the LSH
+    // best can never beat the true argmax, and finding the same id
+    // means the identical exact-cosine value
+    lsh.foreach { r =>
+      val (exId, exCos) = exact(r._1)
+      r._3.foreach { c =>
+        assert(c <= exCos, s"LSH beat the exact argmax: $r vs $exCos")
+        if (r._2.contains(exId))
+          assert(c == exCos, s"same neighbor, different cosine: $r vs $exCos")
+      }
+      assert((r._4 == 1L) == r._3.exists(_ >= 0.9), s"flag mismatch: $r")
+    }
+    // non-vacuity: some true argmaxes are found and some candidates
+    // exist. NO recall floor is asserted: the fixture's best
+    // cross-split cosine is ~0.49, where 8-table/6-bit hyperplane
+    // LSH recalls ~50% BY DESIGN (P = 1-(1-(1-θ/π)^6)^8) — the
+    // audit's catch regime is near-dup similarity (≥0.8), which this
+    // synthetic split simply doesn't contain; recall there tunes
+    // with the table count (scaleNote)
+    val hit = lsh.count(r => r._2.contains(exact(r._1)._1))
+    assert(hit >= 1, "LSH found no true argmax at all — geometry broken")
+    assert(lsh.count(_._2.isDefined) > lsh.length / 2,
+      "most eval items should at least have a candidate")
+  }
+
   test("q162: char-bigram entropy is exact on planted degenerate docs " +
     "and bounded by ln(n_distinct)") {
     val rows = TextAnalysis.queries("q162_char_entropy").fn(spark, sf0001)
