@@ -439,12 +439,76 @@ object IncrementalDedup {
       }
   }
 
+  private val CmsSchema = StructType.fromDDL("j BIGINT, c BIGINT, cnt BIGINT")
+
+  /** Incremental maintenance of q165's Count-Min sketch — the
+    * point-frequency sketch as a continuously-refreshable service.
+    * Each call: sketch the NEW batch's keys (column `k`) into its own
+    * d·w cell partial, persist the partial under `indexDir/cms`, and
+    * emit the MERGED sketch over every batch ingested so far.
+    *
+    * Correct by Count-Min's linearity — cells are plain counters, so
+    * sketch(A ⊎ B) = sketch(A) + sketch(B) cell-wise — which makes the
+    * merged frame bit-identical to the one-shot sketch over the union
+    * feed (spec-pinned), and every downstream min-over-rows probe
+    * inherits the one-sided est ≥ exact guarantee for the union.
+    * Like the KMV service this needs NO doc_id monotonicity: counter
+    * addition is order-free. Each batch touches its own keys once;
+    * the merge runs on ≤ d·w-row frames per batch partial.
+    */
+  def cmsBatch(
+      newKeys: DataFrame,
+      indexDir: String,
+      batchId: Option[Long] = None,
+      runId: String = "",
+      dryRun: Boolean = false): DataFrame = {
+    val spark = newKeys.sparkSession
+    guardLegacyCollision(spark, indexDir, Seq("cms"), batchId, runId)
+    val sub = batchId.map(subdirName(runId, _))
+    val batchCells = graft.queries.Sources.cmsCells(newKeys)
+      .localCheckpoint() // one key pass; reused by merge AND append
+    val oldCells = readIndexTable(spark, indexDir, "cms", CmsSchema, sub)
+    val out = oldCells.unionByName(batchCells)
+      .groupBy(col("j"), col("c")).agg(sum(col("cnt")).as("cnt"))
+      // materialize BEFORE the index append: the old-cells scan is
+      // lazy, and appending first would let the batch shadow itself
+      .localCheckpoint()
+    if (!dryRun) writeIndexTable(batchCells, indexDir, "cms", sub)
+    out
+  }
+
+  /** Streaming twin of [[cmsBatch]]: each micro-batch folds its cell
+    * partial into the index and lands the refreshed merged sketch
+    * under `sketchDir` (the LAST batch's subdir is the current
+    * sketch). Replay contract is [[streamingDedup]]'s: run-namespaced
+    * per-batch subdirs with OVERWRITE + own-subdir exclusion on the
+    * index read make at-least-once delivery idempotent. Single-writer
+    * per indexDir.
+    */
+  def streamingCms(
+      streamingKeys: DataFrame,
+      indexDir: String,
+      sketchDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = streamingKeys.sparkSession
+    lazy val runId = checkpointQueryId(spark, checkpointDir)
+    streamingKeys.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        guardLegacyOutSubdir(batch, sketchDir, runId, id, "sketch")
+        cmsBatch(batch, indexDir, batchId = Some(id), runId = runId)
+          .write.mode("overwrite")
+          .parquet(s"$sketchDir/${subdirName(runId, id)}")
+        ()
+      }
+  }
+
   /** every sub-table any modality appends to, with its read schema */
   private val IndexTables = Seq(
     "postings" -> PostingsSchema, "sizes" -> SizesSchema,
     "buckets" -> BucketsSchema, "vectors" -> VectorsSchema,
     "spans" -> SpansSchema, "firsts" -> FirstsSchema,
-    "kmv" -> KmvSchema)
+    "kmv" -> KmvSchema, "cms" -> CmsSchema)
 
   /** Structured-Streaming ingest: run [[dedupBatch]] as a foreachBatch
     * sink, so a `readStream` of documents dedups continuously against

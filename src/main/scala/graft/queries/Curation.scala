@@ -1478,6 +1478,91 @@ object Curation extends Catalog {
         FROM sc LEFT JOIN hr USING (doc_id) LEFT JOIN lab USING (doc_id)"""),
       scaleNote = "the whole chain is: one scan with fused map-side scoring/scrubbing, one shuffle on the content hash, one inverted-index self-join on capped-width shingle postings, and O(log n) contraction rounds on the (tiny) near-dup edge list — no stage materializes the corpus more than once, and the expensive dedup stages see only gate survivors (at 100 TB the quality gate typically drops 30-60% before any shuffle)"),
 
+    // ---- q167: distributed stable row-ID assignment ----------------
+    // Every training pipeline eventually needs a contiguous global id
+    // per example (shard addressing, sample bookkeeping, resumable
+    // order). The naive Spark spelling — row_number() OVER (ORDER BY
+    // …) with no PARTITION BY — plans a SINGLE-partition Window: the
+    // whole corpus serializes through one task, the canonical 100 TB
+    // killer. The scalable spelling is range-partition + local sort +
+    // zipWithIndex: ids follow the global (source, doc_id) order
+    // REGARDLESS of where sampling put the range boundaries, because
+    // concatenating ordered range partitions in partition order IS the
+    // global order. zipWithIndex labels with two lightweight jobs (a
+    // per-partition count, then a map with the prefix offsets) — no
+    // extra shuffle, no single-task stage. The RDD hop is the point,
+    // not a concession: Dataset has no partition-offset primitive.
+    "q167_global_row_ids" -> Q(
+      fn = (s, d) => {
+        val sorted = docs(s, d).select(col("source"), col("doc_id"))
+          .repartitionByRange(col("source"), col("doc_id"))
+          .sortWithinPartitions(col("source"), col("doc_id"))
+        val schema = org.apache.spark.sql.types.StructType(
+          sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "row_id", org.apache.spark.sql.types.LongType, nullable = false))
+        val labeled = sorted.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        }
+        s.createDataFrame(labeled, schema)
+          .select(col("doc_id"), col("source"), col("row_id"))
+      },
+      sql = Some("""
+        SELECT doc_id, source,
+               CAST(row_number() OVER (ORDER BY source, doc_id) - 1
+                    AS BIGINT) AS row_id
+        FROM documents"""),
+      scaleNote = "ONE range exchange + per-partition sort, then zipWithIndex's two light jobs (count partials, offset-labeled map) — vs the single-partition Window the OVER (ORDER BY) spelling plans, which funnels the full corpus through one task; ids equal the global sort rank independent of the sampled range boundaries, so the assignment is deterministic and re-runnable"),
+
+    // ---- q169: k-anonymity / l-diversity privacy audit -------------
+    // The privacy gate that complements q62's PII scrub: regex removal
+    // handles DIRECT identifiers, but a release is still re-linkable
+    // when a combination of quasi-identifiers (nation × market segment
+    // × account-balance band) isolates fewer than k people (Sweeney's
+    // k-anonymity), or when everyone in a group shares the same
+    // sensitive value (l-diversity, Machanavajjhala et al.). One pass
+    // computes both per equivalence class: k = distinct customers,
+    // l = distinct sensitive values (order priority of their orders).
+    "q169_k_anonymity" -> Q(
+      fn = (s, d) => {
+        val K = 5L
+        val L = 2L
+        val cust = Tables.load(s, d, "customer")
+          .select(col("c_custkey"),
+            col("c_nationkey").cast("long").as("nationkey"),
+            col("c_mktsegment").as("segment"),
+            // band boundaries must be integer-exact in both engines:
+            // acctbal is 2-decimal, so integer cents; `div` truncates
+            // toward zero exactly like DuckDB's BIGINT `//` (acctbal
+            // can be negative — floor() would band -0.01 as -1, not 0)
+            expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000L")
+              .as("bal_band"))
+        val sens = Tables.load(s, d, "orders")
+          .select(col("o_custkey").as("c_custkey"), col("o_orderpriority"))
+        cust.join(sens, Seq("c_custkey"))
+          .groupBy(col("nationkey"), col("segment"), col("bal_band"))
+          .agg(count_distinct(col("c_custkey")).as("k_size"),
+            count_distinct(col("o_orderpriority")).as("l_div"))
+          .select(col("nationkey"), col("segment"), col("bal_band"),
+            col("k_size"), col("l_div"),
+            (col("k_size") < K).cast("long").as("k_violation"),
+            (col("l_div") < L).cast("long").as("l_violation"))
+      },
+      sql = Some("""
+        WITH cust AS (
+          SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+                 c_mktsegment AS segment,
+                 CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band
+          FROM customer),
+        j AS (SELECT cust.*, o.o_orderpriority
+              FROM cust JOIN orders o ON o.o_custkey = cust.c_custkey)
+        SELECT nationkey, segment, bal_band,
+               count(DISTINCT c_custkey) AS k_size,
+               count(DISTINCT o_orderpriority) AS l_div,
+               CAST(count(DISTINCT c_custkey) < 5 AS BIGINT) AS k_violation,
+               CAST(count(DISTINCT o_orderpriority) < 2 AS BIGINT) AS l_violation
+        FROM j GROUP BY 1, 2, 3"""),
+      scaleNote = "one equi-join shuffle on custkey (the fact side carries only two skinny columns) into one grouped distinct-count — both distincts share the same grouping shuffle via Spark's expand; the equivalence-class frame is bounded by |QI value combinations|, orders of magnitude below the row count, so the audit output broadcasts to whoever enforces the gate"),
+
     // ---- q110: unigram LM scoring (perplexity-proxy filter) --------
     // CCNet-style quality signal: fit a unigram language model on the
     // corpus, then score every doc by its average negative

@@ -956,6 +956,66 @@ object TextAnalysis extends Catalog {
                round(-sum((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) *
                  ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy
         FROM c GROUP BY doc_id"""),
-      scaleNote = "bigrams shuffle on (doc_id, bg) with map-side partial counts — per-doc work is bounded by context length, total volume is O(corpus bytes); the per-doc fold is the q139 shape and at 100 TB this fuses with the other per-doc quality passes (q34/q63/q139) into one scan + one skinny shuffle, feeding the q158 ensemble as another fused signal")
+      scaleNote = "bigrams shuffle on (doc_id, bg) with map-side partial counts — per-doc work is bounded by context length, total volume is O(corpus bytes); the per-doc fold is the q139 shape and at 100 TB this fuses with the other per-doc quality passes (q34/q63/q139) into one scan + one skinny shuffle, feeding the q158 ensemble as another fused signal"),
+
+    // ----- q168: per-source distinct-n lexical diversity ------------
+    // The corpus-level diversity report a data-mixing decision reads:
+    // distinct-1/distinct-2 (type-token ratios over unigrams/bigrams,
+    // the "distinct-n" metric of Li et al. 2016) plus the hapax share
+    // (types seen exactly once — Zipf-tail mass, the first statistic
+    // to collapse when a source is template-generated or mode-
+    // collapsed synthetic text). q162 scores diversity WITHIN a doc;
+    // this scores it ACROSS each source's corpus, where per-doc
+    // signals are blind. All-integer ppm emissions (house rational
+    // rule); grams stay as strings here — at 100 TB they hash to 8
+    // bytes first (q26's stance), which changes no count below.
+    "q168_gram_diversity" -> Q(
+      fn = (s, d) => {
+        val base = docs(s, d).filter(length(col("text")) > 0)
+          .select(col("source"), split(lower(col("text")), " ").as("ws"))
+        val uni = base.select(col("source"), lit(1L).as("n"),
+          explode(col("ws")).as("g"))
+        val bi = base.filter(size(col("ws")) >= 2)
+          .select(col("source"), lit(2L).as("n"),
+            explode(transform(sequence(lit(1), size(col("ws")) - 1),
+              i => concat_ws(" ", element_at(col("ws"), i),
+                element_at(col("ws"), i + 1)))).as("g"))
+        uni.unionByName(bi)
+          .filter(length(col("g")) > 0)
+          .groupBy(col("source"), col("n"), col("g"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("source"), col("n"))
+          .agg(sum(col("cnt")).as("total_grams"),
+            count(lit(1)).as("distinct_grams"),
+            sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+          .select(col("source"), col("n"), col("total_grams"),
+            col("distinct_grams"), col("hapax"),
+            expr("distinct_grams * 1000000L div total_grams").as("ttr_ppm"),
+            expr("hapax * 1000000L div distinct_grams").as("hapax_ppm"))
+      },
+      sql = Some("""
+        WITH base AS (
+          SELECT source, string_split(lower(text), ' ') AS ws
+          FROM documents WHERE length(text) > 0),
+        uni AS (SELECT source, CAST(1 AS BIGINT) AS n, unnest(ws) AS g
+                FROM base),
+        bi AS (SELECT source, CAST(2 AS BIGINT) AS n,
+                 unnest(list_transform(generate_series(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1])) AS g
+               FROM base WHERE len(ws) >= 2),
+        c AS (SELECT source, n, g, count(*) AS cnt
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u
+              WHERE length(g) > 0 GROUP BY 1, 2, 3),
+        agg AS (SELECT source, n,
+                       CAST(sum(cnt) AS BIGINT) AS total_grams,
+                       count(*) AS distinct_grams,
+                       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS hapax
+                FROM c GROUP BY 1, 2)
+        SELECT source, n, total_grams, distinct_grams, hapax,
+               distinct_grams * 1000000 // total_grams AS ttr_ppm,
+               hapax * 1000000 // distinct_grams AS hapax_ppm
+        FROM agg"""),
+      scaleNote = "grams collapse map-side before the one (source, n, gram) shuffle — the only full-volume movement; the second fold runs on the VOCABULARY (types, not tokens) and its output is |sources|x2 rows; every emission is an integer or an exact ppm via div/`//` on BIGINTs (the cast-at-birth oracle discipline)")
   )
 }

@@ -469,4 +469,79 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(last == oneShot,
       s"missing=${oneShot.diff(last).take(3)} extra=${last.diff(oneShot).take(3)}")
   }
+
+  test("two-batch incremental Count-Min equals the one-shot sketch cell-wise") {
+    val keys = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_custkey").as("k"))
+    val mid = keys.agg(expr("percentile(k, 0.5)")).head.getDouble(0)
+    val b1 = keys.filter(col("k") <= mid)
+    val b2 = keys.filter(col("k") > mid)
+
+    val idx = Files.createTempDirectory("graft-cmsidx").toString
+    IncrementalDedup.cmsBatch(b1, idx, batchId = Some(0L)).count()
+    val merged = IncrementalDedup.cmsBatch(b2, idx, batchId = Some(1L))
+      .as[(Long, Long, Long)].collect().toSet
+    // sketch linearity end to end: merged partials ≡ one-shot cells
+    val oneShot = graft.queries.Sources.cmsCells(keys)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged == oneShot,
+      s"missing=${oneShot.diff(merged).take(3)} extra=${merged.diff(oneShot).take(3)}")
+
+    // and the merged sketch answers union-feed point queries with the
+    // one-sided guarantee: min-over-rows est ≥ exact for every key
+    val cells = merged.groupBy(t => (t._1, t._2)).map { case (k, v) =>
+      k -> v.head._3
+    }
+    val exact = keys.groupBy("k").count()
+      .as[(Long, Long)].collect()
+    exact.foreach { case (k, ex) =>
+      val est = (0 until 4).map { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"cm$j:$k".getBytes("UTF-8"))
+          .take(6).map(b => f"$b%02x").mkString
+        val c = java.lang.Long.parseLong(h, 16) % 1024L
+        cells((j.toLong, c))
+      }.min
+      assert(est >= ex, s"never-under violated for key $k: $est < $ex")
+    }
+
+    // dry-run re-probe: reproduces the sketch, leaves the index alone
+    def cmsRows() = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$idx/cms").count()
+    val before = cmsRows()
+    val reprobe = IncrementalDedup.cmsBatch(
+      b2.limit(0), idx, batchId = Some(2L), dryRun = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reprobe == oneShot, "dry-run re-probe must equal the sketch")
+    assert(cmsRows() == before, "dryRun must not extend the index")
+  }
+
+  test("streaming Count-Min: the last micro-batch's sketch IS the one-shot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val keys = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_custkey").as("k")).as[Long].collect().sorted
+
+    val idx = Files.createTempDirectory("graft-scms-idx").toString
+    val outDir = Files.createTempDirectory("graft-scms-out").toString + "/sketch"
+    val ckpt = Files.createTempDirectory("graft-scms-ckpt").toString
+
+    val ms = MemoryStream[Long]
+    val q = IncrementalDedup.streamingCms(
+      ms.toDF().toDF("k"), idx, outDir, ckpt).start()
+    val chunks = keys.grouped(math.max(1, keys.length / 3)).toSeq
+    try {
+      chunks.foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+
+    val subdirs = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .toArray.map(_.toString).filter(!_.contains("/_")).sorted
+    val last = spark.read.parquet(subdirs.last)
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = graft.queries.Sources.cmsCells(
+      spark.createDataset(keys).toDF("k"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(last == oneShot,
+      s"missing=${oneShot.diff(last).take(3)} extra=${last.diff(oneShot).take(3)}")
+  }
 }

@@ -1165,4 +1165,93 @@ class PipelineCatalogsSpec extends SparkSpec {
     val xs = r.map(_._2)
     assert(xs.max - xs.min > 1e-6, "ranks unexpectedly uniform")
   }
+
+  test("q167: row ids are the exact 0..n-1 global sort rank") {
+    val rows = Curation.queries("q167_global_row_ids").fn(spark, sf0001)
+      .select("doc_id", "source", "row_id")
+      .as[(Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    // contiguous permutation: every id in 0..n-1 exactly once
+    assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+      "row_id must be a contiguous 0..n-1 permutation")
+    // ids equal the rank in (source, doc_id) order — the window
+    // spelling's answer, without its single-partition plan
+    val want = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, src, _), i) => (id, src, i.toLong) }.toSeq
+    assert(rows.sortBy(r => (r._2, r._1)).toSeq == want,
+      "row_id must equal the global (source, doc_id) sort rank")
+  }
+
+  test("q168: per-source gram diversity matches a plain-Scala replica") {
+    val rows = TextAnalysis.queries("q168_gram_diversity").fn(spark, sf0001)
+      .select("source", "n", "total_grams", "distinct_grams", "hapax",
+        "ttr_ppm", "hapax_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+      .filter(_._2.nonEmpty)
+    val grams = docs.flatMap { case (src, t) =>
+      val ws = t.toLowerCase.split(" ", -1)
+      val uni = ws.filter(_.nonEmpty).map(g => (src, 1L, g))
+      val bi =
+        if (ws.length >= 2)
+          ws.sliding(2).map(p => (src, 2L, p.mkString(" ")))
+            .filter(_._3.nonEmpty).toArray
+        else Array.empty[(String, Long, String)]
+      uni ++ bi
+    }
+    val expected = grams.groupBy(g => (g._1, g._2)).map { case ((src, n), gs) =>
+      val counts = gs.groupBy(_._3).map(_._2.length.toLong).toSeq
+      val total = counts.sum
+      val distinct = counts.length.toLong
+      val hapax = counts.count(_ == 1L).toLong
+      (src, n) -> (total, distinct, hapax,
+        distinct * 1000000L / total, hapax * 1000000L / distinct)
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { case (src, n, total, distinct, hapax, ttr, hppm) =>
+      assert(expected((src, n)) == ((total, distinct, hapax, ttr, hppm)),
+        s"replica mismatch for ($src, $n)")
+    }
+    // bigrams are strictly more diverse than unigrams on organic text
+    // (more types over fewer tokens) — the signal the report exists for
+    val bySrc = rows.groupBy(_._1)
+    bySrc.values.foreach { g =>
+      val t1 = g.find(_._2 == 1L).get._6
+      val t2 = g.find(_._2 == 2L).get._6
+      assert(t2 > t1, s"distinct-2 must exceed distinct-1: $g")
+    }
+  }
+
+  test("q169: k-anonymity / l-diversity audit matches a plain-Scala replica") {
+    val rows = Curation.queries("q169_k_anonymity").fn(spark, sf0001)
+      .select("nationkey", "segment", "bal_band", "k_size", "l_div",
+        "k_violation", "l_violation")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .as[(Long, Int, String, Double)].collect()
+      .map { case (k, nk, seg, bal) =>
+        k -> (nk.toLong, seg, math.round(bal * 100) / 100000L)
+      }.toMap
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_custkey", "o_orderpriority")
+      .as[(Long, String)].collect()
+    val expected = orders.filter(o => cust.contains(o._1))
+      .groupBy(o => cust(o._1)).map { case (qi, os) =>
+        qi -> (os.map(_._1).distinct.length.toLong,
+          os.map(_._2).distinct.length.toLong)
+      }
+    assert(rows.length == expected.size)
+    rows.foreach { case (nk, seg, band, k, l, kv, lv) =>
+      assert(expected((nk, seg, band)) == ((k, l)),
+        s"replica mismatch for ($nk, $seg, $band)")
+      assert((kv == 1L) == (k < 5L) && (lv == 1L) == (l < 2L),
+        s"flags must follow thresholds: ($nk, $seg, $band, $k, $l)")
+    }
+    // the audit is non-vacuous at this SF: small QI classes exist
+    assert(rows.exists(_._6 == 1L), "fixture should surface k-violations")
+  }
 }

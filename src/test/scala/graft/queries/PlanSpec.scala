@@ -652,4 +652,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("q167: id assignment is one range exchange — no single-partition Window") {
+    val all = Relational.queries ++ Curation.queries
+    val df = all("q167_global_row_ids").fn(spark, sf0001)
+    // the naive row_number() OVER (ORDER BY …) would plan a Window fed
+    // by Exchange SinglePartition — the whole corpus through one task
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no Window operator allowed:\n${p.take(1200)}")
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition exchange allowed:\n${p.take(1200)}")
+    // the sort lives in the RDD lineage behind the createDataFrame hop
+    // — the DataFrame plan shows only Scan ExistingRDD, so count the
+    // physical shuffles in the lineage: exactly ONE (the range
+    // exchange), and the labeling is a ZippedWithIndex, not a shuffle
+    val lineage = df.rdd.toDebugString
+    assert(lineage.linesIterator.count(_.contains("ShuffledRowRDD")) == 1,
+      s"expected exactly one shuffle in the lineage:\n$lineage")
+    assert(lineage.contains("ZippedWithIndexRDD"),
+      s"expected zipWithIndex labeling:\n$lineage")
+  }
+
+  test("q170: bucketed fact-fact join runs with no exchange on the join key") {
+    val p = plan("q170_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join key must never shuffle — buckets are co-located:\n${p.take(1600)}")
+    // the only hash exchange is the final groupBy(o_orderstatus)
+    assert(exchanges(p) == 1, s"expected one exchange:\n${p.take(1600)}")
+    assert(p.contains("Bucketed: true"),
+      s"scan must consume the bucket layout:\n${p.take(1600)}")
+  }
 }
