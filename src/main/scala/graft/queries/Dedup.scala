@@ -588,6 +588,74 @@ object Dedup extends Catalog {
         FROM lab"""),
       scaleNote = "star contraction: O(log n) rounds of two groupBy-min shuffles on (long,long) edges, localCheckpoint per round truncates iterative lineage; edge volume = near-dup pairs only, not corpus size"),
 
+    // ----- q171: frequency-damped soft dedup ------------------------
+    // Between q61's keep-one and no dedup at all: keep ceil(sqrt(n))
+    // docs from each n-doc near-dup cluster — the sqrt damping that
+    // keeps SOME natural duplication signal (popular documents are
+    // upweighted by the web for a reason) while crushing the quadratic
+    // memorization risk of large clusters; the same temperature
+    // intuition as q90's count^0.5 language budgets, applied to dup
+    // groups. Selection is salt-keyed md5 rank (q69's discipline), so
+    // the kept subset is deterministic and spread across sources
+    // rather than biased to low doc_ids. The quota is EXACT integer
+    // ceil-sqrt in both engines: f = floor(ieee-sqrt(n)) is identical
+    // (correctly-rounded double sqrt), then the f*f >= n correction
+    // makes the result exact whatever side of the ulp f landed on.
+    "q171_soft_dedup" -> Q(
+      fn = (s, d) => {
+        val pairs = jaccardPairs(s, d)
+          .select(col("doc1").as("u"), col("doc2").as("v"))
+        val labels = ConnectedComponents.run(pairs)
+        val ids = docs(s, d).select(col("doc_id"))
+        val grouped = ids
+          .join(labels, ids("doc_id") === labels("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("group_id"))
+        val sizes = grouped.groupBy(col("group_id"))
+          .agg(count(lit(1)).as("group_sz"))
+        val f = floor(sqrt(col("group_sz").cast("double"))).cast("long")
+        grouped.join(sizes, "group_id")
+          .withColumn("quota",
+            when(f * f >= col("group_sz"), f).otherwise(f + 1L))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("group_id")).orderBy(
+              md5(concat(lit("soft:"), col("doc_id").cast("string"))),
+              col("doc_id"))))
+          .select(col("doc_id"), col("group_id"), col("group_sz"),
+            col("quota"), (col("rk") <= col("quota")).cast("long").as("kept"))
+      },
+      sql = Some(s"""
+        WITH RECURSIVE
+        s AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau),
+        edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS label FROM documents
+          UNION
+          SELECT e.v AS node, r.label FROM reach r JOIN edges e ON e.u = r.node),
+        lab AS (SELECT node AS doc_id, min(label) AS group_id FROM reach GROUP BY node),
+        sz AS (SELECT doc_id, group_id,
+                      count(*) OVER (PARTITION BY group_id) AS group_sz
+               FROM lab),
+        qq AS (SELECT doc_id, group_id, group_sz,
+                      CAST(floor(sqrt(CAST(group_sz AS DOUBLE))) AS BIGINT) AS f
+               FROM sz),
+        ranked AS (
+          SELECT doc_id, group_id, group_sz,
+                 CASE WHEN f * f >= group_sz THEN f ELSE f + 1 END AS quota,
+                 row_number() OVER (PARTITION BY group_id
+                   ORDER BY md5('soft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM qq)
+        SELECT doc_id, group_id, group_sz, quota,
+               CAST(rk <= quota AS BIGINT) AS kept
+        FROM ranked"""),
+      scaleNote = "q61's plan (posting equi-join pairs, O(log n) star contraction) plus ONE rank window partitioned by group_id — groups are near-dup clusters, orders of magnitude smaller than the corpus, so the window never sees a skewed partition; the quota arithmetic is exact-integer ceil-sqrt (ieee sqrt + f*f correction), portable at any cluster size"),
+
     // ----- q89: sub-document (chunk-level) exact dedup --------------
     // Paragraph/chunk granularity: split each doc into fixed 10-word
     // chunks, dedup chunks ACROSS the corpus (first occurrence by

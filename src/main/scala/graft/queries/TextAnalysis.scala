@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -1016,6 +1017,179 @@ object TextAnalysis extends Catalog {
                distinct_grams * 1000000 // total_grams AS ttr_ppm,
                hapax * 1000000 // distinct_grams AS hapax_ppm
         FROM agg"""),
-      scaleNote = "grams collapse map-side before the one (source, n, gram) shuffle — the only full-volume movement; the second fold runs on the VOCABULARY (types, not tokens) and its output is |sources|x2 rows; every emission is an integer or an exact ppm via div/`//` on BIGINTs (the cast-at-birth oracle discipline)")
+      scaleNote = "grams collapse map-side before the one (source, n, gram) shuffle — the only full-volume movement; the second fold runs on the VOCABULARY (types, not tokens) and its output is |sources|x2 rows; every emission is an integer or an exact ppm via div/`//` on BIGINTs (the cast-at-birth oracle discipline)"),
+
+    // ----- q172: Zipf exponent per source (rank-frequency slope) ----
+    // The power-law health check on q168's diversity report: organic
+    // language follows rank-frequency cnt ∝ rank^s with s ≈ −1
+    // (Zipf's law); template-generated or mode-collapsed text bends
+    // the curve (flat head → s near 0, or a cliff → s ≪ −1). Fit by
+    // OLS over (ln rank, ln cnt) on the top-200 head — the classic
+    // fit range, and a fixed bound on the per-source window. The
+    // slope is a ratio of ln-sums — transcendental, so round(,6) on
+    // both sides per the house double-emission inventory (the q110
+    // class: no rank cut branches on it downstream).
+    "q172_zipf_exponent" -> Q(
+      fn = (s, d) => {
+        val R = 200
+        val counts = docs(s, d)
+          .select(col("source"),
+            explode(split(lower(col("text")), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+          .groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("cnt"))
+        val ranked = counts.withColumn("rk", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("cnt").desc, col("token"))))
+          .filter(col("rk") <= R)
+        ranked
+          .select(col("source"),
+            log(col("rk").cast("double")).as("x"),
+            log(col("cnt").cast("double")).as("y"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .filter(col("n_terms") >= 2)
+          .select(col("source"), col("n_terms"),
+            round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("zipf_slope"))
+      },
+      sql = Some("""
+        WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+                   FROM documents),
+        c AS (SELECT source, token, count(*) AS cnt FROM t
+              WHERE length(token) > 0 GROUP BY 1, 2),
+        r AS (SELECT source, cnt, row_number() OVER (PARTITION BY source
+                ORDER BY cnt DESC, token) AS rk
+              FROM c),
+        h AS (SELECT source, ln(CAST(rk AS DOUBLE)) AS x,
+                     ln(CAST(cnt AS DOUBLE)) AS y
+              FROM r WHERE rk <= 200),
+        a AS (SELECT source, count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*y) AS sxy, sum(x*x) AS sxx
+              FROM h GROUP BY 1)
+        SELECT source, n_terms,
+               round((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx), 6)
+                 AS zipf_slope
+        FROM a WHERE n_terms >= 2"""),
+      scaleNote = "token counts collapse map-side into one (source, token) shuffle — q75's plan; the rank window runs on the VOCABULARY per source and the rk <= 200 cut bounds the regression input to 200 rows/source regardless of corpus size, so the fit itself is a |sources|-row aggregate; at 100 TB the window swaps for a per-source top-200 TakeOrdered (same rows, no full-vocab sort)"),
+
+    // ----- q173: hybrid retrieval (BM25 recall → semantic rerank) ---
+    // The two retrieval modalities fused — the serving shape every
+    // RAG / retrieval pipeline converges on: the lexical leg (q137's
+    // exact BM25, unchanged arithmetic) supplies a 50-doc recall set
+    // cheaply; the semantic leg reranks ONLY those candidates by
+    // exact cosine against a query embedding (vec_id 42 as the
+    // query's representation; q161's bit-identical cosine spelling).
+    // Fusion is reciprocal-rank-free Borda (q158's integer stance):
+    // within-candidate ranks are integers, their sum is an integer,
+    // and the final cut branches on integers + doc_id — no float
+    // comparison crosses a fusion boundary.
+    "q173_hybrid_retrieval" -> Q(
+      fn = (s, d) => {
+        val terms = Seq("table", "hash", "merge")
+        val base = docs(s, d).select(
+          col("doc_id") +: size(words).cast("long").as("dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(filter(words, w => w === lit(t))).cast("long").as(s"tf$i")
+            }: _*)
+        val stats = base.agg(
+          count(lit(1)).as("n"),
+          sum(col("dl")).as("sdl") +:
+            terms.indices.map(i =>
+              sum((col(s"tf$i") > 0).cast("long")).as(s"df$i")): _*)
+        def partScore(i: Int) = {
+          val tf = col(s"tf$i"); val df = col(s"df$i")
+          log(lit(1.0) + (col("n") - df + lit(0.5)) / (df + lit(0.5))) *
+            ((tf * lit(2.2)) /
+              (tf + lit(1.2) * (lit(0.25) +
+                lit(0.75) * (col("dl") / (col("sdl") / col("n"))))))
+        }
+        val cand = base.crossJoin(broadcast(stats))
+          .filter(col("tf0") + col("tf1") + col("tf2") > 0)
+          .select(col("doc_id"),
+            round(partScore(0) + partScore(1) + partScore(2), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(50)
+        val emb = Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val qv = emb.filter(col("vec_id") === 42)
+          .select(col("v").as("q"),
+            sqrt(call_function("vec_dot", col("v"), col("v"))).as("qn"))
+        val scored = cand
+          .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+          .crossJoin(broadcast(qv))
+          .withColumn("cosine",
+            call_function("vec_dot", col("v"), col("q")) /
+              (sqrt(call_function("vec_dot", col("v"), col("v"))) * col("qn")))
+          .withColumn("rank_lex", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+          .withColumn("rank_sem", row_number().over(
+            Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+          .withColumn("borda", col("rank_lex") + col("rank_sem"))
+        scored.withColumn("rk", row_number().over(
+            Window.orderBy(col("borda"), col("doc_id"))))
+          .filter(col("rk") <= 10)
+          .select(col("doc_id"), col("bm25"), col("cosine"),
+            col("rank_lex"), col("rank_sem"), col("borda"))
+      },
+      sql = Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      w -> w = 'table')) AS BIGINT) AS tf0,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      w -> w = 'hash')) AS BIGINT) AS tf1,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      w -> w = 'merge')) AS BIGINT) AS tf2
+          FROM documents),
+        stats AS (
+          SELECT count(*) AS n, sum(dl) AS sdl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          FROM base),
+        sc AS (
+          SELECT doc_id, round(
+              ln(1.0 + CAST(n - df0 + 0.5 AS DOUBLE) / CAST(df0 + 0.5 AS DOUBLE)) *
+                ((tf0 * CAST(2.2 AS DOUBLE)) /
+                 (tf0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                   CAST(0.75 AS DOUBLE) * (dl / (sdl / n)))))
+            + ln(1.0 + CAST(n - df1 + 0.5 AS DOUBLE) / CAST(df1 + 0.5 AS DOUBLE)) *
+                ((tf1 * CAST(2.2 AS DOUBLE)) /
+                 (tf1 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                   CAST(0.75 AS DOUBLE) * (dl / (sdl / n)))))
+            + ln(1.0 + CAST(n - df2 + 0.5 AS DOUBLE) / CAST(df2 + 0.5 AS DOUBLE)) *
+                ((tf2 * CAST(2.2 AS DOUBLE)) /
+                 (tf2 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                   CAST(0.75 AS DOUBLE) * (dl / (sdl / n))))), 6) AS bm25
+          FROM base CROSS JOIN stats
+          WHERE tf0 + tf1 + tf2 > 0),
+        cand AS (SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 50),
+        emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        qv AS (SELECT v AS q, sqrt(list_dot_product(v, v)) AS qn
+               FROM emb WHERE vec_id = 42),
+        cs AS (SELECT c.doc_id, c.bm25,
+                      list_dot_product(e.v, qv.q) /
+                        (sqrt(list_dot_product(e.v, e.v)) * qv.qn) AS cosine
+               FROM cand c JOIN emb e ON e.vec_id = c.doc_id CROSS JOIN qv),
+        rk AS (SELECT doc_id, bm25, cosine,
+                      CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                           AS BIGINT) AS rank_lex,
+                      CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                           AS BIGINT) AS rank_sem
+               FROM cs),
+        fin AS (SELECT doc_id, bm25, cosine, rank_lex, rank_sem,
+                       rank_lex + rank_sem AS borda,
+                       row_number() OVER (ORDER BY rank_lex + rank_sem, doc_id)
+                         AS rk
+                FROM rk)
+        SELECT doc_id, bm25, cosine, rank_lex, rank_sem, borda
+        FROM fin WHERE rk <= 10"""),
+      scaleNote = "the corpus pays ONLY q137's cost: one map pass + a broadcast stats row + TakeOrdered(50); the semantic leg then touches 50 rows — the candidate frame broadcasts INTO the embeddings scan (a semi-join-shaped probe, never a full-embedding pass through the reranker), and every window runs on the bounded candidate set, not the corpus; this recall-then-rerank split is exactly why production hybrid search scales — the expensive exact-vector math is confined to a constant-size set per query")
   )
 }

@@ -1254,4 +1254,121 @@ class PipelineCatalogsSpec extends SparkSpec {
     // the audit is non-vacuous at this SF: small QI classes exist
     assert(rows.exists(_._6 == 1L), "fixture should surface k-violations")
   }
+
+  test("q171: soft dedup keeps exactly ceil(sqrt(n)) per cluster, " +
+    "selected by the salt-keyed md5 rank") {
+    val rows = Dedup.queries("q171_soft_dedup").fn(spark, sf0001)
+      .select("doc_id", "group_id", "group_sz", "quota", "kept")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // same clusters as q61 (shared pair + closure machinery)
+    val q61 = Dedup.queries("q61_dedup_groups").fn(spark, sf0001)
+      .select("doc_id", "group_id").as[(Long, Long)].collect().toMap
+    rows.foreach(r => assert(q61(r._1) == r._2,
+      s"group must match q61 for doc ${r._1}"))
+    // quota is the exact integer ceil-sqrt
+    rows.foreach { r =>
+      val q = r._4
+      assert(q * q >= r._3 && (q - 1) * (q - 1) < r._3,
+        s"quota must be ceil(sqrt(${r._3})), got $q")
+    }
+    // each cluster keeps exactly its quota, chosen by md5 rank
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    rows.groupBy(_._2).values.foreach { g =>
+      val quota = g.head._4
+      assert(g.forall(_._4 == quota))
+      assert(g.count(_._5 == 1L) == quota,
+        s"cluster ${g.head._2} must keep exactly $quota of ${g.length}")
+      val want = g.map(r => (md5hex(s"soft:${r._1}"), r._1))
+        .sorted.take(quota.toInt).map(_._2).toSet
+      g.foreach(r => assert((r._5 == 1L) == want(r._1),
+        s"kept flag must follow the md5 rank for doc ${r._1}"))
+    }
+    // the damping bites: some cluster keeps more than one but not all
+    assert(rows.exists(r => r._3 > 1 && r._4 > 1 && r._4 < r._3),
+      "fixture should exercise 1 < quota < n")
+  }
+
+  test("q172: Zipf slope matches an OLS replica and is negative everywhere") {
+    val rows = TextAnalysis.queries("q172_zipf_exponent").fn(spark, sf0001)
+      .select("source", "n_terms", "zipf_slope")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+    val bySrc = docs.groupBy(_._1)
+    rows.foreach { case (src, n, slope) =>
+      val counts = bySrc(src).flatMap(_._2.toLowerCase.split(" ", -1))
+        .filter(_.nonEmpty).groupBy(identity).map { case (t, g) =>
+          (t, g.length.toLong) }.toSeq
+      val head = counts.sortBy { case (t, c) => (-c, t) }.take(200)
+      assert(n == head.length.toLong, s"$src: n_terms")
+      val xy = head.zipWithIndex.map { case ((_, c), i) =>
+        (math.log(i + 1.0), math.log(c.toDouble)) }
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(slope - want) < 1e-5, s"$src: $slope vs $want")
+      assert(slope < 0.0, s"$src: rank-frequency must be decreasing")
+    }
+  }
+
+  test("q173: hybrid retrieval matches an independent recall+rerank replica") {
+    val rows = TextAnalysis.queries("q173_hybrid_retrieval").fn(spark, sf0001)
+      .select("doc_id", "bm25", "cosine", "rank_lex", "rank_sem", "borda")
+      .as[(Long, Double, Double, Long, Long, Long)].collect()
+    assert(rows.length == 10)
+    // full plain-Scala replica: BM25 over the corpus, top-50 recall,
+    // cosine rerank against vec 42, Borda fusion, top-10
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val terms = Seq("table", "hash", "merge")
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split(" ", -1) }
+    val n = toks.length.toDouble
+    val sdl = toks.map(_._2.length.toLong).sum.toDouble
+    val dfs = terms.map(t => toks.count(_._2.contains(t)).toDouble)
+    def bm25(ws: Array[String]): Double = {
+      val dl = ws.length.toDouble
+      terms.zipWithIndex.map { case (t, i) =>
+        val tf = ws.count(_ == t).toDouble
+        math.log(1.0 + (n - dfs(i) + 0.5) / (dfs(i) + 0.5)) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (sdl / n)))))
+      }.sum
+    }
+    val cand = toks.filter { case (_, ws) => terms.exists(ws.contains) }
+      .map { case (id, ws) =>
+        (id, BigDecimal(bm25(ws)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(50)
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val q = vecs(42L); val qn = math.sqrt(dot(q, q))
+    val cs = cand.map { case (id, s) =>
+      val v = vecs(id)
+      (id, s, dot(v, q) / (math.sqrt(dot(v, v)) * qn))
+    }
+    val rl = cs.sortBy { case (id, s, _) => (-s, id) }.zipWithIndex
+      .map { case ((id, _, _), i) => id -> (i + 1L) }.toMap
+    val rs = cs.sortBy { case (id, _, c) => (-c, id) }.zipWithIndex
+      .map { case ((id, _, _), i) => id -> (i + 1L) }.toMap
+    val want = cs.map { case (id, s, c) =>
+      (id, s, c, rl(id), rs(id), rl(id) + rs(id)) }
+      .sortBy { case (id, _, _, _, _, b) => (b, id) }.take(10)
+    rows.sortBy(r => (r._6, r._1)).zip(want).foreach { case (got, exp) =>
+      assert(got._1 == exp._1 && got._4 == exp._4 && got._5 == exp._5 &&
+        got._6 == exp._6, s"rank structure: $got vs $exp")
+      assert(math.abs(got._2 - exp._2) < 1e-9, s"bm25: $got vs $exp")
+      assert(math.abs(got._3 - exp._3) < 1e-9, s"cosine: $got vs $exp")
+    }
+    // fusion is non-degenerate: the two legs genuinely disagree
+    assert(cs.exists { case (id, _, _) => rl(id) != rs(id) },
+      "fixture should make lexical and semantic ranks differ")
+  }
 }

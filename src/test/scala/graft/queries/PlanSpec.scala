@@ -673,6 +673,15 @@ class PlanSpec extends SparkSpec {
       s"expected zipWithIndex labeling:\n$lineage")
   }
 
+  test("q173: the recall cut is TakeOrdered and the rerank never sees the corpus") {
+    val p = plan("q173_hybrid_retrieval")
+    // the 50-candidate recall must plan as TakeOrderedAndProject (heap
+    // per partition), and the rerank joins candidates to embeddings —
+    // an equi-join, never a cartesian sweep of the embedding table
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
     val p = plan("q170_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(1200))
