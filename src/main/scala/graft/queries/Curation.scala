@@ -1563,6 +1563,97 @@ object Curation extends Catalog {
         FROM j GROUP BY 1, 2, 3"""),
       scaleNote = "one equi-join shuffle on custkey (the fact side carries only two skinny columns) into one grouped distinct-count — both distincts share the same grouping shuffle via Spark's expand; the equivalence-class frame is bounded by |QI value combinations|, orders of magnitude below the row count, so the audit output broadcasts to whoever enforces the gate"),
 
+    // ---- q174: bigram LM with Stupid Backoff (held-out scoring) ----
+    // q110's unigram scorer upgraded one order: per-token score is the
+    // bigram conditional B(w1 w2)/U(w1) when the TRAIN half (even
+    // doc_ids) saw the bigram, else Stupid Backoff (Brants et al.
+    // 2007, "Large Language Models in Machine Translation") to
+    // alpha = 0.4 times the Laplace-smoothed train unigram — the
+    // no-normalization backoff that made web-scale LMs tractable,
+    // which is exactly the 100 TB regime this engine targets. The
+    // model trains on HALF the corpus and scores ALL of it, so the
+    // backoff path is genuinely exercised (a model trained on its own
+    // scoring set never backs off — every observed bigram is in it);
+    // the per-doc backoff rate emits as an exact integer ppm beside
+    // the q110-class rounded ln-sum score.
+    "q174_backoff_lm" -> Q(
+      fn = (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .localCheckpoint() // one tokenize feeds bigrams AND the model
+        val bi = base.filter(size(col("ws")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("ws")) - 1),
+              i => struct(element_at(col("ws"), i).as("w1"),
+                element_at(col("ws"), i + 1).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val docBi = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("k"))
+        val uni = base.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(explode(col("ws")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("u"))
+        val stats = uni.agg(sum(col("u")).as("n"), count(lit(1)).as("v"))
+        val bim = bi.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcnt"))
+        docBi
+          .join(bim, Seq("w1", "w2"), "left")
+          .join(uni.select(col("w").as("w1"), col("u").as("u1")),
+            Seq("w1"), "left")
+          .join(uni.select(col("w").as("w2"), col("u").as("u2")),
+            Seq("w2"), "left")
+          .crossJoin(broadcast(stats))
+          .withColumn("s",
+            when(col("bcnt").isNotNull,
+              col("bcnt").cast("double") / col("u1").cast("double"))
+              .otherwise(lit(0.4) *
+                ((coalesce(col("u2"), lit(0L)) + 1).cast("double") /
+                  (col("n") + col("v")).cast("double"))))
+          .withColumn("bk",
+            when(col("bcnt").isNull, col("k")).otherwise(lit(0L)))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("k")).as("n_bigrams"),
+            expr("sum(bk) * CAST(1000000 AS BIGINT) DIV sum(k)")
+              .as("backoff_ppm"),
+            round(-sum(col("k").cast("double") * log(col("s"))) /
+              sum(col("k")).cast("double"), 6).as("avg_nls"))
+      },
+      sql = Some("""
+        WITH base AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        db AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+               FROM base, unnest(generate_series(1, len(ws) - 1)) t(i)
+               WHERE len(ws) >= 2),
+        docbi AS MATERIALIZED (
+          SELECT doc_id, w1, w2, count(*) AS k FROM db GROUP BY 1, 2, 3),
+        uni AS MATERIALIZED (
+          SELECT w, count(*) AS u
+          FROM (SELECT unnest(ws) AS w FROM base WHERE doc_id % 2 = 0)
+          GROUP BY 1),
+        st AS (SELECT CAST(sum(u) AS BIGINT) AS n, count(*) AS v FROM uni),
+        bim AS MATERIALIZED (
+          SELECT w1, w2, count(*) AS bcnt FROM db
+          WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        sc AS (SELECT d.doc_id, d.k,
+                      CASE WHEN b.bcnt IS NOT NULL
+                           THEN CAST(b.bcnt AS DOUBLE) / CAST(u1.u AS DOUBLE)
+                           ELSE CAST(0.4 AS DOUBLE) *
+                                (CAST(coalesce(u2.u, 0) + 1 AS DOUBLE) /
+                                 CAST(st.n + st.v AS DOUBLE))
+                      END AS s,
+                      CASE WHEN b.bcnt IS NULL THEN d.k ELSE 0 END AS bk
+               FROM docbi d
+               LEFT JOIN bim b ON b.w1 = d.w1 AND b.w2 = d.w2
+               LEFT JOIN uni u1 ON u1.w = d.w1
+               LEFT JOIN uni u2 ON u2.w = d.w2
+               CROSS JOIN st)
+        SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+               CAST(sum(bk) AS BIGINT) * 1000000 // CAST(sum(k) AS BIGINT)
+                 AS backoff_ppm,
+               round(-sum(CAST(k AS DOUBLE) * ln(s)) /
+                 CAST(sum(k) AS DOUBLE), 6) AS avg_nls
+        FROM sc GROUP BY 1"""),
+      scaleNote = "the corpus collapses map-side to (doc, w1, w2, k) before ONE bigram-keyed shuffle; the model frames are vocabulary-sized (bigram TYPES, not tokens) and join by key — at 100 TB the bigram model is too big to broadcast and that is fine, the score join shuffles both sides on (w1, w2) once (Brants' point: no normalization pass, so training IS counting); the 1-row stats frame broadcasts; per-doc fold is the q110 shape and fuses with it"),
+
     // ---- q110: unigram LM scoring (perplexity-proxy filter) --------
     // CCNet-style quality signal: fit a unigram language model on the
     // corpus, then score every doc by its average negative

@@ -1371,4 +1371,47 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(cs.exists { case (id, _, _) => rl(id) != rs(id) },
       "fixture should make lexical and semantic ranks differ")
   }
+
+  test("q174: Stupid Backoff scoring matches a replica; train never backs off") {
+    val rows = Curation.queries("q174_backoff_lm").fn(spark, sf0001)
+      .select("doc_id", "n_bigrams", "backoff_ppm", "avg_nls")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split(" ", -1) }
+    val train = docs.filter(_._1 % 2 == 0)
+    val uni = train.flatMap(_._2).groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    val n = uni.values.sum.toDouble
+    val v = uni.size.toDouble
+    val bim = train.filter(_._2.length >= 2)
+      .flatMap(_._2.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (b, g) => b -> g.length.toLong }
+    val expected = docs.filter(_._2.length >= 2).map { case (id, ws) =>
+      val bs = ws.sliding(2).map(p => (p(0), p(1))).toSeq
+      val scores = bs.map { case (w1, w2) =>
+        bim.get((w1, w2)) match {
+          case Some(b) => (b.toDouble / uni(w1).toDouble, 0L)
+          case None =>
+            (0.4 * ((uni.getOrElse(w2, 0L) + 1).toDouble / (n + v)), 1L)
+        }
+      }
+      val nls = -scores.map(s => math.log(s._1)).sum / bs.length
+      id -> (bs.length.toLong, scores.map(_._2).sum * 1000000L / bs.length,
+        nls)
+    }.toMap
+    assert(rows.length == expected.size)
+    rows.foreach { case (id, nb, bp, nls) =>
+      val (enb, ebp, enls) = expected(id)
+      assert(nb == enb && bp == ebp, s"doc $id: ($nb, $bp) vs ($enb, $ebp)")
+      assert(math.abs(nls - enls) < 1e-5, s"doc $id: $nls vs $enls")
+      // a model trained on the even half contains every even-doc
+      // bigram, so Stupid Backoff never fires on its own train set
+      if (id % 2 == 0) assert(bp == 0L, s"train doc $id backed off")
+    }
+    // and the held-out half genuinely exercises the backoff path
+    assert(rows.exists { case (id, _, bp, _) => id % 2 == 1 && bp > 0L },
+      "fixture should back off on held-out docs")
+  }
 }

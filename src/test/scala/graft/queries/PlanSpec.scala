@@ -682,6 +682,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("q174: LM scoring joins by key — no cartesian, partial-agg bigram counts") {
+    val p = plan("q174_backoff_lm")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the (doc, w1, w2, k) collapse must be two-phase: map-side partial
+    // before its exchange, so the bigram shuffle moves types not tokens
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate:\n${p.take(800)}")
+  }
+
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
     val p = plan("q170_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(1200))
