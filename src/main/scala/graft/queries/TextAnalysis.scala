@@ -1190,6 +1190,94 @@ object TextAnalysis extends Catalog {
                 FROM rk)
         SELECT doc_id, bm25, cosine, rank_lex, rank_sem, borda
         FROM fin WHERE rk <= 10"""),
-      scaleNote = "the corpus pays ONLY q137's cost: one map pass + a broadcast stats row + TakeOrdered(50); the semantic leg then touches 50 rows — the candidate frame broadcasts INTO the embeddings scan (a semi-join-shaped probe, never a full-embedding pass through the reranker), and every window runs on the bounded candidate set, not the corpus; this recall-then-rerank split is exactly why production hybrid search scales — the expensive exact-vector math is confined to a constant-size set per query")
+      scaleNote = "the corpus pays ONLY q137's cost: one map pass + a broadcast stats row + TakeOrdered(50); the semantic leg then touches 50 rows — the candidate frame broadcasts INTO the embeddings scan (a semi-join-shaped probe, never a full-embedding pass through the reranker), and every window runs on the bounded candidate set, not the corpus; this recall-then-rerank split is exactly why production hybrid search scales — the expensive exact-vector math is confined to a constant-size set per query"),
+
+    // ----- q175: multi-query BM25 serving via posting index ---------
+    // q137 answers ONE query with a per-row HOF — the right spelling
+    // when the query is known at plan time. This is the OTHER spelling
+    // its scaleNote promises: a query BATCH served off an inverted
+    // posting index. Postings are built once (pruned to the query
+    // workload's vocabulary BEFORE the shuffle — a broadcast semi-join
+    // against the term set, so the index pass moves only matching
+    // tokens), each query joins its terms to the postings, and per
+    // (query, doc) partial scores fold in one aggregation. Scoring
+    // arithmetic is q137's BM25 unchanged; per-query top-5 prunes
+    // in-shuffle via the rank window.
+    "q175_bm25_multiquery" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val qterms = Seq(
+          (0L, "table"), (0L, "hash"), (0L, "merge"),
+          (1L, "sort"), (1L, "group"), (1L, "join"),
+          (2L, "stream"), (2L, "window"), (2L, "batch"))
+          .toDF("qid", "term")
+        val base = docs(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+            col("ws"))
+        val posts = base
+          .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+          .join(broadcast(qterms.select(col("term")).distinct()), "term")
+          .groupBy(col("term"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint() // one index build feeds df AND scoring
+        val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+        val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        qterms
+          .join(posts, "term")
+          .join(broadcast(dfs), "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("part",
+            log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+              ((col("tf") * lit(2.2)) /
+                (col("tf") + lit(1.2) * (lit(0.25) +
+                  lit(0.75) * (col("dl") / (col("sdl") / col("n")))))))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(round(sum(col("part")), 6).as("score"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+          .filter(col("rank") <= 5)
+      },
+      sql = Some("""
+        WITH qt(qid, term) AS (VALUES
+          (0, 'table'), (0, 'hash'), (0, 'merge'),
+          (1, 'sort'), (1, 'group'), (1, 'join'),
+          (2, 'stream'), (2, 'window'), (2, 'batch')),
+        base AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents),
+        toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                        unnest(ws) AS term
+                 FROM base),
+        posts AS MATERIALIZED (
+          SELECT term, doc_id, dl, count(*) AS tf FROM toks
+          WHERE term IN (SELECT DISTINCT term FROM qt)
+          GROUP BY 1, 2, 3),
+        stats AS (SELECT count(*) AS n,
+                         CAST(sum(CAST(len(ws) AS BIGINT)) AS BIGINT) AS sdl
+                  FROM base),
+        dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY 1),
+        sc AS (SELECT q.qid, p.doc_id,
+                      round(sum(
+                        ln(1.0 + CAST(n - df + 0.5 AS DOUBLE) /
+                               CAST(df + 0.5 AS DOUBLE)) *
+                        ((p.tf * CAST(2.2 AS DOUBLE)) /
+                         (p.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                           CAST(0.75 AS DOUBLE) * (p.dl / (sdl / n)))))), 6)
+                        AS score
+               FROM qt q
+               JOIN posts p ON p.term = q.term
+               JOIN dfs ON dfs.term = p.term
+               CROSS JOIN stats
+               GROUP BY 1, 2)
+        SELECT CAST(qid AS BIGINT) AS qid, doc_id, score,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT qid, doc_id, score,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY score DESC, doc_id) AS rank
+              FROM sc)
+        WHERE rank <= 5"""),
+      scaleNote = "the workload's vocabulary broadcasts into the token stream, so the posting build shuffles ONLY matching tokens (query terms, not the corpus); df and the 1-row stats broadcast back; each query's scoring is an equi-join on term against the pruned posting frame and the per-query top-5 prunes in-shuffle (WindowGroupLimit) — adding queries adds posting-join fan-out, never another corpus pass, which is the entire point of serving retrieval off an inverted index")
   )
 }

@@ -1414,4 +1414,52 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(rows.exists { case (id, _, bp, _) => id % 2 == 1 && bp > 0L },
       "fixture should back off on held-out docs")
   }
+
+  test("q175: posting-served BM25 matches a replica and q137 on the shared query") {
+    val rows = TextAnalysis.queries("q175_bm25_multiquery").fn(spark, sf0001)
+      .select("qid", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val queries = Map(
+      0L -> Seq("table", "hash", "merge"),
+      1L -> Seq("sort", "group", "join"),
+      2L -> Seq("stream", "window", "batch"))
+    assert(rows.length == 15, "3 queries x top-5")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split(" ", -1) }
+    val n = docs.length.toDouble
+    val sdl = docs.map(_._2.length.toLong).sum.toDouble
+    queries.foreach { case (qid, terms) =>
+      val dfm = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+      val scored = docs.flatMap { case (id, ws) =>
+        val dl = ws.length.toDouble
+        val s = terms.map { t =>
+          val tf = ws.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+            ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (sdl / n)))))
+        }.sum
+        if (terms.exists(ws.contains))
+          Some((id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+        else None
+      }
+      val want = scored.sortBy { case (id, s) => (-s, id) }.take(5)
+      val got = rows.filter(_._1 == qid).sortBy(_._4)
+      got.zip(want).foreach { case ((_, gid, gs, _), (wid, ws2)) =>
+        assert(gid == wid, s"q$qid: ranked doc $gid, replica says $wid")
+        assert(math.abs(gs - ws2) < 1e-6, s"q$qid: $gs vs $ws2")
+      }
+    }
+    // the shared query (q0 = q137's terms) agrees with the HOF spelling:
+    // same docs in the same order at the top of both rankings
+    val hof = TextAnalysis.queries("q137_bm25_topk").fn(spark, sf0001)
+      .select("doc_id", "score", "rank").as[(Long, Double, Int)].collect()
+      .sortBy(_._3).take(5)
+    val posting = rows.filter(_._1 == 0L).sortBy(_._4)
+    hof.zip(posting).foreach { case ((hid, hs, _), (_, pid, ps, _)) =>
+      assert(hid == pid && math.abs(hs - ps) < 1e-6,
+        s"HOF and posting spellings must agree: ($hid, $hs) vs ($pid, $ps)")
+    }
+  }
 }

@@ -691,6 +691,16 @@ class PlanSpec extends SparkSpec {
     assert(aggs >= 2, s"expected partial+final HashAggregate:\n${p.take(800)}")
   }
 
+  test("q175: posting build prunes to the query vocabulary via broadcast; " +
+    "per-query top-5 prunes in-shuffle") {
+    val p = plan("q175_bm25_multiquery")
+    // the term-set prune must be a broadcast join ahead of the posting
+    // aggregate — a shuffled prune would move the whole token stream
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
     val p = plan("q170_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(1200))
