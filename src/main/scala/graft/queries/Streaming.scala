@@ -174,6 +174,82 @@ object Streaming extends Catalog {
                        ORDER BY samp_rank, event_id) AS rn
               FROM h)
         WHERE rn <= 4"""),
-      scaleNote = "the rank is one map-side hash; the per-key top-k collapses in-shuffle via WindowGroupLimit (per-partition heaps before the user_id exchange), so the plan is one skinny shuffle whatever the feed size — and the streaming twin holds k rows per key in the state store, folding new batches by the same mergeable min-k law")
+      scaleNote = "the rank is one map-side hash; the per-key top-k collapses in-shuffle via WindowGroupLimit (per-partition heaps before the user_id exchange), so the plan is one skinny shuffle whatever the feed size — and the streaming twin holds k rows per key in the state store, folding new batches by the same mergeable min-k law"),
+
+    // ----- q176: sessionized next-event training examples -----------
+    // The engine's training-data story applied to LOGS instead of
+    // text: build (context → label) supervised examples for a
+    // next-event / next-item model straight from the event stream.
+    // Sessions are q39's gaps-and-islands (30-min gap here, strictly
+    // >, event_id tie-break); within a session every event from the
+    // second onward becomes one example whose context is the up-to-3
+    // preceding event types in order. The train/eval split cuts BY
+    // USER (user_id mod 10), never by example — examples from one
+    // user's session sharing a boundary would leak the very sequence
+    // correlations the model is supposed to learn (q116's
+    // group-aware-split principle, applied to behavioral data).
+    // Pure integer/string emissions — the gap test runs on exact
+    // microsecond longs in both engines.
+    "q176_next_event_examples" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ws = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val w2 = Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("new_s",
+            when(lag(col("us"), 1).over(w).isNull ||
+              col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(ws))
+          .withColumn("pos", row_number().over(w2).cast("long"))
+          .withColumn("context", concat_ws(" > ",
+            lag(col("event_type"), 3).over(w2),
+            lag(col("event_type"), 2).over(w2),
+            lag(col("event_type"), 1).over(w2)))
+          .filter(col("pos") >= 2)
+          .select(col("user_id"), col("sid"), col("pos"),
+            col("context"), col("event_type").as("label"),
+            when(pmod(col("user_id"), lit(10)) < 8, "train")
+              .otherwise("eval").as("split"))
+      },
+      sql = Some("""
+        WITH marked AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CAST(sum(new_s) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sid
+          FROM marked),
+        ex AS (
+          SELECT user_id, sid,
+                 CAST(row_number() OVER w2 AS BIGINT) AS pos,
+                 concat_ws(' > ',
+                   lag(event_type, 3) OVER w2,
+                   lag(event_type, 2) OVER w2,
+                   lag(event_type, 1) OVER w2) AS context,
+                 event_type AS label
+          FROM sess
+          WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+        SELECT user_id, sid, pos, context, label,
+               CASE WHEN user_id % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+        FROM ex WHERE pos >= 2"""),
+      scaleNote = "one user_id shuffle feeds every window (the session lag, the running sid sum, and the per-session lags all share the same partitioning, so Catalyst plans ONE exchange + one sort); per-user state is a sort run, never materialized n² context — contexts are built by lag, not self-join; the by-user split is a map-side mod, and at 100 TB this whole construction is the standard sessionize-then-window pass every behavioral-ML pipeline already pays")
   )
 }

@@ -1462,4 +1462,40 @@ class PipelineCatalogsSpec extends SparkSpec {
         s"HOF and posting spellings must agree: ($hid, $hs) vs ($pid, $ps)")
     }
   }
+
+  test("q176: next-event examples match a sessionize-then-slide replica") {
+    val rows = Streaming.queries("q176_next_event_examples").fn(spark, sf0001)
+      .select("user_id", "sid", "pos", "context", "label", "split")
+      .as[(Long, Long, Long, String, String, String)].collect()
+    assert(rows.nonEmpty)
+    val ev = graft.core.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      // gaps-and-islands: strictly > 30 min starts a new session
+      var sid = 0L; var prev = Long.MinValue
+      val withSid = sorted.map { e =>
+        if (prev == Long.MinValue || e._2 - prev > 1800L * 1000000L) sid += 1
+        prev = e._2
+        (e, sid)
+      }
+      withSid.groupBy(_._2).toSeq.flatMap { case (sessId, ses) =>
+        val types = ses.map(_._1._4)
+        types.zipWithIndex.drop(1).map { case (label, i) =>
+          val ctx = types.slice(math.max(0, i - 3), i).mkString(" > ")
+          (uid, sessId, (i + 1).toLong, ctx, label,
+            if (uid % 10 < 8) "train" else "eval")
+        }
+      }
+    }.toSet
+    assert(rows.toSet == expected,
+      s"missing=${expected.diff(rows.toSet).take(3)} " +
+        s"extra=${rows.toSet.diff(expected).take(3)}")
+    // the fixture exercises both splits and multi-event contexts
+    assert(rows.exists(_._6 == "train") && rows.exists(_._6 == "eval"))
+    assert(rows.exists(_._4.contains(" > ")),
+      "fixture should produce contexts longer than one event")
+  }
 }

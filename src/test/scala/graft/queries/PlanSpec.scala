@@ -701,6 +701,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("q176: every window shares the one user_id exchange") {
+    val all = Relational.queries ++ Streaming.queries
+    val p = all("q176_next_event_examples").fn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // hash(user_id) satisfies the (user_id, sid) clustering of the
+    // per-session windows, so the whole construction pays ONE shuffle
+    assert(exchanges(p) == 1, s"expected one exchange:\n${p.take(1600)}")
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition window allowed:\n${p.take(1600)}")
+  }
+
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
     val p = plan("q170_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(1200))
