@@ -180,6 +180,25 @@ object Curation extends Catalog {
           sum(col("tf")).cast("double"), 6).as("avg_nll"))
   }
 
+  /** q167's scalable global-rank assignment, shared with q177: range-
+    * partition + local sort + zipWithIndex. The appended column equals
+    * the rank in `sortCols` order REGARDLESS of sampled range
+    * boundaries (ordered range partitions concatenate to the global
+    * order), with no single-partition Window anywhere.
+    */
+  private[queries] def globalSortRank(
+      df: DataFrame, sortCols: Seq[String], outCol: String): DataFrame = {
+    val cols = sortCols.map(col)
+    val sorted = df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val labeled = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(labeled, schema)
+  }
+
   /** the DuckDB spelling of [[unigramNll]], as a CTE chain ending at
     * `nll(doc_id, n_tokens, avg_nll)` — composed into q110's and
     * q158's oracles so the two can never drift
@@ -1493,19 +1512,10 @@ object Curation extends Catalog {
     // extra shuffle, no single-task stage. The RDD hop is the point,
     // not a concession: Dataset has no partition-offset primitive.
     "q167_global_row_ids" -> Q(
-      fn = (s, d) => {
-        val sorted = docs(s, d).select(col("source"), col("doc_id"))
-          .repartitionByRange(col("source"), col("doc_id"))
-          .sortWithinPartitions(col("source"), col("doc_id"))
-        val schema = org.apache.spark.sql.types.StructType(
-          sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-            "row_id", org.apache.spark.sql.types.LongType, nullable = false))
-        val labeled = sorted.rdd.zipWithIndex().map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-        }
-        s.createDataFrame(labeled, schema)
-          .select(col("doc_id"), col("source"), col("row_id"))
-      },
+      fn = (s, d) =>
+        globalSortRank(docs(s, d).select(col("source"), col("doc_id")),
+          Seq("source", "doc_id"), "row_id")
+          .select(col("doc_id"), col("source"), col("row_id")),
       sql = Some("""
         SELECT doc_id, source,
                CAST(row_number() OVER (ORDER BY source, doc_id) - 1
@@ -1653,6 +1663,75 @@ object Curation extends Catalog {
                  CAST(sum(k) AS DOUBLE), 6) AS avg_nls
         FROM sc GROUP BY 1"""),
       scaleNote = "the corpus collapses map-side to (doc, w1, w2, k) before ONE bigram-keyed shuffle; the model frames are vocabulary-sized (bigram TYPES, not tokens) and join by key — at 100 TB the bigram model is too big to broadcast and that is fine, the score join shuffles both sides on (w1, w2) once (Brants' point: no normalization pass, so training IS counting); the 1-row stats frame broadcasts; per-doc fold is the q110 shape and fuses with it"),
+
+    // ---- q177: deterministic shared-pool negative sampling ---------
+    // Contrastive training (retrieval bi-encoders, word2vec-style
+    // objectives, reranker distillation) needs k negatives per anchor
+    // drawn from the whole corpus. The naive per-anchor random draw
+    // is irreproducible AND quadratic to audit; the scalable spelling
+    // is the shared-pool discipline: the corpus is ranked ONCE into a
+    // hash-shuffled pool (md5 order — reproducible "randomness", the
+    // q60/q146 salt-keyed stance), each anchor takes its k slots by
+    // modular position, and sampling becomes ONE equi-join on the
+    // position. Collisions (drew itself / drew its own source) are
+    // FLAGGED, not resampled — resampling loops are nondeterministic
+    // under retries; downstream drops flagged rows, and the expected
+    // flag rate (k/N + ~1/|sources|) is the price of in-batch
+    // negatives the literature already accepts. Both global ranks
+    // come from q167's range-sort + zipWithIndex — no
+    // single-partition window anywhere.
+    "q177_negative_sampling" -> Q(
+      fn = (s, d) => {
+        val K = 3
+        val ds = docs(s, d).select(col("doc_id"), col("source"))
+        val pool = globalSortRank(
+          ds.select(col("doc_id").as("neg_id"),
+            col("source").as("neg_source"),
+            md5(concat(lit("pool:"), col("neg_id").cast("string"))).as("h")),
+          Seq("h", "neg_id"), "pos")
+          .select(col("neg_id"), col("neg_source"), col("pos"))
+        val anchors = globalSortRank(
+          ds.filter(pmod(col("doc_id"), lit(10)) === 0)
+            .select(col("doc_id").as("anchor_id"),
+              col("source").as("anchor_source")),
+          Seq("anchor_id"), "a_idx")
+        val n = ds.agg(count(lit(1)).as("n"))
+        anchors
+          .select(col("anchor_id"), col("anchor_source"), col("a_idx"),
+            explode(array((0 until K).map(j => lit(j.toLong)): _*)).as("slot"))
+          .crossJoin(broadcast(n))
+          .withColumn("pos", pmod(col("a_idx") * K + col("slot"), col("n")))
+          .join(pool, "pos")
+          .select(col("anchor_id"), col("anchor_source"), col("slot"),
+            col("neg_id"), col("neg_source"),
+            (col("neg_id") === col("anchor_id")).cast("long")
+              .as("self_collision"),
+            (col("neg_source") === col("anchor_source")).cast("long")
+              .as("source_collision"))
+      },
+      sql = Some("""
+        WITH pool AS (
+          SELECT doc_id AS neg_id, source AS neg_source,
+                 md5('pool:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        pp AS (SELECT neg_id, neg_source,
+                      CAST(row_number() OVER (ORDER BY h, neg_id) - 1
+                           AS BIGINT) AS pos
+               FROM pool),
+        nn AS (SELECT count(*) AS n FROM documents),
+        ai AS (SELECT doc_id AS anchor_id, source AS anchor_source,
+                      CAST(row_number() OVER (ORDER BY doc_id) - 1
+                           AS BIGINT) AS a_idx
+               FROM documents WHERE doc_id % 10 = 0),
+        pr AS (SELECT anchor_id, anchor_source,
+                      CAST(s.slot AS BIGINT) AS slot,
+                      (a_idx * 3 + s.slot) % nn.n AS pos
+               FROM ai, (SELECT unnest([0, 1, 2]) AS slot) s, nn)
+        SELECT anchor_id, anchor_source, slot, neg_id, neg_source,
+               CAST(neg_id = anchor_id AS BIGINT) AS self_collision,
+               CAST(neg_source = anchor_source AS BIGINT) AS source_collision
+        FROM pr JOIN pp USING (pos)"""),
+      scaleNote = "both global ranks are q167's plan (range exchange + zipWithIndex — the oracle's OVER (ORDER BY) is the test-scale mirror, not the engine plan); sampling is one (pos) equi-join between the probe frame (k rows per anchor) and the pool — adding anchors or raising k fans out probes, never re-ranks the pool, and the pool rank is a PERSISTABLE artifact reused across epochs by bumping the salt"),
 
     // ---- q110: unigram LM scoring (perplexity-proxy filter) --------
     // CCNet-style quality signal: fit a unigram language model on the

@@ -1498,4 +1498,40 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(rows.exists(_._4.contains(" > ")),
       "fixture should produce contexts longer than one event")
   }
+
+  test("q177: negative sampling matches the shared-pool replica and flags " +
+    "collisions instead of resampling") {
+    val rows = Curation.queries("q177_negative_sampling").fn(spark, sf0001)
+      .select("anchor_id", "anchor_source", "slot", "neg_id", "neg_source",
+        "self_collision", "source_collision")
+      .as[(Long, String, Long, Long, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val pool = docs.map { case (id, src) => (md5hex(s"pool:$id"), id, src) }
+      .sorted.zipWithIndex
+      .map { case ((_, id, src), i) => i.toLong -> (id, src) }.toMap
+    val n = docs.length.toLong
+    val anchors = docs.filter(_._1 % 10 == 0).sortBy(_._1).zipWithIndex
+    val expected = anchors.flatMap { case ((aid, asrc), ai) =>
+      (0 until 3).map { j =>
+        val (nid, nsrc) = pool((ai.toLong * 3 + j) % n)
+        (aid, asrc, j.toLong, nid, nsrc,
+          if (nid == aid) 1L else 0L, if (nsrc == asrc) 1L else 0L)
+      }
+    }.toSet
+    assert(rows.toSet == expected,
+      s"missing=${expected.diff(rows.toSet).take(3)} " +
+        s"extra=${rows.toSet.diff(expected).take(3)}")
+    // exactly k slots per anchor — collisions are kept and flagged
+    rows.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._3).sorted.toSeq == Seq(0L, 1L, 2L),
+        s"anchor ${g.head._1} must carry exactly slots 0..2"))
+    // the flag channel is non-vacuous at this SF (few sources → the
+    // same-source draw rate is ~1/|sources|)
+    assert(rows.exists(_._7 == 1L), "expected some source collisions")
+    assert(rows.exists(_._7 == 0L), "expected mostly clean negatives")
+  }
 }
