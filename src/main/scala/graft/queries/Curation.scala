@@ -1733,6 +1733,56 @@ object Curation extends Catalog {
         FROM pr JOIN pp USING (pos)"""),
       scaleNote = "both global ranks are q167's plan (range exchange + zipWithIndex — the oracle's OVER (ORDER BY) is the test-scale mirror, not the engine plan); sampling is one (pos) equi-join between the probe frame (k rows per anchor) and the pool — adding anchors or raising k fans out probes, never re-ranks the pool, and the pool rank is a PERSISTABLE artifact reused across epochs by bumping the salt"),
 
+    // ---- q178: quality-stratified round-robin sharding -------------
+    // q94 shuffles docs into shards by hash — uniform, but blind to
+    // quality and source. Training shards should each see the SAME
+    // quality distribution and source mix (a shard of all-easy or
+    // all-one-source batches skews gradient noise); the standard fix
+    // is stratified round-robin: rank each source's docs by a quality
+    // score, deal rank r to shard (r-1) mod S like cards. Every shard
+    // then holds an even slice of every source's quality ladder —
+    // counts per (source, shard) differ by at most one, and quality
+    // strata interleave exactly. The score is an exact-integer
+    // lexical-diversity ppm (n_distinct/n_words), so the rank order
+    // — and therefore the whole deal — has no float boundary.
+    "q178_stratified_shards" -> Q(
+      fn = (s, d) => {
+        val S = 8
+        val base = docs(s, d)
+          .select(col("doc_id"), col("source"),
+            split(lower(col("text")), " ").as("ws"))
+          .select(col("doc_id"), col("source"),
+            size(col("ws")).cast("long").as("n_words"),
+            size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+          .withColumn("score_ppm",
+            expr("n_distinct * CAST(1000000 AS BIGINT) DIV n_words"))
+        base.withColumn("rank_in_source", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("source"), col("score_ppm"),
+            col("rank_in_source"),
+            pmod(col("rank_in_source") - 1, lit(S.toLong)).as("shard"))
+      },
+      sql = Some("""
+        WITH base AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+                 CAST(len(list_distinct(string_split(lower(text), ' ')))
+                      AS BIGINT) AS n_distinct
+          FROM documents),
+        sc AS (SELECT doc_id, source,
+                      n_distinct * 1000000 // n_words AS score_ppm
+               FROM base),
+        rk AS (SELECT doc_id, source, score_ppm,
+                      CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY score_ppm DESC, doc_id) AS BIGINT)
+                        AS rank_in_source
+               FROM sc)
+        SELECT doc_id, source, score_ppm, rank_in_source,
+               (rank_in_source - 1) % 8 AS shard
+        FROM rk"""),
+      scaleNote = "one map pass computes the integer score; the only shuffle is the per-source rank window (WindowGroupLimit-free — every row is kept — but partitioned by source, never global); the deal is a map-side mod of the rank, so shard assignment is a pure function of (source, rank) — re-runnable, auditable, and extendable to new corpus increments by ranking only the increment against its source's running count"),
+
     // ---- q110: unigram LM scoring (perplexity-proxy filter) --------
     // CCNet-style quality signal: fit a unigram language model on the
     // corpus, then score every doc by its average negative

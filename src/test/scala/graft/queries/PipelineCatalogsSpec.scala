@@ -1534,4 +1534,29 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(rows.exists(_._7 == 1L), "expected some source collisions")
     assert(rows.exists(_._7 == 0L), "expected mostly clean negatives")
   }
+
+  test("q178: stratified deal balances every (source, shard) cell and " +
+    "interleaves quality strata exactly") {
+    val rows = Curation.queries("q178_stratified_shards").fn(spark, sf0001)
+      .select("doc_id", "source", "score_ppm", "rank_in_source", "shard")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).values.foreach { g =>
+      // ranks are a contiguous 1..n permutation in (score desc, id) order
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq)
+      val byRank = g.sortBy(_._4)
+      byRank.sliding(2).foreach { case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1),
+          s"rank order must follow (score desc, doc_id): $a then $b")
+      case _ => ()
+      }
+      // the deal: shard = (rank-1) mod 8, so per-shard counts within a
+      // source differ by at most one and strata interleave exactly
+      g.foreach(r => assert(r._5 == (r._4 - 1) % 8, s"deal broken: $r"))
+      val counts = g.groupBy(_._5).values.map(_.length)
+      assert(counts.max - counts.min <= 1,
+        s"source ${g.head._2}: shard sizes must differ by <= 1, got $counts")
+    }
+  }
 }
