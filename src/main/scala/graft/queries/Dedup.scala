@@ -656,6 +656,115 @@ object Dedup extends Catalog {
         FROM ranked"""),
       scaleNote = "q61's plan (posting equi-join pairs, O(log n) star contraction) plus ONE rank window partitioned by group_id — groups are near-dup clusters, orders of magnitude smaller than the corpus, so the window never sees a skewed partition; the quota arithmetic is exact-integer ceil-sqrt (ieee sqrt + f*f correction), portable at any cluster size"),
 
+    // ----- q179: Fellegi-Sunter probabilistic record linkage --------
+    // Entity resolution across two databases with no shared key — the
+    // classic survey-statistics formulation (Fellegi & Sunter 1969)
+    // behind every production MDM/linkage system: compare candidate
+    // pairs field-by-field, sum per-field agreement/disagreement
+    // log-odds weights, and cut the score into match / possible
+    // (clerical review) / non-match bands. The corpus has one
+    // customer table, so the second database is a deterministic
+    // perturbation of it (q62's inject-then-operate stance): per
+    // custkey mod 4 the name is case-folded, suffixed ' jr', given a
+    // last-char typo, or left alone, and the balance jitters by a few
+    // cents — so ground truth is known per pair and the score bands'
+    // behavior is auditable. Weights are fixed integer milli-log-odds
+    // (the m/u estimation step is a separate EM fit in the
+    // literature; fixing published-magnitude weights keeps every
+    // score an exact integer). Candidates come from blocking on
+    // (nation, a name-digit bigram) — perturbation-invariant by
+    // construction, so candidate recall of true pairs is exactly 1
+    // here; multi-pass blocking for fallible keys is q120.
+    "q179_record_linkage" -> Q(
+      fn = (s, d) => {
+        val a = Tables.load(s, d, "customer").select(
+          col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+          col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("a_seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("a_cents"))
+        val b0 = Tables.load(s, d, "customer").select(
+          col("c_custkey").as("b_key"), col("c_name").as("nm"),
+          col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("b_seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        val b = b0.select(col("b_key"), col("nation"), col("b_seg"),
+          when(pmod(col("b_key"), lit(4)) === 0, lower(col("nm")))
+            .when(pmod(col("b_key"), lit(4)) === 1, concat(col("nm"), lit(" jr")))
+            .when(pmod(col("b_key"), lit(4)) === 2,
+              concat(substring(col("nm"), 1, 17), lit("x")))
+            .otherwise(col("nm")).as("b_name"),
+          (col("cents") + pmod(col("b_key"), lit(7)) - 3).as("b_cents"),
+          substring(col("nm"), 15, 2).as("blk"))
+        val cand = a.withColumn("blk", substring(col("a_name"), 15, 2))
+          .join(b, Seq("nation", "blk"))
+        cand
+          .withColumn("name_agree",
+            (col("a_name") === col("b_name")).cast("long"))
+          .withColumn("lev_agree",
+            (levenshtein(col("a_name"), col("b_name")) <= 3).cast("long"))
+          .withColumn("seg_agree", (col("a_seg") === col("b_seg")).cast("long"))
+          .withColumn("bal_agree",
+            (col("a_cents") === col("b_cents")).cast("long"))
+          .withColumn("score_milli",
+            when(col("name_agree") === 1, 5000L).otherwise(-1000L) +
+              when(col("lev_agree") === 1, 2500L).otherwise(-2500L) +
+              when(col("seg_agree") === 1, 800L).otherwise(-2000L) +
+              when(col("bal_agree") === 1, 3000L).otherwise(-500L))
+          .select(col("a_key"), col("b_key"),
+            col("name_agree"), col("lev_agree"), col("seg_agree"),
+            col("bal_agree"), col("score_milli"),
+            when(col("score_milli") >= 8000, "match")
+              .when(col("score_milli") >= 1500, "possible")
+              .otherwise("non_match").as("band"),
+            (col("a_key") === col("b_key")).cast("long").as("is_true"))
+      },
+      sql = Some("""
+        WITH a AS (
+          SELECT c_custkey AS a_key, c_name AS a_name,
+                 CAST(c_nationkey AS BIGINT) AS nation,
+                 c_mktsegment AS a_seg,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS a_cents,
+                 substr(c_name, 15, 2) AS blk
+          FROM customer),
+        b AS (
+          SELECT c_custkey AS b_key,
+                 CAST(c_nationkey AS BIGINT) AS nation,
+                 c_mktsegment AS b_seg,
+                 CASE WHEN c_custkey % 4 = 0 THEN lower(c_name)
+                      WHEN c_custkey % 4 = 1 THEN c_name || ' jr'
+                      WHEN c_custkey % 4 = 2 THEN substr(c_name, 1, 17) || 'x'
+                      ELSE c_name END AS b_name,
+                 CAST(round(c_acctbal * 100) AS BIGINT)
+                   + c_custkey % 7 - 3 AS b_cents,
+                 substr(c_name, 15, 2) AS blk
+          FROM customer),
+        cand AS (
+          SELECT a.*, b.b_key, b.b_seg, b.b_name, b.b_cents
+          FROM a JOIN b ON a.nation = b.nation AND a.blk = b.blk),
+        cmp AS (
+          SELECT a_key, b_key,
+                 CAST(a_name = b_name AS BIGINT) AS name_agree,
+                 CAST(levenshtein(a_name, b_name) <= 3 AS BIGINT) AS lev_agree,
+                 CAST(a_seg = b_seg AS BIGINT) AS seg_agree,
+                 CAST(a_cents = b_cents AS BIGINT) AS bal_agree
+          FROM cand),
+        sc AS (
+          SELECT *,
+                 (CASE WHEN name_agree = 1 THEN 5000 ELSE -1000 END
+                  + CASE WHEN lev_agree = 1 THEN 2500 ELSE -2500 END
+                  + CASE WHEN seg_agree = 1 THEN 800 ELSE -2000 END
+                  + CASE WHEN bal_agree = 1 THEN 3000 ELSE -500 END)
+                   AS score_milli
+          FROM cmp)
+        SELECT a_key, b_key, name_agree, lev_agree, seg_agree, bal_agree,
+               CAST(score_milli AS BIGINT) AS score_milli,
+               CASE WHEN score_milli >= 8000 THEN 'match'
+                    WHEN score_milli >= 1500 THEN 'possible'
+                    ELSE 'non_match' END AS band,
+               CAST(a_key = b_key AS BIGINT) AS is_true
+        FROM sc"""),
+      scaleNote = "candidates are a blocked equi-join on (nation, name-bigram) — never a cartesian; per-pair comparison is pure map-side integer arithmetic (the one levenshtein runs on 18-to-21-char strings, constant work); at 100 TB the block key is the knob — tighter keys shrink pair volume, q120's multi-pass union covers fallible keys — and the weight table broadcasts when it comes from an EM fit instead of constants"),
+
     // ----- q89: sub-document (chunk-level) exact dedup --------------
     // Paragraph/chunk granularity: split each doc into fixed 10-word
     // chunks, dedup chunks ACROSS the corpus (first occurrence by

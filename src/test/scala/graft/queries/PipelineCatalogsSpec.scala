@@ -1559,4 +1559,42 @@ class PipelineCatalogsSpec extends SparkSpec {
         s"source ${g.head._2}: shard sizes must differ by <= 1, got $counts")
     }
   }
+
+  test("q179: linkage bands behave — full true-pair recall, clean match " +
+    "band, honest clerical band") {
+    val rows = Dedup.queries("q179_record_linkage").fn(spark, sf0001)
+      .select("a_key", "b_key", "name_agree", "lev_agree", "seg_agree",
+        "bal_agree", "score_milli", "band", "is_true")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    val nCust = spark.read.parquet(s"$sf0001/customer.parquet").count()
+    // blocking is perturbation-invariant → every true pair is a candidate
+    assert(rows.count(_._9 == 1L) == nCust,
+      "every record must meet its perturbed self")
+    rows.foreach { r =>
+      assert((r._9 == 1L) == (r._1 == r._2))
+      // score is exactly the fixed milli-log-odds sum
+      val want = (if (r._3 == 1L) 5000L else -1000L) +
+        (if (r._4 == 1L) 2500L else -2500L) +
+        (if (r._5 == 1L) 800L else -2000L) +
+        (if (r._6 == 1L) 3000L else -500L)
+      assert(r._7 == want, s"score: $r")
+      val band = if (r._7 >= 8000) "match"
+        else if (r._7 >= 1500) "possible" else "non_match"
+      assert(r._8 == band, s"band: $r")
+    }
+    // exact-name agreement needs the unperturbed quarter, and names are
+    // unique — so the match band is PURE true pairs (precision 1 here)
+    val m = rows.filter(_._8 == "match")
+    assert(m.nonEmpty && m.forall(_._9 == 1L),
+      "match band must contain only true pairs on this fixture")
+    // the clerical band earns its name: both truths present
+    val p = rows.filter(_._8 == "possible")
+    assert(p.exists(_._9 == 1L) && p.exists(_._9 == 0L),
+      "possible band should mix true and false pairs")
+    // perturbed true pairs are NOT all auto-matched — the review band
+    // catches the typo'd/suffixed quarter, which is the F-S point
+    assert(rows.exists(r => r._9 == 1L && r._8 != "match"),
+      "some true pairs should need review")
+  }
 }
