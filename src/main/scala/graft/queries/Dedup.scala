@@ -189,6 +189,122 @@ object Dedup extends Catalog {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
+  /** q179/q180's shared linkage comparison frame: database A = the
+    * customer table, database B = its deterministic perturbation
+    * (per custkey mod 4: case-fold / ' jr' suffix / last-char typo /
+    * unchanged, plus a mod-7 cent jitter), candidates blocked on the
+    * perturbation-invariant (nation, name-digit-bigram) key, and the
+    * four field agreements computed per pair.
+    */
+  private def linkageCmp(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.load(s, d, "customer").select(
+      col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("a_seg"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("a_cents"))
+    val b0 = Tables.load(s, d, "customer").select(
+      col("c_custkey").as("b_key"), col("c_name").as("nm"),
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("b_seg"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+    val b = b0.select(col("b_key"), col("nation"), col("b_seg"),
+      when(pmod(col("b_key"), lit(4)) === 0, lower(col("nm")))
+        .when(pmod(col("b_key"), lit(4)) === 1, concat(col("nm"), lit(" jr")))
+        .when(pmod(col("b_key"), lit(4)) === 2,
+          concat(substring(col("nm"), 1, 17), lit("x")))
+        .otherwise(col("nm")).as("b_name"),
+      (col("cents") + pmod(col("b_key"), lit(7)) - 3).as("b_cents"),
+      substring(col("nm"), 15, 2).as("blk"))
+    a.withColumn("blk", substring(col("a_name"), 15, 2))
+      .join(b, Seq("nation", "blk"))
+      .withColumn("name_agree", (col("a_name") === col("b_name")).cast("long"))
+      .withColumn("lev_agree",
+        (levenshtein(col("a_name"), col("b_name")) <= 3).cast("long"))
+      .withColumn("seg_agree", (col("a_seg") === col("b_seg")).cast("long"))
+      .withColumn("bal_agree", (col("a_cents") === col("b_cents")).cast("long"))
+  }
+
+  /** the DuckDB spelling of [[linkageCmp]] as CTEs a/b/cand/cmp —
+    * composed into q179's and q180's oracles so they can never drift
+    */
+  private val linkageCmpSql: String = """a AS (
+          SELECT c_custkey AS a_key, c_name AS a_name,
+                 CAST(c_nationkey AS BIGINT) AS nation,
+                 c_mktsegment AS a_seg,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS a_cents,
+                 substr(c_name, 15, 2) AS blk
+          FROM customer),
+        b AS (
+          SELECT c_custkey AS b_key,
+                 CAST(c_nationkey AS BIGINT) AS nation,
+                 c_mktsegment AS b_seg,
+                 CASE WHEN c_custkey % 4 = 0 THEN lower(c_name)
+                      WHEN c_custkey % 4 = 1 THEN c_name || ' jr'
+                      WHEN c_custkey % 4 = 2 THEN substr(c_name, 1, 17) || 'x'
+                      ELSE c_name END AS b_name,
+                 CAST(round(c_acctbal * 100) AS BIGINT)
+                   + c_custkey % 7 - 3 AS b_cents,
+                 substr(c_name, 15, 2) AS blk
+          FROM customer),
+        cand AS (
+          SELECT a.*, b.b_key, b.b_seg, b.b_name, b.b_cents
+          FROM a JOIN b ON a.nation = b.nation AND a.blk = b.blk),
+        cmp AS (
+          SELECT a_key, b_key,
+                 CAST(a_name = b_name AS BIGINT) AS name_agree,
+                 CAST(levenshtein(a_name, b_name) <= 3 AS BIGINT) AS lev_agree,
+                 CAST(a_seg = b_seg AS BIGINT) AS seg_agree,
+                 CAST(a_cents = b_cents AS BIGINT) AS bal_agree
+          FROM cand)"""
+
+  /** q180's EM round count — enough for the mixture to separate on
+    * this fixture; each extra round is one more 16-row CTE, not a
+    * data pass
+    */
+  private val EmRounds = 5
+
+  /** q180's unrolled EM as DuckDB CTEs pat, p0, e1/p1 … e{R}/p{R} —
+    * the q134/q142 MATERIALIZED-chain discipline (inlining would
+    * re-evaluate the whole prefix per reference). Every literal is
+    * CAST to DOUBLE so DuckDB can't route through DECIMAL; every
+    * round's params round(,6) exactly like the engine.
+    */
+  private def emSqlCtes: String = {
+    def term(i: Int, v: Char) =
+      s"(CASE WHEN g$i = 1 THEN $v$i ELSE CAST(1.0 AS DOUBLE) - $v$i END)"
+    val sb = new StringBuilder
+    sb.append("""pat AS MATERIALIZED (
+          SELECT name_agree AS g1, lev_agree AS g2, seg_agree AS g3,
+                 bal_agree AS g4, CAST(count(*) AS DOUBLE) AS n
+          FROM cmp GROUP BY 1, 2, 3, 4),
+        p0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
+                      CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+                      CAST(0.9 AS DOUBLE) AS m3, CAST(0.9 AS DOUBLE) AS m4,
+                      CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+                      CAST(0.1 AS DOUBLE) AS u3, CAST(0.1 AS DOUBLE) AS u4)""")
+    for (r <- 1 to EmRounds) {
+      sb.append(s""",
+        e$r AS (SELECT pat.*,
+                  p * ${term(1, 'm')} * ${term(2, 'm')} * ${term(3, 'm')}
+                    * ${term(4, 'm')} AS pm,
+                  (CAST(1.0 AS DOUBLE) - p) * ${term(1, 'u')} * ${term(2, 'u')}
+                    * ${term(3, 'u')} * ${term(4, 'u')} AS pu
+                FROM pat, p${r - 1}),
+        w$r AS (SELECT *, pm / (pm + pu) AS w FROM e$r),
+        p$r AS MATERIALIZED (
+          SELECT round(sum(n * w) / sum(n), 6) AS p,
+                 ${(1 to 4).map(i =>
+                   s"round(sum(n * w * g$i) / sum(n * w), 6) AS m$i")
+                   .mkString(",\n                 ")},
+                 ${(1 to 4).map(i =>
+                   s"round(sum(n * (CAST(1.0 AS DOUBLE) - w) * g$i)" +
+                   s" / sum(n * (CAST(1.0 AS DOUBLE) - w)), 6) AS u$i")
+                   .mkString(",\n                 ")}
+          FROM w$r)""")
+    }
+    sb.toString
+  }
+
   // MinHash/LSH geometry: 16 hashes = 8 bands × 2 rows.
   // P(candidate | j) = 1-(1-j²)^8 → 0.9997 at j=0.8, ~1 at the planted
   // j≈0.99 pairs, so verified-LSH output equals the brute-force oracle.
@@ -676,35 +792,8 @@ object Dedup extends Catalog {
     // construction, so candidate recall of true pairs is exactly 1
     // here; multi-pass blocking for fallible keys is q120.
     "q179_record_linkage" -> Q(
-      fn = (s, d) => {
-        val a = Tables.load(s, d, "customer").select(
-          col("c_custkey").as("a_key"), col("c_name").as("a_name"),
-          col("c_nationkey").cast("long").as("nation"),
-          col("c_mktsegment").as("a_seg"),
-          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("a_cents"))
-        val b0 = Tables.load(s, d, "customer").select(
-          col("c_custkey").as("b_key"), col("c_name").as("nm"),
-          col("c_nationkey").cast("long").as("nation"),
-          col("c_mktsegment").as("b_seg"),
-          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
-        val b = b0.select(col("b_key"), col("nation"), col("b_seg"),
-          when(pmod(col("b_key"), lit(4)) === 0, lower(col("nm")))
-            .when(pmod(col("b_key"), lit(4)) === 1, concat(col("nm"), lit(" jr")))
-            .when(pmod(col("b_key"), lit(4)) === 2,
-              concat(substring(col("nm"), 1, 17), lit("x")))
-            .otherwise(col("nm")).as("b_name"),
-          (col("cents") + pmod(col("b_key"), lit(7)) - 3).as("b_cents"),
-          substring(col("nm"), 15, 2).as("blk"))
-        val cand = a.withColumn("blk", substring(col("a_name"), 15, 2))
-          .join(b, Seq("nation", "blk"))
-        cand
-          .withColumn("name_agree",
-            (col("a_name") === col("b_name")).cast("long"))
-          .withColumn("lev_agree",
-            (levenshtein(col("a_name"), col("b_name")) <= 3).cast("long"))
-          .withColumn("seg_agree", (col("a_seg") === col("b_seg")).cast("long"))
-          .withColumn("bal_agree",
-            (col("a_cents") === col("b_cents")).cast("long"))
+      fn = (s, d) =>
+        linkageCmp(s, d)
           .withColumn("score_milli",
             when(col("name_agree") === 1, 5000L).otherwise(-1000L) +
               when(col("lev_agree") === 1, 2500L).otherwise(-2500L) +
@@ -716,38 +805,9 @@ object Dedup extends Catalog {
             when(col("score_milli") >= 8000, "match")
               .when(col("score_milli") >= 1500, "possible")
               .otherwise("non_match").as("band"),
-            (col("a_key") === col("b_key")).cast("long").as("is_true"))
-      },
-      sql = Some("""
-        WITH a AS (
-          SELECT c_custkey AS a_key, c_name AS a_name,
-                 CAST(c_nationkey AS BIGINT) AS nation,
-                 c_mktsegment AS a_seg,
-                 CAST(round(c_acctbal * 100) AS BIGINT) AS a_cents,
-                 substr(c_name, 15, 2) AS blk
-          FROM customer),
-        b AS (
-          SELECT c_custkey AS b_key,
-                 CAST(c_nationkey AS BIGINT) AS nation,
-                 c_mktsegment AS b_seg,
-                 CASE WHEN c_custkey % 4 = 0 THEN lower(c_name)
-                      WHEN c_custkey % 4 = 1 THEN c_name || ' jr'
-                      WHEN c_custkey % 4 = 2 THEN substr(c_name, 1, 17) || 'x'
-                      ELSE c_name END AS b_name,
-                 CAST(round(c_acctbal * 100) AS BIGINT)
-                   + c_custkey % 7 - 3 AS b_cents,
-                 substr(c_name, 15, 2) AS blk
-          FROM customer),
-        cand AS (
-          SELECT a.*, b.b_key, b.b_seg, b.b_name, b.b_cents
-          FROM a JOIN b ON a.nation = b.nation AND a.blk = b.blk),
-        cmp AS (
-          SELECT a_key, b_key,
-                 CAST(a_name = b_name AS BIGINT) AS name_agree,
-                 CAST(levenshtein(a_name, b_name) <= 3 AS BIGINT) AS lev_agree,
-                 CAST(a_seg = b_seg AS BIGINT) AS seg_agree,
-                 CAST(a_cents = b_cents AS BIGINT) AS bal_agree
-          FROM cand),
+            (col("a_key") === col("b_key")).cast("long").as("is_true")),
+      sql = Some(s"""
+        WITH $linkageCmpSql,
         sc AS (
           SELECT *,
                  (CASE WHEN name_agree = 1 THEN 5000 ELSE -1000 END
@@ -764,6 +824,70 @@ object Dedup extends Catalog {
                CAST(a_key = b_key AS BIGINT) AS is_true
         FROM sc"""),
       scaleNote = "candidates are a blocked equi-join on (nation, name-bigram) — never a cartesian; per-pair comparison is pure map-side integer arithmetic (the one levenshtein runs on 18-to-21-char strings, constant work); at 100 TB the block key is the knob — tighter keys shrink pair volume, q120's multi-pass union covers fallible keys — and the weight table broadcasts when it comes from an EM fit instead of constants"),
+
+    // ----- q180: EM fit of the linkage mixture (m/u estimation) -----
+    // q179 scores with FIXED weights; this computes them. The
+    // agreement patterns are a 2-class mixture (true matches M vs
+    // non-matches U), and Fellegi-Sunter's m_i = P(agree_i | M),
+    // u_i = P(agree_i | U), p = P(M) come from unsupervised EM over
+    // the pattern counts (Winkler's classic recipe): E-step scores
+    // each of the ≤16 patterns' posterior match probability, M-step
+    // re-estimates (p, m, u) from posterior-weighted counts. The
+    // corpus contributes ONE blocked-join + pattern-count pass; all
+    // five EM rounds run on the 16-row pattern frame with a 1-row
+    // broadcast parameter frame per round (q154's fixed-point shape).
+    // Params round to 6 dp per round on both sides — the q142
+    // iterative discipline — so the whole trajectory is bit-stable.
+    "q180_linkage_em" -> Q(
+      fn = (s, d) => {
+        val pat = linkageCmp(s, d)
+          .groupBy(col("name_agree").as("g1"), col("lev_agree").as("g2"),
+            col("seg_agree").as("g3"), col("bal_agree").as("g4"))
+          .agg(count(lit(1)).cast("double").as("n"))
+          .localCheckpoint() // the corpus pass happens exactly once
+        var params = pat.sparkSession.range(1).select(
+          lit(0.1).as("p") +:
+            (1 to 4).map(i => lit(0.9).as(s"m$i")) ++:
+            (1 to 4).map(i => lit(0.1).as(s"u$i")): _*)
+        for (_ <- 1 to EmRounds) {
+          def term(i: Int, v: String) =
+            when(col(s"g$i") === 1, col(s"$v$i"))
+              .otherwise(lit(1.0) - col(s"$v$i"))
+          val e = pat.crossJoin(broadcast(params))
+            .withColumn("pm", col("p") *
+              term(1, "m") * term(2, "m") * term(3, "m") * term(4, "m"))
+            .withColumn("pu", (lit(1.0) - col("p")) *
+              term(1, "u") * term(2, "u") * term(3, "u") * term(4, "u"))
+            .withColumn("w", col("pm") / (col("pm") + col("pu")))
+          val aggs: Seq[org.apache.spark.sql.Column] =
+            round(sum(col("n") * col("w")) / sum(col("n")), 6).as("p") +:
+              ((1 to 4).map(i =>
+                round(sum(col("n") * col("w") * col(s"g$i")) /
+                  sum(col("n") * col("w")), 6).as(s"m$i")) ++
+                (1 to 4).map(i =>
+                  round(sum(col("n") * (lit(1.0) - col("w")) * col(s"g$i")) /
+                    sum(col("n") * (lit(1.0) - col("w"))), 6).as(s"u$i")))
+          params = e.agg(aggs.head, aggs.tail: _*)
+            .localCheckpoint() // truncate the per-round lineage
+        }
+        params.select(explode(array((1 to 4).map(i =>
+            struct(lit(i.toLong).as("field"),
+              col(s"m$i").as("m"), col(s"u$i").as("u"))): _*)).as("f"),
+            col("p"))
+          .select(col("f.field").as("field"), col("f.m").as("m"),
+            col("f.u").as("u"), col("p"))
+      },
+      sql = Some(s"""
+        WITH $linkageCmpSql,
+        $emSqlCtes
+        SELECT CAST(f.i AS BIGINT) AS field,
+               CASE f.i WHEN 1 THEN m1 WHEN 2 THEN m2 WHEN 3 THEN m3
+                        ELSE m4 END AS m,
+               CASE f.i WHEN 1 THEN u1 WHEN 2 THEN u2 WHEN 3 THEN u3
+                        ELSE u4 END AS u,
+               p
+        FROM p$EmRounds, (SELECT unnest([1, 2, 3, 4]) AS i) f"""),
+      scaleNote = "the corpus appears in exactly one blocked-join pattern-count pass (16 partial counts per partition, map-side); every EM round is arithmetic on a 16-row frame with a broadcast 1-row parameter frame — adding data changes the COUNTS, never the round cost, so the fit is as cheap at 100 TB as at test SF; the fitted (m, u, p) then feed q179's scorer as its broadcast weight table"),
 
     // ----- q89: sub-document (chunk-level) exact dedup --------------
     // Paragraph/chunk granularity: split each doc into fixed 10-word

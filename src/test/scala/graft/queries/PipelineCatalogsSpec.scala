@@ -1597,4 +1597,50 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(rows.exists(r => r._9 == 1L && r._8 != "match"),
       "some true pairs should need review")
   }
+
+  test("q180: EM matches a plain-Scala replica and separates the mixture") {
+    val rows = Dedup.queries("q180_linkage_em").fn(spark, sf0001)
+      .select("field", "m", "u", "p")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // replica: pattern counts from q179's comparison columns, then
+    // five EM rounds with the same 6-dp rounding per round
+    val cmp = Dedup.queries("q179_record_linkage").fn(spark, sf0001)
+      .select("name_agree", "lev_agree", "seg_agree", "bal_agree")
+      .as[(Long, Long, Long, Long)].collect()
+    val pats = cmp.groupBy(identity).map { case (g, xs) =>
+      (Array(g._1, g._2, g._3, g._4).map(_.toDouble), xs.length.toDouble)
+    }.toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var p = 0.1
+    var m = Array.fill(4)(0.9); var u = Array.fill(4)(0.1)
+    for (_ <- 1 to 5) {
+      val ws = pats.map { case (g, n) =>
+        val pm = p * (0 until 4).map(i =>
+          if (g(i) == 1.0) m(i) else 1.0 - m(i)).product
+        val pu = (1.0 - p) * (0 until 4).map(i =>
+          if (g(i) == 1.0) u(i) else 1.0 - u(i)).product
+        (g, n, pm / (pm + pu))
+      }
+      val sn = ws.map(_._2).sum
+      val snw = ws.map(t => t._2 * t._3).sum
+      val snv = ws.map(t => t._2 * (1.0 - t._3)).sum
+      val m2 = (0 until 4).map(i =>
+        r6(ws.map(t => t._2 * t._3 * t._1(i)).sum / snw)).toArray
+      val u2 = (0 until 4).map(i =>
+        r6(ws.map(t => t._2 * (1.0 - t._3) * t._1(i)).sum / snv)).toArray
+      p = r6(snw / sn); m = m2; u = u2
+    }
+    assert(math.abs(rows.head._4 - p) < 1e-5, s"p: ${rows.head._4} vs $p")
+    rows.foreach { case (f, gm, gu, _) =>
+      val i = f.toInt - 1
+      assert(math.abs(gm - m(i)) < 1e-5, s"m$f: $gm vs ${m(i)}")
+      assert(math.abs(gu - u(i)) < 1e-5, s"u$f: $gu vs ${u(i)}")
+      // the unsupervised fit separates: agreement is likelier under
+      // the match class on every field
+      assert(gm > gu, s"field $f must separate: m=$gm u=$gu")
+    }
+    assert(p > 0.0 && p < 1.0)
+  }
 }
