@@ -315,6 +315,72 @@ object Media {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** Integer energy fingerprint of an audio row: the decoded [-1, 1]
+    * floats map back to their EXACT s16 integers (s/32768f is exact
+    * for |s| ≤ 2^15, so f*32768 round-trips bit-perfectly), the
+    * samples split into `segs` equal segments, and bit i sets when
+    * segment i's |amplitude| mass clears the per-segment average —
+    * the cross-multiplied integer comparison segs·seg_i > total, so
+    * the whole fingerprint is exact integer arithmetic end to end
+    * (no float32 mirror discipline needed, unlike the image phash).
+    */
+  def audioFingerprint(samples: Array[Float], segs: Int = 8): (Long, Long) = {
+    val n = samples.length
+    val ints = samples.map(f => math.abs(math.round(f * 32768f).toLong))
+    val total = ints.sum
+    val per = n / segs
+    var fp = 0L
+    var i = 0
+    while (i < segs) {
+      val segSum = ints.slice(i * per, (i + 1) * per).sum
+      if (segSum * segs > total) fp |= (1L << i)
+      i += 1
+    }
+    (fp, total)
+  }
+
+  /** Audio near-dup by fingerprint: decode through the REAL WAV codec,
+    * fingerprint, then candidate pairs from 2 nibble bands (pigeonhole:
+    * hamming ≤ 1 over 8 bits ⇒ at least one identical 4-bit half) and
+    * an exact hamming filter — q58's banded-recall design on the audio
+    * modality, with an all-integer signature.
+    */
+  def audioNearDup(
+      media: Dataset[MediaRow],
+      codec: MediaCodec,
+      maxHamming: Int = 1): DataFrame = {
+    require(maxHamming <= 1, "2 nibble bands guarantee recall only to hamming 1")
+    import media.sparkSession.implicits._
+    val hashed = media.filter(_.kind == "audio")
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            codec.decode(r.bytes, r.meta).map { s =>
+              val (fp, total) = audioFingerprint(s)
+              (r.media_id, fp, total)
+            }
+          }
+        }
+      }
+      .toDF("media_id", "fp", "total_abs")
+      .localCheckpoint() // decode once, not once per join side
+    val bands = hashed.select(col("media_id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(1)),
+        b => call_function("shiftrightunsigned", col("fp"), b * lit(4))
+          .bitwiseAND(lit(0xfL))))
+        .as(Seq("band", "key")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        col("a.fp").as("fp1"), col("b.fp").as("fp2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming",
+        bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("fp1"), col("fp2"), col("hamming"))
+  }
+
   /** deterministic synthetic media corpus for specs/bench (no media
     * libs in the container — bytes are generated, not read)
     */

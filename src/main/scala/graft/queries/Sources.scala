@@ -722,6 +722,88 @@ object Sources extends Catalog {
         HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 7"""),
       scaleNote = "image dedup at 100 TB: decode (real javax.imageio) + phash is one map pass; candidates come from the 8-band (band,key) equi-join with pigeonhole-guaranteed recall ≤ hamming 7 — never a cartesian"),
 
+    // ----- multimodal: audio fingerprint near-dup -------------------
+    // q58's audio sibling, and the second registered query on REAL
+    // media bytes: the synthetic corpus's audio rows are actual WAVs
+    // (PCM16 LCG noise), decoded through the REAL javax.sound codec.
+    // The fingerprint is ALL-INTEGER (unlike the image phash's
+    // per-op float32 mirror): decoded [-1,1] floats map back to their
+    // exact s16 integers, 8 segment |amplitude| masses compare to the
+    // total by cross-multiplication, and the 8 bits pack into an
+    // integer signature. Near-dups are planted by zeroing ONE sample
+    // of every 7th audio row (bytes 44-45, the first data-chunk
+    // sample) — so the planted pair's fingerprints agree except when
+    // that sample's mass sat on a segment-bit boundary, which is
+    // exactly what the hamming ≤ 1 match tolerates.
+    "q181_audio_neardup" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val n = new java.io.File(d).getName match {
+          case "sf0.001"          => 90
+          case "sf0.01" | "sf0.1" => 600
+          case other => throw new IllegalArgumentException(
+            s"q181 media corpus size not defined for data dir '$other' — " +
+              "add the scale factor explicitly")
+        }
+        val base = graft.multimodal.Media.syntheticEncoded(s, n)
+        val planted = base.union(
+          base.filter(r => r.kind == "audio" && r.media_id % 21 == 1)
+            .map { r =>
+              val b2 = r.bytes.clone()
+              b2(44) = 0; b2(45) = 0 // first s16 of the data chunk → 0
+              r.copy(media_id = r.media_id + 1000000L, bytes = b2)
+            })
+        graft.multimodal.Media.audioNearDup(
+          planted, new graft.multimodal.Media.WavCodec())
+      },
+      // The oracle regenerates the SAMPLES: WAV is lossless PCM, the
+      // generator is the q58 LCG (state' = (state·0x5DEECE66D + 0xB)
+      // mod 2^48), and nextInt(65536) for a power-of-two bound is
+      // state >> 32 — so every sample, segment mass, fingerprint bit
+      // and hamming distance is exact integer arithmetic in both
+      // engines. Banding drops on the oracle side (pigeonhole: ≤ 1
+      // differing bit over 8 always shares one of 2 nibbles).
+      sql = Some("""
+        WITH RECURSIVE
+        nn AS (SELECT CASE WHEN (SELECT count(*) FROM lineitem) < 30000
+                           THEN 90 ELSE 600 END AS n),
+        ids AS (
+          SELECT CAST(i AS BIGINT) AS id, CAST(i AS BIGINT) AS seed
+          FROM nn, range(0, 600) t(i) WHERE i < nn.n AND i % 3 = 1
+          UNION ALL
+          SELECT CAST(i + 1000000 AS BIGINT), CAST(i AS BIGINT)
+          FROM nn, range(0, 600) t(i) WHERE i < nn.n AND i % 21 = 1),
+        seeds AS (SELECT DISTINCT seed FROM ids),
+        st(seed, p, s) AS (
+          SELECT seed, -1,
+                 CAST(xor(seed, 25214903917) % 281474976710656 AS HUGEINT)
+          FROM seeds
+          UNION ALL
+          SELECT seed, p + 1,
+                 CAST((s * 25214903917 + 11) % 281474976710656 AS HUGEINT)
+          FROM st WHERE p < 1599),
+        smp AS (SELECT seed, p,
+                       CAST(s AS BIGINT) // 4294967296 - 32768 AS s16
+                FROM st WHERE p >= 0),
+        persamp AS (
+          SELECT i.id, m.p,
+                 abs(CASE WHEN i.id >= 1000000 AND m.p = 0
+                          THEN 0 ELSE m.s16 END) AS a
+          FROM smp m JOIN ids i USING (seed)),
+        seg AS (SELECT id, p // 200 AS sg, CAST(sum(a) AS BIGINT) AS ss
+                FROM persamp GROUP BY 1, 2),
+        tot AS (SELECT id, CAST(sum(ss) AS BIGINT) AS total FROM seg GROUP BY 1),
+        fp AS (SELECT seg.id,
+                      CAST(sum(CASE WHEN ss * 8 > total
+                                    THEN (1 << CAST(sg AS INT)) ELSE 0 END)
+                           AS BIGINT) AS fp
+               FROM seg JOIN tot USING (id) GROUP BY 1)
+        SELECT a.id AS id1, b.id AS id2, a.fp AS fp1, b.fp AS fp2,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 1"""),
+      scaleNote = "audio dedup at 100 TB: the real-codec decode + integer fingerprint is one map pass (the fingerprint is 8 bytes of state per clip whatever its length); candidates come from the 2-nibble (band, key) equi-join with pigeonhole recall ≤ hamming 1 — never a cartesian, and the signature frame is the persistable artifact an incremental ingest folds into"),
+
     // ----- E1 layout: Z-order (Morton) multi-dimension clustering ---
     // LayoutSpec's range-clustering demo skips row groups on ONE
     // column; real warehouses filter on several. Z-order interleaves

@@ -270,6 +270,45 @@ class MediaSpec extends SparkSpec {
       again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
   }
 
+  test("q181: audio fingerprints recall every planted near-dup and match " +
+    "an independent LCG replica") {
+    val out = graft.queries.Sources.queries("q181_audio_neardup")
+      .fn(spark, sf0001)
+      .select("id1", "id2", "fp1", "fp2", "hamming")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every planted (i, i+1e6) pair must surface within hamming 1 —
+    // the banding pigeonhole guarantee on the perturbed copy
+    val planted = (0 until 90).filter(_ % 21 == 1).map(_.toLong)
+    assert(planted.nonEmpty)
+    planted.foreach { i =>
+      val hit = out.find(p => p._1 == i && p._2 == i + 1000000L)
+      assert(hit.nonEmpty, s"planted pair $i missing")
+    }
+    // emitted hamming is the true popcount of the emitted signatures
+    out.foreach(p => assert(p._5 <= 1 &&
+      java.lang.Long.bitCount(p._3 ^ p._4) == p._5, s"hamming wrong: $p"))
+    // signature replica straight from the LCG definition (independent
+    // of the WAV encode/decode path the engine exercises)
+    def fpOf(seed: Long, zeroFirst: Boolean): Long = {
+      val rnd = new scala.util.Random(seed)
+      val s = Array.fill(1600)((rnd.nextInt(65536) - 32768).toLong)
+      if (zeroFirst) s(0) = 0L
+      val a = s.map(math.abs)
+      val total = a.sum
+      (0 until 8).map(i =>
+        if (a.slice(i * 200, (i + 1) * 200).sum * 8 > total) 1L << i
+        else 0L).sum
+    }
+    planted.foreach { i =>
+      val pair = out.find(p => p._1 == i && p._2 == i + 1000000L).get
+      assert(pair._3 == fpOf(i, zeroFirst = false),
+        s"original fp mismatch for clip $i")
+      assert(pair._4 == fpOf(i, zeroFirst = true),
+        s"perturbed fp mismatch for clip $i")
+    }
+  }
+
   test("features aggregate distributedly (per-kind mean norm)") {
     val agg = extractFeatures(corpus, new FakeCodec)
       .toDF()

@@ -40,6 +40,10 @@ ALLOWED_HUGEINT_CTES = {
     "q58_image_neardup": {
         "st": "java.util.Random LCG state: 83-bit product before mod 2^48",
     },
+    "q181_audio_neardup": {
+        "st": "java.util.Random LCG state: 83-bit product before mod 2^48"
+              " (q58's generator, audio corpus)",
+    },
 }
 
 
