@@ -17,6 +17,72 @@ object Streaming extends Catalog {
   private def events(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "events")
 
+  /** q176/q182's shared example frame: 30-min gaps-and-islands
+    * sessions (exact-microsecond gap test, event_id tie-break), one
+    * row per in-session event from the second onward, with the
+    * up-to-3-type lag context and the immediately-preceding type.
+    * Every window shares the single user_id exchange.
+    */
+  private def nextEventExamples(
+      s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ws = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w2 = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(ws))
+      .withColumn("pos", row_number().over(w2).cast("long"))
+      .withColumn("context", concat_ws(" > ",
+        lag(col("event_type"), 3).over(w2),
+        lag(col("event_type"), 2).over(w2),
+        lag(col("event_type"), 1).over(w2)))
+      .withColumn("cur", lag(col("event_type"), 1).over(w2))
+      .filter(col("pos") >= 2)
+  }
+
+  /** the DuckDB spelling of [[nextEventExamples]] as CTEs
+    * marked/sess/ex (ex carries pos, context, cur, label=event_type)
+    * — composed into q176's and q182's oracles so the session and
+    * split definitions can never drift
+    */
+  private val nextEventSqlCtes: String = """marked AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CAST(sum(new_s) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sid
+          FROM marked),
+        ex AS (
+          SELECT user_id, sid,
+                 CAST(row_number() OVER w2 AS BIGINT) AS pos,
+                 concat_ws(' > ',
+                   lag(event_type, 3) OVER w2,
+                   lag(event_type, 2) OVER w2,
+                   lag(event_type, 1) OVER w2) AS context,
+                 lag(event_type, 1) OVER w2 AS cur,
+                 event_type AS label
+          FROM sess
+          WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id))"""
+
   override def queries: Map[String, Q] = Map(
 
     // ----- session-scoped first-touch attribution -------------------
@@ -193,63 +259,85 @@ object Streaming extends Catalog {
     "q176_next_event_examples" -> Q(
       fn = (s, d) => {
         import org.apache.spark.sql.functions._
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val ws = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val w2 = Window.partitionBy(col("user_id"), col("sid"))
-          .orderBy(col("ts"), col("event_id"))
-        events(s, d)
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"))
-          .withColumn("us", unix_micros(col("ts")))
-          .withColumn("new_s",
-            when(lag(col("us"), 1).over(w).isNull ||
-              col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L, 1L)
-              .otherwise(0L))
-          .withColumn("sid", sum(col("new_s")).over(ws))
-          .withColumn("pos", row_number().over(w2).cast("long"))
-          .withColumn("context", concat_ws(" > ",
-            lag(col("event_type"), 3).over(w2),
-            lag(col("event_type"), 2).over(w2),
-            lag(col("event_type"), 1).over(w2)))
-          .filter(col("pos") >= 2)
+        nextEventExamples(s, d)
           .select(col("user_id"), col("sid"), col("pos"),
             col("context"), col("event_type").as("label"),
             when(pmod(col("user_id"), lit(10)) < 8, "train")
               .otherwise("eval").as("split"))
       },
-      sql = Some("""
-        WITH marked AS (
-          SELECT user_id, ts, event_id, event_type,
-                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                           > 1800 * 1000000
-                      THEN 1 ELSE 0 END AS new_s
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        sess AS (
-          SELECT user_id, ts, event_id, event_type,
-                 CAST(sum(new_s) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS BIGINT) AS sid
-          FROM marked),
-        ex AS (
-          SELECT user_id, sid,
-                 CAST(row_number() OVER w2 AS BIGINT) AS pos,
-                 concat_ws(' > ',
-                   lag(event_type, 3) OVER w2,
-                   lag(event_type, 2) OVER w2,
-                   lag(event_type, 1) OVER w2) AS context,
-                 event_type AS label
-          FROM sess
-          WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+      sql = Some(s"""
+        WITH $nextEventSqlCtes
         SELECT user_id, sid, pos, context, label,
                CASE WHEN user_id % 10 < 8 THEN 'train' ELSE 'eval' END AS split
         FROM ex WHERE pos >= 2"""),
-      scaleNote = "one user_id shuffle feeds every window (the session lag, the running sid sum, and the per-session lags all share the same partitioning, so Catalyst plans ONE exchange + one sort); per-user state is a sort run, never materialized n² context — contexts are built by lag, not self-join; the by-user split is a map-side mod, and at 100 TB this whole construction is the standard sessionize-then-window pass every behavioral-ML pipeline already pays")
+      scaleNote = "one user_id shuffle feeds every window (the session lag, the running sid sum, and the per-session lags all share the same partitioning, so Catalyst plans ONE exchange + one sort); per-user state is a sort run, never materialized n² context — contexts are built by lag, not self-join; the by-user split is a map-side mod, and at 100 TB this whole construction is the standard sessionize-then-window pass every behavioral-ML pipeline already pays"),
+
+    // ----- q182: Markov next-event baseline on q176's split ---------
+    // The evaluation loop q176's dataset exists for, closed with the
+    // simplest honest model: a first-order Markov predictor — per
+    // current event type, the train split's most frequent successor —
+    // scored on the HELD-OUT users. This is the baseline every
+    // sequence model must beat, and computing it inside the engine
+    // means dataset, model and metric share one definition of the
+    // split (no train/eval skew between pipeline and evaluation
+    // harness). Argmax ties break lexicographically; eval rows whose
+    // current type never appeared in train fall back to no
+    // prediction and count as misses (the honest accounting).
+    // All-integer emissions: counts and exact ppm accuracies.
+    "q182_markov_baseline" -> Q(
+      fn = (s, d) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val ex = nextEventExamples(s, d)
+          .select(col("user_id"), col("cur"),
+            col("event_type").as("label"))
+          .localCheckpoint() // one sessionize feeds train AND eval
+        val model = ex.filter(pmod(col("user_id"), lit(10)) < 8)
+          .groupBy(col("cur"), col("label")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("cur"))
+              .orderBy(col("cnt").desc, col("label"))))
+          .filter(col("rk") === 1)
+          .select(col("cur"), col("label").as("pred"))
+        val scored = ex.filter(pmod(col("user_id"), lit(10)) >= 8)
+          .join(broadcast(model), Seq("cur"), "left")
+          .select(col("cur"),
+            (col("pred").isNotNull && col("pred") === col("label"))
+              .cast("long").as("ok"))
+        val per = scored.groupBy(col("cur"))
+          .agg(count(lit(1)).as("n_eval"), sum(col("ok")).as("n_correct"))
+        per.unionByName(
+            scored.agg(count(lit(1)).as("n_eval"),
+              sum(col("ok")).as("n_correct"))
+              .select(lit("ALL").as("cur"), col("n_eval"), col("n_correct")))
+          .select(col("cur"), col("n_eval"), col("n_correct"),
+            expr("n_correct * CAST(1000000 AS BIGINT) DIV n_eval")
+              .as("acc_ppm"))
+      },
+      sql = Some(s"""
+        WITH $nextEventSqlCtes,
+        exf AS (SELECT user_id, cur, label FROM ex WHERE pos >= 2),
+        model AS (
+          SELECT cur, label AS pred FROM (
+            SELECT cur, label, row_number() OVER (PARTITION BY cur
+              ORDER BY count(*) DESC, label) AS rk
+            FROM exf WHERE user_id % 10 < 8 GROUP BY cur, label)
+          WHERE rk = 1),
+        scored AS (
+          SELECT e.cur,
+                 CASE WHEN m.pred IS NOT NULL AND m.pred = e.label
+                      THEN 1 ELSE 0 END AS ok
+          FROM exf e LEFT JOIN model m ON m.cur = e.cur
+          WHERE e.user_id % 10 >= 8),
+        per AS (
+          SELECT cur, count(*) AS n_eval,
+                 CAST(sum(ok) AS BIGINT) AS n_correct
+          FROM scored GROUP BY 1
+          UNION ALL
+          SELECT 'ALL', count(*), CAST(sum(ok) AS BIGINT) FROM scored)
+        SELECT cur, n_eval, n_correct,
+               n_correct * 1000000 // n_eval AS acc_ppm
+        FROM per"""),
+      scaleNote = "the corpus pays the q176 sessionize pass ONCE (localCheckpoint feeds both splits); the model is |event-types|² transition counts collapsing map-side into a frame small enough to broadcast back, so scoring is map-side; the accuracy fold is per event type plus one global row — the same shape at any scale, because the model size is set by the type vocabulary, not the event volume")
   )
 }

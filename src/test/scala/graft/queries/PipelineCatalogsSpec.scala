@@ -1499,6 +1499,41 @@ class PipelineCatalogsSpec extends SparkSpec {
       "fixture should produce contexts longer than one event")
   }
 
+  test("q182: Markov baseline accuracy matches a replica built from q176") {
+    val out = Streaming.queries("q182_markov_baseline").fn(spark, sf0001)
+      .select("cur", "n_eval", "n_correct", "acc_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // rebuild model + metric from the dataset query's own output —
+    // the two must share one split and one session definition
+    val ex = Streaming.queries("q176_next_event_examples").fn(spark, sf0001)
+      .select("user_id", "context", "label", "split")
+      .as[(Long, String, String, String)].collect()
+    def cur(ctx: String): String = ctx.split(" > ").last
+    val model = ex.filter(_._4 == "train")
+      .groupBy(e => (cur(e._2), e._3)).map { case (k, g) => (k, g.length) }
+      .groupBy(_._1._1).map { case (c, m) =>
+        c -> m.toSeq.map { case ((_, l), n) => (l, n) }
+          .sortBy { case (l, n) => (-n, l) }.head._1
+      }
+    val eval = ex.filter(_._4 == "eval")
+      .map(e => (cur(e._2), model.get(cur(e._2)).contains(e._3)))
+    val perCur = eval.groupBy(_._1).map { case (c, g) =>
+      c -> (g.length.toLong, g.count(_._2).toLong) }
+    out.filter(_._1 != "ALL").foreach { case (c, n, k, ppm) =>
+      val (en, ek) = perCur(c)
+      assert(n == en && k == ek, s"$c: ($n, $k) vs ($en, $ek)")
+      assert(ppm == k * 1000000L / n, s"$c: acc_ppm")
+    }
+    val all = out.find(_._1 == "ALL").get
+    assert(all._2 == eval.length.toLong &&
+      all._3 == eval.count(_._2).toLong, "ALL row must sum the eval set")
+    assert(out.count(_._1 == "ALL") == 1)
+    // non-degenerate: the baseline gets SOMETHING right and something
+    // wrong on held-out users (else the metric is vacuous)
+    assert(all._3 > 0L && all._3 < all._2)
+  }
+
   test("q177: negative sampling matches the shared-pool replica and flags " +
     "collisions instead of resampling") {
     val rows = Curation.queries("q177_negative_sampling").fn(spark, sf0001)
