@@ -1341,6 +1341,88 @@ object Analytics extends Catalog {
                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
                  AS total
         FROM merged GROUP BY 1"""),
-      scaleNote = "each commit is one generation-dir write + one atomic pointer rename — cost identical to the plain rewrite, but readers resolve an immutable directory and a crash can only leave the pointer on the previous complete generation; at 100 TB pair it with PartitionedUpsert inside the generation for delta-sized writes")
+      scaleNote = "each commit is one generation-dir write + one atomic pointer rename — cost identical to the plain rewrite, but readers resolve an immutable directory and a crash can only leave the pointer on the previous complete generation; at 100 TB pair it with PartitionedUpsert inside the generation for delta-sized writes"),
+
+    // ---- q183: CUPED variance-reduced experiment readout -----------
+    // The experimentation-analytics staple (Deng et al. 2013, "Improving
+    // the Sensitivity of Online Controlled Experiments"): an A/B
+    // metric's variance shrinks by regressing out each unit's
+    // PRE-experiment behavior — adjusted_i = post_i − θ·(pre_i − x̄),
+    // θ = cov(pre, post)/var(pre) pooled across arms. Here: the event
+    // window splits at its exact midpoint (integer-microsecond
+    // arithmetic), users split into arms by id parity, per-user
+    // pre/post value sums feed the one OLS-style moment aggregate
+    // (q172's form), and the readout emits per-arm means and
+    // variances both raw and adjusted — the variance drop IS the
+    // deliverable. θ is the POOLED minimizer, so the pooled adjusted
+    // variance can only fall (spec-pinned); a single arm's can tick
+    // up when its covariance differs from pooled — it does on this
+    // corpus, and the readout shows it honestly. Transcendental-free;
+    // round(,6) on emissions per the double-sum merge discipline.
+    "q183_cuped_readout" -> Q(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("value"))
+        val cut = ev.agg(
+          ((min(col("us")) + max(col("us"))) / lit(2L)).cast("long")
+            .as("cut"))
+        val per = ev.crossJoin(broadcast(cut))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("us") < col("cut"), col("value")).otherwise(0.0))
+              .as("pre"),
+            sum(when(col("us") >= col("cut"), col("value")).otherwise(0.0))
+              .as("post"))
+          .withColumn("arm", pmod(col("user_id"), lit(2)))
+          .localCheckpoint() // one event pass feeds theta AND readout
+        val mom = per.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("pre")).as("sx"), sum(col("post")).as("sy"),
+          sum(col("pre") * col("pre")).as("sxx"),
+          sum(col("pre") * col("post")).as("sxy"))
+          .select(col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))).as("theta"),
+            (col("sx") / col("n")).as("mean_pre"))
+        per.crossJoin(broadcast(mom))
+          .withColumn("adj",
+            col("post") - col("theta") * (col("pre") - col("mean_pre")))
+          .groupBy(col("arm"))
+          .agg(count(lit(1)).as("n_users"),
+            round(avg(col("post")), 6).as("mean_post"),
+            round(avg(col("adj")), 6).as("mean_adj"),
+            round(avg(col("post") * col("post")) -
+              avg(col("post")) * avg(col("post")), 6).as("var_post"),
+            round(avg(col("adj") * col("adj")) -
+              avg(col("adj")) * avg(col("adj")), 6).as("var_adj"))
+      },
+      sql = Some("""
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ev),
+        per AS MATERIALIZED (
+          SELECT user_id,
+                 sum(CASE WHEN us < cut THEN value ELSE 0.0 END) AS pre,
+                 sum(CASE WHEN us >= cut THEN value ELSE 0.0 END) AS post,
+                 user_id % 2 AS arm
+          FROM ev, cut GROUP BY user_id),
+        mom AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 sum(pre) AS sx, sum(post) AS sy,
+                 sum(pre * pre) AS sxx, sum(pre * post) AS sxy
+          FROM per),
+        th AS (SELECT n,
+                      (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+                      sx / n AS mean_pre
+               FROM mom),
+        adj AS (SELECT arm, post,
+                       post - theta * (pre - mean_pre) AS adj
+                FROM per, th)
+        SELECT arm, count(*) AS n_users,
+               round(avg(post), 6) AS mean_post,
+               round(avg(adj), 6) AS mean_adj,
+               round(avg(post * post) - avg(post) * avg(post), 6) AS var_post,
+               round(avg(adj * adj) - avg(adj) * avg(adj), 6) AS var_adj
+        FROM adj GROUP BY 1"""),
+      scaleNote = "events collapse map-side into per-user (pre, post) partials — ONE user_id shuffle for any event volume; the moment frame is 1 row and broadcasts back, so the adjustment is map-side and the per-arm readout is a 2-row aggregate; this is why CUPED is free at 100 TB — it reuses the per-unit aggregation the raw metric already pays, adding only the broadcast θ"),
   )
 }

@@ -1534,6 +1534,53 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(all._3 > 0L && all._3 < all._2)
   }
 
+  test("q183: CUPED readout matches a replica and never inflates variance") {
+    val out = Analytics.queries("q183_cuped_readout").fn(spark, sf0001)
+      .select("arm", "n_users", "mean_post", "mean_adj", "var_post", "var_adj")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L))
+    val ev = graft.core.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, Long, Double)].collect()
+    val cut = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val per = ev.groupBy(_._1).map { case (uid, es) =>
+      (uid, es.filter(_._2 < cut).map(_._3).sum,
+        es.filter(_._2 >= cut).map(_._3).sum)
+    }.toSeq
+    val n = per.length.toDouble
+    val sx = per.map(_._2).sum; val sy = per.map(_._3).sum
+    val sxx = per.map(p => p._2 * p._2).sum
+    val sxy = per.map(p => p._2 * p._3).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val meanPre = sx / n
+    val adj = per.map { case (uid, pre, post) =>
+      (uid % 2, post, post - theta * (pre - meanPre)) }
+    out.foreach { case (arm, nu, mp, ma, vp, va) =>
+      val g = adj.filter(_._1 == arm)
+      assert(nu == g.length.toLong)
+      def mean(xs: Seq[Double]) = xs.sum / xs.length
+      def pvar(xs: Seq[Double]) = mean(xs.map(x => x * x)) - math.pow(mean(xs), 2)
+      assert(math.abs(mp - mean(g.map(_._2))) < 1e-4, s"arm $arm mean_post")
+      assert(math.abs(ma - mean(g.map(_._3))) < 1e-4, s"arm $arm mean_adj")
+      assert(math.abs(vp - pvar(g.map(_._2))) < 1e-3, s"arm $arm var_post")
+      assert(math.abs(va - pvar(g.map(_._3))) < 1e-3, s"arm $arm var_adj")
+    }
+    // CUPED's theorem is about the POOLED readout: θ is the pooled OLS
+    // minimizer of var(post − θ·pre_centered), so pooled adjusted
+    // variance can only fall (a single ARM's can tick up when its own
+    // covariance structure differs from pooled — observed on this very
+    // fixture, which is why the assertion lives at the right altitude)
+    def pooledVar(xs: Seq[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val pv = pooledVar(adj.map(_._2))
+    val av = pooledVar(adj.map(_._3))
+    assert(av < pv,
+      s"pooled adjusted variance must fall strictly: $av >= $pv")
+  }
+
   test("q177: negative sampling matches the shared-pool replica and flags " +
     "collisions instead of resampling") {
     val rows = Curation.queries("q177_negative_sampling").fn(spark, sf0001)
