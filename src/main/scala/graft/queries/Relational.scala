@@ -218,6 +218,60 @@ object Relational extends Catalog {
         USING (nationkey)"""),
       scaleNote = "aggregate-before-join shrinks both sides to |nations| rows; the outer join itself is then trivially broadcastable"),
 
+    // ----- E4: the canonical analytic join tree (TPC-H Q5 shape) ----
+    // Local-supplier revenue by nation for one region and year — the
+    // textbook 6-table star query, including Q5's signature twist:
+    // the supplier join carries the extra c_nationkey = s_nationkey
+    // equality (revenue counts only when the customer's nation
+    // supplied the part), so it is NOT a plain snowflake walk. The
+    // shape matters because it exercises everything at once: date
+    // pushdown into the fact scan, two broadcast dims, fact-fact
+    // shuffle joins, and a final skinny aggregate. Revenue is exact
+    // integer cents × (100 − discount-percent) — q170's discipline —
+    // so the 6-way join hashes bit-for-bit.
+    "q184_tpch_q5_shape" -> Q(
+      fn = (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_suppkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("rev_e4"))
+        val o = t(s, d, "orders")
+          .filter(year(col("o_orderdate")) === 1997)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val c = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val su = t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val n = t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val r = t(s, d, "region")
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_items"), sum(col("rev_e4")).as("revenue_e4"))
+      },
+      sql = Some("""
+        SELECT n_name, count(*) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE year(o_orderdate) = 1997 AND r_name = 'ASIA'
+        GROUP BY 1"""),
+      scaleNote = "the plan IS the 100 TB plan: the year predicate prunes the orders scan before its join, nation/region broadcast (|dims| rows), the three fact joins shuffle on their own keys with AQE free to reorder/skew-split, and the aggregate is |nations| rows after map-side partials — the shape every warehouse benchmarks first, expressed declaratively so Catalyst owns the join order"),
+
     // ----- E5: range (theta) join — events self-join ------------------
     "q09_range_join_events" -> Q(
       fn = (s, d) => {

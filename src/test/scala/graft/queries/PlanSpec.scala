@@ -712,6 +712,16 @@ class PlanSpec extends SparkSpec {
       s"no single-partition window allowed:\n${p.take(1600)}")
   }
 
+  test("q184: the Q5 join tree broadcasts its dims and never goes cartesian") {
+    val p = plan("q184_tpch_q5_shape")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"nation and region must broadcast:\n${p.take(1600)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"final agg must be two-phase:\n${p.take(800)}")
+  }
+
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
     val p = plan("q170_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(1200))
