@@ -1343,6 +1343,67 @@ object Analytics extends Catalog {
         FROM merged GROUP BY 1"""),
       scaleNote = "each commit is one generation-dir write + one atomic pointer rename — cost identical to the plain rewrite, but readers resolve an immutable directory and a crash can only leave the pointer on the previous complete generation; at 100 TB pair it with PartitionedUpsert inside the generation for delta-sized writes"),
 
+    // ---- q185: incremental materialized-view maintenance (IVM) -----
+    // The algebraic answer to "keep revenue-by-status current without
+    // rescanning orders": a SUM/COUNT view is a group homomorphism,
+    // so a change feed WITH BEFORE-IMAGES folds into the maintained
+    // aggregate as (+1, +new) for the after-image and (−1, −old) for
+    // the before-image — no base rescan, ever. The registered plan
+    // folds q86's delta in TWO sequential halves (associativity is
+    // exercised, not assumed) starting from the base aggregate, and
+    // the ORACLE computes the view directly over the merged table —
+    // the gate IS the IVM correctness theorem for this view. Money
+    // stays in exact integer cents; the update's new value mirrors
+    // the oracle's `price + 1000.0` double addition literally before
+    // the cents cast, so both engines round the identical double.
+    "q185_ivm_agg" -> Q(
+      fn = (s, d) => {
+        def cents(c: org.apache.spark.sql.Column) =
+          round(c * 100).cast("long")
+        val base = ordersBase(s, d)
+        val baseAgg = base.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).as("total_cents"))
+        // change feed with before-images (in production the CDC
+        // stream carries them; here they derive from the same base
+        // the q86 fixture derives the delta from)
+        val upd = base.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("U").as("nst"),
+            cents(col("o_totalprice") + lit(1000.0)).as("ncents"),
+            col("o_orderstatus").as("ost"),
+            cents(col("o_totalprice")).as("ocents"))
+        val shift = base.agg((max(col("o_orderkey")) + 1L).as("__shift"))
+        val ins = base.filter(col("o_orderkey") % 97 === 0)
+          .crossJoin(broadcast(shift))
+          .select((col("o_orderkey") + col("__shift")).as("o_orderkey"),
+            lit("N").as("nst"), cents(col("o_totalprice")).as("ncents"),
+            lit(null).cast("string").as("ost"),
+            lit(null).cast("long").as("ocents"))
+        val feed = upd.unionByName(ins)
+        def contribs(half: DataFrame): DataFrame =
+          half.select(col("nst").as("o_orderstatus"),
+              lit(1L).as("n"), col("ncents").as("total_cents"))
+            .unionByName(half.filter(col("ost").isNotNull)
+              .select(col("ost").as("o_orderstatus"),
+                lit(-1L).as("n"), (-col("ocents")).as("total_cents")))
+        def fold(agg: DataFrame, half: DataFrame): DataFrame =
+          agg.unionByName(contribs(half))
+            .groupBy(col("o_orderstatus"))
+            .agg(sum(col("n")).as("n"),
+              sum(col("total_cents")).as("total_cents"))
+            .localCheckpoint() // the maintained view between batches
+        val afterBatch1 = fold(baseAgg, feed.filter(col("o_orderkey") % 2 === 0))
+        fold(afterBatch1, feed.filter(col("o_orderkey") % 2 =!= 0))
+          .select(col("o_orderstatus"), col("n"), col("total_cents"))
+      },
+      sql = Some(s"""
+        WITH $OrdersMergedCtes
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM merged GROUP BY 1"""),
+      scaleNote = "the base aggregate is computed ONCE (or inherited from yesterday's view); each batch then touches only its own changes — contribution rows collapse map-side into |groups| partials and fold into the |groups|-row view, so maintenance cost tracks the DELTA, not the base, at any scale; this is the algebraic-view half of the warehouse story (q103's partitioned MERGE maintains the ROWS, this maintains the AGGREGATE, and sketches q143/q165 extend the same fold to non-algebraic stats)"),
+
     // ---- q183: CUPED variance-reduced experiment readout -----------
     // The experimentation-analytics staple (Deng et al. 2013, "Improving
     // the Sensitivity of Online Controlled Experiments"): an A/B

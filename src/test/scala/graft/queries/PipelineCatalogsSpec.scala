@@ -1725,4 +1725,35 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
     assert(p > 0.0 && p < 1.0)
   }
+
+  test("q185: the maintained view equals a from-scratch replica and " +
+    "genuinely retracts") {
+    val out = Analytics.queries("q185_ivm_agg").fn(spark, sf0001)
+      .select("o_orderstatus", "n", "total_cents")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.nonEmpty)
+    // replica: apply the q86 delta to base rows directly, then
+    // aggregate — no incremental folding anywhere
+    val base = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .as[(Long, String, Double)].collect()
+    val shift = base.map(_._1).max + 1
+    val merged = base.map { case (k, st, p) =>
+      if (k % 7 == 0) (k, "U", p + 1000.0) else (k, st, p)
+    } ++ base.filter(_._1 % 97 == 0).map { case (k, _, p) =>
+      (k + shift, "N", p)
+    }
+    val want = merged.groupBy(_._2).map { case (st, g) =>
+      (st, g.length.toLong, g.map(r => math.round(r._3 * 100)).sum)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == want,
+      s"IVM fold must equal full recompute: ${out.toSeq} vs $want")
+    // the fold RETRACTED rows (updates moved keys out of their
+    // original status), inserted a new status, and never went negative
+    val baseAgg = base.groupBy(_._2).map { case (st, g) => st -> g.length }
+    assert(out.exists { case (st, n, _) =>
+      baseAgg.get(st).exists(n < _) }, "some status must shrink")
+    assert(out.exists(_._1 == "U") && out.exists(_._1 == "N"))
+    out.foreach { case (st, n, _) => assert(n > 0, s"$st went non-positive") }
+  }
 }
