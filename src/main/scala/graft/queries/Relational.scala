@@ -224,8 +224,11 @@ object Relational extends Catalog {
     // the supplier join carries the extra c_nationkey = s_nationkey
     // equality (revenue counts only when the customer's nation
     // supplied the part), so it is NOT a plain snowflake walk. The
-    // shape matters because it exercises everything at once: date
-    // pushdown into the fact scan, two broadcast dims, fact-fact
+    // shape matters because it exercises everything at once: a
+    // half-open date RANGE on orders (>= / < literals, which Spark
+    // pushes into the parquet scan as GreaterThanOrEqual/LessThan and
+    // prunes row groups via footer min/max — a year(...) wrapper would
+    // defeat pushdown entirely), two broadcast dims, fact-fact
     // shuffle joins, and a final skinny aggregate. Revenue is exact
     // integer cents × (100 − discount-percent) — q170's discipline —
     // so the 6-way join hashes bit-for-bit.
@@ -237,7 +240,8 @@ object Relational extends Catalog {
             (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
             .as("rev_e4"))
         val o = t(s, d, "orders")
-          .filter(year(col("o_orderdate")) === 1997)
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
           .select(col("o_orderkey"), col("o_custkey"))
         val c = t(s, d, "customer")
           .select(col("c_custkey"), col("c_nationkey"))
@@ -268,9 +272,10 @@ object Relational extends Catalog {
                      AND c_nationkey = s_nationkey
         JOIN nation   ON s_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
-        WHERE year(o_orderdate) = 1997 AND r_name = 'ASIA'
+        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+              AND r_name = 'ASIA'
         GROUP BY 1"""),
-      scaleNote = "the plan IS the 100 TB plan: the year predicate prunes the orders scan before its join, nation/region broadcast (|dims| rows), the three fact joins shuffle on their own keys with AQE free to reorder/skew-split, and the aggregate is |nations| rows after map-side partials — the shape every warehouse benchmarks first, expressed declaratively so Catalyst owns the join order"),
+      scaleNote = "the plan IS the 100 TB plan: the half-open date range pushes into the orders parquet scan (PushedFilters carries the >= / < bounds, plan-asserted in PlanSpec) so whole row groups outside 1997 are skipped via footer min/max stats before the join, nation/region broadcast (|dims| rows), the three fact joins shuffle on their own keys with AQE free to reorder/skew-split, and the aggregate is |nations| rows after map-side partials — the shape every warehouse benchmarks first, expressed declaratively so Catalyst owns the join order"),
 
     // ----- E5: range (theta) join — events self-join ------------------
     "q09_range_join_events" -> Q(

@@ -720,6 +720,15 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, s"final agg must be two-phase:\n${p.take(800)}")
+    // the half-open 1997 range must reach the orders parquet scan as
+    // min/max-prunable bounds — a year(...) wrapper would leave only
+    // IsNotNull here and force a full-year-span scan at 100 TB
+    val ordersScan = p.linesIterator
+      .find(l => l.contains("PushedFilters") && l.contains("o_orderdate"))
+      .getOrElse("")
+    assert(ordersScan.contains("GreaterThanOrEqual(o_orderdate") &&
+      ordersScan.contains("LessThan(o_orderdate"),
+      s"date bounds must push into the orders scan: $ordersScan")
   }
 
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
