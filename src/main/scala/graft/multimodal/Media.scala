@@ -318,21 +318,28 @@ object Media {
   /** Integer energy fingerprint of an audio row: the decoded [-1, 1]
     * floats map back to their EXACT s16 integers (s/32768f is exact
     * for |s| ≤ 2^15, so f*32768 round-trips bit-perfectly), the
-    * samples split into `segs` equal segments, and bit i sets when
+    * samples split into `segs` segments at the exact-rational
+    * boundaries ⌊i·n/segs⌋ (every sample lands in exactly one segment,
+    * so a non-divisible n distributes its remainder instead of
+    * dropping tail samples from every segment; for divisible n the
+    * boundaries are the familiar i·(n/segs)), and bit i sets when
     * segment i's |amplitude| mass clears the per-segment average —
     * the cross-multiplied integer comparison segs·seg_i > total, so
     * the whole fingerprint is exact integer arithmetic end to end
     * (no float32 mirror discipline needed, unlike the image phash).
+    * n < segs degrades gracefully: trailing segments are empty, the
+    * occupied ones still compare their mass against the average.
     */
   def audioFingerprint(samples: Array[Float], segs: Int = 8): (Long, Long) = {
     val n = samples.length
     val ints = samples.map(f => math.abs(math.round(f * 32768f).toLong))
     val total = ints.sum
-    val per = n / segs
     var fp = 0L
     var i = 0
     while (i < segs) {
-      val segSum = ints.slice(i * per, (i + 1) * per).sum
+      val lo = (i.toLong * n / segs).toInt
+      val hi = ((i + 1).toLong * n / segs).toInt
+      val segSum = ints.slice(lo, hi).sum
       if (segSum * segs > total) fp |= (1L << i)
       i += 1
     }

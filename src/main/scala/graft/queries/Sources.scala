@@ -137,10 +137,17 @@ object Sources extends Catalog {
     * time (a process still reading an old generation's dir loses it).
     * Deletes tolerate races: a concurrent JVM doing the same GC may
     * win any individual file delete.
+    *
+    * Per-process sites (bucketedTable) append `_p<pid>` to the live
+    * key so two concurrent JVMs never share a dir; those dirs are kept
+    * while their owning process is alive (/proc/<pid> probe) and
+    * reaped as soon as it is gone, so crashed runs don't leak a table
+    * copy per launch.
     */
   private def dropStaleSiblings(sitePrefix: String, tag: String, liveKey: String): Unit = {
     if (!gcDone.add(s"$sitePrefix$tag|$liveKey")) return
     val tmp = Paths.get(sys.props("java.io.tmpdir"))
+    val live = s"${tag}_$liveKey"
     val stream = Files.list(tmp)
     val stale = try {
       import scala.jdk.CollectionConverters._
@@ -149,8 +156,15 @@ object Sources extends Catalog {
         if (!n.startsWith(sitePrefix) || n.contains(".tmp-")) false
         else {
           val rem = n.drop(sitePrefix.length)
-          // legacy pre-sfTag format (bare hex key), or this sf's stale key
-          !rem.contains("_") || (rem.startsWith(s"${tag}_") && rem != s"${tag}_$liveKey")
+          if (!rem.contains("_")) true // legacy pre-sfTag format (bare hex key)
+          else if (!rem.startsWith(s"${tag}_")) false // other sf: not ours to judge
+          else if (rem == live) false // this generation, shared site
+          else if (rem.startsWith(s"${live}_p")) {
+            // this generation, per-process site: stale iff the owner died
+            val pid = rem.drop(live.length + 2)
+            !(pid.nonEmpty && pid.forall(_.isDigit) &&
+              Files.exists(Paths.get("/proc", pid)))
+          } else true // this sf, previous corpus generation
         }
       }.toList
     } finally stream.close()
@@ -194,7 +208,11 @@ object Sources extends Catalog {
     * — shared across sessions of one JVM via SharedState, gone in a
     * fresh JVM — so each JVM writes once on first use (mode overwrite
     * also heals a stale-generation dir; the table name carries the
-    * corpus key so a regenerated corpus mints a new table).
+    * corpus key so a regenerated corpus mints a new table). The
+    * external path additionally carries this JVM's pid: the in-JVM
+    * lock can't stop a CONCURRENT process (parallel test + bench run)
+    * from overwriting the dir mid-read, so each process owns its own
+    * dir; dropStaleSiblings reaps a pid dir the moment its owner exits.
     */
   private def bucketedTable(
       s: SparkSession, d: String, name: String, key: String): DataFrame = {
@@ -209,7 +227,8 @@ object Sources extends Catalog {
           .bucketBy(8, key)
           .sortBy(key)
           .option("path",
-            s"${sys.props("java.io.tmpdir")}/$site${sfTag(d)}_${corpusKey(d)}")
+            s"${sys.props("java.io.tmpdir")}/$site${sfTag(d)}_${corpusKey(d)}" +
+              s"_p${ProcessHandle.current().pid()}")
           .saveAsTable(ident)
       }
     }

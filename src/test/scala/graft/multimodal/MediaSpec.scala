@@ -309,6 +309,31 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("audioFingerprint covers every sample: remainder tails count and " +
+    "n < segs degrades gracefully") {
+    // 1601 samples (not divisible by 8): the final loud sample must be
+    // counted in SOME segment, not silently dropped from all of them.
+    // 1600 near-silent samples + one max-amplitude tail: the tail's
+    // mass dominates, so exactly the last segment's bit sets.
+    val tail = Array.fill(1601)(1f / 32768f)
+    tail(1600) = 0.9f
+    val (fpTail, totalTail) = audioFingerprint(tail)
+    assert(totalTail == 1601L * 1 - 1 + math.round(0.9f * 32768f),
+      s"total must include the tail sample, got $totalTail")
+    assert((fpTail & (1L << 7)) != 0L,
+      f"loud tail sample must land in the last segment: fp=$fpTail%x")
+    // divisible n keeps the historical i·(n/segs) boundaries — the q181
+    // oracle's p // 200 mirror stays in lockstep
+    val even = Array.tabulate(1600)(i => if (i < 200) 0.5f else 0.001f)
+    val (fpEven, _) = audioFingerprint(even)
+    assert(fpEven == 1L, f"front-loaded clip sets exactly bit 0: $fpEven%x")
+    // n < segs: no crash, every sample still assigned to one segment
+    val tiny = Array(0.5f, -0.5f, 0.25f)
+    val (fpTiny, totalTiny) = audioFingerprint(tiny)
+    assert(totalTiny == 16384L + 16384L + 8192L)
+    assert(fpTiny != 0L, "occupied segments must still compare their mass")
+  }
+
   test("features aggregate distributedly (per-kind mean norm)") {
     val agg = extractFeatures(corpus, new FakeCodec)
       .toDF()

@@ -61,9 +61,14 @@ def split_ctes(sql):
     start = i
     while i < len(sql):
         c = sql[i]
-        if c == "'":  # skip string literals
+        if c == "'":  # skip string literals ('' inside is an escaped quote)
             i += 1
-            while i < len(sql) and sql[i] != "'":
+            while i < len(sql):
+                if sql[i] == "'":
+                    if i + 1 < len(sql) and sql[i + 1] == "'":
+                        i += 2  # doubled quote: still inside the literal
+                        continue
+                    break  # true closing quote
                 i += 1
         elif c == "(":
             depth += 1
