@@ -52,6 +52,92 @@ object Curation extends Catalog {
     */
   private def kmvHexSql(h: String): String = OracleSql.hex48(h)
 
+  // ---- q160/q186: the shared DSIR score frame ----------------------
+  /** Per-doc DSIR importance scores (doc_id, n_grams, logw, logw_pg).
+    * Target set = the q142-positive class (≥ 55 tokens — same gate, so
+    * the two selectors are directly comparable); features = unigrams +
+    * word bigrams hashed into B = 4096 buckets (md5-derived 48-bit,
+    * the q133 portable family); per-bucket Laplace-smoothed log-ratio
+    * ln p_target(f) − ln p_raw(f); per-doc importance = Σ over the
+    * doc's gram occurrences. The log-ratio is transcendental, so the
+    * per-doc sum rounds to 6 dp on both sides (q128's KL discipline —
+    * partition merge order + ~1 ulp ln skew both absorbed). `logw` is
+    * the textbook DSIR weight but is length-confounded (every extra
+    * gram adds an E[lr] < 0 term under the raw distribution); ranking
+    * uses `logw_pg`, the per-gram mean, which compares docs of
+    * different lengths fairly. Shared by q160 (exact top-K ground
+    * truth) and q186 (broadcast-threshold scale path).
+    */
+  private def dsirPer(s: SparkSession, d: String): DataFrame = {
+    val B = 4096L
+    val base = docs(s, d).filter(length(col("text")) > 0)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("is_t", size(col("ws")) >= 55)
+    val uni = base.select(col("doc_id"), col("is_t"),
+      explode(col("ws")).as("g"))
+    val bi = base.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("is_t"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1)))).as("g"))
+    val grams = uni.unionByName(bi)
+      .filter(length(col("g")) > 0)
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(concat(lit("ds:"), col("g"))), 1, 12),
+          16, 10).cast("long"), lit(B)).as("f"),
+        col("is_t"))
+      .localCheckpoint() // one gram pass feeds stats AND scoring
+    val bucket = grams.groupBy(col("f"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val tot = bucket.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+    val ratio = bucket.crossJoin(broadcast(tot))
+      .select(col("f"),
+        (log((col("ct") + 1).cast("double") / (col("t") + B).cast("double"))
+          - log((col("cr") + 1).cast("double") / (col("r") + B).cast("double")))
+          .as("lr"))
+    grams.join(broadcast(ratio), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("lr")), 6).as("logw"),
+        round(sum(col("lr")) / count(lit(1)), 6).as("logw_pg"))
+  }
+
+  /** DuckDB mirror of [[dsirPer]] — the WITH-clause body through the
+    * `per` frame, shared verbatim by the q160 and q186 oracles so the
+    * two selectors provably cut the identical score set.
+    */
+  private val dsirSqlCtes: String = s"""base AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS ws,
+                 len(string_split(lower(text), ' ')) >= 55 AS is_t
+          FROM documents WHERE length(text) > 0),
+        uni AS (SELECT doc_id, is_t, unnest(ws) AS g FROM base),
+        bi AS (SELECT doc_id, is_t,
+                 unnest(list_transform(generate_series(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1])) AS g
+               FROM base WHERE len(ws) >= 2),
+        gh AS (SELECT doc_id, is_t, md5('ds:' || g) AS hh
+               FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u
+               WHERE length(g) > 0),
+        grams AS MATERIALIZED (
+          SELECT doc_id, is_t, ${OracleSql.hex48("hh")} % 4096 AS f FROM gh),
+        bucket AS (SELECT f, count(*) AS cr,
+                          CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END)
+                               AS BIGINT) AS ct
+                   FROM grams GROUP BY 1),
+        tot AS (SELECT CAST(sum(cr) AS BIGINT) AS r,
+                       CAST(sum(ct) AS BIGINT) AS t FROM bucket),
+        ratio AS (SELECT f,
+                    ln(CAST(ct + 1 AS DOUBLE) / CAST(t + 4096 AS DOUBLE))
+                      - ln(CAST(cr + 1 AS DOUBLE) / CAST(r + 4096 AS DOUBLE))
+                      AS lr
+                  FROM bucket, tot),
+        per AS MATERIALIZED (
+                SELECT doc_id, count(*) AS n_grams,
+                       round(sum(lr), 6) AS logw,
+                       round(sum(lr) / count(*), 6) AS logw_pg
+                FROM grams JOIN ratio USING (f) GROUP BY 1)"""
+
   // ---- q142: the DuckDB mirror of the GD loop ----------------------
   /** identical rounds unrolled as materialized CTEs (the bpeSqlCtes
     * stance); every non-exact literal is CAST to DOUBLE so DuckDB
@@ -1049,96 +1135,59 @@ object Curation extends Catalog {
     // n-gram bag is, then keep the top-K — the published method for
     // steering a 100 TB crawl toward a target distribution without a
     // trained classifier (complementary to q142's logreg distillation:
-    // DSIR is generative/count-based, q142 discriminative). Target set
-    // here = the q142-positive class (≥ 55 tokens — same gate, so the
-    // two selectors are directly comparable); features = unigrams +
-    // word bigrams hashed into B = 4096 buckets (md5-derived 48-bit,
-    // the q133 portable family); per-bucket Laplace-smoothed log-ratio
-    // ln p_target(f) − ln p_raw(f); per-doc importance = Σ over the
-    // doc's gram occurrences. The log-ratio is transcendental, so the
-    // per-doc sum rounds to 6 dp on both sides (q128's KL discipline —
-    // partition merge order + ~1 ulp ln skew both absorbed), and the
-    // top-K cut ranks the ROUNDED score with doc_id tie-break
-    // (q137/q146 discipline) so selection membership is well-defined.
+    // DSIR is generative/count-based, q142 discriminative). Score
+    // construction is the shared dsirPer/dsirSqlCtes frame (also the
+    // q186 scale path); the top-K cut ranks the ROUNDED score with
+    // doc_id tie-break (q137/q146 discipline) so selection membership
+    // is well-defined.
     "q160_dsir_importance" -> Q(
       fn = (s, d) => {
-        val B = 4096L
         val K = 100
-        val base = docs(s, d).filter(length(col("text")) > 0)
-          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-          .withColumn("is_t", size(col("ws")) >= 55)
-        val uni = base.select(col("doc_id"), col("is_t"),
-          explode(col("ws")).as("g"))
-        val bi = base.filter(size(col("ws")) >= 2)
-          .select(col("doc_id"), col("is_t"),
-            explode(transform(sequence(lit(1), size(col("ws")) - 1),
-              i => concat_ws(" ", element_at(col("ws"), i),
-                element_at(col("ws"), i + 1)))).as("g"))
-        val grams = uni.unionByName(bi)
-          .filter(length(col("g")) > 0)
-          .select(col("doc_id"),
-            pmod(conv(substring(md5(concat(lit("ds:"), col("g"))), 1, 12),
-              16, 10).cast("long"), lit(B)).as("f"),
-            col("is_t"))
-          .localCheckpoint() // one gram pass feeds stats AND scoring
-        val bucket = grams.groupBy(col("f"))
-          .agg(count(lit(1)).as("cr"),
-            sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
-        val tot = bucket.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
-        val ratio = bucket.crossJoin(broadcast(tot))
-          .select(col("f"),
-            (log((col("ct") + 1).cast("double") / (col("t") + B).cast("double"))
-              - log((col("cr") + 1).cast("double") / (col("r") + B).cast("double")))
-              .as("lr"))
-        val per = grams.join(broadcast(ratio), Seq("f"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_grams"),
-            round(sum(col("lr")), 6).as("logw"),
-            // the SUM is the textbook DSIR weight but is length-
-            // confounded (every extra gram adds an E[lr] < 0 term
-            // under the raw distribution); ranking uses the per-gram
-            // mean, which compares docs of different lengths fairly
-            round(sum(col("lr")) / count(lit(1)), 6).as("logw_pg"))
-        per.withColumn("rk", row_number().over(
+        dsirPer(s, d).withColumn("rk", row_number().over(
             Window.orderBy(col("logw_pg").desc, col("doc_id"))))
           .select(col("doc_id"), col("n_grams"), col("logw"),
             col("logw_pg"), (col("rk") <= K).cast("long").as("selected"))
       },
       sql = Some(s"""
-        WITH base AS (
-          SELECT doc_id, string_split(lower(text), ' ') AS ws,
-                 len(string_split(lower(text), ' ')) >= 55 AS is_t
-          FROM documents WHERE length(text) > 0),
-        uni AS (SELECT doc_id, is_t, unnest(ws) AS g FROM base),
-        bi AS (SELECT doc_id, is_t,
-                 unnest(list_transform(generate_series(1, len(ws) - 1),
-                   i -> ws[i] || ' ' || ws[i+1])) AS g
-               FROM base WHERE len(ws) >= 2),
-        gh AS (SELECT doc_id, is_t, md5('ds:' || g) AS hh
-               FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u
-               WHERE length(g) > 0),
-        grams AS MATERIALIZED (
-          SELECT doc_id, is_t, ${OracleSql.hex48("hh")} % 4096 AS f FROM gh),
-        bucket AS (SELECT f, count(*) AS cr,
-                          CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END)
-                               AS BIGINT) AS ct
-                   FROM grams GROUP BY 1),
-        tot AS (SELECT CAST(sum(cr) AS BIGINT) AS r,
-                       CAST(sum(ct) AS BIGINT) AS t FROM bucket),
-        ratio AS (SELECT f,
-                    ln(CAST(ct + 1 AS DOUBLE) / CAST(t + 4096 AS DOUBLE))
-                      - ln(CAST(cr + 1 AS DOUBLE) / CAST(r + 4096 AS DOUBLE))
-                      AS lr
-                  FROM bucket, tot),
-        per AS (SELECT doc_id, count(*) AS n_grams,
-                       round(sum(lr), 6) AS logw,
-                       round(sum(lr) / count(*), 6) AS logw_pg
-                FROM grams JOIN ratio USING (f) GROUP BY 1)
+        WITH $dsirSqlCtes
         SELECT doc_id, n_grams, logw, logw_pg,
                CAST(row_number() OVER (ORDER BY logw_pg DESC, doc_id) <= 100
                     AS BIGINT) AS selected
         FROM per"""),
-      scaleNote = "grams collapse map-side into B = 4096 bucket partials (ONE skinny shuffle whatever the corpus size); the log-ratio frame is 4096 rows and BROADCASTS to the scoring join, so scoring is map-side and the per-doc fold is the second and last shuffle; the global top-K rank is the test-scale spelling — at 100 TB the cut becomes a broadcast score threshold from q64-style approx-quantiles (selection by threshold, not rank), with everything else unchanged"),
+      scaleNote = "grams collapse map-side into B = 4096 bucket partials (ONE skinny shuffle whatever the corpus size); the log-ratio frame is 4096 rows and BROADCASTS to the scoring join, so scoring is map-side and the per-doc fold is the second and last shuffle; the global top-K rank is the TEST-SCALE ground-truth spelling (exact rank over one partition) — q186 is the registered 100 TB path: the identical score frame cut by a broadcast quantile threshold, no global window at all"),
+
+    // ---- q186: DSIR selection by broadcast threshold (q160 at scale) --
+    // The scale path q160's scaleNote promises, made concrete (the
+    // q161→q166 precedent): the SAME dsirPer score frame, but selection
+    // comes from a score THRESHOLD — the 0.9 quantile of logw_pg via
+    // approx_percentile, q64's oracle-able sketch (exact below the
+    // accuracy budget, where it retains every sample and matches
+    // DuckDB's quantile_disc convention: smallest element with
+    // cume_dist ≥ p) — broadcast back over the scores. No global rank
+    // window anywhere in the plan (PlanSpec asserts no SinglePartition
+    // Window): the threshold is ONE skinny mergeable aggregate, the cut
+    // is a map-side comparison. τ is an ACTUAL score value (discrete
+    // quantile of the 6-dp-rounded frame both engines already agree on
+    // bit-for-bit), so `logw_pg >= tau` compares identical doubles —
+    // no new rounding surface.
+    "q186_dsir_threshold" -> Q(
+      fn = (s, d) => {
+        // scores feed the quantile AND the cut: materialize once
+        val per = dsirPer(s, d).localCheckpoint()
+        val tau = per.agg(
+          expr("approx_percentile(logw_pg, 0.9D, 1000000)").as("tau"))
+        per.crossJoin(broadcast(tau))
+          .select(col("doc_id"), col("n_grams"), col("logw"),
+            col("logw_pg"),
+            (col("logw_pg") >= col("tau")).cast("long").as("selected"))
+      },
+      sql = Some(s"""
+        WITH $dsirSqlCtes,
+        tau AS (SELECT quantile_disc(logw_pg, 0.9) AS tau FROM per)
+        SELECT doc_id, n_grams, logw, logw_pg,
+               CAST(logw_pg >= tau AS BIGINT) AS selected
+        FROM per, tau"""),
+      scaleNote = "q160's two shuffles are unchanged; the cut adds ONE mergeable GK-sketch aggregate (O(accuracy) memory, map-side partials) and a 1-row broadcast — selection is then a map-side compare, so the whole selector is windowless and survives any corpus size; at 100 TB drop the accuracy parameter to the memory budget (the threshold becomes approximate-rank, selection stays exact-by-threshold)"),
 
     // ---- intra-document repetition removal ---------------------------
     // Dedup repeated 5-word segments within each doc, keeping the first

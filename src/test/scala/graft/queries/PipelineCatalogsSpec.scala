@@ -856,6 +856,30 @@ class PipelineCatalogsSpec extends SparkSpec {
       s"selection must enrich the target class: $selRate <= $baseRate")
   }
 
+  test("q186: the threshold cut is the 0.9 discrete quantile of q160's " +
+    "score frame — selection is threshold-consistent") {
+    val rows = Curation.queries("q186_dsir_threshold").fn(spark, sf0001)
+      .select("doc_id", "n_grams", "logw", "logw_pg", "selected")
+      .as[(Long, Long, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // τ replica: smallest score with cume_dist >= 0.9 (the quantile_disc
+    // convention approx_percentile matches in exact mode)
+    val scores = rows.map(_._4).sorted
+    val tau = scores(math.ceil(0.9 * scores.length).toInt - 1)
+    rows.foreach(r => assert((r._5 == 1L) == (r._4 >= tau),
+      s"selected flag must equal the threshold cut at tau=$tau: $r"))
+    // the cut keeps roughly the top decile — never empty, never half
+    val nSel = rows.count(_._5 == 1L)
+    assert(nSel >= rows.length / 20 && nSel <= rows.length / 5,
+      s"~10% expected, got $nSel/${rows.length}")
+    // same score frame as q160: identical (doc_id -> logw_pg) pairs
+    val q160Scores = Curation.queries("q160_dsir_importance").fn(spark, sf0001)
+      .select("doc_id", "logw_pg").as[(Long, Double)].collect().toMap
+    rows.foreach(r => assert(q160Scores(r._1) == r._4,
+      s"q186 must cut the identical score set: ${r._1}"))
+  }
+
   test("q161: semantic leakage reports the true cross-split cosine argmax") {
     val rows = Similarity.queries("q161_semantic_leakage").fn(spark, sf0001)
       .select("eval_id", "best_train_id", "cosine", "flagged")

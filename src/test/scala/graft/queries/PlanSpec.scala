@@ -731,6 +731,22 @@ class PlanSpec extends SparkSpec {
       s"date bounds must push into the orders scan: $ordersScan")
   }
 
+  test("q186: the DSIR threshold cut is windowless — selection survives " +
+    "any corpus size") {
+    val p = plan("q186_dsir_threshold")
+    // q160's ground-truth spelling global-ranks in one partition; the
+    // scale path must carry NO window operator at all — the cut is a
+    // mergeable quantile sketch broadcast back over the scores
+    assert(!p.contains("Window"), s"no window allowed:\n${p.take(1600)}")
+    // threshold agg is two-phase (map-side partial GK sketches merge)
+    val aggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"expected partial+final sketch agg:\n${p.take(1200)}")
+    // the 1-row threshold frame broadcasts; scores are never shuffled
+    // for the comparison
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      s"threshold must broadcast:\n${p.take(1200)}")
+  }
+
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
     val p = plan("q170_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(1200))
