@@ -277,6 +277,62 @@ object Relational extends Catalog {
         GROUP BY 1"""),
       scaleNote = "the plan IS the 100 TB plan: the half-open date range pushes into the orders parquet scan (PushedFilters carries the >= / < bounds, plan-asserted in PlanSpec) so whole row groups outside 1997 are skipped via footer min/max stats before the join, nation/region broadcast (|dims| rows), the three fact joins shuffle on their own keys with AQE free to reorder/skew-split, and the aggregate is |nations| rows after map-side partials — the shape every warehouse benchmarks first, expressed declaratively so Catalyst owns the join order"),
 
+    // ----- E4/SQL surface: the canonical TPC-H Q21 shape --------------
+    // "Suppliers who kept orders waiting": per finished order, the
+    // problem line (l_returnflag = 'R' — the corpus has no
+    // receipt/commit dates, so the returned-line marker plays Q21's
+    // late-delivery predicate) counts against its supplier only when
+    // the order had ANOTHER supplier (correlated EXISTS) and no OTHER
+    // supplier also had a problem line (correlated NOT EXISTS) — two
+    // correlated subqueries with <> predicates against the SAME fact.
+    // This is the one canonical join pattern q81's scalar-subquery
+    // decorrelation doesn't cover: Catalyst must rewrite both
+    // subqueries into semi/anti joins keyed on l_orderkey with the
+    // l_suppkey <> residual attached — never a per-row re-execution,
+    // never a cartesian (PlanSpec-asserted).
+    "q187_tpch_q21_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "supplier").createOrReplaceTempView("q187_supplier")
+        t(s, d, "lineitem").createOrReplaceTempView("q187_lineitem")
+        t(s, d, "orders").createOrReplaceTempView("q187_orders")
+        t(s, d, "nation").createOrReplaceTempView("q187_nation")
+        s.sql("""
+          SELECT s_name, count(*) AS numwait
+          FROM q187_supplier, q187_lineitem l1, q187_orders, q187_nation
+          WHERE s_suppkey = l1.l_suppkey
+            AND o_orderkey = l1.l_orderkey
+            AND o_orderstatus = 'F'
+            AND l1.l_returnflag = 'R'
+            AND EXISTS (SELECT * FROM q187_lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT * FROM q187_lineitem l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_returnflag = 'R')
+            AND s_nationkey = n_nationkey
+            AND n_name = 'NATION_7'
+          GROUP BY s_name""")
+      },
+      sql = Some("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT * FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT * FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+          AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_7'
+        GROUP BY s_name"""),
+      scaleNote = "decorrelation is the whole game: both EXISTS rewrite into ONE semi and ONE anti join each keyed on l_orderkey (the <> residual rides the equi key), so the fact joins itself twice on its natural key instead of re-running a subquery per row — three l_orderkey shuffles AQE can co-plan, nation broadcasts into supplier, the status/returnflag predicates push into the scans, and the aggregate is |suppliers-of-one-nation| rows; the textbook worst-case correlated query runs as a linear join tree at any scale"),
+
     // ----- E5: range (theta) join — events self-join ------------------
     "q09_range_join_events" -> Q(
       fn = (s, d) => {

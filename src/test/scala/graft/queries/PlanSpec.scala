@@ -747,6 +747,23 @@ class PlanSpec extends SparkSpec {
       s"threshold must broadcast:\n${p.take(1200)}")
   }
 
+  test("q187: both correlated EXISTS decorrelate into semi/anti joins — " +
+    "never re-executed per row, never cartesian") {
+    val p = plan("q187_tpch_q21_shape")
+    assert(p.contains("LeftSemi"),
+      s"EXISTS must become a semi join:\n${p.take(1600)}")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must become an anti join:\n${p.take(1600)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the <> residual must ride the l_orderkey equi key:\n${p.take(1600)}")
+    // the problem-line predicate reaches the fact scan
+    val scan = p.linesIterator
+      .find(l => l.contains("PushedFilters") && l.contains("l_returnflag,R"))
+    assert(scan.nonEmpty || p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must push into the lineitem scan:\n${p.take(1600)}")
+  }
+
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
     val p = plan("q170_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(1200))
