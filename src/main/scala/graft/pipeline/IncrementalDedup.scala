@@ -651,7 +651,7 @@ object IncrementalDedup {
     * layout, where a reset checkpoint's b0 overwrites a prior run's
     * committed b0 (the exact loss the namespace exists to prevent).
     */
-  private def checkpointQueryId(
+  private[pipeline] def checkpointQueryId(
       spark: org.apache.spark.sql.SparkSession, checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -53,6 +53,44 @@ object Analytics extends Catalog {
     graft.operators.Upsert(base, ordersDelta(base), Seq("o_orderkey"))
   }
 
+  // ---- shared q185/q188 IVM fixtures --------------------------------
+  // ONE definition of the maintained view's base aggregate and the
+  // before-image change feed (the q86 delta, re-expressed as CDC rows
+  // with old images), used by q185 (in-plan fold) and q188 (IvmSink
+  // service) against the same oracle — so the algebraic statement and
+  // the operational service cannot drift apart. Money in exact integer
+  // cents; the update's new value mirrors the oracle's `price + 1000.0`
+  // double addition literally before the cents cast, so both engines
+  // round the identical double.
+  private def ivmCents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  private def ivmBaseAgg(s: SparkSession, d: String): DataFrame =
+    ordersBase(s, d).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(ivmCents(col("o_totalprice"))).as("total_cents"))
+
+  /** CDC rows with before-images (in production the CDC stream
+    * carries them; here they derive from the same base the q86
+    * fixture derives the delta from): null ost = insert.
+    */
+  private def ivmFeed(s: SparkSession, d: String): DataFrame = {
+    val base = ordersBase(s, d)
+    val upd = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("nst"),
+        ivmCents(col("o_totalprice") + lit(1000.0)).as("ncents"),
+        col("o_orderstatus").as("ost"),
+        ivmCents(col("o_totalprice")).as("ocents"))
+    val shift = base.agg((max(col("o_orderkey")) + 1L).as("__shift"))
+    val ins = base.filter(col("o_orderkey") % 97 === 0)
+      .crossJoin(broadcast(shift))
+      .select((col("o_orderkey") + col("__shift")).as("o_orderkey"),
+        lit("N").as("nst"), ivmCents(col("o_totalprice")).as("ncents"),
+        lit(null).cast("string").as("ost"),
+        lit(null).cast("long").as("ocents"))
+    upd.unionByName(ins)
+  }
+
   /** the same derivation as CTEs, spliced into both oracles */
   private val OrdersMergedCtes = """
         base AS (
@@ -1344,6 +1382,9 @@ object Analytics extends Catalog {
       scaleNote = "each commit is one generation-dir write + one atomic pointer rename — cost identical to the plain rewrite, but readers resolve an immutable directory and a crash can only leave the pointer on the previous complete generation; at 100 TB pair it with PartitionedUpsert inside the generation for delta-sized writes"),
 
     // ---- q185: incremental materialized-view maintenance (IVM) -----
+    // (feed and base aggregate are the shared ivmBaseAgg/ivmFeed
+    // fixtures defined next to ordersMerged above — one definition
+    // for q185's in-plan fold and q188's IvmSink service.)
     // The algebraic answer to "keep revenue-by-status current without
     // rescanning orders": a SUM/COUNT view is a group homomorphism,
     // so a change feed WITH BEFORE-IMAGES folds into the maintained
@@ -1358,28 +1399,8 @@ object Analytics extends Catalog {
     // the cents cast, so both engines round the identical double.
     "q185_ivm_agg" -> Q(
       fn = (s, d) => {
-        def cents(c: org.apache.spark.sql.Column) =
-          round(c * 100).cast("long")
-        val base = ordersBase(s, d)
-        val baseAgg = base.groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n"),
-            sum(cents(col("o_totalprice"))).as("total_cents"))
-        // change feed with before-images (in production the CDC
-        // stream carries them; here they derive from the same base
-        // the q86 fixture derives the delta from)
-        val upd = base.filter(col("o_orderkey") % 7 === 0)
-          .select(col("o_orderkey"), lit("U").as("nst"),
-            cents(col("o_totalprice") + lit(1000.0)).as("ncents"),
-            col("o_orderstatus").as("ost"),
-            cents(col("o_totalprice")).as("ocents"))
-        val shift = base.agg((max(col("o_orderkey")) + 1L).as("__shift"))
-        val ins = base.filter(col("o_orderkey") % 97 === 0)
-          .crossJoin(broadcast(shift))
-          .select((col("o_orderkey") + col("__shift")).as("o_orderkey"),
-            lit("N").as("nst"), cents(col("o_totalprice")).as("ncents"),
-            lit(null).cast("string").as("ost"),
-            lit(null).cast("long").as("ocents"))
-        val feed = upd.unionByName(ins)
+        val baseAgg = ivmBaseAgg(s, d)
+        val feed = ivmFeed(s, d)
         def contribs(half: DataFrame): DataFrame =
           half.select(col("nst").as("o_orderstatus"),
               lit(1L).as("n"), col("ncents").as("total_cents"))
@@ -1403,6 +1424,44 @@ object Analytics extends Catalog {
                  AS total_cents
         FROM merged GROUP BY 1"""),
       scaleNote = "the base aggregate is computed ONCE (or inherited from yesterday's view); each batch then touches only its own changes — contribution rows collapse map-side into |groups| partials and fold into the |groups|-row view, so maintenance cost tracks the DELTA, not the base, at any scale; this is the algebraic-view half of the warehouse story (q103's partitioned MERGE maintains the ROWS, this maintains the AGGREGATE, and sketches q143/q165 extend the same fold to non-algebraic stats)"),
+
+    // ---- q188: the q185 fold as a maintained SERVICE ----------------
+    // q185 proves the contribution-fold algebra; this routes the SAME
+    // feed through pipeline.IvmSink — the streaming IVM service whose
+    // replay/crash/compaction contract IvmSinkSpec owns — and reads
+    // the view it serves, against q185's exact oracle (the q130
+    // pattern: the operator runs inside the gate). Deliberately
+    // exercised through the gate: batch 0 is applied TWICE (the
+    // at-least-once redelivery the service must absorb) and the view
+    // is compacted before the read — redelivery must be a no-op and
+    // compaction content-preserving, or the oracle hash breaks.
+    "q188_ivm_sink" -> Q(
+      fn = (s, d) => {
+        val viewDir = tempSnapshotDir("graft_q188_ivm")
+        graft.pipeline.IvmSink.initBase(
+          ivmBaseAgg(s, d).withColumnRenamed("total_cents", "total"),
+          viewDir)
+        val feed = ivmFeed(s, d)
+        val b0 = feed.filter(col("o_orderkey") % 2 === 0)
+        val b1 = feed.filter(col("o_orderkey") % 2 =!= 0)
+        def apply(b: DataFrame, id: Long): Unit =
+          graft.pipeline.IvmSink.applyBatch(b, "nst", "ncents",
+            "ost", "ocents", "o_orderstatus", viewDir,
+            runId = "q188", batchId = id)
+        apply(b0, 0L); apply(b0, 0L) // at-least-once redelivery: no-op
+        apply(b1, 1L)
+        graft.pipeline.IvmSink.compact(s, viewDir)
+        graft.pipeline.IvmSink.readView(s, viewDir)
+          .select(col("o_orderstatus"), col("n"),
+            col("total").as("total_cents"))
+      },
+      sql = Some(s"""
+        WITH $OrdersMergedCtes
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM merged GROUP BY 1"""),
+      scaleNote = "q185's scale story made operational: each micro-batch writes ONE |groups|-row partial to its own run-namespaced subdir (a pure function of the batch — no read-modify-write, so replay is overwrite-idempotent by construction), the served view folds N×|groups| rows, and compaction folds the partials back into the flat layer under DirSwap; maintenance cost tracks the delta at any base size"),
 
     // ---- q183: CUPED variance-reduced experiment readout -----------
     // The experimentation-analytics staple (Deng et al. 2013, "Improving
