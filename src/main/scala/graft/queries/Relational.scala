@@ -297,7 +297,7 @@ object Relational extends Catalog {
         t(s, d, "orders").createOrReplaceTempView("q187_orders")
         t(s, d, "nation").createOrReplaceTempView("q187_nation")
         s.sql("""
-          SELECT s_name, count(*) AS numwait
+          SELECT n_name, s_name, count(*) AS numwait
           FROM q187_supplier, q187_lineitem l1, q187_orders, q187_nation
           WHERE s_suppkey = l1.l_suppkey
             AND o_orderkey = l1.l_orderkey
@@ -311,11 +311,10 @@ object Relational extends Catalog {
                               AND l3.l_suppkey <> l1.l_suppkey
                               AND l3.l_returnflag = 'R')
             AND s_nationkey = n_nationkey
-            AND n_name = 'NATION_7'
-          GROUP BY s_name""")
+          GROUP BY n_name, s_name""")
       },
       sql = Some("""
-        SELECT s_name, count(*) AS numwait
+        SELECT n_name, s_name, count(*) AS numwait
         FROM supplier, lineitem l1, orders, nation
         WHERE s_suppkey = l1.l_suppkey
           AND o_orderkey = l1.l_orderkey
@@ -329,9 +328,8 @@ object Relational extends Catalog {
                             AND l3.l_suppkey <> l1.l_suppkey
                             AND l3.l_returnflag = 'R')
           AND s_nationkey = n_nationkey
-          AND n_name = 'NATION_7'
-        GROUP BY s_name"""),
-      scaleNote = "decorrelation is the whole game: both EXISTS rewrite into ONE semi and ONE anti join each keyed on l_orderkey (the <> residual rides the equi key), so the fact joins itself twice on its natural key instead of re-running a subquery per row — three l_orderkey shuffles AQE can co-plan, nation broadcasts into supplier, the status/returnflag predicates push into the scans, and the aggregate is |suppliers-of-one-nation| rows; the textbook worst-case correlated query runs as a linear join tree at any scale"),
+        GROUP BY n_name, s_name"""),
+      scaleNote = "decorrelation is the whole game: both EXISTS rewrite into ONE semi and ONE anti join each keyed on l_orderkey (the <> residual rides the equi key), so the fact joins itself twice on its natural key instead of re-running a subquery per row — three l_orderkey shuffles AQE can co-plan, nation broadcasts into supplier, the status/returnflag predicates push into the scans, and the aggregate is at most |suppliers| rows (grouped per nation — Q21's single-nation literal is a group key here so the query is non-empty at every test SF; at 100 TB add the nation predicate back and it prunes the broadcast side); the textbook worst-case correlated query runs as a linear join tree at any scale"),
 
     // ----- E5: range (theta) join — events self-join ------------------
     "q09_range_join_events" -> Q(
