@@ -69,6 +69,58 @@ class LiveLlmSpec extends SparkSpec {
     }
   }
 
+  test("live backend: vision model describes a generated image") {
+    // the reference's vision-path integration contract
+    // (spec/image_processing_spec.rb:96-137): a real model describes
+    // spec/apple.jpg and the test SKIPS when the backend can't — here
+    // the fixture is a generated red disc on white (the repo ships no
+    // binary fixtures; MediaSpec's images are synthesized the same
+    // way), the prompt pins English, and a dead-lettered record —
+    // an endpoint whose model lacks vision — cancels rather than
+    // fails, mirroring the reference's rescue→skip.
+    assume(endpoint.isDefined, "LLM_API_ENDPOINT not set")
+    assume(reachable(endpoint.get), s"${endpoint.get} not reachable")
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, 64, 64)
+    g.setColor(java.awt.Color.RED); g.fillOval(8, 8, 48, 48)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+    val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+
+    val d = Files.createTempDirectory("graft-live-vision")
+    Files.writeString(d.resolve("prompt.erb"),
+      "Describe this image briefly in English.")
+    Files.writeString(d.resolve("job.yml"),
+      s""":id: live-vision
+         |:erb_filepath: prompt.erb
+         |:backend_endpoint: ${endpoint.get}
+         |:model: $model
+         |:output_label: description""".stripMargin)
+    val cfg = JobConfig.load(d.resolve("job.yml").toString)
+    val records = Seq(
+      ("apple-image-test", Map.empty[String, String], Seq(b64)))
+      .toDF("id", "texts", "images")
+    val result = EnrichJob.run(records, cfg, new OpenAiClient(),
+      EnrichOptions(maxRetries = 0))
+    val dead = result.deadLetter.collect()
+    assume(dead.isEmpty,
+      s"endpoint model '$model' rejected the vision request: " +
+        dead.headOption.fold("")(_.toString))
+    val good = result.good
+      .as[(String, Map[String, String], Seq[String])].collect()
+    assert(good.length == 1)
+    val (id, texts, images) = good.head
+    assert(id == "apple-image-test")
+    assert(images == Seq(b64), "input images must be preserved")
+    val description = texts.getOrElse("description", "")
+    assert(description.trim.length > 10,
+      s"not a meaningful description: '$description'")
+  }
+
   test("live backend: malformed model errors dead-letter, job survives") {
     assume(endpoint.isDefined, "LLM_API_ENDPOINT not set")
     assume(reachable(endpoint.get), s"${endpoint.get} not reachable")
