@@ -88,12 +88,37 @@ object Media {
       pooledFeatures(decoded, dim)
   }
 
+  /** row-major ITU-R BT.601 luminance in [0,1] — the one pixel→float
+    * mapping both image and video decode share, so a video frame and
+    * the same image feed identical buffers into the feature path
+    */
+  private[multimodal] def lumaOf(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](w * h)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        out(i) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Real image decode via the JDK's built-in `javax.imageio` (no new
     * dependency): JPEG/PNG/GIF/BMP bytes → row-major luminance buffer
     * in [0,1]. The format is sniffed from the bytes (meta.format is
     * advisory). Corrupt or non-image bytes → None, same fail-soft
-    * contract as FakeCodec. Audio/video formats have no JDK decoder —
-    * those stay behind the documented stub boundary.
+    * contract as FakeCodec.
     *
     * ImageIO readers are not thread-safe to share, but a new reader
     * per call is exactly what ImageIO.read does — safe under Spark's
@@ -106,32 +131,114 @@ object Media {
         try {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           if (img == null) None // no registered reader recognized the bytes
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            val out = new Array[Float](w * h)
-            var y = 0
-            var i = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val r = (rgb >> 16) & 0xff
-                val g = (rgb >> 8) & 0xff
-                val b = rgb & 0xff
-                // ITU-R BT.601 luma
-                out(i) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
-                i += 1
-                x += 1
-              }
-              y += 1
-            }
-            Some(out)
-          }
+          else Some(lumaOf(img))
         } catch { case _: Exception => None }
     }
     override def features(decoded: Array[Float], dim: Int): Array[Float] =
       pooledFeatures(decoded, dim)
+  }
+
+  /** Real VIDEO decode for MJPEG-in-AVI, pure JDK (the r10 verdict's
+    * suggested path): an AVI is a RIFF container whose `movi` LIST
+    * stores each Motion-JPEG frame as a complete JFIF/JPEG inside a
+    * `##dc` chunk — so a ~60-line RIFF walk plus `javax.imageio` per
+    * frame is a real video decoder with no new dependency. Decodes to
+    * the frames' luminance buffers concatenated in stream order
+    * (frame f occupies [f·w·h, (f+1)·w·h) — [[sampleFrames]]' index
+    * arithmetic over the same layout). Tolerant walk: a truncated
+    * tail stops the scan and keeps the frames already decoded;
+    * no decodable frame at all → None, the family's fail-soft
+    * contract. Compressed inter-frame codecs (h264/vp9) have no JDK
+    * decoder and remain behind the documented [[FakeCodec]] stub
+    * boundary.
+    */
+  final class MjpegAviCodec extends MediaCodec {
+    override def decode(bytes: Array[Byte], meta: MediaMeta): Option[Array[Float]] = {
+      if (bytes == null || bytes.length < 12) return None
+      try {
+        def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+        def u32(off: Int): Long =
+          (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+            ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+        if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          var ok = true
+          while (ok && off + 8 <= end) {
+            val id = fourcc(off)
+            val sz = u32(off + 4).toInt
+            val payload = off + 8
+            if (sz < 0) ok = false
+            else if (id == "LIST" && sz >= 4 && payload + 4 <= end) {
+              // a torn tail may cut a LIST short — recurse into the
+              // available prefix so the complete frames before the
+              // tear still decode
+              walk(payload + 4,
+                math.min(payload.toLong + sz, end.toLong).toInt)
+              off = payload + sz + (sz & 1) // past end ⇒ loop exits
+            } else if (payload.toLong + sz > end) ok = false // torn leaf
+            else {
+              if (sz > 0 && (id.endsWith("dc") || id.endsWith("db"))) {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes, payload, sz))
+                if (img != null) frames += lumaOf(img)
+              }
+              off = payload + sz + (sz & 1) // chunks pad to even
+            }
+          }
+        }
+        walk(12, math.min(bytes.length.toLong, 8 + u32(4)).toInt)
+        if (frames.isEmpty) None
+        else Some(frames.toArray.flatten)
+      } catch { case _: Exception => None }
+    }
+    override def features(decoded: Array[Float], dim: Int): Array[Float] =
+      pooledFeatures(decoded, dim)
+  }
+
+  /** Assemble pre-encoded JPEG frames into a minimal standards-shaped
+    * AVI (RIFF / hdrl(avih + strl(strh 'vids'/'MJPG' + strf BITMAPINFO))
+    * / movi with one `00dc` chunk per frame) — the fixture encoder for
+    * [[MjpegAviCodec]] and [[syntheticEncoded]]'s video rows. Headers
+    * are written honestly (sizes, frame count, geometry) so external
+    * tools can read the files too, though the decoder needs only the
+    * movi chunks.
+    */
+  def encodeMjpegAvi(
+      jpegFrames: Seq[Array[Byte]], w: Int, h: Int, fps: Int = 30): Array[Byte] = {
+    require(jpegFrames.nonEmpty && fps > 0, "need frames and a positive fps")
+    val bos = new java.io.ByteArrayOutputStream()
+    def str(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    val maxFrame = jpegFrames.map(_.length).max.toLong
+    val moviSz = 4L + jpegFrames.map(f => 8L + f.length + (f.length & 1)).sum
+    val strlSz = 4L + 8 + 56 + 8 + 40
+    val hdrlSz = 4L + 8 + 56 + 8 + strlSz
+    str("RIFF"); u32(4 + 8 + hdrlSz + 8 + moviSz); str("AVI ")
+    str("LIST"); u32(hdrlSz); str("hdrl")
+    str("avih"); u32(56)
+    u32(1000000L / fps); u32(maxFrame * fps); u32(0); u32(0)
+    u32(jpegFrames.length.toLong); u32(0); u32(1); u32(maxFrame)
+    u32(w.toLong); u32(h.toLong); u32(0); u32(0); u32(0); u32(0)
+    str("LIST"); u32(strlSz); str("strl")
+    str("strh"); u32(56)
+    str("vids"); str("MJPG"); u32(0); u32(0); u32(0)
+    u32(1); u32(fps.toLong); u32(0); u32(jpegFrames.length.toLong)
+    u32(maxFrame); u32(0xffffffffL); u32(0)
+    u32(0); u32((h.toLong << 16) | w.toLong) // rcFrame (0,0,w,h) as u16 quads
+    str("strf"); u32(40)
+    u32(40); u32(w.toLong); u32(h.toLong); u32((24L << 16) | 1L)
+    str("MJPG"); u32(w.toLong * h * 3); u32(0); u32(0); u32(0); u32(0)
+    str("LIST"); u32(moviSz); str("movi")
+    jpegFrames.foreach { f =>
+      str("00dc"); u32(f.length.toLong); bos.write(f)
+      if ((f.length & 1) == 1) bos.write(0)
+    }
+    bos.toByteArray
   }
 
   /** Real audio decode via the JDK's built-in `javax.sound.sampled`
@@ -289,11 +396,30 @@ object Media {
   def imageNearDup(
       media: Dataset[MediaRow],
       codec: MediaCodec,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 7): DataFrame =
+    phashNearDup(media, codec, "image", maxHamming)
+
+  /** Video near-dup pairs: the identical banded-phash design over
+    * [[MjpegAviCodec]]-decoded clips — the pooled feature vector spans
+    * the concatenated frame luminances, so a clip sharing most frames
+    * (or all frames, byte-identical or re-encoded) pools to a nearby
+    * phash. Same pigeonhole recall guarantee to hamming 7.
+    */
+  def videoNearDup(
+      media: Dataset[MediaRow],
+      codec: MediaCodec,
+      maxHamming: Int = 7): DataFrame =
+    phashNearDup(media, codec, "video", maxHamming)
+
+  private def phashNearDup(
+      media: Dataset[MediaRow],
+      codec: MediaCodec,
+      kind: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming <= 7,
       "8 one-byte bands guarantee recall only up to hamming 7")
     import media.sparkSession.implicits._
-    val hashed = extractFeatures(media.filter(_.kind == "image"), codec, 64)
+    val hashed = extractFeatures(media.filter(_.kind == kind), codec, 64)
       .filter(_.decoded_ok)
       .map(f => (f.media_id, phash64(f.feature)))
       .toDF("media_id", "phash")
@@ -410,21 +536,41 @@ object Media {
     }
   }
 
-  /** [[synthetic]] with REAL image AND audio bytes: every image row
-    * carries an actual PNG (deterministic 32×32 noise seeded by
-    * media_id, encoded executor-side through javax.imageio) and every
+  /** [[synthetic]] with REAL bytes for ALL THREE modalities: every
+    * image row carries an actual PNG (deterministic 32×32 noise seeded
+    * by media_id, encoded executor-side through javax.imageio), every
     * audio row an actual WAV (deterministic 16 kHz PCM16 noise,
-    * encoded through javax.sound.sampled), so both registered decode
-    * paths exercise real codecs end-to-end. Noise — not gradients —
-    * keeps distinct rows' pooled features far apart, so phash pairs
-    * come only from byte-identical plants. Video rows keep generated
-    * bytes: they alone stay behind the documented [[FakeCodec]] stub
-    * boundary (no JDK video decoder exists).
+    * encoded through javax.sound.sampled), and every video row an
+    * actual MJPEG-AVI (3 deterministic 16×16 noise frames, each a real
+    * javax.imageio JPEG inside the RIFF container [[encodeMjpegAvi]]
+    * writes — r11), so all three registered decode paths exercise real
+    * codecs end-to-end. Noise — not gradients — keeps distinct rows'
+    * pooled features far apart, so phash pairs come only from planted
+    * dups. Only inter-frame codecs (h264/vp9, no JDK decoder) remain
+    * behind the documented [[FakeCodec]] stub boundary.
     */
   def syntheticEncoded(spark: SparkSession, n: Int, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     synthetic(spark, n, partitions).map { r =>
-      if (r.kind == "audio") {
+      if (r.kind == "video") {
+        val rnd = new scala.util.Random(r.media_id)
+        val frames = (0 until 3).map { _ =>
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) { img.setRGB(x, y, rnd.nextInt(0x1000000)); x += 1 }
+            y += 1
+          }
+          val fb = new java.io.ByteArrayOutputStream()
+          if (!javax.imageio.ImageIO.write(img, "jpg", fb))
+            sys.error("no JPEG writer registered — JDK imageio missing?")
+          fb.toByteArray
+        }
+        r.copy(bytes = encodeMjpegAvi(frames, 16, 16),
+          meta = MediaMeta("mjpeg-avi", 16, 16, 3, 0))
+      } else if (r.kind == "audio") {
         val rnd = new scala.util.Random(r.media_id)
         val samples = 1600 // 0.1 s at 16 kHz — enough signal, fast specs
         val raw = new Array[Byte](samples * 2)

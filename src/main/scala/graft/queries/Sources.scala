@@ -823,6 +823,54 @@ object Sources extends Catalog {
         WHERE bit_count(xor(a.fp, b.fp)) <= 1"""),
       scaleNote = "audio dedup at 100 TB: the real-codec decode + integer fingerprint is one map pass (the fingerprint is 8 bytes of state per clip whatever its length); candidates come from the 2-nibble (band, key) equi-join with pigeonhole recall ≤ hamming 1 — never a cartesian, and the signature frame is the persistable artifact an incremental ingest folds into"),
 
+    // ----- multimodal: video frame-dup detection (REAL codec) -------
+    // The third modality's registered query, closing the r10 verdict's
+    // video item: the corpus's video rows are real MJPEG-AVIs (each
+    // frame a javax.imageio JPEG inside the RIFF container) decoded by
+    // the pure-JDK MjpegAviCodec — RIFF walk + per-frame imageio, no
+    // stub anywhere in this path. Byte-identical clone clips are
+    // planted every 7th video id; the query emits the EXACT-match
+    // pairs (hamming 0). Unlike q58's PNG path, JPEG decode is lossy
+    // and not SQL-mirrorable, so the oracle predicts the planted pair
+    // set arithmetically rather than reconstructing phashes — the gate
+    // still pins container round-trip determinism (clone bytes must
+    // decode to the identical phash), banding recall at hamming 0
+    // (all 8 bands equal), and zero accidental exact collisions; the
+    // hamming ≤ 7 near-miss recall (a re-encoded single-pixel tweak)
+    // is spec-gated in MediaSpec's videoNearDup test.
+    "q189_video_neardup" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val n = new java.io.File(d).getName match {
+          case "sf0.001"          => 90
+          case "sf0.01" | "sf0.1" => 600
+          case other => throw new IllegalArgumentException(
+            s"q189 media corpus size not defined for data dir '$other' — " +
+              "add the scale factor explicitly")
+        }
+        val base = graft.multimodal.Media.syntheticEncoded(s, n)
+        val planted = base.union(
+          base.filter(r => r.kind == "video" && r.media_id % 7 == 0)
+            .map(r => r.copy(media_id = r.media_id + 1000000L)))
+        graft.multimodal.Media.videoNearDup(
+            planted, new graft.multimodal.Media.MjpegAviCodec())
+          .filter(col("hamming") === 0)
+      },
+      // video rows sit at id % 3 = 2; plants at id % 7 = 0 ⇒ the
+      // planted clone pairs are exactly id % 21 = 14 (CRT), each
+      // emitted as (id, id + 1e6) with hamming 0. Corpus size keys off
+      // lineitem's cardinality — q58's SQL analogue of the engine's
+      // explicit per-SF-dir switch.
+      sql = Some("""
+        WITH nn AS (SELECT CASE WHEN (SELECT count(*) FROM lineitem) < 30000
+                           THEN 90 ELSE 600 END AS n)
+        SELECT CAST(i AS BIGINT) AS id1,
+               CAST(i + 1000000 AS BIGINT) AS id2,
+               CAST(0 AS INT) AS hamming
+        FROM nn, range(0, 600) t(i)
+        WHERE i < nn.n AND i % 21 = 14"""),
+      scaleNote = "video dedup at 100 TB: decode (real per-frame JPEG via the RIFF walk) + pooled phash is one map pass per clip — the phash is 8 bytes of state whatever the clip length; candidates come from the same 8-band (band, key) equi-join as q58 with pigeonhole recall ≤ hamming 7 — never a cartesian, and frame-level dedup falls out of the same machinery by exploding clips into (clip, frame_idx, frame-phash) rows first"),
+
     // ----- E1 layout: Z-order (Morton) multi-dimension clustering ---
     // LayoutSpec's range-clustering demo skips row groups on ONE
     // column; real warehouses filter on several. Z-order interleaves

@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.multimodal.Media._
 
-/** Multimodal tests — image and audio decode are REAL (JDK imageio /
-  * javax.sound.sampled, spec'd sample-exact below); only video decode
-  * is a deterministic fake (no JDK video decoder). Also under test:
-  * the Spark surface — binary columns, metadata schema, batch shape,
-  * fail-soft decode, and the Catalyst frame-sampling plan.
+/** Multimodal tests — image, audio AND video decode are REAL (JDK
+  * imageio / javax.sound.sampled / the RIFF walk + per-frame imageio
+  * of MjpegAviCodec — r11), spec'd sample/frame-exact below; only
+  * inter-frame codecs (h264/vp9) remain behind the FakeCodec stub.
+  * Also under test: the Spark surface — binary columns, metadata
+  * schema, batch shape, fail-soft decode, and the Catalyst
+  * frame-sampling plan.
   */
 class MediaSpec extends SparkSpec {
   import spark.implicits._
@@ -197,7 +199,7 @@ class MediaSpec extends SparkSpec {
       val px = codec.decode(r.bytes, r.meta)
       assert(px.exists(_.length == 32 * 32), s"media ${r.media_id} failed decode")
     }
-    // non-image rows keep the stub boundary (generated bytes)
+    // non-image rows carry their own real containers (WAV / AVI)
     assert(enc.filter(_.kind != "image").forall(_.bytes.nonEmpty))
     // deterministic across invocations (task-retry safe)
     val enc2 = Media.syntheticEncoded(spark, 30).collect()
@@ -332,6 +334,99 @@ class MediaSpec extends SparkSpec {
     val (fpTiny, totalTiny) = audioFingerprint(tiny)
     assert(totalTiny == 16384L + 16384L + 8192L)
     assert(fpTiny != 0L, "occupied segments must still compare their mass")
+  }
+
+  // ---- real VIDEO decode: MJPEG-in-AVI via the RIFF walk (r11) -----
+
+  /** a real MJPEG-AVI: each frame a distinct noise image, JPEG-encoded
+    * through javax.imageio, wrapped by Media.encodeMjpegAvi
+    */
+  private def noiseAvi(seed: Long, frames: Int = 3, tweakFrame: Int = -1): Array[Byte] = {
+    val jpegs = (0 until frames).map { f =>
+      val img = noiseImage(seed * 100 + f)
+      if (f == tweakFrame) img.setRGB(5, 5, img.getRGB(5, 5) ^ 0x1)
+      encodeImage(img, "jpg")
+    }
+    Media.encodeMjpegAvi(jpegs, 32, 32)
+  }
+
+  private val aviMeta = MediaMeta("mjpeg-avi", 32, 32, 3, 0)
+
+  test("MjpegAviCodec: frames decode exactly as ImageIoCodec decodes each JPEG") {
+    val jpegs = (0 until 3).map(f => encodeImage(noiseImage(900 + f), "jpg"))
+    val avi = Media.encodeMjpegAvi(jpegs, 32, 32)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ", "not a RIFF AVI")
+    val px = new MjpegAviCodec().decode(avi, aviMeta)
+    assert(px.exists(_.length == 3 * 32 * 32))
+    // frame f of the video ≡ the lone-image decode of frame f's JPEG —
+    // the video path is REALLY the image decoder over container chunks
+    val imgCodec = new ImageIoCodec()
+    (0 until 3).foreach { f =>
+      val lone = imgCodec.decode(jpegs(f), pngMeta).get
+      assert(px.get.slice(f * 1024, (f + 1) * 1024).sameElements(lone),
+        s"frame $f luminance differs from the standalone JPEG decode")
+    }
+  }
+
+  test("MjpegAviCodec: corrupt bytes fail soft; a truncated tail keeps whole frames") {
+    val codec = new MjpegAviCodec()
+    assert(codec.decode("not a video".getBytes, aviMeta).isEmpty)
+    assert(codec.decode(Array.empty[Byte], aviMeta).isEmpty)
+    assert(codec.decode(null, aviMeta).isEmpty)
+    // a WAV is RIFF but not AVI — must be rejected, not misparsed
+    val wav = Media.syntheticEncoded(spark, 30).filter(_.kind == "audio")
+      .head().bytes
+    assert(codec.decode(wav, aviMeta).isEmpty)
+    // chop mid-way through the last frame: the walk stops at the torn
+    // chunk and keeps the complete frames before it
+    val avi = noiseAvi(17)
+    val truncated = avi.take(avi.length - 40)
+    val px = codec.decode(truncated, aviMeta)
+    assert(px.exists(_.length == 2 * 32 * 32),
+      s"expected the 2 complete frames, got ${px.map(_.length)}")
+  }
+
+  test("syntheticEncoded video rows are real MJPEG-AVIs that decode end-to-end") {
+    val videos = Media.syntheticEncoded(spark, 90).filter(_.kind == "video")
+    val heads = videos.map(r => new String(r.bytes.take(4), "US-ASCII") +
+      new String(r.bytes.slice(8, 12), "US-ASCII")).distinct().collect()
+    assert(heads.sameElements(Array("RIFFAVI ")), heads.mkString(","))
+    val feats = extractFeatures(videos, new MjpegAviCodec(), featureDim = 16)
+      .collect()
+    assert(feats.nonEmpty && feats.forall(_.decoded_ok))
+    // nFrames metadata is honest: 3 frames of 16×16 luminance each
+    val lens = videos.map(r =>
+      new MjpegAviCodec().decode(r.bytes, r.meta).get.length).distinct().collect()
+    assert(lens.sameElements(Array(3 * 16 * 16)), lens.mkString(","))
+    // deterministic across invocations (task-retry safe)
+    val again = extractFeatures(videos, new MjpegAviCodec(), featureDim = 16)
+      .collect()
+    assert(feats.sortBy(_.media_id).map(_.feature.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
+  }
+
+  test("videoNearDup recalls the planted frame-dups through the real codec") {
+    // 25 distinct clips + a byte-identical clone of clip 0 + a
+    // re-encode of clip 1 with ONE PIXEL of ONE FRAME nudged — the
+    // video twin of the planted-image test: shared frames pool to a
+    // nearby phash, so both plants surface within the banding's
+    // hamming-7 pigeonhole guarantee
+    val distinct = (0L until 25L).map(i =>
+      MediaRow(i, "video", noiseAvi(i), aviMeta))
+    val clone = MediaRow(1000L, "video", noiseAvi(0), aviMeta)
+    val tweaked = MediaRow(1001L, "video", noiseAvi(1, tweakFrame = 2), aviMeta)
+    val ds = spark.createDataset(distinct :+ clone :+ tweaked).repartition(4)
+    val pairs = Media.videoNearDup(ds, new MjpegAviCodec())
+      .as[(Long, Long, Int)].collect()
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(got.contains((0L, 1000L)), s"byte-identical clone missed: $got")
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1000L)).get._3 == 0,
+      "identical bytes must hash identically")
+    assert(got.contains((1L, 1001L)), s"single-pixel re-encode missed: $got")
+    // noise clips keep accidental pairs essentially at zero
+    assert((got -- Set((0L, 1000L), (1L, 1001L))).size <= 2,
+      s"too many accidental pairs: $got")
   }
 
   test("features aggregate distributedly (per-kind mean norm)") {
