@@ -626,6 +626,129 @@ object TextAnalysis extends Catalog {
         ORDER BY cnt DESC, w1, w2, dist LIMIT 50"""),
       scaleNote = "pairs fan out ~2n per doc inside the scan projection (no self-join on position); partial agg collapses repeats map-side before the one (w1,w2,dist) shuffle; top-K is TakeOrderedAndProject"),
 
+    // ----- q190: TextRank keyword scoring (r11) ----------------------
+    // Mihalcea & Tarau 2004: keywords are the high-PageRank nodes of
+    // the word co-occurrence graph — q78's window-2 pair expansion
+    // feeding q113's damped fixed-point loop, composed into the
+    // unsupervised keyword extractor every curation stack keeps
+    // around. One graph PER LANGUAGE in a single keyed frame (the
+    // many-small-graphs modality q113's one-graph loop doesn't
+    // exercise): nodes are (lang, word ≥ 4 chars), edges undirected
+    // (each window pair counted both directions, so the graph is
+    // symmetric and no dangling mass exists), 5 fixed iterations,
+    // round(,6) on the final emit only — q113's double-emission
+    // stance, unchanged.
+    "q190_textrank_keywords" -> Q(
+      fn = (s, d) => {
+        val Damp = 0.85
+        val Iters = 5
+        val w = col("w")
+        val emptyPairs = array().cast("array<struct<w1:string,w2:string>>")
+        // q78's map-side pair expansion (never a positional self-join)
+        def pairsAt(off: Int) =
+          when(size(w) > off, transform(sequence(lit(1), size(w) - off),
+            i => struct(element_at(w, i).as("w1"),
+              element_at(w, i + off).as("w2"))))
+            .otherwise(emptyPairs)
+        val co = docs(s, d)
+          .select(col("lang"), split(lower(col("text")), " ").as("w"))
+          .select(col("lang"), explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+          .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .filter(length(col("w1")) >= 4 && length(col("w2")) >= 4 &&
+            col("w1") =!= col("w2"))
+        val e = co.select(col("lang"), col("w1").as("u"), col("w2").as("v"))
+          .unionByName(
+            co.select(col("lang"), col("w2").as("u"), col("w1").as("v")))
+          .groupBy(col("lang"), col("u"), col("v"))
+          .agg(count(lit(1)).as("wt"))
+          .localCheckpoint() // edge list feeds out-strength + every round
+        val out = e.groupBy(col("lang"), col("u")).agg(sum(col("wt")).as("wout"))
+        // transition probability u→v within each language's graph;
+        // out is vocabulary-sized — broadcast so edges never shuffle
+        // for the normalization (q113's stance, lang-keyed)
+        val ew = e.join(broadcast(out), Seq("lang", "u"))
+          .select(col("lang"), col("u"), col("v"),
+            (col("wt").cast("double") / col("wout")).as("p"))
+          .localCheckpoint()
+        val nodes = ew.select(col("lang"), col("u").as("node")).distinct()
+          .localCheckpoint()
+        val nn = nodes.groupBy(col("lang")).agg(count(lit(1)).as("n_nodes"))
+        var r = nodes.join(broadcast(nn), "lang")
+          .select(col("lang"), col("node"),
+            (lit(1.0) / col("n_nodes")).as("r"), col("n_nodes"))
+          .localCheckpoint()
+        for (_ <- 1 to Iters) {
+          // rank frame is vocabulary-sized → broadcasts into the cached
+          // edges; the only per-round exchange is the (lang, v) agg
+          r = ew.as("e").join(broadcast(r).as("r"),
+              col("e.lang") === col("r.lang") && col("e.u") === col("r.node"))
+            .groupBy(col("e.lang").as("lang"), col("e.v").as("node"))
+            .agg(sum(col("e.p") * col("r.r")).as("mass"),
+              first(col("r.n_nodes")).as("n_nodes"))
+            .select(col("lang"), col("node"),
+              ((lit(1.0) - lit(Damp)) / col("n_nodes") +
+                lit(Damp) * col("mass")).as("r"),
+              col("n_nodes"))
+            .localCheckpoint()
+        }
+        r.select(col("lang"), col("node").as("word"),
+          round(col("r"), 6).as("r"))
+      },
+      sql = Some("""
+        WITH w AS (SELECT lang, string_split(lower(text),' ') AS w FROM documents),
+        p0 AS (
+          SELECT lang, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 FROM w
+          UNION ALL
+          SELECT lang, unnest(w[1:len(w)-2]), unnest(w[3:len(w)]) FROM w),
+        p AS (SELECT * FROM p0
+              WHERE length(w1) >= 4 AND length(w2) >= 4 AND w1 <> w2),
+        e AS (SELECT lang, u, v, count(*) AS wt FROM (
+                SELECT lang, w1 AS u, w2 AS v FROM p
+                UNION ALL
+                SELECT lang, w2 AS u, w1 AS v FROM p)
+              GROUP BY 1, 2, 3),
+        o AS (SELECT lang, u, sum(wt) AS wout FROM e GROUP BY 1, 2),
+        ew AS MATERIALIZED (
+          SELECT e.lang, e.u, e.v, CAST(e.wt AS DOUBLE) / o.wout AS p
+          FROM e JOIN o USING (lang, u)),
+        n AS MATERIALIZED (
+          SELECT lang, count(DISTINCT u) AS n_nodes FROM ew GROUP BY 1),
+        r0 AS MATERIALIZED (
+          SELECT DISTINCT ew.lang, ew.u AS node, 1.0 / n.n_nodes AS r
+          FROM ew JOIN n USING (lang)),
+        r1 AS MATERIALIZED (
+          SELECT ew.lang, ew.v AS node,
+                 0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r0.r) AS r
+          FROM ew JOIN r0 ON ew.lang = r0.lang AND ew.u = r0.node
+                  JOIN n ON n.lang = ew.lang
+          GROUP BY 1, 2),
+        r2 AS MATERIALIZED (
+          SELECT ew.lang, ew.v AS node,
+                 0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r1.r) AS r
+          FROM ew JOIN r1 ON ew.lang = r1.lang AND ew.u = r1.node
+                  JOIN n ON n.lang = ew.lang
+          GROUP BY 1, 2),
+        r3 AS MATERIALIZED (
+          SELECT ew.lang, ew.v AS node,
+                 0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r2.r) AS r
+          FROM ew JOIN r2 ON ew.lang = r2.lang AND ew.u = r2.node
+                  JOIN n ON n.lang = ew.lang
+          GROUP BY 1, 2),
+        r4 AS MATERIALIZED (
+          SELECT ew.lang, ew.v AS node,
+                 0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r3.r) AS r
+          FROM ew JOIN r3 ON ew.lang = r3.lang AND ew.u = r3.node
+                  JOIN n ON n.lang = ew.lang
+          GROUP BY 1, 2),
+        r5 AS MATERIALIZED (
+          SELECT ew.lang, ew.v AS node,
+                 0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r4.r) AS r
+          FROM ew JOIN r4 ON ew.lang = r4.lang AND ew.u = r4.node
+                  JOIN n ON n.lang = ew.lang
+          GROUP BY 1, 2)
+        SELECT lang, node AS word, round(r, 6) AS r FROM r5"""),
+      scaleNote = "pairs expand map-side inside the scan (q78's shape) and collapse to the |vocab²|-bounded edge frame in one shuffle; from there every structure is vocabulary-sized — out-strengths and ranks broadcast into the cached edges, so each of the 5 rounds costs one (lang, word) agg exchange over edge rows, and lineage truncates per round (q113's localCheckpoint stance); at 100 TB the edge build dominates and is one partial-agged shuffle of window pairs — the rank loop's cost tracks vocabulary, not corpus"),
+
     // ----- Unicode NFC normalization (canonicalization stage) -------
     // The corpus is ASCII by construction, so the query injects a
     // deterministic denormalized suffix per doc (q62's inject-then-
