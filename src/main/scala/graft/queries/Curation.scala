@@ -1189,6 +1189,44 @@ object Curation extends Catalog {
         FROM per, tau"""),
       scaleNote = "q160's two shuffles are unchanged; the cut adds ONE mergeable GK-sketch aggregate (O(accuracy) memory, map-side partials) and a 1-row broadcast — selection is then a map-side compare, so the whole selector is windowless and survives any corpus size; at 100 TB drop the accuracy parameter to the memory budget (the threshold becomes approximate-rank, selection stays exact-by-threshold)"),
 
+    // ---- q191: importance-sampling diagnostics (per-source ESS) ----
+    // The health check every importance-resampling pipeline (q160/q186)
+    // needs before anyone trusts its weights: Kong's effective sample
+    // size ESS = (Σw)²/Σw² per source, with w = exp(logw_pg) off the
+    // SAME shared dsirPer frame. ESS ≈ n means the weights barely
+    // discriminate; ESS ≪ n means a handful of docs carry the mass and
+    // a resample would collapse the source. Also emitted: the weight
+    // share held by positive-evidence docs (logw_pg > 0 — an exact
+    // compare on the 6-dp-rounded score both engines already agree on)
+    // and the single heaviest doc's share. exp/ratios are the
+    // transcendental class → round(,6) on emissions only.
+    "q191_dsir_ess" -> Q(
+      fn = (s, d) => {
+        val per = dsirPer(s, d)
+        val src = docs(s, d).select(col("doc_id"), col("source"))
+        per.join(src, "doc_id")
+          .select(col("source"), exp(col("logw_pg")).as("w"),
+            (col("logw_pg") > 0).as("pos"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("w")) * sum(col("w")) / sum(col("w") * col("w")), 6)
+              .as("ess"),
+            round(sum(when(col("pos"), col("w")).otherwise(lit(0.0))) /
+              sum(col("w")), 6).as("pos_mass"),
+            round(max(col("w")) / sum(col("w")), 6).as("max_share"))
+      },
+      sql = Some(s"""
+        WITH $dsirSqlCtes,
+        j AS (SELECT d.source, exp(per.logw_pg) AS w, per.logw_pg > 0 AS pos
+              FROM per JOIN documents d USING (doc_id))
+        SELECT source, count(*) AS n_docs,
+               round(sum(w) * sum(w) / sum(w * w), 6) AS ess,
+               round(sum(CASE WHEN pos THEN w ELSE CAST(0.0 AS DOUBLE) END)
+                     / sum(w), 6) AS pos_mass,
+               round(max(w) / sum(w), 6) AS max_share
+        FROM j GROUP BY 1"""),
+      scaleNote = "rides q160's already-paid gram pass: the diagnostic itself is one (source) shuffle of |docs| weight rows with map-side partials — every emitted number is a per-source fold of four running sums, so the report costs O(|sources|) rows of final state at any corpus size; at 100 TB this is the cheap gate you run BEFORE committing to a q186 resample"),
+
     // ---- intra-document repetition removal ---------------------------
     // Dedup repeated 5-word segments within each doc, keeping the first
     // occurrence in order (the C4/RefinedWeb line-dedup step). The
