@@ -540,6 +540,137 @@ object Dedup extends Catalog {
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau"""),
       scaleNote = "LSH banding: one shuffle on (band,bucket) — candidate set is tiny vs n²; signature+banding all codegen'd Catalyst; verify stage touches only candidates"),
 
+    // ----- E12: LSH recall calibration curve (r11) -------------------
+    // The measurement a 100 TB dedup pipeline runs BEFORE committing
+    // to a banding geometry: per exact-Jaccard decile, what fraction
+    // of true pairs does the candidate join actually surface? q27's
+    // verified-LSH result can't show this (verification hides the
+    // misses); this query drops the similarity floor to 0.2 and joins
+    // ground truth against the raw candidate set. The minhash here is
+    // the PORTABLE md5 48-bit family (q133) over STRING shingles —
+    // q27's production XXH64 kernel has no DuckDB twin, and a
+    // calibration diagnostic must be oracle-able end to end, so this
+    // measures a 4-band × 2-row geometry of the mirrorable hash
+    // (the curve shape, band-10 exactness, and the join mechanics are
+    // geometry-generic). All emissions are exact integers: the decile
+    // is the cross-multiplied (10·inter) DIV union, recall is ppm by
+    // integer division of BIGINT counts.
+    "q192_lsh_recall_curve" -> Q(
+      fn = (s, d) => {
+        // The organic corpus has pairs only at j ≈ 0 (random template
+        // text) and j ≈ 0.9 (the planted near-dups) — a curve with no
+        // mid-range has no misses to calibrate. Inject PREFIX TWINS at
+        // controlled similarity (q62/q68's honest-injection stance):
+        // for docs with doc_id % 7 == 3, a twin of the first
+        // k = max(3, n·(3 + doc_id%8)/10) words (doc_id%8 == 7 copies
+        // the WHOLE doc — the band-10 theorem case). A prefix's distinct
+        // shingles are a subset of the full doc's, so j = |sh_p|/|sh_f|
+        // lands near (3 + doc_id%8)/10 — deciles 2..10 populate, where
+        // a 4×2 geometry genuinely misses (recall 1-(1-j²)⁴).
+        val ws = split(lower(col("text")), " ")
+        val dd = docs(s, d).select(col("doc_id"), ws.as("ws"))
+        val twins = dd.filter(col("doc_id") % 7 === 3 && size(col("ws")) >= 10)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            slice(col("ws"), lit(1), greatest(lit(3),
+              expr("CAST((size(ws) * (3 + doc_id % 8)) DIV 10 AS INT)")))
+              .as("ws"))
+        val shStr = dd.unionByName(twins)
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"), array_distinct(
+            transform(sequence(lit(1), size(col("ws")) - 2),
+              i => array_join(slice(col("ws"), i, lit(3)), " "))).as("sh"))
+          .localCheckpoint() // shingles feed postings, sizes AND minhash
+        val sizes = shStr.select(col("doc_id"), size(col("sh")).as("sz"))
+        val ex = shStr.select(col("doc_id"), explode(col("sh")).as("g"))
+        val exact = ex.as("a").join(ex.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+          .select(col("d1"), col("d2"), col("inter"),
+            (col("sz1") + col("sz2") - col("inter")).as("un"))
+          .filter(col("inter") * 5 >= col("un")) // j >= 0.2
+        // portable minhash signature: 8 md5-derived 48-bit hash mins
+        val sig = shStr.select(col("doc_id"),
+          transform(sequence(lit(0), lit(7)), p =>
+            array_min(transform(col("sh"), g =>
+              conv(substring(md5(
+                concat(lit("mh"), p.cast("string"), lit(":"), g)), 1, 12),
+                16, 10).cast("long")))).as("mins"))
+          .localCheckpoint() // one signature pass feeds both join sides
+        val banded = sig.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(3)), b =>
+            struct(element_at(col("mins"), b * 2 + 1).as("k1"),
+              element_at(col("mins"), b * 2 + 2).as("k2"))))
+            .as(Seq("band", "k")))
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .dropDuplicates("d1", "d2")
+          .withColumn("rec", lit(1L))
+        exact.join(cand, Seq("d1", "d2"), "left")
+          .select(expr("CAST((inter * 10) DIV un AS BIGINT)").as("band"),
+            coalesce(col("rec"), lit(0L)).as("rec"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("rec")).as("n_recalled"))
+          .select(col("band"), col("n_pairs"), col("n_recalled"),
+            expr("CAST((n_recalled * 1000000) DIV n_pairs AS BIGINT)")
+              .as("recall_ppm"))
+      },
+      sql = Some(s"""
+        WITH dd AS (SELECT doc_id,
+                           string_split(lower(text), ' ') AS ws
+                    FROM documents),
+        corpus AS (
+          SELECT doc_id, ws FROM dd
+          UNION ALL
+          SELECT doc_id + 10000000,
+                 ws[1:greatest(3, (len(ws) * (3 + doc_id % 8)) // 10)]
+          FROM dd WHERE doc_id % 7 = 3 AND len(ws) >= 10),
+        s0 AS (SELECT doc_id,
+                      list_distinct(CASE WHEN len(ws) >= 3 THEN
+                        list_transform(generate_series(1, len(ws) - 2),
+                          i -> array_to_string(ws[i:i+2], ' '))
+                      ELSE [] END) AS sh
+               FROM corpus),
+        s2 AS MATERIALIZED (SELECT doc_id, sh FROM s0 WHERE len(sh) > 0),
+        ex AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+          FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
+                len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        mh AS (
+          SELECT doc_id, p,
+                 min(${OracleSql.hex48("md5('mh' || p || ':' || g)")}) AS h
+          FROM (SELECT doc_id, unnest(sh) AS g FROM s2), range(0, 8) t(p)
+          GROUP BY 1, 2),
+        sig AS MATERIALIZED (
+          SELECT doc_id, list(h ORDER BY p) AS mins FROM mh GROUP BY 1),
+        band AS (
+          SELECT doc_id, b, mins[2*b + 1] AS k1, mins[2*b + 2] AS k2
+          FROM sig, range(0, 4) t(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM band a JOIN band b
+            ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2
+           AND a.doc_id < b.doc_id),
+        j AS (
+          SELECT ex.inter, ex.un,
+                 CASE WHEN cand.d1 IS NOT NULL THEN 1 ELSE 0 END AS rec
+          FROM ex LEFT JOIN cand ON ex.d1 = cand.d1 AND ex.d2 = cand.d2)
+        SELECT CAST((inter * 10) // un AS BIGINT) AS band,
+               count(*) AS n_pairs,
+               CAST(sum(rec) AS BIGINT) AS n_recalled,
+               CAST((CAST(sum(rec) AS BIGINT) * 1000000) // count(*) AS BIGINT)
+                 AS recall_ppm
+        FROM j GROUP BY 1"""),
+      scaleNote = "the ground-truth side is the expensive half and exists only for calibration — run it on a SAMPLE at 100 TB (the curve is a per-band proportion, so a uniform doc sample estimates it unbiased); the LSH side is q27's plan: one (band, key) candidate shuffle, signature computed in one codegen'd pass, and the report folds to ≤ 9 rows of integer counters whatever the corpus"),
+
     // ----- E12: SimHash fingerprints --------------------------------
     "q28_dedup_simhash" -> Q(
       fn = (s, d) =>

@@ -1780,4 +1780,116 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(out.exists(_._1 == "U") && out.exists(_._1 == "N"))
     out.foreach { case (st, n, _) => assert(n > 0, s"$st went non-positive") }
   }
+
+  test("q192: recall counters stay within bounds and identical shingle " +
+    "sets are always recalled (band-10 theorem)") {
+    val out = Dedup.queries("q192_lsh_recall_curve").fn(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty, "no exact pairs at j >= 0.2 — floor too high?")
+    out.foreach { case (b, n, r, ppm) =>
+      assert(b >= 2 && b <= 10, s"decile band out of range: $b")
+      assert(n > 0 && r >= 0 && r <= n, s"recall counters broken: ($b,$n,$r)")
+      assert(ppm == r * 1000000L / n, s"ppm mismatch: ($b,$n,$r,$ppm)")
+    }
+    // identical sets produce identical minhash signatures, so every
+    // band key matches — band 10 (j = 1) recall is a theorem, not a
+    // probability
+    out.filter(_._1 == 10).foreach { case (_, n, r, ppm) =>
+      assert(r == n && ppm == 1000000L,
+        s"an exact-dup pair was missed by its own signature: $n vs $r")
+    }
+  }
+
+  test("q191: per-source ESS equals a plain-Scala replica of the weight " +
+    "fold and respects the importance-sampling bounds") {
+    val out = Curation.queries("q191_dsir_ess").fn(spark, sf0001)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, n, ess, pos, mx) =>
+      assert(ess >= 1.0 - 1e-6 && ess <= n + 1e-6,
+        s"$src: ESS $ess outside [1, $n]")
+      assert(pos >= 0.0 && pos <= 1.0, s"$src: pos_mass $pos")
+      assert(mx > 0.0 && mx <= 1.0, s"$src: max_share $mx")
+      // Σw² ≥ max(w)² ⇒ ESS ≤ (Σw/max w)² ≤ 1/max_share²
+      assert(ess <= (1.0 / (mx * mx)) * (1 + 1e-3) + 1e-3,
+        s"$src: ESS $ess violates the max-share bound ${1.0 / (mx * mx)}")
+    }
+    // replica off the oracled q186 score frame (same shared dsirPer):
+    // exp-weight fold recomputed in plain Scala per source
+    val scores = Curation.queries("q186_dsir_threshold").fn(spark, sf0001)
+      .select("doc_id", "logw_pg").as[(Long, Double)].collect().toMap
+    val srcs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val want = srcs.filter(r => scores.contains(r._1)).groupBy(_._2)
+      .map { case (src, rows) =>
+        val w = rows.map(r => math.exp(scores(r._1)))
+        val sw = w.sum
+        val posM = rows.collect {
+          case r if scores(r._1) > 0 => math.exp(scores(r._1))
+        }.sum / sw
+        src -> (rows.length.toLong, sw * sw / w.map(x => x * x).sum,
+          posM, w.max / sw)
+      }
+    assert(out.map(_._1).toSet == want.keySet)
+    out.foreach { case (src, n, ess, pos, mx) =>
+      val (wn, wess, wpos, wmx) = want(src)
+      assert(n == wn, s"$src n: $n vs $wn")
+      assert(math.abs(ess - wess) <= 2e-6, s"$src ess: $ess vs $wess")
+      assert(math.abs(pos - wpos) <= 2e-6, s"$src pos: $pos vs $wpos")
+      assert(math.abs(mx - wmx) <= 2e-6, s"$src max: $mx vs $wmx")
+    }
+  }
+
+  test("q190: TextRank ranks equal a plain-Scala PageRank replica and " +
+    "conserve mass per language") {
+    val out = TextAnalysis.queries("q190_textrank_keywords").fn(spark, sf0001)
+      .as[(String, String, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, w, _) =>
+      assert(w.length >= 4 && w == w.toLowerCase, s"bad keyword token: $w") }
+    // symmetric row-stochastic graph ⇒ each round preserves total mass
+    // (sum of ranks per language stays 1 after damping)
+    out.groupBy(_._1).foreach { case (lang, rs) =>
+      val mass = rs.map(_._3).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"$lang mass drifted: $mass")
+    }
+    // independent replica: rebuild the graph and run the recurrence in
+    // plain Scala doubles (no Spark, no SQL) — the q113-family replica
+    // discipline. 6-decimal emission tolerance ±2e-6 for merge-order ulps.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("lang", "text").as[(String, String)].collect()
+    val edges = scala.collection.mutable.Map
+      .empty[(String, String, String), Long].withDefaultValue(0L)
+    docs.foreach { case (lang, text) =>
+      val w = text.toLowerCase.split(" ")
+      for (off <- 1 to 2; i <- 0 until w.length - off) {
+        val (a, b) = (w(i), w(i + off))
+        if (a.length >= 4 && b.length >= 4 && a != b) {
+          edges((lang, a, b)) += 1
+          edges((lang, b, a)) += 1
+        }
+      }
+    }
+    val byLang = edges.groupBy(_._1._1)
+    val replica = byLang.flatMap { case (lang, es) =>
+      val outW = es.groupBy(_._1._2).map { case (u, g) => u -> g.values.sum }
+      val p = es.map { case ((_, u, v), wt) => (u, v) -> wt.toDouble / outW(u) }
+      val nodes = outW.keySet
+      val n = nodes.size
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to 5) {
+        val mass = scala.collection.mutable.Map
+          .empty[String, Double].withDefaultValue(0.0)
+        p.foreach { case ((u, v), pw) => mass(v) += pw * r(u) }
+        r = nodes.map(v => v -> (0.15 / n + 0.85 * mass(v))).toMap
+      }
+      r.map { case (wd, rv) => (lang, wd) -> rv }
+    }
+    assert(out.length == replica.size,
+      s"vocab mismatch: ${out.length} vs ${replica.size}")
+    out.foreach { case (lang, wd, rv) =>
+      val want = replica((lang, wd))
+      assert(math.abs(rv - want) <= 2e-6, s"($lang,$wd): $rv vs $want")
+    }
+  }
 }
