@@ -215,6 +215,12 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q189: video near-dup rides the same banded equi-join (r11)") {
+    val p = plan("q189_video_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
   test("q60: hash sampling is a pure map-side scan — zero exchanges") {
     val p = plan("q60_hash_sample")
     assert(!p.contains("Exchange"),
