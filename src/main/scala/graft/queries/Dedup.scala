@@ -671,6 +671,96 @@ object Dedup extends Catalog {
         FROM j GROUP BY 1"""),
       scaleNote = "the ground-truth side is the expensive half and exists only for calibration — run it on a SAMPLE at 100 TB (the curve is a per-band proportion, so a uniform doc sample estimates it unbiased); the LSH side is q27's plan: one (band, key) candidate shuffle, signature computed in one codegen'd pass, and the report folds to ≤ 9 rows of integer counters whatever the corpus"),
 
+    // ----- E11/E12: winnowing fingerprints (MOSS) — r11 --------------
+    // Schleimer, Wilkerson & Aiken 2003: CHARACTER-level copy
+    // detection with a guarantee the word-shingle family (q26) cannot
+    // give — hash every k-gram, keep the MINIMUM hash of each window
+    // of w consecutive positions, and any substring two documents
+    // share of length ≥ w + k − 1 (here 8 + 12 − 1 = 19 chars) is
+    // GUARANTEED to contribute a shared selected fingerprint: some
+    // window lies entirely inside the match on both sides and both
+    // pick the same minimum. Fingerprint density is ~2/(w+1) of
+    // positions — the sampling is what makes char-level dedup
+    // affordable. Over-common fingerprints are df-capped (≤ 5 docs,
+    // MOSS's own move and q59's posting guard) before the pair join.
+    // The corpus has no organic long literal copies, so the query
+    // injects marker-pair twins (the q62/q192 honest-injection
+    // stance): for doc_id % 13 == 5, two NEW docs sharing a unique
+    // 24+-char marker with different surroundings — the theorem's
+    // planted witnesses, cap-proof because each marker is unique to
+    // its pair. All emissions are exact integer counts.
+    "q193_winnowing_fingerprints" -> Q(
+      fn = (s, d) => {
+        val K = 8
+        val W = 12
+        val dd = docs(s, d).select(col("doc_id"), lower(col("text")).as("t"))
+        val tw = dd.filter(col("doc_id") % 13 === 5)
+          .select(col("doc_id"),
+            expr("repeat(concat('m', CAST(doc_id AS STRING), 'q'), 8)")
+              .as("marker"),
+            split(col("t"), " ").as("ws"))
+          .filter(size(col("ws")) >= 20)
+          .localCheckpoint() // one twin frame feeds both injected docs
+        val corpus = dd
+          .unionByName(tw.select((col("doc_id") + 20000000L).as("doc_id"),
+            concat(array_join(slice(col("ws"), 1, 10), " "), lit(" "),
+              col("marker")).as("t")))
+          .unionByName(tw.select((col("doc_id") + 30000000L).as("doc_id"),
+            concat(col("marker"), lit(" "),
+              array_join(slice(col("ws"), -10, 10), " ")).as("t")))
+        val pos = corpus
+          .filter(length(col("t")) >= K)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(1), length(col("t")) - (K - 1)),
+              i => conv(substring(md5(col("t").substr(i, lit(K))), 1, 12),
+                16, 10).cast("long"))).as(Seq("p0", "h")))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("p0"))
+          .rowsBetween(-(W - 1), 0)
+        val sel = pos
+          .select(col("doc_id"), col("p0"), min(col("h")).over(win).as("fp"))
+          .filter(col("p0") >= W - 1) // full windows only (p0 is 0-based)
+          .select(col("doc_id"), col("fp")).distinct()
+          .localCheckpoint() // fingerprints feed the cap AND both join sides
+        val capped = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 5).select(col("fp"))
+        val fps = sel.join(capped, "fp")
+        fps.as("a").join(fps.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("shared"))
+      },
+      sql = Some(s"""
+        WITH dd AS (SELECT doc_id, lower(text) AS t FROM documents),
+        tw AS (
+          SELECT doc_id, repeat('m' || doc_id || 'q', 8) AS marker,
+                 string_split(lower(text), ' ') AS ws
+          FROM documents
+          WHERE doc_id % 13 = 5 AND len(string_split(lower(text), ' ')) >= 20),
+        corpus AS (
+          SELECT doc_id, t FROM dd
+          UNION ALL
+          SELECT doc_id + 20000000,
+                 array_to_string(ws[1:10], ' ') || ' ' || marker FROM tw
+          UNION ALL
+          SELECT doc_id + 30000000,
+                 marker || ' ' || array_to_string(ws[-10:], ' ') FROM tw),
+        pos AS (
+          SELECT doc_id, i AS p,
+                 ${OracleSql.hex48("md5(substr(t, i, 8))")} AS h
+          FROM corpus, range(1, 4096) r(i) WHERE i <= length(t) - 7),
+        sel AS (
+          SELECT DISTINCT doc_id,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS fp
+          FROM pos QUALIFY p >= 12),
+        capped AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 5),
+        fps AS (SELECT s.doc_id, s.fp FROM sel s JOIN capped USING (fp))
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2"""),
+      scaleNote = "fingerprint volume is a FIXED ~2/(w+1) fraction of corpus bytes (the winnowing density bound) computed in one per-doc window pass — doc-local, so the only data-sized exchange is the doc_id partition; the df-cap bounds every posting list before the pair join exactly like q59's stop-shingles (over-common fingerprints carry no copy evidence anyway), and the pair volume then tracks genuinely-shared content; this is how char-level exact-substring dedup (the Lee et al. concern) ships at 100 TB without suffix arrays"),
+
     // ----- E12: SimHash fingerprints --------------------------------
     "q28_dedup_simhash" -> Q(
       fn = (s, d) =>

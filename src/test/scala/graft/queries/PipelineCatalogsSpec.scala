@@ -1781,6 +1781,30 @@ class PipelineCatalogsSpec extends SparkSpec {
     out.foreach { case (st, n, _) => assert(n > 0, s"$st went non-positive") }
   }
 
+  test("q193: the winnowing guarantee — every planted marker pair shares " +
+    "a selected fingerprint") {
+    val out = Dedup.queries("q193_winnowing_fingerprints").fn(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (d1, d2, sh) =>
+      assert(d1 < d2 && sh >= 1, s"bad pair row: ($d1,$d2,$sh)") }
+    // the theorem: the injected docs i+2e7 / i+3e7 share a unique
+    // >= w+k-1 char marker, so winnowing MUST select a common
+    // fingerprint for the pair — and the marker is unique to its
+    // pair, so the df-cap cannot have dropped it
+    val eligible = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter { case (id, t) =>
+        id % 13 == 5 && t.toLowerCase.split(" ").length >= 20 }
+      .map(_._1)
+    assert(eligible.nonEmpty, "fixture regression: no marker twins injected")
+    val got = out.map(p => (p._1, p._2)).toSet
+    eligible.foreach { i =>
+      assert(got.contains((i + 20000000L, i + 30000000L)),
+        s"winnowing guarantee violated for marker pair of doc $i")
+    }
+  }
+
   test("q192: recall counters stay within bounds and identical shingle " +
     "sets are always recalled (band-10 theorem)") {
     val out = Dedup.queries("q192_lsh_recall_curve").fn(spark, sf0001)
