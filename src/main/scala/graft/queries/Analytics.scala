@@ -301,6 +301,84 @@ object Analytics extends Catalog {
                round(sum((pa - pb) * ln(pa / pb)), 6) FROM p"""),
       scaleNote = "counts partial-aggregate map-side into ≤ |buckets| rows and the totals are one broadcast row — one scan whatever the feed size; the bucket frames are mergeable across shards/days (counts add, the q144 rollup stance), so a daily PSI needs no rescan of history"),
 
+    // ----- q194: CUSUM drift detector (r11) --------------------------
+    // Page's cumulative-sum change detection — the sequential-looking
+    // monitor every ops stack wants next to q149's pointwise z-score
+    // (which only sees single-day spikes) and q151's two-window PSI
+    // (which needs the windows chosen up front): CUSUM accumulates
+    // small persistent shifts until they cross a threshold, detecting
+    // drifts no single day reveals. The textbook recurrence
+    // S_t = max(0, S_{t-1} + x_t − k) looks inherently sequential, but
+    // it has the exact closed form S_t = P_t − min_{0≤j≤t} P_j with
+    // P = cumsum(x − k) and the VIRTUAL empty prefix P_0 = 0 (dropping
+    // it under-reports day one) — two ordinary prefix windows, fully
+    // distributed per key (the spec pins the equivalence against a
+    // sequential replica row by row). Reference k = pre-cut mean + 5%
+    // slack, threshold h = 2·mean, all exact integer arithmetic. The
+    // corpus has no organic drift, so the query plants one (the
+    // q151/q192 stance): click volume doubles after the midpoint —
+    // the detector must fire on clicks after the cut and the plant is
+    // mirrored in the oracle.
+    "q194_cusum_drift" -> Q(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"),
+          unix_micros(date_trunc("day", col("ts"))).as("d"))
+        val span = ev.agg(expr("(min(d) + max(d)) DIV 2").as("cut"))
+        val daily = ev.groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("x"))
+          .crossJoin(broadcast(span))
+          .select(col("event_type"), col("d"), col("cut"),
+            when(col("event_type") === "click" && col("d") >= col("cut"),
+              col("x") * 2).otherwise(col("x")).as("x"))
+          .localCheckpoint() // one daily frame feeds the reference AND the scan
+        val ref = daily.filter(col("d") < col("cut"))
+          .groupBy(col("event_type"))
+          .agg(expr("sum(x) DIV count(1)").as("mu"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(broadcast(ref), "event_type")
+          .withColumn("p",
+            sum(col("x") - (col("mu") + expr("mu DIV 20"))).over(w))
+          // the prefix min must include the virtual P_0 = 0 (the empty
+          // prefix) or day one under-reports: S_1 = max(0, P_1)
+          .withColumn("s",
+            (col("p") - least(lit(0L), min(col("p")).over(w))).cast("long"))
+          .select(col("event_type"), col("d"), col("x"), col("s"),
+            (col("s") > col("mu") * 2).cast("long").as("alarm"))
+      },
+      sql = Some("""
+        WITH ev AS (SELECT event_type,
+                           epoch_us(date_trunc('day', ts::TIMESTAMP)) AS d
+                    FROM events),
+        span AS (SELECT (min(d) + max(d)) // 2 AS cut FROM ev),
+        daily AS (
+          SELECT event_type, d,
+                 CASE WHEN event_type = 'click' AND d >= (SELECT cut FROM span)
+                      THEN count(*) * 2 ELSE count(*) END AS x
+          FROM ev GROUP BY event_type, d),
+        ref AS (
+          SELECT event_type, CAST(sum(x) AS BIGINT) // count(*) AS mu
+          FROM daily WHERE d < (SELECT cut FROM span) GROUP BY 1),
+        cs AS (
+          SELECT daily.event_type AS event_type, d, x, mu,
+                 -- BIGINT at birth (house rule): the window sum would
+                 -- otherwise carry HUGEINT through the outer frame
+                 CAST(sum(x - (mu + mu // 20)) OVER (
+                   PARTITION BY daily.event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS p
+          FROM daily JOIN ref USING (event_type))
+        SELECT event_type, d, x,
+               -- least(0, ...) = the virtual empty-prefix P_0 = 0
+               p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s,
+               CAST(p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 > 2 * mu AS BIGINT) AS alarm
+        FROM cs"""),
+      scaleNote = "raw events collapse map-side to |types × days| daily rows before anything moves; the two prefix windows ride ONE event_type exchange of that tiny frame, and the 1-row cut plus |types|-row reference broadcast — the closed form is what makes CUSUM distributable at all (the recurrence would otherwise serialize on the driver); at 100 TB per-entity CUSUM (key = user/source/partition) is the same plan with the entity in the partition key, state O(|entities × days|)"),
+
+
     // ----- partition freshness / gap audit (temporal completeness) --
     // The third leg of the monitoring trio (q148 structural, q149
     // statistical): per calendar day between the feed's min and max,

@@ -1781,6 +1781,41 @@ class PipelineCatalogsSpec extends SparkSpec {
     out.foreach { case (st, n, _) => assert(n > 0, s"$st went non-positive") }
   }
 
+  test("q194: the prefix-min closed form equals Page's sequential CUSUM " +
+    "recurrence row by row, and the planted drift fires after the cut") {
+    val out = Analytics.queries("q194_cusum_drift").fn(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // sequential replica: S_t = max(0, S_{t-1} + x_t - k) with the same
+    // integer k = mu + mu/20 — the closed form the engine computes via
+    // two prefix windows must match it exactly on every (type, day)
+    val byType = out.groupBy(_._1)
+    byType.foreach { case (et, rows0) =>
+      val rows = rows0.sortBy(_._2)
+      val days = rows.map(_._2)
+      val cut = { // same integer midpoint the query derives
+        val all = out.map(_._2)
+        (all.min + all.max) / 2
+      }
+      val pre = rows.filter(_._2 < cut)
+      val mu = pre.map(_._3).sum / pre.length
+      val k = mu + mu / 20
+      var s = 0L
+      rows.foreach { case (_, d, x, sGot, alarm) =>
+        s = math.max(0L, s + x - k)
+        assert(s == sGot, s"$et@$d: closed form $sGot != recurrence $s")
+        assert(alarm == (if (sGot > 2 * mu) 1L else 0L), s"$et@$d alarm")
+      }
+      if (et == "click") {
+        val alarmDays = rows.filter(_._5 == 1L).map(_._2)
+        assert(alarmDays.nonEmpty, "planted click drift never fired")
+        assert(alarmDays.min >= cut,
+          s"click alarm before the planted step: ${alarmDays.min} < $cut")
+      }
+      assert(days.distinct.length == days.length)
+    }
+  }
+
   test("q193: the winnowing guarantee — every planted marker pair shares " +
     "a selected fingerprint") {
     val out = Dedup.queries("q193_winnowing_fingerprints").fn(spark, sf0001)
