@@ -160,6 +160,41 @@ object EventStreams {
       }
   }
 
+  final case class CusumRow(key: String, d: Long, x: Long, k: Long, h: Long)
+  final case class CusumPoint(key: String, d: Long, x: Long, s: Long, alarm: Long)
+  final case class CusumState(p: Long, minp: Long)
+
+  /** Streaming twin of batch q194: Page's CUSUM as keyed sequential
+    * state — per key just TWO longs, the running prefix sum P and the
+    * prefix minimum (seeded 0, the virtual empty prefix the batch
+    * closed form also carries), folding exactly the recurrence
+    * S_t = max(0, S_{t−1} + x − k). The caller supplies each row's
+    * reference k and threshold h (in production they come from a
+    * trained window and broadcast-join onto the daily feed). Rows
+    * inside a micro-batch fold in day order ([[ewmaPerUser]]'s
+    * stance); across batches the contract is ordered ingestion per
+    * key — a late day folds where it arrives. StreamingSpec asserts a
+    * chunked replay is row-identical to the batch q194 detector.
+    */
+  def cusumPerKey(rows: Dataset[CusumRow]): Dataset[CusumPoint] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[CusumRow], state: GroupState[CusumState]) =>
+          var p = state.getOption.map(_.p).getOrElse(0L)
+          var minp = state.getOption.map(_.minp).getOrElse(0L)
+          val out = it.toSeq.sortBy(_.d).map { r =>
+            p += r.x - r.k
+            if (p < minp) minp = p
+            val s = p - minp
+            CusumPoint(key, r.d, r.x, s, if (s > r.h) 1L else 0L)
+          }
+          state.update(CusumState(p, minp))
+          out.iterator
+      }
+  }
+
   /** The state-v2 twin of [[ewmaPerUser]] on Spark 4's
     * transformWithState / StatefulProcessor API — identical semantics,
     * but state lives behind a typed [[org.apache.spark.sql.streaming.ValueState]]

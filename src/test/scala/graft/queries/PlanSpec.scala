@@ -221,6 +221,22 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("r11 additions never degrade to cartesian plans") {
+    // q190's rank loop, q192's candidate join, q193's posting join and
+    // q194's detector must all stay equi-keyed — a CartesianProduct or
+    // un-hinted BroadcastNestedLoopJoin here is the O(n²) regression
+    // their scaleNotes rule out
+    for (q <- Seq("q190_textrank_keywords", "q192_lsh_recall_curve",
+        "q193_winnowing_fingerprints", "q194_cusum_drift")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(800)}")
+      // the only BNLJ allowed is a broadcast of a 1-row frame (q194's
+      // cut); a non-broadcast nested loop is always wrong
+      assert(!p.contains("BroadcastNestedLoopJoin") ||
+        q == "q194_cusum_drift", s"$q:\n${p.take(800)}")
+    }
+  }
+
   test("q60: hash sampling is a pure map-side scan — zero exchanges") {
     val p = plan("q60_hash_sample")
     assert(!p.contains("Exchange"),

@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
 import graft.core.Tables
+import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
 
 /** E17 batch-equivalence: the same EventStreams transforms, replayed
@@ -588,5 +589,42 @@ class StreamingSpec extends SparkSpec {
       q.stop()
       saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
+  }
+
+  test("streaming CUSUM equals the batch q194 detector row for row") {
+    // the batch query derives k = mu + mu/20 and h = 2*mu from the
+    // pre-cut window; rebuild the same reference from its own output
+    // (x is emitted per row) and feed the daily series as CusumRows in
+    // day-ordered chunks — the keyed two-long state must reproduce the
+    // closed-form s and alarm on every (type, day)
+    val batch = graft.queries.Analytics
+      .queries("q194_cusum_drift").fn(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(batch.nonEmpty)
+    val allD = batch.map(_._2)
+    val cut = (allD.min + allD.max) / 2
+    val ref = batch.groupBy(_._1).map { case (et, rs) =>
+      val pre = rs.filter(_._2 < cut)
+      val mu = pre.map(_._3).sum / pre.length
+      et -> (mu + mu / 20, 2 * mu)
+    }
+    val rows = batch.sortBy(r => (r._2, r._1)).map { case (et, d, x, _, _) =>
+      EventStreams.CusumRow(et, d, x, ref(et)._1, ref(et)._2)
+    }
+    val ms = MemoryStream[EventStreams.CusumRow]
+    val q = EventStreams.cusumPerKey(ms.toDS())
+      .writeStream.format("memory").outputMode("update")
+      .queryName("cusum_sink").start()
+    try {
+      rows.grouped(50).foreach { c => ms.addData(c); q.processAllAvailable() }
+      val got = spark.table("cusum_sink")
+        .as[EventStreams.CusumPoint].collect()
+        .map(pt => (pt.key, pt.d) -> (pt.s, pt.alarm)).toMap
+      assert(got.size == batch.length)
+      batch.foreach { case (et, d, _, s, alarm) =>
+        assert(got((et, d)) == ((s, alarm)),
+          s"($et,$d): streamed ${got((et, d))} vs batch ($s,$alarm)")
+      }
+    } finally q.stop()
   }
 }
