@@ -574,6 +574,57 @@ object Analytics extends Catalog {
                CAST(n_orphan = 0 AS BIGINT) FROM orphan"""),
       scaleNote = "N scalar constraints over one table = ONE scan (a single partial-agg pass computes every metric; the fan-out to rows touches a 1-row frame); referential integrity is the only join and runs as a broadcast/shuffle anti-join on the key alone — at 100 TB the audit costs one pass per audited table plus one semi-join per FK, and the (constraint, metric, pass) frame is the artifact a pipeline gates deploys on"),
 
+    // ----- q195: Benford first-digit audit (r11) ---------------------
+    // The fraud/fabrication detector (Benford 1938, Nigrini's audit
+    // practice): naturally-occurring monetary amounts follow
+    // P(d) = log10(1 + 1/d) for the first significant digit;
+    // fabricated or synthetic feeds don't, and the deviation IS the
+    // signal. Digit extraction stays exact: prices are exact cents, so
+    // the first digit of CAST(round(p·100) AS BIGINT)'s decimal string
+    // equals the price's first significant digit (×100 never changes
+    // it), and integer-to-string is identical in both engines — no
+    // log10 anywhere. Expected shares are inline ppm literals (the q50
+    // constant-table stance); everything emitted is an exact integer.
+    // On this corpus the audit FLAGS the feed — the prices are
+    // synthetic, and a uniform-ish generator is exactly what Benford
+    // catches — so the honest expected result is large deviations.
+    "q195_benford_audit" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val benford = Seq((1L, 301030L), (2L, 176091L), (3L, 124939L),
+          (4L, 96910L), (5L, 79181L), (6L, 66947L), (7L, 57992L),
+          (8L, 51153L), (9L, 45757L)).toDF("digit", "benford_ppm")
+        val digits = t(s, d, "orders")
+          .select(substring(round(col("o_totalprice") * 100)
+            .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum(col("n")).as("total"))
+        digits.join(broadcast(benford), "digit")
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            expr("CAST(n * 1000000 DIV total AS BIGINT)").as("obs_ppm"),
+            col("benford_ppm"),
+            expr("CAST(abs(n * 1000000 DIV total - benford_ppm) AS BIGINT)")
+              .as("dev_ppm"))
+      },
+      sql = Some("""
+        WITH benford(digit, benford_ppm) AS (VALUES
+          (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+          (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        digits AS (
+          SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                 count(*) AS n
+          FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM digits)
+        SELECT d.digit, d.n,
+               d.n * 1000000 // t.total AS obs_ppm,
+               CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+               abs(d.n * 1000000 // t.total - b.benford_ppm) AS dev_ppm
+        FROM digits d JOIN benford b ON d.digit = b.digit, tot t"""),
+      scaleNote = "one map-side digit projection collapses to ≤ 9 partial rows before the only exchange; the 9-row expectation table and the 1-row total broadcast — the audit costs one scan at any corpus size and composes per-segment (group by source/partition before the digit fold) when the question is WHICH feed is fabricated"),
+
+
     // ----- mergeable histogram quantile sketch (q53's 100 TB path) --
     // q53's scaleNote prescribes "mergeable sketches" for unbounded
     // groups — this IS that operator, built portable (the q143

@@ -1781,6 +1781,29 @@ class PipelineCatalogsSpec extends SparkSpec {
     out.foreach { case (st, n, _) => assert(n > 0, s"$st went non-positive") }
   }
 
+  test("q195: digit shares replicate in plain Scala and account for the " +
+    "whole feed") {
+    val out = Analytics.queries("q195_benford_audit").fn(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 9L), s"digits: ${out.map(_._1).toSeq}")
+    val total = out.map(_._2).sum
+    // integer ppm truncation loses < 1 ppm per digit
+    val ppmSum = out.map(_._3).sum
+    assert(ppmSum > 1000000L - 9 && ppmSum <= 1000000L, s"ppm sum $ppmSum")
+    out.foreach { case (_, n, obs, ben, dev) =>
+      assert(obs == n * 1000000L / total)
+      assert(dev == math.abs(obs - ben))
+    }
+    // plain-Scala replica of the digit extraction over the raw prices
+    val want = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_totalprice").as[Double].collect()
+      .map(p => math.round(p * 100).toString.head.asDigit.toLong)
+      .groupBy(identity).map { case (d, g) => d -> g.length.toLong }
+    out.foreach { case (d, n, _, _, _) =>
+      assert(want(d) == n, s"digit $d: $n vs ${want(d)}") }
+    assert(want.values.sum == total)
+  }
+
   test("q194: the prefix-min closed form equals Page's sequential CUSUM " +
     "recurrence row by row, and the planted drift fires after the cut") {
     val out = Analytics.queries("q194_cusum_drift").fn(spark, sf0001)
