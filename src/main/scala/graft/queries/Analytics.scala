@@ -574,6 +574,61 @@ object Analytics extends Catalog {
                CAST(n_orphan = 0 AS BIGINT) FROM orphan"""),
       scaleNote = "N scalar constraints over one table = ONE scan (a single partial-agg pass computes every metric; the fan-out to rows touches a 1-row frame); referential integrity is the only join and runs as a broadcast/shuffle anti-join on the key alone — at 100 TB the audit costs one pass per audited table plus one semi-join per FK, and the (constraint, metric, pass) frame is the artifact a pipeline gates deploys on"),
 
+    // ----- q196: median/MAD robust outlier gate (r11) ----------------
+    // q149's rolling z-score uses mean/σ, which the outliers
+    // themselves corrupt (one 100× row drags the mean and explodes σ,
+    // masking its siblings); the robust-statistics answer is
+    // median/MAD (Hampel): both have breakdown point 1/2, so the
+    // planted errors can't move the yardstick they're measured
+    // against. All arithmetic is EXACT: prices are exact cents, the
+    // even-count median is (a+b)/2 — a half-integer double both
+    // engines compute identically — and absolute deviations are then
+    // half-integers too, so med/mad/flags are bit-equal with no
+    // rounding discipline needed. The corpus has no organic tails, so
+    // the query plants the classic data-entry error (×100 on every
+    // 501st key, the q62 injection stance): the medians barely move —
+    // the robustness on display — while every planted row flags.
+    "q196_robust_outlier_gate" -> Q(
+      fn = (s, d) => {
+        val c = t(s, d, "orders")
+          .select(col("o_orderstatus").as("st"),
+            (round(col("o_totalprice") * 100).cast("long") *
+              when(col("o_orderkey") % 501 === 0, 100L).otherwise(1L))
+              .as("cents"))
+          .localCheckpoint() // one cents frame feeds all three folds
+        val m = c.groupBy(col("st"))
+          .agg(expr("percentile(cents, 0.5D)").as("med"))
+        val a = c.join(broadcast(m), "st")
+          .select(col("st"), col("cents"), col("med"),
+            abs(col("cents") - col("med")).as("ad"))
+        val md = a.groupBy(col("st"))
+          .agg(expr("percentile(ad, 0.5D)").as("mad"))
+        a.join(broadcast(md), "st")
+          .groupBy(col("st"))
+          .agg(count(lit(1)).as("n"),
+            first(col("med")).as("med_cents"),
+            first(col("mad")).as("mad_cents"),
+            sum(when(col("ad") > col("mad") * 3, 1L).otherwise(0L))
+              .as("n_outliers"))
+      },
+      sql = Some("""
+        WITH c AS (SELECT o_orderstatus AS st,
+                          CAST(round(o_totalprice * 100) AS BIGINT)
+                            * CASE WHEN o_orderkey % 501 = 0
+                                   THEN 100 ELSE 1 END AS cents
+                   FROM orders),
+        m AS (SELECT st, median(cents) AS med FROM c GROUP BY 1),
+        a AS (SELECT c.st, cents, med, abs(cents - med) AS ad
+              FROM c JOIN m USING (st)),
+        md AS (SELECT st, median(ad) AS mad FROM a GROUP BY 1)
+        SELECT a.st, count(*) AS n,
+               any_value(a.med) AS med_cents,
+               any_value(md.mad) AS mad_cents,
+               CAST(sum(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers
+        FROM a JOIN md USING (st) GROUP BY 1"""),
+      scaleNote = "exact per-group medians sort within groups — fine while a group fits a task (here |status| = 3 groups of n/3); at 100 TB swap `percentile` for `approx_percentile` (q64's mergeable GK sketch) and the plan becomes two skinny two-phase aggregates + two broadcasts with NO per-group sort — same report shape, rank-error-bounded yardstick, which a robust gate tolerates by construction (MAD only needs to be roughly right to dominate a 100× error)"),
+
     // ----- q195: Benford first-digit audit (r11) ---------------------
     // The fraud/fabrication detector (Benford 1938, Nigrini's audit
     // practice): naturally-occurring monetary amounts follow

@@ -1781,6 +1781,31 @@ class PipelineCatalogsSpec extends SparkSpec {
     out.foreach { case (st, n, _) => assert(n > 0, s"$st went non-positive") }
   }
 
+  test("q196: the robust gate flags exactly the planted 100x rows and the " +
+    "median barely moves") {
+    val out = Analytics.queries("q196_robust_outlier_gate").fn(spark, sf0001)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(out.nonEmpty)
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .as[(Long, String, Double)].collect()
+    // every planted row must flag, and nothing else does (the 100x
+    // deviation dwarfs 3*MAD on this price range)
+    val planted = orders.filter(_._1 % 501 == 0).groupBy(_._2)
+      .map { case (st, g) => st -> g.length.toLong }
+    out.foreach { case (st, n, med, mad, flags) =>
+      assert(flags == planted.getOrElse(st, 0L),
+        s"$st: flagged $flags vs planted ${planted.getOrElse(st, 0L)}")
+      assert(mad > 0 && med > 0 && n > 0)
+      // robustness: the contaminated median stays within the clean
+      // price range (a 100x-contaminated MEAN would not)
+      val clean = orders.filter(_._2 == st)
+        .map(r => math.round(r._3 * 100).toDouble).sorted
+      assert(med >= clean.head && med <= clean.last,
+        s"$st: median $med left the clean range")
+    }
+  }
+
   test("q195: digit shares replicate in plain Scala and account for the " +
     "whole feed") {
     val out = Analytics.queries("q195_benford_audit").fn(spark, sf0001)
