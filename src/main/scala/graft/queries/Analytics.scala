@@ -53,6 +53,42 @@ object Analytics extends Catalog {
     graft.operators.Upsert(base, ordersDelta(base), Seq("o_orderkey"))
   }
 
+  // ---- q194's oracle, shared verbatim with q199 ---------------------
+  // The q185/q188 discipline: the streaming service form (q199 routes
+  // the same daily feed through EventStreams.cusumPerKey) carries the
+  // SAME gate as the batch detector, so the two spellings cannot
+  // drift apart.
+  private[queries] val CusumOracleSql: String = """
+        WITH ev AS (SELECT event_type,
+                           epoch_us(date_trunc('day', ts::TIMESTAMP)) AS d
+                    FROM events),
+        span AS (SELECT (min(d) + max(d)) // 2 AS cut FROM ev),
+        daily AS (
+          SELECT event_type, d,
+                 CASE WHEN event_type = 'click' AND d >= (SELECT cut FROM span)
+                      THEN count(*) * 2 ELSE count(*) END AS x
+          FROM ev GROUP BY event_type, d),
+        ref AS (
+          SELECT event_type, CAST(sum(x) AS BIGINT) // count(*) AS mu
+          FROM daily WHERE d < (SELECT cut FROM span) GROUP BY 1),
+        cs AS (
+          SELECT daily.event_type AS event_type, d, x, mu,
+                 -- BIGINT at birth (house rule): the window sum would
+                 -- otherwise carry HUGEINT through the outer frame
+                 CAST(sum(x - (mu + mu // 20)) OVER (
+                   PARTITION BY daily.event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS p
+          FROM daily JOIN ref USING (event_type))
+        SELECT event_type, d, x,
+               -- least(0, ...) = the virtual empty-prefix P_0 = 0
+               p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s,
+               CAST(p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 > 2 * mu AS BIGINT) AS alarm
+        FROM cs"""
+
   // ---- shared q185/q188 IVM fixtures --------------------------------
   // ONE definition of the maintained view's base aggregate and the
   // before-image change feed (the q86 delta, re-expressed as CDC rows
@@ -346,36 +382,7 @@ object Analytics extends Catalog {
           .select(col("event_type"), col("d"), col("x"), col("s"),
             (col("s") > col("mu") * 2).cast("long").as("alarm"))
       },
-      sql = Some("""
-        WITH ev AS (SELECT event_type,
-                           epoch_us(date_trunc('day', ts::TIMESTAMP)) AS d
-                    FROM events),
-        span AS (SELECT (min(d) + max(d)) // 2 AS cut FROM ev),
-        daily AS (
-          SELECT event_type, d,
-                 CASE WHEN event_type = 'click' AND d >= (SELECT cut FROM span)
-                      THEN count(*) * 2 ELSE count(*) END AS x
-          FROM ev GROUP BY event_type, d),
-        ref AS (
-          SELECT event_type, CAST(sum(x) AS BIGINT) // count(*) AS mu
-          FROM daily WHERE d < (SELECT cut FROM span) GROUP BY 1),
-        cs AS (
-          SELECT daily.event_type AS event_type, d, x, mu,
-                 -- BIGINT at birth (house rule): the window sum would
-                 -- otherwise carry HUGEINT through the outer frame
-                 CAST(sum(x - (mu + mu // 20)) OVER (
-                   PARTITION BY daily.event_type ORDER BY d
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS BIGINT) AS p
-          FROM daily JOIN ref USING (event_type))
-        SELECT event_type, d, x,
-               -- least(0, ...) = the virtual empty-prefix P_0 = 0
-               p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY d
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s,
-               CAST(p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY d
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-                 > 2 * mu AS BIGINT) AS alarm
-        FROM cs"""),
+      sql = Some(CusumOracleSql),
       scaleNote = "raw events collapse map-side to |types × days| daily rows before anything moves; the two prefix windows ride ONE event_type exchange of that tiny frame, and the 1-row cut plus |types|-row reference broadcast — the closed form is what makes CUSUM distributable at all (the recurrence would otherwise serialize on the driver); at 100 TB per-entity CUSUM (key = user/source/partition) is the same plan with the entity in the partition key, state O(|entities × days|)"),
 
 
@@ -627,7 +634,66 @@ object Analytics extends Catalog {
                CAST(sum(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_outliers
         FROM a JOIN md USING (st) GROUP BY 1"""),
-      scaleNote = "exact per-group medians sort within groups — fine while a group fits a task (here |status| = 3 groups of n/3); at 100 TB swap `percentile` for `approx_percentile` (q64's mergeable GK sketch) and the plan becomes two skinny two-phase aggregates + two broadcasts with NO per-group sort — same report shape, rank-error-bounded yardstick, which a robust gate tolerates by construction (MAD only needs to be roughly right to dominate a 100× error)"),
+      scaleNote = "exact per-group medians sort within groups — fine while a group fits a task (here |status| = 3 groups of n/3); at 100 TB swap `percentile` for `approx_percentile` (q64's mergeable GK sketch) and the plan becomes two skinny two-phase aggregates + two broadcasts with NO per-group sort — same report shape, rank-error-bounded yardstick, which a robust gate tolerates by construction (MAD only needs to be roughly right to dominate a 100× error) — q198 is that registered twin"),
+
+    // ----- q198: the robust gate's promised 100 TB spelling (r12) ----
+    // q196's scaleNote promises "swap percentile for approx_percentile
+    // at 100 TB"; the house converts promises into registered queries
+    // (q160→q186, q161→q166, q53→q144 precedent), so this IS that
+    // query: the identical report off the identical contaminated
+    // frame, with both medians computed by the mergeable
+    // Greenwald-Khanna sketch (q64's operator). Oracle-able because
+    // at accuracy 1e6 the sketch retains every sample below that
+    // count and both engines agree on the discrete-percentile
+    // convention (smallest element with cume_dist ≥ p ≡ DuckDB
+    // quantile_disc — q64's verified pairing); the discrete median of
+    // BIGINT cents is itself a BIGINT, so q198's arithmetic is exact
+    // integers end to end — strictly simpler than q196's half-integer
+    // doubles. The robustness spec re-proves the scaleNote's claim on
+    // the sketch path: every planted ×100 row still flags, nothing
+    // else does, because a rank-bounded median error moves the
+    // yardstick by at most a few neighboring order totals while the
+    // planted deviation is two orders of magnitude.
+    "q198_robust_gate_approx" -> Q(
+      fn = (s, d) => {
+        val c = t(s, d, "orders")
+          .select(col("o_orderstatus").as("st"),
+            (round(col("o_totalprice") * 100).cast("long") *
+              when(col("o_orderkey") % 501 === 0, 100L).otherwise(1L))
+              .as("cents"))
+          .localCheckpoint() // one cents frame feeds all three folds
+        val m = c.groupBy(col("st"))
+          .agg(expr("approx_percentile(cents, 0.5D, 1000000)").as("med"))
+        val a = c.join(broadcast(m), "st")
+          .select(col("st"), col("cents"), col("med"),
+            abs(col("cents") - col("med")).as("ad"))
+        val md = a.groupBy(col("st"))
+          .agg(expr("approx_percentile(ad, 0.5D, 1000000)").as("mad"))
+        a.join(broadcast(md), "st")
+          .groupBy(col("st"))
+          .agg(count(lit(1)).as("n"),
+            first(col("med")).as("med_cents"),
+            first(col("mad")).as("mad_cents"),
+            sum(when(col("ad") > col("mad") * 3, 1L).otherwise(0L))
+              .as("n_outliers"))
+      },
+      sql = Some("""
+        WITH c AS (SELECT o_orderstatus AS st,
+                          CAST(round(o_totalprice * 100) AS BIGINT)
+                            * CASE WHEN o_orderkey % 501 = 0
+                                   THEN 100 ELSE 1 END AS cents
+                   FROM orders),
+        m AS (SELECT st, quantile_disc(cents, 0.5) AS med FROM c GROUP BY 1),
+        a AS (SELECT c.st, cents, med, abs(cents - med) AS ad
+              FROM c JOIN m USING (st)),
+        md AS (SELECT st, quantile_disc(ad, 0.5) AS mad FROM a GROUP BY 1)
+        SELECT a.st, count(*) AS n,
+               any_value(a.med) AS med_cents,
+               any_value(md.mad) AS mad_cents,
+               CAST(sum(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers
+        FROM a JOIN md USING (st) GROUP BY 1"""),
+      scaleNote = "this IS q196's 100 TB plan, registered: the GK sketch is O(accuracy) memory per group and PARTIAL-AGGREGABLE, so each median is a two-phase ObjectHashAggregate (map-side sketches merge at the reducer — plan-asserted, with NO window and no per-group full sort anywhere), the two 3-row median frames broadcast, and the deviation compare + outlier count collapse map-side; at production scale drop accuracy to the memory budget — the gate's verdict is unchanged because a bounded rank error cannot close a 100× deviation gap (the spec proves exactly that claim on the sketch path)"),
 
     // ----- q195: Benford first-digit audit (r11) ---------------------
     // The fraud/fabrication detector (Benford 1938, Nigrini's audit

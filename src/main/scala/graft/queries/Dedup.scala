@@ -48,6 +48,88 @@ object Dedup extends Catalog {
       |    i -> array_to_string((string_split(lower(text),' '))[i:i+2],' '))
       |ELSE [] END)""".stripMargin
 
+  /** q192's injected-twin corpus measured against BOTH banding
+    * geometries (VERDICT r11 item 6): the portable md5-hex48 4-band ×
+    * 2-row family (the oracle-able calibration kernel) and the
+    * production XXH64 8-band × 2-row kernel q27 actually ships
+    * (`minhash_bands` — no DuckDB twin exists for XXH64, which is why
+    * q192's registered curve couldn't calibrate it). One exact
+    * ground-truth pass at floor j ≥ 0.2, one candidate join per
+    * geometry, LEFT-joined so misses emit 0. Returns the PER-PAIR
+    * frame (d1, d2, inter, un, rec_portable, rec_production) — q200
+    * folds it to the per-decile report; the spec consumes it directly
+    * to pin the 1−(1−j²)^b recall form within Poisson-binomial
+    * tolerance for both geometries.
+    */
+  private[queries] def lshRecallPairs(
+      s: SparkSession, d: String): DataFrame = {
+    val ws = split(lower(col("text")), " ")
+    val dd = docs(s, d).select(col("doc_id"), ws.as("ws"))
+    // q192's prefix twins, verbatim: doc_id % 7 == 3 spawns a copy of
+    // the first n·(3 + id%8)/10 words — subset shingles put exact j
+    // near (3 + id%8)/10, populating deciles 2..10 with real misses
+    val twins = dd.filter(col("doc_id") % 7 === 3 && size(col("ws")) >= 10)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        slice(col("ws"), lit(1), greatest(lit(3),
+          expr("CAST((size(ws) * (3 + doc_id % 8)) DIV 10 AS INT)")))
+          .as("ws"))
+    val shStr = dd.unionByName(twins)
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("ws")) - 2),
+          i => array_join(slice(col("ws"), i, lit(3)), " "))).as("sh"))
+      .localCheckpoint() // shingles feed truth, sizes AND both kernels
+    val sizes = shStr.select(col("doc_id"), size(col("sh")).as("sz"))
+    val ex = shStr.select(col("doc_id"), explode(col("sh")).as("g"))
+    val exact = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("sz1") + col("sz2") - col("inter")).as("un"))
+      .filter(col("inter") * 5 >= col("un")) // j >= 0.2
+    // portable geometry: 8 md5-derived 48-bit minima, 4 bands × 2 rows
+    val sig = shStr.select(col("doc_id"),
+      transform(sequence(lit(0), lit(7)), p =>
+        array_min(transform(col("sh"), g =>
+          conv(substring(md5(
+            concat(lit("mh"), p.cast("string"), lit(":"), g)), 1, 12),
+            16, 10).cast("long")))).as("mins"))
+      .localCheckpoint()
+    val bandedPort = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        struct(element_at(col("mins"), b * 2 + 1).as("k1"),
+          element_at(col("mins"), b * 2 + 2).as("k2"))))
+        .as(Seq("band", "k")))
+    val candPort = bandedPort.as("a").join(bandedPort.as("b"),
+        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("rec_portable", lit(1L))
+    // production geometry: q27's native one-pass XXH64 kernel, 8 × 2
+    // (xxhash64 over the same string shingles mirrors shingle_hashes'
+    // hash-the-joined-window semantics)
+    val bandedProd = shStr.select(col("doc_id"),
+      posexplode(call_function("minhash_bands",
+        transform(col("sh"), g => xxhash64(g)), lit(8), lit(2)))
+        .as(Seq("band", "bh")))
+      .localCheckpoint()
+    val candProd = bandedProd.as("a").join(bandedProd.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("rec_production", lit(1L))
+    exact.join(candPort, Seq("d1", "d2"), "left")
+      .join(candProd, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"), col("inter"), col("un"),
+        coalesce(col("rec_portable"), lit(0L)).as("rec_portable"),
+        coalesce(col("rec_production"), lit(0L)).as("rec_production"))
+  }
+
   /** q50's DuckDB twin: replay CdcChunks' Gear rolling-hash boundary
     * walk exactly — gear table inlined as 256 HUGEINT literals,
     * h' = (2h + gear[byte]) mod 2^64 per byte via a recursive CTE,
@@ -671,6 +753,38 @@ object Dedup extends Catalog {
         FROM j GROUP BY 1"""),
       scaleNote = "the ground-truth side is the expensive half and exists only for calibration — run it on a SAMPLE at 100 TB (the curve is a per-band proportion, so a uniform doc sample estimates it unbiased); the LSH side is q27's plan: one (band, key) candidate shuffle, signature computed in one codegen'd pass, and the report folds to ≤ 9 rows of integer counters whatever the corpus"),
 
+    // ----- E12: both-geometry recall companion to q192 (r12) ---------
+    // q192 calibrates the PORTABLE md5 4-band × 2-row family because
+    // a fully-oracled curve needs a DuckDB-mirrorable hash; but the
+    // geometry q27 actually ships is XXH64 8 bands × 2 rows
+    // (minhash_bands), which no registered measurement calibrated
+    // (VERDICT r11 item 6). This runs BOTH kernels over the SAME
+    // injected twins and exact ground truth, per decile — rows-only
+    // by necessity (XXH64 has no DuckDB twin; the portable curve q192
+    // stays the oracled anchor, and its counters here are the same
+    // measurement re-derived through the shared lshRecallPairs frame).
+    // The contract spec pins the published recall form for both:
+    // observed recalls sit within Poisson-binomial tolerance of
+    // E[rec] = Σ 1−(1−jᵢ^r)^b over the pairs' exact Jaccards, and
+    // band 10 (identical sets ⇒ identical signatures) recalls at
+    // exactly 1e6 ppm under BOTH kernels.
+    "q200_lsh_recall_geometries" -> Q(
+      fn = (s, d) =>
+        lshRecallPairs(s, d)
+          .select(expr("CAST((inter * 10) DIV un AS BIGINT)").as("band"),
+            col("rec_portable"), col("rec_production"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("rec_portable")).as("n_rec_portable"),
+            sum(col("rec_production")).as("n_rec_production"))
+          .select(col("band"), col("n_pairs"),
+            col("n_rec_portable"), col("n_rec_production"),
+            expr("CAST((n_rec_portable * 1000000) DIV n_pairs AS BIGINT)")
+              .as("recall_portable_ppm"),
+            expr("CAST((n_rec_production * 1000000) DIV n_pairs AS BIGINT)")
+              .as("recall_production_ppm")),
+      scaleNote = "the production half is exactly q27's shipping plan — one codegen'd minhash_bands pass, one (band, key) shuffle — so the calibration measures the geometry that runs at 100 TB, not a stand-in; the exact half is the same calibration-only cost q192 documents (uniform-sample it at scale: both curves are per-band proportions, unbiased under sampling); the report folds to ≤ 9 rows of integer counters, and the two recall columns side by side are the go/no-go artifact for a banding-geometry change"),
+
     // ----- E11/E12: winnowing fingerprints (MOSS) — r11 --------------
     // Schleimer, Wilkerson & Aiken 2003: CHARACTER-level copy
     // detection with a guarantee the word-shingle family (q26) cannot
@@ -746,9 +860,17 @@ object Dedup extends Catalog {
           SELECT doc_id + 30000000,
                  marker || ' ' || array_to_string(ws[-10:], ' ') FROM tw),
         pos AS (
-          SELECT doc_id, i AS p,
-                 ${OracleSql.hex48("md5(substr(t, i, 8))")} AS h
-          FROM corpus, range(1, 4096) r(i) WHERE i <= length(t) - 7),
+          -- positions enumerate per-row to the document's OWN length
+          -- (r11 used a flat range(1, 4096) cross join, silently
+          -- capping fingerprinting at 4095 positions while the engine
+          -- side walks sequence(1, length(t)-7) uncapped — safe at the
+          -- test corpora's <600-char docs but a latent divergence on
+          -- any longer document; VERDICT r11 item 4)
+          SELECT doc_id, p,
+                 ${OracleSql.hex48("md5(substr(t, p, 8))")} AS h
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, length(t) - 7)) AS p
+                FROM corpus WHERE length(t) >= 8)),
         sel AS (
           SELECT DISTINCT doc_id,
                  min(h) OVER (PARTITION BY doc_id ORDER BY p

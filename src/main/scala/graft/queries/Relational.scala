@@ -331,6 +331,53 @@ object Relational extends Catalog {
         GROUP BY n_name, s_name"""),
       scaleNote = "decorrelation is the whole game: both EXISTS rewrite into ONE semi and ONE anti join each keyed on l_orderkey (the <> residual rides the equi key), so the fact joins itself twice on its natural key instead of re-running a subquery per row — three l_orderkey shuffles AQE can co-plan, nation broadcasts into supplier, the status/returnflag predicates push into the scans, and the aggregate is at most |suppliers| rows (grouped per nation — Q21's single-nation literal is a group key here so the query is non-empty at every test SF; at 100 TB add the nation predicate back and it prunes the broadcast side); the textbook worst-case correlated query runs as a linear join tree at any scale"),
 
+    // ----- E4/SQL surface: the canonical TPC-H Q18 shape --------------
+    // "Large-volume customers": orders whose TOTAL line quantity
+    // exceeds a threshold — o_orderkey IN (SELECT l_orderkey FROM
+    // lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200) —
+    // the third canonical decorrelation pattern after q81's scalar
+    // subquery and q87/q187's EXISTS family: an IN over an AGGREGATED
+    // subquery with a HAVING cut. Catalyst must plan the subquery as
+    // its own two-phase aggregate, apply the HAVING filter to the
+    // |qualifying orders| frame, and rewrite the IN into a LeftSemi
+    // join on l_orderkey — never a per-row re-execution, never a
+    // cartesian (PlanSpec-asserted). Quantities are integer-valued
+    // doubles cast to BIGINT at birth so both sums are exact; price
+    // emits as exact cents (q170's discipline), the date as epoch
+    // micros. K = 200 keeps the result non-empty at every test SF
+    // (99 / 874 / 9185 qualifying orders at sf0.001/0.01/0.1).
+    "q197_tpch_q18_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q197_customer")
+        t(s, d, "orders").createOrReplaceTempView("q197_orders")
+        t(s, d, "lineitem").createOrReplaceTempView("q197_lineitem")
+        s.sql("""
+          SELECT c_name, c_custkey, o_orderkey,
+                 unix_micros(o_orderdate) AS o_date_us,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM q197_customer, q197_orders, q197_lineitem
+          WHERE o_orderkey IN (SELECT l_orderkey FROM q197_lineitem
+                               GROUP BY l_orderkey
+                               HAVING sum(CAST(l_quantity AS BIGINT)) > 200)
+            AND c_custkey = o_custkey
+            AND o_orderkey = l_orderkey
+          GROUP BY 1, 2, 3, 4, 5""")
+      },
+      sql = Some("""
+        SELECT c_name, c_custkey, o_orderkey,
+               epoch_us(o_orderdate) AS o_date_us,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING sum(CAST(l_quantity AS BIGINT)) > 200)
+          AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+        GROUP BY 1, 2, 3, 4, 5"""),
+      scaleNote = "the IN-over-aggregate decorrelates into aggregate-then-semi-join: lineitem partial-aggregates map-side to |orders| quantity sums, the HAVING cut shrinks that to the qualifying-key frame BEFORE any join (the earliest possible reduction — at 100 TB the semi-join side is the rare heavy-order set, small enough for AQE to broadcast), and the semi + fact joins all ride the same l_orderkey/o_orderkey keys so AQE co-plans the exchanges; the outer aggregate is one row per qualifying order — the warehouse-staple 'big spender' report runs as a linear plan with the selective cut applied at the leaf"),
+
     // ----- E5: range (theta) join — events self-join ------------------
     "q09_range_join_events" -> Q(
       fn = (s, d) => {

@@ -160,10 +160,13 @@ object Sources extends Catalog {
           else if (!rem.startsWith(s"${tag}_")) false // other sf: not ours to judge
           else if (rem == live) false // this generation, shared site
           else if (rem.startsWith(s"${live}_p")) {
-            // this generation, per-process site: stale iff the owner died
+            // this generation, per-process site: stale iff the owner
+            // died — probed via ProcessHandle (portable: /proc exists
+            // only on Linux, and a missing /proc would judge every
+            // LIVE concurrent owner stale and delete its dir mid-read)
             val pid = rem.drop(live.length + 2)
-            !(pid.nonEmpty && pid.forall(_.isDigit) &&
-              Files.exists(Paths.get("/proc", pid)))
+            !pid.toLongOption.exists(p =>
+              ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
           } else true // this sf, previous corpus generation
         }
       }.toList

@@ -1806,6 +1806,36 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q198: the approx-percentile robust gate still flags every planted " +
+    "row and nothing else — the sketch's rank error cannot close a 100x gap") {
+    val out = Analytics.queries("q198_robust_gate_approx").fn(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .as[(Long, String, Double)].collect()
+    val planted = orders.filter(_._1 % 501 == 0).groupBy(_._2)
+      .map { case (st, g) => st -> g.length.toLong }
+    val yard = out.map(r => r._1 -> ((r._3, r._4))).toMap // med, mad
+    out.foreach { case (st, n, med, mad, flags) =>
+      assert(flags == planted.getOrElse(st, 0L),
+        s"$st: flagged $flags vs planted ${planted.getOrElse(st, 0L)}")
+      assert(mad > 0 && med > 0 && n > 0)
+      // the discrete median is an ACTUAL order total from the clean
+      // range — a rank-bounded estimate, not a contaminated mean
+      val clean = orders.filter(_._2 == st).map(r => math.round(r._3 * 100))
+      assert(clean.contains(med), s"$st: median $med is not a data value")
+    }
+    // the scaleNote's claim, proven on the sketch path: every planted
+    // row individually clears the 3*MAD cut under the APPROX yardstick
+    orders.filter(_._1 % 501 == 0).foreach { case (_, st, p) =>
+      val cents = math.round(p * 100) * 100L
+      val (med, mad) = yard(st)
+      assert(math.abs(cents - med) > 3 * mad,
+        s"$st: planted $cents not flagged by approx med=$med mad=$mad")
+    }
+  }
+
   test("q195: digit shares replicate in plain Scala and account for the " +
     "whole feed") {
     val out = Analytics.queries("q195_benford_audit").fn(spark, sf0001)
@@ -1904,6 +1934,48 @@ class PipelineCatalogsSpec extends SparkSpec {
     out.filter(_._1 == 10).foreach { case (_, n, r, ppm) =>
       assert(r == n && ppm == 1000000L,
         s"an exact-dup pair was missed by its own signature: $n vs $r")
+    }
+  }
+
+  test("q200: both banding geometries recall within Poisson-binomial " +
+    "tolerance of 1-(1-j^r)^b, and the band-10 theorem holds for both") {
+    val pairs = Dedup.lshRecallPairs(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(pairs.nonEmpty, "no exact pairs at j >= 0.2 — floor too high?")
+    // per-pair recall probability under the published LSH form, using
+    // each pair's EXACT Jaccard (not a decile midpoint); observed
+    // recalled counts are then Poisson-binomial with mean sum(p) and
+    // variance sum(p(1-p)) — pin both kernels within 5 sigma + slack
+    // (the slack absorbs the md5/XXH64 families' sub-binomial
+    // deviation from ideal permutations on 8/16 hash functions)
+    def pin(name: String, b: Int, recOf: ((Long, Long, Long, Long, Long,
+        Long)) => Long): Unit = {
+      val ps = pairs.map { r =>
+        val j = r._3.toDouble / r._4
+        1.0 - math.pow(1.0 - j * j, b)
+      }
+      val obs = pairs.map(recOf).sum.toDouble
+      val mean = ps.sum
+      val sd = math.sqrt(ps.map(p => p * (1 - p)).sum)
+      assert(math.abs(obs - mean) <= 5 * sd + 3,
+        s"$name: recalled $obs vs expected $mean +- $sd over ${ps.length}")
+      // j = 1 pairs have identical shingle sets, hence identical
+      // signatures — recall is a theorem, not a probability
+      pairs.filter(r => r._3 == r._4).foreach { r =>
+        assert(recOf(r) == 1L, s"$name missed an exact-dup pair: $r") }
+    }
+    pin("portable md5 4x2", 4, _._5)
+    pin("production xxh64 8x2", 8, _._6)
+    // the registered report must be the exact fold of this frame
+    val out = Dedup.queries("q200_lsh_recall_geometries").fn(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val want = pairs.groupBy(r => r._3 * 10 / r._4).map { case (b, g) =>
+      b -> (g.length.toLong, g.map(_._5).sum, g.map(_._6).sum) }
+    assert(out.map(_._1).sorted.toSeq == want.keys.toSeq.sorted)
+    out.foreach { case (b, n, rp, rx, ppmP, ppmX) =>
+      val (wn, wp, wx) = want(b)
+      assert(n == wn && rp == wp && rx == wx, s"decile $b fold mismatch")
+      assert(ppmP == rp * 1000000L / n && ppmX == rx * 1000000L / n)
     }
   }
 

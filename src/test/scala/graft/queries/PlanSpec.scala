@@ -786,6 +786,40 @@ class PlanSpec extends SparkSpec {
       s"returnflag filter must push into the lineitem scan:\n${p.take(1600)}")
   }
 
+  test("q198: the approx robust gate is sketch-only — two-phase mergeable " +
+    "median aggregates, no window, no per-group exact sort") {
+    val p = plan("q198_robust_gate_approx")
+    assert(!p.contains("Window"), s"no window allowed:\n${p.take(1600)}")
+    // each approx_percentile is a partial+final ObjectHashAggregate
+    // pair (map-side GK sketches merge at the reducer)
+    val aggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 4, s"expected two two-phase sketch aggs:\n${p.take(1600)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the median frames reach the cents frame as broadcasts — the
+    // data-sized side never shuffles for the compare
+    assert(p.contains("BroadcastHashJoin"),
+      s"yardsticks must broadcast:\n${p.take(1600)}")
+  }
+
+  test("q197: the IN-over-aggregated-subquery decorrelates to " +
+    "aggregate-then-semi-join — never per-row, never cartesian") {
+    val p = plan("q197_tpch_q18_shape")
+    // the HAVING-cut subquery must become a semi join on the order key
+    assert(p.contains("LeftSemi"),
+      s"IN must become a semi join:\n${p.take(1600)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the IN rewrite must ride the l_orderkey equi key:\n${p.take(1600)}")
+    // the subquery's quantity sum is its own two-phase aggregate that
+    // runs BEFORE the semi join consumes it (aggregate-then-semi-join,
+    // not a re-executed correlated probe)
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4,
+      s"subquery agg + outer agg must both be two-phase:\n${p.take(1600)}")
+    assert(p.contains("sum_qty") || p.contains("sum(cast(l_quantity"),
+      s"the HAVING aggregate must appear in-plan:\n${p.take(1600)}")
+  }
+
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
     val p = plan("q170_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(1200))

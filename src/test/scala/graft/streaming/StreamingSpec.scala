@@ -627,4 +627,18 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("q199: the registered streaming-CUSUM replay equals batch q194 " +
+    "row for row (the service form carries the batch detector's gate)") {
+    val got = graft.queries.Streaming.queries("q199_streaming_cusum")
+      .fn(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    val want = graft.queries.Analytics.queries("q194_cusum_drift")
+      .fn(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got.toSeq == want.toSeq,
+      s"streaming replay diverged: ${got.length} vs ${want.length} rows")
+  }
 }
