@@ -441,6 +441,57 @@ object Media {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** one detected scene boundary: frame `cut_idx` starts a new scene —
+    * mean |Δluma| vs frame cut_idx−1 cleared the threshold. Public
+    * (not nested/private) because mapPartitions' product encoder
+    * codegen must see the constructor.
+    */
+  final case class SceneCut(media_id: Long, cut_idx: Int, delta_milli: Long)
+
+  /** Scene-cut (shot-boundary) detection over decoded video clips —
+    * the canonical first step of any video curation pipeline (sample
+    * one keyframe per SHOT, not per fixed stride, before captioning /
+    * embedding / dedup). Detector: per consecutive frame pair, the
+    * mean absolute luminance delta over the frame plane; a cut is
+    * declared where it clears `thresholdMilli` (milli-units of the
+    * [0,1] luma scale — 100 ≡ 0.1). Identical-bytes frames decode to
+    * IDENTICAL luma planes, so intra-scene deltas of repeated frames
+    * are exactly 0 whatever JPEG did to the pixels — which is what
+    * makes the planted-scene oracle (q204) deterministic while the
+    * decode itself stays real and unmirrorable. One map pass, one
+    * codec per partition, [[DecodeBatchSize]] batching, fail-soft on
+    * corrupt clips — the [[extractFeatures]] contract.
+    */
+  def sceneCuts(
+      media: Dataset[MediaRow],
+      codec: MediaCodec,
+      thresholdMilli: Long = 100): Dataset[SceneCut] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          codec.decode(r.bytes, r.meta) match {
+            case Some(px) =>
+              val wh = r.meta.width * r.meta.height
+              val nf = if (wh > 0) px.length / wh else 0
+              (1 until nf).flatMap { f =>
+                var s = 0.0
+                var i = 0
+                while (i < wh) {
+                  s += math.abs(px(f * wh + i) - px((f - 1) * wh + i))
+                  i += 1
+                }
+                val milli = math.round(s * 1000.0 / wh)
+                if (milli > thresholdMilli) Some(SceneCut(r.media_id, f, milli))
+                else None
+              }
+            case None => Nil
+          }
+        }
+      }
+    }
+  }
+
   /** Integer energy fingerprint of an audio row: the decoded [-1, 1]
     * floats map back to their EXACT s16 integers (s/32768f is exact
     * for |s| ≤ 2^15, so f*32768 round-trips bit-perfectly), the

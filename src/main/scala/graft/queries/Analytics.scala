@@ -499,6 +499,87 @@ object Analytics extends Catalog {
         FROM d WHERE varnum > 0"""),
       scaleNote = "one shuffle on user_id with in-partition secondary sort; the trailing frame is bounded (10 rows) so the window is constant-memory streaming — at 100 TB this is the q114 EWMA plan shape, and the streaming twin is transformWithState keeping a 10-deep ring buffer per key"),
 
+    // ----- q203: one-pass multi-column profiler (r12) ----------------
+    // The discovery operator that PRECEDES q148's declarative audit:
+    // before you can assert constraints you must profile what's there
+    // (Deequ's ColumnProfilerRunner / every catalog's "analyze table").
+    // Per profiled column: row count, null count, EXACT distinct
+    // count, min/max in a canonical string representation (doubles as
+    // exact cents, timestamps as epoch micros, so every repr is an
+    // integer or stored string — no float formatting in the gate).
+    // The whole profile is ONE aggregate over ONE scan: Spark plans
+    // the four COUNT(DISTINCT)s via a single Expand (×4 row fan-out,
+    // map-side partials per branch), and the 1-row result unpivots to
+    // profile rows via stack — the table is never rescanned per
+    // column (PlanSpec pins exactly one orders scan in-plan).
+    "q203_column_profiler" -> Q(
+      fn = (s, d) => {
+        val o = t(s, d, "orders")
+        val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        val dus = unix_micros(col("o_orderdate"))
+        val a = o.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn_st"),
+          countDistinct(col("o_orderstatus")).as("nd_st"),
+          min(col("o_orderstatus")).cast("string").as("mn_st"),
+          max(col("o_orderstatus")).cast("string").as("mx_st"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_ck"),
+          countDistinct(col("o_custkey")).as("nd_ck"),
+          min(col("o_custkey")).cast("string").as("mn_ck"),
+          max(col("o_custkey")).cast("string").as("mx_ck"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn_tp"),
+          countDistinct(cents).as("nd_tp"),
+          min(cents).cast("string").as("mn_tp"),
+          max(cents).cast("string").as("mx_tp"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("nn_od"),
+          countDistinct(dus).as("nd_od"),
+          min(dus).cast("string").as("mn_od"),
+          max(dus).cast("string").as("mx_od"))
+        a.selectExpr("""stack(4,
+            'o_orderstatus', n, nn_st, nd_st, mn_st, mx_st,
+            'o_custkey',     n, nn_ck, nd_ck, mn_ck, mx_ck,
+            'o_totalprice_cents', n, nn_tp, nd_tp, mn_tp, mx_tp,
+            'o_orderdate_us', n, nn_od, nd_od, mn_od, mx_od)
+          AS (col_name, n, n_nulls, n_distinct, min_repr, max_repr)""")
+      },
+      sql = Some("""
+        WITH a AS (
+          SELECT count(*) AS n,
+                 CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn_st,
+                 CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_st,
+                 CAST(min(o_orderstatus) AS VARCHAR) AS mn_st,
+                 CAST(max(o_orderstatus) AS VARCHAR) AS mx_st,
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn_ck,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
+                 CAST(min(o_custkey) AS VARCHAR) AS mn_ck,
+                 CAST(max(o_custkey) AS VARCHAR) AS mx_ck,
+                 CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn_tp,
+                 CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS nd_tp,
+                 CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS VARCHAR) AS mn_tp,
+                 CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS VARCHAR) AS mx_tp,
+                 CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn_od,
+                 CAST(count(DISTINCT epoch_us(o_orderdate)) AS BIGINT) AS nd_od,
+                 CAST(min(epoch_us(o_orderdate)) AS VARCHAR) AS mn_od,
+                 CAST(max(epoch_us(o_orderdate)) AS VARCHAR) AS mx_od
+          FROM orders)
+        SELECT 'o_orderstatus' AS col_name, n, nn_st AS n_nulls,
+               nd_st AS n_distinct, mn_st AS min_repr, mx_st AS max_repr
+        FROM a
+        UNION ALL
+        SELECT 'o_custkey', n, nn_ck, nd_ck, mn_ck, mx_ck FROM a
+        UNION ALL
+        SELECT 'o_totalprice_cents', n, nn_tp, nd_tp, mn_tp, mx_tp FROM a
+        UNION ALL
+        SELECT 'o_orderdate_us', n, nn_od, nd_od, mn_od, mx_od FROM a"""),
+      scaleNote = "ONE scan whatever the column count: the multi-distinct plans as a single Expand (fan-out × |profiled columns|, each branch partial-aggregating map-side before one exchange), min/max/null-counts ride the same pass free, and the unpivot touches a 1-row frame — at 100 TB swap the exact distincts for approx_count_distinct (q43's HLL sketch, same Expand-free single pass) and the profile costs what one COUNT(*) costs; this is the discovery half that feeds q148's constraint gate and q127's drift monitor"),
+
     // ----- declarative data-quality audit (Deequ-style) -------------
     // The constraint suite a warehouse/training pipeline runs before
     // trusting a snapshot (public shape: Amazon Deequ): completeness,

@@ -622,6 +622,75 @@ object Dedup extends Catalog {
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau"""),
       scaleNote = "LSH banding: one shuffle on (band,bucket) — candidate set is tiny vs n²; signature+banding all codegen'd Catalyst; verify stage touches only candidates"),
 
+    // ----- E12: prefix-filtered EXACT similarity join (r12) ----------
+    // AllPairs/PPJoin (Bayardo-Ma-Srikant 2007, Xiao et al. 2008) —
+    // the third way to the same τ = 0.8 Jaccard pairs: q26 joins ALL
+    // postings (exact, but sum-of-df² blowup), q27 prunes via LSH
+    // (cheap, but probabilistic — its oracle equality holds at
+    // recall ≈ 1−(1−j²)^8, a probability q192 measures), THIS is the
+    // exact-AND-pruned path: order every shingle set by ascending
+    // document frequency (rarest first), index only each set's first
+    // |x| − ⌈τ·|x|⌉ + 1 tokens, and join prefixes. The guarantee is a
+    // THEOREM, not a probability: J(a,b) ≥ τ ⇒ |a∩b| ≥
+    // τ/(1+τ)·(|a|+|b|) ≥ τ·|a| (under the length filter τ|a| ≤ |b|),
+    // while two disjoint prefixes confine every shared token to
+    // suffixes of ⌈τ|a|⌉−1 < τ|a| tokens — contradiction; so every
+    // qualifying pair shares a prefix token and ZERO pairs are
+    // missed. All cuts are exact integers: ⌈4n/5⌉ = (4n+4) DIV 5,
+    // length filter 4·max ≤ 5·min by cross-multiplication. The
+    // oracle is q26/q27's brute-force SQL — here equality is exact
+    // by construction, no recall caveat.
+    "q201_ppjoin_prefix_filter" -> Q(
+      fn = (s, d) => {
+        val sh = shingled(s, d)
+        val post = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+        val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        // canonical order: ascending df, tok tie-break — the rarest
+        // tokens land in prefixes, so posting lists stay short where
+        // it matters (df is a map-side partial aggregate)
+        val ordered = post.join(dfreq, "tok")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+            .as("ord"))
+          .select(col("doc_id"),
+            expr("transform(ord, x -> x.tok)").as("toks"))
+          .withColumn("sz", size(col("toks")))
+          .withColumn("plen",
+            col("sz") - expr("CAST((4 * sz + 4) DIV 5 AS INT)") + 1)
+          .localCheckpoint() // one ordered frame feeds prefixes AND verify
+        val prefix = ordered.select(col("doc_id"), col("sz"),
+          explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+        val cand = prefix.as("a").join(prefix.as("b"),
+            col("a.tok") === col("b.tok") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") * 4 <= col("b.sz") * 5 &&
+            col("b.sz") * 4 <= col("a.sz") * 5)
+          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .dropDuplicates("doc1", "doc2")
+        val full = ordered.select(col("doc_id"), col("toks"))
+        cand
+          .join(full.select(col("doc_id").as("doc1"), col("toks").as("t1")),
+            "doc1")
+          .join(full.select(col("doc_id").as("doc2"), col("toks").as("t2")),
+            "doc2")
+          .withColumn("inter",
+            size(array_intersect(col("t1"), col("t2"))).cast("double"))
+          .withColumn("jaccard",
+            col("inter") / (size(col("t1")) + size(col("t2")) - col("inter")))
+          .filter(col("jaccard") >= JaccardTau)
+          .select(col("doc1"), col("doc2"), col("jaccard"))
+      },
+      sql = Some(s"""
+        WITH s AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau"""),
+      scaleNote = "the prefix cut bounds posting volume to ~(1−τ) of q26's full inverted index AND concentrates it on the rarest tokens (ascending-df order), so the pair join's sum-of-df² term collapses without giving up exactness — this is the serving-free exact dedup plan for 100 TB when a miss is unacceptable (legal/PII copies) and LSH's recall curve (q192/q200) isn't; df ordering costs one vocabulary-keyed aggregate that partial-aggregates map-side, prefixes explode map-side, the candidate join shuffles on the token key, and verification touches only surviving candidates — at τ = 0.9 the prefix is a single-digit fraction of each set"),
+
     // ----- E12: LSH recall calibration curve (r11) -------------------
     // The measurement a 100 TB dedup pipeline runs BEFORE committing
     // to a banding geometry: per exact-Jaccard decile, what fraction

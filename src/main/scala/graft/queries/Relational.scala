@@ -378,6 +378,51 @@ object Relational extends Catalog {
         GROUP BY 1, 2, 3, 4, 5"""),
       scaleNote = "the IN-over-aggregate decorrelates into aggregate-then-semi-join: lineitem partial-aggregates map-side to |orders| quantity sums, the HAVING cut shrinks that to the qualifying-key frame BEFORE any join (the earliest possible reduction — at 100 TB the semi-join side is the rare heavy-order set, small enough for AQE to broadcast), and the semi + fact joins all ride the same l_orderkey/o_orderkey keys so AQE co-plans the exchanges; the outer aggregate is one row per qualifying order — the warehouse-staple 'big spender' report runs as a linear plan with the selective cut applied at the leaf"),
 
+    // ----- E4/SQL surface: the canonical TPC-H Q20 shape --------------
+    // "Suppliers with excess promo volume": a NESTED IN — the outer
+    // membership test's subquery itself contains an IN against a
+    // third table, plus a grouped HAVING cut — completing the
+    // decorrelation family (q81 scalar, q187 EXISTS/NOT EXISTS, q197
+    // IN-over-aggregate, and now CHAINED membership). Catalyst must
+    // fold this into a LINEAR semi-join tree: part's filter
+    // broadcast-semi-prunes lineitem, the pruned fact aggregates
+    // per (supplier, part) with the HAVING cut, and the surviving
+    // supplier keys semi-join supplier — two LeftSemi joins, zero
+    // subquery re-execution, no cartesian (PlanSpec-asserted).
+    // Quantities BIGINT at birth; threshold 80 per (supplier, part)
+    // is SF-robust because lines-per-(part, supplier) is set by the
+    // corpus SHAPE, not its size (both dimensions scale with SF):
+    // 10/10 suppliers qualify at sf0.001, 59/100 at sf0.01, 63/1000
+    // at sf0.1 — non-empty everywhere, selective where the gate runs.
+    "q202_tpch_q20_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "supplier").createOrReplaceTempView("q202_supplier")
+        t(s, d, "lineitem").createOrReplaceTempView("q202_lineitem")
+        t(s, d, "part").createOrReplaceTempView("q202_part")
+        t(s, d, "nation").createOrReplaceTempView("q202_nation")
+        s.sql("""
+          SELECT n_name, count(*) AS n_qualified
+          FROM q202_supplier JOIN q202_nation ON s_nationkey = n_nationkey
+          WHERE s_suppkey IN (
+            SELECT l_suppkey FROM q202_lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM q202_part
+                                WHERE p_type = 'PROMO' AND p_size > 25)
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(CAST(l_quantity AS BIGINT)) > 80)
+          GROUP BY n_name""")
+      },
+      sql = Some("""
+        SELECT n_name, count(*) AS n_qualified
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_type = 'PROMO' AND p_size > 25)
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 80)
+        GROUP BY n_name"""),
+      scaleNote = "chained membership stays a LINEAR plan: the part predicate prunes the fact FIRST (a broadcast semi join — the filtered part-key set is dimension-sized), the per-(supplier, part) aggregate partial-aggregates map-side on the pruned fact, the HAVING cut shrinks it to the qualifying-supplier frame before the outer semi join touches supplier, and nation broadcasts for the final |nations|-row fold; nothing in the nesting depth adds a pass over the fact — the textbook risk (re-running the inner membership per outer row) is exactly what the decorrelation rewrite removes, and AQE can broadcast the shrunken semi sides at any corpus size"),
+
     // ----- E5: range (theta) join — events self-join ------------------
     "q09_range_join_events" -> Q(
       fn = (s, d) => {

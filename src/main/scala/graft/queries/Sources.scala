@@ -874,6 +874,72 @@ object Sources extends Catalog {
         WHERE i < nn.n AND i % 21 = 14"""),
       scaleNote = "video dedup at 100 TB: decode (real per-frame JPEG via the RIFF walk) + pooled phash is one map pass per clip — the phash is 8 bytes of state whatever the clip length; candidates come from the same 8-band (band, key) equi-join as q58 with pigeonhole recall ≤ hamming 7 — never a cartesian, and frame-level dedup falls out of the same machinery by exploding clips into (clip, frame_idx, frame-phash) rows first"),
 
+    // ----- multimodal: video scene-cut detection (r12, REAL codec) --
+    // Shot-boundary detection — the canonical FIRST step of video
+    // curation (keyframe-per-shot sampling before captioning /
+    // embedding / dedup; q189 dedups whole clips, this segments
+    // inside one). Detector: mean |Δluma| between consecutive
+    // MjpegAviCodec-decoded frames > 0.1. Planted scene structure
+    // (the q189 stance — JPEG decode is real and therefore not
+    // SQL-mirrorable, so the oracle PREDICTS the planted answer):
+    // every video row with media_id % 5 == 1 spawns a 6-frame clip —
+    // one seeded-random JPEG repeated ×3 (scene A), another ×3
+    // (scene B). Repeated frames are byte-identical, decode to
+    // IDENTICAL luma planes, and give deltas of exactly 0 — the four
+    // intra-scene transitions are built-in negatives the threshold
+    // must NOT fire on — while the A→B transition at frame 3 is two
+    // independent noise frames (mean |Δ| ≈ 0.3 ≫ 0.1). Videos sit at
+    // id % 3 = 2, plants at id % 5 = 1 ⇒ planted ids are exactly
+    // id % 15 = 11 (CRT), each emitting ONE cut at frame 3.
+    "q204_video_scene_cuts" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val n = new java.io.File(d).getName match {
+          case "sf0.001"          => 90
+          case "sf0.01" | "sf0.1" => 600
+          case other => throw new IllegalArgumentException(
+            s"q204 media corpus size not defined for data dir '$other' — " +
+              "add the scale factor explicitly")
+        }
+        val base = graft.multimodal.Media.syntheticEncoded(s, n)
+        val planted = base
+          .filter(r => r.kind == "video" && r.media_id % 5 == 1)
+          .map { r =>
+            def jpeg(seed: Long): Array[Byte] = {
+              val rnd = new scala.util.Random(seed)
+              val img = new java.awt.image.BufferedImage(
+                16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 16) {
+                var x = 0
+                while (x < 16) { img.setRGB(x, y, rnd.nextInt(0x1000000)); x += 1 }
+                y += 1
+              }
+              val fb = new java.io.ByteArrayOutputStream()
+              if (!javax.imageio.ImageIO.write(img, "jpg", fb))
+                sys.error("no JPEG writer registered — JDK imageio missing?")
+              fb.toByteArray
+            }
+            val a = jpeg(r.media_id)
+            val b = jpeg(r.media_id + 7777L)
+            r.copy(media_id = r.media_id + 2000000L,
+              bytes = graft.multimodal.Media.encodeMjpegAvi(
+                Seq(a, a, a, b, b, b), 16, 16),
+              meta = graft.multimodal.Media.MediaMeta("mjpeg-avi", 16, 16, 6, 0))
+          }
+        graft.multimodal.Media.sceneCuts(planted,
+            new graft.multimodal.Media.MjpegAviCodec())
+          .select(col("media_id"), col("cut_idx"))
+      },
+      sql = Some("""
+        WITH nn AS (SELECT CASE WHEN (SELECT count(*) FROM lineitem) < 30000
+                           THEN 90 ELSE 600 END AS n)
+        SELECT CAST(i + 2000000 AS BIGINT) AS media_id,
+               CAST(3 AS INT) AS cut_idx
+        FROM nn, range(0, 600) t(i)
+        WHERE i < nn.n AND i % 15 = 11"""),
+      scaleNote = "segmentation is embarrassingly map-side: one decode pass per clip, one running previous-frame buffer (w·h floats of state however long the clip), zero shuffles — the output (clip, cut_idx) frame is exactly what downstream keyframe extraction explodes on; at 100 TB the only knobs are decode parallelism (clips per partition) and the threshold, and the per-shot keyframe table it feeds is dimension-sized next to the raw video bytes"),
+
     // ----- E1 layout: Z-order (Morton) multi-dimension clustering ---
     // LayoutSpec's range-clustering demo skips row groups on ONE
     // column; real warehouses filter on several. Z-order interleaves

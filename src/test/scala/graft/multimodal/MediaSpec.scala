@@ -429,6 +429,39 @@ class MediaSpec extends SparkSpec {
       s"too many accidental pairs: $got")
   }
 
+  test("sceneCuts: repeated frames are zero-delta even at threshold 0, " +
+    "scene boundaries fire, and a one-scene clip stays cut-free") {
+    def sceneAvi(seedA: Long, seedB: Long): Array[Byte] = {
+      val a = encodeImage(noiseImage(seedA), "jpg")
+      val b = encodeImage(noiseImage(seedB), "jpg")
+      Media.encodeMjpegAvi(Seq(a, a, a, b, b, b), 32, 32)
+    }
+    val meta6 = MediaMeta("mjpeg-avi", 32, 32, 6, 0)
+    val oneScene = {
+      val a = encodeImage(noiseImage(42L), "jpg")
+      Media.encodeMjpegAvi(Seq(a, a, a, a), 32, 32)
+    }
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, "video", sceneAvi(10, 20), meta6),
+      MediaRow(2L, "video", sceneAvi(30, 40), meta6),
+      MediaRow(3L, "video", oneScene, MediaMeta("mjpeg-avi", 32, 32, 4, 0)),
+      // audio row must be ignored (kind filter)
+      MediaRow(4L, "audio", Array[Byte](1, 2, 3), MediaMeta("wav", 0, 0, 0, 16000))
+    )).repartition(2)
+    val cuts = Media.sceneCuts(ds, new MjpegAviCodec())
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(cuts.map(c => (c._1, c._2)).toSeq == Seq((1L, 3), (2L, 3)),
+      s"expected exactly the two A->B boundaries: ${cuts.toSeq}")
+    cuts.foreach { c => assert(c._3 > 100, s"boundary delta too small: $c") }
+    // at threshold 0 the intra-scene transitions STILL stay silent:
+    // byte-identical frames decode to identical luma planes, so their
+    // delta is exactly zero — not merely below a tolerance
+    val all = Media.sceneCuts(ds, new MjpegAviCodec(), thresholdMilli = 0)
+      .as[(Long, Int, Long)].collect()
+    assert(all.map(c => (c._1, c._2)).toSet == Set((1L, 3), (2L, 3)),
+      s"intra-scene delta must be exactly 0: ${all.toSeq}")
+  }
+
   test("features aggregate distributedly (per-kind mean norm)") {
     val agg = extractFeatures(corpus, new FakeCodec)
       .toDF()

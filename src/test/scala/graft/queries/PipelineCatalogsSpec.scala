@@ -1937,6 +1937,34 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q201: prefix-filtered exact join equals brute force EXACTLY — " +
+    "the zero-miss theorem, where q27's LSH equality is probabilistic") {
+    val got = Dedup.queries("q201_ppjoin_prefix_filter").fn(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // brute-force replica over STRING shingles (the oracle's spelling;
+    // the engine's xxh64 shingle hashes preserve distinct-set
+    // cardinalities, so inter/union counts agree)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val w = t.toLowerCase.split(" ")
+        id -> (if (w.length < 3) Set.empty[String]
+               else w.sliding(3).map(_.mkString(" ")).toSet)
+      }.filter(_._2.nonEmpty)
+    val want = (for {
+      (i, a) <- docs.iterator
+      (k, b) <- docs.iterator if i < k
+      inter = (a & b).size if inter > 0
+      j = inter.toDouble / (a.size + b.size - inter) if j >= 0.8
+    } yield (i, k) -> j).toMap
+    assert(want.nonEmpty, "fixture regression: no tau-pairs at sf0.001")
+    assert(got.keySet == want.keySet,
+      s"missed ${want.keySet -- got.keySet}, extra ${got.keySet -- want.keySet}")
+    want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12,
+      s"$k: jaccard ${got(k)} vs $j") }
+  }
+
   test("q200: both banding geometries recall within Poisson-binomial " +
     "tolerance of 1-(1-j^r)^b, and the band-10 theorem holds for both") {
     val pairs = Dedup.lshRecallPairs(spark, sf0001)

@@ -786,6 +786,27 @@ class PlanSpec extends SparkSpec {
       s"returnflag filter must push into the lineitem scan:\n${p.take(1600)}")
   }
 
+  test("q203: the whole profile is one scan — multi-distinct via a " +
+    "single Expand, never a rescan per column") {
+    val p = plan("q203_column_profiler")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders"))
+    assert(scans == 1, s"profiler must scan orders exactly once:\n${p.take(1600)}")
+    assert(p.contains("Expand"),
+      s"the four exact distincts must share one Expand:\n${p.take(1600)}")
+  }
+
+  test("q201: the prefix-filter join rides the token equi key — " +
+    "never all-pairs, length filter as residual") {
+    val p = plan("q201_ppjoin_prefix_filter")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the prefix-token equi join:\n${p.take(1600)}")
+    // the df aggregate partial-aggregates map-side before its shuffle
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"df count must be two-phase:\n${p.take(1200)}")
+  }
+
   test("q198: the approx robust gate is sketch-only — two-phase mergeable " +
     "median aggregates, no window, no per-group exact sort") {
     val p = plan("q198_robust_gate_approx")
@@ -818,6 +839,20 @@ class PlanSpec extends SparkSpec {
       s"subquery agg + outer agg must both be two-phase:\n${p.take(1600)}")
     assert(p.contains("sum_qty") || p.contains("sum(cast(l_quantity"),
       s"the HAVING aggregate must appear in-plan:\n${p.take(1600)}")
+  }
+
+  test("q202: the nested IN folds to a linear semi-join tree — two " +
+    "LeftSemi, no re-execution, no cartesian") {
+    val p = plan("q202_tpch_q20_shape")
+    val semis = p.linesIterator.count(_.contains("LeftSemi"))
+    assert(semis >= 2,
+      s"both membership tests must become semi joins:\n${p.take(1600)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"chained INs must ride their equi keys:\n${p.take(1600)}")
+    // the part predicate reaches the part scan (prune-first)
+    assert(p.contains("EqualTo(p_type,PROMO)") || p.contains("p_type,PROMO"),
+      s"part filter must push into the scan:\n${p.take(1600)}")
   }
 
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
