@@ -385,6 +385,84 @@ object Analytics extends Catalog {
       sql = Some(CusumOracleSql),
       scaleNote = "raw events collapse map-side to |types × days| daily rows before anything moves; the two prefix windows ride ONE event_type exchange of that tiny frame, and the 1-row cut plus |types|-row reference broadcast — the closed form is what makes CUSUM distributable at all (the recurrence would otherwise serialize on the driver); at 100 TB per-entity CUSUM (key = user/source/partition) is the same plan with the entity in the partition key, state O(|entities × days|)"),
 
+    // ----- q206: Theil-Sen robust trend estimator (r12) --------------
+    // The robust-regression companion to q196 (robust LOCATION via
+    // median/MAD) and q194 (WHEN did it drift): the median of all
+    // pairwise slopes (x_j−x_i)/(d_j−d_i) — Theil 1950 / Sen 1968 —
+    // estimates the drift RATE with breakdown point ~29%, where the
+    // OLS slope one corrupt day can drag arbitrarily. Runs on q194's
+    // exact planted feed (click doubles after the midpoint), so the
+    // expected readout is a decisively positive click slope and
+    // near-zero everything else — the monitors compose: q194 fires
+    // the alarm, q206 quantifies the trend the alarm sits on.
+    // Exactness: slopes stay EXACT RATIONALS (num = Δcount,
+    // den = Δdays > 0) end to end; the ONLY float is the ordering key
+    // CAST(num AS DOUBLE)/den — a single IEEE division both engines
+    // compute identically — with (num, den) tie-breaks so the
+    // selected lower-median ROW is deterministic even across
+    // equal-valued rationals (1/2 vs 2/4 order by num), and the
+    // emitted columns are the exact integers, never the double.
+    "q206_theil_sen_trend" -> Q(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"),
+          unix_micros(date_trunc("day", col("ts"))).as("d"))
+        val span = ev.agg(expr("(min(d) + max(d)) DIV 2").as("cut"))
+        val daily = ev.groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("x"))
+          .crossJoin(broadcast(span))
+          .select(col("event_type"),
+            expr("d DIV 86400000000").as("dd"),
+            when(col("event_type") === "click" && col("d") >= col("cut"),
+              col("x") * 2).otherwise(col("x")).as("x"))
+          .localCheckpoint() // one daily frame feeds both pair sides
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+            col("a.dd") < col("b.dd"))
+          .select(col("a.event_type").as("event_type"),
+            (col("b.x") - col("a.x")).as("num"),
+            (col("b.dd") - col("a.dd")).as("den"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("num").cast("double") / col("den"),
+            col("num"), col("den"))
+        val cnt = pairs.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"))
+        pairs.withColumn("rk", row_number().over(w))
+          .join(broadcast(cnt), "event_type")
+          .filter(col("rk") === (col("n_pairs") + 1) / 2)
+          .select(col("event_type"), col("n_pairs"),
+            col("num").as("med_slope_num"), col("den").as("med_slope_den"),
+            (col("num") > 0).cast("long").as("rising"))
+      },
+      sql = Some("""
+        WITH ev AS (SELECT event_type,
+                           epoch_us(date_trunc('day', ts::TIMESTAMP)) AS d
+                    FROM events),
+        span AS (SELECT (min(d) + max(d)) // 2 AS cut FROM ev),
+        daily AS (
+          SELECT event_type, d // 86400000000 AS dd,
+                 CAST(CASE WHEN event_type = 'click'
+                             AND d >= (SELECT cut FROM span)
+                      THEN count(*) * 2 ELSE count(*) END AS BIGINT) AS x
+          FROM ev GROUP BY event_type, d),
+        pairs AS (
+          SELECT a.event_type AS event_type,
+                 b.x - a.x AS num, b.dd - a.dd AS den
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.dd < b.dd),
+        cnt AS (SELECT event_type, count(*) AS n_pairs
+                FROM pairs GROUP BY 1),
+        rk AS (
+          SELECT event_type, num, den,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rk
+          FROM pairs)
+        SELECT rk.event_type AS event_type, n_pairs,
+               num AS med_slope_num, den AS med_slope_den,
+               CAST(num > 0 AS BIGINT) AS rising
+        FROM rk JOIN cnt USING (event_type)
+        WHERE rk = (n_pairs + 1) // 2"""),
+      scaleNote = "the pair join runs on the ALREADY-COLLAPSED |types × days| daily frame — O(|days|²) rows per key regardless of event volume, and |days| is the monitoring horizon, not the corpus (a year is 66k pairs/key); the rank window rides one event_type exchange of that pair frame; at 100 TB per-entity trends key the same plan by (entity) with the horizon bounding per-key cost, and for very long horizons the documented refinements are pair SAMPLING (the median is estimable from O(n) random pairs) or Siegel's repeated median — same frame, same exchange"),
+
 
     // ----- partition freshness / gap audit (temporal completeness) --
     // The third leg of the monitoring trio (q148 structural, q149
@@ -427,6 +505,90 @@ object Analytics extends Catalog {
                     ELSE 'ok' END AS status
         FROM cal LEFT JOIN byday b USING (day)"""),
       scaleNote = "per-day counts partial-aggregate map-side into ≤ |days| rows; the calendar is one aggregate row exploded and broadcast back — cost is the one scan whatever the feed size, and with a date-partitioned layout the scan itself reduces to listing partition dirs (footer/metadata only)"),
+
+    // ----- q205: seasonal-naive forecast backtest (r12) --------------
+    // The catalog's first FORECASTING operator — the capacity-planning
+    // question every ops stack asks after the monitors (q149/q151/
+    // q194) say the feed is healthy: how predictable is tomorrow?
+    // Methodology is the M-competition baseline discipline: the
+    // seasonal-naive forecast x̂_t = x_{t−7} walk-forward-backtested
+    // against the naive x̂_t = x_{t−1}, scored by MASE (Hyndman &
+    // Koehler 2006) — the scale-free standard that needs NO division
+    // until the final ppm emission. The synthetic feed has no organic
+    // weekly cycle, so the query plants one (the q194 stance) —
+    // ADDITIVELY: Saturdays gain 2× the type's mean daily volume,
+    // via the PORTABLE integer day-of-week (epoch_days + 4) mod 7 and
+    // an integer DIV mean. Additive is the load-bearing choice: a
+    // multiplicative plant (×k) scales the Saturday-to-Saturday NOISE
+    // by the same k it adds signal, so seasonal-naive gains nothing
+    // when the base series' week-over-week variation is already high
+    // (measured: ×4 still left click's MASE at 1.09 at sf0.001) —
+    // whereas a constant additive offset cancels EXACTLY between
+    // aligned Saturdays while hitting both Fri→Sat and Sat→Sun naive
+    // steps, and 2·mean dominates day-to-day noise (~√2·sd ≪ 2·mean)
+    // at EVERY SF. Expected honest result: mase_ppm < 1e6 everywhere
+    // — the spec pins that, plus a no-plant control with no edge.
+    // All arithmetic exact BIGINT; the one division is ppm of two
+    // BIGINT sums, CASE-guarded against a constant series.
+    "q205_seasonal_naive_backtest" -> Q(
+      fn = (s, d) => {
+        val daily0 = t(s, d, "events")
+          .select(col("event_type"),
+            expr("unix_micros(date_trunc('day', ts))").as("d"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("x0"))
+          .localCheckpoint() // one daily frame feeds the mean AND the series
+        val ref = daily0.groupBy(col("event_type"))
+          .agg(expr("sum(x0) DIV count(1)").as("mu"))
+        val daily = daily0.join(broadcast(ref), "event_type")
+          .select(col("event_type"), col("d"),
+            (col("x0") + when(
+              (col("d") / lit(86400000000L) + 4) % 7 === 6, col("mu") * 2)
+              .otherwise(0L)).as("x"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        daily
+          .withColumn("f_seasonal", lag(col("x"), 7).over(w))
+          .withColumn("f_naive", lag(col("x"), 1).over(w))
+          .filter(col("f_seasonal").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum(abs(col("x") - col("f_seasonal"))).as("sae_seasonal"),
+            sum(abs(col("x") - col("f_naive"))).as("sae_naive"))
+          .select(col("event_type"), col("n_eval"),
+            col("sae_seasonal"), col("sae_naive"),
+            when(col("sae_naive") === 0, lit(null).cast("long"))
+              .otherwise(expr("sae_seasonal * 1000000 DIV sae_naive"))
+              .as("mase_ppm"))
+      },
+      sql = Some("""
+        WITH daily0 AS (
+          SELECT event_type,
+                 epoch_us(date_trunc('day', ts::TIMESTAMP)) AS d,
+                 count(*) AS x0
+          FROM events GROUP BY 1, 2),
+        ref AS (SELECT event_type, CAST(sum(x0) AS BIGINT) // count(*) AS mu
+                FROM daily0 GROUP BY 1),
+        daily AS (
+          SELECT daily0.event_type AS event_type, d,
+                 CAST(x0 + CASE WHEN (d // 86400000000 + 4) % 7 = 6
+                      THEN 2 * mu ELSE 0 END AS BIGINT) AS x
+          FROM daily0 JOIN ref USING (event_type)),
+        fc AS (
+          SELECT event_type, x,
+                 lag(x, 7) OVER w AS f_seasonal,
+                 lag(x, 1) OVER w AS f_naive
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY d))
+        SELECT event_type, count(*) AS n_eval,
+               CAST(sum(abs(x - f_seasonal)) AS BIGINT) AS sae_seasonal,
+               CAST(sum(abs(x - f_naive)) AS BIGINT) AS sae_naive,
+               CASE WHEN CAST(sum(abs(x - f_naive)) AS BIGINT) = 0 THEN NULL
+                    ELSE CAST(sum(abs(x - f_seasonal)) AS BIGINT) * 1000000
+                         // CAST(sum(abs(x - f_naive)) AS BIGINT)
+               END AS mase_ppm
+        FROM fc WHERE f_seasonal IS NOT NULL
+        GROUP BY 1"""),
+      scaleNote = "raw events collapse map-side to the |types × days| daily frame before anything moves (q194's shape); both forecast lags ride ONE event_type exchange of that tiny frame, and the scorecard is |types| rows of integer counters — at 100 TB the same plan backtests per-entity forecasts (key = source/tenant/partition) with the entity in the partition key, and longer-horizon or multi-seasonal variants are just more lag columns on the same exchange; the scorecard is what a pipeline gates autoscaling or budget alerts on"),
 
     // ----- rolling z-score anomaly flags (pipeline monitoring) ------
     // The drift/outlier monitor a production feed runs beside q148's

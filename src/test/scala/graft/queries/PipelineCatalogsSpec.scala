@@ -1859,6 +1859,91 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(want.values.sum == total)
   }
 
+  test("q205: MASE replicates in plain Scala, the planted weekly cycle " +
+    "gives seasonal-naive the edge, and the no-plant control shows none") {
+    val out = Analytics.queries("q205_seasonal_naive_backtest").fn(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // plain-Scala replica off the raw events, planted and unplanted
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', CAST(ts AS TIMESTAMP)))"))
+      .as[(String, Long)].collect()
+    def mase(plant: Boolean): Map[String, (Long, Long, Long)] =
+      raw.groupBy(_._1).map { case (et, rows) =>
+        val byDay = rows.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (d, g) => (d, g.length.toLong) }
+        val mu = byDay.map(_._2).sum / byDay.length
+        val xs = byDay.map { case (d, base) =>
+          if (plant && (d / 86400000000L + 4) % 7 == 6) base + 2 * mu else base
+        }
+        val ev = (7 until xs.length).map(t =>
+          (math.abs(xs(t) - xs(t - 7)), math.abs(xs(t) - xs(t - 1))))
+        et -> (ev.length.toLong, ev.map(_._1).sum, ev.map(_._2).sum)
+      }
+    val planted = mase(plant = true)
+    out.foreach { case (et, n, ss, sn, ppm) =>
+      val (wn, wss, wsn) = planted(et)
+      assert(n == wn && ss == wss && sn == wsn,
+        s"$et: ($n,$ss,$sn) vs replica ($wn,$wss,$wsn)")
+      assert(ppm == ss * 1000000L / sn, s"$et: ppm $ppm")
+      // the planted cycle is visible to the lag-7 forecast and poison
+      // to the lag-1 — seasonal-naive must win decisively
+      assert(ppm < 800000L, s"$et: seasonal edge missing, mase $ppm ppm")
+    }
+    // control: without the plant the corpus has no weekly structure,
+    // so seasonal-naive holds no edge (MASE stays near or above 1)
+    mase(plant = false).foreach { case (et, (_, ss, sn)) =>
+      assert(ss * 1000000L / sn > 800000L,
+        s"$et: unplanted corpus unexpectedly seasonal: ${ss * 1000000L / sn}")
+    }
+  }
+
+  test("q206: the Theil-Sen median slope equals a plain-Scala replica " +
+    "and the planted click drift dominates every other trend") {
+    val out = Analytics.queries("q206_theil_sen_trend").fn(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', CAST(ts AS TIMESTAMP)))"))
+      .as[(String, Long)].collect()
+    val cut = {
+      val ds = raw.map(_._2); (ds.min + ds.max) / 2
+    }
+    val want = raw.groupBy(_._1).map { case (et, rows) =>
+      val daily = rows.groupBy(_._2).toSeq
+        .map { case (d, g) =>
+          val x = g.length.toLong
+          (d / 86400000000L,
+            if (et == "click" && d >= cut) x * 2 else x)
+        }.sortBy(_._1)
+      val pairs = for {
+        (di, xi) <- daily; (dj, xj) <- daily if di < dj
+      } yield (xj - xi, dj - di)
+      val sorted = pairs.sortBy { case (n, dd) =>
+        (n.toDouble / dd, n, dd) }
+      val m = sorted((sorted.length + 1) / 2 - 1)
+      et -> (pairs.length.toLong, m._1, m._2)
+    }
+    assert(out.map(_._1).toSet == want.keySet)
+    out.foreach { case (et, n, num, den, rising) =>
+      val (wn, wnum, wden) = want(et)
+      assert(n == wn && num == wnum && den == wden,
+        s"$et: ($n,$num,$den) vs replica ($wn,$wnum,$wden)")
+      assert(rising == (if (num > 0) 1L else 0L))
+      assert(den > 0, s"$et: non-positive denominator $den")
+    }
+    // the planted step makes click's robust slope positive and the
+    // strict per-type maximum (flat types carry only noise slopes)
+    val slope = out.map(r => r._1 -> r._3.toDouble / r._4).toMap
+    assert(slope("click") > 0, s"planted drift not rising: ${slope("click")}")
+    slope.filter(_._1 != "click").foreach { case (et, sl) =>
+      assert(slope("click") > sl,
+        s"click ${slope("click")} does not dominate $et $sl")
+    }
+  }
+
   test("q194: the prefix-min closed form equals Page's sequential CUSUM " +
     "recurrence row by row, and the planted drift fires after the cut") {
     val out = Analytics.queries("q194_cusum_drift").fn(spark, sf0001)
