@@ -463,6 +463,106 @@ object Analytics extends Catalog {
         WHERE rk = (n_pairs + 1) // 2"""),
       scaleNote = "the pair join runs on the ALREADY-COLLAPSED |types × days| daily frame — O(|days|²) rows per key regardless of event volume, and |days| is the monitoring horizon, not the corpus (a year is 66k pairs/key); the rank window rides one event_type exchange of that pair frame; at 100 TB per-entity trends key the same plan by (entity) with the horizon bounding per-key cost, and for very long horizons the documented refinements are pair SAMPLING (the median is estimable from O(n) random pairs) or Siegel's repeated median — same frame, same exchange"),
 
+    // ----- q207: EWMA control chart (r12) ----------------------------
+    // Roberts 1959 — the OTHER canonical sequential SPC chart beside
+    // Page's CUSUM (q194): z_t = λx_t + (1−λ)z_{t−1} smoothed against
+    // time-varying limits µ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})) — the
+    // limits WIDEN toward steady state as the smoother forgets its
+    // seed, which is what lets an EWMA chart fire honestly from day
+    // one where a fixed-limit chart over-alarms early. λ = 0.2,
+    // L = 3, reference µ/σ² from the pre-cut window (q194's planted
+    // click doubling is the shift under test — CUSUM and the EWMA
+    // chart gate the SAME feed, the textbook pairing). Determinism:
+    // the recurrence runs as q114's secondary-sort mapPartitions scan
+    // (both engines execute the IDENTICAL double op chain — no
+    // intermediate rounding needed, q114's proven stance), the limit
+    // factor (1−λ)^{2t} is carried ITERATIVELY (g ← 0.64·g) in the
+    // same recursion rather than through pow() (whose rounding is not
+    // IEEE-pinned), µ/varnum = n₀Q−S² stay exact integers, and the
+    // alarm compare is cross-multiplied to (z−µ)²·1.8·n₀² >
+    // 9·0.2·varnum·(1−g) so no division ever happens; every DuckDB
+    // literal is CAST to DOUBLE (the decimal trap).
+    "q207_ewma_control_chart" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events").select(col("event_type"),
+          unix_micros(date_trunc("day", col("ts"))).as("d"))
+        val span = ev.agg(expr("(min(d) + max(d)) DIV 2").as("cut"))
+        val daily = ev.groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("x"))
+          .crossJoin(broadcast(span))
+          .select(col("event_type"), col("d"), col("cut"),
+            when(col("event_type") === "click" && col("d") >= col("cut"),
+              col("x") * 2).otherwise(col("x")).as("x"))
+          .localCheckpoint() // one daily frame feeds the reference AND the scan
+        val ref = daily.filter(col("d") < col("cut"))
+          .groupBy(col("event_type"))
+          .agg(expr("sum(x) DIV count(1)").as("mu"),
+            expr("count(1) * sum(x * x) - sum(x) * sum(x)").as("varnum"),
+            count(lit(1)).as("n0"))
+        daily.join(broadcast(ref), "event_type")
+          .select(col("event_type"), col("d"), col("x"),
+            col("mu"), col("varnum"), col("n0"))
+          .repartition(col("event_type"))
+          .sortWithinPartitions(col("event_type"), col("d"))
+          .as[(String, Long, Long, Long, Long, Long)]
+          .mapPartitions { it =>
+            var cur: String = null
+            var z = 0.0
+            var g = 1.0
+            it.map { case (et, day, x, mu, varnum, n0) =>
+              if (et != cur) { cur = et; z = mu.toDouble; g = 1.0 }
+              z = 0.2 * x + 0.8 * z
+              g = g * 0.64
+              val dev = z - mu
+              val alarm =
+                if (dev * dev * 1.8 * n0 * n0 >
+                  9.0 * 0.2 * varnum * (1.0 - g)) 1L else 0L
+              (et, day, x, z, alarm)
+            }
+          }
+          .toDF("event_type", "d", "x", "z", "alarm")
+      },
+      sql = Some("""
+        WITH RECURSIVE ev AS (
+          SELECT event_type,
+                 epoch_us(date_trunc('day', ts::TIMESTAMP)) AS d
+          FROM events),
+        span AS (SELECT (min(d) + max(d)) // 2 AS cut FROM ev),
+        daily AS (
+          SELECT event_type, d,
+                 CAST(CASE WHEN event_type = 'click'
+                             AND d >= (SELECT cut FROM span)
+                      THEN count(*) * 2 ELSE count(*) END AS BIGINT) AS x,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                   AS BIGINT) AS rn
+          FROM ev GROUP BY event_type, d),
+        ref AS (
+          SELECT event_type,
+                 CAST(sum(x) AS BIGINT) // count(*) AS mu,
+                 CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+                   AS varnum,
+                 count(*) AS n0
+          FROM daily WHERE d < (SELECT cut FROM span) GROUP BY 1),
+        r AS (
+          SELECT daily.event_type AS event_type, rn, d, x,
+                 CAST(0.2 AS DOUBLE) * x
+                   + CAST(0.8 AS DOUBLE) * CAST(mu AS DOUBLE) AS z,
+                 CAST(0.64 AS DOUBLE) AS g
+          FROM daily JOIN ref USING (event_type) WHERE rn = 1
+          UNION ALL
+          SELECT b.event_type, b.rn, b.d, b.x,
+                 CAST(0.2 AS DOUBLE) * b.x + CAST(0.8 AS DOUBLE) * r.z,
+                 r.g * CAST(0.64 AS DOUBLE)
+          FROM daily b JOIN r
+            ON b.event_type = r.event_type AND b.rn = r.rn + 1)
+        SELECT r.event_type AS event_type, d, x, z,
+               CAST((z - mu) * (z - mu) * CAST(1.8 AS DOUBLE) * n0 * n0
+                    > CAST(9.0 AS DOUBLE) * CAST(0.2 AS DOUBLE) * varnum
+                      * (CAST(1.0 AS DOUBLE) - g) AS BIGINT) AS alarm
+        FROM r JOIN ref USING (event_type)"""),
+      scaleNote = "the chart is q114's plan: raw events collapse map-side to the |types × days| frame, one exchange on the key, then a streaming constant-memory scan carrying THREE doubles of state (z, g, and the key) — no window materializes the series, no pow() enters the path; at 100 TB per-entity charts key the same scan by (entity) and the steady-state variant drops g entirely (fixed limits, two doubles of state) — this and q194 are the two sequential monitors a feed runs side by side: EWMA reacts faster to moderate shifts, CUSUM accumulates smaller ones"),
+
 
     // ----- partition freshness / gap audit (temporal completeness) --
     // The third leg of the monitoring trio (q148 structural, q149

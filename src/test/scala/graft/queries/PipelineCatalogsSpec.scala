@@ -1899,6 +1899,56 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q207: the EWMA chart equals a plain-Scala replica bit-for-bit " +
+    "and the planted shift alarms after the cut") {
+    val out = Analytics.queries("q207_ewma_control_chart").fn(spark, sf0001)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(out.nonEmpty)
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', CAST(ts AS TIMESTAMP)))"))
+      .as[(String, Long)].collect()
+    val cut = { val ds = raw.map(_._2); (ds.min + ds.max) / 2 }
+    val want = raw.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      val daily = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, g) =>
+        val x = g.length.toLong
+        (d, if (et == "click" && d >= cut) x * 2 else x)
+      }
+      val pre = daily.filter(_._1 < cut).map(_._2)
+      val mu = pre.sum / pre.length
+      val varnum = pre.length * pre.map(x => x * x).sum - pre.sum * pre.sum
+      val n0 = pre.length.toLong
+      var z = mu.toDouble
+      var g = 1.0
+      daily.map { case (d, x) =>
+        z = 0.2 * x + 0.8 * z
+        g = g * 0.64
+        val dev = z - mu
+        val alarm =
+          if (dev * dev * 1.8 * n0 * n0 > 9.0 * 0.2 * varnum * (1.0 - g)) 1L
+          else 0L
+        (et, d, x, z, alarm)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(out.length == want.length)
+    out.zip(want).foreach { case (g0, w) =>
+      assert(g0 == w, s"chart row diverged: $g0 vs $w") // z compared ==
+    }
+    // the planted click doubling must trip the chart after the cut
+    val clickPost = out.filter(r => r._1 == "click" && r._2 >= cut)
+    assert(clickPost.nonEmpty && clickPost.exists(_._5 == 1L),
+      "planted shift never alarmed")
+    // and the smoother mostly HOLDS the alarm (a single low day can
+    // dip z back inside the still-widening limits at sf0.001's tiny
+    // counts, so the pin is majority + the settled final day, not a
+    // hard latch)
+    assert(clickPost.count(_._5 == 1L) * 2 > clickPost.length,
+      s"alarm not held on most post-cut days: ${clickPost.map(_._5).toSeq}")
+    assert(clickPost.last._5 == 1L,
+      s"alarm lost by the final day: ${clickPost.map(_._5).toSeq}")
+  }
+
   test("q206: the Theil-Sen median slope equals a plain-Scala replica " +
     "and the planted click drift dominates every other trend") {
     val out = Analytics.queries("q206_theil_sen_trend").fn(spark, sf0001)
