@@ -62,6 +62,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "minhash_bands(hashes, bands, rowsPerBand) requires integer-literal geometry")
       }))
     ext.injectFunction((
+      FunctionIdentifier("portable_minhash"),
+      new ExpressionInfo(classOf[PortableMinHash].getName, "portable_minhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s,
+            org.apache.spark.sql.catalyst.expressions.IntegerLiteral(n)) =>
+          PortableMinHash(s, n)
+        case _ => throw new IllegalArgumentException(
+          "portable_minhash(shingles, numHashes) requires an integer-literal count")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
       (children: Seq[Expression]) => children match {

@@ -91,12 +91,10 @@ object Dedup extends Catalog {
         (col("sz1") + col("sz2") - col("inter")).as("un"))
       .filter(col("inter") * 5 >= col("un")) // j >= 0.2
     // portable geometry: 8 md5-derived 48-bit minima, 4 bands × 2 rows
+    // (native PortableMinHash — bit-identical to the HOF spelling,
+    // see q192)
     val sig = shStr.select(col("doc_id"),
-      transform(sequence(lit(0), lit(7)), p =>
-        array_min(transform(col("sh"), g =>
-          conv(substring(md5(
-            concat(lit("mh"), p.cast("string"), lit(":"), g)), 1, 12),
-            16, 10).cast("long")))).as("mins"))
+      call_function("portable_minhash", col("sh"), lit(8)).as("mins"))
       .localCheckpoint()
     val bandedPort = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
@@ -743,12 +741,14 @@ object Dedup extends Catalog {
             (col("sz1") + col("sz2") - col("inter")).as("un"))
           .filter(col("inter") * 5 >= col("un")) // j >= 0.2
         // portable minhash signature: 8 md5-derived 48-bit hash mins
+        // native one-pass kernel (PortableMinHash) — bit-identical to
+        // the HOF spelling transform(sequence(0,7), p -> array_min(
+        // transform(sh, g -> conv(substr(md5('mh'||p||':'||g),1,12),
+        // 16,10)))) it replaced (PortableMinHashSpec), so the DuckDB
+        // oracle below is untouched; the interpreted HOF walked the
+        // shingle set once per hash function and dominated this query
         val sig = shStr.select(col("doc_id"),
-          transform(sequence(lit(0), lit(7)), p =>
-            array_min(transform(col("sh"), g =>
-              conv(substring(md5(
-                concat(lit("mh"), p.cast("string"), lit(":"), g)), 1, 12),
-                16, 10).cast("long")))).as("mins"))
+          call_function("portable_minhash", col("sh"), lit(8)).as("mins"))
           .localCheckpoint() // one signature pass feeds both join sides
         val banded = sig.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(3)), b =>
