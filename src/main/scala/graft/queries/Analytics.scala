@@ -842,6 +842,117 @@ object Analytics extends Catalog {
         SELECT 'o_orderdate_us', n, nn_od, nd_od, mn_od, mx_od FROM a"""),
       scaleNote = "ONE scan whatever the column count: the multi-distinct plans as a single Expand (fan-out × |profiled columns|, each branch partial-aggregating map-side before one exchange), min/max/null-counts ride the same pass free, and the unpivot touches a 1-row frame — at 100 TB swap the exact distincts for approx_count_distinct (q43's HLL sketch, same Expand-free single pass) and the profile costs what one COUNT(*) costs; this is the discovery half that feeds q148's constraint gate and q127's drift monitor"),
 
+    // ----- q208: the q203 profile as a MERGEABLE two-batch fold ------
+    // The q185 precedent applied to profiling: a 100 TB profile is
+    // never one job — yesterday's partials must FOLD with today's
+    // batch without rescanning the base. Every q203 statistic is a
+    // monoid: counts and null-counts ADD, min/max fold by least/
+    // greatest (kept TYPED until emission — folding the string reprs
+    // would compare "100" < "99"), and the exact distinct count's
+    // mergeable partial is the per-batch DISTINCT VALUE frame (union,
+    // then distinct — counts themselves do NOT add, the classic
+    // re-aggregation trap; at 100 TB the value frames become q143's
+    // portable HLL registers, which merge by bucket-max). The query
+    // splits orders by key parity into two disjoint "daily batches",
+    // computes each batch's partials independently, folds them, and
+    // emits the EXACT q203 report — the oracle is q203's one-shot SQL
+    // verbatim, so the gate is the fold theorem itself (the q185/q188
+    // stance: same oracle, operational spelling).
+    "q208_incremental_profile_fold" -> Q(
+      fn = (s, d) => {
+        val o = t(s, d, "orders")
+        val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        val dus = unix_micros(col("o_orderdate"))
+        def scalars(df: DataFrame): DataFrame = df.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn_st"),
+          min(col("o_orderstatus")).as("mn_st"),
+          max(col("o_orderstatus")).as("mx_st"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_ck"),
+          min(col("o_custkey")).as("mn_ck"),
+          max(col("o_custkey")).as("mx_ck"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn_tp"),
+          min(cents).as("mn_tp"),
+          max(cents).as("mx_tp"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("nn_od"),
+          min(dus).as("mn_od"),
+          max(dus).as("mx_od"))
+        def values(df: DataFrame): DataFrame = df.select(
+          col("o_orderstatus").cast("string").as("v_st"),
+          col("o_custkey").cast("string").as("v_ck"),
+          cents.cast("string").as("v_tp"),
+          dus.cast("string").as("v_od"))
+        val a = o.filter(col("o_orderkey") % 2 === 0)
+        val b = o.filter(col("o_orderkey") % 2 =!= 0)
+        // fold the two batch partials: counts add, bounds fold typed
+        val merged = scalars(a).unionByName(scalars(b)).agg(
+          sum(col("n")).as("n"),
+          sum(col("nn_st")).as("nn_st"), min(col("mn_st")).as("mn_st"),
+          max(col("mx_st")).as("mx_st"),
+          sum(col("nn_ck")).as("nn_ck"), min(col("mn_ck")).as("mn_ck"),
+          max(col("mx_ck")).as("mx_ck"),
+          sum(col("nn_tp")).as("nn_tp"), min(col("mn_tp")).as("mn_tp"),
+          max(col("mx_tp")).as("mx_tp"),
+          sum(col("nn_od")).as("nn_od"), min(col("mn_od")).as("mn_od"),
+          max(col("mx_od")).as("mx_od"))
+        // distinct partials: per-batch DISTINCT value frames (already
+        // collapsed batch-side), folded by union + re-distinct — the
+        // half that would be WRONG as count addition
+        val dv = values(a).distinct().unionByName(values(b).distinct())
+        val nd = dv.agg(
+          countDistinct(col("v_st")).as("nd_st"),
+          countDistinct(col("v_ck")).as("nd_ck"),
+          countDistinct(col("v_tp")).as("nd_tp"),
+          countDistinct(col("v_od")).as("nd_od"))
+        merged.crossJoin(broadcast(nd)).selectExpr("""stack(4,
+            'o_orderstatus', n, nn_st, nd_st,
+              CAST(mn_st AS STRING), CAST(mx_st AS STRING),
+            'o_custkey',     n, nn_ck, nd_ck,
+              CAST(mn_ck AS STRING), CAST(mx_ck AS STRING),
+            'o_totalprice_cents', n, nn_tp, nd_tp,
+              CAST(mn_tp AS STRING), CAST(mx_tp AS STRING),
+            'o_orderdate_us', n, nn_od, nd_od,
+              CAST(mn_od AS STRING), CAST(mx_od AS STRING))
+          AS (col_name, n, n_nulls, n_distinct, min_repr, max_repr)""")
+      },
+      sql = Some("""
+        WITH a AS (
+          SELECT count(*) AS n,
+                 CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn_st,
+                 CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_st,
+                 CAST(min(o_orderstatus) AS VARCHAR) AS mn_st,
+                 CAST(max(o_orderstatus) AS VARCHAR) AS mx_st,
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn_ck,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
+                 CAST(min(o_custkey) AS VARCHAR) AS mn_ck,
+                 CAST(max(o_custkey) AS VARCHAR) AS mx_ck,
+                 CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn_tp,
+                 CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS nd_tp,
+                 CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS VARCHAR) AS mn_tp,
+                 CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS VARCHAR) AS mx_tp,
+                 CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn_od,
+                 CAST(count(DISTINCT epoch_us(o_orderdate)) AS BIGINT) AS nd_od,
+                 CAST(min(epoch_us(o_orderdate)) AS VARCHAR) AS mn_od,
+                 CAST(max(epoch_us(o_orderdate)) AS VARCHAR) AS mx_od
+          FROM orders)
+        SELECT 'o_orderstatus' AS col_name, n, nn_st AS n_nulls,
+               nd_st AS n_distinct, mn_st AS min_repr, mx_st AS max_repr
+        FROM a
+        UNION ALL
+        SELECT 'o_custkey', n, nn_ck, nd_ck, mn_ck, mx_ck FROM a
+        UNION ALL
+        SELECT 'o_totalprice_cents', n, nn_tp, nd_tp, mn_tp, mx_tp FROM a
+        UNION ALL
+        SELECT 'o_orderdate_us', n, nn_od, nd_od, mn_od, mx_od FROM a"""),
+      scaleNote = "this is how q203 ships at 100 TB: each ingest batch computes its OWN |columns|-row scalar partial plus per-column distinct-value partials (both pure functions of the batch — overwrite-idempotent, the IvmSink property), and the served profile folds partials without touching the base; the distinct-value frames are the one component whose size tracks cardinality, and the documented swap is q143's portable HLL registers (bucket-max merge, fixed 512 cells) once a column's cardinality outgrows a frame — counts/bounds fold unchanged; the fold here deliberately routes through union+re-distinct because adding per-batch distinct COUNTS is the classic re-aggregation bug, and the oracle (q203's one-shot SQL verbatim) gates exactly that equivalence"),
+
     // ----- declarative data-quality audit (Deequ-style) -------------
     // The constraint suite a warehouse/training pipeline runs before
     // trusting a snapshot (public shape: Amazon Deequ): completeness,

@@ -1836,6 +1836,29 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q208: the two-batch profile fold equals the one-shot profile " +
+    "exactly, and the naive count-addition it avoids would be wrong") {
+    val folded = Analytics.queries("q208_incremental_profile_fold")
+      .fn(spark, sf0001)
+      .as[(String, Long, Long, Long, String, String)].collect().sortBy(_._1)
+    val oneShot = Analytics.queries("q203_column_profiler").fn(spark, sf0001)
+      .as[(String, Long, Long, Long, String, String)].collect().sortBy(_._1)
+    assert(folded.nonEmpty && folded.toSeq == oneShot.toSeq,
+      s"fold diverged from one-shot:\n${folded.toSeq}\nvs\n${oneShot.toSeq}")
+    // the trap the fold exists to avoid: per-batch distinct COUNTS
+    // added together overcount whenever the batches share values —
+    // prove the fixture actually exercises that (otherwise the
+    // union+re-distinct path would be vacuously right)
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus").as[(Long, String)].collect()
+    val aSt = orders.filter(_._1 % 2 == 0).map(_._2).distinct.length
+    val bSt = orders.filter(_._1 % 2 != 0).map(_._2).distinct.length
+    val mergedSt = folded.find(_._1 == "o_orderstatus").get._4
+    assert(aSt + bSt > mergedSt,
+      s"fixture regression: batches share no status values " +
+        s"($aSt + $bSt vs $mergedSt) — the fold theorem is vacuous")
+  }
+
   test("q195: digit shares replicate in plain Scala and account for the " +
     "whole feed") {
     val out = Analytics.queries("q195_benford_audit").fn(spark, sf0001)
