@@ -237,6 +237,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r12 additions never degrade to cartesian plans") {
+    // the forecast/trend/SPC monitors and the profile fold all join
+    // only on event_type or fold 1-row broadcast frames — a
+    // CartesianProduct (or a non-1-row nested loop) here is the O(n²)
+    // regression their scaleNotes rule out. q205/q206/q207 carry
+    // q194-style 1-row cut/stat broadcasts, so a BNLJ of a broadcast
+    // 1-row frame is the one allowed shape (the q194 precedent).
+    for (q <- Seq("q205_seasonal_naive_backtest", "q206_theil_sen_trend",
+        "q207_ewma_control_chart", "q208_incremental_profile_fold")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(800)}")
+      // any nested loop must be the broadcast-build of a tiny frame,
+      // never an unhinted plan over data-sized sides
+      assert(!p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastNestedLoopJoin BuildRight") ||
+        p.contains("BroadcastNestedLoopJoin BuildLeft"),
+        s"$q:\n${p.take(800)}")
+    }
+  }
+
   test("q60: hash sampling is a pure map-side scan — zero exchanges") {
     val p = plan("q60_hash_sample")
     assert(!p.contains("Exchange"),
