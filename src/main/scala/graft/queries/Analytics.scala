@@ -428,7 +428,11 @@ object Analytics extends Catalog {
           .agg(count(lit(1)).as("n_pairs"))
         pairs.withColumn("rk", row_number().over(w))
           .join(broadcast(cnt), "event_type")
-          .filter(col("rk") === (col("n_pairs") + 1) / 2)
+          // integer DIV, matching the oracle's `//` and the spec
+          // replica — Spark's `/` is DOUBLE division, which would make
+          // the rank filter fractional (and match nothing) whenever
+          // n_pairs is even (e.g. a 28/29-day horizon)
+          .filter(col("rk") === expr("(n_pairs + 1) DIV 2"))
           .select(col("event_type"), col("n_pairs"),
             col("num").as("med_slope_num"), col("den").as("med_slope_den"),
             (col("num") > 0).cast("long").as("rising"))

@@ -392,6 +392,61 @@ object Dedup extends Catalog {
   private val Bands = 8
   private val RowsPerBand = 2
 
+  /** q201's canonically-ordered shingle frame: every set sorted by
+    * ascending document frequency (tok tie-break — a total order, df
+    * is a map-side partial aggregate), with the AllPairs prefix length
+    * |x| − ⌈τ·|x|⌉ + 1 precomputed. localCheckpoint'd so one
+    * computation feeds both the prefix index and the verify stage.
+    */
+  private[queries] def ppjoinOrdered(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val post = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    post.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, x -> x.tok)").as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("plen",
+        col("sz") - expr("CAST((4 * sz + 4) DIV 5 AS INT)") + 1)
+      .localCheckpoint()
+  }
+
+  /** q201's candidate pairs from the prefix index over `ordered`
+    * (a `ppjoinOrdered` frame). `positional = false` is the plain
+    * AllPairs prefix filter (the r12 spelling, kept so the spec can
+    * prove the positional filter strictly prunes); `positional = true`
+    * adds PPJoin's per-occurrence bound — keep the pair only if some
+    * shared prefix token at 1-based positions (i, j) satisfies
+    * 9·(1 + min(sz1−i, sz2−j)) ≥ 4·(sz1+sz2), the cross-multiplied
+    * ubound ≥ ⌈4(sz1+sz2)/9⌉ test at τ = 4/5. Sound because the FIRST
+    * shared token of any true pair lies in both prefixes and its
+    * bound dominates the true overlap (see the q201 comment).
+    */
+  private[queries] def ppjoinCandidates(
+      ordered: DataFrame, positional: Boolean): DataFrame = {
+    val prefix = ordered.select(col("doc_id"), col("sz"),
+      posexplode(slice(col("toks"), lit(1), col("plen")))
+        .as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("sz"), (col("p0") + 1).as("pos"),
+        col("tok"))
+    val base = prefix.as("a").join(prefix.as("b"),
+      col("a.tok") === col("b.tok") &&
+      col("a.doc_id") < col("b.doc_id") &&
+      col("a.sz") * 4 <= col("b.sz") * 5 &&
+      col("b.sz") * 4 <= col("a.sz") * 5)
+    val kept =
+      if (!positional) base
+      else base.filter(
+        (lit(1) + least(col("a.sz") - col("a.pos"),
+          col("b.sz") - col("b.pos"))) * 9 >=
+        (col("a.sz") + col("b.sz")) * 4)
+    kept.select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .dropDuplicates("doc1", "doc2")
+  }
+
   override def queries: Map[String, Q] = Map(
 
     // ----- E11: exact dedup via content hash ------------------------
@@ -620,7 +675,8 @@ object Dedup extends Catalog {
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau"""),
       scaleNote = "LSH banding: one shuffle on (band,bucket) — candidate set is tiny vs n²; signature+banding all codegen'd Catalyst; verify stage touches only candidates"),
 
-    // ----- E12: prefix-filtered EXACT similarity join (r12) ----------
+    // ----- E12: prefix-filtered EXACT similarity join (r12; true
+    // PPJoin positional filter r13) ----------------------------------
     // AllPairs/PPJoin (Bayardo-Ma-Srikant 2007, Xiao et al. 2008) —
     // the third way to the same τ = 0.8 Jaccard pairs: q26 joins ALL
     // postings (exact, but sum-of-df² blowup), q27 prunes via LSH
@@ -634,37 +690,30 @@ object Dedup extends Catalog {
     // while two disjoint prefixes confine every shared token to
     // suffixes of ⌈τ|a|⌉−1 < τ|a| tokens — contradiction; so every
     // qualifying pair shares a prefix token and ZERO pairs are
-    // missed. All cuts are exact integers: ⌈4n/5⌉ = (4n+4) DIV 5,
-    // length filter 4·max ≤ 5·min by cross-multiplication. The
-    // oracle is q26/q27's brute-force SQL — here equality is exact
-    // by construction, no recall caveat.
+    // missed. r13 adds PPJoin's POSITIONAL filter on top: a shared
+    // prefix token at (1-based) positions i in x, j in y bounds the
+    // whole overlap only when counted from the FIRST shared token —
+    // every shared token sits at ≥ i in x and ≥ j in y, so
+    // |x∩y| ≤ 1 + min(|x|−i, |y|−j); a pair is kept if ANY shared
+    // prefix occurrence satisfies 1 + min(|x|−i, |y|−j) ≥ α where
+    // α = ⌈τ/(1+τ)·(|x|+|y|)⌉ = ⌈4(|x|+|y|)/9⌉ at τ = 4/5. Zero-miss
+    // is preserved: for a true pair the FIRST shared token lies inside
+    // both α-prefixes (else all shared tokens fit in < α suffix slots)
+    // and trivially passes its own bound, since the bound counted from
+    // the first shared occurrence is ≥ the true overlap ≥ α. All cuts
+    // are exact integers: ⌈4n/5⌉ = (4n+4) DIV 5, length filter
+    // 4·max ≤ 5·min and 9·ubound ≥ 4·(sz1+sz2), all by
+    // cross-multiplication. The oracle is q26/q27's brute-force SQL —
+    // equality is exact by construction for MISSES unconditionally
+    // (equal shingle strings hash equal, so no true pair can lose
+    // intersection); the zero-EXTRA half additionally rests on
+    // in-corpus injectivity of the 64-bit shingle hash (a collision
+    // would inflate an intersection), the same documented stance as
+    // q26/q50 — the FULLPREC gate would catch any violating corpus.
     "q201_ppjoin_prefix_filter" -> Q(
       fn = (s, d) => {
-        val sh = shingled(s, d)
-        val post = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
-        val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        // canonical order: ascending df, tok tie-break — the rarest
-        // tokens land in prefixes, so posting lists stay short where
-        // it matters (df is a map-side partial aggregate)
-        val ordered = post.join(dfreq, "tok")
-          .groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
-            .as("ord"))
-          .select(col("doc_id"),
-            expr("transform(ord, x -> x.tok)").as("toks"))
-          .withColumn("sz", size(col("toks")))
-          .withColumn("plen",
-            col("sz") - expr("CAST((4 * sz + 4) DIV 5 AS INT)") + 1)
-          .localCheckpoint() // one ordered frame feeds prefixes AND verify
-        val prefix = ordered.select(col("doc_id"), col("sz"),
-          explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
-        val cand = prefix.as("a").join(prefix.as("b"),
-            col("a.tok") === col("b.tok") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            col("a.sz") * 4 <= col("b.sz") * 5 &&
-            col("b.sz") * 4 <= col("a.sz") * 5)
-          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-          .dropDuplicates("doc1", "doc2")
+        val ordered = ppjoinOrdered(s, d)
+        val cand = ppjoinCandidates(ordered, positional = true)
         val full = ordered.select(col("doc_id"), col("toks"))
         cand
           .join(full.select(col("doc_id").as("doc1"), col("toks").as("t1")),
@@ -687,7 +736,7 @@ object Dedup extends Catalog {
         WHERE len(a.sh) > 0 AND len(b.sh) > 0
           AND len(list_intersect(a.sh, b.sh)) * 1.0 /
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardTau"""),
-      scaleNote = "the prefix cut bounds posting volume to ~(1−τ) of q26's full inverted index AND concentrates it on the rarest tokens (ascending-df order), so the pair join's sum-of-df² term collapses without giving up exactness — this is the serving-free exact dedup plan for 100 TB when a miss is unacceptable (legal/PII copies) and LSH's recall curve (q192/q200) isn't; df ordering costs one vocabulary-keyed aggregate that partial-aggregates map-side, prefixes explode map-side, the candidate join shuffles on the token key, and verification touches only surviving candidates — at τ = 0.9 the prefix is a single-digit fraction of each set"),
+      scaleNote = "the prefix cut bounds posting volume to ~(1−τ) of q26's full inverted index AND concentrates it on the rarest tokens (ascending-df order), so the pair join's sum-of-df² term collapses without giving up exactness — this is the serving-free exact dedup plan for 100 TB when a miss is unacceptable (legal/PII copies) and LSH's recall curve (q192/q200) isn't; df ordering costs one vocabulary-keyed aggregate that partial-aggregates map-side, prefixes explode map-side, the candidate join shuffles on the token key, and verification touches only surviving candidates — at τ = 0.9 the prefix is a single-digit fraction of each set; the r13 positional filter prunes candidates BEFORE the dropDuplicates shuffle and the verify joins (a row-local integer compare on columns the join already carries — free at any scale, and the pruned set is what pays for the two verify joins); zero-miss is unconditional, zero-extra rests on in-corpus 64-bit shingle-hash injectivity (documented above)"),
 
     // ----- E12: LSH recall calibration curve (r11) -------------------
     // The measurement a 100 TB dedup pipeline runs BEFORE committing

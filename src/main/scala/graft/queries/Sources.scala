@@ -164,9 +164,13 @@ object Sources extends Catalog {
             // died — probed via ProcessHandle (portable: /proc exists
             // only on Linux, and a missing /proc would judge every
             // LIVE concurrent owner stale and delete its dir mid-read)
+            // non-negative guard: ProcessHandle.of(-n) THROWS, which
+            // would abort the whole sweep on a malformed `_p-5` name —
+            // a malformed pid is simply stale, like the old digit check
             val pid = rem.drop(live.length + 2)
-            !pid.toLongOption.exists(p =>
-              ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+            !pid.toLongOption.filter(_ >= 0).exists(p =>
+              try ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)
+              catch { case _: IllegalArgumentException => false })
           } else true // this sf, previous corpus generation
         }
       }.toList

@@ -2017,6 +2017,53 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q206: an even pair count (29-day horizon, C(29,2)=406) still " +
+    "selects the lower median — the integer-DIV rank regression") {
+    // Before the DIV fix the Spark-side rank filter used `/` (DOUBLE
+    // division), so any horizon with an even n_pairs matched no row
+    // and silently dropped the type; 30-day corpora (C(30,2)=435, odd)
+    // never exercised it. Cut the feed to its first 29 days.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q206e").toString
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val days = ev.select(
+        expr("unix_micros(date_trunc('day', CAST(ts AS TIMESTAMP))) AS d"))
+      .distinct().as[Long].collect().sorted
+    assert(days.length >= 29, s"fixture horizon too short: ${days.length}")
+    val cutoff = days(28) // keep days(0..28) — exactly 29 distinct days
+    ev.filter(
+        expr(s"unix_micros(date_trunc('day', CAST(ts AS TIMESTAMP))) <= $cutoff"))
+      .write.parquet(s"$dir/events.parquet")
+    val out = Analytics.queries("q206_theil_sen_trend").fn(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val types = ev.select("event_type").distinct().as[String].collect().toSet
+    assert(out.map(_._1).toSet == types,
+      s"even-pair horizon dropped types: ${types -- out.map(_._1).toSet}")
+    out.foreach { case (et, n, num, den, _) =>
+      assert(n == 406L, s"$et: expected C(29,2)=406 pairs, got $n")
+      // replica on the truncated feed — same lower-median convention
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === et)
+        .select(expr("unix_micros(date_trunc('day', CAST(ts AS TIMESTAMP)))"))
+        .as[Long].collect()
+      val cut = {
+        val all = spark.read.parquet(s"$dir/events.parquet")
+          .select(expr("unix_micros(date_trunc('day', CAST(ts AS TIMESTAMP)))"))
+          .as[Long].collect()
+        (all.min + all.max) / 2
+      }
+      val daily = raw.groupBy(identity).toSeq.map { case (d, g) =>
+        val x = g.length.toLong
+        (d / 86400000000L, if (et == "click" && d >= cut) x * 2 else x)
+      }.sortBy(_._1)
+      val pairs = for {
+        (di, xi) <- daily; (dj, xj) <- daily if di < dj
+      } yield (xj - xi, dj - di)
+      val sorted = pairs.sortBy { case (nn, dd) => (nn.toDouble / dd, nn, dd) }
+      val m = sorted((sorted.length + 1) / 2 - 1)
+      assert((num, den) == m, s"$et: ($num,$den) vs replica $m")
+    }
+  }
+
   test("q194: the prefix-min closed form equals Page's sequential CUSUM " +
     "recurrence row by row, and the planted drift fires after the cut") {
     val out = Analytics.queries("q194_cusum_drift").fn(spark, sf0001)
@@ -2121,6 +2168,58 @@ class PipelineCatalogsSpec extends SparkSpec {
       s"missed ${want.keySet -- got.keySet}, extra ${got.keySet -- want.keySet}")
     want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12,
       s"$k: jaccard ${got(k)} vs $j") }
+  }
+
+  test("q201: the positional filter strictly prunes the prefix-only " +
+    "candidate set and loses no true pair (true PPJoin, r13)") {
+    // On the organic corpus every prefix candidate is a genuine
+    // near-dup (nothing prunable), so plant the adversarial shape the
+    // filter exists for: x (16 shingles) and y (20 shingles) share
+    // exactly ONE shingle m. Background copies pump every filler
+    // shingle to df = 3 while each doc's two text-boundary shingles
+    // stay df = 1, so the canonical ascending-df order puts m (df = 2)
+    // at position 3 of BOTH prefixes (plen_x = 4, plen_y = 5, length
+    // filter 4·20 = 5·16 passes) — a prefix-only candidate — while
+    // the positional bound 1 + min(16−3, 20−3) = 14 < α = ⌈4·36/9⌉ =
+    // 16 prunes it before any verify work.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q201p").toString
+    def t(ws: Seq[String]) = ws.mkString(" ")
+    val u = (1 to 15).map(i => s"u$i"); val v = (1 to 19).map(i => s"v$i")
+    val m = Seq("m1", "m2", "m3")
+    Seq(
+      (1L, t(u ++ m)),                  // x: 16 shingles, ends with m
+      (2L, t(m ++ v)),                  // y: 20 shingles, starts with m
+      (3L, t(u ++ Seq("q1", "q2", "q3"))), // df pumps for x's fillers
+      (4L, t(u ++ Seq("r1", "r2", "r3"))),
+      (5L, t(v ++ Seq("s1", "s2", "s3"))), // df pumps for y's fillers
+      (6L, t(v ++ Seq("w1", "w2", "w3"))))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val ordered = Dedup.ppjoinOrdered(spark, dir)
+    val prefixOnly = Dedup.ppjoinCandidates(ordered, positional = false)
+      .as[(Long, Long)].collect().toSet
+    val positional = Dedup.ppjoinCandidates(ordered, positional = true)
+      .as[(Long, Long)].collect().toSet
+    assert(prefixOnly.contains((1L, 2L)),
+      s"plant regression: (x,y) not a prefix candidate: $prefixOnly")
+    assert(!positional.contains((1L, 2L)),
+      "the positional bound must prune the planted single-shared-token pair")
+    assert(positional.subsetOf(prefixOnly),
+      s"positional filter invented candidates: ${positional -- prefixOnly}")
+    assert(positional.size < prefixOnly.size, "candidate count did not drop")
+    // zero-miss preserved on the REAL corpus: every emitted true pair
+    // survives the filter (q201's own spec pins emitted == brute
+    // force, closing the chain candidates ⊇ output ≡ truth), and the
+    // filter keeps candidates ⊆ the prefix-only set
+    val orderedReal = Dedup.ppjoinOrdered(spark, sf0001)
+    val preReal = Dedup.ppjoinCandidates(orderedReal, positional = false)
+      .as[(Long, Long)].collect().toSet
+    val posReal = Dedup.ppjoinCandidates(orderedReal, positional = true)
+      .as[(Long, Long)].collect().toSet
+    assert(posReal.subsetOf(preReal))
+    val out = Dedup.queries("q201_ppjoin_prefix_filter").fn(spark, sf0001)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(out.subsetOf(posReal),
+      s"true pairs dropped by the positional filter: ${out -- posReal}")
   }
 
   test("q200: both banding geometries recall within Poisson-binomial " +

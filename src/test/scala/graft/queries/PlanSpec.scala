@@ -13,11 +13,25 @@ import graft.SparkSpec
   */
 class PlanSpec extends SparkSpec {
 
-  private def plan(name: String): String = {
-    val all = Relational.queries ++ Dedup.queries ++ Similarity.queries ++
+  private def allQueries =
+    Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       Analytics.queries ++ TextAnalysis.queries ++ Curation.queries ++
       Sources.queries
-    all(name).fn(spark, sf0001).queryExecution.executedPlan.toString
+
+  private def plan(name: String): String =
+    allQueries(name).fn(spark, sf0001).queryExecution.executedPlan.toString
+
+  /** the physical tree flattened, with AQE wrappers unwrapped so
+    * node-type assertions see the whole plan */
+  private def planNodes(name: String)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case other => other +: other.children.flatMap(expand)
+    }
+    expand(allQueries(name).fn(spark, sf0001).queryExecution.executedPlan)
   }
 
   private def exchanges(p: String): Int =
@@ -231,9 +245,11 @@ class PlanSpec extends SparkSpec {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(800)}")
       // the only BNLJ allowed is a broadcast of a 1-row frame (q194's
-      // cut); a non-broadcast nested loop is always wrong
-      assert(!p.contains("BroadcastNestedLoopJoin") ||
-        q == "q194_cusum_drift", s"$q:\n${p.take(800)}")
+      // cut) — prove it from the plan tree, not the string
+      if (p.contains("BroadcastNestedLoopJoin")) {
+        assert(q == "q194_cusum_drift", s"$q:\n${p.take(800)}")
+        assertBnljBuildsAreOneRow(q)
+      }
     }
   }
 
@@ -248,12 +264,47 @@ class PlanSpec extends SparkSpec {
         "q207_ewma_control_chart", "q208_incremental_profile_fold")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(800)}")
-      // any nested loop must be the broadcast-build of a tiny frame,
-      // never an unhinted plan over data-sized sides
-      assert(!p.contains("BroadcastNestedLoopJoin") ||
-        p.contains("BroadcastNestedLoopJoin BuildRight") ||
-        p.contains("BroadcastNestedLoopJoin BuildLeft"),
-        s"$q:\n${p.take(800)}")
+      // any nested loop must broadcast a PROVABLY-1-row side: its build
+      // subtree must hold a global (grouping-key-free) aggregate, the
+      // q194-style cut frame. (Checking for a BuildLeft/BuildRight
+      // token is vacuous — every BNLJ prints one — so walk the real
+      // plan tree instead of the string.)
+      assertBnljBuildsAreOneRow(q)
+    }
+  }
+
+  /** Every BroadcastNestedLoopJoin in `name`'s physical plan must build
+    * (broadcast) a subtree containing a grouping-key-free aggregate —
+    * such an aggregate emits exactly one row, so the nested loop is a
+    * scalar-attach, never a data×data cartesian.
+    */
+  private def assertBnljBuildsAreOneRow(name: String): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.{
+      HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case other => other +: other.children.flatMap(expand)
+    }
+    def globalAgg(p: SparkPlan): Boolean = expand(p).exists {
+      case h: HashAggregateExec       => h.groupingExpressions.isEmpty
+      case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
+      case s: SortAggregateExec       => s.groupingExpressions.isEmpty
+      case _                          => false
+    }
+    planNodes(name).foreach {
+      case b: BroadcastNestedLoopJoinExec =>
+        val build = b.buildSide match {
+          case BuildLeft  => b.left
+          case BuildRight => b.right
+        }
+        assert(globalAgg(build),
+          s"$name: BNLJ builds a side with no global aggregate " +
+            s"(not provably 1-row):\n${build.toString.take(600)}")
+      case _ =>
     }
   }
 
@@ -825,6 +876,34 @@ class PlanSpec extends SparkSpec {
     // the df aggregate partial-aggregates map-side before its shuffle
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, s"df count must be two-phase:\n${p.take(1200)}")
+  }
+
+  test("q146: the weighted-sample cut plans as TakeOrderedAndProject and " +
+    "the only window ranks the K-row frame (VERDICT r12 item 4)") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val nodes = planNodes("q146_weighted_sample")
+    // the corpus-wide K-smallest cut must be per-partition heaps, not
+    // a global sort: TakeOrderedAndProject in-plan
+    assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"no TakeOrderedAndProject:\n${nodes.head.toString.take(1200)}")
+    // any WindowExec must sit ABOVE the K-row cut — i.e. its subtree
+    // contains the TakeOrdered/limit, so the single-partition rank
+    // touches exactly K rows, never the corpus
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case other => other +: other.children.flatMap(expand)
+    }
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "rank window missing")
+    windows.foreach { w =>
+      val sub = w.children.flatMap(expand)
+      assert(sub.exists(n => n.isInstanceOf[TakeOrderedAndProjectExec] ||
+          n.isInstanceOf[GlobalLimitExec]),
+        s"window ranks an un-limited frame:\n${w.toString.take(1200)}")
+    }
   }
 
   test("q198: the approx robust gate is sketch-only — two-phase mergeable " +
