@@ -423,6 +423,66 @@ object Relational extends Catalog {
         GROUP BY n_name"""),
       scaleNote = "chained membership stays a LINEAR plan: the part predicate prunes the fact FIRST (a broadcast semi join — the filtered part-key set is dimension-sized), the per-(supplier, part) aggregate partial-aggregates map-side on the pruned fact, the HAVING cut shrinks it to the qualifying-supplier frame before the outer semi join touches supplier, and nation broadcasts for the final |nations|-row fold; nothing in the nesting depth adds a pass over the fact — the textbook risk (re-running the inner membership per outer row) is exactly what the decorrelation rewrite removes, and AQE can broadcast the shrunken semi sides at any corpus size"),
 
+    // ----- E4/SQL surface: the canonical TPC-H Q22 shape (r13) --------
+    // "Global sales opportunity": above-average-balance customers with
+    // NO urgent orders — `c_custkey NOT IN (SELECT o_custkey …)` plus
+    // the uncorrelated scalar AVG cut. This is the decorrelation
+    // family's NULL-TRAP member (after q81 scalar, q187 EXISTS/NOT
+    // EXISTS, q197 IN-over-aggregate, q202 nested IN): NOT IN over a
+    // nullable key is NOT a plain anti join — one NULL in the subquery
+    // makes the predicate UNKNOWN for every outer row and the result
+    // EMPTY (the most common correctness trap in warehouse SQL, spec-
+    // demonstrated against a planted NULL). o_custkey reads from
+    // parquet as a nullable column, so Catalyst cannot strength-reduce
+    // the rewrite: it must plan the NULL-AWARE anti join — a distinct
+    // physical shape (single-key BroadcastHashJoin LeftAnti with
+    // isNullAwareAntiJoin=true) that PlanSpec pins. (Faithful Q22
+    // tests "no orders at all", but this corpus gives every customer
+    // orders at test SFs; "no urgent orders" keeps the result
+    // non-empty — 5/23/25 country rows at sf0.001/0.01/0.1 — with the
+    // identical plan shape.) The AVG cut follows the r9 rational rule:
+    // never compare against a double average — cross-multiply exact
+    // integer cents, cents·n > total, via two scalar subqueries that
+    // Catalyst plans as one-row subquery broadcasts.
+    "q209_tpch_q22_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q209_customer")
+        t(s, d, "orders").createOrReplaceTempView("q209_orders")
+        s.sql("""
+          WITH cust AS (
+            SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS cntrycode,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM q209_customer
+          )
+          SELECT cntrycode,
+                 CAST(count(*) AS BIGINT) AS numcust,
+                 CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+          FROM cust
+          WHERE cents * (SELECT count(*) FROM cust WHERE cents > 0)
+                > (SELECT CAST(sum(cents) AS BIGINT) FROM cust
+                   WHERE cents > 0)
+            AND c_custkey NOT IN (SELECT o_custkey FROM q209_orders
+                                  WHERE o_orderpriority = '1-URGENT')
+          GROUP BY cntrycode""")
+      },
+      sql = Some("""
+        WITH cust AS (
+          SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS cntrycode,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer
+        )
+        SELECT cntrycode,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+        FROM cust
+        WHERE cents * (SELECT count(*) FROM cust WHERE cents > 0)
+              > (SELECT CAST(sum(cents) AS BIGINT) FROM cust
+                 WHERE cents > 0)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+        GROUP BY cntrycode"""),
+      scaleNote = "the NOT IN plans as ONE null-aware anti join: the priority predicate pushes into the orders scan, the urgent-customer key set is dimension-sized (broadcastable at any corpus — it shrinks the fact to |urgent customers| before shipping), and the null-awareness costs one extra has-null flag on the broadcast side, not a second pass; the scalar AVG cut is two one-row subquery broadcasts over the same |customers| frame (exact integer cents, cross-multiplied — no double average crosses an engine boundary), and the final fold is |nations| rows; at 100 TB the build side must stay the SUBQUERY side — Spark refuses to shuffle a null-aware anti join, so a fact-sized NOT IN list is the one shape to avoid (rewrite to NOT EXISTS when the inner key is provably non-null, which IS a plain anti join — q187's path)"),
+
     // ----- E5: range (theta) join — events self-join ------------------
     "q09_range_join_events" -> Q(
       fn = (s, d) => {

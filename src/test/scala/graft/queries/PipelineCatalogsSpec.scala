@@ -2064,6 +2064,38 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q209: one NULL key in the NOT IN subquery empties the result — " +
+    "the Q22 null-semantics trap, handled, not silently wrong") {
+    // three customers (only #3 is above the positive-balance average:
+    // cents·3 > 150000 needs cents > 50000); customer 1 has an urgent
+    // order, customer 2 only a low-priority one
+    val clean = java.nio.file.Files.createTempDirectory("graft-q209c").toString
+    val trap = java.nio.file.Files.createTempDirectory("graft-q209t").toString
+    val cust = Seq((1L, 1, 100.0), (2L, 1, 500.0), (3L, 2, 900.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    cust.write.parquet(s"$clean/customer.parquet")
+    cust.write.parquet(s"$trap/customer.parquet")
+    Seq[(java.lang.Long, String)]((1L, "1-URGENT"), (2L, "5-LOW"))
+      .toDF("o_custkey", "o_orderpriority")
+      .write.parquet(s"$clean/orders.parquet")
+    Seq[(java.lang.Long, String)]((1L, "1-URGENT"), (null, "1-URGENT"),
+      (2L, "5-LOW"))
+      .toDF("o_custkey", "o_orderpriority")
+      .write.parquet(s"$trap/orders.parquet")
+    val q = Relational.queries("q209_tpch_q22_shape")
+    val okRows = q.fn(spark, clean).as[(Long, Long, Long)].collect()
+    assert(okRows.toSeq == Seq((2L, 1L, 90000L)),
+      s"clean corpus: expected the one above-average no-urgent customer, " +
+        s"got ${okRows.toSeq}")
+    // the trap: one NULL o_custkey among the urgent orders makes
+    // `c_custkey NOT IN (…)` UNKNOWN for every customer — SQL says the
+    // answer is EMPTY, and the null-aware anti join must say so too
+    // (DuckDB agrees, which is what the oracle gate checks at sf0.01)
+    val trapped = q.fn(spark, trap).collect()
+    assert(trapped.isEmpty,
+      s"NULL in the subquery must empty a NOT IN: ${trapped.toSeq}")
+  }
+
   test("q194: the prefix-min closed form equals Page's sequential CUSUM " +
     "recurrence row by row, and the planted drift fires after the cut") {
     val out = Analytics.queries("q194_cusum_drift").fn(spark, sf0001)

@@ -954,6 +954,24 @@ class PlanSpec extends SparkSpec {
       s"part filter must push into the scan:\n${p.take(1600)}")
   }
 
+  test("q209: NOT IN over the nullable order-key plans as a NULL-AWARE " +
+    "anti join — not a plain LeftAnti (the Q22 trap shape, r13)") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val nodes = planNodes("q209_tpch_q22_shape")
+    val naaj = nodes.collect {
+      case b: BroadcastHashJoinExec
+        if b.joinType == LeftAnti && b.isNullAwareAntiJoin => b
+    }
+    assert(naaj.nonEmpty,
+      "expected a single-key BroadcastHashJoin LeftAnti with " +
+        s"isNullAwareAntiJoin=true:\n${plan("q209_tpch_q22_shape").take(1600)}")
+    // and never the nested-loop fallback or a cartesian
+    val p = plan("q209_tpch_q22_shape")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
     val p = plan("q170_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(1200))
