@@ -207,6 +207,48 @@ object Analytics extends Catalog {
         SELECT o_orderkey, o_orderstatus, o_totalprice
         FROM ranked WHERE rn = 1 AND op <> 'D'"""
 
+  // ---- q210 shared sketch-profile primitives -----------------------
+
+  /** long-form (col_name, v) reprs of the four q203-profiled orders
+    * columns — the SAME reprs q203/q208 profile, nulls kept so the
+    * count partials can fold them */
+  private[queries] def profileValues(o: DataFrame): DataFrame = o.selectExpr(
+    """stack(4,
+       'o_orderstatus', CAST(o_orderstatus AS STRING),
+       'o_custkey', CAST(o_custkey AS STRING),
+       'o_totalprice_cents',
+         CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
+       'o_orderdate_us', CAST(unix_micros(o_orderdate) AS STRING))
+       AS (col_name, v)""")
+
+  /** q143's portable 512-register HLL per profiled column: md5-hex48
+    * hash of 'hp:<col>:<repr>' over the frame's DISTINCT non-null
+    * reprs, bucket = top 9 bits, m = max leading-run of the 39-bit
+    * remainder. Pure functions of the input batch, so register frames
+    * are overwrite-idempotent partials that fold by bucket-max.
+    */
+  private[queries] def profileHllRegs(o: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val hashed = profileValues(o).filter(col("v").isNotNull)
+      .select(col("col_name"), col("v")).distinct()
+      .select(col("col_name"),
+        conv(substring(md5(concat(lit("hp:"), col("col_name"), lit(":"),
+          col("v"))), 1, 12), 16, 10).cast("long").as("h"))
+      .select(col("col_name"),
+        shiftright(col("h"), 39).as("bucket"),
+        col("h").bitwiseAND(lit((1L << 39) - 1)).as("rem"))
+    val rho = (1 to 39).foldRight(lit(40): Column)((i, els) =>
+      when(col("rem") >= lit(1L << (39 - i)), lit(i)).otherwise(els))
+    hashed.select(col("col_name"), col("bucket"), rho.as("r"))
+      .groupBy(col("col_name"), col("bucket")).agg(max(col("r")).as("m"))
+  }
+
+  /** leading-run length of the 39-bit remainder as a pure integer CASE
+    * chain (q143's discipline — no log2/float near the registers) */
+  private def profileRhoSqlCase: String =
+    (1 to 39).map(i => s"WHEN rem >= ${1L << (39 - i)} THEN $i")
+      .mkString("CASE ", " ", " ELSE 40 END")
+
   override def queries: Map[String, Q] = Map(
 
     // ----- PIVOT: wide conditional aggregation ----------------------
@@ -956,6 +998,107 @@ object Analytics extends Catalog {
         UNION ALL
         SELECT 'o_orderdate_us', n, nn_od, nd_od, mn_od, mx_od FROM a"""),
       scaleNote = "this is how q203 ships at 100 TB: each ingest batch computes its OWN |columns|-row scalar partial plus per-column distinct-value partials (both pure functions of the batch — overwrite-idempotent, the IvmSink property), and the served profile folds partials without touching the base; the distinct-value frames are the one component whose size tracks cardinality, and the documented swap is q143's portable HLL registers (bucket-max merge, fixed 512 cells) once a column's cardinality outgrows a frame — counts/bounds fold unchanged; the fold here deliberately routes through union+re-distinct because adding per-batch distinct COUNTS is the classic re-aggregation bug, and the oracle (q203's one-shot SQL verbatim) gates exactly that equivalence"),
+
+    // ----- q210: the profile fold with HLL-REGISTER distincts (r13) --
+    // q208 promised its own 100 TB spelling: the distinct-value frames
+    // (the one fold component whose size tracks cardinality) swap for
+    // q143's portable md5 HLL registers, folded by bucket-max. This
+    // registers that spelling: each parity batch builds 512-register
+    // sketches PER PROFILED COLUMN (hash input 'hp:<col>:<repr>' over
+    // the batch's distinct reprs — the q143 discipline, so the DuckDB
+    // twin rebuilds the SAME registers), the fold is a register-wise
+    // max (associative ⇒ fold ≡ one-shot, which is exactly what the
+    // oracle computes one-shot over the full table), and the profile
+    // emits the HLL estimate beside the exact-distinct witness.
+    // Counts/null-counts still fold as sums of batch partials. The
+    // register sums Σ2^-m are exact doubles (512 terms, exponents in
+    // [-40, 0]); only the estimate's ln()/division emits, under the
+    // round(,6) transcendental discipline.
+    "q210_profile_fold_hll" -> Q(
+      fn = (s, d) => {
+        val o = t(s, d, "orders")
+        val a = o.filter(col("o_orderkey") % 2 === 0)
+        val b = o.filter(col("o_orderkey") % 2 =!= 0)
+        // fold the two batch sketches register-wise, then estimate
+        val folded = profileHllRegs(a).unionByName(profileHllRegs(b))
+          .groupBy(col("col_name"), col("bucket")).agg(max(col("m")).as("m"))
+        val est = folded.groupBy(col("col_name"))
+          .agg(sum(pow(lit(2.0), -col("m"))).as("sp"),
+            count(lit(1)).as("present"))
+          .select(col("col_name"), col("present").as("n_buckets"),
+            ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)))
+              * lit(262144.0)
+              / (col("sp") + (lit(512) - col("present")).cast("double")))
+              .as("raw"),
+            (lit(512) - col("present")).as("v"))
+          .select(col("col_name"), col("n_buckets"),
+            when(col("raw") <= lit(1280.0) && col("v") > 0,
+              round(lit(512.0) * log(lit(512.0) / col("v").cast("double")), 6))
+              .otherwise(round(col("raw"), 6)).as("est_distinct"))
+        // counts/nulls fold as sums of per-batch partials (q208's
+        // monoid half, unchanged by the sketch swap)
+        def cn(df: DataFrame): DataFrame = profileValues(df)
+          .groupBy(col("col_name"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"))
+        val counts = cn(a).unionByName(cn(b))
+          .groupBy(col("col_name"))
+          .agg(sum(col("n")).as("n"), sum(col("n_nulls")).as("n_nulls"))
+        // exact-distinct witness (what the estimate will replace at
+        // 100 TB — kept beside it so accuracy is a read-off, q143's
+        // stance)
+        val exact = profileValues(o).filter(col("v").isNotNull)
+          .groupBy(col("col_name"))
+          .agg(count_distinct(col("v")).as("n_exact"))
+        counts.join(est, Seq("col_name")).join(exact, Seq("col_name"))
+          .select(col("col_name"), col("n"), col("n_nulls"),
+            col("est_distinct"), col("n_buckets"), col("n_exact"))
+      },
+      sql = Some(s"""
+        WITH vf AS (
+          SELECT 'o_orderstatus' AS col_name,
+                 CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+          UNION ALL
+          SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+          UNION ALL
+          SELECT 'o_totalprice_cents',
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderdate_us', CAST(epoch_us(o_orderdate) AS VARCHAR)
+          FROM orders),
+        cnt AS (SELECT col_name, count(*) AS n,
+                       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_nulls
+                FROM vf GROUP BY 1),
+        nn AS (SELECT DISTINCT col_name, v FROM vf WHERE v IS NOT NULL),
+        hm AS (SELECT col_name, md5('hp:' || col_name || ':' || v) AS hh
+               FROM nn),
+        hx AS (SELECT col_name, ${OracleSql.hex48("hh")} AS h FROM hm),
+        br AS (SELECT col_name, h // ${1L << 39} AS bucket,
+                      h % ${1L << 39} AS rem FROM hx),
+        rg AS (SELECT col_name, bucket, max($profileRhoSqlCase) AS m
+               FROM br GROUP BY 1, 2),
+        eg AS (SELECT col_name, count(*) AS present,
+                      sum(power(CAST(2 AS DOUBLE), -m)) AS sp
+               FROM rg GROUP BY 1),
+        es AS (SELECT col_name, present AS n_buckets,
+                      (CAST(0.7213 AS DOUBLE)
+                        / (1.0 + CAST(1.079 AS DOUBLE) / 512.0)) * 262144.0
+                        / (sp + CAST(512 - present AS DOUBLE)) AS raw,
+                      512 - present AS v
+               FROM eg),
+        fin AS (SELECT col_name, n_buckets,
+                       CASE WHEN raw <= 1280.0 AND v > 0
+                            THEN round(512.0 * ln(512.0 / CAST(v AS DOUBLE)), 6)
+                            ELSE round(raw, 6) END AS est_distinct
+                FROM es),
+        ex AS (SELECT col_name, CAST(count(DISTINCT v) AS BIGINT) AS n_exact
+               FROM vf GROUP BY 1)
+        SELECT cnt.col_name AS col_name, cnt.n, cnt.n_nulls,
+               fin.est_distinct, fin.n_buckets, ex.n_exact
+        FROM cnt JOIN fin USING (col_name) JOIN ex USING (col_name)"""),
+      scaleNote = "the shipped profile service: per-batch cost is one scan producing |columns| × ≤512 register rows (partial-aggregated map-side — the sketch IS the shuffle), the stored state per column is a fixed 512-cell frame regardless of cardinality (vs q208's value frames that grow with it), and the serve-time fold is bucket-max + O(m) estimate arithmetic — associativity makes daily→monthly→all rollups free (the q93/q143 modality); the exact witness column is test-SF-only instrumentation and is the one thing dropped at 100 TB"),
 
     // ----- declarative data-quality audit (Deequ-style) -------------
     // The constraint suite a warehouse/training pipeline runs before

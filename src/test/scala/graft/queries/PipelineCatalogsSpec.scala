@@ -1859,6 +1859,48 @@ class PipelineCatalogsSpec extends SparkSpec {
         s"($aSt + $bSt vs $mergedSt) — the fold theorem is vacuous")
   }
 
+  test("q210: the register fold equals the one-shot sketch exactly, and " +
+    "the estimates land within HLL tolerance of the exact witness") {
+    import graft.core.Tables
+    val o = Tables.load(spark, sf0001, "orders")
+    // fold ≡ one-shot at the REGISTER level: bucket-max over the two
+    // parity-batch sketches is the same frame as sketching the whole
+    // table (max associativity — the theorem the oracle then re-proves
+    // at the estimate level, since the DuckDB twin builds one-shot)
+    val a = Analytics.profileHllRegs(o.filter(col("o_orderkey") % 2 === 0))
+    val b = Analytics.profileHllRegs(o.filter(col("o_orderkey") % 2 =!= 0))
+    val folded = a.unionByName(b)
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(max(col("m")).as("m"))
+      .as[(String, Long, Int)].collect().toSet
+    val oneShot = Analytics.profileHllRegs(o)
+      .as[(String, Long, Int)].collect().toSet
+    assert(folded == oneShot,
+      s"register fold diverged: only-folded ${folded -- oneShot}, " +
+        s"only-oneshot ${oneShot -- folded}")
+    // and the fixture is non-vacuous: the batches share register cells
+    // (so a wrong fold — e.g. SUMMING m — would actually diverge)
+    val aCells = a.as[(String, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val bCells = b.as[(String, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert((aCells & bCells).nonEmpty, "batches share no register cells")
+    // the registered profile: one row per column, counts exact,
+    // estimate within 5 relative-error sigmas (1.04/√512 ≈ 4.6%) of
+    // the exact witness — linear counting makes the low-cardinality
+    // columns essentially exact, the bound holds for all
+    val out = Analytics.queries("q210_profile_fold_hll").fn(spark, sf0001)
+      .as[(String, Long, Long, Double, Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == Seq("o_custkey", "o_orderdate_us",
+      "o_orderstatus", "o_totalprice_cents"))
+    val nRows = o.count()
+    out.foreach { case (c, n, nn, est, nb, ex) =>
+      assert(n == nRows, s"$c: n $n vs $nRows")
+      assert(nn == 0L, s"$c: unexpected nulls $nn")
+      assert(nb > 0 && nb <= 512, s"$c: n_buckets $nb")
+      assert(math.abs(est - ex) <= 0.23 * ex + 3,
+        s"$c: estimate $est vs exact $ex outside 5-sigma")
+    }
+  }
+
   test("q195: digit shares replicate in plain Scala and account for the " +
     "whole feed") {
     val out = Analytics.queries("q195_benford_audit").fn(spark, sf0001)
