@@ -236,6 +236,44 @@ object Curation extends Catalog {
     (feats, wts)
   }
 
+  /** q211's scored frame (doc_id, y, z) — q155's scoring pass,
+    * localCheckpoint'd so one computation feeds the boundary sketch
+    * AND the bucketer. Package-private so the spec replicates the
+    * bucketing off the exact frame the query consumed.
+    */
+  private[queries] def calibrationScored(
+      s: SparkSession, d: String): DataFrame = {
+    val (feats, wts) = logregFit(s, d)
+    val z = col("w0") + col("w1") * col("x1") +
+      col("w2") * col("x2") + col("w3") * col("x3")
+    feats.crossJoin(broadcast(wts))
+      .select(col("doc_id"), col("y"), z.as("z"))
+      .localCheckpoint()
+  }
+
+  /** q215's ascending-oriented signal frame: (doc_id, sq, sl, sc) with
+    * sq = −quality, sl = avg_nll, sc = −classifier-z — the q158 trio
+    * with the descending signals sign-flipped (an exact IEEE negation
+    * on both engines) so one ascending bucket rule serves all three.
+    * localCheckpoint'd: one signal pass feeds the boundary sketches
+    * AND the bucketer. Package-private so the spec replicates the
+    * bucketing off the exact frame the query consumed.
+    */
+  private[queries] def fusionSignals(s: SparkSession, d: String): DataFrame = {
+    val (feats, wts) = logregFit(s, d)
+    val zExpr = col("w0") + col("w1") * col("x1") +
+      col("w2") * col("x2") + col("w3") * col("x3")
+    val clf = feats.crossJoin(broadcast(wts))
+      .select(col("doc_id"), (-zExpr).as("sc"))
+    val ql = docs(s, d).filter(length(col("text")) > 0)
+      .select(col("doc_id"), (-TextAnalysis.qualityCol).as("sq"))
+    val nll = unigramNll(s, d, nonEmptyOnly = true)
+      .select(col("doc_id"), col("avg_nll").as("sl"))
+    ql.join(clf, Seq("doc_id")).join(nll, Seq("doc_id"))
+      .select(col("doc_id"), col("sq"), col("sl"), col("sc"))
+      .localCheckpoint()
+  }
+
   /** Per-doc unigram-LM average NLL — ONE definition shared by q110
     * (the scoring operator, every doc) and q158's r_lm signal (docs
     * with text only): fit on collapsed (doc_id, term) counts,
@@ -639,7 +677,55 @@ object Curation extends Catalog {
                (CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
                   * CAST(1000000 AS BIGINT)) // count(*) AS pos_ppm
         FROM r, nn GROUP BY 1"""),
-      scaleNote = "training is q142's zero-data-shuffle loop; scoring is map-side; the decile assignment is ONE global sort (Spark range-partitions orderBy, so it distributes — the single-partition row_number window here is the test-scale spelling; at 100 TB replace the exact rank with q64 approx-quantile bin boundaries broadcast to a map-side bucketer and the bin stats stay one partial agg)"),
+      scaleNote = "training is q142's zero-data-shuffle loop; scoring is map-side; the decile assignment is ONE global sort (Spark range-partitions orderBy, so it distributes — the single-partition row_number window here is the test-scale spelling; at 100 TB replace the exact rank with q64 approx-quantile bin boundaries broadcast to a map-side bucketer and the bin stats stay one partial agg — REGISTERED as q211)"),
+
+    // ---- q211: calibration bins, WINDOWLESS (q155's 100 TB spelling,
+    // r13) --------------------------------------------------------------
+    // q155's scaleNote promised it; this registers it: the decile
+    // assignment swaps the corpus-sized single-partition row_number()
+    // window for q64-style quantile boundaries BROADCAST to a map-side
+    // bucketer. Spark's approx_percentile in exact mode (accuracy 1e6
+    // ≥ n at test SFs) and DuckDB's quantile_disc select the IDENTICAL
+    // order statistic — the value at rank ⌈q·n⌉ (probe-verified on
+    // n = 10/11/23 and gated here at sf0.01) — so both engines bucket
+    // against bit-identical boundary values; the q186 precedent, with
+    // an ARRAY of nine boundaries instead of one threshold. bin(z) =
+    // 1 + |{boundaries b : z > b}| — a pure value compare on the raw
+    // doubles q155 already proved bit-identical cross-engine — which
+    // agrees with q155's exact-rank deciles whenever z values are
+    // distinct at the boundaries and is otherwise its own
+    // well-defined (and oracle-mirrored) rule.
+    "q211_calibration_bins_bucketed" -> Q(
+      fn = (s, d) => {
+        val scored = calibrationScored(s, d)
+        val bounds = scored.agg(expr(
+          """approx_percentile(z, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D,
+             0.6D, 0.7D, 0.8D, 0.9D), 1000000)""").as("bs"))
+        scored.crossJoin(broadcast(bounds))
+          .withColumn("bin",
+            (lit(1) + size(filter(col("bs"), b => col("z") > b))).cast("int"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+            min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+          .withColumn("pos_ppm",
+            expr("n_pos * CAST(1000000 AS BIGINT) DIV n_docs"))
+      },
+      sql = Some(s"""${logregCtes(rounds = 5)},
+        scored AS MATERIALIZED (
+          SELECT doc_id, y, $LogregDot AS z FROM f, w5t),
+        bs AS (SELECT quantile_disc(z, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                        0.6, 0.7, 0.8, 0.9]) AS bs
+               FROM scored)
+        SELECT CAST(1 + len(list_filter(bs, b -> z > b)) AS INT) AS bin,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos,
+               min(z) AS z_min, max(z) AS z_max,
+               (CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  * CAST(1000000 AS BIGINT)) // count(*) AS pos_ppm
+        FROM scored, bs GROUP BY 1"""),
+      scaleNote = "the registered windowless calibration: training is q142's zero-data-shuffle loop, scoring map-side, the boundary frame is ONE mergeable GK-sketch aggregate (map-side partials, O(accuracy) memory) broadcast as nine doubles, bucketing is a row-local array scan, and the bin stats are one 10-group partial agg — no Window, no global sort, no single-partition stage anywhere (PlanSpec-pinned), so the audit survives any corpus size; at 100 TB drop the accuracy parameter to the memory budget — bins become approximate-RANK deciles while every emitted bin stat stays exact over its bucket, which is the honest trade q186 already documents"),
 
     // ---- q158: ensemble quality selection (Borda rank fusion) --------
     // No single quality signal survives contact with a 100 TB crawl:
@@ -699,7 +785,74 @@ object Curation extends Catalog {
         SELECT doc_id, r_quality, r_lm, r_clf, borda,
                CAST(row_number() OVER (ORDER BY borda, doc_id) AS INT) AS rank
         FROM b ORDER BY borda, doc_id LIMIT 100"""),
-      scaleNote = "each signal is its own proven one-or-two-shuffle plan (heuristic: map-side; LM: vocab shuffle + broadcast model; classifier: zero-data-shuffle GD); fusion adds three global rank sorts — Spark range-partitions orderBy so they distribute, and at 100 TB the exact ranks swap for q64 approx-quantile bucket ranks (broadcast boundaries, map-side bucketing) with the same integer Borda arithmetic downstream; the final cut is TakeOrdered, never a full sort of the fused frame"),
+      scaleNote = "each signal is its own proven one-or-two-shuffle plan (heuristic: map-side; LM: vocab shuffle + broadcast model; classifier: zero-data-shuffle GD); fusion adds three global rank sorts — Spark range-partitions orderBy so they distribute, and at 100 TB the exact ranks swap for q64 approx-quantile bucket ranks (broadcast boundaries, map-side bucketing) with the same integer Borda arithmetic downstream — REGISTERED as q215; the final cut is TakeOrdered, never a full sort of the fused frame"),
+
+    // ---- q215: Borda fusion over CENTILE BUCKETS, windowless (q158's
+    // 100 TB spelling, r13) ---------------------------------------------
+    // q158's scaleNote promised it; this registers it: each signal's
+    // corpus-wide rank sort swaps for 99 centile boundaries (the q211
+    // machinery — Spark exact-mode approx_percentile ≡ DuckDB
+    // quantile_disc at rank ⌈q·n⌉) broadcast to a map-side bucketer;
+    // Borda then sums BUCKET indices instead of exact ranks. The two
+    // descending signals (quality, classifier) bucket over their
+    // NEGATED values (an exact IEEE sign flip on both engines) so one
+    // ascending rule serves all three. The fused cut is TakeOrdered on
+    // (borda, doc_id) and the final rank is a window over the K-row
+    // frame — the q146 shape. Bucket indices, Borda sums and the cut
+    // are all exact integers; the only doubles are the three signal
+    // scores each already proven bit-identical cross-engine (q158).
+    "q215_rank_fusion_bucketed" -> Q(
+      fn = (s, d) => {
+        val K = 100
+        val cents = (1 to 99).map(i => f"${i / 100.0}%.2fD").mkString(", ")
+        val j = fusionSignals(s, d) // checkpointed: feeds sketches AND bucketer
+        val bounds = j.agg(
+          expr(s"approx_percentile(sq, array($cents), 1000000)").as("bq"),
+          expr(s"approx_percentile(sl, array($cents), 1000000)").as("bl"),
+          expr(s"approx_percentile(sc, array($cents), 1000000)").as("bc"))
+        val bucketed = j.crossJoin(broadcast(bounds))
+          .select(col("doc_id"),
+            (lit(1) + size(filter(col("bq"), b => col("sq") > b)))
+              .cast("long").as("c_quality"),
+            (lit(1) + size(filter(col("bl"), b => col("sl") > b)))
+              .cast("long").as("c_lm"),
+            (lit(1) + size(filter(col("bc"), b => col("sc") > b)))
+              .cast("long").as("c_clf"))
+          .withColumn("borda", col("c_quality") + col("c_lm") + col("c_clf"))
+        bucketed.orderBy(col("borda"), col("doc_id")).limit(K)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("borda"), col("doc_id"))).cast("int"))
+      },
+      sql = Some({
+        val cents = (1 to 99).map(i => f"${i / 100.0}%.2f").mkString(", ")
+        s"""${logregCtes(rounds = 5)},
+        zc AS (SELECT doc_id, -($LogregDot) AS sc FROM f, w5t),
+        qlt AS (SELECT doc_id, -(${TextAnalysis.sqlQualityExpr}) AS sq
+                FROM documents WHERE length(text) > 0),
+        ${nllSqlCtes(nonEmptyOnly = true)},
+        j AS MATERIALIZED (
+          SELECT qlt.doc_id, sq, avg_nll AS sl, sc
+          FROM qlt JOIN zc USING (doc_id) JOIN nll USING (doc_id)),
+        bs AS (SELECT quantile_disc(sq, [$cents]) AS bq,
+                      quantile_disc(sl, [$cents]) AS bl,
+                      quantile_disc(sc, [$cents]) AS bc
+               FROM j),
+        bk AS (SELECT doc_id,
+                      CAST(1 + len(list_filter(bq, b -> sq > b))
+                        AS BIGINT) AS c_quality,
+                      CAST(1 + len(list_filter(bl, b -> sl > b))
+                        AS BIGINT) AS c_lm,
+                      CAST(1 + len(list_filter(bc, b -> sc > b))
+                        AS BIGINT) AS c_clf
+               FROM j, bs),
+        b AS (SELECT doc_id, c_quality, c_lm, c_clf,
+                     c_quality + c_lm + c_clf AS borda
+              FROM bk ORDER BY borda, doc_id LIMIT 100)
+        SELECT doc_id, c_quality, c_lm, c_clf, borda,
+               CAST(row_number() OVER (ORDER BY borda, doc_id) AS INT) AS rank
+        FROM b"""
+      }),
+      scaleNote = "the registered windowless fusion: three mergeable GK-sketch aggregates over ONE materialized signal frame (map-side partials), 3×99 boundary doubles broadcast, bucketing and Borda row-local, and the only ordered operator is TakeOrdered on the fused integer key (per-partition heaps, K rows to the driver) + a K-row rank window — no corpus-sized Window or single-partition sort anywhere (PlanSpec-pinned); centile granularity is the stated trade vs q158's exact ranks (ties inside a bucket fuse identically), which is exactly what survives at 100 TB where a global rank is three full sorts"),
 
     // ---- q146: weighted sampling without replacement (A-ES) ----------
     // q60/q69/q90 sample UNIFORMLY (salted-hash rank); a curation mix

@@ -1901,6 +1901,79 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q211: the windowless value-deciles replicate in plain Scala off " +
+    "the scored frame, and ties stay whole (where q155 splits them)") {
+    val scored = Curation.calibrationScored(spark, sf0001)
+      .as[(Long, Double, Double)].collect()
+    assert(scored.nonEmpty)
+    val n = scored.length
+    // boundaries exactly as the exact-mode sketch computes them: the
+    // value at rank ceil(q*n)
+    val zs = scored.map(_._3).sorted
+    val bs = (1 to 9).map(i => zs(math.ceil(i / 10.0 * n).toInt - 1))
+    def bin(z: Double): Long = 1L + bs.count(z > _)
+    val want = scored.groupBy(r => bin(r._3)).map { case (b, g) =>
+      val pos = g.count(_._2 == 1.0).toLong
+      (b, g.length.toLong, pos, g.map(_._3).min, g.map(_._3).max,
+        pos * 1000000L / g.length)
+    }.toSeq.sortBy(_._1)
+    val got = Curation.queries("q211_calibration_bins_bucketed")
+      .fn(spark, sf0001).selectExpr("CAST(bin AS BIGINT)", "n_docs",
+        "n_pos", "z_min", "z_max", "pos_ppm")
+      .as[(Long, Long, Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want,
+      s"bucketed bins diverged from replica:\n${got.toSeq}\nvs\n$want")
+    // guards: every doc lands in a bin, ranges never overlap (equal
+    // values stay in ONE bin — the semantic difference vs q155's
+    // doc_id-split ranks), and the fixture genuinely has a boundary
+    // tie so that difference is exercised
+    assert(got.map(_._2).sum == n)
+    got.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._5 < hi._4,
+          s"bin ${lo._1} max ${lo._5} reaches bin ${hi._1} min ${hi._4}")
+      case _ => ()
+    }
+    assert(bs.exists(b => scored.count(_._3 == b) > 1),
+      "no tied boundary value at this SF — the ties-stay-whole clause " +
+        "is vacuous; revisit the fixture")
+  }
+
+  test("q215: bucketed Borda fusion replicates in plain Scala off the " +
+    "same signal frame the query consumed") {
+    val sig = Curation.fusionSignals(spark, sf0001)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(sig.nonEmpty)
+    val n = sig.length
+    // boundaries exactly as the engine computes them (exact-mode
+    // sketch = value at rank ceil(q*n), the probe-verified statistic)
+    def bounds(v: Array[Double]): Array[Double] = {
+      val s = v.sorted
+      (1 to 99).map(i => s(math.ceil(i / 100.0 * n).toInt - 1)).toArray
+    }
+    val (bq, bl, bc) =
+      (bounds(sig.map(_._2)), bounds(sig.map(_._3)), bounds(sig.map(_._4)))
+    def cent(v: Double, bs: Array[Double]): Long = 1L + bs.count(v > _)
+    val fused = sig.map { case (id, sq, sl, sc) =>
+      val (cq, cl, cc) = (cent(sq, bq), cent(sl, bl), cent(sc, bc))
+      (id, cq, cl, cc, cq + cl + cc)
+    }
+    val want = fused.sortBy(r => (r._5, r._1)).take(100).zipWithIndex
+      .map { case ((id, cq, cl, cc, b), i) => (id, cq, cl, cc, b, i + 1) }
+    val got = Curation.queries("q215_rank_fusion_bucketed").fn(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5, r._6))
+    assert(got.sortBy(_._6).toSeq == want.map(r =>
+      (r._1, r._2, r._3, r._4, r._5, r._6)).toSeq,
+      s"fusion diverged from replica:\ngot  ${got.sortBy(_._6).take(5).toSeq}\n" +
+        s"want ${want.take(5).toSeq}")
+    // fixture guard: centile granularity actually differs from exact
+    // ranks somewhere (otherwise this is q158 restated, not its
+    // bucketed spelling) — some bucket must hold more than one doc
+    assert(fused.groupBy(_._2).exists(_._2.length > 1),
+      "every quality centile is a singleton — bucketing is vacuous here")
+  }
+
   test("q195: digit shares replicate in plain Scala and account for the " +
     "whole feed") {
     val out = Analytics.queries("q195_benford_audit").fn(spark, sf0001)

@@ -878,32 +878,56 @@ class PlanSpec extends SparkSpec {
     assert(aggs >= 2, s"df count must be two-phase:\n${p.take(1200)}")
   }
 
-  test("q146: the weighted-sample cut plans as TakeOrderedAndProject and " +
-    "the only window ranks the K-row frame (VERDICT r12 item 4)") {
+  /** `name`'s plan must cut with TakeOrderedAndProject (per-partition
+    * heaps, never a global sort) and any WindowExec must sit ABOVE a
+    * TakeOrdered/limit — i.e. the single-partition rank touches
+    * exactly K rows, never the corpus.
+    */
+  private def assertTakeOrderedThenKRowWindow(name: String): Unit = {
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val nodes = planNodes("q146_weighted_sample")
-    // the corpus-wide K-smallest cut must be per-partition heaps, not
-    // a global sort: TakeOrderedAndProject in-plan
+    val nodes = planNodes(name)
     assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
-      s"no TakeOrderedAndProject:\n${nodes.head.toString.take(1200)}")
-    // any WindowExec must sit ABOVE the K-row cut — i.e. its subtree
-    // contains the TakeOrdered/limit, so the single-partition rank
-    // touches exactly K rows, never the corpus
+      s"$name: no TakeOrderedAndProject:\n${nodes.head.toString.take(1200)}")
     def expand(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
       case other => other +: other.children.flatMap(expand)
     }
     val windows = nodes.collect { case w: WindowExec => w }
-    assert(windows.nonEmpty, "rank window missing")
+    assert(windows.nonEmpty, s"$name: rank window missing")
     windows.foreach { w =>
       val sub = w.children.flatMap(expand)
       assert(sub.exists(n => n.isInstanceOf[TakeOrderedAndProjectExec] ||
           n.isInstanceOf[GlobalLimitExec]),
-        s"window ranks an un-limited frame:\n${w.toString.take(1200)}")
+        s"$name: window ranks an un-limited frame:\n${w.toString.take(1200)}")
     }
+  }
+
+  test("q146: the weighted-sample cut plans as TakeOrderedAndProject and " +
+    "the only window ranks the K-row frame (VERDICT r12 item 4)") {
+    assertTakeOrderedThenKRowWindow("q146_weighted_sample")
+  }
+
+  test("q211: the bucketed calibration is WINDOWLESS — sketch aggregate, " +
+    "broadcast boundaries, map-side bucketer (q155's 100 TB spelling)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = planNodes("q211_calibration_bins_bucketed")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      s"no Window allowed:\n${plan("q211_calibration_bins_bucketed").take(1600)}")
+    val p = plan("q211_calibration_bins_bucketed")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the only nested loops are the 1-row weight/boundary broadcasts
+    assertBnljBuildsAreOneRow("q211_calibration_bins_bucketed")
+  }
+
+  test("q215: bucketed Borda fusion has no corpus-sized window — the only " +
+    "window ranks the TakeOrdered K-row frame (q158's 100 TB spelling)") {
+    assertTakeOrderedThenKRowWindow("q215_rank_fusion_bucketed")
+    val p = plan("q215_rank_fusion_bucketed")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assertBnljBuildsAreOneRow("q215_rank_fusion_bucketed")
   }
 
   test("q198: the approx robust gate is sketch-only — two-phase mergeable " +
