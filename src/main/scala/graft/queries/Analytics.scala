@@ -53,6 +53,50 @@ object Analytics extends Catalog {
     graft.operators.Upsert(base, ordersDelta(base), Seq("o_orderkey"))
   }
 
+  // ---- q207's oracle, shared verbatim with q212 ---------------------
+  // The q194/q199 discipline applied to the EWMA chart: the streaming
+  // service form (q212 routes the same daily feed through
+  // EventStreams.ewmaChartPerKey) carries the SAME gate as the batch
+  // chart, so the two spellings cannot drift apart.
+  private[queries] val EwmaChartOracleSql: String = """
+        WITH RECURSIVE ev AS (
+          SELECT event_type,
+                 epoch_us(date_trunc('day', ts::TIMESTAMP)) AS d
+          FROM events),
+        span AS (SELECT (min(d) + max(d)) // 2 AS cut FROM ev),
+        daily AS (
+          SELECT event_type, d,
+                 CAST(CASE WHEN event_type = 'click'
+                             AND d >= (SELECT cut FROM span)
+                      THEN count(*) * 2 ELSE count(*) END AS BIGINT) AS x,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                   AS BIGINT) AS rn
+          FROM ev GROUP BY event_type, d),
+        ref AS (
+          SELECT event_type,
+                 CAST(sum(x) AS BIGINT) // count(*) AS mu,
+                 CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+                   AS varnum,
+                 count(*) AS n0
+          FROM daily WHERE d < (SELECT cut FROM span) GROUP BY 1),
+        r AS (
+          SELECT daily.event_type AS event_type, rn, d, x,
+                 CAST(0.2 AS DOUBLE) * x
+                   + CAST(0.8 AS DOUBLE) * CAST(mu AS DOUBLE) AS z,
+                 CAST(0.64 AS DOUBLE) AS g
+          FROM daily JOIN ref USING (event_type) WHERE rn = 1
+          UNION ALL
+          SELECT b.event_type, b.rn, b.d, b.x,
+                 CAST(0.2 AS DOUBLE) * b.x + CAST(0.8 AS DOUBLE) * r.z,
+                 r.g * CAST(0.64 AS DOUBLE)
+          FROM daily b JOIN r
+            ON b.event_type = r.event_type AND b.rn = r.rn + 1)
+        SELECT r.event_type AS event_type, d, x, z,
+               CAST((z - mu) * (z - mu) * CAST(1.8 AS DOUBLE) * n0 * n0
+                    > CAST(9.0 AS DOUBLE) * CAST(0.2 AS DOUBLE) * varnum
+                      * (CAST(1.0 AS DOUBLE) - g) AS BIGINT) AS alarm
+        FROM r JOIN ref USING (event_type)"""
+
   // ---- q194's oracle, shared verbatim with q199 ---------------------
   // The q185/q188 discipline: the streaming service form (q199 routes
   // the same daily feed through EventStreams.cusumPerKey) carries the
@@ -569,44 +613,7 @@ object Analytics extends Catalog {
           }
           .toDF("event_type", "d", "x", "z", "alarm")
       },
-      sql = Some("""
-        WITH RECURSIVE ev AS (
-          SELECT event_type,
-                 epoch_us(date_trunc('day', ts::TIMESTAMP)) AS d
-          FROM events),
-        span AS (SELECT (min(d) + max(d)) // 2 AS cut FROM ev),
-        daily AS (
-          SELECT event_type, d,
-                 CAST(CASE WHEN event_type = 'click'
-                             AND d >= (SELECT cut FROM span)
-                      THEN count(*) * 2 ELSE count(*) END AS BIGINT) AS x,
-                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
-                   AS BIGINT) AS rn
-          FROM ev GROUP BY event_type, d),
-        ref AS (
-          SELECT event_type,
-                 CAST(sum(x) AS BIGINT) // count(*) AS mu,
-                 CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
-                   AS varnum,
-                 count(*) AS n0
-          FROM daily WHERE d < (SELECT cut FROM span) GROUP BY 1),
-        r AS (
-          SELECT daily.event_type AS event_type, rn, d, x,
-                 CAST(0.2 AS DOUBLE) * x
-                   + CAST(0.8 AS DOUBLE) * CAST(mu AS DOUBLE) AS z,
-                 CAST(0.64 AS DOUBLE) AS g
-          FROM daily JOIN ref USING (event_type) WHERE rn = 1
-          UNION ALL
-          SELECT b.event_type, b.rn, b.d, b.x,
-                 CAST(0.2 AS DOUBLE) * b.x + CAST(0.8 AS DOUBLE) * r.z,
-                 r.g * CAST(0.64 AS DOUBLE)
-          FROM daily b JOIN r
-            ON b.event_type = r.event_type AND b.rn = r.rn + 1)
-        SELECT r.event_type AS event_type, d, x, z,
-               CAST((z - mu) * (z - mu) * CAST(1.8 AS DOUBLE) * n0 * n0
-                    > CAST(9.0 AS DOUBLE) * CAST(0.2 AS DOUBLE) * varnum
-                      * (CAST(1.0 AS DOUBLE) - g) AS BIGINT) AS alarm
-        FROM r JOIN ref USING (event_type)"""),
+      sql = Some(EwmaChartOracleSql),
       scaleNote = "the chart is q114's plan: raw events collapse map-side to the |types × days| frame, one exchange on the key, then a streaming constant-memory scan carrying THREE doubles of state (z, g, and the key) — no window materializes the series, no pow() enters the path; at 100 TB per-entity charts key the same scan by (entity) and the steady-state variant drops g entirely (fixed limits, two doubles of state) — this and q194 are the two sequential monitors a feed runs side by side: EWMA reacts faster to moderate shifts, CUSUM accumulates smaller ones"),
 
 

@@ -399,11 +399,80 @@ object Streaming extends Catalog {
           col("d"), col("x"), col("s"), col("alarm"))
       },
       sql = Some(Analytics.CusumOracleSql),
-      scaleNote = "the detector state is TWO longs per key (running prefix sum + prefix min), so a 100 TB deployment keys by entity (user/source/partition) and the state store holds O(|entities|) longs, not history; upstream, raw events collapse map-side to the |keys × days| daily frame exactly as in batch q194 — the stream carries daily partials, never raw volume; the oracle is byte-identical to q194's, so the service and the closed-form batch spelling are gated against each other every round")
+      scaleNote = "the detector state is TWO longs per key (running prefix sum + prefix min), so a 100 TB deployment keys by entity (user/source/partition) and the state store holds O(|entities|) longs, not history; upstream, raw events collapse map-side to the |keys × days| daily frame exactly as in batch q194 — the stream carries daily partials, never raw volume; the oracle is byte-identical to q194's, so the service and the closed-form batch spelling are gated against each other every round"),
+
+    // ----- q212: streaming EWMA control chart (q207's service form,
+    // r13) -------------------------------------------------------------
+    // The q199 precedent applied to q207: the same |types × days|
+    // daily feed (with each key's trained reference broadcast onto
+    // it) replayed in day-ordered 50-row chunks through
+    // EventStreams.ewmaChartPerKey — a state-v2 transformWithState
+    // processor carrying (z, g) per key in the RocksDB store the new
+    // API requires (a conf-private child session, the q84/q129/q141
+    // ChildSessions discipline, so the shared session's provider is
+    // never touched). The recurrence, seeding, and alarm float
+    // expression are q207's verbatim, so the chunked stream is
+    // bit-identical to the batch scan and carries q207's EXACT oracle
+    // (shared Analytics.EwmaChartOracleSql — the q185/q188 stance).
+    // Accumulating-state contract as q199: ordered per-key ingestion,
+    // no redelivery — documented, not stunted.
+    "q212_streaming_ewma_chart" -> Q(
+      fn = (s0, d) => {
+        import org.apache.spark.sql.functions._
+        val s = ChildSessions.get(s0, "rocksdb-state") { s2 =>
+          s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")
+        }
+        import s.implicits._
+        // q207's plan, verbatim, up to the chart input
+        val ev = Tables.load(s, d, "events").select(col("event_type"),
+          unix_micros(date_trunc("day", col("ts"))).as("d"))
+        val span = ev.agg(expr("(min(d) + max(d)) DIV 2").as("cut"))
+        val daily = ev.groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("x"))
+          .crossJoin(broadcast(span))
+          .select(col("event_type"), col("d"), col("cut"),
+            when(col("event_type") === "click" && col("d") >= col("cut"),
+              col("x") * 2).otherwise(col("x")).as("x"))
+          .localCheckpoint() // one daily frame feeds the reference AND the feed
+        val ref = daily.filter(col("d") < col("cut"))
+          .groupBy(col("event_type"))
+          .agg(expr("sum(x) DIV count(1)").as("mu"),
+            expr("count(1) * sum(x * x) - sum(x) * sum(x)").as("varnum"),
+            count(lit(1)).as("n0"))
+        // the feed is the bounded |types × days| daily frame (q199's
+        // documented staging stance: in production this arrives AS the
+        // stream; collect() stands in for the source)
+        val feed = daily.join(broadcast(ref), "event_type")
+          .select(col("event_type"), col("d"), col("x"),
+            col("mu"), col("varnum"), col("n0"))
+          .as[(String, Long, Long, Long, Long, Long)].collect()
+          .sortBy(r => (r._2, r._1))
+          .map { case (et, day, x, mu, varnum, n0) =>
+            EventStreams.ChartRow(et, day, x, mu, varnum, n0) }
+        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[EventStreams.ChartRow]
+        val sink = s"q212_ewma_${ChartSinkId.incrementAndGet()}"
+        val q = EventStreams.ewmaChartPerKey(ms.toDS())
+          .writeStream.format("memory").outputMode("update")
+          .queryName(sink).start()
+        try feed.grouped(50).foreach { c =>
+          ms.addData(c.toSeq); q.processAllAvailable() }
+        finally q.stop()
+        s.table(sink).select(col("key").as("event_type"),
+          col("d"), col("x"), col("z"), col("alarm"))
+      },
+      sql = Some(Analytics.EwmaChartOracleSql),
+      scaleNote = "chart state is THREE doubles per key (z, the carried limit factor g, and the store key), so a 100 TB deployment keys by entity and the RocksDB store holds O(|entities|) state — history never materializes; upstream identical to q199: raw events collapse map-side to daily partials before the stream sees anything; state-v2 is the right surface here because a production chart adds per-key TTL and timer-driven heartbeat alarms, which GroupState cannot express — and the oracle is byte-identical to q207's, so the service and the batch scan are gated against each other every round")
   )
 
   /** unique memory-sink names across repeated q199 invocations in one
     * session (Verify + bench + specs share the SparkSession)
     */
   private val CusumSinkId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q212's counterpart */
+  private val ChartSinkId = new java.util.concurrent.atomic.AtomicLong(0L)
 }

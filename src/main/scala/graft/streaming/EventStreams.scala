@@ -195,6 +195,68 @@ object EventStreams {
       }
   }
 
+  final case class ChartRow(
+      key: String, d: Long, x: Long, mu: Long, varnum: Long, n0: Long)
+  final case class ChartPoint(
+      key: String, d: Long, x: Long, z: Double, alarm: Long)
+  final case class ChartState(z: Double, g: Double)
+
+  /** Streaming twin of batch q207: Roberts' EWMA control chart as
+    * keyed sequential state on the state-v2 transformWithState
+    * surface (the q199 precedent applied to the chart, on the newer
+    * API its three-doubles-per-key state was made for). State is
+    * (z, g): the smoother z_t = 0.2·x + 0.8·z_{t−1} seeded at the
+    * key's first row with its reference mean, and the iteratively-
+    * carried limit factor g ← 0.64·g (no pow() — the q207/q114
+    * discipline, so the stream is bit-identical to the batch scan AND
+    * the recursive-CTE oracle). The caller supplies each row's
+    * reference (mu, varnum, n0) — in production a trained window
+    * broadcast onto the daily feed. Rows inside a micro-batch fold in
+    * day order; across batches the contract is ordered ingestion per
+    * key. The alarm compare reproduces q207's float expression
+    * verbatim: dev²·1.8·n0² > 9·0.2·varnum·(1−g).
+    */
+  class EwmaChartProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, ChartRow, ChartPoint] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[ChartState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[ChartState]("chart",
+        org.apache.spark.sql.Encoders.product[ChartState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[ChartRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[ChartPoint] = {
+      val rs = rows.toSeq.sortBy(_.d)
+      if (rs.isEmpty) Iterator.empty
+      else {
+        var z = if (st.exists()) st.get().z else rs.head.mu.toDouble
+        var g = if (st.exists()) st.get().g else 1.0
+        val out = rs.map { r =>
+          val mu = r.mu; val varnum = r.varnum; val n0 = r.n0
+          z = 0.2 * r.x + 0.8 * z
+          g = g * 0.64
+          val dev = z - mu
+          val alarm =
+            if (dev * dev * 1.8 * n0 * n0 >
+              9.0 * 0.2 * varnum * (1.0 - g)) 1L else 0L
+          ChartPoint(key, r.d, r.x, z, alarm)
+        }
+        st.update(ChartState(z, g))
+        out.iterator
+      }
+    }
+  }
+
+  def ewmaChartPerKey(rows: Dataset[ChartRow]): Dataset[ChartPoint] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .transformWithState(new EwmaChartProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** The state-v2 twin of [[ewmaPerUser]] on Spark 4's
     * transformWithState / StatefulProcessor API — identical semantics,
     * but state lives behind a typed [[org.apache.spark.sql.streaming.ValueState]]

@@ -641,4 +641,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == want.toSeq,
       s"streaming replay diverged: ${got.length} vs ${want.length} rows")
   }
+
+  test("q212: the registered streaming EWMA chart equals batch q207 " +
+    "double-for-double, with state carried across chunk boundaries") {
+    val got = graft.queries.Streaming.queries("q212_streaming_ewma_chart")
+      .fn(spark, sf0001)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    val want = graft.queries.Analytics.queries("q207_ewma_control_chart")
+      .fn(spark, sf0001)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got.length == want.length,
+      s"row counts: ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      // z must be BIT-identical (same recurrence, same fold order) —
+      // any drift means the chunked state carry broke the seeding or
+      // the limit-factor recurrence
+      assert(g == w, s"streamed $g vs batch $w")
+    }
+    // non-vacuity: the replay genuinely crosses chunk boundaries (the
+    // 50-row chunks split every key's series across micro-batches)
+    assert(want.length > 50,
+      s"fixture too small to exercise a chunk boundary: ${want.length}")
+    // and the chart state is genuinely sequential: some alarm fires
+    // only after the planted cut (inherited q207 fixture contract)
+    assert(got.exists(_._5 == 1L), "no alarm in the replay")
+  }
 }
