@@ -1997,6 +1997,67 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(want.values.sum == total)
   }
 
+  test("q213: Holt-Winters replicates the recurrence in plain Scala " +
+    "bit-for-bit and beats seasonal-naive on the planted feed") {
+    val out = Analytics.queries("q213_holt_winters_backtest").fn(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out.nonEmpty)
+    // rebuild the planted daily feed exactly as q205/q213 do
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', CAST(ts AS TIMESTAMP)))"))
+      .as[(String, Long)].collect()
+    val daily = raw.groupBy(_._1).map { case (et, rows) =>
+      val mu = {
+        val counts = rows.groupBy(_._2).map(_._2.length.toLong)
+        counts.sum / counts.size
+      }
+      et -> rows.groupBy(_._2).toSeq.map { case (d, g) =>
+        val plant = if ((d / 86400000000L + 4) % 7 == 6) 2 * mu else 0L
+        (d, g.length.toLong + plant)
+      }.sortBy(_._1)
+    }
+    var wins = 0
+    var totHw = 0.0; var totSeasonal = 0.0
+    daily.foreach { case (et, series) =>
+      // the recurrence, verbatim
+      var l = series.take(7).map(_._2).sum.toDouble / 7.0
+      var b = 0.0
+      val sv = Array.tabulate(7)(i => series(i)._2.toDouble - l)
+      var saeHw = 0.0; var saeSeasonal = 0.0
+      series.zipWithIndex.drop(7).foreach { case ((d, x), idx) =>
+        val slot = idx % 7
+        val fc = (l + b) + sv(slot)
+        val (g, gf) = out((et, d))
+        assert(g == x && gf == fc, // fc BIT-identical: same ops, same order
+          s"$et@$d: engine ($g, $gf) vs replica ($x, $fc)")
+        val lPrev = l; val bPrev = b
+        l = 0.125 * (x - sv(slot)) + 0.875 * (lPrev + bPrev)
+        b = 0.0625 * (l - lPrev) + 0.9375 * bPrev
+        sv(slot) = 0.25 * (x - (lPrev + bPrev)) + 0.75 * sv(slot)
+        saeHw += math.abs(x - fc)
+        saeSeasonal += math.abs(x - series(idx - 7)._2)
+      }
+      if (saeHw < saeSeasonal) wins += 1
+      totHw += saeHw; totSeasonal += saeSeasonal
+      // soft per-type bound: a 23-eval-point series can lose to the
+      // baseline by luck, but never by much
+      assert(saeHw < saeSeasonal * 1.2,
+        s"$et: HW $saeHw far above seasonal-naive $saeSeasonal")
+    }
+    // the point of the operator: the smoother filters last week's
+    // noise that seasonal-naive carries whole — aggregate MASE ratio
+    // decisively < 1 (measured 0.94/0.88/0.87 at sf0.001/0.01/0.1)
+    // and a majority of types win outright
+    assert(totHw < totSeasonal,
+      s"aggregate: HW $totHw vs seasonal-naive $totSeasonal")
+    assert(wins * 2 > daily.size,
+      s"HW beats seasonal-naive on only $wins/${daily.size} types")
+    // every engine row accounted for (no phantom forecasts)
+    assert(out.size == daily.map(_._2.length - 7).sum)
+  }
+
   test("q205: MASE replicates in plain Scala, the planted weekly cycle " +
     "gives seasonal-naive the edge, and the no-plant control shows none") {
     val out = Analytics.queries("q205_seasonal_naive_backtest").fn(spark, sf0001)

@@ -261,7 +261,8 @@ class PlanSpec extends SparkSpec {
     // q194-style 1-row cut/stat broadcasts, so a BNLJ of a broadcast
     // 1-row frame is the one allowed shape (the q194 precedent).
     for (q <- Seq("q205_seasonal_naive_backtest", "q206_theil_sen_trend",
-        "q207_ewma_control_chart", "q208_incremental_profile_fold")) {
+        "q207_ewma_control_chart", "q208_incremental_profile_fold",
+        "q210_profile_fold_hll", "q213_holt_winters_backtest")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(800)}")
       // any nested loop must broadcast a PROVABLY-1-row side: its build
