@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** JSON-schema validation of LLM output — the QA gate a production
+  * enrich pipeline runs BEFORE trusting `texts[output_label]`.
+  *
+  * The parity surface REQUESTS schema-constrained output (R8,
+  * reference lib/job_processor.rb:181-205) but nothing in the
+  * reference validates what actually comes back; models drift, JSON
+  * modes truncate, and a silent bad record poisons downstream
+  * training data. This operator checks the response against the
+  * schema's constraint vocabulary (the reference's example schema,
+  * docs/example/schemas/person_schema.yml:1-33: required / type /
+  * minimum / maximum / enum / minLength) and routes failures to the
+  * dead-letter channel exactly like the transport failures EnrichJob
+  * already dead-letters (R11's fail-soft stance).
+  *
+  * Spark-first: every check is a pure `Column` expression over ONE
+  * `get_json_object`/`from_json` pass — codegen'd, map-side, no UDF —
+  * so the gate costs a projection at any corpus size. Checks CHAIN:
+  * a constraint whose prerequisite failed (unparseable JSON, wrong
+  * type) reports false, so the verdict row is total and deterministic
+  * for every input.
+  */
+object SchemaValidate {
+
+  /** One schema constraint; `check` builds the verdict Column given
+    * the parse guard and the raw JSON column.
+    */
+  sealed trait Constraint extends Serializable {
+    def reason: String
+    private[SchemaValidate] def col(ok_parse: Column, j: Column): Column
+  }
+
+  private def field(j: Column, f: String): Column =
+    get_json_object(j, s"$$.$f")
+
+  private val IntRe = "^-?[0-9]+$"
+
+  /** key must be present (JSON null counts as absent — the model
+    * "answered" nothing) */
+  final case class Required(f: String) extends Constraint {
+    val reason = s"required:$f"
+    private[SchemaValidate] def col(ok: Column, j: Column): Column =
+      ok && field(j, f).isNotNull
+  }
+
+  /** value must be a JSON integer (not a quoted digit string, not
+    * prose) */
+  final case class IntType(f: String) extends Constraint {
+    val reason = s"type:$f"
+    private[SchemaValidate] def col(ok: Column, j: Column): Column =
+      ok && coalesce(field(j, f).rlike(IntRe), lit(false))
+  }
+
+  /** minimum (presupposes IntType — false when the type check fails).
+    * try_cast, not cast: under ANSI + codegen subexpression
+    * elimination a plain cast evaluates even when the guard is false
+    * and throws on non-numeric text. */
+  final case class Min(f: String, v: Long) extends Constraint {
+    val reason = s"min:$f"
+    private[SchemaValidate] def col(ok: Column, j: Column): Column =
+      IntType(f).col(ok, j) &&
+        coalesce(field(j, f).try_cast("long") >= v, lit(false))
+  }
+
+  /** maximum (presupposes IntType) */
+  final case class Max(f: String, v: Long) extends Constraint {
+    val reason = s"max:$f"
+    private[SchemaValidate] def col(ok: Column, j: Column): Column =
+      IntType(f).col(ok, j) &&
+        coalesce(field(j, f).try_cast("long") <= v, lit(false))
+  }
+
+  /** enum membership (presupposes Required) */
+  final case class OneOf(f: String, values: Seq[String]) extends Constraint {
+    val reason = s"enum:$f"
+    private[SchemaValidate] def col(ok: Column, j: Column): Column =
+      Required(f).col(ok, j) &&
+        coalesce(field(j, f).isin(values: _*), lit(false))
+  }
+
+  /** string length floor */
+  final case class MinLength(f: String, n: Int) extends Constraint {
+    val reason = s"minLength:$f"
+    private[SchemaValidate] def col(ok: Column, j: Column): Column =
+      ok && coalesce(length(field(j, f)) >= n, lit(false))
+  }
+
+  /** Appends to `df`: `ok_parse`, one verdict column per constraint
+    * (caller-supplied aliases), `valid`, and `reason` (the FIRST
+    * failed check in declaration order, '' when valid) — all BIGINT
+    * 0/1 flags so the frame is oracle- and hash-portable.
+    */
+  def verdicts(
+      df: DataFrame, jsonCol: String,
+      constraints: Seq[(String, Constraint)]): DataFrame = {
+    val j = col(jsonCol)
+    // corrupt detection must NOT use permissive from_json (it returns
+    // a row of nulls, never a null struct) — try_parse_json is the
+    // honest validity probe: NULL exactly when the text is not JSON
+    val okParse = try_parse_json(j).isNotNull
+    val withChecks = constraints.foldLeft(
+      df.withColumn("ok_parse", okParse)) {
+      case (acc, (alias, c)) =>
+        acc.withColumn(alias, c.col(col("ok_parse"), j))
+    }
+    val allOk = constraints.map(_._1).foldLeft(col("ok_parse"))(
+      (a, n) => a && col(n))
+    // first-failing reason follows DECLARATION order: parse first,
+    // then each constraint
+    val reason = constraints.foldLeft(
+      when(!col("ok_parse"), lit("parse"))) {
+      case (acc, (alias, c)) => acc.when(!col(alias), lit(c.reason))
+    }.otherwise(lit(""))
+    withChecks
+      .withColumn("valid", allOk)
+      .withColumn("reason", reason)
+  }
+
+  /** Dead-letter split: (good, dead). `dead` keeps every column plus
+    * the populated `reason` — the same fail-soft routing EnrichJob
+    * applies to transport errors (record dropped, job continues).
+    */
+  def split(validated: DataFrame): (DataFrame, DataFrame) =
+    // cast: callers may have re-emitted the flag as a 0/1 BIGINT for
+    // hash portability
+    (validated.filter(col("valid").cast("boolean")),
+      validated.filter(!col("valid").cast("boolean")))
+}

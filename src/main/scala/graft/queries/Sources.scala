@@ -653,6 +653,142 @@ object Sources extends Catalog {
       // SQL-portable; EnrichJobSpec covers the record-level contract
       scaleNote = "network boundary moves from driver↔API (reference) to executor-task↔API: throughput scales with partitions × per-partition concurrency"),
 
+    // ----- E18: LLM-output JSON-schema validation (r13) --------------
+    // The QA gate q44's pipeline was missing: R8 REQUESTS
+    // schema-constrained output (reference lib/job_processor.rb:181-205;
+    // constraint vocabulary docs/example/schemas/person_schema.yml:1-33)
+    // but nothing validates what comes back — this runs the full
+    // enrich pipeline against a deterministic fake whose JSON is a
+    // pure SQL-expressible function of (id, text), then validates the
+    // response with SchemaValidate (required / int type / min / max /
+    // enum / minLength, chained) and emits the per-record verdict
+    // frame. Planted violations by id class: %19 truncated JSON
+    // (parse), %13 age as prose string (type), %5 negative age (min),
+    // %23 age 200+ (max), %17 lang key omitted (required), %11 lang
+    // outside the enum, %7 empty name (minLength) — every class
+    // non-empty at every SF, precedence mirrored exactly in the
+    // oracle's CASE chain. UNLIKE q44 (murmur3 fingerprint — rows-only
+    // by necessity) the verdict columns are fully oracle-able: DuckDB
+    // derives the expected flags from first principles, so any defect
+    // in the template render, the JSON round-trip, get_json_object
+    // extraction, or the chaining logic hash-mismatches.
+    "q214_llm_schema_validate" -> Q(
+      fn = (s, d) => {
+        import graft.pipeline.SchemaValidate
+        import graft.pipeline.SchemaValidate._
+        val records = Tables.load(s, d, "documents")
+          .select(col("doc_id").cast("string").as("id"),
+            map(lit("content"), col("text")).as("texts"),
+            array().cast("array<string>").as("images"))
+        val cfg = graft.core.JobConfig(
+          id = "schema-validate",
+          erbTemplate = "<%= id %>|<%= texts[:content] %>",
+          backendEndpoint = "http://fake", model = "fake",
+          outputLabel = "extracted", systemErbTemplate = None,
+          params = Map.empty, useImages = false,
+          // R8's inline-schema path: the request ASKS for the schema;
+          // this operator is the check that the answer honored it
+          responseFormat = Some(graft.core.ResponseFormat.JsonMode))
+        // deterministic fake: JSON derived from (id, text) alone —
+        // every branch below has an exact SQL mirror in the oracle
+        val fake = new graft.llm.FakeLlmClient(p => {
+          val bar = p.indexOf('|')
+          val i = p.substring(0, bar).toLong
+          val text = p.substring(bar + 1)
+          val name =
+            if (i % 7 == 0) ""
+            else text.takeWhile(c =>
+              (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+                (c >= '0' && c <= '9'))
+          if (i % 19 == 0) s"""{"name": "$name", "age"""
+          else {
+            val age =
+              if (i % 13 == 0) "\"unknown\""
+              else if (i % 5 == 0) (-(i % 90 + 1)).toString
+              else if (i % 23 == 0) (200 + i % 50).toString
+              else (i % 90).toString
+            val lang =
+              if (i % 17 == 0) ""
+              else if (i % 11 == 0) ", \"lang\": \"xx\""
+              else ", \"lang\": \"" +
+                Seq("en", "fr", "de")((i % 3).toInt) + "\""
+            s"""{"name": "$name", "age": $age$lang}"""
+          }
+        })
+        val enriched = graft.pipeline.EnrichJob
+          .run(records, cfg, fake,
+            graft.pipeline.EnrichOptions(concurrency = 16))
+          .good
+          .select(col("id").cast("long").as("id"),
+            element_at(col("texts"), "extracted").as("j"))
+        val checked = SchemaValidate.verdicts(enriched, "j", Seq(
+          "ok_required" -> Required("lang"),
+          "ok_type" -> IntType("age"),
+          "ok_min" -> Min("age", 0L),
+          "ok_max" -> Max("age", 120L),
+          "ok_enum" -> OneOf("lang", Seq("en", "fr", "de")),
+          "ok_minlen" -> MinLength("name", 1)))
+        // the dead half is what production routes to the dead-letter
+        // channel; the registered frame is the full verdict report
+        // (valid column = which side each record lands on)
+        checked.select(col("id"),
+          col("ok_parse").cast("long").as("ok_parse"),
+          col("ok_required").cast("long").as("ok_required"),
+          col("ok_type").cast("long").as("ok_type"),
+          col("ok_min").cast("long").as("ok_min"),
+          col("ok_max").cast("long").as("ok_max"),
+          col("ok_enum").cast("long").as("ok_enum"),
+          col("ok_minlen").cast("long").as("ok_minlen"),
+          col("valid").cast("long").as("valid"),
+          col("reason"))
+      },
+      sql = Some("""
+        WITH v AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 doc_id % 19 = 0 AS corrupt,
+                 doc_id % 19 <> 0 AND doc_id % 13 = 0 AS typebad,
+                 doc_id % 19 <> 0 AND doc_id % 13 <> 0
+                   AND doc_id % 5 = 0 AS negbad,
+                 doc_id % 19 <> 0 AND doc_id % 13 <> 0
+                   AND doc_id % 5 <> 0 AND doc_id % 23 = 0 AS maxbad,
+                 doc_id % 17 = 0 AS langmiss,
+                 doc_id % 11 = 0 AS langodd,
+                 doc_id % 7 = 0 OR
+                   length(regexp_extract(text, '^[a-zA-Z0-9]*', 0)) < 1
+                   AS namebad
+          FROM documents),
+        f AS (
+          SELECT id,
+                 NOT corrupt AS ok_parse,
+                 NOT corrupt AND NOT langmiss AS ok_required,
+                 NOT corrupt AND NOT typebad AS ok_type,
+                 NOT corrupt AND NOT typebad AND NOT negbad AS ok_min,
+                 NOT corrupt AND NOT typebad AND NOT maxbad AS ok_max,
+                 NOT corrupt AND NOT langmiss AND NOT langodd AS ok_enum,
+                 NOT corrupt AND NOT namebad AS ok_minlen
+          FROM v)
+        SELECT id,
+               CAST(ok_parse AS BIGINT) AS ok_parse,
+               CAST(ok_required AS BIGINT) AS ok_required,
+               CAST(ok_type AS BIGINT) AS ok_type,
+               CAST(ok_min AS BIGINT) AS ok_min,
+               CAST(ok_max AS BIGINT) AS ok_max,
+               CAST(ok_enum AS BIGINT) AS ok_enum,
+               CAST(ok_minlen AS BIGINT) AS ok_minlen,
+               CAST(ok_parse AND ok_required AND ok_type AND ok_min
+                    AND ok_max AND ok_enum AND ok_minlen AS BIGINT)
+                 AS valid,
+               CASE WHEN NOT ok_parse THEN 'parse'
+                    WHEN NOT ok_required THEN 'required:lang'
+                    WHEN NOT ok_type THEN 'type:age'
+                    WHEN NOT ok_min THEN 'min:age'
+                    WHEN NOT ok_max THEN 'max:age'
+                    WHEN NOT ok_enum THEN 'enum:lang'
+                    WHEN NOT ok_minlen THEN 'minLength:name'
+                    ELSE '' END AS reason
+        FROM f"""),
+      scaleNote = "the gate is a row-local projection over the enrich output — one from_json parse plus per-field get_json_object extractions, all codegen'd, zero shuffles, zero UDFs — so it rides the enrich job's existing partitioning at any corpus size; the dead-letter split is two filters of the same frame (Spark shares the scan), and at 100 TB the verdict frame aggregates into the per-reason drop-rate dashboard a production enrich pipeline alerts on (one |reasons|-row fold); the constraint list is data, not code — new schema fields are new Constraint rows, never a new pass"),
+
     // ----- multimodal: perceptual-hash image near-dup ---------------
     "q58_image_neardup" -> Q(
       fn = (s, d) => {

@@ -1974,6 +1974,34 @@ class PipelineCatalogsSpec extends SparkSpec {
       "every quality centile is a singleton — bucketing is vacuous here")
   }
 
+  test("q214: every planted violation class fires, the dead-letter split " +
+    "partitions the frame, and valid rows carry no reason") {
+    val out = Sources.queries("q214_llm_schema_validate").fn(spark, sf0001)
+      .localCheckpoint()
+    val rows = out.as[(Long, Long, Long, Long, Long, Long, Long, Long,
+      Long, String)].collect()
+    assert(rows.nonEmpty)
+    // non-vacuity: every constraint class has at least one failure AND
+    // valid rows exist — otherwise the gate tests nothing
+    val reasons = rows.map(_._10).toSet
+    val expected = Set("parse", "required:lang", "type:age", "min:age",
+      "max:age", "enum:lang", "minLength:name", "")
+    assert(reasons == expected,
+      s"missing classes: ${expected -- reasons}; extra: ${reasons -- expected}")
+    // verdict coherence: valid == conjunction of the seven flags, and
+    // reason is empty exactly on valid rows
+    rows.foreach { case r @ (_, p, rq, ty, mn, mx, en, ml, valid, reason) =>
+      assert(valid == (if (Seq(p, rq, ty, mn, mx, en, ml).forall(_ == 1L)) 1L
+                       else 0L), s"incoherent: $r")
+      assert((reason == "") == (valid == 1L), s"reason mismatch: $r")
+    }
+    // the operator's split is a partition of the frame
+    val (good, dead) = graft.pipeline.SchemaValidate.split(out)
+    assert(good.count() + dead.count() == rows.length)
+    assert(good.filter(col("valid") === 0).count() == 0)
+    assert(dead.filter(col("reason") === "").count() == 0)
+  }
+
   test("q195: digit shares replicate in plain Scala and account for the " +
     "whole feed") {
     val out = Analytics.queries("q195_benford_audit").fn(spark, sf0001)
