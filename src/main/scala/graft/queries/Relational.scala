@@ -483,6 +483,55 @@ object Relational extends Catalog {
         GROUP BY cntrycode"""),
       scaleNote = "the NOT IN plans as ONE null-aware anti join: the priority predicate pushes into the orders scan, the urgent-customer key set is dimension-sized (broadcastable at any corpus — it shrinks the fact to |urgent customers| before shipping), and the null-awareness costs one extra has-null flag on the broadcast side, not a second pass; the scalar AVG cut is two one-row subquery broadcasts over the same |customers| frame (exact integer cents, cross-multiplied — no double average crosses an engine boundary), and the final fold is |nations| rows; at 100 TB the build side must stay the SUBQUERY side — Spark refuses to shuffle a null-aware anti join, so a fact-sized NOT IN list is the one shape to avoid (rewrite to NOT EXISTS when the inner key is provably non-null, which IS a plain anti join — q187's path)"),
 
+    // ----- E4/SQL surface: the canonical TPC-H Q17 shape (r13) --------
+    // "Small-quantity-order revenue": lines whose quantity is below
+    // 20% of their part's average — the decorrelation pattern the
+    // family still lacked after q81 (uncorrelated scalar), q187
+    // (EXISTS), q197 (IN-over-aggregate), q202 (nested IN), q209
+    // (null-aware NOT IN): a CORRELATED scalar aggregate over the SAME
+    // fact the outer query scans. The naive plan re-aggregates
+    // lineitem once per outer row; Catalyst must decorrelate into ONE
+    // per-partkey aggregate joined back on the key (and with
+    // MergeScalarSubqueries, the count and sum subqueries fold into
+    // the SAME aggregate) — PlanSpec pins no cartesian, no per-row
+    // re-execution, both aggregates two-phase. The 0.2·avg cut follows
+    // the r9 rational rule: qty < sum/(5·cnt) cross-multiplies to
+    // qty·5·cnt < sum, exact BIGINTs end to end; revenue emits as
+    // exact cents (Q17's /7.0 yearly average is the reader's division,
+    // never the engine's).
+    "q216_tpch_q17_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "part").createOrReplaceTempView("q216_part")
+        t(s, d, "lineitem").createOrReplaceTempView("q216_lineitem")
+        s.sql("""
+          SELECT p_brand,
+                 count(*) AS n_lines,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS sum_price_cents
+          FROM q216_lineitem, q216_part
+          WHERE p_partkey = l_partkey AND p_size < 15
+            AND CAST(l_quantity AS BIGINT) * 5
+                * (SELECT count(*) FROM q216_lineitem l3
+                   WHERE l3.l_partkey = p_partkey)
+                < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+                   FROM q216_lineitem l2 WHERE l2.l_partkey = p_partkey)
+          GROUP BY p_brand""")
+      },
+      sql = Some("""
+        SELECT p_brand,
+               count(*) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS sum_price_cents
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_size < 15
+          AND CAST(l_quantity AS BIGINT) * 5
+              * (SELECT count(*) FROM lineitem l3
+                 WHERE l3.l_partkey = p_partkey)
+              < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+                 FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand"""),
+      scaleNote = "decorrelation turns a per-row rescan of the fact into per-partkey aggregates (map-side partial — |parts| rows out of each shuffle) joined back on the very key the outer join already uses, so AQE co-plans the exchanges; Catalyst rewrites the count and sum subqueries independently (MergeScalarSubqueries only merges uncorrelated scalars), so the fact aggregates twice — at 100 TB the tuned spelling pre-joins ONE (sum, count) aggregate manually, but the automatic plan is already linear and re-execution-free, which is what this query gates; the p_size predicate pushes into the part scan, and the final fold is |brands| rows"),
+
     // ----- E5: range (theta) join — events self-join ------------------
     "q09_range_join_events" -> Q(
       fn = (s, d) => {

@@ -997,6 +997,28 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("q216: the correlated scalar aggregate decorrelates to ONE " +
+    "per-key aggregate join — never a per-row rescan of the fact") {
+    val p = plan("q216_tpch_q17_shape")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the per-partkey aggregate is two-phase, and the outer revenue
+    // aggregate exists too — at least 2 distinct aggregates, each
+    // partial+final
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"expected two two-phase aggregates:\n${p.take(1600)}")
+    // RewriteCorrelatedScalarSubquery decorrelates the count and sum
+    // subqueries INDEPENDENTLY (MergeScalarSubqueries only merges
+    // uncorrelated ones), so the fact scans exactly three times —
+    // outer + one per rewritten aggregate; a fourth scan would mean a
+    // re-execution regression
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans == 3,
+      s"expected outer + two decorrelated aggregates = 3 lineitem " +
+        s"scans, got $scans:\n${p.take(1600)}")
+  }
+
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
     val p = plan("q170_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(1200))
