@@ -97,6 +97,66 @@ object Analytics extends Catalog {
                       * (CAST(1.0 AS DOUBLE) - g) AS BIGINT) AS alarm
         FROM r JOIN ref USING (event_type)"""
 
+  // ---- q213's oracle, shared verbatim with q217 ---------------------
+  // The q207/q212 discipline applied to the forecaster: the streaming
+  // service form (q217 routes the same planted daily feed through
+  // EventStreams.holtWintersPerKey) carries the SAME gate as the batch
+  // backtest, so the two spellings cannot drift apart.
+  private[queries] val HoltWintersOracleSql: String = """
+        WITH RECURSIVE daily0 AS (
+          SELECT event_type,
+                 epoch_us(date_trunc('day', ts::TIMESTAMP)) AS d,
+                 count(*) AS x0
+          FROM events GROUP BY 1, 2),
+        refm AS (SELECT event_type, CAST(sum(x0) AS BIGINT) // count(*) AS mu
+                 FROM daily0 GROUP BY 1),
+        daily AS (
+          SELECT daily0.event_type AS event_type, d,
+                 CAST(x0 + CASE WHEN (d // 86400000000 + 4) % 7 = 6
+                      THEN 2 * mu ELSE 0 END AS BIGINT) AS x,
+                 CAST(row_number() OVER (PARTITION BY daily0.event_type
+                   ORDER BY d) AS BIGINT) AS rn
+          FROM daily0 JOIN refm USING (event_type)),
+        seed AS (
+          SELECT event_type,
+                 CAST(CAST(sum(x) AS BIGINT) AS DOUBLE)
+                   / CAST(7.0 AS DOUBLE) AS l0,
+                 list(CAST(x AS DOUBLE) ORDER BY rn) AS xs
+          FROM daily WHERE rn <= 7 GROUP BY 1),
+        r AS (
+          SELECT event_type, CAST(7 AS BIGINT) AS rn,
+                 CAST(NULL AS BIGINT) AS d, CAST(NULL AS BIGINT) AS x,
+                 l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+                 list_transform(xs, v -> v - l0) AS sv,
+                 CAST(NULL AS DOUBLE) AS fc
+          FROM seed
+          UNION ALL
+          SELECT event_type, rn, d, x,
+                 lnew AS l,
+                 CAST(0.0625 AS DOUBLE) * (lnew - lold)
+                   + CAST(0.9375 AS DOUBLE) * bold AS b,
+                 list_transform(sv0, (v, i) ->
+                   CASE WHEN i = slot THEN snew ELSE v END) AS sv,
+                 fc
+          FROM (
+            SELECT event_type, rn, d, x, lold, bold, sv0, slot, sold, fc,
+                   CAST(0.125 AS DOUBLE) * (x - sold)
+                     + CAST(0.875 AS DOUBLE) * (lold + bold) AS lnew,
+                   CAST(0.25 AS DOUBLE) * (x - (lold + bold))
+                     + CAST(0.75 AS DOUBLE) * sold AS snew
+            FROM (
+              SELECT b.event_type AS event_type, b.rn AS rn, b.d AS d,
+                     b.x AS x, r.l AS lold, r.b AS bold, r.sv AS sv0,
+                     ((b.rn - 1) % 7) + 1 AS slot,
+                     r.sv[CAST((b.rn - 1) % 7 + 1 AS INT)] AS sold,
+                     (r.l + r.b) + r.sv[CAST((b.rn - 1) % 7 + 1 AS INT)]
+                       AS fc
+              FROM daily b
+              JOIN r ON b.event_type = r.event_type AND b.rn = r.rn + 1
+            ) t1
+          ) t2)
+        SELECT event_type, d, x, fc FROM r WHERE rn >= 8"""
+
   // ---- q194's oracle, shared verbatim with q199 ---------------------
   // The q185/q188 discipline: the streaming service form (q199 routes
   // the same daily feed through EventStreams.cusumPerKey) carries the
@@ -818,60 +878,7 @@ object Analytics extends Catalog {
           }
           .toDF("event_type", "d", "x", "fc")
       },
-      sql = Some("""
-        WITH RECURSIVE daily0 AS (
-          SELECT event_type,
-                 epoch_us(date_trunc('day', ts::TIMESTAMP)) AS d,
-                 count(*) AS x0
-          FROM events GROUP BY 1, 2),
-        refm AS (SELECT event_type, CAST(sum(x0) AS BIGINT) // count(*) AS mu
-                 FROM daily0 GROUP BY 1),
-        daily AS (
-          SELECT daily0.event_type AS event_type, d,
-                 CAST(x0 + CASE WHEN (d // 86400000000 + 4) % 7 = 6
-                      THEN 2 * mu ELSE 0 END AS BIGINT) AS x,
-                 CAST(row_number() OVER (PARTITION BY daily0.event_type
-                   ORDER BY d) AS BIGINT) AS rn
-          FROM daily0 JOIN refm USING (event_type)),
-        seed AS (
-          SELECT event_type,
-                 CAST(CAST(sum(x) AS BIGINT) AS DOUBLE)
-                   / CAST(7.0 AS DOUBLE) AS l0,
-                 list(CAST(x AS DOUBLE) ORDER BY rn) AS xs
-          FROM daily WHERE rn <= 7 GROUP BY 1),
-        r AS (
-          SELECT event_type, CAST(7 AS BIGINT) AS rn,
-                 CAST(NULL AS BIGINT) AS d, CAST(NULL AS BIGINT) AS x,
-                 l0 AS l, CAST(0.0 AS DOUBLE) AS b,
-                 list_transform(xs, v -> v - l0) AS sv,
-                 CAST(NULL AS DOUBLE) AS fc
-          FROM seed
-          UNION ALL
-          SELECT event_type, rn, d, x,
-                 lnew AS l,
-                 CAST(0.0625 AS DOUBLE) * (lnew - lold)
-                   + CAST(0.9375 AS DOUBLE) * bold AS b,
-                 list_transform(sv0, (v, i) ->
-                   CASE WHEN i = slot THEN snew ELSE v END) AS sv,
-                 fc
-          FROM (
-            SELECT event_type, rn, d, x, lold, bold, sv0, slot, sold, fc,
-                   CAST(0.125 AS DOUBLE) * (x - sold)
-                     + CAST(0.875 AS DOUBLE) * (lold + bold) AS lnew,
-                   CAST(0.25 AS DOUBLE) * (x - (lold + bold))
-                     + CAST(0.75 AS DOUBLE) * sold AS snew
-            FROM (
-              SELECT b.event_type AS event_type, b.rn AS rn, b.d AS d,
-                     b.x AS x, r.l AS lold, r.b AS bold, r.sv AS sv0,
-                     ((b.rn - 1) % 7) + 1 AS slot,
-                     r.sv[CAST((b.rn - 1) % 7 + 1 AS INT)] AS sold,
-                     (r.l + r.b) + r.sv[CAST((b.rn - 1) % 7 + 1 AS INT)]
-                       AS fc
-              FROM daily b
-              JOIN r ON b.event_type = r.event_type AND b.rn = r.rn + 1
-            ) t1
-          ) t2)
-        SELECT event_type, d, x, fc FROM r WHERE rn >= 8"""),
+      sql = Some(HoltWintersOracleSql),
       scaleNote = "q207's plan with a 7-slot vector in place of two scalars: raw events collapse map-side to the |types × days| frame, one exchange on the key, then a streaming constant-memory scan carrying NINE doubles of state per key (l, b, s[7]) — no window materializes the series, no pow() enters the path, and the one-week seed buffer is bounded by the period, not the horizon; at 100 TB per-entity forecasts key the same scan by (entity), multi-seasonal variants widen the vector (7+24 slots for day×hour), and the streaming twin is the q212 processor with the same state tuple — the backtest emits the per-day forecast frame so any scorecard (q205's MASE, pinball, coverage) folds from it without rerunning the smoother"),
 
     // ----- rolling z-score anomaly flags (pipeline monitoring) ------

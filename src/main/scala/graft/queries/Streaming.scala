@@ -465,7 +465,61 @@ object Streaming extends Catalog {
           col("d"), col("x"), col("z"), col("alarm"))
       },
       sql = Some(Analytics.EwmaChartOracleSql),
-      scaleNote = "chart state is THREE doubles per key (z, the carried limit factor g, and the store key), so a 100 TB deployment keys by entity and the RocksDB store holds O(|entities|) state — history never materializes; upstream identical to q199: raw events collapse map-side to daily partials before the stream sees anything; state-v2 is the right surface here because a production chart adds per-key TTL and timer-driven heartbeat alarms, which GroupState cannot express — and the oracle is byte-identical to q207's, so the service and the batch scan are gated against each other every round")
+      scaleNote = "chart state is THREE doubles per key (z, the carried limit factor g, and the store key), so a 100 TB deployment keys by entity and the RocksDB store holds O(|entities|) state — history never materializes; upstream identical to q199: raw events collapse map-side to daily partials before the stream sees anything; state-v2 is the right surface here because a production chart adds per-key TTL and timer-driven heartbeat alarms, which GroupState cannot express — and the oracle is byte-identical to q207's, so the service and the batch scan are gated against each other every round"),
+
+    // ----- q217: streaming Holt-Winters forecaster (q213's service
+    // form, r13) --------------------------------------------------------
+    // The forecast-as-a-service spelling: tomorrow's one-step forecast
+    // must be READY when tomorrow's partial arrives, not recomputed
+    // from history — so the q213 smoother runs as keyed streaming
+    // state. The wrinkle q212 didn't have is the SEED: the smoother
+    // needs a full period before its first forecast, and the replay's
+    // 20-row chunks deliberately SPLIT every key's seed week across
+    // micro-batches, so the state carries the partial seed buffer
+    // until row 7 lands. Recurrence and coefficients are q213's
+    // verbatim; the oracle is q213's byte-identical SQL (the
+    // q199/q212 stance), so service and batch backtest gate each
+    // other every round.
+    "q217_streaming_holt_winters" -> Q(
+      fn = (s0, d) => {
+        import org.apache.spark.sql.functions._
+        val s = ChildSessions.get(s0, "rocksdb-state") { s2 =>
+          s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")
+        }
+        import s.implicits._
+        // q213's planted daily feed, verbatim
+        val daily0 = Tables.load(s, d, "events")
+          .select(col("event_type"),
+            expr("unix_micros(date_trunc('day', ts))").as("d"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("x0"))
+        val ref = daily0.groupBy(col("event_type"))
+          .agg(expr("sum(x0) DIV count(1)").as("mu"))
+        val feed = daily0.join(broadcast(ref), "event_type")
+          .select(col("event_type"), col("d"),
+            (col("x0") + when(
+              (col("d") / lit(86400000000L) + 4) % 7 === 6, col("mu") * 2)
+              .otherwise(0L)).as("x"))
+          .as[(String, Long, Long)].collect()
+          .sortBy(r => (r._2, r._1))
+          .map { case (et, day, x) => EventStreams.HwRow(et, day, x) }
+        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[EventStreams.HwRow]
+        val sink = s"q217_hw_${HwSinkId.incrementAndGet()}"
+        val q = EventStreams.holtWintersPerKey(ms.toDS())
+          .writeStream.format("memory").outputMode("update")
+          .queryName(sink).start()
+        try feed.grouped(20).foreach { c =>
+          ms.addData(c.toSeq); q.processAllAvailable() }
+        finally q.stop()
+        s.table(sink).select(col("key").as("event_type"),
+          col("d"), col("x"), col("fc"))
+      },
+      sql = Some(Analytics.HoltWintersOracleSql),
+      scaleNote = "forecaster state is nine doubles per key once seeded (l, b, s[7]) plus a bounded seed buffer before — a 100 TB deployment keys by entity and serves the NEXT forecast as (l + b) + s[slot] straight from the store, no history scan; upstream identical to q199/q212 (daily partials, never raw volume); the seed-across-chunks carry is the state contract a real ingest (where a key's first week spans many micro-batches) actually exercises, and the oracle is byte-identical to q213's recursive-CTE mirror")
   )
 
   /** unique memory-sink names across repeated q199 invocations in one
@@ -475,4 +529,7 @@ object Streaming extends Catalog {
 
   /** q212's counterpart */
   private val ChartSinkId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q217's counterpart */
+  private val HwSinkId = new java.util.concurrent.atomic.AtomicLong(0L)
 }

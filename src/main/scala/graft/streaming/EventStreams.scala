@@ -257,6 +257,83 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class HwRow(key: String, d: Long, x: Long)
+  final case class HwPoint(key: String, d: Long, x: Long, fc: Double)
+  /** (rows seen, partial seed week, level, trend, 7-slot seasonal) —
+    * nine doubles + at most seven longs per key once seeded */
+  final case class HwState(
+      n: Long, seed: Seq[Long], l: Double, b: Double, sv: Seq[Double])
+
+  /** Streaming twin of batch q213: the Holt-Winters additive smoother
+    * as keyed sequential state. The one genuinely stateful wrinkle vs
+    * q212's chart is the SEED — the smoother needs a full period
+    * before its first forecast, so the state carries the partial seed
+    * week until row 7 arrives (possibly several micro-batches later),
+    * then flips to (l, b, s[7]). Recurrence, seeding and coefficients
+    * are q213's verbatim (α = 1/8, β = 1/16, γ = 1/4, slot cycles by
+    * per-key row count), so a day-ordered replay is bit-identical to
+    * the batch scan and carries q213's exact oracle.
+    */
+  class HoltWintersProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, HwRow, HwPoint] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[HwState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[HwState]("hw",
+        org.apache.spark.sql.Encoders.product[HwState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[HwRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[HwPoint] = {
+      val rs = rows.toSeq.sortBy(_.d)
+      if (rs.isEmpty) Iterator.empty
+      else {
+        val s0 = if (st.exists()) st.get()
+                 else HwState(0L, Vector.empty, 0.0, 0.0, Vector.empty)
+        var n = s0.n
+        var seed = s0.seed.toVector
+        var l = s0.l
+        var b = s0.b
+        val sv = new Array[Double](7)
+        if (n >= 7) s0.sv.copyToArray(sv)
+        val out = Vector.newBuilder[HwPoint]
+        rs.foreach { r =>
+          n += 1
+          if (n <= 7) {
+            seed :+= r.x
+            if (n == 7) {
+              l = seed.sum.toDouble / 7.0
+              b = 0.0
+              for (i <- 0 until 7) sv(i) = seed(i).toDouble - l
+            }
+          } else {
+            val slot = ((n - 1) % 7).toInt
+            val sold = sv(slot)
+            val fc = (l + b) + sold
+            val lPrev = l
+            val bPrev = b
+            l = 0.125 * (r.x - sold) + 0.875 * (lPrev + bPrev)
+            b = 0.0625 * (l - lPrev) + 0.9375 * bPrev
+            sv(slot) = 0.25 * (r.x - (lPrev + bPrev)) + 0.75 * sold
+            out += HwPoint(key, r.d, r.x, fc)
+          }
+        }
+        st.update(HwState(n, seed, l, b,
+          if (n >= 7) sv.toVector else Vector.empty))
+        out.result().iterator
+      }
+    }
+  }
+
+  def holtWintersPerKey(rows: Dataset[HwRow]): Dataset[HwPoint] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .transformWithState(new HoltWintersProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** The state-v2 twin of [[ewmaPerUser]] on Spark 4's
     * transformWithState / StatefulProcessor API — identical semantics,
     * but state lives behind a typed [[org.apache.spark.sql.streaming.ValueState]]

@@ -668,4 +668,26 @@ class StreamingSpec extends SparkSpec {
     // only after the planted cut (inherited q207 fixture contract)
     assert(got.exists(_._5 == 1L), "no alarm in the replay")
   }
+
+  test("q217: the registered streaming Holt-Winters equals batch q213 " +
+    "double-for-double, with the seed week split across micro-batches") {
+    val got = graft.queries.Streaming.queries("q217_streaming_holt_winters")
+      .fn(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    val want = graft.queries.Analytics.queries("q213_holt_winters_backtest")
+      .fn(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got.length == want.length,
+      s"row counts: ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"streamed $g vs batch $w")
+    }
+    // non-vacuity: the 20-row chunks (4 days × 5 types) guarantee
+    // every key's 7-row seed week spans at least two micro-batches —
+    // the partial-seed state carry is genuinely exercised
+    assert(want.map(_._1).distinct.length > 2,
+      "too few keys to split seed weeks across chunks")
+  }
 }
