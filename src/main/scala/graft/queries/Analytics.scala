@@ -613,6 +613,99 @@ object Analytics extends Catalog {
         WHERE rk = (n_pairs + 1) // 2"""),
       scaleNote = "the pair join runs on the ALREADY-COLLAPSED |types × days| daily frame — O(|days|²) rows per key regardless of event volume, and |days| is the monitoring horizon, not the corpus (a year is 66k pairs/key); the rank window rides one event_type exchange of that pair frame; at 100 TB per-entity trends key the same plan by (entity) with the horizon bounding per-key cost, and for very long horizons the documented refinements are pair SAMPLING (the median is estimable from O(n) random pairs) or Siegel's repeated median — same frame, same exchange"),
 
+    // ----- q218: Mann-Kendall trend significance (r13) ----------------
+    // The question q206 deliberately leaves open: Theil-Sen QUANTIFIES
+    // the drift rate, but is the trend SIGNIFICANT or noise? The
+    // Mann-Kendall test (Mann 1945, Kendall 1975) — the standard
+    // nonparametric monotone-trend test hydrology/ops run beside the
+    // Sen slope — answers with EXACT INTEGERS end to end: S = Σ_{i<j}
+    // sign(x_j − x_i) over the same collapsed daily frame, Var(S) =
+    // [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)]/18 with the tie correction
+    // (integer counts TIE often — skipping it overstates variance and
+    // misses real trends), and the two-sided α = 0.05 z-test with
+    // continuity correction |S|−1 > 1.96·√Var cross-multiplies to
+    //   (|S|−1)² · 625 · 18 > 2401 · varnum        (1.96 = 49/25)
+    // — no sqrt, no division, no float anywhere. The monitors now
+    // compose three ways on one feed: q194 says WHEN it drifted, q206
+    // says HOW FAST, q218 says WHETHER to believe it.
+    "q218_mann_kendall_test" -> Q(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"),
+          unix_micros(date_trunc("day", col("ts"))).as("d"))
+        val span = ev.agg(expr("(min(d) + max(d)) DIV 2").as("cut"))
+        val daily = ev.groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("x0"))
+          .crossJoin(broadcast(span))
+          .select(col("event_type"),
+            expr("d DIV 86400000000").as("dd"),
+            when(col("event_type") === "click" && col("d") >= col("cut"),
+              col("x0") * 2).otherwise(col("x0")).as("x"))
+          .localCheckpoint() // one daily frame feeds S, n AND the ties
+        val sStat = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+            col("a.dd") < col("b.dd"))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(sum(when(col("b.x") > col("a.x"), 1L)
+            .when(col("b.x") < col("a.x"), -1L)
+            .otherwise(0L)).as("s_stat"))
+        val nDays = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val ties = daily.groupBy(col("event_type"), col("x"))
+          .agg(count(lit(1)).as("t"))
+          .filter(col("t") > 1)
+          .groupBy(col("event_type"))
+          .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tcorr"))
+        nDays.join(sStat, "event_type")
+          .join(ties, Seq("event_type"), "left")
+          .select(col("event_type"), col("n"), col("s_stat"),
+            (expr("n * (n - 1) * (2 * n + 5)") -
+              coalesce(col("tcorr"), lit(0L))).as("varnum"))
+          .select(col("event_type"), col("n"), col("s_stat"), col("varnum"),
+            (col("s_stat") > 0).cast("long").as("rising"),
+            (abs(col("s_stat")) > 1 &&
+              (abs(col("s_stat")) - 1) * (abs(col("s_stat")) - 1) *
+                625L * 18L > lit(2401L) * col("varnum"))
+              .cast("long").as("significant"))
+      },
+      sql = Some("""
+        WITH ev AS (SELECT event_type,
+                           epoch_us(date_trunc('day', ts::TIMESTAMP)) AS d
+                    FROM events),
+        span AS (SELECT (min(d) + max(d)) // 2 AS cut FROM ev),
+        daily AS (
+          SELECT event_type, d // 86400000000 AS dd,
+                 CAST(CASE WHEN event_type = 'click'
+                             AND d >= (SELECT cut FROM span)
+                      THEN count(*) * 2 ELSE count(*) END AS BIGINT) AS x
+          FROM ev GROUP BY event_type, d),
+        pairs AS (
+          SELECT a.event_type AS event_type,
+                 CAST(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END AS BIGINT) AS sg
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.dd < b.dd),
+        s AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat
+              FROM pairs GROUP BY 1),
+        nn AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+        ties AS (SELECT event_type,
+                        CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                          AS tcorr
+                 FROM (SELECT event_type, x, count(*) AS t
+                       FROM daily GROUP BY 1, 2) g
+                 WHERE t > 1 GROUP BY 1),
+        v AS (SELECT nn.event_type AS event_type, n, s_stat,
+                     CAST(n * (n - 1) * (2 * n + 5) - coalesce(tcorr, 0)
+                       AS BIGINT) AS varnum
+              FROM nn JOIN s USING (event_type)
+              LEFT JOIN ties ON nn.event_type = ties.event_type)
+        SELECT event_type, n, s_stat, varnum,
+               CAST(s_stat > 0 AS BIGINT) AS rising,
+               CAST(abs(s_stat) > 1 AND
+                    (abs(s_stat) - 1) * (abs(s_stat) - 1) * 625 * 18
+                      > 2401 * varnum AS BIGINT) AS significant
+        FROM v"""),
+      scaleNote = "identical cost envelope to q206 (whose scaleNote applies verbatim): the pair join runs on the ALREADY-COLLAPSED |types × days| frame — O(|days|²) rows per key bounded by the monitoring horizon, never the corpus — plus two cheap folds of the daily frame itself (n, tie groups); everything shuffles once on event_type; at 100 TB per-entity tests key the same plan by (entity), and the long-horizon refinement is the same pair sampling q206 names (S/n² is estimable from O(n) random pairs with its own binomial error bar)"),
+
     // ----- q207: EWMA control chart (r12) ----------------------------
     // Roberts 1959 — the OTHER canonical sequential SPC chart beside
     // Page's CUSUM (q194): z_t = λx_t + (1−λ)z_{t−1} smoothed against

@@ -2268,6 +2268,54 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q218: Mann-Kendall S/var replicate in plain Scala, the planted " +
+    "click trend is significant and carries the strictly largest z²") {
+    val out = Analytics.queries("q218_mann_kendall_test").fn(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // rebuild the planted daily frame (q206's construction)
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', CAST(ts AS TIMESTAMP)))"))
+      .as[(String, Long)].collect()
+    val cut = { val ds = raw.map(_._2); (ds.min + ds.max) / 2 }
+    val want = raw.groupBy(_._1).map { case (et, rows) =>
+      val daily = rows.groupBy(_._2).toSeq.map { case (d, g) =>
+        val x = g.length.toLong
+        (d / 86400000000L, if (et == "click" && d >= cut) x * 2 else x)
+      }.sortBy(_._1)
+      val s = (for {
+        (di, xi) <- daily; (dj, xj) <- daily if di < dj
+      } yield (xj compare xi).sign.toLong).sum
+      val n = daily.length.toLong
+      val tcorr = daily.groupBy(_._2).values.map(_.length.toLong)
+        .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+      et -> (n, s, n * (n - 1) * (2 * n + 5) - tcorr)
+    }
+    out.foreach { case (et, n, s, varnum, rising, sig) =>
+      val (wn, ws, wv) = want(et)
+      assert(n == wn && s == ws && varnum == wv,
+        s"$et: ($n,$s,$varnum) vs replica ($wn,$ws,$wv)")
+      assert(rising == (if (s > 0) 1L else 0L))
+      // the cross-multiplied two-sided 5% test with continuity
+      // correction: (|S|-1)^2 * 625 * 18 > 2401 * varnum
+      val a = math.abs(s)
+      val wantSig = a > 1 && (a - 1) * (a - 1) * 625L * 18L > 2401L * varnum
+      assert(sig == (if (wantSig) 1L else 0L), s"$et significance")
+    }
+    // the composition contract: the q194/q206 planted click drift must
+    // be SIGNIFICANT, rising, and carry the strictly largest z² —
+    // compared across types by cross-multiplication, never a sqrt
+    val click = out.find(_._1 == "click").get
+    assert(click._5 == 1L && click._6 == 1L, s"click not flagged: $click")
+    def z2num(r: (String, Long, Long, Long, Long, Long)) =
+      (math.abs(r._3) - 1) * (math.abs(r._3) - 1)
+    out.filter(_._1 != "click").foreach { r =>
+      assert(z2num(click) * r._4 > z2num(r) * click._4,
+        s"click z² does not dominate ${r._1}")
+    }
+  }
+
   test("q209: one NULL key in the NOT IN subquery empties the result — " +
     "the Q22 null-semantics trap, handled, not silently wrong") {
     // three customers (only #3 is above the positive-balance average:

@@ -262,7 +262,8 @@ class PlanSpec extends SparkSpec {
     // 1-row frame is the one allowed shape (the q194 precedent).
     for (q <- Seq("q205_seasonal_naive_backtest", "q206_theil_sen_trend",
         "q207_ewma_control_chart", "q208_incremental_profile_fold",
-        "q210_profile_fold_hll", "q213_holt_winters_backtest")) {
+        "q210_profile_fold_hll", "q213_holt_winters_backtest",
+        "q218_mann_kendall_test")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(800)}")
       // any nested loop must broadcast a PROVABLY-1-row side: its build
