@@ -532,6 +532,54 @@ object Relational extends Catalog {
         GROUP BY p_brand"""),
       scaleNote = "decorrelation turns a per-row rescan of the fact into per-partkey aggregates (map-side partial — |parts| rows out of each shuffle) joined back on the very key the outer join already uses, so AQE co-plans the exchanges; Catalyst rewrites the count and sum subqueries independently (MergeScalarSubqueries only merges uncorrelated scalars), so the fact aggregates twice — at 100 TB the tuned spelling pre-joins ONE (sum, count) aggregate manually, but the automatic plan is already linear and re-execution-free, which is what this query gates; the p_size predicate pushes into the part scan, and the final fold is |brands| rows"),
 
+    // ----- E4/SQL surface: the canonical TPC-H Q15 shape (r13) --------
+    // "Top supplier": the supplier(s) whose quarter revenue equals the
+    // MAXIMUM of a derived aggregate — a scalar subquery OVER an
+    // aggregated view, the arg-max-with-ties idiom (faithful Q15 keeps
+    // every tied supplier, which a top-1 LIMIT would silently break).
+    // The view is referenced twice (probe + max); Catalyst evaluates
+    // the max as a one-row subquery and the probe as a normal
+    // aggregate-join — PlanSpec pins no cartesian and that revenue is
+    // a two-phase aggregate. Revenue is q170's discipline — exact
+    // cents × (100 − discount-percent), so the arg-max EQUALITY is an
+    // integer compare (a double revenue here would make tie membership
+    // engine-dependent, the exact failure Q15 exists to test); the
+    // ship-date quarter is a half-open range that pushes into the
+    // parquet scan.
+    "q219_tpch_q15_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("q219_lineitem")
+        t(s, d, "supplier").createOrReplaceTempView("q219_supplier")
+        s.sql("""
+          WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS total_rev_e4
+            FROM q219_lineitem
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, total_rev_e4
+          FROM q219_supplier, revenue
+          WHERE s_suppkey = supplier_no
+            AND total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)""")
+      },
+      sql = Some("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS total_rev_e4
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1997-01-01'
+            AND l_shipdate < DATE '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev_e4
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)"""),
+      scaleNote = "the revenue view is one map-side-partial aggregate of the date-pruned fact (the half-open range reaches the scan as row-group min/max pruning); the max is a 1-row subquery broadcast and the arg-max filter is a row-local integer compare on the |suppliers|-row frame, so the only data-sized work is the one aggregate — at 100 TB materialize the view once (Q15's original CREATE VIEW intent) when the same quarter serves many reports, which is exactly q185/q208's partial-reuse stance; keeping ties is free here where a global ORDER BY revenue LIMIT 1 would both break ties arbitrarily AND add a sort"),
+
     // ----- E5: range (theta) join — events self-join ------------------
     "q09_range_join_events" -> Q(
       fn = (s, d) => {

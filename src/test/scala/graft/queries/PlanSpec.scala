@@ -1020,6 +1020,26 @@ class PlanSpec extends SparkSpec {
         s"scans, got $scans:\n${p.take(1600)}")
   }
 
+  test("q219: the arg-max-over-view plans as one two-phase aggregate + " +
+    "a 1-row max subquery — no cartesian, no sort") {
+    val p = plan("q219_tpch_q15_shape")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"revenue must be two-phase:\n${p.take(1200)}")
+    // the ship-date quarter reaches the scan
+    assert(p.contains("l_shipdate"), p.take(800))
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")).getOrElse("")
+    assert(scanLine.contains("GreaterThanOrEqual(l_shipdate") ||
+      scanLine.contains("LessThan(l_shipdate"),
+      s"date range not pushed: ${scanLine.take(400)}")
+    // ties kept: no LIMIT/TakeOrdered anywhere (the arg-max is an
+    // equality filter, not a top-1 sort)
+    assert(!p.contains("TakeOrderedAndProject") && !p.contains("GlobalLimit"),
+      p.take(800))
+  }
+
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
     val p = plan("q170_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(1200))
