@@ -35,6 +35,23 @@ object Relational extends Catalog {
   private val revenue: Column =
     col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  // ---- q216's oracle, shared verbatim with q220 ---------------------
+  // The q186/q198 discipline: q220 is the manually pre-aggregated
+  // spelling of the SAME semantics, so it carries the SAME gate.
+  private[queries] val TpchQ17OracleSql: String = """
+        SELECT p_brand,
+               count(*) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS sum_price_cents
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_size < 15
+          AND CAST(l_quantity AS BIGINT) * 5
+              * (SELECT count(*) FROM lineitem l3
+                 WHERE l3.l_partkey = p_partkey)
+              < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+                 FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand"""
+
   override def queries: Map[String, Q] = Map(
 
     // ----- E6: hash aggregate, multiple keys — TPC-H Q1 shape -------
@@ -517,20 +534,38 @@ object Relational extends Catalog {
                    FROM q216_lineitem l2 WHERE l2.l_partkey = p_partkey)
           GROUP BY p_brand""")
       },
-      sql = Some("""
-        SELECT p_brand,
-               count(*) AS n_lines,
-               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                 AS BIGINT) AS sum_price_cents
-        FROM lineitem, part
-        WHERE p_partkey = l_partkey AND p_size < 15
-          AND CAST(l_quantity AS BIGINT) * 5
-              * (SELECT count(*) FROM lineitem l3
-                 WHERE l3.l_partkey = p_partkey)
-              < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
-                 FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
-        GROUP BY p_brand"""),
-      scaleNote = "decorrelation turns a per-row rescan of the fact into per-partkey aggregates (map-side partial — |parts| rows out of each shuffle) joined back on the very key the outer join already uses, so AQE co-plans the exchanges; Catalyst rewrites the count and sum subqueries independently (MergeScalarSubqueries only merges uncorrelated scalars), so the fact aggregates twice — at 100 TB the tuned spelling pre-joins ONE (sum, count) aggregate manually, but the automatic plan is already linear and re-execution-free, which is what this query gates; the p_size predicate pushes into the part scan, and the final fold is |brands| rows"),
+      sql = Some(TpchQ17OracleSql),
+      scaleNote = "decorrelation turns a per-row rescan of the fact into per-partkey aggregates (map-side partial — |parts| rows out of each shuffle) joined back on the very key the outer join already uses, so AQE co-plans the exchanges; Catalyst rewrites the count and sum subqueries independently (MergeScalarSubqueries only merges uncorrelated scalars), so the fact aggregates twice — at 100 TB the tuned spelling pre-joins ONE (sum, count) aggregate manually — REGISTERED as q220 under this oracle verbatim — but the automatic plan is already linear and re-execution-free, which is what this query gates; the p_size predicate pushes into the part scan, and the final fold is |brands| rows"),
+
+    // ----- q220: Q17's TUNED spelling — ONE manual pre-aggregate ------
+    // q216 gates what Catalyst does AUTOMATICALLY with the correlated
+    // subqueries (two independent rewrites → the fact aggregates
+    // twice); this registers the spelling its scaleNote promised for
+    // 100 TB: compute (sum, count) per partkey in ONE aggregate,
+    // broadcast-or-shuffle it back on the key, and apply the same
+    // cross-multiplied cut — one fewer full pass over the fact, byte-
+    // identical semantics. The oracle is q216's SQL VERBATIM (the
+    // q186/q198/q199 stance: operational spelling, same gate), so the
+    // two plans police each other every round; PlanSpec pins exactly
+    // TWO lineitem scans here vs q216's three.
+    "q220_tpch_q17_preagg" -> Q(
+      fn = (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_partkey"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        val per = li.groupBy(col("l_partkey"))
+          .agg(sum(col("qty")).as("qsum"), count(lit(1)).as("qcnt"))
+        val p = t(s, d, "part").filter(col("p_size") < 15)
+          .select(col("p_partkey"), col("p_brand"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .join(per, "l_partkey")
+          .filter(col("qty") * 5 * col("qcnt") < col("qsum"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("cents")).cast("long").as("sum_price_cents"))
+      },
+      sql = Some(TpchQ17OracleSql),
+      scaleNote = "the tuned plan: one map-side-partial (sum, count) aggregate of the fact — |parts| rows out of the shuffle — joined back on the partkey the probe join already shuffles on (AQE co-plans, and at dimension-ish part counts the aggregate side broadcasts), then the row-local cross-multiplied cut and the |brands| fold; exactly one extra pass over the fact vs q216's two, which at 100 TB is the whole bill — the shared oracle makes 'same semantics, one fewer scan' a gated theorem instead of a code comment"),
 
     // ----- E4/SQL surface: the canonical TPC-H Q15 shape (r13) --------
     // "Top supplier": the supplier(s) whose quarter revenue equals the

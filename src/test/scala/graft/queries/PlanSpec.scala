@@ -1020,6 +1020,20 @@ class PlanSpec extends SparkSpec {
         s"scans, got $scans:\n${p.take(1600)}")
   }
 
+  test("q220: the pre-aggregated Q17 spelling scans the fact exactly " +
+    "twice — one fewer pass than q216's automatic decorrelation") {
+    val p = plan("q220_tpch_q17_preagg")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans == 2,
+      s"expected outer + ONE manual aggregate = 2 lineitem scans, " +
+        s"got $scans:\n${p.take(1600)}")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"both aggregates must be two-phase:\n${p.take(1200)}")
+  }
+
   test("q219: the arg-max-over-view plans as one two-phase aggregate + " +
     "a 1-row max subquery — no cartesian, no sort") {
     val p = plan("q219_tpch_q15_shape")
