@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -192,6 +192,38 @@ object Analytics extends Catalog {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
                  > 2 * mu AS BIGINT) AS alarm
         FROM cs"""
+
+  // ---- q149's oracle, shared verbatim with q223 ---------------------
+  // The q199/q212/q217 discipline applied to the rolling z-score: the
+  // streaming service form (q223 routes the per-event feed through
+  // EventStreams.rollingZscorePerUser's 10-deep ring buffer) carries
+  // the SAME gate as the batch window scan, so the two spellings
+  // cannot drift apart.
+  private[queries] val RollingZscoreOracleSql: String = """
+        WITH w AS (
+          SELECT event_id, user_id,
+                 CAST(round(value * 100, 0) AS BIGINT) AS c,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+                   AS BIGINT) AS sc,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                     * CAST(round(value * 100, 0) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+                   AS BIGINT) AS qc
+          FROM events),
+        d AS (SELECT event_id, user_id,
+                     c * 10 - sc AS dev, qc * 10 - sc * sc AS varnum
+              FROM w WHERE rn >= 11)
+        SELECT event_id, user_id,
+               CAST(CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END
+                    AS BIGINT) AS z_sign,
+               (900 * dev * dev) // varnum AS z2_permille,
+               CAST(dev * dev > varnum * 10 AS BIGINT) AS is_anomaly
+        FROM d WHERE varnum > 0"""
 
   // ---- shared q185/q188 IVM fixtures --------------------------------
   // ONE definition of the maintained view's base aggregate and the
@@ -611,7 +643,7 @@ object Analytics extends Catalog {
                CAST(num > 0 AS BIGINT) AS rising
         FROM rk JOIN cnt USING (event_type)
         WHERE rk = (n_pairs + 1) // 2"""),
-      scaleNote = "the pair join runs on the ALREADY-COLLAPSED |types × days| daily frame — O(|days|²) rows per key regardless of event volume, and |days| is the monitoring horizon, not the corpus (a year is 66k pairs/key); the rank window rides one event_type exchange of that pair frame; at 100 TB per-entity trends key the same plan by (entity) with the horizon bounding per-key cost, and for very long horizons the documented refinements are pair SAMPLING (the median is estimable from O(n) random pairs) or Siegel's repeated median — same frame, same exchange"),
+      scaleNote = "the pair join runs on the ALREADY-COLLAPSED |types × days| daily frame — O(|days|²) rows per key regardless of event volume, and |days| is the monitoring horizon, not the corpus (a year is 66k pairs/key); the rank window rides one event_type exchange of that pair frame; at 100 TB per-entity trends key the same plan by (entity) with the horizon bounding per-key cost, and for very long horizons the documented refinements are pair SAMPLING (the median is estimable from O(n) random pairs — REGISTERED as q226) or Siegel's repeated median — same frame, same exchange"),
 
     // ----- q218: Mann-Kendall trend significance (r13) ----------------
     // The question q206 deliberately leaves open: Theil-Sen QUANTIFIES
@@ -655,9 +687,15 @@ object Analytics extends Catalog {
           .filter(col("t") > 1)
           .groupBy(col("event_type"))
           .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tcorr"))
-        nDays.join(sStat, "event_type")
+        // LEFT join + coalesce(0): a key with a single observed day has
+        // no pairs, so an inner join here would silently drop it from
+        // the report — exactly when its data is thinnest the monitor
+        // must still emit (S = 0, varnum = 0 at n = 1 ⇒ significant =
+        // rising = 0), mirrored in the oracle (ADVICE r13)
+        nDays.join(sStat, Seq("event_type"), "left")
           .join(ties, Seq("event_type"), "left")
-          .select(col("event_type"), col("n"), col("s_stat"),
+          .select(col("event_type"), col("n"),
+            coalesce(col("s_stat"), lit(0L)).as("s_stat"),
             (expr("n * (n - 1) * (2 * n + 5)") -
               coalesce(col("tcorr"), lit(0L))).as("varnum"))
           .select(col("event_type"), col("n"), col("s_stat"), col("varnum"),
@@ -693,10 +731,11 @@ object Analytics extends Catalog {
                  FROM (SELECT event_type, x, count(*) AS t
                        FROM daily GROUP BY 1, 2) g
                  WHERE t > 1 GROUP BY 1),
-        v AS (SELECT nn.event_type AS event_type, n, s_stat,
+        v AS (SELECT nn.event_type AS event_type, n,
+                     CAST(coalesce(s_stat, 0) AS BIGINT) AS s_stat,
                      CAST(n * (n - 1) * (2 * n + 5) - coalesce(tcorr, 0)
                        AS BIGINT) AS varnum
-              FROM nn JOIN s USING (event_type)
+              FROM nn LEFT JOIN s USING (event_type)
               LEFT JOIN ties ON nn.event_type = ties.event_type)
         SELECT event_type, n, s_stat, varnum,
                CAST(s_stat > 0 AS BIGINT) AS rising,
@@ -704,7 +743,172 @@ object Analytics extends Catalog {
                     (abs(s_stat) - 1) * (abs(s_stat) - 1) * 625 * 18
                       > 2401 * varnum AS BIGINT) AS significant
         FROM v"""),
-      scaleNote = "identical cost envelope to q206 (whose scaleNote applies verbatim): the pair join runs on the ALREADY-COLLAPSED |types × days| frame — O(|days|²) rows per key bounded by the monitoring horizon, never the corpus — plus two cheap folds of the daily frame itself (n, tie groups); everything shuffles once on event_type; at 100 TB per-entity tests key the same plan by (entity), and the long-horizon refinement is the same pair sampling q206 names (S/n² is estimable from O(n) random pairs with its own binomial error bar)"),
+      scaleNote = "identical cost envelope to q206 (whose scaleNote applies verbatim): the pair join runs on the ALREADY-COLLAPSED |types × days| frame — O(|days|²) rows per key bounded by the monitoring horizon, never the corpus — plus two cheap folds of the daily frame itself (n, tie groups); everything shuffles once on event_type; at 100 TB per-entity tests key the same plan by (entity), and the long-horizon refinement is the same pair sampling q206 names (S/n² is estimable from O(n) random pairs with its own binomial error bar) — REGISTERED as q226"),
+
+    // ----- q226: pair-SAMPLED long-horizon trend estimator (r14) ------
+    // The spelling q206 and q218 both promised for horizons where even
+    // the collapsed |days|² pair frame is too big (a decade of
+    // per-minute points is 10¹³ pairs/key): estimate Kendall's S and
+    // the Theil-Sen median slope from m = 8n DETERMINISTIC pair
+    // samples — md5-keyed, so both engines draw the IDENTICAL pairs
+    // and every emitted statistic stays a pure function of the corpus.
+    // Sample k of key t picks day indices i = h₇("pa:t:k") mod n and
+    // j from h₇("pb:t:k") mod (n−1) skip-shifted past i (uniform over
+    // ordered distinct pairs, with replacement across k — the iid
+    // design the binomial bound needs). Emitted beside the estimates,
+    // the test-SF exact witnesses (q206/q218's full-pair S and the
+    // per-type day count) and the 2σ bound as an exact integer
+    // cross-multiply: (sum_sg·C − S·m)² ≤ 4·m·C² where C = n(n−1)/2 —
+    // Var(sum_sg) ≤ m, so the estimator Ŝ = sum_sg·C/m sits within
+    // 2·C/√m of S. err_ok = 1 for every type at every test SF
+    // (probe-verified sf0.001/0.01/0.1); the planted click trend's
+    // SIGN is recovered by the sample at all three.
+    "q226_pair_sampled_trend" -> Q(
+      fn = (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"),
+          unix_micros(date_trunc("day", col("ts"))).as("d"))
+        val span = ev.agg(expr("(min(d) + max(d)) DIV 2").as("cut"))
+        val daily = ev.groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("x0"))
+          .crossJoin(broadcast(span))
+          .select(col("event_type"),
+            expr("d DIV 86400000000").as("dd"),
+            when(col("event_type") === "click" && col("d") >= col("cut"),
+              col("x0") * 2).otherwise(col("x0")).as("x"))
+          .localCheckpoint() // feeds idx, the samples AND the exact witness
+        // day index per key: a window over the bounded daily frame
+        // (|days| rows/key — q206's own exchange), never the corpus
+        val idx = daily.withColumn("idx",
+          (row_number().over(Window.partitionBy(col("event_type"))
+            .orderBy(col("dd"))) - 1).cast("long"))
+        val cnt = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2) // a 1-day key has no pairs to sample
+        val h7 = (salt: String, m: Column) => pmod(conv(substring(md5(
+          concat(lit(salt), col("event_type"), lit(":"),
+            col("k").cast("string"))), 1, 7), 16, 10).cast("long"), m)
+        val hh = cnt.select(col("event_type"), col("n"),
+            explode(sequence(lit(0L), col("n") * 8 - 1)).as("k"))
+          .withColumn("ia", h7("pa:", col("n")))
+          .withColumn("jr", h7("pb:", col("n") - 1))
+          .withColumn("j",
+            when(col("jr") >= col("ia"), col("jr") + 1).otherwise(col("jr")))
+          .select(col("event_type"), col("n"),
+            least(col("ia"), col("j")).as("lo"),
+            greatest(col("ia"), col("j")).as("hi"))
+        val a = idx.select(col("event_type"), col("idx").as("lo"),
+          col("dd").as("dd_lo"), col("x").as("x_lo"))
+        val b = idx.select(col("event_type"), col("idx").as("hi"),
+          col("dd").as("dd_hi"), col("x").as("x_hi"))
+        val sv = hh.join(a, Seq("event_type", "lo"))
+          .join(b, Seq("event_type", "hi"))
+          .select(col("event_type"), col("n"),
+            (col("x_hi") - col("x_lo")).as("num"),
+            (col("dd_hi") - col("dd_lo")).as("den"))
+        val est = sv.groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"), count(lit(1)).as("m"),
+            sum(when(col("num") > 0, 1L).when(col("num") < 0, -1L)
+              .otherwise(0L)).as("sum_sg"))
+        // sampled Theil-Sen median: q206's ordering discipline over
+        // the m-row sample (the only window rides the bounded frame)
+        val med = sv.select(col("event_type"), col("num"), col("den"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("num").cast("double") / col("den"),
+                col("num"), col("den"))))
+        val sExact = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+            col("a.dd") < col("b.dd"))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(sum(when(col("b.x") > col("a.x"), 1L)
+            .when(col("b.x") < col("a.x"), -1L)
+            .otherwise(0L)).as("s_exact"))
+        est.join(sExact, "event_type")
+          .join(med, Seq("event_type"))
+          .filter(col("rk") === expr("(m + 1) DIV 2"))
+          .select(col("event_type"), col("n"),
+            expr("n * (n - 1) DIV 2").as("n_pairs"),
+            col("m"), col("sum_sg"), col("s_exact"),
+            (col("sum_sg") > 0).cast("long").as("est_rising"),
+            (col("s_exact") > 0).cast("long").as("rising_exact"),
+            ((col("sum_sg") * expr("n * (n - 1) DIV 2")
+                - col("s_exact") * col("m"))
+              * (col("sum_sg") * expr("n * (n - 1) DIV 2")
+                - col("s_exact") * col("m"))
+              <= lit(4L) * col("m") * expr("n * (n - 1) DIV 2")
+                * expr("n * (n - 1) DIV 2"))
+              .cast("long").as("err_ok"),
+            col("num").as("med_est_num"), col("den").as("med_est_den"))
+      },
+      sql = Some(s"""
+        WITH ev AS (SELECT event_type,
+                           epoch_us(date_trunc('day', ts::TIMESTAMP)) AS d
+                    FROM events),
+        span AS (SELECT (min(d) + max(d)) // 2 AS cut FROM ev),
+        daily AS (
+          SELECT event_type, d // 86400000000 AS dd,
+                 CAST(CASE WHEN event_type = 'click'
+                             AND d >= (SELECT cut FROM span)
+                      THEN count(*) * 2 ELSE count(*) END AS BIGINT) AS x
+          FROM ev GROUP BY event_type, d),
+        idx AS (SELECT event_type, dd, x,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY dd) - 1 AS idx
+                FROM daily),
+        cnt AS (SELECT event_type, count(*) AS n FROM daily
+                GROUP BY 1 HAVING count(*) >= 2),
+        sm AS (SELECT event_type, n, unnest(range(8 * n)) AS k FROM cnt),
+        hh AS (SELECT event_type, n, k,
+                 ${OracleSql.hexN(
+          "md5('pa:' || event_type || ':' || CAST(k AS VARCHAR))", 7)}
+                   % n AS ia,
+                 ${OracleSql.hexN(
+          "md5('pb:' || event_type || ':' || CAST(k AS VARCHAR))", 7)}
+                   % (n - 1) AS jr
+               FROM sm),
+        pr AS (SELECT event_type, n,
+                      least(ia, CASE WHEN jr >= ia THEN jr + 1 ELSE jr END)
+                        AS lo,
+                      greatest(ia, CASE WHEN jr >= ia THEN jr + 1 ELSE jr END)
+                        AS hi
+               FROM hh),
+        sv AS (SELECT p.event_type, p.n,
+                      b.x - a.x AS num, b.dd - a.dd AS den
+               FROM pr p
+               JOIN idx a ON a.event_type = p.event_type AND a.idx = p.lo
+               JOIN idx b ON b.event_type = p.event_type AND b.idx = p.hi),
+        est AS (SELECT event_type, max(n) AS n, count(*) AS m,
+                       CAST(sum(CASE WHEN num > 0 THEN 1
+                                     WHEN num < 0 THEN -1
+                                     ELSE 0 END) AS BIGINT) AS sum_sg
+                FROM sv GROUP BY 1),
+        pairs AS (SELECT a.event_type AS event_type,
+                         CAST(CASE WHEN b.x > a.x THEN 1
+                                   WHEN b.x < a.x THEN -1
+                                   ELSE 0 END AS BIGINT) AS sg
+                  FROM daily a JOIN daily b
+                    ON a.event_type = b.event_type AND a.dd < b.dd),
+        s AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_exact
+              FROM pairs GROUP BY 1),
+        mrank AS (SELECT event_type, num, den,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY CAST(num AS DOUBLE) / den, num, den)
+                           AS rk
+                  FROM sv)
+        SELECT e.event_type AS event_type, e.n AS n,
+               e.n * (e.n - 1) // 2 AS n_pairs, e.m AS m,
+               e.sum_sg AS sum_sg, s.s_exact AS s_exact,
+               CAST(e.sum_sg > 0 AS BIGINT) AS est_rising,
+               CAST(s.s_exact > 0 AS BIGINT) AS rising_exact,
+               CAST((e.sum_sg * (e.n * (e.n - 1) // 2) - s.s_exact * e.m)
+                    * (e.sum_sg * (e.n * (e.n - 1) // 2) - s.s_exact * e.m)
+                    <= 4 * e.m * (e.n * (e.n - 1) // 2)
+                       * (e.n * (e.n - 1) // 2) AS BIGINT) AS err_ok,
+               mr.num AS med_est_num, mr.den AS med_est_den
+        FROM est e JOIN s USING (event_type)
+        JOIN mrank mr ON mr.event_type = e.event_type
+                     AND mr.rk = (e.m + 1) // 2"""),
+      scaleNote = "the sample frame is O(m) = O(n) rows per key — generated map-side from the key's day count, fetched by two equi-joins against the (already bounded) indexed daily frame, so the decade-horizon case costs 8n lookups instead of n²/2 pairs; the day index is one window over the |days|-per-key frame (q206's own exchange — at extreme horizons swap it for the q222 value-threshold trick on dd itself since days are already dense integers); estimates, witnesses and the 2σ gate are exact BIGINT cross-multiplies end to end, and at 100 TB the witness columns (s_exact, err_ok) drop away with the full-pair join they certify — the REGISTERED query keeps them precisely so the sampling law is gated, not asserted"),
 
     // ----- q207: EWMA control chart (r12) ----------------------------
     // Roberts 1959 — the OTHER canonical sequential SPC chart beside
@@ -1018,32 +1222,8 @@ object Analytics extends Catalog {
             (col("dev") * col("dev") > col("varnum") * 10)
               .cast("long").as("is_anomaly"))
       },
-      sql = Some("""
-        WITH w AS (
-          SELECT event_id, user_id,
-                 CAST(round(value * 100, 0) AS BIGINT) AS c,
-                 row_number() OVER
-                   (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER
-                   (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
-                   AS BIGINT) AS sc,
-                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
-                     * CAST(round(value * 100, 0) AS BIGINT)) OVER
-                   (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
-                   AS BIGINT) AS qc
-          FROM events),
-        d AS (SELECT event_id, user_id,
-                     c * 10 - sc AS dev, qc * 10 - sc * sc AS varnum
-              FROM w WHERE rn >= 11)
-        SELECT event_id, user_id,
-               CAST(CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END
-                    AS BIGINT) AS z_sign,
-               (900 * dev * dev) // varnum AS z2_permille,
-               CAST(dev * dev > varnum * 10 AS BIGINT) AS is_anomaly
-        FROM d WHERE varnum > 0"""),
-      scaleNote = "one shuffle on user_id with in-partition secondary sort; the trailing frame is bounded (10 rows) so the window is constant-memory streaming — at 100 TB this is the q114 EWMA plan shape, and the streaming twin is transformWithState keeping a 10-deep ring buffer per key"),
+      sql = Some(RollingZscoreOracleSql),
+      scaleNote = "one shuffle on user_id with in-partition secondary sort; the trailing frame is bounded (10 rows) so the window is constant-memory streaming — at 100 TB this is the q114 EWMA plan shape, and the streaming twin is transformWithState keeping a 10-deep ring buffer per key — REGISTERED as q223 under this oracle verbatim"),
 
     // ----- q203: one-pass multi-column profiler (r12) ----------------
     // The discovery operator that PRECEDES q148's declarative audit:

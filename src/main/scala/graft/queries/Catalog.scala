@@ -44,11 +44,17 @@ private[queries] object ChildSessions {
   * q146 hash family must stay in lockstep).
   */
 private[queries] object OracleSql {
-  /** 12-hex-digit md5 prefix as a 48-bit integer: DuckDB has no
+  /** first `digits` hex digits of an md5 as an integer: DuckDB has no
     * conv(), so expand digit-by-digit via strpos
     */
-  def hex48(h: String): String =
-    (0 until 12).map { i =>
-      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(11 - i)}"
+  def hexN(h: String, digits: Int): String =
+    (0 until digits).map { i =>
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${BigInt(16).pow(digits - 1 - i)}"
     }.mkString("(", " + ", ")")
+
+  /** 12-hex-digit md5 prefix as a 48-bit integer (the q133/q143/q145/
+    * q146 lockstep family — hexN(h, 12) emits the byte-identical SQL
+    * the original definition did)
+    */
+  def hex48(h: String): String = hexN(h, 12)
 }

@@ -698,9 +698,22 @@ object Curation extends Catalog {
     "q211_calibration_bins_bucketed" -> Q(
       fn = (s, d) => {
         val scored = calibrationScored(s, d)
-        val bounds = scored.agg(expr(
-          """approx_percentile(z, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D,
-             0.6D, 0.7D, 0.8D, 0.9D), 1000000)""").as("bs"))
+        // exact-mode precondition made LOUD (ADVICE r13): bit-exactness
+        // vs quantile_disc holds only while n ≤ accuracy (1e6). The
+        // count rides the same aggregate (no extra pass); past the
+        // bound the query raises with the reason instead of failing
+        // the hash gate with no local hint why.
+        val bounds = scored.agg(
+          expr("""approx_percentile(z, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D,
+             0.6D, 0.7D, 0.8D, 0.9D), 1000000)""").as("bs0"),
+          count(lit(1)).as("nsc"))
+          .select(when(col("nsc") <= 1000000L, col("bs0"))
+            .otherwise(raise_error(concat(
+              lit("q211 exact-mode precondition: scored rows = "),
+              col("nsc").cast("string"),
+              lit(" > approx_percentile accuracy 1e6 — boundaries would "
+                + "go approximate and depart the quantile_disc oracle"))))
+            .as("bs"))
         scored.crossJoin(broadcast(bounds))
           .withColumn("bin",
             (lit(1) + size(filter(col("bs"), b => col("z") > b))).cast("int"))
@@ -806,10 +819,22 @@ object Curation extends Catalog {
         val K = 100
         val cents = (1 to 99).map(i => f"${i / 100.0}%.2fD").mkString(", ")
         val j = fusionSignals(s, d) // checkpointed: feeds sketches AND bucketer
+        // q211's loud exact-mode guard (ADVICE r13): one count rides
+        // the sketch aggregate; all three boundary arrays share the
+        // same frame, so one guarded column covers the precondition
         val bounds = j.agg(
-          expr(s"approx_percentile(sq, array($cents), 1000000)").as("bq"),
+          expr(s"approx_percentile(sq, array($cents), 1000000)").as("bq0"),
           expr(s"approx_percentile(sl, array($cents), 1000000)").as("bl"),
-          expr(s"approx_percentile(sc, array($cents), 1000000)").as("bc"))
+          expr(s"approx_percentile(sc, array($cents), 1000000)").as("bc"),
+          count(lit(1)).as("nsc"))
+          .select(when(col("nsc") <= 1000000L, col("bq0"))
+            .otherwise(raise_error(concat(
+              lit("q215 exact-mode precondition: signal rows = "),
+              col("nsc").cast("string"),
+              lit(" > approx_percentile accuracy 1e6 — centile boundaries "
+                + "would go approximate and depart the quantile_disc oracle"))))
+            .as("bq"),
+            col("bl"), col("bc"))
         val bucketed = j.crossJoin(broadcast(bounds))
           .select(col("doc_id"),
             (lit(1) + size(filter(col("bq"), b => col("sq") > b)))
@@ -1566,7 +1591,53 @@ object Curation extends Catalog {
                    ORDER BY md5('m:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
           FROM documents d JOIN t USING (lang))
         SELECT doc_id, lang FROM r WHERE rn <= t_n"""),
-      scaleNote = "budgets come from one tiny two-phase count agg (broadcast back); selection is one rank window per lang partition — at 100 TB replace row_number with the md5-threshold filter (q60) to avoid the global sort per lang, identical sample by construction"),
+      scaleNote = "budgets come from one tiny two-phase count agg (broadcast back); selection is one rank window per lang partition — at 100 TB replace row_number with the md5-threshold filter (q60) to avoid the global sort per lang — REGISTERED as q222"),
+
+    // ---- q222: budgeted per-lang sampling, WINDOWLESS (q90's 100 TB
+    // spelling, r14) -----------------------------------------------------
+    // q90's scaleNote promised it; this registers it (the q155→q211 /
+    // q158→q215 discipline): the per-lang rank window swaps for q60's
+    // md5-threshold filter against BROADCAST per-lang budgets. Each
+    // doc keeps iff its 28-bit salted hash falls under the lang's
+    // rate: h28 · cnt < t_n · 2²⁸ — an exact integer cross-multiply
+    // (28 bits, not 48, so the product stays far inside BIGINT even
+    // at 3e10 docs per lang), with the same "m:" salt as q90, so the
+    // threshold sample is a prefix-granularity approximation of q90's
+    // exact-rank sample under the SAME ordering key. The budget
+    // semantics shift is the documented trade: exactly-t_n (q90)
+    // becomes binomially-t_n-in-expectation — indistinguishable at
+    // corpus scale, and the sample is a pure function of doc_id, so
+    // Spark and the oracle select the identical set by construction.
+    "q222_budget_sample_thresholded" -> Q(
+      fn = (s, d) => {
+        val budget = 300
+        val counts = docs(s, d).groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum(sqrt(col("cnt"))).as("twgt"))
+        val targets = counts.crossJoin(broadcast(tot))
+          .select(col("lang"), col("cnt"),
+            round(lit(budget) * sqrt(col("cnt")) / col("twgt"))
+              .cast("long").as("t_n"))
+        val h28 = conv(substring(md5(concat(lit("m:"),
+          col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+        docs(s, d).join(broadcast(targets), "lang")
+          .filter(h28 * col("cnt") < col("t_n") * lit(268435456L))
+          .select(col("doc_id"), col("lang"))
+      },
+      sql = Some(s"""
+        WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        t AS (
+          SELECT lang, cnt,
+                 CAST(round(300 * sqrt(cnt) /
+                   (SELECT sum(sqrt(cnt)) FROM c)) AS BIGINT) AS t_n
+          FROM c),
+        h AS (
+          SELECT d.doc_id, d.lang, t.cnt, t.t_n,
+                 ${OracleSql.hexN("md5('m:' || CAST(d.doc_id AS VARCHAR))", 7)}
+                   AS h28
+          FROM documents d JOIN t USING (lang))
+        SELECT doc_id, lang FROM h WHERE h28 * cnt < t_n * 268435456"""),
+      scaleNote = "the registered windowless spelling: budgets are the same tiny two-phase count agg broadcast back (|langs| rows), selection is a pure map-side hash compare that fuses into the scan — no per-lang rank window, no global sort, no single-partition stage anywhere (PlanSpec-pinned), so the sampler is one scan at any corpus size and survives speculative/retried tasks unchanged (the q60 law); the rate resolution is 2⁻²⁸ per lang, and the exactly-t_n variant at scale is this filter plus a per-lang count-correction pass on the ±√t_n boundary slice, never a corpus-wide window"),
 
     // ---- q94: reproducible shard shuffle -----------------------------
     // Training readers want the corpus in a RANDOM but REPRODUCIBLE

@@ -615,6 +615,142 @@ object Relational extends Catalog {
           AND total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)"""),
       scaleNote = "the revenue view is one map-side-partial aggregate of the date-pruned fact (the half-open range reaches the scan as row-group min/max pruning); the max is a 1-row subquery broadcast and the arg-max filter is a row-local integer compare on the |suppliers|-row frame, so the only data-sized work is the one aggregate — at 100 TB materialize the view once (Q15's original CREATE VIEW intent) when the same quarter serves many reports, which is exactly q185/q208's partial-reuse stance; keeping ties is free here where a global ORDER BY revenue LIMIT 1 would both break ties arbitrarily AND add a sort"),
 
+    // ----- E4/SQL surface: the canonical TPC-H Q2 shape (r14) ---------
+    // "Minimum-cost supplier": the decorrelation family's last
+    // canonical member after q81 (uncorrelated scalar), q187 (EXISTS),
+    // q197 (IN-over-aggregate), q202 (nested IN), q209 (null-aware NOT
+    // IN), q216 (correlated agg over the SAME fact): a CORRELATED
+    // scalar MIN whose subquery ranges over a MULTI-TABLE JOIN TREE
+    // (cost offers ⋈ supplier ⋈ nation ⋈ region), correlated on the
+    // outer part key — a distinct Catalyst rewrite from q216's, because
+    // the decorrelated aggregate must be computed over the JOINED
+    // inner tree (region filter applied INSIDE the min), not over one
+    // fact scan. partsupp doesn't exist in this corpus; lineitem's
+    // (l_partkey, l_suppkey, price) rows stand in as the cost offers
+    // (VERDICT r13 item 1). Arg-MIN-with-ties emission is q219's
+    // discipline applied to a correlated min: the equality filter
+    // keeps EVERY (part, supplier) at the region minimum — never a
+    // top-1 sort — and the compared cost is exact integer cents, so
+    // tie membership is engine-independent. DISTINCT collapses
+    // repeated identical offers from the same supplier (one supplier
+    // may quote the same min price on several lines).
+    "q221_tpch_q2_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "part").createOrReplaceTempView("q221_part")
+        t(s, d, "lineitem").createOrReplaceTempView("q221_lineitem")
+        t(s, d, "supplier").createOrReplaceTempView("q221_supplier")
+        t(s, d, "nation").createOrReplaceTempView("q221_nation")
+        t(s, d, "region").createOrReplaceTempView("q221_region")
+        s.sql("""
+          SELECT DISTINCT p_partkey, p_name, s_name, n_name,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cost_cents
+          FROM q221_part, q221_lineitem, q221_supplier, q221_nation,
+               q221_region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            AND r_name = 'EUROPE' AND p_size < 10
+            AND CAST(round(l_extendedprice * 100) AS BIGINT) = (
+              SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT))
+              FROM q221_lineitem l2, q221_supplier s2, q221_nation n2,
+                   q221_region r2
+              WHERE l2.l_partkey = p_partkey
+                AND s2.s_suppkey = l2.l_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey
+                AND r2.r_name = 'EUROPE')""")
+      },
+      sql = Some("""
+        SELECT DISTINCT p_partkey, p_name, s_name, n_name,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cost_cents
+        FROM part, lineitem, supplier, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE' AND p_size < 10
+          AND CAST(round(l_extendedprice * 100) AS BIGINT) = (
+            SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT))
+            FROM lineitem l2, supplier s2, nation n2, region r2
+            WHERE l2.l_partkey = p_partkey
+              AND s2.s_suppkey = l2.l_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'EUROPE')"""),
+      scaleNote = "decorrelation turns the per-row re-execution of a four-table join into ONE per-partkey min over the region-filtered offer tree, joined back on the very key the outer probe already shuffles on (PlanSpec pins exactly two fact scans — outer probe + decorrelated aggregate — and no cartesian); inside the aggregate the dimension chain (supplier ⋈ nation ⋈ region) broadcasts at any corpus size, the region predicate prunes suppliers BEFORE the fact join, and the min partial-aggregates map-side to |parts| rows; the arg-min equality is a row-local integer compare, so the only data-sized work is two passes over the offers — at 100 TB the region-filtered (partkey → min cost) frame is the natural materialization when many Q2-style lookups share a region, the same partial-reuse stance as q219"),
+
+    // ----- E4/SQL surface: the canonical TPC-H Q19 shape (r14) --------
+    // "Discounted revenue": the OR-of-conjunctions join — three
+    // brand/type/quantity/size bands, each repeating the
+    // p_partkey = l_partkey equi-conjunct and the common
+    // l_returnflag = 'N' residual. Nothing else in the catalog
+    // exercises DISJUNCTIVE pushdown: the planner must (a) extract
+    // the common equality as the JOIN KEY (a hash join, never a BNLJ
+    // over the OR), (b) derive each side's disjunction-of-local-
+    // predicates and push it into the scan (part prunes to the three
+    // brand/type/size bands, lineitem to the quantity/flag bands),
+    // and (c) keep the full OR as the residual filter — the
+    // partial-pushdown pattern (PlanSpec pins all three). Bands are
+    // p_type-keyed stand-ins for Q19's containers (this corpus has
+    // no p_container / l_shipmode); revenue is q219's exact
+    // cents × (100 − discount-percent) discipline, folded per brand
+    // so the gate checks membership of every band.
+    "q225_tpch_q19_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "part").createOrReplaceTempView("q225_part")
+        t(s, d, "lineitem").createOrReplaceTempView("q225_lineitem")
+        s.sql("""
+          SELECT p_brand,
+                 count(*) AS n_lines,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS revenue_e4
+          FROM q225_lineitem, q225_part
+          WHERE (p_partkey = l_partkey
+                 AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3',
+                                 'Brand#4', 'Brand#5')
+                 AND p_type = 'SMALL' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity >= 1 AND l_quantity <= 15
+                 AND l_returnflag = 'N')
+             OR (p_partkey = l_partkey
+                 AND p_brand IN ('Brand#6', 'Brand#7', 'Brand#8',
+                                 'Brand#9', 'Brand#10')
+                 AND p_type = 'MEDIUM' AND p_size BETWEEN 1 AND 20
+                 AND l_quantity >= 10 AND l_quantity <= 25
+                 AND l_returnflag = 'N')
+             OR (p_partkey = l_partkey
+                 AND p_brand IN ('Brand#11', 'Brand#12', 'Brand#13',
+                                 'Brand#14', 'Brand#15')
+                 AND p_type = 'LARGE' AND p_size BETWEEN 1 AND 30
+                 AND l_quantity >= 20 AND l_quantity <= 35
+                 AND l_returnflag = 'N')
+          GROUP BY p_brand""")
+      },
+      sql = Some("""
+        SELECT p_brand,
+               count(*) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS BIGINT) AS revenue_e4
+        FROM lineitem, part
+        WHERE (p_partkey = l_partkey
+               AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3',
+                               'Brand#4', 'Brand#5')
+               AND p_type = 'SMALL' AND p_size BETWEEN 1 AND 10
+               AND l_quantity >= 1 AND l_quantity <= 15
+               AND l_returnflag = 'N')
+           OR (p_partkey = l_partkey
+               AND p_brand IN ('Brand#6', 'Brand#7', 'Brand#8',
+                               'Brand#9', 'Brand#10')
+               AND p_type = 'MEDIUM' AND p_size BETWEEN 1 AND 20
+               AND l_quantity >= 10 AND l_quantity <= 25
+               AND l_returnflag = 'N')
+           OR (p_partkey = l_partkey
+               AND p_brand IN ('Brand#11', 'Brand#12', 'Brand#13',
+                               'Brand#14', 'Brand#15')
+               AND p_type = 'LARGE' AND p_size BETWEEN 1 AND 30
+               AND l_quantity >= 20 AND l_quantity <= 35
+               AND l_returnflag = 'N')
+        GROUP BY p_brand"""),
+      scaleNote = "the disjunction never reaches the join operator as its KEY: the common p_partkey = l_partkey conjunct factors out as the hash-join equality, each side's OR-of-local-bands pushes into its parquet scan (the part scan reads only the three brand/type/size bands, the lineitem scan only the quantity/flag bands — PushedFilters pinned by PlanSpec), and the residual OR evaluates row-locally on the join's survivors; at 100 TB the pushed lineitem disjunction is the whole game — row-group stats skip everything outside the quantity bands before a single join row materializes — and the filtered part side is dimension-sized, so AQE broadcasts it"),
+
     // ----- E5: range (theta) join — events self-join ------------------
     "q09_range_join_events" -> Q(
       fn = (s, d) => {

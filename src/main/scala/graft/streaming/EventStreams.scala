@@ -199,7 +199,11 @@ object EventStreams {
       key: String, d: Long, x: Long, mu: Long, varnum: Long, n0: Long)
   final case class ChartPoint(
       key: String, d: Long, x: Long, z: Double, alarm: Long)
-  final case class ChartState(z: Double, g: Double)
+  /** lastD makes the ordered-ingestion contract SELF-ENFORCING
+    * (ADVICE r13): a late or redelivered row (d ≤ lastD) is dropped
+    * instead of folding as-if-newest and silently corrupting z/g.
+    */
+  final case class ChartState(z: Double, g: Double, lastD: Long)
 
   /** Streaming twin of batch q207: Roberts' EWMA control chart as
     * keyed sequential state on the state-v2 transformWithState
@@ -229,12 +233,20 @@ object EventStreams {
     override def handleInputRows(
         key: String, rows: Iterator[ChartRow],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[ChartPoint] = {
-      val rs = rows.toSeq.sortBy(_.d)
-      if (rs.isEmpty) Iterator.empty
-      else {
-        var z = if (st.exists()) st.get().z else rs.head.mu.toDouble
-        var g = if (st.exists()) st.get().g else 1.0
-        val out = rs.map { r =>
+      val prev = if (st.exists()) Some(st.get()) else None
+      // self-enforcing ordering contract: fold only rows STRICTLY past
+      // the last folded day — a redelivered/late row is dropped (state
+      // and output untouched), never folded as if newest (ADVICE r13)
+      var lastD = prev.map(_.lastD).getOrElse(Long.MinValue)
+      var z = prev.map(_.z).getOrElse(0.0)
+      var g = prev.map(_.g).getOrElse(1.0)
+      var seeded = prev.isDefined
+      val out = Vector.newBuilder[ChartPoint]
+      var accepted = false
+      rows.toSeq.sortBy(_.d).foreach { r =>
+        if (r.d > lastD) {
+          if (!seeded) { z = r.mu.toDouble; seeded = true }
+          lastD = r.d
           val mu = r.mu; val varnum = r.varnum; val n0 = r.n0
           z = 0.2 * r.x + 0.8 * z
           g = g * 0.64
@@ -242,11 +254,12 @@ object EventStreams {
           val alarm =
             if (dev * dev * 1.8 * n0 * n0 >
               9.0 * 0.2 * varnum * (1.0 - g)) 1L else 0L
-          ChartPoint(key, r.d, r.x, z, alarm)
+          out += ChartPoint(key, r.d, r.x, z, alarm)
+          accepted = true
         }
-        st.update(ChartState(z, g))
-        out.iterator
       }
+      if (accepted) st.update(ChartState(z, g, lastD))
+      out.result().iterator
     }
   }
 
@@ -259,10 +272,15 @@ object EventStreams {
 
   final case class HwRow(key: String, d: Long, x: Long)
   final case class HwPoint(key: String, d: Long, x: Long, fc: Double)
-  /** (rows seen, partial seed week, level, trend, 7-slot seasonal) —
-    * nine doubles + at most seven longs per key once seeded */
+  /** (rows seen, last folded day, partial seed week, level, trend,
+    * 7-slot seasonal) — nine doubles + at most eight longs per key
+    * once seeded. lastD makes the ordered-ingestion contract
+    * self-enforcing (ADVICE r13): a late or redelivered row
+    * (d ≤ lastD) is dropped, never folded as if newest.
+    */
   final case class HwState(
-      n: Long, seed: Seq[Long], l: Double, b: Double, sv: Seq[Double])
+      n: Long, lastD: Long, seed: Seq[Long], l: Double, b: Double,
+      sv: Seq[Double])
 
   /** Streaming twin of batch q213: the Holt-Winters additive smoother
     * as keyed sequential state. The one genuinely stateful wrinkle vs
@@ -291,15 +309,21 @@ object EventStreams {
       if (rs.isEmpty) Iterator.empty
       else {
         val s0 = if (st.exists()) st.get()
-                 else HwState(0L, Vector.empty, 0.0, 0.0, Vector.empty)
+                 else HwState(0L, Long.MinValue, Vector.empty, 0.0, 0.0,
+                   Vector.empty)
         var n = s0.n
+        var lastD = s0.lastD
         var seed = s0.seed.toVector
         var l = s0.l
         var b = s0.b
         val sv = new Array[Double](7)
         if (n >= 7) s0.sv.copyToArray(sv)
         val out = Vector.newBuilder[HwPoint]
-        rs.foreach { r =>
+        // drop rows at or before the last folded day (ADVICE r13):
+        // the recurrence is order-defined, so a redelivery must be a
+        // no-op, not a corrupting fold
+        rs.foreach { r => if (r.d > lastD) {
+          lastD = r.d
           n += 1
           if (n <= 7) {
             seed :+= r.x
@@ -319,8 +343,8 @@ object EventStreams {
             sv(slot) = 0.25 * (r.x - (lPrev + bPrev)) + 0.75 * sold
             out += HwPoint(key, r.d, r.x, fc)
           }
-        }
-        st.update(HwState(n, seed, l, b,
+        }}
+        st.update(HwState(n, lastD, seed, l, b,
           if (n >= 7) sv.toVector else Vector.empty))
         out.result().iterator
       }
@@ -331,6 +355,84 @@ object EventStreams {
     import rows.sparkSession.implicits._
     rows.groupByKey(_.key)
       .transformWithState(new HoltWintersProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class ZRow(user_id: Long, us: Long, event_id: Long, c: Long)
+  final case class ZPoint(
+      event_id: Long, user_id: Long, z_sign: Long, z2_permille: Long,
+      is_anomaly: Long)
+  /** (rows seen, last folded (us, event_id), up-to-10-deep ring of the
+    * most recent c values oldest-first) — the state batch q149's
+    * ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING frame needs, and
+    * nothing more
+    */
+  final case class ZRingState(
+      n: Long, lastUs: Long, lastId: Long, buf: Seq[Long])
+
+  /** Streaming twin of batch q149: the rolling z-score anomaly
+    * detector as keyed sequential state — the 10-deep RING BUFFER per
+    * key that q149's scaleNote promised (a bounded-frame window IS a
+    * ring buffer once it streams). Each arriving event scores against
+    * the ring's exact integer (sum, sum-of-squares) — the identical
+    * cross-multiplied z²·900/varnum arithmetic as the batch window,
+    * so a (ts, event_id)-ordered replay is row-identical to q149 and
+    * carries its DuckDB oracle verbatim. The first 10 events per key
+    * only FILL the ring (batch's rn ≥ 11 gate); zero-variance rings
+    * emit nothing (varnum > 0). Ordering is self-enforcing from
+    * birth (the ADVICE r13 stance): state carries the last folded
+    * (us, event_id) and drops anything at or before it, so a
+    * redelivered event is a no-op instead of a double-fold.
+    */
+  class RollingZscoreProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ZRow, ZPoint] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[ZRingState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[ZRingState]("ring",
+        org.apache.spark.sql.Encoders.product[ZRingState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        uid: Long, rows: Iterator[ZRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[ZPoint] = {
+      val s0 = if (st.exists()) st.get()
+               else ZRingState(0L, Long.MinValue, Long.MinValue, Vector.empty)
+      var n = s0.n
+      var lastUs = s0.lastUs
+      var lastId = s0.lastId
+      var buf = s0.buf.toVector
+      val out = Vector.newBuilder[ZPoint]
+      var accepted = false
+      rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
+        if (r.us > lastUs || (r.us == lastUs && r.event_id > lastId)) {
+          lastUs = r.us; lastId = r.event_id
+          n += 1
+          if (n >= 11) {
+            var sc = 0L; var qc = 0L
+            buf.foreach { v => sc += v; qc += v * v }
+            val dev = r.c * 10L - sc
+            val varnum = qc * 10L - sc * sc
+            if (varnum > 0)
+              out += ZPoint(r.event_id, uid,
+                java.lang.Long.signum(dev).toLong,
+                900L * dev * dev / varnum,
+                if (dev * dev > varnum * 10L) 1L else 0L)
+          }
+          buf = (buf :+ r.c).takeRight(10)
+          accepted = true
+        }
+      }
+      if (accepted) st.update(ZRingState(n, lastUs, lastId, buf))
+      out.result().iterator
+    }
+  }
+
+  def rollingZscorePerUser(rows: Dataset[ZRow]): Dataset[ZPoint] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id)
+      .transformWithState(new RollingZscoreProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
