@@ -18,6 +18,9 @@ import graft.llm.FakeLlmClient
 object EnrichJobSpec {
   /** static so executor-side closures hit the same counter (local mode) */
   val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** static prompt log for the ValidateRepair frugality proof */
+  val promptLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
 class EnrichJobSpec extends SparkSpec {
@@ -287,5 +290,70 @@ class EnrichJobSpec extends SparkSpec {
     assert(lines(0).contains(""""content":"first doc""""))
     assert(lines(0).contains(""""summary":"S:summarize: first doc""""))
     assert(lines(1).contains(""""images":["QUJD"]"""))
+  }
+
+  test("ValidateRepair: bounded one-retry loop — never re-asks passing " +
+    "records, injects the violation reason, terminates at attempts = 2 " +
+    "(q224's operator)") {
+    import graft.pipeline.SchemaValidate.{IntType, Required}
+    EnrichJobSpec.promptLog.clear()
+    // ids 2/4/6 answer unparseable JSON, id 8 omits the required lang;
+    // on the FIX retry everything repairs except the stubborn id 6
+    val client = new graft.llm.LlmClient {
+      override def chat(ms: Seq[graft.llm.Msg], c: JobConfig): String = {
+        val p = ms.last.text
+        EnrichJobSpec.promptLog.add(p)
+        val isFix = p.startsWith("FIX(")
+        val body = if (isFix) p.substring(p.indexOf(")|") + 2) else p
+        val id = body.substring(0, body.indexOf('|')).toLong
+        if (!isFix) {
+          if (id % 2 == 0 && id != 8) "not json"
+          else if (id == 8) """{"age": 5}"""
+          else """{"lang": "en", "age": 5}"""
+        } else {
+          if (id == 6) "still not json"
+          else """{"lang": "en", "age": 5}"""
+        }
+      }
+    }
+    val records = (1 to 8)
+      .map(i => (i.toString, Map("content" -> s"c$i"), Seq.empty[String]))
+      .toDF("id", "texts", "images")
+    val vrCfg = JobConfig(
+      id = "vr", erbTemplate = "<%= id %>|<%= texts[:content] %>",
+      backendEndpoint = "http://fake", model = "m", outputLabel = "out",
+      systemErbTemplate = None, params = Map.empty, useImages = false,
+      responseFormat = None)
+    val report = ValidateRepair.run(records, vrCfg,
+      "FIX(<%= texts[:why] %>)|<%= id %>|<%= texts[:content] %>",
+      client,
+      Seq("ok_required" -> Required("lang"), "ok_type" -> IntType("age")))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1.toLong -> r).toMap
+
+    assert(report.size == 8)
+    // attempts: 1 for first-pass-valid, 2 for everything retried
+    Seq(1L, 3L, 5L, 7L).foreach(i => assert(report(i)._2 == 1L, s"id $i"))
+    Seq(2L, 4L, 6L, 8L).foreach(i => assert(report(i)._2 == 2L, s"id $i"))
+    // the loop TERMINATES with the stubborn record in the final
+    // dead-letter — attempts capped at 2, verdicts honest
+    assert(report(6L)._4 == 0L && report(6L)._6 == "parse")
+    Seq(2L, 4L, 8L).foreach(i =>
+      assert(report(i)._4 == 1L && report(i)._6 == "", s"id $i repaired"))
+    assert(report(8L)._5 == "required:lang")
+
+    // frugality: exactly 8 first-pass + 4 retry calls, FIX prompts
+    // only for the first-pass failures, each retried exactly once
+    val prompts = EnrichJobSpec.promptLog.toArray(Array.empty[String]).toSeq
+    assert(prompts.length == 12, s"calls: ${prompts.length}")
+    val fixIds = prompts.filter(_.startsWith("FIX(")).map { p =>
+      val b = p.substring(p.indexOf(")|") + 2); b.substring(0, b.indexOf('|')).toLong
+    }
+    assert(fixIds.sorted == Seq(2L, 4L, 6L, 8L),
+      s"retried ids: $fixIds — passing records must never be re-asked")
+    // the violation reason reaches the retry prompt
+    assert(prompts.exists(p => p.startsWith("FIX(required:lang)|8|")),
+      s"reason not injected: ${prompts.filter(_.startsWith("FIX")).mkString("; ")}")
+    assert(prompts.exists(p => p.startsWith("FIX(parse)|6|")))
   }
 }

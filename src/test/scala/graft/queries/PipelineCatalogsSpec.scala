@@ -2316,6 +2316,61 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q218: a key with a SINGLE observed day still reports (S = 0, " +
+    "varnum = 0, not significant) — the left-join fix (ADVICE r13)") {
+    // Before the fix the inner join to the pair-derived aggregate
+    // silently dropped any type with no pairs — the monitor went
+    // silent exactly where data was thinnest. Cut one type to one day.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q218s").toString
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val firstDay = ev.filter(col("event_type") === "signup")
+      .select(expr("unix_micros(date_trunc('day', CAST(ts AS TIMESTAMP)))"))
+      .as[Long].collect().min
+    ev.filter(col("event_type") =!= "signup" ||
+        expr(s"unix_micros(date_trunc('day', CAST(ts AS TIMESTAMP))) = $firstDay"))
+      .write.parquet(s"$dir/events.parquet")
+    val out = Analytics.queries("q218_mann_kendall_test").fn(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.contains("signup"),
+      s"single-day key vanished from the report: ${out.keys}")
+    val s = out("signup")
+    assert(s._2 == 1L && s._3 == 0L && s._4 == 0L && s._5 == 0L && s._6 == 0L,
+      s"single-day key must report all-zero, got $s")
+    // the other types are untouched by the cut
+    assert(out.size == 5, s"expected all 5 types, got ${out.keys}")
+  }
+
+  test("q226: the pair-sampled estimate honors its 2σ integer bound for " +
+    "every key, recovers the planted click sign, and genuinely samples " +
+    "(m = 8n, estimate ≠ exact)") {
+    val rows = Analytics.queries("q226_pair_sampled_trend").fn(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long)].collect()
+    assert(rows.length == 5, s"expected 5 types, got ${rows.length}")
+    rows.foreach { r =>
+      // (event_type, n, n_pairs, m, sum_sg, s_exact, est_rising,
+      //  rising_exact, err_ok, med_num, med_den)
+      assert(r._9 == 1L, s"${r._1}: estimate outside the 2σ bound")
+      assert(r._4 == 8 * r._2, s"${r._1}: m must be 8n, got ${r._4}")
+      assert(r._3 == r._2 * (r._2 - 1) / 2, s"${r._1}: n_pairs wrong")
+      // the bound itself replicates in plain Scala from the emitted
+      // integers — the gate is the inequality, not a trusted flag
+      val lhs = BigInt(r._5 * r._3 - r._6 * r._4).pow(2)
+      assert(lhs <= BigInt(4) * r._4 * r._3 * r._3,
+        s"${r._1}: emitted err_ok disagrees with the emitted integers")
+      assert(r._11 > 0, s"${r._1}: median slope denominator must be > 0")
+    }
+    val click = rows.find(_._1 == "click").get
+    assert(click._7 == 1L && click._8 == 1L,
+      s"planted click trend sign not recovered by the sample: $click")
+    // non-vacuity: the estimator is an ESTIMATE — at least one key's
+    // rescaled sampled sum differs from the exact S
+    assert(rows.exists(r => r._5 * r._3 != r._6 * r._4),
+      "sampled statistic exactly matches the witness everywhere — " +
+        "sampling not exercised?")
+  }
+
   test("q209: one NULL key in the NOT IN subquery empties the result — " +
     "the Q22 null-semantics trap, handled, not silently wrong") {
     // three customers (only #3 is above the positive-balance average:

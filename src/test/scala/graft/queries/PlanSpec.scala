@@ -924,6 +924,23 @@ class PlanSpec extends SparkSpec {
     assertBnljBuildsAreOneRow("q211_calibration_bins_bucketed")
   }
 
+  test("q222: the thresholded budget sampler is WINDOWLESS — broadcast " +
+    "budgets, map-side hash compare (q90's 100 TB spelling, r14)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = planNodes("q222_budget_sample_thresholded")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      s"no Window allowed:\n${plan("q222_budget_sample_thresholded").take(1600)}")
+    val p = plan("q222_budget_sample_thresholded")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the only nested loop is the 1-row total-weight broadcast
+    assertBnljBuildsAreOneRow("q222_budget_sample_thresholded")
+    // budgets broadcast to the docs side — the corpus never shuffles
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-lang budgets must broadcast:\n${p.take(1600)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the budget join:\n${p.take(1600)}")
+  }
+
   test("q215: bucketed Borda fusion has no corpus-sized window — the only " +
     "window ranks the TakeOrdered K-row frame (q158's 100 TB spelling)") {
     assertTakeOrderedThenKRowWindow("q215_rank_fusion_bucketed")
@@ -1052,6 +1069,67 @@ class PlanSpec extends SparkSpec {
     // equality filter, not a top-1 sort)
     assert(!p.contains("TakeOrderedAndProject") && !p.contains("GlobalLimit"),
       p.take(800))
+  }
+
+  test("q221: the correlated scalar MIN over a multi-table subquery " +
+    "decorrelates to ONE per-key aggregate over the joined inner tree — " +
+    "two fact scans, no cartesian, no per-row re-execution (Q2 shape, r14)") {
+    val p = plan("q221_tpch_q2_shape")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    // outer probe + the ONE decorrelated min-over-join-tree = exactly
+    // two offer scans; a third would mean the rewrite re-executed
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans == 2,
+      s"expected outer + decorrelated aggregate = 2 lineitem scans, " +
+        s"got $scans:\n${p.take(1600)}")
+    // the min is a two-phase aggregate grouped by the correlation key
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"per-partkey min must be two-phase:\n${p.take(1600)}")
+    // the region predicate prunes BOTH region scans — the outer chain
+    // AND inside the decorrelated subquery (the filter lives in the
+    // min's semantics, not just the outer join)
+    val regionScans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("region.parquet")).toList
+    assert(regionScans.size == 2 &&
+      regionScans.forall(_.contains("EqualTo(r_name,EUROPE)")),
+      s"r_name must push into both region scans:\n${regionScans.mkString("\n")}")
+    // arg-min-with-ties: equality filter, never a top-1 sort
+    assert(!p.contains("TakeOrderedAndProject") && !p.contains("GlobalLimit"),
+      p.take(800))
+  }
+
+  test("q225: the OR-of-conjunctions join extracts the common equi-key " +
+    "as a hash join and pushes each side's disjunction into its scan " +
+    "(Q19 shape, r14)") {
+    val p = plan("q225_tpch_q19_shape")
+    // (a) the join must ride p_partkey = l_partkey — a hash join,
+    // never a nested loop over the disjunction
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the common conjunct must become the join key:\n${p.take(1600)}")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin")).getOrElse("")
+    assert(joinLine.contains("p_partkey") && joinLine.contains("l_partkey"),
+      s"join key must be the partkey equality: ${joinLine.take(400)}")
+    // (b) each side's OR-of-local-predicates reaches its parquet scan
+    val partScan = p.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains("part.parquet")).getOrElse("")
+    assert(partScan.contains("Or(") && partScan.contains("p_brand"),
+      s"part disjunction not pushed: ${partScan.take(600)}")
+    val liScan = p.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")).getOrElse("")
+    assert(liScan.contains("Or(") && liScan.contains("l_quantity"),
+      s"lineitem disjunction not pushed: ${liScan.take(600)}")
+    // the common l_returnflag conjunct factors out of the OR and
+    // pushes as a plain equality
+    assert(liScan.contains("EqualTo(l_returnflag,N)"),
+      s"common conjunct not factored: ${liScan.take(600)}")
+    // (c) the full OR stays as the residual on the join's survivors
+    assert(p.contains("Or(") || p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("||")),
+      s"residual disjunction missing:\n${p.take(1600)}")
   }
 
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {

@@ -690,4 +690,154 @@ class StreamingSpec extends SparkSpec {
     assert(want.map(_._1).distinct.length > 2,
       "too few keys to split seed weeks across chunks")
   }
+
+  test("q223: the registered streaming rolling z-score equals batch q149 " +
+    "row for row, with the ring carried across chunk boundaries") {
+    val got = graft.queries.Streaming.queries("q223_streaming_rolling_zscore")
+      .fn(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    val want = graft.queries.Analytics.queries("q149_rolling_zscore")
+      .fn(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got.length == want.length,
+      s"row counts: ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"streamed $g vs batch $w")
+    }
+    // non-vacuity: the 8-chunk replay cuts every user's interleaved
+    // event history across micro-batches (users arrive time-ordered,
+    // so no user's series fits one chunk), and enough rows exist past
+    // the 10-row warmup for the ring to be exercised cross-chunk
+    assert(want.length > 50, s"fixture too small: ${want.length}")
+  }
+
+  test("rolling z-score ring drops redelivered events instead of " +
+    "double-folding — a replayed chunk is a no-op (self-enforcing order)") {
+    val feed = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("c"))
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._2, r._3))
+      .map { case (uid, us, eid, c) => EventStreams.ZRow(uid, us, eid, c) }
+      .toSeq
+    // state v2 requires the RocksDB provider — set for this query,
+    // restored after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[EventStreams.ZRow]
+    val q = EventStreams.rollingZscorePerUser(ms.toDS())
+      .writeStream.format("memory").outputMode("update")
+      .queryName("zring_redeliver_sink").start()
+    try {
+      val chunks = feed.grouped(math.max(1, (feed.size + 3) / 4)).toList
+      ms.addData(chunks.head); q.processAllAvailable()
+      // at-least-once delivery: the whole first chunk arrives AGAIN —
+      // every row is at or before the last folded (us, id), so the
+      // ring must not move and nothing may be emitted
+      ms.addData(chunks.head); q.processAllAvailable()
+      chunks.tail.foreach { c => ms.addData(c); q.processAllAvailable() }
+      // and a single far-late straggler after everything
+      ms.addData(Seq(feed.head)); q.processAllAvailable()
+      val got = spark.table("zring_redeliver_sink")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      val want = graft.queries.Analytics.queries("q149_rolling_zscore")
+        .fn(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(got.length == want.length,
+        s"redelivery leaked emissions: ${got.length} vs ${want.length}")
+      got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
+  test("EWMA chart and Holt-Winters drop redelivered/late rows instead " +
+    "of folding them as newest (ADVICE r13: last-day guard in state)") {
+    // state v2 requires the RocksDB provider — set for this test,
+    // restored after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    // --- chart: rebuild q207's feed (reference from the pre-cut window)
+    val batch = graft.queries.Analytics.queries("q207_ewma_control_chart")
+      .fn(spark, sf0001)
+      .as[(String, Long, Long, Double, Long)].collect()
+    val allD = batch.map(_._2)
+    val cut = (allD.min + allD.max) / 2
+    val ref = batch.groupBy(_._1).map { case (et, rs) =>
+      val pre = rs.filter(_._2 < cut).map(_._3)
+      val n0 = pre.length.toLong
+      et -> (pre.sum / n0,
+        n0 * pre.map(x => x * x).sum - pre.sum * pre.sum, n0)
+    }
+    val chartRows = batch.sortBy(r => (r._2, r._1)).map { case (et, d, x, _, _) =>
+      val (mu, varnum, n0) = ref(et)
+      EventStreams.ChartRow(et, d, x, mu, varnum, n0)
+    }.toSeq
+    val ms = MemoryStream[EventStreams.ChartRow]
+    val q = EventStreams.ewmaChartPerKey(ms.toDS())
+      .writeStream.format("memory").outputMode("update")
+      .queryName("chart_redeliver_sink").start()
+    try {
+      val chunks = chartRows.grouped(50).toList
+      ms.addData(chunks.head); q.processAllAvailable()
+      ms.addData(chunks.head); q.processAllAvailable() // redelivered batch
+      chunks.tail.foreach { c => ms.addData(c); q.processAllAvailable() }
+      ms.addData(Seq(chartRows.head)); q.processAllAvailable() // late row
+      val got = spark.table("chart_redeliver_sink")
+        .as[(String, Long, Long, Double, Long)].collect()
+        .sortBy(r => (r._1, r._2))
+      val want = batch.sortBy(r => (r._1, r._2))
+      assert(got.length == want.length,
+        s"redelivery corrupted the chart: ${got.length} vs ${want.length}")
+      got.zip(want.toSeq).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+    } finally q.stop()
+
+    // --- Holt-Winters: rebuild q217's planted feed; redeliver the
+    // chunk that SPLITS the seed week (the n-counter is the fragile
+    // state a double-fold would corrupt)
+    val daily0 = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts))").as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("x0"))
+    val refHw = daily0.groupBy(col("event_type"))
+      .agg(expr("sum(x0) DIV count(1)").as("mu"))
+    val hwRows = daily0.join(broadcast(refHw), "event_type")
+      .select(col("event_type"), col("d"),
+        (col("x0") + when(
+          (col("d") / lit(86400000000L) + 4) % 7 === 6, col("mu") * 2)
+          .otherwise(0L)).as("x"))
+      .as[(String, Long, Long)].collect()
+      .sortBy(r => (r._2, r._1))
+      .map { case (et, day, x) => EventStreams.HwRow(et, day, x) }
+      .toSeq
+    val msHw = MemoryStream[EventStreams.HwRow]
+    val qHw = EventStreams.holtWintersPerKey(msHw.toDS())
+      .writeStream.format("memory").outputMode("update")
+      .queryName("hw_redeliver_sink").start()
+    try {
+      val chunks = hwRows.grouped(20).toList // seed weeks span chunks
+      msHw.addData(chunks.head); qHw.processAllAvailable()
+      msHw.addData(chunks.head); qHw.processAllAvailable() // mid-seed redelivery
+      chunks.tail.foreach { c => msHw.addData(c); qHw.processAllAvailable() }
+      val got = spark.table("hw_redeliver_sink")
+        .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      val want = graft.queries.Analytics.queries("q213_holt_winters_backtest")
+        .fn(spark, sf0001)
+        .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(got.length == want.length,
+        s"mid-seed redelivery corrupted the smoother: " +
+          s"${got.length} vs ${want.length}")
+      got.zip(want.toSeq).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+    } finally qHw.stop()
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
