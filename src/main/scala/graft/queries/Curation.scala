@@ -345,6 +345,24 @@ object Curation extends Catalog {
                 GROUP BY tf.doc_id)"""
   }
 
+  // ---- q90's oracle, shared verbatim with q228 ----------------------
+  // The q216/q220 discipline: the operational two-pass spelling (q228)
+  // carries the SAME gate as the exact-rank statement (q90), so the
+  // two plans police each other every round.
+  private[queries] val BudgetSampleOracleSql: String = """
+        WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        t AS (
+          SELECT lang,
+                 CAST(round(300 * sqrt(cnt) /
+                   (SELECT sum(sqrt(cnt)) FROM c)) AS BIGINT) AS t_n
+          FROM c),
+        r AS (
+          SELECT d.doc_id, d.lang, t.t_n,
+                 row_number() OVER (PARTITION BY d.lang
+                   ORDER BY md5('m:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+          FROM documents d JOIN t USING (lang))
+        SELECT doc_id, lang FROM r WHERE rn <= t_n"""
+
   override def queries: Map[String, Q] = Map(
 
     // ---- q138: URL canonicalization + URL-level dedup ----------------
@@ -1578,20 +1596,8 @@ object Curation extends Catalog {
           .filter(col("rn") <= col("t_n"))
           .select(col("doc_id"), col("lang"))
       },
-      sql = Some("""
-        WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
-        t AS (
-          SELECT lang,
-                 CAST(round(300 * sqrt(cnt) /
-                   (SELECT sum(sqrt(cnt)) FROM c)) AS BIGINT) AS t_n
-          FROM c),
-        r AS (
-          SELECT d.doc_id, d.lang, t.t_n,
-                 row_number() OVER (PARTITION BY d.lang
-                   ORDER BY md5('m:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
-          FROM documents d JOIN t USING (lang))
-        SELECT doc_id, lang FROM r WHERE rn <= t_n"""),
-      scaleNote = "budgets come from one tiny two-phase count agg (broadcast back); selection is one rank window per lang partition — at 100 TB replace row_number with the md5-threshold filter (q60) to avoid the global sort per lang — REGISTERED as q222"),
+      sql = Some(BudgetSampleOracleSql),
+      scaleNote = "budgets come from one tiny two-phase count agg (broadcast back); selection is one rank window per lang partition — at 100 TB replace row_number with the md5-threshold filter (q60, REGISTERED as q222 with in-expectation budgets) or the two-pass slice spelling (REGISTERED as q228 under this oracle VERBATIM — exact budgets, window only on the O(t_n) boundary slice)"),
 
     // ---- q222: budgeted per-lang sampling, WINDOWLESS (q90's 100 TB
     // spelling, r14) -----------------------------------------------------
@@ -1637,7 +1643,66 @@ object Curation extends Catalog {
                    AS h28
           FROM documents d JOIN t USING (lang))
         SELECT doc_id, lang FROM h WHERE h28 * cnt < t_n * 268435456"""),
-      scaleNote = "the registered windowless spelling: budgets are the same tiny two-phase count agg broadcast back (|langs| rows), selection is a pure map-side hash compare that fuses into the scan — no per-lang rank window, no global sort, no single-partition stage anywhere (PlanSpec-pinned), so the sampler is one scan at any corpus size and survives speculative/retried tasks unchanged (the q60 law); the rate resolution is 2⁻²⁸ per lang, and the exactly-t_n variant at scale is this filter plus a per-lang count-correction pass on the ±√t_n boundary slice, never a corpus-wide window"),
+      scaleNote = "the registered windowless spelling: budgets are the same tiny two-phase count agg broadcast back (|langs| rows), selection is a pure map-side hash compare that fuses into the scan — no per-lang rank window, no global sort, no single-partition stage anywhere (PlanSpec-pinned), so the sampler is one scan at any corpus size and survives speculative/retried tasks unchanged (the q60 law); the rate resolution is 2⁻²⁸ per lang, and the exactly-t_n variant at scale is this filter at a doubled rate plus a rank pass over the boundary slice — REGISTERED as q228 under q90's oracle verbatim"),
+
+    // ---- q228: EXACT budgeted sampling via threshold pre-filter +
+    // boundary-slice rank (r14) -------------------------------------------
+    // The third member of the q90 family, closing the trade q222
+    // opens: q90 is exact-t_n but rank-windows the corpus; q222 is
+    // windowless but binomially-approximate. This spelling is BOTH:
+    // filter at DOUBLE the target rate (q222's map-side compare, so
+    // the slice holds ~2·t_n rows per lang), then rank only the slice
+    // and keep t_n. Correctness is a theorem, not luck: md5-hex order
+    // equals 28-bit-prefix order across differing prefixes, so every
+    // doc outside the slice ranks strictly after every doc inside it —
+    // whenever the slice holds ≥ t_n rows, the slice-local top-t_n IS
+    // the global top-t_n, and the output equals q90's EXACTLY (gated
+    // by q90's oracle VERBATIM, the q216/q220 police-each-other
+    // stance). The ≥ t_n precondition is binomial (P(shortfall at 2×
+    // rate) < e^{−t_n/4}, Chernoff) and made LOUD, not assumed: a
+    // per-lang slice count rides the plan and raise_errors with the
+    // lang on shortfall (the q211 discipline) — the recovery is one
+    // rerun at 4× rate, never a silent wrong sample.
+    "q228_budget_sample_exact_sliced" -> Q(
+      fn = (s, d) => {
+        val budget = 300
+        val counts = docs(s, d).groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum(sqrt(col("cnt"))).as("twgt"))
+        val targets = counts.crossJoin(broadcast(tot))
+          .select(col("lang"), col("cnt"),
+            round(lit(budget) * sqrt(col("cnt")) / col("twgt"))
+              .cast("long").as("t_n"))
+        val hx = md5(concat(lit("m:"), col("doc_id").cast("string")))
+        val h28 = conv(substring(hx, 1, 7), 16, 10).cast("long")
+        // pass 1: q222's map-side filter at 2× the target rate
+        val sliced = docs(s, d).join(broadcast(targets), "lang")
+          .filter(h28 * col("cnt") < col("t_n") * lit(536870912L))
+          .select(col("doc_id"), col("lang"), hx.as("hx"))
+          .localCheckpoint() // one slice feeds the guard AND the rank
+        // loud precondition: every lang's slice must hold >= t_n rows
+        // or the slice-local top-t_n is not provably the global one
+        val guarded = targets.join(
+            sliced.groupBy(col("lang")).agg(count(lit(1)).as("sn")),
+            Seq("lang"), "left")
+          .select(col("lang"),
+            when(coalesce(col("sn"), lit(0L)) >= col("t_n"), col("t_n"))
+              .otherwise(raise_error(concat(
+                lit("q228 slice shortfall for lang "), col("lang"),
+                lit(": "), coalesce(col("sn"), lit(0L)).cast("string"),
+                lit(" < "), col("t_n").cast("string"),
+                lit(" — rerun at a higher pre-filter rate"))))
+              .as("t_n"))
+        // pass 2: rank ONLY the O(t_n)-per-lang slice
+        sliced.join(broadcast(guarded), "lang")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("hx"), col("doc_id"))))
+          .filter(col("rn") <= col("t_n"))
+          .select(col("doc_id"), col("lang"))
+      },
+      sql = Some(BudgetSampleOracleSql),
+      scaleNote = "the exactly-t_n sampler that survives 100 TB: pass 1 is q222's map-side hash compare (fuses into the scan, keeps ~2·t_n rows per lang — sample-sized, not corpus-sized), pass 2 ranks the materialized slice whose total is ~2·|budget| rows, so the per-lang window sorts thousands of rows regardless of corpus size; the shortfall guard is a |langs|-row broadcast with an in-plan raise_error — failure mode is a loud rerun at a higher rate, never a silent short sample; gated by q90's oracle verbatim, so 'same sample, corpus-free window' is a theorem the driver re-proves every round"),
 
     // ---- q94: reproducible shard shuffle -----------------------------
     // Training readers want the corpus in a RANDOM but REPRODUCIBLE

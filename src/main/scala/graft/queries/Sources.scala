@@ -782,28 +782,7 @@ object Sources extends Catalog {
     // (counting client) and terminates at attempts ≤ 2 by
     // construction.
     "q224_llm_validate_repair" -> Q(
-      fn = (s, d) => {
-        val records = Tables.load(s, d, "documents")
-          .select(col("doc_id").cast("string").as("id"),
-            map(lit("content"), col("text")).as("texts"),
-            array().cast("array<string>").as("images"))
-        val cfg = graft.core.JobConfig(
-          id = "validate-repair",
-          erbTemplate = "<%= id %>|<%= texts[:content] %>",
-          backendEndpoint = "http://fake", model = "fake",
-          outputLabel = "extracted", systemErbTemplate = None,
-          params = Map.empty, useImages = false,
-          responseFormat = Some(graft.core.ResponseFormat.JsonMode))
-        val report = graft.pipeline.ValidateRepair.run(
-          records, cfg,
-          "FIX(<%= texts[:why] %>)|<%= id %>|<%= texts[:content] %>",
-          new graft.llm.FakeLlmClient(ValidateRepairFake),
-          ExtractConstraints,
-          opts = graft.pipeline.EnrichOptions(concurrency = 16))
-        report.select(col("id").cast("long").as("id"), col("attempts"),
-          col("valid_first"), col("valid_final"),
-          col("reason_first"), col("reason_final"))
-      },
+      fn = (s, d) => validateRepairReport(s, d),
       sql = Some("""
         WITH v AS (
           SELECT CAST(doc_id AS BIGINT) AS id,
@@ -842,7 +821,80 @@ object Sources extends Catalog {
                CASE WHEN reason_first <> '' AND langodd
                     THEN 'enum:lang' ELSE '' END AS reason_final
         FROM r"""),
-      scaleNote = "the retry pass touches |first-pass failures| records, never the corpus — the loop's cost is proportional to the defect rate, and both passes are the same executor-side mapPartitions enrich stage with the codegen'd validation projection on top (zero shuffles beyond the one |failures|-sized re-enrich and its verdict join back); at 100 TB run it on EnrichJob.runCached so retried prompts are idempotency-cached across job restarts, and the (reason_first → repaired?) fold of this report IS the model-quality dashboard: rising enum:lang repair failures mean the schema and the model disagree systematically, which no retry budget fixes"),
+      scaleNote = "the retry pass touches |first-pass failures| records, never the corpus — the loop's cost is proportional to the defect rate, and both passes are the same executor-side mapPartitions enrich stage with the codegen'd validation projection on top (zero shuffles beyond the one |failures|-sized re-enrich and its verdict join back); at 100 TB run it on EnrichJob.runCached so retried prompts are idempotency-cached across job restarts, and the (reason_first → repaired?) fold of this report IS the model-quality dashboard — REGISTERED as q227"),
+
+    // ----- E18: the per-reason repair-rate dashboard (r14) ------------
+    // The fold q214's and q224's scaleNotes both named: the alerting
+    // surface a production enrich pipeline actually watches. Per
+    // first-pass violation class — plus the ALL row (q182's stance) —
+    // how many records failed, how many the bounded re-ask recovered,
+    // how many stayed dead, and the repair rate in exact ppm. On this
+    // fixture the readout demonstrates the operator's point: the
+    // transient classes (parse / type / min / max / required /
+    // minLength) repair dominantly — short of 1e6 ppm only where a
+    // record ALSO carries the enum violation the first-reason
+    // precedence hid — while enum:lang repairs at exactly 0 (the
+    // model doubles down — the systematic class where alerting, not
+    // retrying, is the fix).
+    "q227_repair_dashboard" -> Q(
+      fn = (s, d) => {
+        val rep = validateRepairReport(s, d)
+          .filter(col("reason_first") =!= "")
+          .localCheckpoint() // one loop run feeds both the per-reason
+                             // rows and the ALL row
+        val per = rep.groupBy(col("reason_first"))
+          .agg(count(lit(1)).as("n_failed"),
+            sum(col("valid_final")).as("n_repaired"))
+        per.unionByName(
+            rep.agg(count(lit(1)).as("n_failed"),
+              sum(col("valid_final")).as("n_repaired"))
+              .select(lit("ALL").as("reason_first"),
+                col("n_failed"), col("n_repaired")))
+          .select(col("reason_first"), col("n_failed"), col("n_repaired"),
+            (col("n_failed") - col("n_repaired")).as("n_still_dead"),
+            expr("n_repaired * CAST(1000000 AS BIGINT) DIV n_failed")
+              .as("repair_ppm"))
+      },
+      sql = Some("""
+        WITH v AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 doc_id % 19 = 0 AS corrupt,
+                 doc_id % 17 = 0 AS langmiss,
+                 doc_id % 13 = 0 AS typebad,
+                 doc_id % 5 = 0 AS negbad,
+                 doc_id % 23 = 0 AS maxbad,
+                 doc_id % 11 = 0 AS langodd,
+                 doc_id % 7 = 0 OR
+                   length(regexp_extract(coalesce(text, ''),
+                     '^[a-zA-Z0-9]*', 0)) < 1
+                   AS namebad
+          FROM documents),
+        r AS (
+          SELECT id, langodd,
+                 CASE WHEN corrupt THEN 'parse'
+                      WHEN langmiss THEN 'required:lang'
+                      WHEN typebad THEN 'type:age'
+                      WHEN negbad THEN 'min:age'
+                      WHEN maxbad THEN 'max:age'
+                      WHEN langodd THEN 'enum:lang'
+                      WHEN namebad THEN 'minLength:name'
+                      ELSE '' END AS reason_first
+          FROM v),
+        f AS (SELECT reason_first,
+                     CAST(CASE WHEN NOT langodd THEN 1 ELSE 0 END
+                       AS BIGINT) AS repaired
+              FROM r WHERE reason_first <> ''),
+        per AS (
+          SELECT reason_first, count(*) AS n_failed,
+                 CAST(sum(repaired) AS BIGINT) AS n_repaired
+          FROM f GROUP BY 1
+          UNION ALL
+          SELECT 'ALL', count(*), CAST(sum(repaired) AS BIGINT) FROM f)
+        SELECT reason_first, n_failed, n_repaired,
+               n_failed - n_repaired AS n_still_dead,
+               n_repaired * 1000000 // n_failed AS repair_ppm
+        FROM per"""),
+      scaleNote = "one |reasons|-row fold of q224's report (seven classes + ALL at any corpus size — the group-by key is the schema's constraint vocabulary, not the data), so the dashboard costs a map-side partial aggregate on top of the loop it monitors; at 100 TB this frame IS the alert stream: repair_ppm falling on a transient class means the backend degraded, enum classes sitting at 0 ppm mean the schema and the model disagree systematically and a human, not a retry budget, owns the fix"),
 
     // ----- multimodal: perceptual-hash image near-dup ---------------
     "q58_image_neardup" -> Q(
@@ -1660,6 +1712,33 @@ object Sources extends Catalog {
       val lang = if (i % 11 == 0) "xx" else Seq("en", "fr", "de")((i % 3).toInt)
       s"""{"name": "$nm", "age": ${i % 90}, "lang": "$lang"}"""
     }
+  }
+
+  /** q224's full validate → re-prompt-once → re-validate report over
+    * the documents corpus — shared by q224 (the record-level report)
+    * and q227 (the per-reason dashboard fold of the same frame)
+    */
+  private def validateRepairReport(s: SparkSession, d: String): DataFrame = {
+    val records = Tables.load(s, d, "documents")
+      .select(col("doc_id").cast("string").as("id"),
+        map(lit("content"), col("text")).as("texts"),
+        array().cast("array<string>").as("images"))
+    val cfg = graft.core.JobConfig(
+      id = "validate-repair",
+      erbTemplate = "<%= id %>|<%= texts[:content] %>",
+      backendEndpoint = "http://fake", model = "fake",
+      outputLabel = "extracted", systemErbTemplate = None,
+      params = Map.empty, useImages = false,
+      responseFormat = Some(graft.core.ResponseFormat.JsonMode))
+    graft.pipeline.ValidateRepair.run(
+      records, cfg,
+      "FIX(<%= texts[:why] %>)|<%= id %>|<%= texts[:content] %>",
+      new graft.llm.FakeLlmClient(ValidateRepairFake),
+      ExtractConstraints,
+      opts = graft.pipeline.EnrichOptions(concurrency = 16))
+      .select(col("id").cast("long").as("id"), col("attempts"),
+        col("valid_first"), col("valid_final"),
+        col("reason_first"), col("reason_final"))
   }
 
   /** the reference example schema's constraint set

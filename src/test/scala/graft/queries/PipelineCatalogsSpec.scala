@@ -2341,6 +2341,46 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(out.size == 5, s"expected all 5 types, got ${out.keys}")
   }
 
+  test("q228 equals q90 EXACTLY at sf0.001 — the slice theorem holds " +
+    "engine-side, not just through the shared oracle") {
+    val q90Name = Curation.queries.keys.find(_.startsWith("q90")).get
+    val got = Curation.queries("q228_budget_sample_exact_sliced")
+      .fn(spark, sf0001).as[(Long, String)].collect().toSet
+    val want = Curation.queries(q90Name)
+      .fn(spark, sf0001).as[(Long, String)].collect().toSet
+    assert(got == want,
+      s"slice sample diverged from the exact-rank sample: " +
+        s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    assert(want.nonEmpty)
+  }
+
+  test("q227: the repair dashboard reads the loop's semantics — transient " +
+    "classes repair except their enum overlap, the enum class at 0 ppm") {
+    val rows = Sources.queries("q227_repair_dashboard").fn(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.contains("enum:lang") && rows("enum:lang")._5 == 0L &&
+      rows("enum:lang")._3 == 0L,
+      s"the systematic class must not repair: ${rows.get("enum:lang")}")
+    // a transient-class record stays dead only when it ALSO carries
+    // the stubborn enum violation (first-reason precedence hides it);
+    // on this fixture that overlap is small, so every transient class
+    // repairs dominantly but not necessarily fully
+    rows.filterKeys(k => k != "ALL" && k != "enum:lang").foreach {
+      case (k, r) =>
+        assert(r._5 >= 800000L, s"$k must repair dominantly, got $r")
+        assert(r._3 > 0L, s"$k must repair someone, got $r")
+    }
+    val all = rows("ALL")
+    assert(all._5 > 0L && all._5 < 1000000L,
+      s"ALL must sit strictly between: $all")
+    assert(all._2 == all._3 + all._4, s"ALL accounting broken: $all")
+    // per-class accounting folds exactly into the ALL row
+    val per = rows.filterKeys(_ != "ALL").values
+    assert(per.map(_._2).sum == all._2 && per.map(_._3).sum == all._3,
+      s"class rows do not fold into ALL: $rows")
+  }
+
   test("q226: the pair-sampled estimate honors its 2σ integer bound for " +
     "every key, recovers the planted click sign, and genuinely samples " +
     "(m = 8n, estimate ≠ exact)") {

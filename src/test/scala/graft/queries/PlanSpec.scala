@@ -941,6 +941,34 @@ class PlanSpec extends SparkSpec {
       s"the corpus must not shuffle for the budget join:\n${p.take(1600)}")
   }
 
+  test("q228: the exact-budget sampler's rank window sorts only the " +
+    "materialized boundary slice — the corpus scan never sits under the " +
+    "window (q90's exact 100 TB spelling)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val nodes = planNodes("q228_budget_sample_exact_sliced")
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "the slice rank window must exist")
+    // under the window, the corpus parquet scan may appear ONLY inside
+    // a broadcast build (the |langs|-row guarded-budget frame) — the
+    // STREAMED side the window sorts must be the checkpointed slice
+    def walk(p: SparkPlan, underBroadcast: Boolean): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan, underBroadcast)
+      case b: BroadcastExchangeExec => b.children.foreach(walk(_, true))
+      case f: FileSourceScanExec =>
+        assert(underBroadcast || !f.toString.contains("documents.parquet"),
+          s"the corpus scan feeds the window's streamed side:\n" +
+            f.toString.take(600))
+      case other => other.children.foreach(walk(_, underBroadcast))
+    }
+    windows.foreach(w => w.children.foreach(walk(_, false)))
+    val p = plan("q228_budget_sample_exact_sliced")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assertBnljBuildsAreOneRow("q228_budget_sample_exact_sliced")
+  }
+
   test("q215: bucketed Borda fusion has no corpus-sized window — the only " +
     "window ranks the TakeOrdered K-row frame (q158's 100 TB spelling)") {
     assertTakeOrderedThenKRowWindow("q215_rank_fusion_bucketed")
