@@ -83,6 +83,16 @@ object Streaming extends Catalog {
           FROM sess
           WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id))"""
 
+  /** q176's oracle, shared verbatim with q229 (the q199/q212/q217/q223
+    * discipline: the streaming service form carries the batch twin's
+    * exact gate)
+    */
+  private[queries] val NextEventOracleSql: String = s"""
+        WITH $nextEventSqlCtes
+        SELECT user_id, sid, pos, context, label,
+               CASE WHEN user_id % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+        FROM ex WHERE pos >= 2"""
+
   override def queries: Map[String, Q] = Map(
 
     // ----- session-scoped first-touch attribution -------------------
@@ -265,12 +275,8 @@ object Streaming extends Catalog {
             when(pmod(col("user_id"), lit(10)) < 8, "train")
               .otherwise("eval").as("split"))
       },
-      sql = Some(s"""
-        WITH $nextEventSqlCtes
-        SELECT user_id, sid, pos, context, label,
-               CASE WHEN user_id % 10 < 8 THEN 'train' ELSE 'eval' END AS split
-        FROM ex WHERE pos >= 2"""),
-      scaleNote = "one user_id shuffle feeds every window (the session lag, the running sid sum, and the per-session lags all share the same partitioning, so Catalyst plans ONE exchange + one sort); per-user state is a sort run, never materialized n² context — contexts are built by lag, not self-join; the by-user split is a map-side mod, and at 100 TB this whole construction is the standard sessionize-then-window pass every behavioral-ML pipeline already pays"),
+      sql = Some(NextEventOracleSql),
+      scaleNote = "one user_id shuffle feeds every window (the session lag, the running sid sum, and the per-session lags all share the same partitioning, so Catalyst plans ONE exchange + one sort); per-user state is a sort run, never materialized n² context — contexts are built by lag, not self-join; the by-user split is a map-side mod, and at 100 TB this whole construction is the standard sessionize-then-window pass every behavioral-ML pipeline already pays — the streaming twin is REGISTERED as q229 under this oracle verbatim"),
 
     // ----- q182: Markov next-event baseline on q176's split ---------
     // The evaluation loop q176's dataset exists for, closed with the
@@ -572,7 +578,56 @@ object Streaming extends Catalog {
           col("z_sign"), col("z2_permille"), col("is_anomaly"))
       },
       sql = Some(Analytics.RollingZscoreOracleSql),
-      scaleNote = "detector state is at most 13 longs per key (count, last-folded (us, id), 10-ring) behind one RocksDB ValueState, so a 100 TB deployment holds O(|users|) state with zero history — and unlike the daily-frame monitors the stream here IS the raw event volume, which is exactly what keyed state-v2 processors are built for: the user_id exchange shards the store, each event folds in O(ring) work, and the ordering contract is self-enforcing (late/redelivered events drop instead of corrupting the ring — the ADVICE r13 discipline, built in from birth)")
+      scaleNote = "detector state is at most 13 longs per key (count, last-folded (us, id), 10-ring) behind one RocksDB ValueState, so a 100 TB deployment holds O(|users|) state with zero history — and unlike the daily-frame monitors the stream here IS the raw event volume, which is exactly what keyed state-v2 processors are built for: the user_id exchange shards the store, each event folds in O(ring) work, and the ordering contract is self-enforcing (late/redelivered events drop instead of corrupting the ring — the ADVICE r13 discipline, built in from birth)"),
+
+    // ----- q229: streaming next-event example builder (q176's service
+    // form, r14) ---------------------------------------------------------
+    // The training-data pipeline as a SERVICE: q176 builds (context →
+    // label) examples by sessionize-then-lag over the batch corpus;
+    // this registers the same construction as keyed streaming state
+    // (EventStreams.nextEventExamplesPerUser) so examples for an
+    // online learner exist the moment the event lands — no windows,
+    // no lag: per user the state is (last (us, id), session counter,
+    // position, 3-deep type ring), and each arriving event either
+    // opens a session (strict 30-min gap, batch rule verbatim) or
+    // emits exactly the example row batch q176 emits. Gated by q176's
+    // oracle VERBATIM (shared NextEventOracleSql); the 8-chunk
+    // replay splits users' sessions across micro-batches so the
+    // session-carry (not just a scalar) is what the hash gates.
+    // Collect-staging stance as q223: the deterministic full-corpus
+    // replay IS the gate; production readStreams the source.
+    "q229_streaming_next_event" -> Q(
+      fn = (s0, d) => {
+        import org.apache.spark.sql.functions._
+        val s = ChildSessions.get(s0, "rocksdb-state") { s2 =>
+          s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")
+        }
+        import s.implicits._
+        val feed = Tables.load(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+          .as[(Long, Long, Long, String)].collect()
+          .sortBy(r => (r._2, r._3))
+          .map { case (uid, us, eid, et) =>
+            EventStreams.NeRow(uid, us, eid, et) }
+        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[EventStreams.NeRow]
+        val sink = s"q229_ne_${NeSinkId.incrementAndGet()}"
+        val q = EventStreams.nextEventExamplesPerUser(ms.toDS())
+          .writeStream.format("memory").outputMode("update")
+          .queryName(sink).start()
+        val chunk = math.max(1, (feed.length + 7) / 8)
+        try feed.grouped(chunk).foreach { c =>
+          ms.addData(c.toSeq); q.processAllAvailable() }
+        finally q.stop()
+        s.table(sink).select(col("user_id"), col("sid"), col("pos"),
+          col("context"), col("label"), col("split"))
+      },
+      sql = Some(NextEventOracleSql),
+      scaleNote = "example-builder state is a handful of longs plus at most three type strings per user — O(|users|) in the RocksDB store, zero history — and the construction inverts q176's cost profile: the batch pass pays one corpus-wide user_id exchange + sort per run, the service pays per-event O(ring) work and emits examples incrementally, which is what an online / continual-learning trainer consumes; the by-user split stays a pure key function so train/eval never skews between the batch dataset and the live feed, and the shared oracle makes batch-vs-service drift impossible")
   )
 
   /** unique memory-sink names across repeated q199 invocations in one
@@ -588,4 +643,7 @@ object Streaming extends Catalog {
 
   /** q223's counterpart */
   private val ZSinkId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q229's counterpart */
+  private val NeSinkId = new java.util.concurrent.atomic.AtomicLong(0L)
 }

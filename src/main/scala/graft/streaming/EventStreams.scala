@@ -436,6 +436,83 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class NeRow(
+      user_id: Long, us: Long, event_id: Long, event_type: String)
+  final case class NeExample(
+      user_id: Long, sid: Long, pos: Long, context: String, label: String,
+      split: String)
+  /** (last folded (us, id), session counter, position within session,
+    * up to 3 most recent event types of the OPEN session oldest-first)
+    * — the only state q176's sessionize-then-lag construction needs
+    */
+  final case class NeState(
+      lastUs: Long, lastId: Long, sid: Long, pos: Long,
+      recent: Seq[String])
+
+  /** Streaming twin of batch q176: sessionized next-event training
+    * examples as keyed sequential state. The batch query sessionizes
+    * with gaps-and-islands windows and builds contexts by lag; the
+    * stream needs neither — per user the state carries the session
+    * counter, the in-session position and a 3-deep type ring, so each
+    * arriving event either OPENS a session (gap strictly > 30 min, the
+    * batch rule verbatim) or extends one and, from the second event
+    * on, emits exactly the example row batch q176 emits — contexts
+    * concat the ring oldest-first, precisely lag3 > lag2 > lag1 with
+    * concat_ws's null-skipping reproduced by the ring's natural
+    * length. The by-USER split is a pure key function. Ordering is
+    * self-enforcing from birth (the ADVICE r13 stance): last folded
+    * (us, id) in state, redelivered/late rows drop.
+    */
+  class NextEventProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, NeRow, NeExample] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[NeState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[NeState]("ne",
+        org.apache.spark.sql.Encoders.product[NeState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        uid: Long, rows: Iterator[NeRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[NeExample] = {
+      val s0 = if (st.exists()) Some(st.get()) else None
+      var lastUs = s0.map(_.lastUs).getOrElse(Long.MinValue)
+      var lastId = s0.map(_.lastId).getOrElse(Long.MinValue)
+      var sid = s0.map(_.sid).getOrElse(0L)
+      var pos = s0.map(_.pos).getOrElse(0L)
+      var recent = s0.map(_.recent.toVector).getOrElse(Vector.empty[String])
+      val split = if (uid % 10 < 8) "train" else "eval"
+      val out = Vector.newBuilder[NeExample]
+      var accepted = false
+      rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
+        if (r.us > lastUs || (r.us == lastUs && r.event_id > lastId)) {
+          // strictly-greater-than-30-min gap opens a session (batch
+          // q176's exact microsecond rule; the very first event has
+          // lastUs = MinValue and trivially opens session 1)
+          if (sid == 0L || r.us - lastUs > 1800L * 1000000L) {
+            sid += 1; pos = 1L; recent = Vector.empty
+          } else pos += 1
+          if (pos >= 2L)
+            out += NeExample(uid, sid, pos, recent.mkString(" > "),
+              r.event_type, split)
+          recent = (recent :+ r.event_type).takeRight(3)
+          lastUs = r.us; lastId = r.event_id
+          accepted = true
+        }
+      }
+      if (accepted) st.update(NeState(lastUs, lastId, sid, pos, recent))
+      out.result().iterator
+    }
+  }
+
+  def nextEventExamplesPerUser(rows: Dataset[NeRow]): Dataset[NeExample] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id)
+      .transformWithState(new NextEventProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** The state-v2 twin of [[ewmaPerUser]] on Spark 4's
     * transformWithState / StatefulProcessor API — identical semantics,
     * but state lives behind a typed [[org.apache.spark.sql.streaming.ValueState]]

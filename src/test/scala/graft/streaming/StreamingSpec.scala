@@ -713,6 +713,27 @@ class StreamingSpec extends SparkSpec {
     assert(want.length > 50, s"fixture too small: ${want.length}")
   }
 
+  test("q229: the registered streaming next-event builder equals batch " +
+    "q176 row for row, with sessions split across micro-batches") {
+    val got = graft.queries.Streaming.queries("q229_streaming_next_event")
+      .fn(spark, sf0001)
+      .as[(Long, Long, Long, String, String, String)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    val want = graft.queries.Streaming.queries("q176_next_event_examples")
+      .fn(spark, sf0001)
+      .as[(Long, Long, Long, String, String, String)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(got.nonEmpty && got.length == want.length,
+      s"row counts: ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+    // non-vacuity: users carry MANY sessions (sid far past 1) and
+    // multi-event sessions exist, so the time-interleaved 8-chunk
+    // replay necessarily spans users' session state across
+    // micro-batch boundaries
+    assert(want.exists(_._3 >= 3) && want.exists(_._2 >= 10),
+      "fixture too shallow to exercise cross-chunk session carry")
+  }
+
   test("rolling z-score ring drops redelivered events instead of " +
     "double-folding — a replayed chunk is a no-op (self-enforcing order)") {
     val feed = Tables.load(spark, sf0001, "events")
