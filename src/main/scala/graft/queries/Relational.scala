@@ -751,6 +751,264 @@ object Relational extends Catalog {
         GROUP BY p_brand"""),
       scaleNote = "the disjunction never reaches the join operator as its KEY: the common p_partkey = l_partkey conjunct factors out as the hash-join equality, each side's OR-of-local-bands pushes into its parquet scan (the part scan reads only the three brand/type/size bands, the lineitem scan only the quantity/flag bands — PushedFilters pinned by PlanSpec), and the residual OR evaluates row-locally on the join's survivors; at 100 TB the pushed lineitem disjunction is the whole game — row-group stats skip everything outside the quantity bands before a single join row materializes — and the filtered part side is dimension-sized, so AQE broadcasts it"),
 
+    // ----- E4/SQL surface: the canonical TPC-H Q13 shape (r14) --------
+    // "Customer distribution": the count-of-counts histogram over a
+    // LEFT OUTER join whose filter lives in the ON CLAUSE — the one
+    // join-semantics member the family still lacked. Q13 exists to
+    // test two things nothing else in the catalog gates: (a) an outer
+    // join must KEEP customers with zero qualifying orders (the
+    // predicate filters the NULLABLE side only — moved to a WHERE it
+    // would silently drop the zero class, the classic outer-join
+    // rewrite bug), and (b) count(o_orderkey) over the null-extended
+    // rows must produce 0, not 1 (count(*) here is the other classic
+    // bug). The ON-clause predicate on the non-preserved side IS
+    // pushable below the join — PlanSpec pins that it reaches the
+    // orders parquet scan as a PushedFilter and never survives as a
+    // post-join Filter, while the customer side scans unfiltered.
+    // '5-LOW' stands in for Q13's NOT LIKE comment pattern (this
+    // corpus has no o_comment); it keeps the zero-order class
+    // non-empty at every SF (20/220/2053 customers at
+    // sf0.001/0.01/0.1). Double aggregation: per-customer counts,
+    // then the |distinct counts|-row distribution.
+    "q230_tpch_q13_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q230_customer")
+        t(s, d, "orders").createOrReplaceTempView("q230_orders")
+        s.sql("""
+          SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+          FROM (
+            SELECT c_custkey,
+                   CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM q230_customer LEFT OUTER JOIN q230_orders
+              ON c_custkey = o_custkey AND o_orderpriority = '5-LOW'
+            GROUP BY c_custkey) c_orders
+          GROUP BY c_count""")
+      },
+      sql = Some("""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey,
+                 CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority = '5-LOW'
+          GROUP BY c_custkey) c_orders
+        GROUP BY c_count"""),
+      scaleNote = "the ON-clause predicate filters the NULLABLE side, so it pushes all the way into the orders scan (row-group pruning on the priority dictionary) BEFORE the join — the outer join then ships only qualifying orders, and the per-customer count partial-aggregates map-side on the join's own c_custkey partitioning (AQE co-plans the exchange); the second aggregate folds |customers| rows to the |distinct counts|-sized histogram, so the only fact-sized work is the one pruned scan + one shuffle; at 100 TB the customer side stays unfiltered by design (every customer must reach the zero class), which is why the pushdown asymmetry — prune the nullable side, never the preserved side — is the whole plan",
+    ),
+
+    // ----- E4/SQL surface: the canonical TPC-H Q7 shape (r14) ---------
+    // "Volume shipping": the nation-PAIR disjunction —
+    // (n1 = A AND n2 = B) OR (n1 = B AND n2 = A) — whose branches
+    // span TWO DIFFERENT dimension tables. q225 (Q19) gated the
+    // single-join disjunction; this gates what the planner must do
+    // when no single scan can host the OR: derive each side's
+    // IMPLIED disjunction (n_name IN {A, B}, per branch union) and
+    // push it into BOTH nation scans, then keep the full
+    // cross-dimension OR as a row-local residual after the joins —
+    // partial pushdown across a join tree, the
+    // extract-predicates-within-output-set rewrite nothing else in
+    // the catalog exercises. Five-table star otherwise: supplier
+    // nation via l_suppkey, customer nation via orders → customer;
+    // revenue per (supp_nation, cust_nation, year) in q219's exact
+    // cents × (100 − disc); both directions of the pair are non-empty
+    // at every SF (NATION_3 ↔ NATION_8).
+    "q234_tpch_q7_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("q234_lineitem")
+        t(s, d, "orders").createOrReplaceTempView("q234_orders")
+        t(s, d, "customer").createOrReplaceTempView("q234_customer")
+        t(s, d, "supplier").createOrReplaceTempView("q234_supplier")
+        t(s, d, "nation").createOrReplaceTempView("q234_nation")
+        s.sql("""
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 count(*) AS n_lines,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS revenue_e4
+          FROM q234_lineitem, q234_orders, q234_customer,
+               q234_supplier, q234_nation n1, q234_nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey
+            AND n1.n_nationkey = s_nationkey
+            AND n2.n_nationkey = c_nationkey
+            AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+              OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+          GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""")
+      },
+      sql = Some("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               count(*) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS BIGINT) AS revenue_e4
+        FROM lineitem, orders, customer, supplier,
+             nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND n1.n_nationkey = s_nationkey
+          AND n2.n_nationkey = c_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)"""),
+      scaleNote = "the derived per-scan disjunctions are the whole plan at 100 TB: each nation scan prunes to the TWO named nations (pushed Or-filter, plan-pinned), which shrinks supplier and customer to the pair's members BEFORE the fact joins — so the fact shuffles only pair-member lines while the un-derivable cross-dimension OR evaluates row-locally on the survivors (a residual over an already-pair-pruned frame, nearly free); the dims broadcast at any corpus size, the fact keys ride l_suppkey/l_orderkey/o_custkey with AQE co-planning, and the fold is |2 directions × years| rows; the anti-pattern this gates against is planning the OR as a post-join filter WITHOUT the derived scans — correct but scanning every nation's lines through three joins first",
+    ),
+
+    // ----- E4/SQL surface: the canonical TPC-H Q8 shape (r14) ---------
+    // "National market share": the conditional-aggregation ratio —
+    // sum(CASE WHEN supplier-nation = target THEN rev END) / sum(rev)
+    // per order year, over the region-and-part-filtered market. The
+    // join tree is Q5/Q7's star (seven scans, nation twice); what's
+    // new is the SHARE pattern: numerator and denominator are the
+    // SAME aggregate pass (one CASE branch each — never two scans of
+    // the market), and the ratio emits as exact-integer ppm
+    // (num·10⁶ DIV den, the r9 rule) beside the exact num/den cents
+    // so no double division crosses the engine boundary. The market
+    // cuts (r_name on the CUSTOMER side's region, p_type on part)
+    // push into their dimension scans; the target-nation test is a
+    // row-local CASE on the already-joined frame, NOT a filter —
+    // 2000 at sf0.001 proves the zero-share year emits 0, not a
+    // dropped group.
+    "q235_tpch_q8_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("q235_lineitem")
+        t(s, d, "orders").createOrReplaceTempView("q235_orders")
+        t(s, d, "customer").createOrReplaceTempView("q235_customer")
+        t(s, d, "supplier").createOrReplaceTempView("q235_supplier")
+        t(s, d, "nation").createOrReplaceTempView("q235_nation")
+        t(s, d, "region").createOrReplaceTempView("q235_region")
+        t(s, d, "part").createOrReplaceTempView("q235_part")
+        s.sql("""
+          WITH mkt AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS rev_e4,
+                   n1.n_name = 'NATION_3' AS is_target
+            FROM q235_lineitem, q235_orders, q235_customer,
+                 q235_supplier, q235_part,
+                 q235_nation n1, q235_nation n2, q235_region
+            WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
+              AND s_suppkey = l_suppkey AND p_partkey = l_partkey
+              AND n1.n_nationkey = s_nationkey
+              AND n2.n_nationkey = c_nationkey
+              AND r_regionkey = n2.n_regionkey
+              AND r_name = 'AFRICA' AND p_type = 'SMALL')
+          SELECT o_year,
+                 count(*) AS n_lines,
+                 CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END)
+                   AS BIGINT) AS target_rev_e4,
+                 CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+                 CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END)
+                      * 1000000 AS BIGINT)
+                   DIV CAST(sum(rev_e4) AS BIGINT) AS share_ppm
+          FROM mkt GROUP BY o_year""")
+      },
+      sql = Some("""
+        WITH mkt AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS rev_e4,
+                 n1.n_name = 'NATION_3' AS is_target
+          FROM lineitem, orders, customer, supplier, part,
+               nation n1, nation n2, region
+          WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
+            AND s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND n1.n_nationkey = s_nationkey
+            AND n2.n_nationkey = c_nationkey
+            AND r_regionkey = n2.n_regionkey
+            AND r_name = 'AFRICA' AND p_type = 'SMALL')
+        SELECT o_year,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END)
+                 AS BIGINT) AS target_rev_e4,
+               CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+               CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END)
+                 AS BIGINT) * 1000000
+                 // CAST(sum(rev_e4) AS BIGINT) AS share_ppm
+        FROM mkt GROUP BY o_year"""),
+      scaleNote = "one pass over the market: numerator and denominator are CASE branches of the SAME two-phase aggregate (the naive spelling — a target-filtered subquery joined back to the total — would scan the market twice and re-join on year), the part cut prunes the fact via its broadcast join (dimension-sized filtered part side), the region cut prunes customers before the order join, and the year fold is |years| rows; at 100 TB the p_type predicate is the big lever (it reaches the part scan and shrinks the probe side of every subsequent join), the supplier-nation test stays a row-local CASE so adding target nations is free (one CASE branch each, same single pass), and the exact num/den emission means ANY downstream share convention (percent, bps, ppm) is the reader's division, never a re-aggregation",
+    ),
+
+    // ----- E4/SQL surface: the canonical TPC-H Q11 shape (r14) --------
+    // "Important stock": groups whose aggregated value exceeds a
+    // threshold derived from the GLOBAL aggregate — HAVING against
+    // scalar subqueries that re-aggregate the same joined tree.
+    // Distinct from q219 (scalar max over a named view, equality) in
+    // where the scalars land: here Catalyst must plan a Filter ABOVE
+    // the final HashAggregate whose condition references one-row
+    // subqueries whose own plans repeat the join — and
+    // MergeScalarSubqueries must fold the |parts| count and the total
+    // into ONE shared subquery tree (Subquery + ReusedSubquery, both
+    // plan-pinned along with the filter-above-aggregate placement and
+    // exactly two fact scans). partsupp is stood in by lineitem's
+    // (partkey, price,
+    // qty) with supplier via l_suppkey (the q221 stance); NATION_12 is
+    // the one nation with suppliers at every SF. Q11's FRACTION
+    // (0.0001/SF — it shrinks as data grows) cannot be a fixed literal
+    // across SFs, so the threshold is the scale-free equivalent:
+    // value > 3× the average per-part value, spelled
+    // value·|parts| > total·3 with |parts| and total as the two
+    // scalars — exact integer cents cross-multiplied per the r9
+    // rational rule, no double division crossing an engine boundary.
+    // Selects 4/15/409 of 190/541/13719 parts at sf0.001/0.01/0.1.
+    "q232_tpch_q11_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("q232_lineitem")
+        t(s, d, "supplier").createOrReplaceTempView("q232_supplier")
+        t(s, d, "nation").createOrReplaceTempView("q232_nation")
+        s.sql("""
+          SELECT l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS value_cents
+          FROM q232_lineitem, q232_supplier, q232_nation
+          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_name = 'NATION_12'
+          GROUP BY l_partkey
+          HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT))
+                 * (SELECT count(DISTINCT l_partkey)
+                    FROM q232_lineitem, q232_supplier, q232_nation
+                    WHERE l_suppkey = s_suppkey
+                      AND s_nationkey = n_nationkey
+                      AND n_name = 'NATION_12')
+               > (SELECT CAST(sum(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT)
+                                  * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                  FROM q232_lineitem, q232_supplier, q232_nation
+                  WHERE l_suppkey = s_suppkey
+                    AND s_nationkey = n_nationkey
+                    AND n_name = 'NATION_12') * 3""")
+      },
+      sql = Some("""
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM lineitem, supplier, nation
+        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_12'
+        GROUP BY l_partkey
+        HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(l_quantity AS BIGINT))
+               * (SELECT count(DISTINCT l_partkey)
+                  FROM lineitem, supplier, nation
+                  WHERE l_suppkey = s_suppkey
+                    AND s_nationkey = n_nationkey
+                    AND n_name = 'NATION_12')
+             > (SELECT CAST(sum(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)
+                                * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                FROM lineitem, supplier, nation
+                WHERE l_suppkey = s_suppkey
+                  AND s_nationkey = n_nationkey
+                  AND n_name = 'NATION_12') * 3"""),
+      scaleNote = "every aggregate tree is the same linear plan — nation broadcasts to supplier (|suppliers in nation| keys, itself broadcastable), the fact joins on the broadcast key with the nation cut applied BEFORE any shuffle, and the per-partkey sum partial-aggregates map-side; MergeScalarSubqueries folds the |parts| count and the total into ONE shared 1-row subquery (the second reference is a ReusedSubquery, and its dimension broadcasts are ReusedExchange — both pinned), so Catalyst's automatic answer is exactly TWO passes over the pruned fact and the HAVING cut is a row-local integer compare on the |parts|-row frame (at 100 TB make it ONE pass by rolling the per-partkey frame up to (count, total) manually, q220's preagg stance); the 3×-average threshold is Q11's fraction made scale-free, so the slice stays selective and non-empty at every SF instead of emptying as |parts| grows",
+    ),
+
     // ----- E5: range (theta) join — events self-join ------------------
     "q09_range_join_events" -> Q(
       fn = (s, d) => {

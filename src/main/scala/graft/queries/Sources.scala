@@ -896,6 +896,92 @@ object Sources extends Catalog {
         FROM per"""),
       scaleNote = "one |reasons|-row fold of q224's report (seven classes + ALL at any corpus size — the group-by key is the schema's constraint vocabulary, not the data), so the dashboard costs a map-side partial aggregate on top of the loop it monitors; at 100 TB this frame IS the alert stream: repair_ppm falling on a transient class means the backend degraded, enum classes sitting at 0 ppm mean the schema and the model disagree systematically and a human, not a retry budget, owns the fix"),
 
+    // ----- E18: self-consistency majority vote (r14) ------------------
+    // The ensembling half of the LLM-judge story: q77 filters on ONE
+    // judge call; production labeling pipelines ask k times (sampled
+    // variants of the same prompt) and take the MAJORITY — the
+    // self-consistency pattern that turns a noisy judge into a stable
+    // labeler. Each document fans out to 3 seeded prompts
+    // ("doc_id#seed"); the deterministic fake answers a label that is
+    // a pure md5 function of the prompt (first hex digit mod 3 →
+    // approve/reject/revise — the same digit arithmetic DuckDB
+    // mirrors via strpos, OracleSql.hexN's trick), so the whole
+    // report — winning vote, its count, label diversity, unanimity —
+    // is fully oracled. The vote argmax is windowless and
+    // tie-deterministic: min(struct(-cnt, label)) picks the
+    // lexicographically-smallest label among tied counts (an
+    // all-distinct 1/1/1 ballot resolves the same way in both
+    // engines), never a row_number over the corpus.
+    "q231_llm_majority_vote" -> Q(
+      fn = (s, d) => {
+        val records = Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array(lit(0), lit(1), lit(2))).as("seed"))
+          .select(
+            concat(col("doc_id").cast("string"), lit("#"),
+              col("seed").cast("string")).as("id"),
+            map(lit("content"), lit("")).as("texts"),
+            array().cast("array<string>").as("images"))
+        val cfg = graft.core.JobConfig(
+          id = "majority-vote",
+          erbTemplate = "<%= id %>",
+          backendEndpoint = "http://fake", model = "fake",
+          outputLabel = "verdict", systemErbTemplate = None,
+          params = Map.empty, useImages = false,
+          responseFormat = Some(graft.core.ResponseFormat.JsonMode))
+        // deterministic fake judge: label = md5(prompt) first hex
+        // digit mod 3 — pure function of (doc_id, seed), SQL-mirrored
+        val fake = new graft.llm.FakeLlmClient(p => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(p.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          val labels = Vector("approve", "reject", "revise")
+          val lab = labels(Integer.parseInt(hex.substring(0, 1), 16) % 3)
+          s"""{"label": "$lab"}"""
+        })
+        val ballots = graft.pipeline.EnrichJob
+          .run(records, cfg, fake,
+            graft.pipeline.EnrichOptions(concurrency = 16))
+          .good
+          .select(
+            substring_index(col("id"), "#", 1).cast("long").as("doc_id"),
+            get_json_object(element_at(col("texts"), "verdict"),
+              "$.label").as("label"))
+        ballots
+          .groupBy(col("doc_id"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(
+            min(struct((-col("cnt")).as("negcnt"), col("label"))).as("m"),
+            max(col("cnt")).cast("long").as("votes"),
+            count(lit(1)).cast("long").as("n_labels"))
+          .select(col("doc_id"), col("m.label").as("vote"),
+            col("votes"), col("n_labels"),
+            (col("votes") === 3).cast("long").as("unanimous"))
+      },
+      sql = Some("""
+        WITH s AS (
+          SELECT doc_id, seed
+          FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS seed)),
+        v AS (
+          SELECT doc_id,
+                 CASE (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+                                   CAST(seed AS VARCHAR)), 1, 1)) - 1) % 3
+                   WHEN 0 THEN 'approve'
+                   WHEN 1 THEN 'reject'
+                   ELSE 'revise' END AS label
+          FROM s),
+        c AS (SELECT doc_id, label, count(*) AS cnt
+              FROM v GROUP BY 1, 2)
+        SELECT doc_id,
+               first(label ORDER BY cnt DESC, label ASC) AS vote,
+               CAST(max(cnt) AS BIGINT) AS votes,
+               CAST(count(*) AS BIGINT) AS n_labels,
+               CAST(max(cnt) = 3 AS BIGINT) AS unanimous
+        FROM c GROUP BY doc_id"""),
+      scaleNote = "the fan-out is a 3× map-side explode (no shuffle — the k seeded asks ride the enrich stage's existing partitioning, and the LLM calls dominate any data cost by orders of magnitude); the ballot fold is two map-side-partial aggregates on doc_id — the first collapses 3k rows to ≤3 per doc BEFORE the exchange, the second is the windowless min(struct) argmax, so majority voting adds ZERO corpus-sized shuffles to the judge pipeline; at 100 TB k rides the cost knob (k× API spend for quadratically-suppressed label noise), ties surface as n_labels = k for an audit queue, and EnrichJob.runCached dedups re-asked (doc, seed) prompts across restarts"),
+
     // ----- multimodal: perceptual-hash image near-dup ---------------
     "q58_image_neardup" -> Q(
       fn = (s, d) => {

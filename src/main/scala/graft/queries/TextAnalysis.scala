@@ -1401,6 +1401,116 @@ object TextAnalysis extends Catalog {
                        ORDER BY score DESC, doc_id) AS rank
               FROM sc)
         WHERE rank <= 5"""),
-      scaleNote = "the workload's vocabulary broadcasts into the token stream, so the posting build shuffles ONLY matching tokens (query terms, not the corpus); df and the 1-row stats broadcast back; each query's scoring is an equi-join on term against the pruned posting frame and the per-query top-5 prunes in-shuffle (WindowGroupLimit) — adding queries adds posting-join fan-out, never another corpus pass, which is the entire point of serving retrieval off an inverted index")
+      scaleNote = "the workload's vocabulary broadcasts into the token stream, so the posting build shuffles ONLY matching tokens (query terms, not the corpus); df and the 1-row stats broadcast back; each query's scoring is an equi-join on term against the pruned posting frame and the per-query top-5 prunes in-shuffle (WindowGroupLimit) — adding queries adds posting-join fan-out, never another corpus pass, which is the entire point of serving retrieval off an inverted index"),
+
+    // ----- repetition quality signals (Gopher rules, r14) -------------
+    // The repetition half of the quality gate q34's surface ratios
+    // miss: boilerplate and degenerate-generation text passes
+    // length/stopword/alpha checks while repeating itself — the
+    // Gopher curation rules (Rae et al. 2021, §A1.1) filter on
+    // within-document n-gram repetition. Per doc: the most frequent
+    // WORD and its token share, the most frequent word 2-GRAM and the
+    // character share of its occurrences, and the EXCESS characters
+    // inside duplicated 3-grams (each duplicated gram counted cnt−1
+    // times — the "fraction of characters in duplicated n-grams"
+    // signal without the overlap ambiguity of coverage accounting).
+    // All shares are exact-integer ppm (cross-multiplied DIV, the r9
+    // rule); every argmax is the windowless min(struct(−cnt, gram))
+    // with the lexicographic tie-break both engines replicate. The
+    // corpus guarantees ≥10 tokens/doc, so every gram family is
+    // non-empty; docs with NO duplicated 3-gram (the majority —
+    // 467/500 at sf0.001) left-join to an explicit 0.
+    "q233_repetition_signals" -> Q(
+      fn = (s, d) => {
+        val base = docs(s, d).filter(length(col("text")) > 0)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("w"),
+            length(col("text")).cast("long").as("n_chars"))
+        val uc = base.select(col("doc_id"), explode(col("w")).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+        val topw = uc.groupBy(col("doc_id"))
+          .agg(min(struct((-col("cnt")).as("negcnt"), col("g"))).as("m"),
+            max(col("cnt")).as("wcnt"),
+            sum(col("cnt")).cast("long").as("n_tokens"))
+          .select(col("doc_id"), col("m.g").as("top_word"),
+            col("wcnt"), col("n_tokens"))
+        val bc = base.select(col("doc_id"),
+            explode(expr("transform(sequence(0, size(w) - 2), " +
+              "i -> concat(w[i], ' ', w[i + 1]))")).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+        val topb = bc.groupBy(col("doc_id"))
+          .agg(min(struct((-col("cnt")).as("negcnt"), col("g"))).as("m"),
+            max(col("cnt")).as("bcnt"))
+          .select(col("doc_id"), col("m.g").as("top_bigram"), col("bcnt"))
+        val dup3 = base.select(col("doc_id"),
+            explode(expr("transform(sequence(0, size(w) - 3), " +
+              "i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))")).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+          .groupBy(col("doc_id"))
+          .agg(sum((col("cnt") - 1) * length(col("g"))).cast("long")
+              .as("excess_chars"),
+            count(lit(1)).cast("long").as("n_dup3"))
+        base.select(col("doc_id"), col("n_chars"))
+          .join(topw, "doc_id").join(topb, "doc_id")
+          .join(dup3, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("top_word"),
+            expr("wcnt * CAST(1000000 AS BIGINT) DIV n_tokens")
+              .as("top_word_ppm"),
+            col("top_bigram"),
+            expr("bcnt * CAST(length(top_bigram) AS BIGINT) * 1000000" +
+              " DIV n_chars").as("top_bigram_ppm"),
+            expr("coalesce(excess_chars, CAST(0 AS BIGINT)) * 1000000" +
+              " DIV n_chars").as("dup3_ppm"),
+            coalesce(col("n_dup3"), lit(0L)).as("n_dup3"))
+      },
+      sql = Some("""
+        WITH base AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS w,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents WHERE length(text) > 0),
+        uni AS (SELECT doc_id, unnest(w) AS g FROM base),
+        uc AS (SELECT doc_id, g, count(*) AS cnt FROM uni GROUP BY 1, 2),
+        topw AS (
+          SELECT doc_id, first(g ORDER BY cnt DESC, g ASC) AS top_word,
+                 max(cnt) AS wcnt, CAST(sum(cnt) AS BIGINT) AS n_tokens
+          FROM uc GROUP BY doc_id),
+        bi AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)),
+                   i -> list_extract(w, i) || ' ' ||
+                        list_extract(w, i + 1))) AS g
+          FROM base),
+        bc AS (SELECT doc_id, g, count(*) AS cnt FROM bi GROUP BY 1, 2),
+        topb AS (
+          SELECT doc_id, first(g ORDER BY cnt DESC, g ASC) AS top_bigram,
+                 max(cnt) AS bcnt
+          FROM bc GROUP BY doc_id),
+        tri AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - 1),
+                   i -> list_extract(w, i) || ' ' ||
+                        list_extract(w, i + 1) || ' ' ||
+                        list_extract(w, i + 2))) AS g
+          FROM base),
+        tc AS (SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY 1, 2),
+        dup3 AS (
+          SELECT doc_id,
+                 CAST(sum((cnt - 1) * length(g)) AS BIGINT)
+                   AS excess_chars,
+                 CAST(count(*) AS BIGINT) AS n_dup3
+          FROM tc WHERE cnt >= 2 GROUP BY doc_id)
+        SELECT b.doc_id, t.n_tokens, t.top_word,
+               t.wcnt * 1000000 // t.n_tokens AS top_word_ppm,
+               p.top_bigram,
+               p.bcnt * CAST(length(p.top_bigram) AS BIGINT) * 1000000
+                 // b.n_chars AS top_bigram_ppm,
+               coalesce(d.excess_chars, 0) * 1000000 // b.n_chars
+                 AS dup3_ppm,
+               coalesce(d.n_dup3, 0) AS n_dup3
+        FROM base b
+        JOIN topw t ON b.doc_id = t.doc_id
+        JOIN topb p ON b.doc_id = p.doc_id
+        LEFT JOIN dup3 d ON b.doc_id = d.doc_id"""),
+      scaleNote = "every stage keys on doc_id: the gram families explode map-side inside the scan projection (sequence+transform, codegen'd — no self-join on position), each (doc, gram) count partial-aggregates map-side, and the per-doc argmaxes are windowless struct-min folds, so the signals cost one doc_id exchange per gram family and AQE co-plans the final joins on the shared key; grams never cross documents, so there is NO corpus-sized vocabulary shuffle anywhere (contrast q75/q100) and the plan scales with Σ doc length exactly like the q34 surface scorer it composes with — the Gopher cut (drop docs above the repetition thresholds) is then one row-local filter on this frame")
   )
 }

@@ -2381,6 +2381,87 @@ class PipelineCatalogsSpec extends SparkSpec {
       s"class rows do not fold into ALL: $rows")
   }
 
+  test("q231: majority vote replicates row-for-row from a plain-Scala " +
+    "ballot recount, the 4 - n_labels law holds, and all three ballot " +
+    "shapes occur") {
+    val out = Sources.queries("q231_llm_majority_vote").fn(spark, sf0001)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // independent replica: recompute every ballot from the fake's
+    // definition (md5 of "doc_id#seed", first hex digit mod 3) and
+    // fold the majority in plain Scala — the gate is the recount,
+    // not the engine's own aggregation
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    assert(out.keySet == docs.toSet, "one row per document, exactly")
+    val labels = Vector("approve", "reject", "revise")
+    docs.foreach { id =>
+      val ballot = (0 to 2).map { seed =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$id#$seed".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        labels(Integer.parseInt(hex.substring(0, 1), 16) % 3)
+      }
+      val counts = ballot.groupBy(identity).view.mapValues(_.size).toMap
+      val expVote = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      val expVotes = counts.values.max.toLong
+      val r = out(id)
+      assert(r._2 == expVote && r._3 == expVotes &&
+        r._4 == counts.size.toLong,
+        s"doc $id: got $r, recount says ($expVote, $expVotes, ${counts.size})")
+    }
+    // 3 ballots over 3 labels: the only shapes are (3), (2,1), (1,1,1)
+    // — votes is determined by diversity as 4 - n_labels, and
+    // unanimity is exactly the n_labels = 1 class
+    out.values.foreach { r =>
+      assert(r._3 == 4 - r._4, s"votes/diversity law broken: $r")
+      assert((r._5 == 1L) == (r._4 == 1L), s"unanimous flag wrong: $r")
+    }
+    // non-vacuity: the fixture exercises every shape (unanimous,
+    // majority-with-dissent, full split resolved by the tie-break)
+    Seq(1L, 2L, 3L).foreach { k =>
+      assert(out.values.exists(_._4 == k),
+        s"ballot shape with $k distinct labels never occurs at sf0.001")
+    }
+  }
+
+  test("q233: repetition signals replicate from a plain-Scala recount " +
+    "and both dup3 classes occur") {
+    val out = TextAnalysis.queries("q233_repetition_signals")
+      .fn(spark, sf0001)
+      .as[(Long, Long, String, Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2.nonEmpty)
+    assert(out.keySet == docs.map(_._1).toSet)
+    docs.take(40).foreach { case (id, text) =>
+      val w = text.toLowerCase.split(" ", -1)
+      val nChars = text.length.toLong
+      def top(grams: Seq[String]): (String, Long) = {
+        val c = grams.groupBy(identity).view.mapValues(_.size).toMap
+        val g = c.toSeq.minBy { case (s, n) => (-n, s) }
+        (g._1, g._2.toLong)
+      }
+      val (tw, wc) = top(w.toSeq)
+      val (tb, bc) = top(w.sliding(2).map(_.mkString(" ")).toSeq)
+      val excess = w.sliding(3).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+        .collect { case (g, n) if n >= 2 => (n - 1).toLong * g.length }
+        .sum
+      val r = out(id)
+      assert(r._2 == w.length.toLong && r._3 == tw &&
+        r._4 == wc * 1000000L / w.length &&
+        r._5 == tb && r._6 == bc * tb.length * 1000000L / nChars &&
+        r._7 == excess * 1000000L / nChars,
+        s"doc $id recount mismatch: $r vs ($tw,$wc,$tb,$bc,$excess)")
+    }
+    // the fixture exercises both the duplicated-3-gram class and the
+    // clean left-join-to-zero class
+    assert(out.values.exists(_._8 > 0L) && out.values.exists(_._8 == 0L),
+      "both dup3 classes must occur at sf0.001")
+  }
+
   test("q226: the pair-sampled estimate honors its 2σ integer bound for " +
     "every key, recovers the planted click sign, and genuinely samples " +
     "(m = 8n, estimate ≠ exact)") {

@@ -37,6 +37,31 @@ class PlanSpec extends SparkSpec {
   private def exchanges(p: String): Int =
     p.linesIterator.count(_.contains("Exchange hashpartitioning"))
 
+  /** count parquet scans of `table` in the FINAL adaptive tree
+    * (incl. subquery plans) — the plan STRING double-counts via its
+    * Initial Plan sections, and QueryStageExec hides its materialized
+    * subtree in .plan rather than .children
+    */
+  private def finalScanCount(
+      df: org.apache.spark.sql.DataFrame, table: String): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(n: SparkPlan): Seq[SparkPlan] = {
+      val kids = n match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case o => o.children
+      }
+      n +: (kids.flatMap(nodes) ++ n.subqueries.flatMap(nodes))
+    }
+    nodes(df.queryExecution.executedPlan).count {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(table))
+      case _ => false
+    }
+  }
+
   test("q02: predicates and projection push into the parquet scan") {
     val p = plan("q02_filter_project")
     val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
@@ -1158,6 +1183,120 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Or(") || p.linesIterator.exists(l =>
       l.contains("Filter") && l.contains("||")),
       s"residual disjunction missing:\n${p.take(1600)}")
+  }
+
+  test("q230: the ON-clause predicate prunes the NULLABLE side's scan, " +
+    "the outer join keeps the zero class, both aggregates two-phase " +
+    "(Q13 shape, r14)") {
+    val p = plan("q230_tpch_q13_shape")
+    // the join stays an outer join — the zero-order class must survive
+    val joinLine = p.linesIterator.find(_.contains("HashJoin")).getOrElse("")
+    assert(joinLine.contains("LeftOuter") || joinLine.contains("RightOuter"),
+      s"expected an outer hash join: ${joinLine.take(400)}")
+    // the priority predicate pushes into the ORDERS parquet scan —
+    // filtering the nullable side below an outer join is
+    // semantics-preserving, and it is the whole plan at scale
+    val ordersScan = p.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains("orders.parquet")).getOrElse("")
+    assert(ordersScan.contains("EqualTo(o_orderpriority,5-LOW)"),
+      s"ON-clause predicate not pushed to the orders scan: ${ordersScan.take(600)}")
+    // the PRESERVED side scans unfiltered — every customer must reach
+    // the zero class (pushing anything here would be the rewrite bug
+    // this query exists to catch)
+    val custScan = p.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains("customer.parquet")).getOrElse("")
+    assert(custScan.contains("PushedFilters: []"),
+      s"customer side must stay unfiltered: ${custScan.take(600)}")
+    // count-of-counts: per-customer then per-count, each two-phase
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"expected two two-phase aggregates, got $aggs")
+  }
+
+  test("q232: the HAVING scalar subqueries merge into ONE shared tree " +
+    "above the final aggregate (Q11 shape, r14)") {
+    // the Reused* markers only appear in the final adaptive plan
+    val df = allQueries("q232_tpch_q11_shape").fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    // the cut is a Filter ABOVE the final aggregate referencing the
+    // 1-row scalar — HAVING placement, not a re-join
+    val filterLine = p.linesIterator.find(l =>
+      l.contains("Filter") && l.contains("Subquery")).getOrElse("")
+    assert(filterLine.contains("sum("),
+      s"expected the HAVING filter above the aggregate: ${filterLine.take(400)}")
+    // MergeScalarSubqueries: |parts| count and the total are ONE
+    // subquery tree, the second reference a ReusedSubquery
+    assert(p.contains("ReusedSubquery"),
+      s"the two HAVING scalars must merge into one subquery:\n${p.take(1600)}")
+    // Catalyst's automatic answer is exactly two passes over the fact
+    // (outer per-partkey agg + the merged scalar tree)
+    val liScans = finalScanCount(df, "lineitem")
+    assert(liScans == 2, s"expected 2 lineitem scans, got $liScans")
+    // the dimension broadcasts are shared across the trees
+    assert(p.contains("ReusedExchange"),
+      s"dimension broadcasts must be reused:\n${p.take(1600)}")
+    // nation cut reaches its scan
+    val nScan = p.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains("nation.parquet")).getOrElse("")
+    assert(nScan.contains("EqualTo(n_name,NATION_12)"), nScan.take(400))
+  }
+
+  test("q234: the cross-dimension pair disjunction derives per-scan " +
+    "Or-filters and stays a residual on the dims join (Q7 shape, r14)") {
+    val p = plan("q234_tpch_q7_shape")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    // the implied per-side disjunction reaches EVERY nation scan
+    val nScans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("nation.parquet")).toList
+    // branch order differs per side (n1 pushes 3-then-8, n2 8-then-3)
+    assert(nScans.nonEmpty &&
+      nScans.forall(l => l.contains("Or(EqualTo(n_name,NATION_") &&
+        l.contains("EqualTo(n_name,NATION_3)") &&
+        l.contains("EqualTo(n_name,NATION_8)")),
+      s"derived disjunction not pushed into the nation scans:\n${nScans.mkString("\n")}")
+    // the full cross-dimension OR survives as the join's residual
+    // condition (it references BOTH nations, so no scan can host it)
+    val residualJoin = p.linesIterator.find(l =>
+      l.contains("HashJoin") && l.contains("NATION_3") &&
+        l.contains("NATION_8")).getOrElse("")
+    assert(residualJoin.nonEmpty,
+      s"cross-dimension OR must ride the join as a residual:\n${p.take(1600)}")
+    // the fact scans stay clean — nothing nation-named leaks onto them
+    val liScan = p.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains("lineitem.parquet")).getOrElse("")
+    assert(!liScan.contains("NATION"), liScan.take(400))
+  }
+
+  test("q235: market share is ONE pass — num and den are CASE branches " +
+    "of the same aggregate, market cuts pushed (Q8 shape, r14)") {
+    val df = allQueries("q235_tpch_q8_shape").fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    // numerator = CASE branch inside the same partial aggregate as
+    // the denominator — never a second scan of the market
+    val aggLine = p.linesIterator.find(l =>
+      l.contains("partial_sum(CASE WHEN")).getOrElse("")
+    assert(aggLine.contains("partial_sum(rev_e4") ||
+      aggLine.matches(".*partial_sum\\(CASE WHEN.*partial_sum\\(.*"),
+      s"num/den must share one partial aggregate: ${aggLine.take(400)}")
+    assert(finalScanCount(df, "lineitem") == 1,
+      "the market must be scanned exactly once")
+    // the target-nation test is a row-local CASE, not a filter
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("NATION_3")),
+      "the target nation must never filter — zero-share years must emit")
+    // market cuts reach their dimension scans
+    val partScan = p.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains("part.parquet")).getOrElse("")
+    assert(partScan.contains("EqualTo(p_type,SMALL)"), partScan.take(400))
+    val regionScan = p.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains("region.parquet")).getOrElse("")
+    assert(regionScan.contains("EqualTo(r_name,AFRICA)"), regionScan.take(400))
   }
 
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {
