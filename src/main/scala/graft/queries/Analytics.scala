@@ -225,6 +225,27 @@ object Analytics extends Catalog {
                CAST(dev * dev > varnum * 10 AS BIGINT) AS is_anomaly
         FROM d WHERE varnum > 0"""
 
+  // ---- q115's oracle, shared verbatim with q236 ----------------------
+  // The q216/q220 police-each-other stance applied to triangle
+  // counting: q236 is the degree-ordered-orientation spelling of the
+  // SAME per-node statistic, so it carries the SAME gate.
+  private[queries] val TriangleOracleSql: String = """
+        WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+        ec AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS c
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_suppkey < b.l_suppkey
+               GROUP BY 1, 2),
+        e AS (SELECT u, v FROM ec
+              QUALIFY row_number() OVER (ORDER BY c DESC, u, v)
+                      <= 5 * (SELECT count(*) FROM supplier)),
+        tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+               FROM e e1 JOIN e e2 ON e1.v = e2.u
+                         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        pn AS (SELECT unnest([a, b, c]) AS supplier FROM tr)
+        SELECT supplier, count(*) AS n_triangles
+        FROM pn GROUP BY 1"""
+
   // ---- shared q185/q188 IVM fixtures --------------------------------
   // ONE definition of the maintained view's base aggregate and the
   // before-image change feed (the q86 delta, re-expressed as CDC rows
@@ -2489,23 +2510,74 @@ object Analytics extends Catalog {
           .groupBy(col("supplier"))
           .agg(count(lit(1)).as("n_triangles"))
       },
-      sql = Some("""
-        WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
-        ec AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS c
-               FROM li a JOIN li b
-                 ON a.l_orderkey = b.l_orderkey
-                AND a.l_suppkey < b.l_suppkey
-               GROUP BY 1, 2),
-        e AS (SELECT u, v FROM ec
-              QUALIFY row_number() OVER (ORDER BY c DESC, u, v)
-                      <= 5 * (SELECT count(*) FROM supplier)),
-        tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-               FROM e e1 JOIN e e2 ON e1.v = e2.u
-                         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-        pn AS (SELECT unnest([a, b, c]) AS supplier FROM tr)
-        SELECT supplier, count(*) AS n_triangles
-        FROM pn GROUP BY 1"""),
-      scaleNote = "edges canonicalize u<v (each triangle enumerated exactly once) and the top-K sparsification is TakeOrderedAndProject over the co-occurrence agg — the two wedge/closure joins then run on the bounded edge list, which broadcasts. At true graph scale replace the weight cap with degree-ordered orientation (each edge points low→high degree), which bounds wedge fan-out at O(m^1.5) total work with the identical two-join plan"),
+      sql = Some(TriangleOracleSql),
+      scaleNote = "edges canonicalize u<v (each triangle enumerated exactly once) and the top-K sparsification is TakeOrderedAndProject over the co-occurrence agg — the two wedge/closure joins then run on the bounded edge list, which broadcasts. At true graph scale replace the weight cap with degree-ordered orientation (each edge points low→high degree), which bounds wedge fan-out at O(m^1.5) total work with the identical two-join plan — REGISTERED as q236 under this oracle VERBATIM"),
+
+    // ----- q236: degree-ordered triangle orientation (r14) ------------
+    // q115's scaleNote promised it; this registers it (the q220/q222
+    // convert-the-promise discipline): the SAME sparsified edge list,
+    // but each undirected edge ORIENTED from its (degree, id)-smaller
+    // endpoint to the larger — the compact-forward / node-iterator++
+    // orientation whose wedge enumeration is O(m^{3/2}) TOTAL
+    // regardless of degree skew, because every wedge is centered on
+    // its triangle's (degree, id)-MINIMUM vertex and an oriented
+    // out-degree is bounded by √m where the u<v orientation's is
+    // bounded only by the hub's degree. Each triangle is found
+    // exactly once (two out-edges of the minimum vertex + the closure
+    // edge probed in canonical u<v form), so the per-node counts are
+    // BYTE-IDENTICAL to q115's — the shared oracle makes "same
+    // statistic, skew-proof fan-out" a gated theorem, and the spec
+    // additionally proves the wedge count genuinely shrinks on this
+    // graph.
+    "q236_triangles_oriented" -> Q(
+      fn = (s, d) => {
+        val TopEdges = math.min(t(s, d, "supplier").count() * 5, Int.MaxValue.toLong).toInt
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+          .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("u"), col("v"))
+          .limit(TopEdges)
+          .select(col("u"), col("v"))
+          .localCheckpoint() // feeds degrees, orientation, and closure
+        val deg = e.select(col("u").as("n"))
+          .unionAll(e.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        // orient low (deg, id) → high (deg, id); ties impossible on id
+        val oe = e
+          .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+          .select(
+            when(col("du") < col("dv") ||
+                 (col("du") === col("dv") && col("u") < col("v")),
+              col("u")).otherwise(col("v")).as("src"),
+            when(col("du") < col("dv") ||
+                 (col("du") === col("dv") && col("u") < col("v")),
+              col("v")).otherwise(col("u")).as("dst"))
+          .localCheckpoint() // both wedge legs read it
+        // wedges centered on the minimum vertex; dst1 < dst2 dedups
+        // the unordered out-pair
+        val tri = oe.as("o1")
+          .join(oe.as("o2"),
+            col("o1.src") === col("o2.src") &&
+            col("o1.dst") < col("o2.dst"))
+          // closure probe against the CANONICAL u<v list — oriented
+          // edges lose undirected membership, the canonical list
+          // keeps the probe one equi-join
+          .join(e.as("e3"),
+            col("e3.u") === least(col("o1.dst"), col("o2.dst")) &&
+            col("e3.v") === greatest(col("o1.dst"), col("o2.dst")))
+          .select(col("o1.src").as("a"), col("o1.dst").as("b"),
+            col("o2.dst").as("cc"))
+        tri.select(explode(array(col("a"), col("b"), col("cc"))).as("supplier"))
+          .groupBy(col("supplier"))
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      sql = Some(TriangleOracleSql),
+      scaleNote = "the skew-proof triangle plan: orientation costs two broadcast joins against the |nodes|-row degree frame, and the wedge join's fan-out per center is the ORIENTED out-degree — ≤ √(2m) for every vertex, including the hub that makes the u<v spelling quadratic — so total wedge work is O(m^{3/2}) by the standard compact-forward argument, with the closure probe the identical equi-join q115 already pays; at a 100 TB co-occurrence graph the edge list shuffles on src for the wedge join and the canonical list broadcasts-or-shuffles on (u, v) for the probe — no stage sees a hub's full neighborhood squared, which is exactly the failure mode that kills the unoriented plan on power-law graphs"),
 
     // ----- q123: OHLC bar downsampling (time-series resample) -------
     // Per-hour open/high/low/close/volume bars per event_type — the

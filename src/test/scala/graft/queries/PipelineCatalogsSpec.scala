@@ -2462,6 +2462,45 @@ class PipelineCatalogsSpec extends SparkSpec {
       "both dup3 classes must occur at sf0.001")
   }
 
+  test("q236: degree-ordered orientation reproduces q115's triangle " +
+    "counts row-for-row and genuinely shrinks the wedge frontier") {
+    val a = Analytics.queries("q115_triangle_counts").fn(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val b = Analytics.queries("q236_triangles_oriented").fn(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, s"oriented counts diverge: ${a.size} vs ${b.size} keys")
+    // rebuild the sparsified edge list in plain Scala and compare the
+    // two spellings' wedge frontiers — the orientation's entire point.
+    // sf0.01: the sf0.001 subgraph's 45 kept edges form a near-regular
+    // core where both orientations tie at 120 wedges (verified); the
+    // 500-edge graph has the skew the orientation exists for
+    // (1211 vs 1922, strictly smaller)
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").as[(Long, Long)].collect()
+    val cap = 5 * spark.read.parquet(s"$sf001/supplier.parquet").count().toInt
+    val co = li.toSeq.groupBy(_._1).values.flatMap { grp =>
+      val ss = grp.map(_._2)
+      for (x <- ss; y <- ss if x < y) yield (x, y)
+    }.groupBy(identity).view.mapValues(_.size)
+    val edges = co.toSeq.sortBy { case ((u, v), c) => (-c, u, v) }
+      .take(cap).map(_._1)
+    // canonical (u < v) spelling: wedges are v-centered in/out pairs
+    val outC = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inC = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val canonicalWedges = (outC.keySet ++ inC.keySet).toSeq.map(v =>
+      inC.getOrElse(v, 0L) * outC.getOrElse(v, 0L)).sum
+    // oriented spelling: wedges are out-pairs of the (deg, id)-min src
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val outO = edges.map { case (u, v) =>
+      if (deg(u) < deg(v) || (deg(u) == deg(v) && u < v)) u else v
+    }.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val orientedWedges = outO.values.map(k => k * (k - 1) / 2).sum
+    assert(orientedWedges < canonicalWedges,
+      s"orientation must shrink the wedge frontier: $orientedWedges vs $canonicalWedges")
+    assert(a.values.sum % 3 == 0, "each triangle contributes 3 node rows")
+  }
+
   test("q226: the pair-sampled estimate honors its 2σ integer bound for " +
     "every key, recovers the planted click sign, and genuinely samples " +
     "(m = 8n, estimate ≠ exact)") {
