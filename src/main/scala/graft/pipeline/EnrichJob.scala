@@ -68,18 +68,25 @@ object EnrichJob {
       regexp_replace(c, "(?s)<think>.*?</think>", ""),
       "(?s)\\A[\\s\\u0000]+|[\\s\\u0000]+\\z", "")
 
+  /** @param materialize localCheckpoint the called frame BEFORE the
+    *   good/dead-letter fork, so a caller consuming BOTH forks (e.g.
+    *   [[ValidateRepair]], which must account for call failures) runs
+    *   the LLM stage exactly once; the default keeps the stage lazy
+    *   for the common good-only consumers
+    */
   def run(
       records: DataFrame,
       cfg: JobConfig,
       client: LlmClient,
-      opts: EnrichOptions = EnrichOptions()): Result = {
+      opts: EnrichOptions = EnrichOptions(),
+      materialize: Boolean = false): Result = {
     import records.sparkSession.implicits._
     val prompted = promptedFrame(records, cfg).as[Prompted]
     val useImages = cfg.useImages
     val called = prompted.mapPartitions { it =>
       callPartition(it, cfg, client, opts, useImages)
     }.toDF()
-    assemble(called, cfg)
+    assemble(if (materialize) called.localCheckpoint() else called, cfg)
   }
 
   /** Cached variant for at-least-once environments (SURVEY.md §7.4):

@@ -28,6 +28,12 @@ import graft.llm.LlmClient
   *   - TOTAL: every input record gets one report row — (attempts,
   *     valid_first, valid_final, reason_first, reason_final) — so the
   *     per-reason repair-rate dashboard is one fold of this frame.
+  *     Totality includes transport failures: a record whose LLM CALL
+  *     dead-letters (first pass or retry) reports with
+  *     reason = [[CallFailedReason]] instead of silently vanishing —
+  *     first-pass call failures report attempts = 1 and are NOT
+  *     re-asked (EnrichJob's own retry/backoff already gave up);
+  *     retry-pass call failures report attempts = 2, valid_final = 0.
   *
   * Spark-first: both passes are the same EnrichJob mapPartitions
   * stage; validation is SchemaValidate's codegen'd Column chain; the
@@ -46,6 +52,13 @@ object ValidateRepair {
     * the first pass's violation reason (plus everything the first
     * template saw under `contentLabel`).
     */
+  /** reason recorded when the LLM CALL itself dead-letters (transport
+    * exhausted EnrichJob's own retry/backoff) — distinct from every
+    * schema-violation reason so the dashboard can separate "model
+    * answered wrong" from "model never answered"
+    */
+  val CallFailedReason = "call"
+
   def run(
       records: DataFrame,
       cfg: JobConfig,
@@ -54,7 +67,11 @@ object ValidateRepair {
       constraints: Seq[(String, SchemaValidate.Constraint)],
       contentLabel: String = "content",
       opts: EnrichOptions = EnrichOptions()): DataFrame = {
-    val first = EnrichJob.run(records, cfg, client, opts).good
+    // materialize = true: both forks (good AND deadLetter) are
+    // consumed here, and the frugality contract demands the LLM stage
+    // run exactly once per pass
+    val r1 = EnrichJob.run(records, cfg, client, opts, materialize = true)
+    val first = r1.good
       .select(col("id"),
         element_at(col("texts"), contentLabel).as("content"),
         element_at(col("texts"), cfg.outputLabel).as("j"))
@@ -78,15 +95,30 @@ object ValidateRepair {
       .select(col("id"), col("valid").cast("boolean").as("valid2"),
         col("reason").as("reason_final"))
 
+    // LEFT join: a retry whose CALL dead-letters (checked2 has no row)
+    // must still report — valid_final = 0, reason_final = 'call' —
+    // or the TOTAL invariant silently breaks exactly in the failure
+    // path this operator exists to account for
     val repaired = dead1.select(col("id"), col("reason_first"))
-      .join(checked2, Seq("id"))
+      .join(checked2, Seq("id"), "left")
       .select(col("id"), lit(2L).as("attempts"), lit(0L).as("valid_first"),
-        col("valid2").cast("long").as("valid_final"),
-        col("reason_first"), col("reason_final"))
+        coalesce(col("valid2").cast("long"), lit(0L)).as("valid_final"),
+        col("reason_first"),
+        coalesce(col("reason_final"), lit(CallFailedReason))
+          .as("reason_final"))
     val cleanFirst = checked1.filter(col("valid1"))
       .select(col("id"), lit(1L).as("attempts"), lit(1L).as("valid_first"),
         lit(1L).as("valid_final"), col("reason_first"),
         lit("").as("reason_final"))
-    cleanFirst.unionByName(repaired)
+    // first-pass CALL failures never reached validation: they report
+    // attempts = 1 with the call-failed reason on both columns (the
+    // transport already exhausted EnrichJob's own retry/backoff — the
+    // bounded loop does not re-ask what the transport gave up on)
+    val callDead1 = r1.deadLetter
+      .select(col("id"), lit(1L).as("attempts"), lit(0L).as("valid_first"),
+        lit(0L).as("valid_final"),
+        lit(CallFailedReason).as("reason_first"),
+        lit(CallFailedReason).as("reason_final"))
+    cleanFirst.unionByName(repaired).unionByName(callDead1)
   }
 }

@@ -246,6 +246,31 @@ object Analytics extends Catalog {
         SELECT supplier, count(*) AS n_triangles
         FROM pn GROUP BY 1"""
 
+  // ---- q115/q236's shared sparsified edge list -----------------------
+  /** the supplier co-purchase graph sparsified to its heaviest edges
+    * by the exact (count, u, v) total order, cap scaling with the node
+    * count (5·|supplier| ⇒ avg degree 10) — ONE definition so q115
+    * (canonical u<v wedges) and q236 (degree-ordered orientation)
+    * provably count triangles of the SAME graph; localCheckpoint'd
+    * because every caller feeds it to multiple join legs
+    */
+  private def sparsifiedSupplierEdges(
+      s: SparkSession, d: String): DataFrame = {
+    val TopEdges =
+      math.min(t(s, d, "supplier").count() * 5, Int.MaxValue.toLong).toInt
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("u"), col("v"))
+      .limit(TopEdges)
+      .select(col("u"), col("v"))
+      .localCheckpoint()
+  }
+
   // ---- shared q185/q188 IVM fixtures --------------------------------
   // ONE definition of the maintained view's base aggregate and the
   // before-image change feed (the q86 delta, re-expressed as CDC rows
@@ -2488,18 +2513,9 @@ object Analytics extends Catalog {
     // check.
     "q115_triangle_counts" -> Q(
       fn = (s, d) => {
-        val TopEdges = math.min(t(s, d, "supplier").count() * 5, Int.MaxValue.toLong).toInt
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") < col("b.l_suppkey"))
-          .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-          .agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("u"), col("v"))
-          .limit(TopEdges)
-          .select(col("u"), col("v"))
-          .localCheckpoint() // the edge list feeds all three join legs
+        // the edge list feeds all three join legs (checkpointed in
+        // the shared builder)
+        val e = sparsifiedSupplierEdges(s, d)
         val tri = e.as("e1")
           .join(e.as("e2"), col("e1.v") === col("e2.u"))
           .join(e.as("e3"),
@@ -2531,18 +2547,9 @@ object Analytics extends Catalog {
     // graph.
     "q236_triangles_oriented" -> Q(
       fn = (s, d) => {
-        val TopEdges = math.min(t(s, d, "supplier").count() * 5, Int.MaxValue.toLong).toInt
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") < col("b.l_suppkey"))
-          .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-          .agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("u"), col("v"))
-          .limit(TopEdges)
-          .select(col("u"), col("v"))
-          .localCheckpoint() // feeds degrees, orientation, and closure
+        // "SAME edge list as q115" is true by construction: both read
+        // the shared sparsifiedSupplierEdges builder
+        val e = sparsifiedSupplierEdges(s, d)
         val deg = e.select(col("u").as("n"))
           .unionAll(e.select(col("v").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("deg"))

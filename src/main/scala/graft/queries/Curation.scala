@@ -310,6 +310,31 @@ object Curation extends Catalog {
     * boundaries (ordered range partitions concatenate to the global
     * order), with no single-partition Window anywhere.
     */
+  /** q228's loud slice-shortfall precondition. Every lang's slice
+    * must hold >= its ACHIEVABLE target least(t_n, cnt) rows — a lang
+    * whose budget exceeds its population can only ever emit all cnt
+    * docs (which is exactly what q90's rank <= t_n does), so gating
+    * on the raw t_n there would raise an error no rerun-at-higher-
+    * rate could clear (the r14 review catch); when 2·t_n >= cnt the
+    * pre-filter passes every doc, so sn = cnt = least(t_n, cnt) and
+    * the slice is trivially the whole lang.
+    *
+    * @param targets (lang, cnt, t_n); @param sliceCounts (lang, sn)
+    * @return (lang, t_n) with an in-plan raise_error on shortfall
+    */
+  private[queries] def sliceShortfallGuard(
+      targets: DataFrame, sliceCounts: DataFrame): DataFrame =
+    targets.join(sliceCounts, Seq("lang"), "left")
+      .select(col("lang"),
+        when(coalesce(col("sn"), lit(0L)) >= least(col("t_n"), col("cnt")),
+          col("t_n"))
+          .otherwise(raise_error(concat(
+            lit("q228 slice shortfall for lang "), col("lang"),
+            lit(": "), coalesce(col("sn"), lit(0L)).cast("string"),
+            lit(" < "), least(col("t_n"), col("cnt")).cast("string"),
+            lit(" — rerun at a higher pre-filter rate"))))
+          .as("t_n"))
+
   private[queries] def globalSortRank(
       df: DataFrame, sortCols: Seq[String], outCol: String): DataFrame = {
     val cols = sortCols.map(col)
@@ -1680,19 +1705,8 @@ object Curation extends Catalog {
           .filter(h28 * col("cnt") < col("t_n") * lit(536870912L))
           .select(col("doc_id"), col("lang"), hx.as("hx"))
           .localCheckpoint() // one slice feeds the guard AND the rank
-        // loud precondition: every lang's slice must hold >= t_n rows
-        // or the slice-local top-t_n is not provably the global one
-        val guarded = targets.join(
-            sliced.groupBy(col("lang")).agg(count(lit(1)).as("sn")),
-            Seq("lang"), "left")
-          .select(col("lang"),
-            when(coalesce(col("sn"), lit(0L)) >= col("t_n"), col("t_n"))
-              .otherwise(raise_error(concat(
-                lit("q228 slice shortfall for lang "), col("lang"),
-                lit(": "), coalesce(col("sn"), lit(0L)).cast("string"),
-                lit(" < "), col("t_n").cast("string"),
-                lit(" — rerun at a higher pre-filter rate"))))
-              .as("t_n"))
+        val guarded = sliceShortfallGuard(targets,
+          sliced.groupBy(col("lang")).agg(count(lit(1)).as("sn")))
         // pass 2: rank ONLY the O(t_n)-per-lang slice
         sliced.join(broadcast(guarded), "lang")
           .withColumn("rn", row_number().over(

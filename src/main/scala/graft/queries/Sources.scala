@@ -783,34 +783,8 @@ object Sources extends Catalog {
     // construction.
     "q224_llm_validate_repair" -> Q(
       fn = (s, d) => validateRepairReport(s, d),
-      sql = Some("""
-        WITH v AS (
-          SELECT CAST(doc_id AS BIGINT) AS id,
-                 doc_id % 19 = 0 AS corrupt,
-                 doc_id % 17 = 0 AS langmiss,
-                 doc_id % 13 = 0 AS typebad,
-                 doc_id % 5 = 0 AS negbad,
-                 doc_id % 23 = 0 AS maxbad,
-                 doc_id % 11 = 0 AS langodd,
-                 doc_id % 7 = 0 OR
-                   length(regexp_extract(coalesce(text, ''),
-                     '^[a-zA-Z0-9]*', 0)) < 1
-                   AS namebad
-          FROM documents),
-        r AS (
-          -- first-failing reason in q214's declaration order; each
-          -- branch is reached only when every earlier class is clear,
-          -- which matches the fake's value-precedence exactly
-          SELECT id, langodd,
-                 CASE WHEN corrupt THEN 'parse'
-                      WHEN langmiss THEN 'required:lang'
-                      WHEN typebad THEN 'type:age'
-                      WHEN negbad THEN 'min:age'
-                      WHEN maxbad THEN 'max:age'
-                      WHEN langodd THEN 'enum:lang'
-                      WHEN namebad THEN 'minLength:name'
-                      ELSE '' END AS reason_first
-          FROM v)
+      sql = Some(s"""
+        WITH $RepairFixtureSqlCtes
         SELECT id,
                CAST(CASE WHEN reason_first = '' THEN 1 ELSE 2 END
                  AS BIGINT) AS attempts,
@@ -855,31 +829,8 @@ object Sources extends Catalog {
             expr("n_repaired * CAST(1000000 AS BIGINT) DIV n_failed")
               .as("repair_ppm"))
       },
-      sql = Some("""
-        WITH v AS (
-          SELECT CAST(doc_id AS BIGINT) AS id,
-                 doc_id % 19 = 0 AS corrupt,
-                 doc_id % 17 = 0 AS langmiss,
-                 doc_id % 13 = 0 AS typebad,
-                 doc_id % 5 = 0 AS negbad,
-                 doc_id % 23 = 0 AS maxbad,
-                 doc_id % 11 = 0 AS langodd,
-                 doc_id % 7 = 0 OR
-                   length(regexp_extract(coalesce(text, ''),
-                     '^[a-zA-Z0-9]*', 0)) < 1
-                   AS namebad
-          FROM documents),
-        r AS (
-          SELECT id, langodd,
-                 CASE WHEN corrupt THEN 'parse'
-                      WHEN langmiss THEN 'required:lang'
-                      WHEN typebad THEN 'type:age'
-                      WHEN negbad THEN 'min:age'
-                      WHEN maxbad THEN 'max:age'
-                      WHEN langodd THEN 'enum:lang'
-                      WHEN namebad THEN 'minLength:name'
-                      ELSE '' END AS reason_first
-          FROM v),
+      sql = Some(s"""
+        WITH $RepairFixtureSqlCtes,
         f AS (SELECT reason_first,
                      CAST(CASE WHEN NOT langodd THEN 1 ELSE 0 END
                        AS BIGINT) AS repaired
@@ -1745,6 +1696,39 @@ object Sources extends Catalog {
     (0 until bits).map { i =>
       s"(((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1}))"
     }.mkString("(", " | ", ")")
+
+  /** q224/q227's shared oracle fixture — the planted-violation flags
+    * and the first-failing reason as CTE text, ONE definition so the
+    * repair loop's oracle and its dashboard's can never drift (the
+    * TriangleOracleSql / nextEventSqlCtes stance).
+    */
+  private[queries] val RepairFixtureSqlCtes: String = """v AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 doc_id % 19 = 0 AS corrupt,
+                 doc_id % 17 = 0 AS langmiss,
+                 doc_id % 13 = 0 AS typebad,
+                 doc_id % 5 = 0 AS negbad,
+                 doc_id % 23 = 0 AS maxbad,
+                 doc_id % 11 = 0 AS langodd,
+                 doc_id % 7 = 0 OR
+                   length(regexp_extract(coalesce(text, ''),
+                     '^[a-zA-Z0-9]*', 0)) < 1
+                   AS namebad
+          FROM documents),
+        r AS (
+          -- first-failing reason in q214's declaration order; each
+          -- branch is reached only when every earlier class is clear,
+          -- which matches the fake's value-precedence exactly
+          SELECT id, langodd,
+                 CASE WHEN corrupt THEN 'parse'
+                      WHEN langmiss THEN 'required:lang'
+                      WHEN typebad THEN 'type:age'
+                      WHEN negbad THEN 'min:age'
+                      WHEN maxbad THEN 'max:age'
+                      WHEN langodd THEN 'enum:lang'
+                      WHEN namebad THEN 'minLength:name'
+                      ELSE '' END AS reason_first
+          FROM v)"""
 
   private def fakeAlnumPrefix(text: String): String =
     text.takeWhile(c =>

@@ -392,17 +392,10 @@ object Streaming extends Catalog {
           .sortBy(r => (r._2, r._1))
           .map { case (et, day, x, mu) =>
             EventStreams.CusumRow(et, day, x, mu + mu / 20, 2 * mu) }
-        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-        val ms = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[EventStreams.CusumRow]
-        val sink = s"q199_cusum_${CusumSinkId.incrementAndGet()}"
-        val q = EventStreams.cusumPerKey(ms.toDS())
-          .writeStream.format("memory").outputMode("update")
-          .queryName(sink).start()
-        try feed.grouped(50).foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
-        finally q.stop()
-        s.table(sink).select(col("key").as("event_type"),
-          col("d"), col("x"), col("s"), col("alarm"))
+        replayChunked(s, feed.toSeq, 50, "q199_cusum")(
+            EventStreams.cusumPerKey)
+          .select(col("key").as("event_type"),
+            col("d"), col("x"), col("s"), col("alarm"))
       },
       sql = Some(Analytics.CusumOracleSql),
       scaleNote = "the detector state is TWO longs per key (running prefix sum + prefix min), so a 100 TB deployment keys by entity (user/source/partition) and the state store holds O(|entities|) longs, not history; upstream, raw events collapse map-side to the |keys × days| daily frame exactly as in batch q194 — the stream carries daily partials, never raw volume; the oracle is byte-identical to q194's, so the service and the closed-form batch spelling are gated against each other every round"),
@@ -457,18 +450,10 @@ object Streaming extends Catalog {
           .sortBy(r => (r._2, r._1))
           .map { case (et, day, x, mu, varnum, n0) =>
             EventStreams.ChartRow(et, day, x, mu, varnum, n0) }
-        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-        val ms = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[EventStreams.ChartRow]
-        val sink = s"q212_ewma_${ChartSinkId.incrementAndGet()}"
-        val q = EventStreams.ewmaChartPerKey(ms.toDS())
-          .writeStream.format("memory").outputMode("update")
-          .queryName(sink).start()
-        try feed.grouped(50).foreach { c =>
-          ms.addData(c.toSeq); q.processAllAvailable() }
-        finally q.stop()
-        s.table(sink).select(col("key").as("event_type"),
-          col("d"), col("x"), col("z"), col("alarm"))
+        replayChunked(s, feed.toSeq, 50, "q212_ewma")(
+            EventStreams.ewmaChartPerKey)
+          .select(col("key").as("event_type"),
+            col("d"), col("x"), col("z"), col("alarm"))
       },
       sql = Some(Analytics.EwmaChartOracleSql),
       scaleNote = "chart state is THREE doubles per key (z, the carried limit factor g, and the store key), so a 100 TB deployment keys by entity and the RocksDB store holds O(|entities|) state — history never materializes; upstream identical to q199: raw events collapse map-side to daily partials before the stream sees anything; state-v2 is the right surface here because a production chart adds per-key TTL and timer-driven heartbeat alarms, which GroupState cannot express — and the oracle is byte-identical to q207's, so the service and the batch scan are gated against each other every round"),
@@ -511,18 +496,10 @@ object Streaming extends Catalog {
           .as[(String, Long, Long)].collect()
           .sortBy(r => (r._2, r._1))
           .map { case (et, day, x) => EventStreams.HwRow(et, day, x) }
-        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-        val ms = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[EventStreams.HwRow]
-        val sink = s"q217_hw_${HwSinkId.incrementAndGet()}"
-        val q = EventStreams.holtWintersPerKey(ms.toDS())
-          .writeStream.format("memory").outputMode("update")
-          .queryName(sink).start()
-        try feed.grouped(20).foreach { c =>
-          ms.addData(c.toSeq); q.processAllAvailable() }
-        finally q.stop()
-        s.table(sink).select(col("key").as("event_type"),
-          col("d"), col("x"), col("fc"))
+        replayChunked(s, feed.toSeq, 20, "q217_hw")(
+            EventStreams.holtWintersPerKey)
+          .select(col("key").as("event_type"),
+            col("d"), col("x"), col("fc"))
       },
       sql = Some(Analytics.HoltWintersOracleSql),
       scaleNote = "forecaster state is nine doubles per key once seeded (l, b, s[7]) plus a bounded seed buffer before — a 100 TB deployment keys by entity and serves the NEXT forecast as (l + b) + s[slot] straight from the store, no history scan; upstream identical to q199/q212 (daily partials, never raw volume); the seed-across-chunks carry is the state contract a real ingest (where a key's first week spans many micro-batches) actually exercises, and the oracle is byte-identical to q213's recursive-CTE mirror"),
@@ -567,19 +544,10 @@ object Streaming extends Catalog {
           .as[(Long, Long, Long, Long)].collect()
           .sortBy(r => (r._2, r._3))
           .map { case (uid, us, eid, c) => EventStreams.ZRow(uid, us, eid, c) }
-        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-        val ms = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[EventStreams.ZRow]
-        val sink = s"q223_zscore_${ZSinkId.incrementAndGet()}"
-        val q = EventStreams.rollingZscorePerUser(ms.toDS())
-          .writeStream.format("memory").outputMode("update")
-          .queryName(sink).start()
-        val chunk = math.max(1, (feed.length + 7) / 8)
-        try feed.grouped(chunk).foreach { c =>
-          ms.addData(c.toSeq); q.processAllAvailable() }
-        finally q.stop()
-        s.table(sink).select(col("event_id"), col("user_id"),
-          col("z_sign"), col("z2_permille"), col("is_anomaly"))
+        replayChunked(s, feed.toSeq, math.max(1, (feed.length + 7) / 8),
+            "q223_zscore")(EventStreams.rollingZscorePerUser)
+          .select(col("event_id"), col("user_id"),
+            col("z_sign"), col("z2_permille"), col("is_anomaly"))
       },
       sql = Some(Analytics.RollingZscoreOracleSql),
       scaleNote = "detector state is at most 13 longs per key (count, last-folded (us, id), 10-ring) behind one RocksDB ValueState, so a 100 TB deployment holds O(|users|) state with zero history — and unlike the daily-frame monitors the stream here IS the raw event volume, which is exactly what keyed state-v2 processors are built for: the user_id exchange shards the store, each event folds in O(ring) work, and the ordering contract is self-enforcing (late/redelivered events drop instead of corrupting the ring — the ADVICE r13 discipline, built in from birth)"),
@@ -619,38 +587,41 @@ object Streaming extends Catalog {
           .sortBy(r => (r._2, r._3))
           .map { case (uid, us, eid, et) =>
             EventStreams.NeRow(uid, us, eid, et) }
-        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-        val ms = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[EventStreams.NeRow]
-        val sink = s"q229_ne_${NeSinkId.incrementAndGet()}"
-        val q = EventStreams.nextEventExamplesPerUser(ms.toDS())
-          .writeStream.format("memory").outputMode("update")
-          .queryName(sink).start()
-        val chunk = math.max(1, (feed.length + 7) / 8)
-        try feed.grouped(chunk).foreach { c =>
-          ms.addData(c.toSeq); q.processAllAvailable() }
-        finally q.stop()
-        s.table(sink).select(col("user_id"), col("sid"), col("pos"),
-          col("context"), col("label"), col("split"))
+        replayChunked(s, feed.toSeq, math.max(1, (feed.length + 7) / 8),
+            "q229_ne")(EventStreams.nextEventExamplesPerUser)
+          .select(col("user_id"), col("sid"), col("pos"),
+            col("context"), col("label"), col("split"))
       },
       sql = Some(NextEventOracleSql),
       scaleNote = "example-builder state is a handful of longs plus at most three type strings per user — O(|users|) in the RocksDB store, zero history — and the construction inverts q176's cost profile: the batch pass pays one corpus-wide user_id exchange + sort per run, the service pays per-event O(ring) work and emits examples incrementally, which is what an online / continual-learning trainer consumes; the by-user split stays a pure key function so train/eval never skews between the batch dataset and the live feed, and the shared oracle makes batch-vs-service drift impossible")
   )
 
-  /** unique memory-sink names across repeated q199 invocations in one
-    * session (Verify + bench + specs share the SparkSession)
+  /** unique memory-sink names across repeated replay invocations in
+    * one session (Verify + bench + specs share the SparkSession)
     */
-  private val CusumSinkId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val ReplaySinkId = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** q212's counterpart */
-  private val ChartSinkId = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** q217's counterpart */
-  private val HwSinkId = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** q223's counterpart */
-  private val ZSinkId = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** q229's counterpart */
-  private val NeSinkId = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** ONE replay scaffold for every streaming service query
+    * (q199/q212/q217/q223/q229): stage a deterministic pre-ordered
+    * feed through `pipe` in fixed-size micro-batch chunks and return
+    * the memory sink's final table. The chunking IS the contract
+    * under test — it forces every key's state to carry across
+    * micro-batch boundaries. FIXTURE REPLAY only: in production the
+    * rows arrive AS the stream; nothing in any service path collects.
+    */
+  private def replayChunked[I: org.apache.spark.sql.Encoder](
+      s: SparkSession, feed: Seq[I], chunk: Int, sinkPrefix: String)(
+      pipe: org.apache.spark.sql.Dataset[I] =>
+        org.apache.spark.sql.Dataset[_]): DataFrame = {
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[I]
+    val sink = s"${sinkPrefix}_${ReplaySinkId.incrementAndGet()}"
+    val q = pipe(ms.toDS())
+      .writeStream.format("memory").outputMode("update")
+      .queryName(sink).start()
+    try feed.grouped(chunk).foreach { c =>
+      ms.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    s.table(sink)
+  }
 }

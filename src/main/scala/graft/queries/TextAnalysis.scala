@@ -1433,17 +1433,27 @@ object TextAnalysis extends Catalog {
             sum(col("cnt")).cast("long").as("n_tokens"))
           .select(col("doc_id"), col("m.g").as("top_word"),
             col("wcnt"), col("n_tokens"))
+        // the size guards matter: sequence(0, -1) generates DESCENDING
+        // [0, -1] (not empty), so an unguarded builder on a 1-token doc
+        // would emit null grams where DuckDB's range(1, len) is simply
+        // empty — a latent engine/oracle divergence the ≥10-token
+        // corpus never exercises (both engines consistently DROP
+        // too-short docs via the empty gram list + inner join)
         val bc = base.select(col("doc_id"),
-            explode(expr("transform(sequence(0, size(w) - 2), " +
-              "i -> concat(w[i], ' ', w[i + 1]))")).as("g"))
+            explode(expr("CASE WHEN size(w) >= 2 THEN " +
+              "transform(sequence(0, size(w) - 2), " +
+              "i -> concat(w[i], ' ', w[i + 1])) " +
+              "ELSE CAST(array() AS array<string>) END")).as("g"))
           .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
         val topb = bc.groupBy(col("doc_id"))
           .agg(min(struct((-col("cnt")).as("negcnt"), col("g"))).as("m"),
             max(col("cnt")).as("bcnt"))
           .select(col("doc_id"), col("m.g").as("top_bigram"), col("bcnt"))
         val dup3 = base.select(col("doc_id"),
-            explode(expr("transform(sequence(0, size(w) - 3), " +
-              "i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))")).as("g"))
+            explode(expr("CASE WHEN size(w) >= 3 THEN " +
+              "transform(sequence(0, size(w) - 3), " +
+              "i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2])) " +
+              "ELSE CAST(array() AS array<string>) END")).as("g"))
           .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 2)
           .groupBy(col("doc_id"))

@@ -200,7 +200,14 @@ object EventStreams {
   final case class ChartPoint(
       key: String, d: Long, x: Long, z: Double, alarm: Long)
   /** lastD makes the ordered-ingestion contract SELF-ENFORCING
-    * (ADVICE r13): a late or redelivered row (d ≤ lastD) is dropped
+    * (ADVICE r13): a late or redelivered row (d ≤ lastD) is dropped.
+    * UPGRADE NOTE: adding lastD WIDENED the value-state schema vs the
+    * r13 2-field shape — a deployment restarting these processors
+    * from a pre-r14 checkpoint fails the state store's schema check
+    * rather than resuming; restart from a fresh checkpoint (replaying
+    * the seed window), or bump the stateful operator's name to
+    * version the state explicitly. In-repo replays always start
+    * fresh, so only external deployments care.
     * instead of folding as-if-newest and silently corrupting z/g.
     */
   final case class ChartState(z: Double, g: Double, lastD: Long)

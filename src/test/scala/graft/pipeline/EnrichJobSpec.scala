@@ -356,4 +356,52 @@ class EnrichJobSpec extends SparkSpec {
       s"reason not injected: ${prompts.filter(_.startsWith("FIX")).mkString("; ")}")
     assert(prompts.exists(p => p.startsWith("FIX(parse)|6|")))
   }
+
+  test("ValidateRepair: TOTAL under transport failure — call-failed " +
+    "records report with reason 'call' instead of vanishing") {
+    import graft.pipeline.SchemaValidate.{IntType, Required}
+    // id 3's CALL dies on the first pass (never validated); id 4
+    // fails validation, then its RETRY call dies; id 6 fails
+    // validation and repairs; ids 1/2/5 are clean
+    val client = new graft.llm.LlmClient {
+      override def chat(ms: Seq[graft.llm.Msg], c: JobConfig): String = {
+        val p = ms.last.text
+        val isFix = p.startsWith("FIX(")
+        val body = if (isFix) p.substring(p.indexOf(")|") + 2) else p
+        val id = body.substring(0, body.indexOf('|')).toLong
+        if (!isFix) {
+          if (id == 3) throw new RuntimeException("transport down")
+          else if (id == 4 || id == 6) "not json"
+          else """{"lang": "en", "age": 5}"""
+        } else {
+          if (id == 4) throw new RuntimeException("transport down")
+          else """{"lang": "en", "age": 5}"""
+        }
+      }
+    }
+    val records = (1 to 6)
+      .map(i => (i.toString, Map("content" -> s"c$i"), Seq.empty[String]))
+      .toDF("id", "texts", "images")
+    val vrCfg = JobConfig(
+      id = "vr-total", erbTemplate = "<%= id %>|<%= texts[:content] %>",
+      backendEndpoint = "http://fake", model = "m", outputLabel = "out",
+      systemErbTemplate = None, params = Map.empty, useImages = false,
+      responseFormat = None)
+    val report = ValidateRepair.run(records, vrCfg,
+      "FIX(<%= texts[:why] %>)|<%= id %>|<%= texts[:content] %>",
+      client,
+      Seq("ok_required" -> Required("lang"), "ok_type" -> IntType("age")))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1.toLong -> r).toMap
+    // TOTAL: every input record reports, including both failure paths
+    assert(report.size == 6, s"report not total: ${report.keys.toSeq.sorted}")
+    // first-pass call failure: attempts = 1, both reasons 'call'
+    assert(report(3L) == (("3", 1L, 0L, 0L, "call", "call")), report(3L))
+    // retry-pass call failure: attempts = 2, first reason preserved,
+    // final reason 'call', not repaired
+    assert(report(4L) == (("4", 2L, 0L, 0L, "parse", "call")), report(4L))
+    // the ordinary paths are untouched by the accounting
+    assert(report(6L)._4 == 1L && report(6L)._5 == "parse")
+    Seq(1L, 2L, 5L).foreach(i => assert(report(i)._2 == 1L && report(i)._4 == 1L))
+  }
 }

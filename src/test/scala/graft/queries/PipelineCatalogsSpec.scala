@@ -2425,6 +2425,27 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q228 guard: a lang whose budget exceeds its population passes " +
+    "on its achievable target instead of raising unrecoverably") {
+    // tiny lang: cnt = 1 but t_n = 2 — the slice can never hold 2
+    // rows; the guard must accept sn = 1 = least(t_n, cnt) (q90 emits
+    // all 1 rows there), and still RAISE on a genuine shortfall
+    val targets = Seq(("xx", 1L, 2L), ("en", 100L, 10L))
+      .toDF("lang", "cnt", "t_n")
+    val ok = Curation.sliceShortfallGuard(targets,
+      Seq(("xx", 1L), ("en", 12L)).toDF("lang", "sn"))
+      .as[(String, Long)].collect().toMap
+    assert(ok == Map("xx" -> 2L, "en" -> 10L), ok)
+    // non-vacuity: a real shortfall (sn < achievable target) raises
+    val err = intercept[Exception] {
+      Curation.sliceShortfallGuard(targets,
+        Seq(("xx", 1L), ("en", 7L)).toDF("lang", "sn"))
+        .collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("shortfall"), err.getMessage)
+  }
+
   test("q233: repetition signals replicate from a plain-Scala recount " +
     "and both dup3 classes occur") {
     val out = TextAnalysis.queries("q233_repetition_signals")
