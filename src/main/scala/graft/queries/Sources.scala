@@ -980,53 +980,69 @@ object Sources extends Catalog {
       //     engine's explicit per-SF-dir size switch.
       // Validated bit-exact vs an independent numpy float32 replica on
       // every phash bit of both corpus sizes (tools/q58_proto.py).
-      sql = Some("""
-        WITH RECURSIVE
-        nn AS (SELECT CASE WHEN (SELECT count(*) FROM lineitem) < 30000
-                           THEN 90 ELSE 600 END AS n),
-        ids AS (
-          SELECT CAST(i AS BIGINT) AS id, CAST(i AS BIGINT) AS seed
-          FROM nn, range(0, 600) t(i) WHERE i < nn.n AND i % 3 = 0
-          UNION ALL
-          SELECT CAST(i + 1000000 AS BIGINT), CAST(i AS BIGINT)
-          FROM nn, range(0, 600) t(i) WHERE i < nn.n AND i % 21 = 0),
-        seeds AS (SELECT DISTINCT seed FROM ids),
-        st(seed, p, s) AS (
-          SELECT seed, -1,
-                 CAST(xor(seed, 25214903917) % 281474976710656 AS HUGEINT)
-          FROM seeds
-          UNION ALL
-          SELECT seed, p + 1,
-                 CAST((s * 25214903917 + 11) % 281474976710656 AS HUGEINT)
-          FROM st WHERE p < 1023),
-        px AS (SELECT seed, p, CAST(s AS BIGINT) // 16777216 AS rgb
-               FROM st WHERE p >= 0),
-        lum AS (SELECT seed, p,
-          CAST(CAST(CAST(CAST(CAST(0.299 AS FLOAT) * ((rgb >> 16) & 255) AS FLOAT)
-                 + CAST(CAST(0.587 AS FLOAT) * ((rgb >> 8) & 255) AS FLOAT) AS FLOAT)
-              + CAST(CAST(0.114 AS FLOAT) * (rgb & 255) AS FLOAT) AS FLOAT)
-            / CAST(255.0 AS FLOAT) AS FLOAT) AS l
-          FROM px),
-        feat AS (
-          SELECT seed, p % 64 AS j,
-                 CAST(list_reduce(list(l ORDER BY p),
-                                  (a, x) -> CAST(a + x AS FLOAT))
-                      / CAST(16.0 AS FLOAT) AS FLOAT) AS f
-          FROM lum GROUP BY seed, p % 64),
-        mh AS (
-          SELECT seed,
-                 list_reduce(list(CAST(f AS DOUBLE) ORDER BY j), (a, x) -> a + x)
-                   / 64.0 AS mean
-          FROM feat GROUP BY seed),
-        bits AS (
-          SELECT i.id, f.j, (CAST(f.f AS DOUBLE) > m.mean) AS bit
-          FROM feat f JOIN mh m USING (seed) JOIN ids i USING (seed))
-        SELECT a.id AS id1, b.id AS id2,
-               CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
-        FROM bits a JOIN bits b ON a.j = b.j AND a.id < b.id
-        GROUP BY a.id, b.id
-        HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 7"""),
-      scaleNote = "image dedup at 100 TB: decode (real javax.imageio) + phash is one map pass; candidates come from the 8-band (band,key) equi-join with pigeonhole-guaranteed recall ≤ hamming 7 — never a cartesian"),
+      sql = Some(ImageNearDupOracleSql),
+      scaleNote = "image dedup at 100 TB: decode (real javax.imageio) + phash is one map pass; candidates come from the 8-band (band,key) equi-join with pigeonhole-guaranteed recall ≤ hamming 7 — never a cartesian; the file-system ingest half of this pipeline (spark.read binaryFile → decode) is REGISTERED as q237 under this oracle VERBATIM"),
+
+    // ----- E1 + multimodal: binaryFile ingest (r14) -------------------
+    // q58 pipes in-memory PNG bytes; a REAL multimodal pipeline starts
+    // from files on storage. This registers Spark's binaryFile source
+    // — the ingest format the E1 row was missing for the media story:
+    // the identical planted image corpus is staged ONCE as .png files
+    // under a content-deterministic /tmp dir (fixture creation, the
+    // production analogue being the lake's object store), then the
+    // registered path is spark.read.format("binaryFile") → media_id
+    // parsed from the file path → the same ImageIoCodec decode →
+    // banded-phash near-dup. PNG is lossless and the staging writes
+    // the exact bytes, so the output is BYTE-IDENTICAL to q58's and
+    // carries q58's oracle VERBATIM (the q216/q220 police-each-other
+    // stance): any divergence in the file round-trip, the path parse,
+    // or pushdown on the binary schema hash-mismatches.
+    "q237_binaryfile_ingest" -> Q(
+      fn = (s, d) => {
+        import s.implicits._
+        val n = new java.io.File(d).getName match {
+          case "sf0.001"          => 90
+          case "sf0.01" | "sf0.1" => 600
+          case other => throw new IllegalArgumentException(
+            s"q237 media corpus size not defined for data dir '$other' — " +
+              "add the scale factor explicitly")
+        }
+        val base = graft.multimodal.Media.syntheticEncoded(s, n)
+        val planted = base.union(
+          base.filter(r => r.kind == "image" && r.media_id % 7 == 0)
+            .map(r => r.copy(media_id = r.media_id + 1000000L)))
+          .filter(_.kind == "image")
+        // stage as files — deterministic bytes keyed only by n, so the
+        // dir is reusable across runs and SF dirs with the same n;
+        // collect() is fixture CREATION (≤600 tiny PNGs), not the
+        // registered read path
+        val dir = new java.io.File(s"/tmp/graft_binfiles/n$n")
+        dir.mkdirs()
+        planted.collect().foreach { r =>
+          val f = new java.io.File(dir, f"media_${r.media_id}%08d.png")
+          if (!f.exists() || f.length() != r.bytes.length)
+            java.nio.file.Files.write(f.toPath, r.bytes)
+        }
+        // the registered ingest: binary files in, near-dup report out
+        val media = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png")
+          .load(dir.getAbsolutePath)
+          .select(
+            regexp_extract(input_file_name(), "media_(\\d+)\\.png", 1)
+              .cast("long").as("media_id"),
+            col("content").as("bytes"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) =>
+            graft.multimodal.Media.MediaRow(id, "image", bytes,
+              // meta is advisory for image decode — the codec sniffs
+              // the container from the bytes, as a lake ingest must
+              graft.multimodal.Media.MediaMeta("png", 0, 0, 0, 0))
+          }
+        graft.multimodal.Media.imageNearDup(
+          media, new graft.multimodal.Media.ImageIoCodec())
+      },
+      sql = Some(ImageNearDupOracleSql),
+      scaleNote = "binaryFile is the lake-native ingest for opaque media: the source lists files distributed (one task per file batch, no driver-side directory walk at plan time beyond listing), `content` arrives as a binary column feeding the same decode→phash map pass as q58, and pruning works like any DSv2 source — pathGlobFilter and partition-dir predicates cut the listing, and a projection that drops `content` (e.g. a path/size audit) never reads the file bytes at all; at 100 TB the only knob that matters is spark.sql.files.maxPartitionBytes vs media file size (one 4 MB image per row — bin-packing small files into tasks is exactly what the source's file-batching does), and the staged-fixture collect() here is corpus CREATION, replaced in production by the object store itself"),
 
     // ----- multimodal: audio fingerprint near-dup -------------------
     // q58's audio sibling, and the second registered query on REAL
@@ -1696,6 +1712,59 @@ object Sources extends Catalog {
     (0 until bits).map { i =>
       s"(((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1}))"
     }.mkString("(", " | ", ")")
+
+  /** q58's oracle, shared verbatim with q237 (the q216/q220
+    * police-each-other stance): q237 is the file-ingest spelling of
+    * the SAME image near-dup report, so it carries the SAME gate.
+    * The oracle regenerates the PIXELS themselves — see q58's
+    * in-place commentary for the LCG/float32 discipline.
+    */
+  private[queries] val ImageNearDupOracleSql: String = """
+        WITH RECURSIVE
+        nn AS (SELECT CASE WHEN (SELECT count(*) FROM lineitem) < 30000
+                           THEN 90 ELSE 600 END AS n),
+        ids AS (
+          SELECT CAST(i AS BIGINT) AS id, CAST(i AS BIGINT) AS seed
+          FROM nn, range(0, 600) t(i) WHERE i < nn.n AND i % 3 = 0
+          UNION ALL
+          SELECT CAST(i + 1000000 AS BIGINT), CAST(i AS BIGINT)
+          FROM nn, range(0, 600) t(i) WHERE i < nn.n AND i % 21 = 0),
+        seeds AS (SELECT DISTINCT seed FROM ids),
+        st(seed, p, s) AS (
+          SELECT seed, -1,
+                 CAST(xor(seed, 25214903917) % 281474976710656 AS HUGEINT)
+          FROM seeds
+          UNION ALL
+          SELECT seed, p + 1,
+                 CAST((s * 25214903917 + 11) % 281474976710656 AS HUGEINT)
+          FROM st WHERE p < 1023),
+        px AS (SELECT seed, p, CAST(s AS BIGINT) // 16777216 AS rgb
+               FROM st WHERE p >= 0),
+        lum AS (SELECT seed, p,
+          CAST(CAST(CAST(CAST(CAST(0.299 AS FLOAT) * ((rgb >> 16) & 255) AS FLOAT)
+                 + CAST(CAST(0.587 AS FLOAT) * ((rgb >> 8) & 255) AS FLOAT) AS FLOAT)
+              + CAST(CAST(0.114 AS FLOAT) * (rgb & 255) AS FLOAT) AS FLOAT)
+            / CAST(255.0 AS FLOAT) AS FLOAT) AS l
+          FROM px),
+        feat AS (
+          SELECT seed, p % 64 AS j,
+                 CAST(list_reduce(list(l ORDER BY p),
+                                  (a, x) -> CAST(a + x AS FLOAT))
+                      / CAST(16.0 AS FLOAT) AS FLOAT) AS f
+          FROM lum GROUP BY seed, p % 64),
+        mh AS (
+          SELECT seed,
+                 list_reduce(list(CAST(f AS DOUBLE) ORDER BY j), (a, x) -> a + x)
+                   / 64.0 AS mean
+          FROM feat GROUP BY seed),
+        bits AS (
+          SELECT i.id, f.j, (CAST(f.f AS DOUBLE) > m.mean) AS bit
+          FROM feat f JOIN mh m USING (seed) JOIN ids i USING (seed))
+        SELECT a.id AS id1, b.id AS id2,
+               CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+        FROM bits a JOIN bits b ON a.j = b.j AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 7"""
 
   /** q224/q227's shared oracle fixture — the planted-violation flags
     * and the first-failing reason as CTE text, ONE definition so the

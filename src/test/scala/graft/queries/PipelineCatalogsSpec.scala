@@ -2425,6 +2425,18 @@ class PipelineCatalogsSpec extends SparkSpec {
     }
   }
 
+  test("q237 ≡ q58: the binaryFile ingest reproduces the in-memory " +
+    "image near-dup report row-for-row") {
+    val a = Sources.queries("q58_image_neardup").fn(spark, sf0001)
+      .as[(Long, Long, Int)].collect().toSet
+    val b = Sources.queries("q237_binaryfile_ingest").fn(spark, sf0001)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a.nonEmpty, "empty near-dup report — fixture broken")
+    assert(a == b,
+      s"file round-trip diverged: only-in-q58 ${(a -- b).take(3)}, " +
+        s"only-in-q237 ${(b -- a).take(3)}")
+  }
+
   test("q228 guard: a lang whose budget exceeds its population passes " +
     "on its achievable target instead of raising unrecoverably") {
     // tiny lang: cnt = 1 but t_n = 2 — the slice can never hold 2
