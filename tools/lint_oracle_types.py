@@ -44,6 +44,10 @@ ALLOWED_HUGEINT_CTES = {
         "st": "java.util.Random LCG state: 83-bit product before mod 2^48"
               " (q58's generator, audio corpus)",
     },
+    "q237_binaryfile_ingest": {
+        "st": "java.util.Random LCG state: 83-bit product before mod 2^48"
+              " (carries q58's oracle VERBATIM - same allowlisted CTE)",
+    },
 }
 
 
