@@ -72,7 +72,16 @@ object EnrichJob {
     *   good/dead-letter fork, so a caller consuming BOTH forks (e.g.
     *   [[ValidateRepair]], which must account for call failures) runs
     *   the LLM stage exactly once; the default keeps the stage lazy
-    *   for the common good-only consumers
+    *   for the common good-only consumers. Two deliberate trade-offs
+    *   when true (ADVICE r14): the checkpoint is EAGER, so every
+    *   first-pass LLM call fires AT run() time even if the returned
+    *   frames are never acted on — callers opting in are buying
+    *   exactly-once calls, not laziness; and localCheckpoint blocks
+    *   are UNREPLICATED executor-local state, so losing an executor
+    *   fails the job instead of recomputing (acceptable here because
+    *   recomputing IS the failure being priced: a recompute would
+    *   re-fire paid API calls — restart-durability is what
+    *   [[runCached]]'s on-disk idempotency cache is for)
     */
   def run(
       records: DataFrame,

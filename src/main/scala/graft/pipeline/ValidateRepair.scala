@@ -89,7 +89,12 @@ object ValidateRepair {
         lit("why"), col("reason_first")).as("texts"),
       array().cast("array<string>").as("images"))
     val cfg2 = cfg.copy(id = cfg.id + "-retry", erbTemplate = retryTemplate)
-    val second = EnrichJob.run(retryRecords, cfg2, client, opts).good
+    // materialize = true on the retry pass too (ADVICE r14): without
+    // it the frugality contract ("LLM stage runs exactly once per
+    // pass") held only per CONSUMPTION — a caller running count()
+    // then collect() on the report would re-fire every retry call
+    val second = EnrichJob.run(retryRecords, cfg2, client, opts,
+        materialize = true).good
       .select(col("id"), element_at(col("texts"), cfg.outputLabel).as("j"))
     val checked2 = SchemaValidate.verdicts(second, "j", constraints)
       .select(col("id"), col("valid").cast("boolean").as("valid2"),

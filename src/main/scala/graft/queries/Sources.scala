@@ -1015,13 +1015,36 @@ object Sources extends Catalog {
         // stage as files — deterministic bytes keyed only by n, so the
         // dir is reusable across runs and SF dirs with the same n;
         // collect() is fixture CREATION (≤600 tiny PNGs), not the
-        // registered read path
+        // registered read path. The staging RECONCILES the dir against
+        // the exact expected (name → bytes) set (ADVICE r14): strays
+        // from an older corpus definition are deleted (the glob would
+        // otherwise inject them as rows), staleness is judged on
+        // CONTENT, never length, and every write lands via
+        // temp-file + atomic rename so a concurrent reader observes
+        // whole files only (concurrent stagers write identical bytes,
+        // so last-rename-wins is benign)
         val dir = new java.io.File(s"/tmp/graft_binfiles/n$n")
         dir.mkdirs()
-        planted.collect().foreach { r =>
-          val f = new java.io.File(dir, f"media_${r.media_id}%08d.png")
-          if (!f.exists() || f.length() != r.bytes.length)
-            java.nio.file.Files.write(f.toPath, r.bytes)
+        val expected = planted.collect()
+          .map(r => f"media_${r.media_id}%08d.png" -> r.bytes).toMap
+        Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.endsWith(".png") &&
+            !expected.contains(f.getName))
+          .foreach(_.delete())
+        expected.foreach { case (name, bytes) =>
+          val f = new java.io.File(dir, name)
+          val fresh = try f.exists() && java.util.Arrays.equals(
+            java.nio.file.Files.readAllBytes(f.toPath), bytes)
+          catch { case _: java.io.IOException => false }
+          if (!fresh) {
+            // suffix .tmp keeps half-written files out of the *.png glob
+            val tmp = java.nio.file.Files.createTempFile(
+              dir.toPath, name, ".tmp")
+            java.nio.file.Files.write(tmp, bytes)
+            java.nio.file.Files.move(tmp, f.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
         }
         // the registered ingest: binary files in, near-dup report out
         val media = s.read.format("binaryFile")

@@ -2437,6 +2437,53 @@ class PipelineCatalogsSpec extends SparkSpec {
         s"only-in-q237 ${(b -- a).take(3)}")
   }
 
+  test("q237 staging: strays are deleted and stale content is repaired " +
+    "on reconcile (ADVICE r14)") {
+    // first run stages the fixture dir; n = 90 at sf0.001
+    val first = Sources.queries("q237_binaryfile_ingest").fn(spark, sf0001)
+      .as[(Long, Long, Int)].collect().toSet
+    val dir = new java.io.File("/tmp/graft_binfiles/n90")
+    assert(dir.isDirectory, "fixture dir must exist after a run")
+    // inject a stray png (an older corpus definition's leftover) and
+    // corrupt one expected file LENGTH-PRESERVINGLY — the pre-fix
+    // guard (length-only) would have kept it stale
+    val stray = new java.io.File(dir, "media_99999999.png")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    val victim = dir.listFiles().filter(_.getName != stray.getName)
+      .minBy(_.getName)
+    val orig = java.nio.file.Files.readAllBytes(victim.toPath)
+    val flipped = orig.clone(); flipped(orig.length - 1) =
+      (flipped(orig.length - 1) ^ 0x7).toByte
+    java.nio.file.Files.write(victim.toPath, flipped)
+    // second run must reconcile: stray gone, content restored, output
+    // identical
+    val second = Sources.queries("q237_binaryfile_ingest").fn(spark, sf0001)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(!stray.exists(), "stray file must be deleted by reconcile")
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(victim.toPath), orig),
+      "length-preserving corruption must be repaired (content compare)")
+    assert(first == second, "reconciled run must reproduce the report")
+  }
+
+  test("q233 guard: a non-empty doc with fewer than 2 tokens fails " +
+    "loudly instead of vanishing from the report (ADVICE r14)") {
+    val fixture = Seq(
+      (1L, "alpha beta alpha gamma beta alpha"),
+      (2L, "solo")).toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      TextAnalysis.repetitionReport(fixture).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("q233")), msgs(err).mkString(" | "))
+    // non-vacuity: without the short doc the report is total and clean
+    val ok = TextAnalysis.repetitionReport(
+      fixture.filter(col("doc_id") === 1L))
+    assert(ok.count() == 1L)
+  }
+
   test("q228 guard: a lang whose budget exceeds its population passes " +
     "on its achievable target instead of raising unrecoverably") {
     // tiny lang: cnt = 1 but t_n = 2 — the slice can never hold 2
