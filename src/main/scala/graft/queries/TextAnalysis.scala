@@ -1180,25 +1180,58 @@ object TextAnalysis extends Catalog {
               (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
               .as("zipf_slope"))
       },
-      sql = Some("""
-        WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS token
-                   FROM documents),
-        c AS (SELECT source, token, count(*) AS cnt FROM t
-              WHERE length(token) > 0 GROUP BY 1, 2),
-        r AS (SELECT source, cnt, row_number() OVER (PARTITION BY source
-                ORDER BY cnt DESC, token) AS rk
-              FROM c),
-        h AS (SELECT source, ln(CAST(rk AS DOUBLE)) AS x,
-                     ln(CAST(cnt AS DOUBLE)) AS y
-              FROM r WHERE rk <= 200),
-        a AS (SELECT source, count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
-                     sum(x*y) AS sxy, sum(x*x) AS sxx
-              FROM h GROUP BY 1)
-        SELECT source, n_terms,
-               round((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx), 6)
-                 AS zipf_slope
-        FROM a WHERE n_terms >= 2"""),
-      scaleNote = "token counts collapse map-side into one (source, token) shuffle — q75's plan; the rank window runs on the VOCABULARY per source and the rk <= 200 cut bounds the regression input to 200 rows/source regardless of corpus size, so the fit itself is a |sources|-row aggregate; at 100 TB the window swaps for a per-source top-200 TakeOrdered (same rows, no full-vocab sort)"),
+      sql = Some(ZipfOracleSql),
+      scaleNote = "token counts collapse map-side into one (source, token) shuffle — q75's plan; the rank window runs on the VOCABULARY per source and the rk <= 200 cut bounds the regression input to 200 rows/source regardless of corpus size, so the fit itself is a |sources|-row aggregate; at 100 TB the window swaps for a per-source top-200 TakeOrdered (same rows, no full-vocab sort) — REGISTERED as q243 under this oracle VERBATIM"),
+
+    // ----- q243: q172's windowless spelling (r15) ---------------------
+    // The promise at q172's scaleNote, registered (VERDICT r14 item
+    // 5, the q222/q228 convert-the-promise discipline): the per-source
+    // top-200 head comes from per-source TakeOrderedAndProject legs —
+    // a bounded heap per partition, never a rank window over the
+    // vocabulary — and the ranks the regression needs come from a
+    // posexplode of the ≤200-row sorted head, not row_number. Gated
+    // by q172's oracle VERBATIM, so "same rows, no full-vocab sort"
+    // is a theorem the driver re-proves every round. The source list
+    // is a DIMENSION-cardinality collect (|sources| rows — the same
+    // information a source-partitioned lake exposes as its directory
+    // listing), never the corpus.
+    "q243_zipf_topk_windowless" -> Q(
+      fn = (s, d) => {
+        val R = 200
+        val counts = docs(s, d)
+          .select(col("source"),
+            explode(split(lower(col("text")), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+          .groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // ONE vocabulary build feeds every leg
+        val sources = counts.select(col("source"))
+          .distinct().collect().map(_.getString(0)).sorted
+        val heads = sources.map { src =>
+            counts.filter(col("source") === src)
+              .orderBy(col("cnt").desc, col("token"))
+              .limit(R)
+          }.reduce(_ unionByName _)
+        heads.groupBy(col("source"))
+          .agg(sort_array(collect_list(
+            struct((-col("cnt")).as("negcnt"), col("token")))).as("h"))
+          .select(col("source"), posexplode(col("h")))
+          .select(col("source"),
+            log((col("pos") + 1).cast("double")).as("x"),
+            log((-col("col.negcnt")).cast("double")).as("y"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .filter(col("n_terms") >= 2)
+          .select(col("source"), col("n_terms"),
+            round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("zipf_slope"))
+      },
+      sql = Some(ZipfOracleSql),
+      scaleNote = "the vocabulary frame materializes ONCE (types, not tokens — Heaps'-law-sized) and each source's leg is a TakeOrderedAndProject over its slice: per-partition 200-row heaps, a |partitions|×200-row merge, zero sorts of the vocabulary (PlanSpec pins no Window anywhere and heaps present); rank assignment folds the ≤200-row head per source into ONE sorted array and posexplodes — an aggregate whose state is capped at 200 entries, so nothing anywhere in this plan holds more than the head; legs scale with |sources| (each pruning to its slice — on a source-partitioned lake each leg reads one partition), which trades q172's single vocab-wide window pass for |sources| head-sized passes of a checkpointed frame: the right side of the trade exactly when the vocabulary is huge and |sources| is dimension-sized, which is the 100 TB shape"),
 
     // ----- q173: hybrid retrieval (BM25 recall → semantic rerank) ---
     // The two retrieval modalities fused — the serving shape every
@@ -1421,58 +1454,7 @@ object TextAnalysis extends Catalog {
     // non-empty; docs with NO duplicated 3-gram (the majority —
     // 467/500 at sf0.001) left-join to an explicit 0.
     "q233_repetition_signals" -> Q(
-      fn = (s, d) => {
-        val base = docs(s, d).filter(length(col("text")) > 0)
-          .select(col("doc_id"), split(lower(col("text")), " ").as("w"),
-            length(col("text")).cast("long").as("n_chars"))
-        val uc = base.select(col("doc_id"), explode(col("w")).as("g"))
-          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-        val topw = uc.groupBy(col("doc_id"))
-          .agg(min(struct((-col("cnt")).as("negcnt"), col("g"))).as("m"),
-            max(col("cnt")).as("wcnt"),
-            sum(col("cnt")).cast("long").as("n_tokens"))
-          .select(col("doc_id"), col("m.g").as("top_word"),
-            col("wcnt"), col("n_tokens"))
-        // the size guards matter: sequence(0, -1) generates DESCENDING
-        // [0, -1] (not empty), so an unguarded builder on a 1-token doc
-        // would emit null grams where DuckDB's range(1, len) is simply
-        // empty — a latent engine/oracle divergence the ≥10-token
-        // corpus never exercises (both engines consistently DROP
-        // too-short docs via the empty gram list + inner join)
-        val bc = base.select(col("doc_id"),
-            explode(expr("CASE WHEN size(w) >= 2 THEN " +
-              "transform(sequence(0, size(w) - 2), " +
-              "i -> concat(w[i], ' ', w[i + 1])) " +
-              "ELSE CAST(array() AS array<string>) END")).as("g"))
-          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-        val topb = bc.groupBy(col("doc_id"))
-          .agg(min(struct((-col("cnt")).as("negcnt"), col("g"))).as("m"),
-            max(col("cnt")).as("bcnt"))
-          .select(col("doc_id"), col("m.g").as("top_bigram"), col("bcnt"))
-        val dup3 = base.select(col("doc_id"),
-            explode(expr("CASE WHEN size(w) >= 3 THEN " +
-              "transform(sequence(0, size(w) - 3), " +
-              "i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2])) " +
-              "ELSE CAST(array() AS array<string>) END")).as("g"))
-          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") >= 2)
-          .groupBy(col("doc_id"))
-          .agg(sum((col("cnt") - 1) * length(col("g"))).cast("long")
-              .as("excess_chars"),
-            count(lit(1)).cast("long").as("n_dup3"))
-        base.select(col("doc_id"), col("n_chars"))
-          .join(topw, "doc_id").join(topb, "doc_id")
-          .join(dup3, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"), col("top_word"),
-            expr("wcnt * CAST(1000000 AS BIGINT) DIV n_tokens")
-              .as("top_word_ppm"),
-            col("top_bigram"),
-            expr("bcnt * CAST(length(top_bigram) AS BIGINT) * 1000000" +
-              " DIV n_chars").as("top_bigram_ppm"),
-            expr("coalesce(excess_chars, CAST(0 AS BIGINT)) * 1000000" +
-              " DIV n_chars").as("dup3_ppm"),
-            coalesce(col("n_dup3"), lit(0L)).as("n_dup3"))
-      },
+      fn = (s, d) => repetitionReport(docs(s, d)),
       sql = Some("""
         WITH base AS (
           SELECT doc_id, string_split(lower(text), ' ') AS w,
@@ -1523,4 +1505,95 @@ object TextAnalysis extends Catalog {
         LEFT JOIN dup3 d ON b.doc_id = d.doc_id"""),
       scaleNote = "every stage keys on doc_id: the gram families explode map-side inside the scan projection (sequence+transform, codegen'd — no self-join on position), each (doc, gram) count partial-aggregates map-side, and the per-doc argmaxes are windowless struct-min folds, so the signals cost one doc_id exchange per gram family and AQE co-plans the final joins on the shared key; grams never cross documents, so there is NO corpus-sized vocabulary shuffle anywhere (contrast q75/q100) and the plan scales with Σ doc length exactly like the q34 surface scorer it composes with — the Gopher cut (drop docs above the repetition thresholds) is then one row-local filter on this frame")
   )
+
+  /** q172's DuckDB mirror, shared VERBATIM with its windowless
+    * spelling q243 (the q222/q228 carry-the-oracle discipline): OLS
+    * over (ln rank, ln cnt) on the per-source top-200 head.
+    */
+  private[queries] val ZipfOracleSql: String = """
+        WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+                   FROM documents),
+        c AS (SELECT source, token, count(*) AS cnt FROM t
+              WHERE length(token) > 0 GROUP BY 1, 2),
+        r AS (SELECT source, cnt, row_number() OVER (PARTITION BY source
+                ORDER BY cnt DESC, token) AS rk
+              FROM c),
+        h AS (SELECT source, ln(CAST(rk AS DOUBLE)) AS x,
+                     ln(CAST(cnt AS DOUBLE)) AS y
+              FROM r WHERE rk <= 200),
+        a AS (SELECT source, count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*y) AS sxy, sum(x*x) AS sxx
+              FROM h GROUP BY 1)
+        SELECT source, n_terms,
+               round((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx), 6)
+                 AS zipf_slope
+        FROM a WHERE n_terms >= 2"""
+
+  /** q233's report body, factored out so the totality guard is
+    * spec-testable on a fixture frame (`docsDf` needs doc_id + text).
+    */
+  private[queries] def repetitionReport(docsDf: DataFrame): DataFrame = {
+    val base = docsDf.filter(length(col("text")) > 0)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"),
+        length(col("text")).cast("long").as("n_chars"))
+    val uc = base.select(col("doc_id"), explode(col("w")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val topw = uc.groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("negcnt"), col("g"))).as("m"),
+        max(col("cnt")).as("wcnt"),
+        sum(col("cnt")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("m.g").as("top_word"),
+        col("wcnt"), col("n_tokens"))
+    // the size guards matter: sequence(0, -1) generates DESCENDING
+    // [0, -1] (not empty), so an unguarded builder on a 1-token doc
+    // would emit null grams where DuckDB's range(1, len) is simply
+    // empty — a latent engine/oracle divergence the ≥10-token
+    // corpus never exercises
+    val bc = base.select(col("doc_id"),
+        explode(expr("CASE WHEN size(w) >= 2 THEN " +
+          "transform(sequence(0, size(w) - 2), " +
+          "i -> concat(w[i], ' ', w[i + 1])) " +
+          "ELSE CAST(array() AS array<string>) END")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val topb = bc.groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("negcnt"), col("g"))).as("m"),
+        max(col("cnt")).as("bcnt"))
+      .select(col("doc_id"), col("m.g").as("top_bigram"), col("bcnt"))
+    val dup3 = base.select(col("doc_id"),
+        explode(expr("CASE WHEN size(w) >= 3 THEN " +
+          "transform(sequence(0, size(w) - 3), " +
+          "i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2])) " +
+          "ELSE CAST(array() AS array<string>) END")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sum((col("cnt") - 1) * length(col("g"))).cast("long")
+          .as("excess_chars"),
+        count(lit(1)).cast("long").as("n_dup3"))
+    // LEFT join + in-plan raise_error (ADVICE r14): a non-empty doc
+    // shorter than 2 tokens used to vanish via the inner bigram join
+    // in BOTH engines — the one-row-per-non-empty-doc totality rested
+    // on the unchecked ≥10-token corpus guarantee. Now a corpus that
+    // breaks the guarantee fails LOUDLY (the q228 guard stance)
+    // instead of silently shrinking the report.
+    base.select(col("doc_id"), col("n_chars"))
+      .join(topw, "doc_id").join(topb, Seq("doc_id"), "left")
+      .join(dup3, Seq("doc_id"), "left")
+      .withColumn("bcnt",
+        when(col("bcnt").isNotNull, col("bcnt"))
+          .otherwise(raise_error(concat(
+            lit("q233: non-empty doc "), col("doc_id").cast("string"),
+            lit(" has no bigram (< 2 tokens) — one-row-per-doc " +
+              "totality violated; extend the report's short-doc " +
+              "defaults before trusting this corpus")))))
+      .select(col("doc_id"), col("n_tokens"), col("top_word"),
+        expr("wcnt * CAST(1000000 AS BIGINT) DIV n_tokens")
+          .as("top_word_ppm"),
+        col("top_bigram"),
+        expr("bcnt * CAST(length(top_bigram) AS BIGINT) * 1000000" +
+          " DIV n_chars").as("top_bigram_ppm"),
+        expr("coalesce(excess_chars, CAST(0 AS BIGINT)) * 1000000" +
+          " DIV n_chars").as("dup3_ppm"),
+        coalesce(col("n_dup3"), lit(0L)).as("n_dup3"))
+  }
 }

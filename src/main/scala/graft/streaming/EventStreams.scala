@@ -765,4 +765,132 @@ object EventStreams {
           }
       }
   }
+
+  final case class AtRow(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String, value: Double)
+  /** one open session per user: last folded (us, id) for the ordering
+    * guard, session start, first click (us, id) with MaxValue = none
+    * yet, purchase count and running purchase-value sum — everything
+    * q153's one session_window aggregate keeps per live session
+    */
+  final case class AttrState(
+      lastUs: Long, lastId: Long, startUs: Long,
+      clickUs: Long, clickId: Long, nPurch: Long, sumValue: Double)
+  final case class AttrOut(
+      user_id: Long, s_start: Long, first_click_id: Long,
+      n_purchases: Long, attributed_value: Double)
+
+  /** Streaming twin of batch q153: session-scoped FIRST-TOUCH
+    * attribution as keyed state behind an event-time watermark — the
+    * promise at q153's scaleNote, registered as q242 (VERDICT r14
+    * item 4). Per user the state is ONE open session (start, first
+    * click, purchase fold); a later event either extends it
+    * (inclusive gap-touch merge — batch session_window's exact rule,
+    * q153's boundary spec) or proves the gap, at which point the
+    * closed session emits its attribution row IFF it saw a click and
+    * a purchase (otherwise it silently retires — q153's filter). The
+    * dangling open session per key emits from the event-time TIMER
+    * when the watermark passes last + gap ([[SessionProcessor]]'s
+    * expiry discipline, ceiling + 1 ms). Ordering is self-enforcing
+    * from birth (the q223/q229 stance): state carries the last folded
+    * (us, id) and anything at or before it drops, so a redelivered
+    * purchase never double-counts and a redelivered click never
+    * re-attributes.
+    */
+  class AttributionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, AtRow, AttrOut] {
+    @transient private var open:
+        org.apache.spark.sql.streaming.ValueState[AttrState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[AttrState]("attr",
+        org.apache.spark.sql.Encoders.product[AttrState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    /** ceiling-of-microseconds + gap + 1 ms — [[SessionProcessor]]'s
+      * rule: floor could fire up to 999 µs before the true session
+      * end */
+    private def expiryMs(lastUs: Long): Long =
+      (lastUs + 999) / 1000L + gapMs + 1
+
+    /** the q153 filter: only click-led sessions with ≥1 purchase
+      * report */
+    private def emit(uid: Long, o: AttrState): Iterator[AttrOut] =
+      if (o.clickUs != Long.MaxValue && o.nPurch > 0)
+        Iterator.single(AttrOut(uid, o.startUs, o.clickId, o.nPurch,
+          o.sumValue))
+      else Iterator.empty
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[AtRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[AttrOut] = {
+      val gapUs = gapMs * 1000L
+      var cur = if (open.exists()) Some(open.get()) else None
+      cur.foreach(o => getHandle.deleteTimer(expiryMs(o.lastUs)))
+      val out = collection.mutable.ArrayBuffer.empty[AttrOut]
+      def fresh(us: Long, r: AtRow): AttrState = {
+        val isClick = r.event_type == "click"
+        AttrState(us, r.event_id, us,
+          if (isClick) us else Long.MaxValue,
+          if (isClick) r.event_id else Long.MaxValue,
+          if (r.event_type == "purchase") 1L else 0L,
+          if (r.event_type == "purchase") r.value else 0.0)
+      }
+      def fold(o: AttrState, us: Long, r: AtRow): AttrState = {
+        val firstClick = r.event_type == "click" &&
+          (us < o.clickUs || (us == o.clickUs && r.event_id < o.clickId))
+        o.copy(lastUs = us, lastId = r.event_id,
+          clickUs = if (firstClick) us else o.clickUs,
+          clickId = if (firstClick) r.event_id else o.clickId,
+          nPurch = o.nPurch +
+            (if (r.event_type == "purchase") 1L else 0L),
+          sumValue = o.sumValue +
+            (if (r.event_type == "purchase") r.value else 0.0))
+      }
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+        .foreach { r =>
+          val us = r.ts.getTime * 1000L + r.ts.getNanos / 1000 % 1000
+          cur match {
+            case Some(o) if us > o.lastUs ||
+                (us == o.lastUs && r.event_id > o.lastId) =>
+              if (us - o.lastUs > gapUs) { // strict >: inclusive touch merges
+                out ++= emit(uid, o)
+                cur = Some(fresh(us, r))
+              } else cur = Some(fold(o, us, r))
+            case Some(_) => () // late/redelivered: drop, never double-fold
+            case None => cur = Some(fresh(us, r))
+          }
+        }
+      cur.foreach { o =>
+        open.update(o)
+        getHandle.registerTimer(expiryMs(o.lastUs))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        uid: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AttrOut] =
+      if (open.exists() &&
+          expiryMs(open.get().lastUs) == info.getExpiryTimeInMs) {
+        val o = open.get(); open.clear()
+        emit(uid, o)
+      } else Iterator.empty
+  }
+
+  /** q153's attribution on transformWithState timers; input must carry
+    * a watermark (the dangling-session flush is watermark-driven) */
+  def sessionAttributionPerUser(
+      rows: Dataset[AtRow], gapMin: Int = 5): Dataset[AttrOut] = {
+    import rows.sparkSession.implicits._
+    rows.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor(gapMin * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }

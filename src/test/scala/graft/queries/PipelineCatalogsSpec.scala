@@ -2437,6 +2437,18 @@ class PipelineCatalogsSpec extends SparkSpec {
         s"only-in-q237 ${(b -- a).take(3)}")
   }
 
+  test("q243 ≡ q172: the windowless Zipf spelling reproduces the rank-" +
+    "window fit row-for-row (r15)") {
+    val a = TextAnalysis.queries("q172_zipf_exponent").fn(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSet
+    val b = TextAnalysis.queries("q243_zipf_topk_windowless").fn(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSet
+    assert(a.nonEmpty, "empty Zipf report — fixture broken")
+    assert(a == b,
+      s"windowless spelling diverged: only-in-q172 ${(a -- b).take(3)}, " +
+        s"only-in-q243 ${(b -- a).take(3)}")
+  }
+
   test("q237 staging: strays are deleted and stale content is repaired " +
     "on reconcile (ADVICE r14)") {
     // first run stages the fixture dir; n = 90 at sf0.001

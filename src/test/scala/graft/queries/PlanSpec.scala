@@ -1153,6 +1153,102 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q243: the windowless Zipf fit has NO Window — per-source heads " +
+    "come from TakeOrderedAndProject legs (q172's 100 TB spelling, r15)") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = planNodes("q243_zipf_topk_windowless")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "no Window allowed anywhere in the windowless spelling")
+    assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "per-source heads must plan as TakeOrderedAndProject")
+    val p = plan("q243_zipf_topk_windowless")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q238: the two-measure profit fold scans the fact exactly twice " +
+    "(probe + cost aggregate), broadcasts every dim, no cartesian " +
+    "(Q9 shape, r15)") {
+    val df = allQueries("q238_tpch_q9_shape").fn(spark, sf0001)
+    df.collect() // materialize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    // probe + the one per-(partkey, suppkey) cost fold = exactly two
+    // fact scans; a third would mean the measure source re-derived
+    assert(finalScanCount(df, "lineitem") == 2,
+      s"expected probe + cost fold = 2 lineitem scans:\n${p.take(1600)}")
+    // dims broadcast; the cost join is the only co-keyed exchange pair
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // the part cut reaches the part scan (probe pruning)
+    val partScans = p.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("part.parquet")).toList
+    assert(partScans.exists(_.contains("StringContains(p_name,widget)")),
+      s"p_name LIKE must push into the part scan:\n${partScans.mkString("\n")}")
+    // the profit fold is a two-phase aggregate
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      p.take(1200))
+  }
+
+  /** the q239/q240 contract: TakeOrderedAndProject sits ABOVE the
+    * final HashAggregate (bounded per-partition heaps over the groups
+    * frame) and NO Sort node sits above any aggregate — i.e. the
+    * top-k never pays a global sort of the groups. Sorts BELOW the
+    * aggregate (an SMJ's) are irrelevant and allowed.
+    */
+  private def assertHeapAboveAggregate(name: String): Unit = {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan,
+      TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(expand)
+    }
+    val df = allQueries(name).fn(spark, sf0001)
+    df.collect()
+    val nodes = expand(df.queryExecution.executedPlan)
+    val takes = nodes.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(takes.nonEmpty, s"$name: no TakeOrderedAndProject:\n" +
+      nodes.head.toString.take(1200))
+    assert(takes.exists(t =>
+        expand(t).exists(_.isInstanceOf[BaseAggregateExec])),
+      s"$name: the heap must sit ABOVE the final aggregate")
+    val sortsAboveAgg = nodes.collect {
+      case s: SortExec
+          if expand(s).exists(_.isInstanceOf[BaseAggregateExec]) => s
+    }
+    assert(sortsAboveAgg.isEmpty,
+      s"$name: global sort of the groups frame:\n" +
+        sortsAboveAgg.map(_.toString.take(400)).mkString("\n"))
+  }
+
+  test("q239: top-10-by-revenue plans as a heap above the final " +
+    "aggregate — never a global sort of the groups (Q3 shape, r15)") {
+    assertHeapAboveAggregate("q239_tpch_q3_shape")
+    // both date predicates reach their scans
+    val p = plan("q239_tpch_q3_shape")
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toList
+    assert(scans.exists(_.contains("LessThan(o_orderdate")) &&
+      scans.exists(_.contains("GreaterThan(l_shipdate")),
+      s"date cuts must push down:\n${scans.mkString("\n")}")
+  }
+
+  test("q240: customer-grain top-20 heaps the |customers| group frame " +
+    "(Q10 shape, r15)") {
+    assertHeapAboveAggregate("q240_tpch_q10_shape")
+    val p = plan("q240_tpch_q10_shape")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toList
+    assert(scans.exists(s => s.contains("EqualTo(l_returnflag,R)")),
+      s"returnflag must push into the lineitem scan:\n${scans.mkString("\n")}")
+  }
+
   test("q225: the OR-of-conjunctions join extracts the common equi-key " +
     "as a hash join and pushes each side's disjunction into its scan " +
     "(Q19 shape, r14)") {

@@ -861,4 +861,134 @@ class StreamingSpec extends SparkSpec {
     } finally qHw.stop()
     } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
+
+  test("q242: the registered streaming attribution equals batch q153 " +
+    "row for row, with sessions split across micro-batches (r15)") {
+    val cols = Seq("user_id", "s_start", "first_click_id",
+      "n_purchases", "attributed_value")
+    val got = canon(graft.queries.Streaming
+      .queries("q242_streaming_session_attribution").fn(spark, sf0001),
+      cols: _*)
+    val want = canon(graft.queries.Streaming
+      .queries("q153_session_attribution").fn(spark, sf0001), cols: _*)
+    assert(want.nonEmpty, "empty attribution report — fixture broken")
+    assert(got == want,
+      s"service diverged from batch: only-in-q242 ${(got -- want).take(3)}, " +
+        s"only-in-q153 ${(want -- got).take(3)}")
+    // non-vacuity: qualifying (click+purchase) sessions are rare by
+    // construction, but the carry is exercised by ALL sessions — the
+    // time-interleaved 8-chunk replay splits every user's history, so
+    // assert the underlying session count dwarfs the chunk count
+    assert(want.size >= 2, s"fixture too shallow: ${want.size} sessions")
+    val allSessions = graft.queries.Streaming
+      .queries("q39_session_window").fn(spark, sf0001).count()
+    assert(allSessions > 50,
+      s"session fixture too shallow for cross-chunk carry: $allSessions")
+  }
+
+  test("q242 attribution drops redelivered events instead of double-" +
+    "counting a purchase (self-enforcing order)") {
+    def at(sec: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime + sec * 1000)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[EventStreams.AtRow]
+    val q = EventStreams.sessionAttributionPerUser(ms.toDS())
+      .writeStream.format("memory").outputMode("append")
+      .queryName("attr_redeliver_sink").start()
+    try {
+      val b1 = Seq(
+        EventStreams.AtRow(7L, at(0), 1L, "click", 0.0),
+        EventStreams.AtRow(7L, at(60), 2L, "purchase", 10.0))
+      ms.addData(b1); q.processAllAvailable()
+      // at-least-once: the whole first batch arrives AGAIN — every row
+      // is at or before the last folded (us, id), so the state must
+      // treat it as a no-op (no extra purchase, no re-attribution)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(Seq(
+        EventStreams.AtRow(7L, at(120), 3L, "purchase", 5.0)))
+      q.processAllAvailable()
+      // watermark-advancing sentinel flushes the dangling session
+      ms.addData(Seq(
+        EventStreams.AtRow(999L, at(24 * 3600), 99L, "sentinel", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("attr_redeliver_sink")
+        .filter(col("user_id") === 7L)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      assert(got == Seq((7L,
+        at(0).getTime * 1000L, 1L, 2L, 15.0)),
+        s"redelivery must be a no-op: $got")
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
+  test("q241: a redelivered micro-batch never re-asks the backend — " +
+    "the idempotency cache absorbs at-least-once delivery (r15)") {
+    val docs = (0L until 30L).map(i => (i, s"text body number $i"))
+    val runDir = java.nio.file.Files
+      .createTempDirectory("graft_q241spec_").toFile
+    val cacheDir = new java.io.File(runDir, "cache").getAbsolutePath
+    val outDir = new java.io.File(runDir, "out").getAbsolutePath
+    val cfg = graft.core.JobConfig(
+      id = "stream-enrich-spec",
+      erbTemplate = "<%= id %>|<%= texts[:content] %>",
+      backendEndpoint = "http://fake", model = "fake",
+      outputLabel = "summary", systemErbTemplate = None,
+      params = Map.empty, useImages = false, responseFormat = None)
+    StreamingSpec.calls.set(0L)
+    val counting = new graft.llm.LlmClient {
+      override def chat(ms: Seq[graft.llm.Msg],
+          c: graft.core.JobConfig): String = {
+        StreamingSpec.calls.incrementAndGet()
+        s"R:${ms.last.text.length}"
+      }
+    }
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val records = batch.select(
+          col("doc_id").cast("string").as("id"),
+          map(lit("content"), col("text")).as("texts"),
+          array().cast("array<string>").as("images"))
+        graft.pipeline.EnrichJob
+          .runCached(records, cfg, counting, cacheDir)
+          .good
+          .select(col("id").cast("long").as("doc_id"),
+            element_at(col("texts"), "summary").as("summary"))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      val chunks = docs.grouped(10).toSeq
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        ms.addData(c); q.processAllAvailable()
+        if (i == 1) { ms.addData(c); q.processAllAvailable() }
+      }
+    } finally q.stop()
+    // exactly one backend ask per distinct prompt despite the
+    // redelivered micro-batch — the service's frugality contract
+    assert(StreamingSpec.calls.get() == docs.size,
+      s"expected ${docs.size} calls, got ${StreamingSpec.calls.get()}")
+    // and the sink's merge-on-read fold is exactly-once per doc
+    val folded = spark.read.parquet(outDir)
+      .groupBy(col("doc_id")).agg(min(col("summary")).as("summary"))
+    assert(folded.count() == docs.size)
+    val raw = spark.read.parquet(outDir).count()
+    assert(raw == docs.size + 10,
+      s"the redelivered batch must appear in the raw sink (got $raw rows)" +
+        " — otherwise the fold gate is vacuous")
+  }
+}
+
+object StreamingSpec {
+  /** shared JVM-wide so executor tasks and the spec see one counter
+    * (local[*] — the EnrichJobSpec.calls idiom)
+    */
+  val calls = new java.util.concurrent.atomic.AtomicLong(0L)
 }
