@@ -330,6 +330,22 @@ object Analytics extends Catalog {
                       THEN u.o_totalprice ELSE b.o_totalprice END AS o_totalprice
           FROM base b FULL OUTER JOIN delta u ON b.o_orderkey = u.o_orderkey)"""
 
+  /** q95's DuckDB mirror (diff-class counts over the full-outer
+    * reconciliation join), shared VERBATIM with its hashed spelling
+    * q249 — the carry-the-oracle discipline.
+    */
+  private val TableDiffOracleSql: String = s"""
+        WITH $OrdersMergedCtes,
+        v2 AS (SELECT * FROM merged WHERE o_orderkey % 13 <> 0)
+        SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+                     AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+                    THEN 'same' ELSE 'changed' END AS diff,
+               count(*) AS n
+        FROM base a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        GROUP BY 1"""
+
   // ---- shared q91/q104 CDC-log fixture -----------------------------
   // ONE deterministic changelog over orders — an insert for every key
   // (seq 0), an update for keys %3=0 (seq 1), a delete for keys %5=0
@@ -2309,18 +2325,43 @@ object Analytics extends Catalog {
               .otherwise("changed").as("diff"))
           .groupBy(col("diff")).agg(count(lit(1)).as("n"))
       },
-      sql = Some(s"""
-        WITH $OrdersMergedCtes,
-        v2 AS (SELECT * FROM merged WHERE o_orderkey % 13 <> 0)
-        SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
-                    WHEN b.o_orderkey IS NULL THEN 'removed'
-                    WHEN a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
-                     AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
-                    THEN 'same' ELSE 'changed' END AS diff,
-               count(*) AS n
-        FROM base a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
-        GROUP BY 1"""),
-      scaleNote = "one full-outer shuffle join keyed like the snapshots themselves (bucketed layouts co-locate it); payload equality stays inside the join's projection — at 100 TB compare xxhash64 of the payload struct instead of column-by-column, same plan"),
+      sql = Some(TableDiffOracleSql),
+      scaleNote = "one full-outer shuffle join keyed like the snapshots themselves (bucketed layouts co-locate it); payload equality stays inside the join's projection — at 100 TB compare xxhash64 of the payload struct instead of column-by-column, same plan — REGISTERED as q249 under this oracle VERBATIM"),
+
+    // ----- q249: q95's hashed spelling (r15) --------------------------
+    // The promise at q95's scaleNote, registered (the q222/q228/q243
+    // convert-the-promise discipline): payload equality as ONE
+    // xxhash64 of the payload struct per side instead of column-by-
+    // column null-safe compares. Same full-outer plan, same oracle
+    // VERBATIM — the gate proves hash-compare ≡ column-compare on
+    // this corpus (a disagreement would be an xxhash64 collision or a
+    // struct-canonicalization bug, either of which hash-mismatches
+    // the driver). The win is schema-independence: a 100-column
+    // snapshot diffs at the same per-row cost as this 2-column one,
+    // and the hash can be PRECOMPUTED at write time (stored beside
+    // the row, the content-addressing stance of q24/q36), turning
+    // every future diff into a join on (key, hash) with zero payload
+    // IO.
+    "q249_table_diff_hashed" -> Q(
+      fn = (s, d) => {
+        val v1 = ordersBase(s, d)
+        val v2 = ordersMerged(s, d)
+          .filter(col("o_orderkey") % 13 =!= 0)
+        def sig(side: String) = xxhash64(
+          struct(col(s"$side.o_orderstatus"), col(s"$side.o_totalprice")))
+        val a = v1.as("a")
+        val b = v2.as("b")
+        a.join(b, col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+          .select(
+            coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+            when(col("a.o_orderkey").isNull, "added")
+              .when(col("b.o_orderkey").isNull, "removed")
+              .when(sig("a") === sig("b"), "same")
+              .otherwise("changed").as("diff"))
+          .groupBy(col("diff")).agg(count(lit(1)).as("n"))
+      },
+      sql = Some(TableDiffOracleSql),
+      scaleNote = "identical join/shuffle shape to q95 — the hash is a row-local projection, so the plan, the exchanges, and the group fold are byte-for-byte the same; what changes at 100 TB is the CONSTANT: one 8-byte compare per row pair regardless of payload width, nulls folded in by the struct hash (no per-column null-safe chain to keep in sync with the schema), and precomputing the hash at snapshot-write time (content addressing) drops the diff's payload read entirely — the shared oracle makes 'hash diff ≡ column diff' a driver-gated theorem, not an assumption"),
 
     // ----- retention cohorts ----------------------------------------
     // Product-analytics staple: bucket users by first-active week

@@ -1173,6 +1173,213 @@ object Relational extends Catalog {
         LIMIT 20"""),
       scaleNote = "same heap-above-aggregate contract as q239 (TakeOrderedAndProject over the final HashAggregate, PlanSpec-pinned) but at the grain where it matters most: the group frame is |active customers| — far too big to single-task sort, trivially cheap to heap — and the half-open quarter reaches the orders scan as row-group min/max pruning so the fact pass touches one quarter's rows; the descriptive columns (c_name, n_name) ride the group key (functionally dependent on c_custkey — zero extra groups, saves the post-limit join a 100 TB plan would otherwise re-shuffle for), nation broadcasts, and the returnflag cut prunes lineitem at its scan"),
 
+    // ----- E4/SQL surface: the canonical TPC-H Q4 shape (r15) ---------
+    // The EXISTS-then-COUNT member that completes the TPC-H canon's
+    // decorrelation story from the AGGREGATION side: q187 decorrelates
+    // EXISTS/NOT EXISTS as a row filter; Q4 counts the survivors per
+    // category, so the semi join must land BELOW the aggregate and
+    // the correlated non-equi conjunct (a late line: shipped > 60
+    // days after ordering — the corpus's stand-in for Q4's
+    // commitdate < receiptdate) rides the semi join as a residual,
+    // never a re-executed subquery. 43/60 quarter orders qualify at
+    // sf0.001 — selective, not vacuous.
+    "q244_tpch_q4_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q244_orders")
+        t(s, d, "lineitem").createOrReplaceTempView("q244_lineitem")
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS order_count
+          FROM q244_orders
+          WHERE o_orderdate >= TIMESTAMP '1999-07-01'
+            AND o_orderdate < TIMESTAMP '1999-10-01'
+            AND EXISTS (
+              SELECT 1 FROM q244_lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          GROUP BY 1""")
+      },
+      sql = Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-07-01'
+          AND o_orderdate < TIMESTAMP '1999-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1"""),
+      scaleNote = "the EXISTS decorrelates to ONE LeftSemi hash join on o_orderkey with the 60-day lateness test as the join's residual condition (plan-pinned: semi join present, no cartesian, no per-row re-execution), so the whole query is quarter-pruned orders ⋈ semi lineitem + a 5-row priority fold; at 100 TB the quarter cut reaches the orders scan as row-group pruning and the semi join's build side is the quarter's orders — the lineitem side streams, keeps nothing, and the aggregate is a map-side partial over ≤5 groups"),
+
+    // ----- E4/SQL surface: the canonical TPC-H Q6 shape (r15) ---------
+    // The forecasting-revenue-change scan: no join at all — the
+    // simplest member of the canon, registered because its entire
+    // value IS the pushdown story: three predicates (date range,
+    // discount band, quantity cap) must ALL reach the parquet scan,
+    // and the answer is one map-side fold of price×discount in exact
+    // e4 integers. The discount band compares INTEGER percent
+    // (round(l_discount·100) BETWEEN 5 AND 7) — never a double
+    // BETWEEN across an engine boundary.
+    "q245_tpch_q6_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("q245_lineitem")
+        s.sql("""
+          SELECT count(*) AS n_lines,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_discount * 100) AS BIGINT))
+                   AS BIGINT) AS revenue_e4
+          FROM q245_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+            AND l_shipdate < TIMESTAMP '2000-01-01'
+            AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+            AND l_quantity < 24""")
+      },
+      sql = Some("""
+        SELECT count(*) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT))
+                 AS BIGINT) AS revenue_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate < TIMESTAMP '2000-01-01'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24"""),
+      scaleNote = "the canonical scan-bound query: the date range and quantity cap push into the parquet scan as row-group min/max pruning (plan-pinned) and the whole answer is a 1-row map-side partial — zero shuffles of data, one of partials; the discount band is computed (round ×100) so it stays a post-scan codegen filter, the documented cost of exact integer semantics — at 100 TB the date predicate is the lever (a year of a decade-long table is ~10% of row groups) and this query IS the yardstick for scan throughput every engine bench leads with"),
+
+    // ----- E4/SQL surface: the canonical TPC-H Q12 shape (r15) --------
+    // Shipping-priority audit: the two-branch CONDITIONAL COUNT over a
+    // fact-fact join — Q8/q235 proved conditional SUMS on one fact's
+    // measure; Q12's fold counts by a predicate on the OTHER side of
+    // the join (o_orderpriority), so the CASE must ride the joined
+    // row, and both branches fold in the single pass (never two
+    // priority-filtered scans). l_returnflag ∈ (R, N) stands in for
+    // Q12's two ship modes (this corpus has no l_shipmode).
+    "q246_tpch_q12_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("q246_orders")
+        t(s, d, "lineitem").createOrReplaceTempView("q246_lineitem")
+        s.sql("""
+          SELECT l_returnflag,
+                 CAST(sum(CASE WHEN o_orderpriority IN
+                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+                 CAST(sum(CASE WHEN o_orderpriority NOT IN
+                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                   AS low_line_count
+          FROM q246_orders, q246_lineitem
+          WHERE o_orderkey = l_orderkey
+            AND l_returnflag IN ('R', 'N')
+            AND l_shipdate >= TIMESTAMP '1999-01-01'
+            AND l_shipdate < TIMESTAMP '2000-01-01'
+          GROUP BY 1""")
+      },
+      sql = Some("""
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                   ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN
+                   ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                 AS low_line_count
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey
+          AND l_returnflag IN ('R', 'N')
+          AND l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate < TIMESTAMP '2000-01-01'
+        GROUP BY 1"""),
+      scaleNote = "one pass, one join: the returnflag IN and the year range prune lineitem AT ITS SCAN before the o_orderkey shuffle, both priority branches are CASE columns of the same two-phase aggregate (a priority-filtered double-scan would pay the join twice), and the group frame is 2 rows; at 100 TB the join is the bill — co-locate it by bucketing both tables on the order key (q170's layout) and the query degenerates to a zipper merge + map-side fold with zero exchanges"),
+
+    // ----- E4/SQL surface: the canonical TPC-H Q14 shape (r15) --------
+    // Promotion-effect share: the SCALAR conditional-share member —
+    // q235 computes shares per group; Q14's readout is ONE row where
+    // the numerator predicate lives on the joined DIMENSION attribute
+    // (p_name's promo class), so the part join must broadcast and the
+    // share folds num and den in the same single aggregate. Exact
+    // e4 integers + exact ppm (the r9 rational rule).
+    "q247_tpch_q14_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("q247_lineitem")
+        t(s, d, "part").createOrReplaceTempView("q247_part")
+        s.sql("""
+          SELECT count(*) AS n_lines,
+                 CAST(sum(CASE WHEN p_name LIKE '%widget%'
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS total_rev_e4,
+                 CAST(sum(CASE WHEN p_name LIKE '%widget%'
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     ELSE 0 END) * 1000000 AS BIGINT)
+                   DIV CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS promo_ppm
+          FROM q247_lineitem, q247_part
+          WHERE l_partkey = p_partkey
+            AND l_shipdate >= TIMESTAMP '1999-09-01'
+            AND l_shipdate < TIMESTAMP '1999-10-01'""")
+      },
+      sql = Some("""
+        SELECT count(*) AS n_lines,
+               CAST(sum(CASE WHEN p_name LIKE '%widget%'
+                   THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS BIGINT) AS total_rev_e4,
+               CAST(sum(CASE WHEN p_name LIKE '%widget%'
+                   THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   ELSE 0 END) AS BIGINT) * 1000000
+                 // CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS promo_ppm
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1999-09-01'
+          AND l_shipdate < TIMESTAMP '1999-10-01'"""),
+      scaleNote = "the month cut reaches the lineitem scan, part BROADCASTS (dimension-sized — plan-pinned, so the promo test is a row-local LIKE on the joined row, never a second scan or a filtered-subquery-joined-back), and num/den/count fold in ONE map-side-partial aggregate to a single row; the exact num/den emission beside the ppm means any share convention downstream is the reader's division — at 100 TB this is a one-fact-pass query whose only exchange carries 1-row partials"),
+
+    // ----- E4/SQL surface: the canonical TPC-H Q16 shape (r15) --------
+    // Supplier-relationship count: COUNT(DISTINCT) per multi-attribute
+    // dimension group ABOVE an anti join — the canon's last member,
+    // and the only one whose aggregate is a distinct-count keyed on
+    // dimension attributes (brand, type, size) while the counted key
+    // (the supplier) must first survive a NOT IN blacklist. The
+    // blacklist subquery is non-nullable (s_suppkey), so Catalyst
+    // plans a plain LeftAnti (q209 covered the null-aware trap);
+    // supplier offers derive from lineitem the q221 way (no partsupp).
+    "q248_tpch_q16_shape" -> Q(
+      fn = (s, d) => {
+        t(s, d, "part").createOrReplaceTempView("q248_part")
+        t(s, d, "lineitem").createOrReplaceTempView("q248_lineitem")
+        t(s, d, "supplier").createOrReplaceTempView("q248_supplier")
+        s.sql("""
+          SELECT p_brand, p_type, p_size,
+                 CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+          FROM q248_part, q248_lineitem
+          WHERE p_partkey = l_partkey
+            AND p_brand <> 'Brand#7'
+            AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+            AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM q248_supplier
+              WHERE s_name LIKE '%7')
+          GROUP BY 1, 2, 3""")
+      },
+      sql = Some("""
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part, lineitem
+        WHERE p_partkey = l_partkey
+          AND p_brand <> 'Brand#7'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        GROUP BY 1, 2, 3"""),
+      scaleNote = "the brand/size cuts prune PART at its scan and broadcast into the fact, the blacklist is a broadcast anti join (|suppliers|-row build — plan-pinned no cartesian), and the distinct-count runs as the standard two-exchange expand-free plan: partial distinct on (attrs, suppkey) collapses duplicate offers map-side BEFORE the attrs shuffle, then the final fold counts survivors — at 100 TB that first partial is what keeps the exchange offer-sized rather than fact-sized, and swapping count(DISTINCT) for approx_count_distinct (q43's HLL) makes the whole report one pass when ±2% suffices, the q203→q210 stance"),
+
     // ----- E5: range (theta) join — events self-join ------------------
     "q09_range_join_events" -> Q(
       fn = (s, d) => {

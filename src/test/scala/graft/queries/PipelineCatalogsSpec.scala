@@ -2449,6 +2449,17 @@ class PipelineCatalogsSpec extends SparkSpec {
         s"only-in-q243 ${(b -- a).take(3)}")
   }
 
+  test("q249 ≡ q95: the hashed payload compare reproduces the column-" +
+    "by-column diff classes row-for-row (r15)") {
+    val a = Analytics.queries("q95_table_diff").fn(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    val b = Analytics.queries("q249_table_diff_hashed").fn(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(a.keySet == Set("added", "removed", "changed", "same"),
+      s"all four diff classes must occur: $a")
+    assert(a == b, s"hash diff diverged: $a vs $b")
+  }
+
   test("q237 staging: strays are deleted and stale content is repaired " +
     "on reconcile (ADVICE r14)") {
     // first run stages the fixture dir; n = 90 at sf0.001

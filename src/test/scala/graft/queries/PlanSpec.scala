@@ -1153,6 +1153,75 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q244: the EXISTS-then-COUNT decorrelates to one semi join with " +
+    "the lateness residual — no cartesian, no re-execution (Q4 shape, r15)") {
+    val p = plan("q244_tpch_q4_shape")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n${p.take(1600)}")
+    // the quarter cut reaches the orders scan
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toList
+    assert(scans.exists(s => s.contains("o_orderdate") &&
+      s.contains("GreaterThanOrEqual")), scans.mkString("\n"))
+  }
+
+  test("q245: all three predicates reach the lineitem scan and the fold " +
+    "is one two-phase aggregate (Q6 shape, r15)") {
+    val p = plan("q245_tpch_q6_shape")
+    // the plan STRING truncates the PushedFilters list — read the scan
+    // node's untruncated metadata instead
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val pushed = planNodes("q245_tpch_q6_shape")
+      .collect { case f: FileSourceScanExec => f.metadata("PushedFilters") }
+      .mkString(" ")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_quantity,24"),
+      s"date + quantity must push down: ${pushed.take(400)}")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(800))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a scalar fold needs no hash exchange:\n${p.take(800)}")
+  }
+
+  test("q246: both priority branches fold in ONE pass over the joined " +
+    "frame — single aggregate, returnflag pushed (Q12 shape, r15)") {
+    val df = allQueries("q246_tpch_q12_shape").fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // one scan per table — the two CASE branches never fork the plan
+    assert(finalScanCount(df, "lineitem") == 1 &&
+      finalScanCount(df, "orders") == 1,
+      s"conditional counts must not re-scan:\n${p.take(1200)}")
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toList
+    assert(scans.exists(_.contains("In(l_returnflag")), scans.mkString("\n"))
+  }
+
+  test("q247: part broadcasts and num/den/count fold in one aggregate " +
+    "(Q14 shape, r15)") {
+    val df = allQueries("q247_tpch_q14_shape").fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part dimension must broadcast:\n${p.take(1200)}")
+    assert(finalScanCount(df, "lineitem") == 1,
+      s"the share must be one fact pass:\n${p.take(1200)}")
+  }
+
+  test("q248: the blacklist is an anti join and the distinct-count " +
+    "partial-collapses before the attrs shuffle (Q16 shape, r15)") {
+    val p = plan("q248_tpch_q16_shape")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(p.contains("LeftAnti"),
+      s"NOT IN over a non-nullable key must plan as LeftAnti:\n${p.take(1600)}")
+    // distinct-count = the two-aggregate expand-free plan: a partial
+    // distinct on (attrs, suppkey) below the final count
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 3,
+      s"distinct-count must partial-collapse map-side:\n${p.take(1600)}")
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toList
+    assert(scans.exists(s => s.contains("In(p_size") ||
+      s.contains("Not(EqualTo(p_brand")), scans.mkString("\n"))
+  }
+
   test("q243: the windowless Zipf fit has NO Window — per-source heads " +
     "come from TakeOrderedAndProject legs (q172's 100 TB spelling, r15)") {
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
