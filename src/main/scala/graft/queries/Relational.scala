@@ -1311,10 +1311,10 @@ object Relational extends Catalog {
                  CAST(sum(CASE WHEN p_name LIKE '%widget%'
                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
                           * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                     ELSE 0 END) * 1000000 AS BIGINT)
+                     ELSE 0 END) AS DECIMAL(38, 0)) * 1000000
                    DIV CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                     AS BIGINT) AS promo_ppm
+                     AS DECIMAL(38, 0)) AS promo_ppm
           FROM q247_lineitem, q247_part
           WHERE l_partkey = p_partkey
             AND l_shipdate >= TIMESTAMP '1999-09-01'
@@ -1329,13 +1329,15 @@ object Relational extends Catalog {
                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
                  AS BIGINT) AS total_rev_e4,
-               CAST(sum(CASE WHEN p_name LIKE '%widget%'
-                   THEN CAST(round(l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                   ELSE 0 END) AS BIGINT) * 1000000
+               CAST(
+                 CAST(sum(CASE WHEN p_name LIKE '%widget%'
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS HUGEINT) * 1000000
                  // CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                   AS BIGINT) AS promo_ppm
+                   AS HUGEINT)
+                 AS BIGINT) AS promo_ppm
         FROM lineitem, part
         WHERE l_partkey = p_partkey
           AND l_shipdate >= TIMESTAMP '1999-09-01'

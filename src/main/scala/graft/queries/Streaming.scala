@@ -136,6 +136,28 @@ object Streaming extends Catalog {
                CASE WHEN user_id % 10 < 8 THEN 'train' ELSE 'eval' END AS split
         FROM ex WHERE pos >= 2"""
 
+  /** ONE definition of the state-v2 replay child session —
+    * ChildSessions memoizes per (parent, profile), so per-query copies
+    * of this block would be dead code after the first caller and a
+    * drift hazard (run-order-dependent config); every replay query
+    * calls this instead (r15 review fix).
+    *  - RocksDB provider: state-v2 transformWithState requires it.
+    *  - 8 state partitions: sized to the replay fixtures' key
+    *    cardinality (O(10) event types / O(1e3) users), not the batch
+    *    engine's CPU count — every micro-batch commits EVERY state
+    *    partition's RocksDB store, so 32 mostly-empty stores per batch
+    *    was pure fixed overhead (~2/3 of q217's suite reading,
+    *    ProfileQ-measured r15). Production sizes this to key
+    *    cardinality × state size, the same knob.
+    */
+  private def rocksDbChild(s0: SparkSession): SparkSession =
+    ChildSessions.get(s0, "rocksdb-state") { s2 =>
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+    }
+
   override def queries: Map[String, Q] = Map(
 
     // ----- session-scoped first-touch attribution -------------------
@@ -424,19 +446,7 @@ object Streaming extends Catalog {
     "q212_streaming_ewma_chart" -> Q(
       fn = (s0, d) => {
         import org.apache.spark.sql.functions._
-        val s = ChildSessions.get(s0, "rocksdb-state") { s2 =>
-          s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state." +
-              "RocksDBStateStoreProvider")
-          // state partitions sized to the replay fixtures' key
-          // cardinality (O(10) event types / O(1e3) users), not the
-          // batch engine's CPU count: every micro-batch commits EVERY
-          // state partition's RocksDB store, so 32 mostly-empty
-          // stores per batch was pure fixed overhead (~2/3 of q217's
-          // suite reading, ProfileQ-measured r15) — production sizes
-          // this to key cardinality × state size, the same knob
-          s2.conf.set("spark.sql.shuffle.partitions", "8")
-        }
+        val s = rocksDbChild(s0)
         import s.implicits._
         // q207's plan, verbatim, up to the chart input
         val ev = Tables.load(s, d, "events").select(col("event_type"),
@@ -488,19 +498,7 @@ object Streaming extends Catalog {
     "q217_streaming_holt_winters" -> Q(
       fn = (s0, d) => {
         import org.apache.spark.sql.functions._
-        val s = ChildSessions.get(s0, "rocksdb-state") { s2 =>
-          s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state." +
-              "RocksDBStateStoreProvider")
-          // state partitions sized to the replay fixtures' key
-          // cardinality (O(10) event types / O(1e3) users), not the
-          // batch engine's CPU count: every micro-batch commits EVERY
-          // state partition's RocksDB store, so 32 mostly-empty
-          // stores per batch was pure fixed overhead (~2/3 of q217's
-          // suite reading, ProfileQ-measured r15) — production sizes
-          // this to key cardinality × state size, the same knob
-          s2.conf.set("spark.sql.shuffle.partitions", "8")
-        }
+        val s = rocksDbChild(s0)
         import s.implicits._
         // q213's planted daily feed, verbatim
         val daily0 = Tables.load(s, d, "events")
@@ -562,19 +560,7 @@ object Streaming extends Catalog {
     "q223_streaming_rolling_zscore" -> Q(
       fn = (s0, d) => {
         import org.apache.spark.sql.functions._
-        val s = ChildSessions.get(s0, "rocksdb-state") { s2 =>
-          s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state." +
-              "RocksDBStateStoreProvider")
-          // state partitions sized to the replay fixtures' key
-          // cardinality (O(10) event types / O(1e3) users), not the
-          // batch engine's CPU count: every micro-batch commits EVERY
-          // state partition's RocksDB store, so 32 mostly-empty
-          // stores per batch was pure fixed overhead (~2/3 of q217's
-          // suite reading, ProfileQ-measured r15) — production sizes
-          // this to key cardinality × state size, the same knob
-          s2.conf.set("spark.sql.shuffle.partitions", "8")
-        }
+        val s = rocksDbChild(s0)
         import s.implicits._
         // q149's per-event frame, verbatim: exact integer cents of the
         // event value, ordered by (ts, event_id) within each user.
@@ -616,19 +602,7 @@ object Streaming extends Catalog {
     "q229_streaming_next_event" -> Q(
       fn = (s0, d) => {
         import org.apache.spark.sql.functions._
-        val s = ChildSessions.get(s0, "rocksdb-state") { s2 =>
-          s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state." +
-              "RocksDBStateStoreProvider")
-          // state partitions sized to the replay fixtures' key
-          // cardinality (O(10) event types / O(1e3) users), not the
-          // batch engine's CPU count: every micro-batch commits EVERY
-          // state partition's RocksDB store, so 32 mostly-empty
-          // stores per batch was pure fixed overhead (~2/3 of q217's
-          // suite reading, ProfileQ-measured r15) — production sizes
-          // this to key cardinality × state size, the same knob
-          s2.conf.set("spark.sql.shuffle.partitions", "8")
-        }
+        val s = rocksDbChild(s0)
         import s.implicits._
         // collect() = MemoryStream FIXTURE STAGING only (the q223
         // stance): production rows arrive AS the stream; the service
@@ -670,19 +644,7 @@ object Streaming extends Catalog {
     "q242_streaming_session_attribution" -> Q(
       fn = (s0, d) => {
         import org.apache.spark.sql.functions._
-        val s = ChildSessions.get(s0, "rocksdb-state") { s2 =>
-          s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state." +
-              "RocksDBStateStoreProvider")
-          // state partitions sized to the replay fixtures' key
-          // cardinality (O(10) event types / O(1e3) users), not the
-          // batch engine's CPU count: every micro-batch commits EVERY
-          // state partition's RocksDB store, so 32 mostly-empty
-          // stores per batch was pure fixed overhead (~2/3 of q217's
-          // suite reading, ProfileQ-measured r15) — production sizes
-          // this to key cardinality × state size, the same knob
-          s2.conf.set("spark.sql.shuffle.partitions", "8")
-        }
+        val s = rocksDbChild(s0)
         import s.implicits._
         // collect() = MemoryStream FIXTURE STAGING only (the q223
         // stance): production rows arrive AS the stream
@@ -735,10 +697,12 @@ object Streaming extends Catalog {
         val feed = Tables.load(s, d, "documents")
           .select(col("doc_id"), col("text"))
           .as[(Long, String)].collect().sortBy(_._1)
-        val runDir = java.nio.file.Files
-          .createTempDirectory("graft_q241_").toFile
-        val cacheDir = new java.io.File(runDir, "cache").getAbsolutePath
-        val outDir = new java.io.File(runDir, "out").getAbsolutePath
+        // shutdown-hooked temp root (Analytics.tempSnapshotDir — the
+        // q103/q104 pattern): repeated bench/profile invocations must
+        // not grow /tmp without bound (r15 review fix)
+        val runDir = Analytics.tempSnapshotDir("graft_q241_")
+        val cacheDir = runDir + "/cache"
+        val outDir = runDir + "/out"
         val cfg = graft.core.JobConfig(
           id = "stream-enrich",
           erbTemplate = "<%= id %>|<%= texts[:content] %>",
@@ -749,7 +713,13 @@ object Streaming extends Catalog {
         // SQL-mirrored in the oracle
         val fake = new graft.llm.FakeLlmClient(p => {
           val bar = p.indexOf('|')
-          s"doc=${p.substring(0, bar)};chars=${p.substring(bar + 1).length}"
+          val body = p.substring(bar + 1)
+          // codePointCount, not String.length: the oracle's length()
+          // counts Unicode code points, and a single astral char
+          // (surrogate pair) would silently diverge the two (r15
+          // review fix — the q233 sequence(0,-1) class of latency)
+          s"doc=${p.substring(0, bar)};chars=${
+            body.codePointCount(0, body.length)}"
         })
         implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
         val ms = org.apache.spark.sql.execution.streaming.runtime

@@ -1196,40 +1196,7 @@ object TextAnalysis extends Catalog {
     // information a source-partitioned lake exposes as its directory
     // listing), never the corpus.
     "q243_zipf_topk_windowless" -> Q(
-      fn = (s, d) => {
-        val R = 200
-        val counts = docs(s, d)
-          .select(col("source"),
-            explode(split(lower(col("text")), " ")).as("token"))
-          .filter(length(col("token")) > 0)
-          .groupBy(col("source"), col("token"))
-          .agg(count(lit(1)).as("cnt"))
-          .localCheckpoint() // ONE vocabulary build feeds every leg
-        val sources = counts.select(col("source"))
-          .distinct().collect().map(_.getString(0)).sorted
-        val heads = sources.map { src =>
-            counts.filter(col("source") === src)
-              .orderBy(col("cnt").desc, col("token"))
-              .limit(R)
-          }.reduce(_ unionByName _)
-        heads.groupBy(col("source"))
-          .agg(sort_array(collect_list(
-            struct((-col("cnt")).as("negcnt"), col("token")))).as("h"))
-          .select(col("source"), posexplode(col("h")))
-          .select(col("source"),
-            log((col("pos") + 1).cast("double")).as("x"),
-            log((-col("col.negcnt")).cast("double")).as("y"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_terms"),
-            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-            sum(col("x") * col("y")).as("sxy"),
-            sum(col("x") * col("x")).as("sxx"))
-          .filter(col("n_terms") >= 2)
-          .select(col("source"), col("n_terms"),
-            round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
-              (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
-              .as("zipf_slope"))
-      },
+      fn = (s, d) => zipfWindowless(docs(s, d)),
       sql = Some(ZipfOracleSql),
       scaleNote = "the vocabulary frame materializes ONCE (types, not tokens — Heaps'-law-sized) and each source's leg is a TakeOrderedAndProject over its slice: per-partition 200-row heaps, a |partitions|×200-row merge, zero sorts of the vocabulary (PlanSpec pins no Window anywhere and heaps present); rank assignment folds the ≤200-row head per source into ONE sorted array and posexplodes — an aggregate whose state is capped at 200 entries, so nothing anywhere in this plan holds more than the head; legs scale with |sources| (each pruning to its slice — on a source-partitioned lake each leg reads one partition), which trades q172's single vocab-wide window pass for |sources| head-sized passes of a checkpointed frame: the right side of the trade exactly when the vocabulary is huge and |sources| is dimension-sized, which is the 100 TB shape"),
 
@@ -1528,6 +1495,49 @@ object TextAnalysis extends Catalog {
                round((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx), 6)
                  AS zipf_slope
         FROM a WHERE n_terms >= 2"""
+
+  /** q243's body, factored out so the empty-corpus totality guard is
+    * spec-testable on a fixture frame (`docsDf` needs source + text).
+    */
+  private[queries] def zipfWindowless(docsDf: DataFrame): DataFrame = {
+    val R = 200
+    val counts = docsDf
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // ONE vocabulary build feeds every leg
+    val sources = counts.select(col("source"))
+      .distinct().collect().map(_.getString(0)).sorted
+    // empty-corpus totality (r15 review fix): reduce on an empty
+    // leg list throws where q172 and the oracle return 0 rows —
+    // an empty counts frame short-circuits to its own empty self
+    val heads =
+      if (sources.isEmpty) counts.limit(0)
+      else sources.map { src =>
+        counts.filter(col("source") === src)
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(R)
+      }.reduce(_ unionByName _)
+    heads.groupBy(col("source"))
+      .agg(sort_array(collect_list(
+        struct((-col("cnt")).as("negcnt"), col("token")))).as("h"))
+      .select(col("source"), posexplode(col("h")))
+      .select(col("source"),
+        log((col("pos") + 1).cast("double")).as("x"),
+        log((-col("col.negcnt")).cast("double")).as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_terms") >= 2)
+      .select(col("source"), col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"))
+  }
 
   /** q233's report body, factored out so the totality guard is
     * spec-testable on a fixture frame (`docsDf` needs doc_id + text).

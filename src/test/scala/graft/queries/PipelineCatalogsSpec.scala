@@ -2449,6 +2449,19 @@ class PipelineCatalogsSpec extends SparkSpec {
         s"only-in-q243 ${(b -- a).take(3)}")
   }
 
+  test("q243 guard: an empty or all-empty-token corpus yields the empty " +
+    "frame q172 yields, never an empty-reduce crash (r15 review fix)") {
+    val empty = Seq.empty[(String, String)].toDF("source", "text")
+    assert(TextAnalysis.zipfWindowless(empty).count() == 0L)
+    // sources exist but every token filters out (empty-string tokens)
+    val blank = Seq(("src0", ""), ("src1", "")).toDF("source", "text")
+    assert(TextAnalysis.zipfWindowless(blank).count() == 0L)
+    // non-vacuity: a real corpus still fits
+    val real = Seq(("s", ("tok " * 300).trim)).toDF("source", "text")
+    val row = TextAnalysis.zipfWindowless(real).collect()
+    assert(row.isEmpty, "a 1-term vocabulary is below the n_terms >= 2 cut")
+  }
+
   test("q249 ≡ q95: the hashed payload compare reproduces the column-" +
     "by-column diff classes row-for-row (r15)") {
     val a = Analytics.queries("q95_table_diff").fn(spark, sf0001)

@@ -983,6 +983,11 @@ class StreamingSpec extends SparkSpec {
     assert(raw == docs.size + 10,
       s"the redelivered batch must appear in the raw sink (got $raw rows)" +
         " — otherwise the fold gate is vacuous")
+    // reclaim the fixture dirs — repeated test runs must not grow /tmp
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(runDir)
   }
 }
 
