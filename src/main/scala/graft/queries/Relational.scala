@@ -901,8 +901,8 @@ object Relational extends Catalog {
                    AS BIGINT) AS target_rev_e4,
                  CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
                  CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END)
-                      * 1000000 AS BIGINT)
-                   DIV CAST(sum(rev_e4) AS BIGINT) AS share_ppm
+                      AS DECIMAL(38, 0)) * 1000000
+                   DIV CAST(sum(rev_e4) AS DECIMAL(38, 0)) AS share_ppm
           FROM mkt GROUP BY o_year""")
       },
       sql = Some("""
@@ -925,9 +925,9 @@ object Relational extends Catalog {
                CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END)
                  AS BIGINT) AS target_rev_e4,
                CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
-               CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END)
-                 AS BIGINT) * 1000000
-                 // CAST(sum(rev_e4) AS BIGINT) AS share_ppm
+               CAST(CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END)
+                   AS HUGEINT) * 1000000
+                 // CAST(sum(rev_e4) AS HUGEINT) AS BIGINT) AS share_ppm
         FROM mkt GROUP BY o_year"""),
       scaleNote = "one pass over the market: numerator and denominator are CASE branches of the SAME two-phase aggregate (the naive spelling — a target-filtered subquery joined back to the total — would scan the market twice and re-join on year), the part cut prunes the fact via its broadcast join (dimension-sized filtered part side), the region cut prunes customers before the order join, and the year fold is |years| rows; at 100 TB the p_type predicate is the big lever (it reaches the part scan and shrinks the probe side of every subsequent join), the supplier-nation test stays a row-local CASE so adding target nations is free (one CASE branch each, same single pass), and the exact num/den emission means ANY downstream share convention (percent, bps, ppm) is the reader's division, never a re-aggregation",
     ),
@@ -968,8 +968,8 @@ object Relational extends Catalog {
           WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
             AND n_name = 'NATION_12'
           GROUP BY l_partkey
-          HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * CAST(l_quantity AS BIGINT))
+          HAVING CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT)) AS DECIMAL(38, 0))
                  * (SELECT count(DISTINCT l_partkey)
                     FROM q232_lineitem, q232_supplier, q232_nation
                     WHERE l_suppkey = s_suppkey
@@ -977,7 +977,8 @@ object Relational extends Catalog {
                       AND n_name = 'NATION_12')
                > (SELECT CAST(sum(CAST(round(l_extendedprice * 100)
                                        AS BIGINT)
-                                  * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                                  * CAST(l_quantity AS BIGINT))
+                    AS DECIMAL(38, 0))
                   FROM q232_lineitem, q232_supplier, q232_nation
                   WHERE l_suppkey = s_suppkey
                     AND s_nationkey = n_nationkey
