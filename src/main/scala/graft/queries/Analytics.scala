@@ -346,6 +346,123 @@ object Analytics extends Catalog {
         FROM base a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
         GROUP BY 1"""
 
+  /** q113/q250's shared PageRank body. `prePartition` = the 100 TB
+    * spelling: edges hash-partitioned by u before their checkpoint and
+    * the per-round join a ShuffledHashJoin building on the rank side
+    * (run it on a no-broadcast session to force the at-scale physics);
+    * false = q113's broadcast-rank spelling. `roundProbe` sees each
+    * round's frame BEFORE its checkpoint — PlanSpec's hook for pinning
+    * the per-iteration plan (production callers ignore it).
+    */
+  private[queries] def pagerankSuppliers(
+      s: SparkSession, d: String, prePartition: Boolean,
+      roundProbe: DataFrame => Unit = _ => ()): DataFrame = {
+    val Damp = 0.85
+    val Iters = 5
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint() // the edge list feeds out-strength + every round
+    val out = e.groupBy(col("u")).agg(sum(col("w")).as("wout"))
+    // transition probability u→v; row-stochastic by construction.
+    // out is node-sized — broadcast it so the edge frame never
+    // shuffles for the normalization
+    val ewBase = e.join(broadcast(out), "u")
+      .select(col("u"), col("v"),
+        (col("w").cast("double") / col("wout")).as("p"))
+    // prePartition: stage the edges into HashPartitioning(u) ONCE —
+    // localCheckpoint preserves outputPartitioning, so every round's
+    // join finds its distribution already satisfied on the edge side.
+    // The partition count is EXPLICIT (REPARTITION_BY_NUM): a keyless
+    // repartition is an AQE-coalescible shuffle, and a coalesced
+    // stage's partitioning does not survive the checkpoint — the
+    // silent way to lose the whole point of this spelling
+    val ew = (if (prePartition)
+        ewBase.repartition(
+          s.conf.get("spark.sql.shuffle.partitions").toInt, col("u"))
+      else ewBase)
+      .localCheckpoint()
+    val nodes = ew.select(col("u").as("node")).distinct()
+      .localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    // n_nodes rides IN the rank frame (constant column) so each
+    // round is exactly one join + one agg — recomputing and
+    // re-broadcasting the scalar per round would add 2 jobs/round
+    var r = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"),
+        col("n_nodes"))
+      .localCheckpoint()
+    for (_ <- 1 to Iters) {
+      // checkpoint per round: truncates the iterative lineage
+      // (q61's stance) — without it the plan doubles every round.
+      // q113 spelling: the node-sized rank frame BROADCASTS into the
+      // cached edge frame — per round the only exchange left is the
+      // group-by on v. q250 spelling: broadcast is off (at-scale
+      // premise), the rank side is the ShuffledHashJoin BUILD (no
+      // per-round sort of edges), and the edges' staged partitioning
+      // satisfies the join's distribution — they never re-shuffle.
+      val joined =
+        if (prePartition) ew.join(r.hint("shuffle_hash"),
+          ew("u") === r("node"))
+        else ew.join(broadcast(r), ew("u") === r("node"))
+      val next = joined
+        .groupBy(ew("v").as("node"))
+        .agg(sum(col("p") * col("r")).as("mass"),
+          first(col("n_nodes")).as("n_nodes"))
+        .select(col("node"),
+          ((lit(1.0) - lit(Damp)) / col("n_nodes") +
+            lit(Damp) * col("mass")).as("r"),
+          col("n_nodes"))
+      roundProbe(next)
+      r = next.localCheckpoint()
+    }
+    // symmetric co-occurrence ⇒ every node has in-edges, so no
+    // node drops out of the aggregation and no dangling mass exists.
+    // round(,6) ONLY on the final emit (the iterations stay raw):
+    // per-round mass sums merge in partition order, so the last
+    // 1-2 ulp differ between engines — q117's canonicalization
+    // discipline pins the gate without touching the recurrence
+    r.select(col("node"), round(col("r"), 6).as("r"))
+  }
+
+  /** q113's DuckDB mirror (5 unrolled damped rounds), shared VERBATIM
+    * with its pre-partitioned spelling q250 — the carry-the-oracle
+    * discipline.
+    */
+  private val PagerankOracleSql: String = """
+        WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+        e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_suppkey <> b.l_suppkey
+              GROUP BY 1, 2),
+        o AS (SELECT u, sum(w) AS wout FROM e GROUP BY 1),
+        ew AS (SELECT e.u, e.v, CAST(e.w AS DOUBLE) / o.wout AS p
+               FROM e JOIN o USING (u)),
+        n AS (SELECT count(DISTINCT u) AS n_nodes FROM ew),
+        r0 AS (SELECT DISTINCT u AS node, 1.0 / n.n_nodes AS r
+               FROM ew CROSS JOIN n),
+        r1 AS (SELECT ew.v AS node,
+                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r0.r) AS r
+               FROM ew JOIN r0 ON ew.u = r0.node CROSS JOIN n GROUP BY 1),
+        r2 AS (SELECT ew.v AS node,
+                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r1.r) AS r
+               FROM ew JOIN r1 ON ew.u = r1.node CROSS JOIN n GROUP BY 1),
+        r3 AS (SELECT ew.v AS node,
+                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r2.r) AS r
+               FROM ew JOIN r2 ON ew.u = r2.node CROSS JOIN n GROUP BY 1),
+        r4 AS (SELECT ew.v AS node,
+                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r3.r) AS r
+               FROM ew JOIN r3 ON ew.u = r3.node CROSS JOIN n GROUP BY 1),
+        r5 AS (SELECT ew.v AS node,
+                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r4.r) AS r
+               FROM ew JOIN r4 ON ew.u = r4.node CROSS JOIN n GROUP BY 1)
+        SELECT node, round(r, 6) AS r FROM r5"""
+
   // ---- shared q91/q104 CDC-log fixture -----------------------------
   // ONE deterministic changelog over orders — an insert for every key
   // (seq 0), an update for keys %3=0 (seq 1), a delete for keys %5=0
@@ -2404,91 +2521,44 @@ object Analytics extends Catalog {
     // both engines run the exact same arithmetic; per-iteration mass
     // is a sum of positive doubles (no cancellation) — 6-sig-fig safe.
     "q113_pagerank_suppliers" -> Q(
-      fn = (s, d) => {
-        val Damp = 0.85
-        val Iters = 5
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") =!= col("b.l_suppkey"))
-          .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-          .agg(count(lit(1)).as("w"))
-          .localCheckpoint() // the edge list feeds out-strength + every round
-        val out = e.groupBy(col("u")).agg(sum(col("w")).as("wout"))
-        // transition probability u→v; row-stochastic by construction.
-        // out is node-sized — broadcast it so the edge frame never
-        // shuffles for the normalization
-        val ew = e.join(broadcast(out), "u")
-          .select(col("u"), col("v"),
-            (col("w").cast("double") / col("wout")).as("p"))
-          .localCheckpoint()
-        val nodes = ew.select(col("u").as("node")).distinct()
-          .localCheckpoint()
-        val nn = nodes.agg(count(lit(1)).as("n_nodes"))
-        // n_nodes rides IN the rank frame (constant column) so each
-        // round is exactly one join + one agg — recomputing and
-        // re-broadcasting the scalar per round would add 2 jobs/round
-        var r = nodes.crossJoin(broadcast(nn))
-          .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"),
-            col("n_nodes"))
-          .localCheckpoint()
-        for (_ <- 1 to Iters) {
-          // checkpoint per round: truncates the iterative lineage
-          // (q61's stance) — without it the plan doubles every round.
-          // The rank frame is node-sized, so it BROADCASTS into the
-          // cached edge frame: per round the only exchange left is the
-          // group-by on v — the edges themselves never re-shuffle. (At
-          // graph scales where ranks outgrow broadcast, drop the hint
-          // and both sides hash-partition on the join key instead.)
-          r = ew.join(broadcast(r), ew("u") === r("node"))
-            .groupBy(ew("v").as("node"))
-            .agg(sum(col("p") * col("r")).as("mass"),
-              first(col("n_nodes")).as("n_nodes"))
-            .select(col("node"),
-              ((lit(1.0) - lit(Damp)) / col("n_nodes") +
-                lit(Damp) * col("mass")).as("r"),
-              col("n_nodes"))
-            .localCheckpoint()
+      fn = (s, d) => pagerankSuppliers(s, d, prePartition = false),
+      sql = Some(PagerankOracleSql),
+      scaleNote = "the Pregel pattern on DataFrames: per round ONE shuffle joining the rank frame to the (pre-partitioned, checkpointed) edge list and ONE groupBy on the destination — at 100 TB pre-partition edges by u so the rank join co-locates without re-shuffling edges each round (REGISTERED as q250 under this oracle VERBATIM), and the per-round localCheckpoint keeps lineage O(1) instead of O(iterations). Mass aggregation is map-side partial; the node-count scalar broadcasts. Fixed iteration count keeps the oracle arithmetic identical — a convergence-tested variant adds q61's signature probe, same plan"),
+
+    // ----- q250: q113's pre-partitioned spelling (r15) -----------------
+    // The promise at q113's scaleNote, registered (the q243/q249
+    // convert-the-promise discipline): at graph scales where the rank
+    // frame outgrows a broadcast, the loop's viability rests on the
+    // EDGES never re-shuffling — so the edge frame is hash-partitioned
+    // by u ONCE before its checkpoint (localCheckpoint preserves
+    // outputPartitioning in the LogicalRDD), the per-round join runs
+    // as a ShuffledHashJoin with the node-sized rank frame as the
+    // build side (broadcast disabled via the q129 no-broadcast child
+    // session — the at-scale premise, forced), and the only per-round
+    // exchanges are the rank frame's (node-sized) and the groupBy on
+    // v. PlanSpec probes every round's plan: no broadcast join, edges
+    // stream from the checkpoint with ZERO exchange above them.
+    // Gated by q113's oracle VERBATIM (per-round sums merge in a
+    // different partition order — exactly the engine-vs-engine
+    // variance the round(,6) final emit already canonicalizes).
+    "q250_pagerank_prepartitioned" -> Q(
+      fn = (s0, d) => {
+        // AQE off for the loop session: adaptive wrapping re-plans
+        // each round's tiny node-sized stages for no benefit, and an
+        // AQE-executed repartition does not carry its partitioning
+        // through the checkpoint into the next round's plan — the
+        // exact property this spelling exists to exploit (observed
+        // empirically: with AQE on, every round re-exchanged the
+        // edges; PlanSpec pins the fixed plan per round)
+        val s = ChildSessions.get(s0, "no-broadcast-no-aqe") { s2 =>
+          s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+          s2.conf.set("spark.sql.adaptive.enabled", "false")
         }
-        // symmetric co-occurrence ⇒ every node has in-edges, so no
-        // node drops out of the aggregation and no dangling mass exists.
-        // round(,6) ONLY on the final emit (the iterations stay raw):
-        // per-round mass sums merge in partition order, so the last
-        // 1-2 ulp differ between engines — q117's canonicalization
-        // discipline pins the gate without touching the recurrence
-        r.select(col("node"), round(col("r"), 6).as("r"))
+        pagerankSuppliers(s, d, prePartition = true)
       },
-      sql = Some("""
-        WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
-        e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
-              FROM li a JOIN li b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_suppkey <> b.l_suppkey
-              GROUP BY 1, 2),
-        o AS (SELECT u, sum(w) AS wout FROM e GROUP BY 1),
-        ew AS (SELECT e.u, e.v, CAST(e.w AS DOUBLE) / o.wout AS p
-               FROM e JOIN o USING (u)),
-        n AS (SELECT count(DISTINCT u) AS n_nodes FROM ew),
-        r0 AS (SELECT DISTINCT u AS node, 1.0 / n.n_nodes AS r
-               FROM ew CROSS JOIN n),
-        r1 AS (SELECT ew.v AS node,
-                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r0.r) AS r
-               FROM ew JOIN r0 ON ew.u = r0.node CROSS JOIN n GROUP BY 1),
-        r2 AS (SELECT ew.v AS node,
-                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r1.r) AS r
-               FROM ew JOIN r1 ON ew.u = r1.node CROSS JOIN n GROUP BY 1),
-        r3 AS (SELECT ew.v AS node,
-                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r2.r) AS r
-               FROM ew JOIN r2 ON ew.u = r2.node CROSS JOIN n GROUP BY 1),
-        r4 AS (SELECT ew.v AS node,
-                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r3.r) AS r
-               FROM ew JOIN r3 ON ew.u = r3.node CROSS JOIN n GROUP BY 1),
-        r5 AS (SELECT ew.v AS node,
-                      0.15 / any_value(n.n_nodes) + 0.85 * sum(ew.p * r4.r) AS r
-               FROM ew JOIN r4 ON ew.u = r4.node CROSS JOIN n GROUP BY 1)
-        SELECT node, round(r, 6) AS r FROM r5"""),
-      scaleNote = "the Pregel pattern on DataFrames: per round ONE shuffle joining the rank frame to the (pre-partitioned, checkpointed) edge list and ONE groupBy on the destination — at 100 TB pre-partition edges by u so the rank join co-locates without re-shuffling edges each round, and the per-round localCheckpoint keeps lineage O(1) instead of O(iterations). Mass aggregation is map-side partial; the node-count scalar broadcasts. Fixed iteration count keeps the oracle arithmetic identical — a convergence-tested variant adds q61's signature probe, same plan"),
+      sql = Some(PagerankOracleSql),
+      scaleNote = "the spelling that survives ranks too big to broadcast: edges carry HashPartitioning(u) through every round's checkpoint AND the rank frame arrives already partitioned (round 1 by the distinct, later rounds by the previous v-fold), so the per-round join moves NOTHING — PlanSpec pins ZERO exchanges inside every round's ShuffledHashJoin, leaving the v-grouped partials as the iteration's only wire traffic; on a real cluster that is O(rounds × |nodes|) network instead of O(rounds × |edges|); the rank side is the hash build (no per-round sort of edges, the SMJ trap), the node-sized broadcasts (out-strength, n_nodes) keep their explicit hints, AQE stays off in the loop session (adaptive re-planning discards checkpoint partitioning and buys nothing on node-sized stages — measured, documented in-code), and the shared oracle pins the arithmetic to q113's — same ranks, different physics"),
 
     // ----- q114: EWMA smoothing (sequential time-series state) ------
     // Exponentially-weighted moving average per user over the event

@@ -2462,6 +2462,22 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(row.isEmpty, "a 1-term vocabulary is below the n_terms >= 2 cut")
   }
 
+  test("q250 ≡ q113: the pre-partitioned PageRank reproduces the " +
+    "broadcast-rank spelling row-for-row (r15)") {
+    val a = Analytics.queries("q113_pagerank_suppliers").fn(spark, sf0001)
+      .as[(Long, Double)].collect().toMap
+    val b = Analytics.queries("q250_pagerank_prepartitioned").fn(spark, sf0001)
+      .as[(Long, Double)].collect().toMap
+    assert(a.nonEmpty && a.keySet == b.keySet,
+      s"node sets diverged: ${a.size} vs ${b.size}")
+    // same ranks to the shared round(,6) emission — different physics,
+    // identical arithmetic (partial-sum order differences are exactly
+    // what the 6-digit canonicalization absorbs, the oracle's own gate)
+    a.foreach { case (n, r) =>
+      assert(math.abs(r - b(n)) < 1e-9, s"node $n: $r vs ${b(n)}")
+    }
+  }
+
   test("q249 ≡ q95: the hashed payload compare reproduces the column-" +
     "by-column diff classes row-for-row (r15)") {
     val a = Analytics.queries("q95_table_diff").fn(spark, sf0001)

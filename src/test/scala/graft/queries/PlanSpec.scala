@@ -1153,6 +1153,57 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q250: every PageRank round joins WITHOUT re-shuffling the edge " +
+    "frame — rank side builds a ShuffledHashJoin, edges stream from the " +
+    "checkpoint (q113's 100 TB spelling, r15)") {
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec}
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(expand)
+    }
+    val s2 = ChildSessions.get(spark, "no-broadcast-no-aqe") { c =>
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.conf.set("spark.sql.adaptive.enabled", "false")
+    }
+    var rounds = 0
+    Analytics.pagerankSuppliers(s2, sf0001, prePartition = true,
+      roundProbe = { df =>
+        rounds += 1
+        val nodes = expand(df.queryExecution.executedPlan)
+        val shj = nodes.collect { case j: ShuffledHashJoinExec => j }
+        assert(shj.size == 1,
+          s"round $rounds: rank join must be ONE ShuffledHashJoin:\n" +
+            nodes.head.toString.take(1200))
+        assert(!nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+          s"round $rounds: no broadcast under the at-scale premise")
+        // the join's subtree holds ZERO shuffles: the edges carry
+        // their staged HashPartitioning(u) through the checkpoint and
+        // the rank frame arrives already partitioned by node (round 1:
+        // the distinct; later rounds: the previous groupBy) — a
+        // round's ONLY exchange is the v-grouped partials ABOVE the
+        // join
+        val exch = expand(shj.head).count(_.isInstanceOf[ShuffleExchangeExec])
+        assert(exch == 0,
+          s"round $rounds: the join must move nothing, " +
+            s"got $exch exchanges:\n${shj.head.toString.take(1200)}")
+        assert(shj.head.children.forall(c =>
+            expand(c).exists(_.isInstanceOf[RDDScanExec])),
+          s"round $rounds: both sides must stream from checkpoints:\n" +
+            shj.head.toString.take(1200))
+      }).collect()
+    assert(rounds == 5, s"probe must see all 5 rounds, saw $rounds")
+  }
+
   test("q244: the EXISTS-then-COUNT decorrelates to one semi join with " +
     "the lateness residual — no cartesian, no re-execution (Q4 shape, r15)") {
     val p = plan("q244_tpch_q4_shape")
