@@ -1002,7 +1002,7 @@ object Relational extends Catalog {
                     AND n_name = 'NATION_12')
              > (SELECT CAST(sum(CAST(round(l_extendedprice * 100)
                                      AS BIGINT)
-                                * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                                * CAST(l_quantity AS BIGINT)) AS HUGEINT)
                 FROM lineitem, supplier, nation
                 WHERE l_suppkey = s_suppkey
                   AND s_nationkey = n_nationkey

@@ -2470,11 +2470,13 @@ class PipelineCatalogsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(a.nonEmpty && a.keySet == b.keySet,
       s"node sets diverged: ${a.size} vs ${b.size}")
-    // same ranks to the shared round(,6) emission — different physics,
-    // identical arithmetic (partial-sum order differences are exactly
-    // what the 6-digit canonicalization absorbs, the oracle's own gate)
+    // same recurrence, different partial-sum order: the two spellings
+    // may land on opposite sides of a 0.5e-6 rounding boundary on a
+    // node whose true rank sits within ulps of it, so the spec allows
+    // exactly ONE rounding step — the driver's DuckDB hash remains the
+    // exact arbiter for each spelling independently (shared oracle)
     a.foreach { case (n, r) =>
-      assert(math.abs(r - b(n)) < 1e-9, s"node $n: $r vs ${b(n)}")
+      assert(math.abs(r - b(n)) <= 1e-6 + 1e-12, s"node $n: $r vs ${b(n)}")
     }
   }
 

@@ -23,16 +23,28 @@ class PlanSpec extends SparkSpec {
 
   /** the physical tree flattened, with AQE wrappers unwrapped so
     * node-type assertions see the whole plan */
-  private def planNodes(name: String)
+  /** ONE plan-walker for every structural assert (r15 review fix —
+    * five local copies had drifted into two variants): flattens the
+    * physical tree, unwrapping BOTH AQE wrappers (AdaptiveSparkPlanExec
+    * and materialized QueryStageExec subtrees), so node-type pins see
+    * the whole plan regardless of execution state.
+    */
+  private def expandPlan(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
-      case other => other +: other.children.flatMap(expand)
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    val kids: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case qs: QueryStageExec => Seq(qs.plan)
+      case o => o.children
     }
-    expand(allQueries(name).fn(spark, sf0001).queryExecution.executedPlan)
+    p +: kids.flatMap(expandPlan)
   }
+
+  private def planNodes(name: String)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    expandPlan(allQueries(name).fn(spark, sf0001).queryExecution.executedPlan)
 
   private def exchanges(p: String): Int =
     p.linesIterator.count(_.contains("Exchange hashpartitioning"))
@@ -312,11 +324,7 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.aggregate.{
       HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
-      case other => other +: other.children.flatMap(expand)
-    }
-    def globalAgg(p: SparkPlan): Boolean = expand(p).exists {
+    def globalAgg(p: SparkPlan): Boolean = expandPlan(p).exists {
       case h: HashAggregateExec       => h.groupingExpressions.isEmpty
       case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
       case s: SortAggregateExec       => s.groupingExpressions.isEmpty
@@ -918,14 +926,10 @@ class PlanSpec extends SparkSpec {
     val nodes = planNodes(name)
     assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
       s"$name: no TakeOrderedAndProject:\n${nodes.head.toString.take(1200)}")
-    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
-      case other => other +: other.children.flatMap(expand)
-    }
     val windows = nodes.collect { case w: WindowExec => w }
     assert(windows.nonEmpty, s"$name: rank window missing")
     windows.foreach { w =>
-      val sub = w.children.flatMap(expand)
+      val sub = w.children.flatMap(expandPlan)
       assert(sub.exists(n => n.isInstanceOf[TakeOrderedAndProjectExec] ||
           n.isInstanceOf[GlobalLimitExec]),
         s"$name: window ranks an un-limited frame:\n${w.toString.take(1200)}")
@@ -1162,14 +1166,6 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.{
       BroadcastHashJoinExec, ShuffledHashJoinExec}
-    def expand(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case qs: QueryStageExec => Seq(qs.plan)
-        case o => o.children
-      }
-      p +: kids.flatMap(expand)
-    }
     val s2 = ChildSessions.get(spark, "no-broadcast-no-aqe") { c =>
       c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       c.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -1179,7 +1175,7 @@ class PlanSpec extends SparkSpec {
     Analytics.pagerankSuppliers(s2, sf0001, prePartition = true,
       roundProbe = { df =>
         rounds += 1
-        val nodes = expand(df.queryExecution.executedPlan)
+        val nodes = expandPlan(df.queryExecution.executedPlan)
         val shj = nodes.collect { case j: ShuffledHashJoinExec => j }
         assert(shj.size == 1,
           s"round $rounds: rank join must be ONE ShuffledHashJoin:\n" +
@@ -1192,12 +1188,12 @@ class PlanSpec extends SparkSpec {
         // the distinct; later rounds: the previous groupBy) — a
         // round's ONLY exchange is the v-grouped partials ABOVE the
         // join
-        val exch = expand(shj.head).count(_.isInstanceOf[ShuffleExchangeExec])
+        val exch = expandPlan(shj.head).count(_.isInstanceOf[ShuffleExchangeExec])
         assert(exch == 0,
           s"round $rounds: the join must move nothing, " +
             s"got $exch exchanges:\n${shj.head.toString.take(1200)}")
         assert(shj.head.children.forall(c =>
-            expand(c).exists(_.isInstanceOf[RDDScanExec])),
+            expandPlan(c).exists(_.isInstanceOf[RDDScanExec])),
           s"round $rounds: both sides must stream from checkpoints:\n" +
             shj.head.toString.take(1200))
       }).collect()
@@ -1322,26 +1318,18 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.adaptive.{
       AdaptiveSparkPlanExec, QueryStageExec}
-    def expand(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case qs: QueryStageExec => Seq(qs.plan)
-        case o => o.children
-      }
-      p +: kids.flatMap(expand)
-    }
     val df = allQueries(name).fn(spark, sf0001)
     df.collect()
-    val nodes = expand(df.queryExecution.executedPlan)
+    val nodes = expandPlan(df.queryExecution.executedPlan)
     val takes = nodes.collect { case t: TakeOrderedAndProjectExec => t }
     assert(takes.nonEmpty, s"$name: no TakeOrderedAndProject:\n" +
       nodes.head.toString.take(1200))
     assert(takes.exists(t =>
-        expand(t).exists(_.isInstanceOf[BaseAggregateExec])),
+        expandPlan(t).exists(_.isInstanceOf[BaseAggregateExec])),
       s"$name: the heap must sit ABOVE the final aggregate")
     val sortsAboveAgg = nodes.collect {
       case s: SortExec
-          if expand(s).exists(_.isInstanceOf[BaseAggregateExec]) => s
+          if expandPlan(s).exists(_.isInstanceOf[BaseAggregateExec]) => s
     }
     assert(sortsAboveAgg.isEmpty,
       s"$name: global sort of the groups frame:\n" +
