@@ -92,7 +92,6 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
-    println(line)
     // the driver's BENCH_r*.json keeps only a truncated stdout tail
     // (VERDICT r12 housekeeping), so also persist the full per-query
     // map to a committed file — round-over-round deltas for every
@@ -104,6 +103,20 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
-    spark.stop()
+    // Shutdown ordering (VERDICT r15 housekeeping item 7a): the
+    // streaming queries all stop inside their own finally blocks, but
+    // the StateStore singleton keeps a RocksDB maintenance thread that
+    // can outlive spark.stop() and log "SparkEnv not active" AFTER the
+    // JSON line — which is exactly what corrupted the driver's
+    // tail-JSON parse in BENCH_r15.json. Unload the stores and kill
+    // the maintenance task, stop Spark, and only THEN print the JSON
+    // line, so it is the absolute last thing on the wire.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case e: Exception =>
+      System.err.println(s"[bench] StateStore.stop: ${e.getMessage}") }
+    try spark.stop()
+    catch { case e: Exception =>
+      System.err.println(s"[bench] spark.stop: ${e.getMessage}") }
+    println(line)
   }
 }

@@ -41,6 +41,68 @@ final class FakeLlmClient(
   }
 }
 
+/** Deterministic fake VISION backend (q251). Unlike [[FakeLlmClient]]
+  * it derives its answer from the SERIALIZED request —
+  * [[OpenAiClient.requestBody]]'s exact JSON — so the multimodal
+  * content-parts assembly (reference build_message_content,
+  * lib/job_processor.rb:212-236) sits INSIDE the oracle gate: the
+  * text part, every image part's `{type: image_url, image_url: {url:
+  * data:image/jpeg;base64,…}}` shape (spec/image_processing_spec.rb:
+  * 73-89), and the plain-string branch when a record has no images
+  * all perturb the response. A wrong prefix or a dropped image is an
+  * exception → dead-letter → the driver's hash mismatches.
+  *
+  * The response is a pure function of (prompt text, image count,
+  * decoded image bytes): `caption[<text>]: imgs=<n>;px=<total decoded
+  * bytes>;h=<md5 of the concatenated decoded payloads>` — every term
+  * SQL-derivable when the payloads are constructed strings (q251's
+  * fixture), so the verdict column oracles like q241's, not q44's
+  * rows-only fingerprint.
+  */
+final class FakeVisionClient extends LlmClient {
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def chat(messages: Seq[Msg], cfg: JobConfig): String = {
+    val root = mapper.readTree(OpenAiClient.requestBody(messages, cfg))
+    val msgs = root.path("messages")
+    var userText = ""
+    var imgs = Vector.empty[Array[Byte]]
+    (0 until msgs.size()).foreach { i =>
+      val m = msgs.get(i)
+      if (m.path("role").asText() == "user") {
+        val c = m.path("content")
+        if (c.isTextual) { userText = c.asText(); imgs = Vector.empty }
+        else {
+          // content-parts branch: exactly one text part first, then
+          // one image_url part per image (rb:214-233)
+          require(c.isArray && c.size() >= 1 &&
+            c.get(0).path("type").asText() == "text",
+            s"content parts must lead with the text part: ${c.toString.take(120)}")
+          userText = c.get(0).path("text").asText()
+          imgs = Vector.empty
+          (1 until c.size()).foreach { k =>
+            val part = c.get(k)
+            require(part.path("type").asText() == "image_url",
+              s"trailing parts must be image_url: ${part.toString.take(120)}")
+            val url = part.path("image_url").path("url").asText()
+            val Prefix = "data:image/jpeg;base64,"
+            require(url.startsWith(Prefix),
+              s"image part must be a jpeg data URI: ${url.take(48)}")
+            imgs = imgs :+ java.util.Base64.getDecoder
+              .decode(url.substring(Prefix.length))
+          }
+        }
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    imgs.foreach(md.update)
+    val h = md.digest().map("%02x".format(_)).mkString
+    s"caption[$userText]: imgs=${imgs.size};px=${
+      imgs.map(_.length.toLong).sum};h=$h"
+  }
+}
+
 object FakeLlmClient {
   /** echo-with-fingerprint: deterministic, prompt-dependent, cheap */
   val default: String => String = p =>

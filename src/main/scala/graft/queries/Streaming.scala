@@ -518,16 +518,30 @@ object Streaming extends Catalog {
           .map { case (et, day, x) => EventStreams.HwRow(et, day, x) }
         // seed-split replay schedule (r15, VERDICT item 6): the state
         // contract is that every key's SEED WEEK crosses micro-batch
-        // boundaries — which needs boundaries inside the first
-        // 7·|keys| rows (the feed interleaves |keys| rows per day),
-        // NOT 20-row round-trips over the whole multi-year feed (at
-        // sf0.1 that was ~100 processAllAvailable cycles and the
-        // entire 7 s suite reading). Three chunks split every key's
-        // seed twice; the post-seed remainder replays in 6 chunks —
-        // the per-boundary (l, b, s[7]) scalar carry is the same
-        // contract at any chunk width, and the oracle gates the
-        // output byte-identically either way.
-        val seedSpan = 7 * feed.map(_.key).distinct.length
+        // boundaries — which needs boundaries inside every key's
+        // first 7 rows, NOT 20-row round-trips over the whole
+        // multi-year feed (at sf0.1 that was ~100
+        // processAllAvailable cycles and the entire 7 s suite
+        // reading). Three chunks split every key's seed twice; the
+        // post-seed remainder replays in 6 chunks — the per-boundary
+        // (l, b, s[7]) scalar carry is the same contract at any
+        // chunk width, and the oracle gates the output
+        // byte-identically either way. The span is derived from the
+        // DATA — the max over keys of the global offset of each
+        // key's 7th row — not from 7·|keys| (which silently assumed
+        // every key's series starts on the feed's first day; a key
+        // first appearing later would have its whole seed week land
+        // in the post-seed region, un-exercised — ADVICE r15).
+        val seedSpan = {
+          val seen = scala.collection.mutable.Map.empty[String, Int]
+          var span = 0
+          feed.zipWithIndex.foreach { case (r, i) =>
+            val c = seen.getOrElse(r.key, 0) + 1
+            seen(r.key) = c
+            if (c == 7) span = math.max(span, i + 1)
+          }
+          span
+        }
         val (seedRows, rest) = feed.toSeq.splitAt(seedSpan)
         replayChunks(s,
             (seedRows.grouped(math.max(1, (seedSpan + 2) / 3)) ++
@@ -670,7 +684,42 @@ object Streaming extends Catalog {
             round(col("attributed_value"), 6).as("attributed_value"))
       },
       sql = Some(SessionAttributionOracleSql),
-      scaleNote = "attribution state is ONE struct per live user (7 fields — start, last (us,id), first click, purchase fold), retired the moment its session closes, so the RocksDB store holds O(|users active within one gap+watermark|), zero history; session close is push-based (a later event or the watermark timer), which means attribution rows land in the sink within one watermark delay of the session's true end — the marketing-attribution SLA a batch nightly job can't offer — and every emission is final (append mode, no retraction), so the downstream join to spend data is insert-only; the shared oracle makes batch-vs-service drift impossible, and the redelivery-drop guard means at-least-once delivery never double-credits a purchase"),
+      scaleNote = "attribution state is ONE struct per live user (7 fields — start, last (us,id), first click, purchase fold), retired the moment its session closes, so the RocksDB store holds O(|users active within one gap+watermark|), zero history; session close is push-based (a later event or the watermark timer), which means attribution rows land in the sink within one watermark delay of the session's true end — the marketing-attribution SLA a batch nightly job can't offer — and every emission is final (append mode, no retraction), so the downstream join to spend data is insert-only; ORDERING CONTRACT (narrowed, ADVICE r15): the at-or-before-last drop guard conflates redelivery with disorder, so batch equivalence under this oracle holds for IN-ORDER-PER-KEY delivery (the registered replay feeds a sorted fixture), with the watermark serving timer advance, not disorder tolerance — a 1s-out-of-order event inside the watermark is dropped here where batch q153 folds it; q256 is the disorder-tolerant sibling (watermark-frontier buffering, O(events-in-watermark) state) for feeds that cannot promise per-key order, and the redelivery-drop guard still means at-least-once delivery never double-credits a purchase"),
+
+    // ----- q256: disorder-tolerant streaming attribution (r16) ---------
+    // ADVICE r15 converted to a registered query (the q243/q249
+    // discipline): q242's processor assumes in-order-per-key
+    // delivery; this twin runs EventStreams.
+    // BufferedAttributionProcessor — per-key events buffer until the
+    // watermark freezes their prefix, fold in (ts, event_id) order,
+    // dedupe redelivery on EXACT (us, id) identity only — over a feed
+    // with DELIBERATE per-key disorder: consecutive same-user events
+    // closer than 8 minutes (session-internal neighbors) swap their
+    // global arrival slots, so every swap is an arrival the in-order
+    // guard would DROP and the buffer must fold back at its timestamp
+    // position — while no event ever breaches the 10-minute watermark
+    // (swap span 8 < 10, provable across chunk boundaries). Same
+    // 8-chunk replay + sentinel flush as q242, q153's oracle
+    // VERBATIM. StreamingSpec pins the fixture's inversion count
+    // (disorder non-vacuous) and proves output-level divergence of
+    // the two processors on a deterministic out-of-order fixture.
+    "q256_streaming_attribution_unordered" -> Q(
+      fn = (s0, d) => {
+        import org.apache.spark.sql.functions._
+        val s = rocksDbChild(s0)
+        import s.implicits._
+        val sentinelUser = 999999999L
+        val feed = attributionShuffledFeed(s, d, sentinelUser)
+        replayChunked(s, feed,
+            math.max(1, (feed.length + 7) / 8), "q256_attr", "append")(
+            EventStreams.sessionAttributionUnordered(_))
+          .filter(col("user_id") =!= sentinelUser)
+          .select(col("user_id"), col("s_start"), col("first_click_id"),
+            col("n_purchases"),
+            round(col("attributed_value"), 6).as("attributed_value"))
+      },
+      sql = Some(SessionAttributionOracleSql),
+      scaleNote = "disorder tolerance is a state-size trade, made explicit: the buffer holds each key's events younger than the watermark (bounded by rate × watermark delay, NOT by history) and every watermark advance folds the frozen prefix in exact (ts, id) order, so the output is the batch answer regardless of arrival order — the property q242 only gets from an ordered transport like a partitioned log; at 100 TB pick per key: ordered ingest (Kafka key-partitioning) → q242's O(1) struct, disordered ingest (multi-region collectors, mobile flushes) → this buffer, same oracle either way; the exact-identity redelivery dedupe composes with both, and lateness beyond the watermark drops by the same contract every watermark operator already signs"),
 
     // ----- q241: the streaming ENRICH service (r15) --------------------
     // The reference's own semantics (R3 per-record enrichment) in the
@@ -766,6 +815,55 @@ object Streaming extends Catalog {
         FROM documents"""),
       scaleNote = "the service IS the batch operator behind a trigger: each micro-batch pays |new prompts| API calls (the content-keyed cache absorbs redelivery, restart, and duplicate documents — exactly-once EFFECT on at-least-once delivery without any sink transaction), the append sink is insert-only parquet a lakehouse would MERGE on doc_id instead of the read-side fold, and throughput scales with partitions × per-partition concurrency exactly like batch E18 because it is the same mapPartitions stage; at 100 TB the knobs are micro-batch size (API-call amortization vs freshness) and maxFilesPerTrigger on a real file source — state lives entirely in the cache dir, so the streaming query itself is stateless and restarts cold")
   )
+
+  /** q256's fixture (shared with StreamingSpec's non-vacuity proof):
+    * the q242 events feed with PER-KEY disorder planted exactly where
+    * it bites — consecutive same-user events closer than 8 minutes
+    * (session-internal neighbors, since the session gap is 5) swap
+    * their GLOBAL arrival slots, greedily over disjoint pairs. Every
+    * swap is an arrival the in-order guard would drop and the buffer
+    * must reorder, yet no event is ever late: the swapped pair differ
+    * by < 8 min of event time and every slot between them holds an
+    * event timestamped between theirs, so nothing trails the running
+    * max by 10 min (the watermark) — a bound that survives any chunk
+    * boundary, because watermarks only advance between batches.
+    * collect() = fixture staging only (the q223/q242 stance); the
+    * far-future sentinel advances the global watermark past every
+    * tail session.
+    */
+  private[graft] def attributionShuffledFeed(
+      s: SparkSession, d: String,
+      sentinelUser: Long): Seq[EventStreams.AtRow] = {
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    val rows = Tables.load(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+      .map { case (uid, ts, eid, et, v) =>
+        EventStreams.AtRow(uid, ts, eid, et, v) }
+    def us(r: EventStreams.AtRow): Long =
+      r.ts.getTime * 1000L + r.ts.getNanos / 1000 % 1000
+    val sorted = rows.sortBy(r => (us(r), r.event_id))
+    val arrival = sorted.clone()
+    val SwapSpanUs = 8L * 60 * 1000000 // < the 10-min watermark
+    sorted.zipWithIndex.groupBy(_._1.user_id).values.foreach { evs =>
+      var i = 0
+      while (i + 1 < evs.length) {
+        val (a, ia) = evs(i)
+        val (b, ib) = evs(i + 1)
+        if (us(b) - us(a) < SwapSpanUs) {
+          arrival(ia) = b; arrival(ib) = a
+          i += 2 // disjoint pairs — a swapped event never swaps again
+        } else i += 1
+      }
+    }
+    val sentinel = EventStreams.AtRow(sentinelUser,
+      new java.sql.Timestamp(rows.map(_.ts.getTime).max +
+        24L * 3600 * 1000),
+      0L, "sentinel", 0.0)
+    arrival.toSeq :+ sentinel
+  }
 
   /** unique memory-sink names across repeated replay invocations in
     * one session (Verify + bench + specs share the SparkSession)

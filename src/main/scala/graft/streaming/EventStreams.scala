@@ -797,6 +797,16 @@ object EventStreams {
     * (us, id) and anything at or before it drops, so a redelivered
     * purchase never double-counts and a redelivered click never
     * re-attributes.
+    *
+    * ORDERING CONTRACT (ADVICE r15, narrowed): the drop guard cannot
+    * tell redelivery from genuine disorder — an event 1 s out of
+    * order but well inside the watermark drops here where batch
+    * q153's session_window folds it. Batch equivalence therefore
+    * holds for IN-ORDER-PER-KEY delivery (a key-partitioned log);
+    * the watermark serves TIMER ADVANCE, not disorder tolerance.
+    * Feeds that cannot promise per-key order take
+    * [[BufferedAttributionProcessor]] (q256) — same oracle,
+    * watermark-frontier buffering, O(events-in-watermark) state.
     */
   class AttributionProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -890,6 +900,149 @@ object EventStreams {
     rows.withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .transformWithState(new AttributionProcessor(gapMin * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** q242's ordering contract, bought back (ADVICE r15): the in-line
+    * [[AttributionProcessor]] drops ANY per-key event at or before
+    * the last folded (us, id) — the right guard for at-least-once
+    * REDELIVERY, but it also discards a genuinely out-of-order event
+    * still inside the watermark, where batch q153's session_window
+    * would fold it. This sibling tolerates full intra-watermark
+    * disorder the textbook way: events BUFFER per key until the
+    * watermark proves their prefix complete — an event folds only
+    * once no earlier-timestamped arrival is still admissible — then
+    * fold in (ts, event_id) order through the same session logic.
+    * Redelivery dedupes on EXACT (us, event_id) equality only (the
+    * advisor's distinction: identity, not order, marks a duplicate);
+    * an arrival older than the watermark is late beyond tolerance
+    * and drops, which is every watermark operator's contract. State
+    * is the watermark-bounded buffer + one open session — O(events
+    * within one watermark per key), the price of disorder tolerance,
+    * where the in-order processor's O(1) struct is the price of
+    * assuming order. Registered as q256 over a deliberately
+    * bucket-shuffled feed, under q153's oracle VERBATIM.
+    */
+  class BufferedAttributionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, AtRow, AttrOut] {
+    @transient private var open:
+        org.apache.spark.sql.streaming.ValueState[AttrState] = _
+    @transient private var buf:
+        org.apache.spark.sql.streaming.ListState[AtRow] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      open = getHandle.getValueState[AttrState]("attr",
+        org.apache.spark.sql.Encoders.product[AttrState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      buf = getHandle.getListState[AtRow]("buf",
+        org.apache.spark.sql.Encoders.product[AtRow],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def usOf(r: AtRow): Long =
+      r.ts.getTime * 1000L + r.ts.getNanos / 1000 % 1000
+    private def ceilMs(us: Long): Long = (us + 999) / 1000L
+    private def expiryMs(lastUs: Long): Long = ceilMs(lastUs) + gapMs + 1
+
+    private def emit(uid: Long, o: AttrState): Iterator[AttrOut] =
+      if (o.clickUs != Long.MaxValue && o.nPurch > 0)
+        Iterator.single(AttrOut(uid, o.startUs, o.clickId, o.nPurch,
+          o.sumValue))
+      else Iterator.empty
+
+    /** One idempotent pass, shared by rows and timers: admit fresh
+      * arrivals, fold the watermark-frozen prefix in order, flush
+      * the open session once the watermark proves its gap.
+      *
+      * The frozen-prefix rule and the late guard interlock: an
+      * arrival is kept iff floor-ms(us) >= wm, an event folds iff
+      * ceil-ms(us) < wm — so every future arrival is strictly after
+      * every folded event and fold order is FINAL (no admissible
+      * arrival can precede a folded one; the proof is the ms
+      * rounding: kept us >= wm·1000 > (ceil-1)·1000 >= any folded
+      * us). The same arithmetic makes the flush safe: once
+      * expiry(last) <= wm, every still-pending event is provably
+      * beyond the gap, so it would start a fresh session anyway.
+      */
+    private def process(uid: Long, incoming: Seq[AtRow],
+        wmMs: Long): Iterator[AttrOut] = {
+      val gapUs = gapMs * 1000L
+      val existing = if (buf.exists()) buf.get().toVector else Vector.empty
+      val seen = existing.map(r => (usOf(r), r.event_id)).toSet
+      val admitted = incoming
+        .filter(r => usOf(r) / 1000 >= wmMs)  // late beyond watermark
+        .filterNot(r => seen((usOf(r), r.event_id))) // exact redelivery
+        .distinctBy(r => (usOf(r), r.event_id))      // in-batch dupes
+      val all = existing ++ admitted
+      val (ready, pending) = all.partition(r => ceilMs(usOf(r)) < wmMs)
+      val out = collection.mutable.ArrayBuffer.empty[AttrOut]
+      var cur = if (open.exists()) Some(open.get()) else None
+      ready.sortBy(r => (usOf(r), r.event_id)).foreach { r =>
+        val us = usOf(r)
+        val isClick = r.event_type == "click"
+        val isPurch = r.event_type == "purchase"
+        cur = cur match {
+          case Some(o) if us - o.lastUs <= gapUs =>
+            Some(o.copy(lastUs = us, lastId = r.event_id,
+              clickUs = if (isClick && us < o.clickUs) us else o.clickUs,
+              clickId = if (isClick && us < o.clickUs) r.event_id
+                        else o.clickId,
+              nPurch = o.nPurch + (if (isPurch) 1L else 0L),
+              sumValue = o.sumValue + (if (isPurch) r.value else 0.0)))
+          case other =>
+            other.foreach(o => out ++= emit(uid, o)) // gap proven
+            Some(AttrState(us, r.event_id, us,
+              if (isClick) us else Long.MaxValue,
+              if (isClick) r.event_id else Long.MaxValue,
+              if (isPurch) 1L else 0L,
+              if (isPurch) r.value else 0.0))
+        }
+      }
+      cur match {
+        case Some(o) if expiryMs(o.lastUs) <= wmMs =>
+          out ++= emit(uid, o); cur = None
+        case _ => ()
+      }
+      if (cur.isEmpty && pending.isEmpty) { open.clear(); buf.clear() }
+      else {
+        cur.fold(open.clear())(open.update)
+        buf.clear()
+        if (pending.nonEmpty) buf.put(pending.toArray)
+        // wake on the next watermark advance; when only the open
+        // session remains, jump straight to its proven expiry
+        getHandle.registerTimer(
+          if (pending.isEmpty) math.max(wmMs + 1,
+            expiryMs(cur.get.lastUs))
+          else wmMs + 1)
+      }
+      out.iterator
+    }
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[AtRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[AttrOut] =
+      process(uid, rows.toSeq, tv.getCurrentWatermarkInMs())
+
+    override def handleExpiredTimer(
+        uid: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AttrOut] =
+      process(uid, Nil, tv.getCurrentWatermarkInMs())
+  }
+
+  /** q256: disorder-tolerant attribution; input must carry a
+    * watermark (both the fold frontier and the flush are
+    * watermark-driven)
+    */
+  def sessionAttributionUnordered(
+      rows: Dataset[AtRow], gapMin: Int = 5): Dataset[AttrOut] = {
+    import rows.sparkSession.implicits._
+    rows.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new BufferedAttributionProcessor(gapMin * 60000L),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }

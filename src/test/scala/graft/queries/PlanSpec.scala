@@ -1200,6 +1200,59 @@ class PlanSpec extends SparkSpec {
     assert(rounds == 5, s"probe must see all 5 rounds, saw $rounds")
   }
 
+  test("q253: bucketed edges keep every round's join exchange-free on " +
+    "the EDGE side with AQE ON — the carrier that survives adaptive " +
+    "re-planning (r16)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val s2 = ChildSessions.get(spark, "no-broadcast") { c =>
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    }
+    assert(s2.conf.get("spark.sql.adaptive.enabled") == "true",
+      "the whole point of q253 is AQE staying ON")
+    val ew = Sources.bucketedFrame(s2, sf0001, "predges", "u",
+      Analytics.supplierEdgeProbs(s2, sf0001))
+    var rounds = 0
+    Analytics.pagerankLoop(ew,
+      (e, r) => e.join(r.hint("shuffle_hash"), e("u") === r("node")),
+      roundProbe = { df =>
+        rounds += 1
+        // materialize first, then inspect the FINAL adaptive tree —
+        // the assertion must hold after AQE has had its say
+        df.collect()
+        val root = df.queryExecution.executedPlan
+        assert(expandPlan(root).exists(_.isInstanceOf[AdaptiveSparkPlanExec]),
+          s"round $rounds must execute adaptively:\n${root.toString.take(600)}")
+        val nodes = expandPlan(root)
+        val shj = nodes.collect { case j: ShuffledHashJoinExec => j }
+        assert(shj.size == 1,
+          s"round $rounds: rank join must be ONE ShuffledHashJoin:\n" +
+            root.toString.take(1200))
+        assert(!nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+          s"round $rounds: no broadcast under the at-scale premise")
+        // the edge side streams straight off the bucket files: its
+        // subtree holds the bucketed scan and ZERO exchanges — AQE
+        // cannot re-plan layout that is scan metadata
+        val edgeSides = shj.head.children.filter(c =>
+          expandPlan(c).exists {
+            case f: FileSourceScanExec => f.bucketedScan
+            case _ => false
+          })
+        assert(edgeSides.size == 1,
+          s"round $rounds: exactly one side must be the bucketed scan:\n" +
+            shj.head.toString.take(1200))
+        assert(!expandPlan(edgeSides.head)
+            .exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"round $rounds: the edge side must never re-shuffle:\n" +
+            edgeSides.head.toString.take(1200))
+      }).collect()
+    assert(rounds == 5, s"probe must see all 5 rounds, saw $rounds")
+  }
+
   test("q244: the EXISTS-then-COUNT decorrelates to one semi join with " +
     "the lateness residual — no cartesian, no re-execution (Q4 shape, r15)") {
     val p = plan("q244_tpch_q4_shape")
@@ -1501,6 +1554,56 @@ class PlanSpec extends SparkSpec {
     val regionScan = p.linesIterator.find(l =>
       l.contains("Scan parquet") && l.contains("region.parquet")).getOrElse("")
     assert(regionScan.contains("EqualTo(r_name,AFRICA)"), regionScan.take(400))
+  }
+
+  test("q254: each channel's filter pushes into its OWN scan below the " +
+    "Union and exactly one two-phase aggregate folds the union (r16)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.UnionExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val df = allQueries("q254_multichannel_revenue").fn(spark, sf0001)
+    df.collect()
+    val nodes = expandPlan(df.queryExecution.executedPlan)
+    // one Union, two branches scanning independently
+    assert(nodes.count(_.isInstanceOf[UnionExec]) == 1,
+      df.queryExecution.executedPlan.toString.take(1600))
+    // branch-local predicates reach their own scans
+    def pushed(table: String): String = nodes.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(table)) =>
+        f.metadata("PushedFilters")
+    }.mkString(" ")
+    assert(pushed("orders").contains("GreaterThanOrEqual(o_orderdate"),
+      s"store branch's date cut must reach the orders scan: ${pushed("orders")}")
+    assert(pushed("events").contains("EqualTo(event_type,purchase)"),
+      s"online branch's type cut must reach the events scan: ${pushed("events")}")
+    // exactly ONE two-phase aggregate (partial above the Union +
+    // final after the exchange) — never per-branch aggregates
+    assert(nodes.count(_.isInstanceOf[HashAggregateExec]) == 2,
+      df.queryExecution.executedPlan.toString.take(1600))
+    // nation broadcasts in both branches
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q255: EXCEPT/INTERSECT on aggregated segments lower to anti/semi " +
+    "hash joins — no cartesian, no window, no global sort (r16)") {
+    val df = allQueries("q255_segment_set_algebra").fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    assert(p.contains("LeftAnti"),
+      s"EXCEPT must plan as an anti join:\n${p.take(1600)}")
+    assert(p.contains("LeftSemi"),
+      s"INTERSECT must plan as a semi join:\n${p.take(1600)}")
+    assert(!p.contains("Window"), p.take(1600))
+    // every half-year segment scan is date-pruned at the source
+    val scans = p.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("orders.parquet")).toList
+    assert(scans.nonEmpty && scans.forall(s =>
+      s.contains("GreaterThanOrEqual(o_orderdate") ||
+        s.contains("IsNotNull(o_orderdate")), scans.mkString("\n"))
   }
 
   test("q170: bucketed fact-fact join runs with no exchange on the join key") {

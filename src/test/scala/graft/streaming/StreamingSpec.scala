@@ -926,6 +926,126 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q256: the buffered attribution equals batch q153 on the " +
+    "session-swapped feed, and the disorder is real — per-key " +
+    "arrival inversions the in-order guard would drop (r16)") {
+    val cols = Seq("user_id", "s_start", "first_click_id",
+      "n_purchases", "attributed_value")
+    val want = canon(graft.queries.Streaming
+      .queries("q153_session_attribution").fn(spark, sf0001), cols: _*)
+    val got = canon(graft.queries.Streaming
+      .queries("q256_streaming_attribution_unordered").fn(spark, sf0001),
+      cols: _*)
+    assert(want.nonEmpty, "empty attribution report — fixture broken")
+    assert(got == want,
+      s"buffered service diverged from batch: only-in-q256 " +
+        s"${(got -- want).take(3)}, only-in-batch ${(want -- got).take(3)}")
+    // non-vacuity: the shuffled feed must contain REAL per-key
+    // disorder — arrival-order inversions the in-order guard would
+    // drop and the buffer must reorder. (The output-level divergence
+    // of the two processors is proven on the deterministic unit
+    // fixture below; it is NOT asserted corpus-wide because the
+    // emitted report filters to click-led purchase sessions — rare at
+    // sf0.001 — so drops on non-qualifying sessions are invisible in
+    // the output even though the carry they exercise is real.)
+    val feed = graft.queries.Streaming
+      .attributionShuffledFeed(spark, sf0001, 999999999L)
+    def usOf(r: EventStreams.AtRow): Long =
+      r.ts.getTime * 1000L + r.ts.getNanos / 1000 % 1000
+    val lastSeen = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    var inversions = 0
+    feed.foreach { r =>
+      lastSeen.get(r.user_id).foreach { case (us, id) =>
+        if (usOf(r) < us || (usOf(r) == us && r.event_id < id))
+          inversions += 1
+      }
+      lastSeen(r.user_id) = (usOf(r), r.event_id)
+    }
+    // 18 swappable session-internal pairs exist at sf0.001 (measured);
+    // greedy disjoint pairing lands 10+ swaps = 10+ inversions
+    assert(inversions > 8,
+      s"swapped feed must carry real per-key disorder for the buffer " +
+        s"to reorder: only $inversions arrival inversions")
+  }
+
+  test("q256 buffering folds an intra-watermark out-of-order event at " +
+    "its TIMESTAMP position — where the in-order guard drops it") {
+    def at(sec: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime + sec * 1000)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(pipe: org.apache.spark.sql.Dataset[EventStreams.AtRow] =>
+        org.apache.spark.sql.Dataset[EventStreams.AttrOut],
+        sink: String): Seq[(Long, Long, Long, Long, Double)] = {
+      val ms = MemoryStream[EventStreams.AtRow]
+      val q = pipe(ms.toDS())
+        .writeStream.format("memory").outputMode("append")
+        .queryName(sink).start()
+      try {
+        // the purchase ARRIVES first; the click is 2 min out of order
+        // — well inside the 10-min watermark, 1 session by the 5-min
+        // gap (120 s between them)
+        ms.addData(Seq(EventStreams.AtRow(5L, at(120), 11L, "purchase", 7.5)))
+        q.processAllAvailable()
+        ms.addData(Seq(EventStreams.AtRow(5L, at(0), 10L, "click", 0.0)))
+        q.processAllAvailable()
+        ms.addData(Seq(
+          EventStreams.AtRow(999L, at(24 * 3600), 99L, "sentinel", 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink).filter(col("user_id") === 5L)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    }
+    try {
+      val buffered = run(EventStreams.sessionAttributionUnordered(_),
+        "q256_ooo_buf_sink")
+      assert(buffered == Seq((5L, at(0).getTime * 1000L, 10L, 1L, 7.5)),
+        s"buffered must fold the click at its timestamp: $buffered")
+      val inOrder = run(EventStreams.sessionAttributionPerUser(_),
+        "q256_ooo_inorder_sink")
+      assert(inOrder.isEmpty,
+        s"in-order guard should drop the out-of-order click (clickless " +
+          s"session never emits): $inOrder")
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("q256 buffering dedupes redelivery on exact (us, id) identity — " +
+    "a purchase never double-credits") {
+    def at(sec: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime + sec * 1000)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[EventStreams.AtRow]
+    val q = EventStreams.sessionAttributionUnordered(ms.toDS())
+      .writeStream.format("memory").outputMode("append")
+      .queryName("q256_redeliver_sink").start()
+    try {
+      val b1 = Seq(
+        EventStreams.AtRow(7L, at(0), 1L, "click", 0.0),
+        EventStreams.AtRow(7L, at(60), 2L, "purchase", 10.0))
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b1); q.processAllAvailable() // whole-batch redelivery
+      ms.addData(Seq(
+        EventStreams.AtRow(7L, at(120), 3L, "purchase", 5.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        EventStreams.AtRow(999L, at(24 * 3600), 99L, "sentinel", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("q256_redeliver_sink")
+        .filter(col("user_id") === 7L)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      assert(got == Seq((7L, at(0).getTime * 1000L, 1L, 2L, 15.0)),
+        s"redelivery must be a no-op under the buffer too: $got")
+    } finally {
+      q.stop()
+      saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("q241: a redelivered micro-batch never re-asks the backend — " +
     "the idempotency cache absorbs at-least-once delivery (r15)") {
     val docs = (0L until 30L).map(i => (i, s"text body number $i"))
