@@ -647,9 +647,13 @@ object Streaming extends Catalog {
     // when the watermark passes last + gap — which is why this twin
     // runs in APPEND mode with a watermark where q223/q229 run
     // TimeMode.None: attribution rows are per-SESSION, not per-event,
-    // so something must close the tail sessions. The 8-chunk replay
-    // splits sessions across micro-batches (the session-carry IS the
-    // gate) and a single far-future sentinel row advances the GLOBAL
+    // so something must close the tail sessions. The replay cuts at
+    // SESSION SEAMS (r16, VERDICT item 6 — the q217 cost lesson):
+    // four boundaries that each provably split an open session
+    // across micro-batches (the session-carry IS the gate, and a
+    // seam cut exercises it by construction where uniform eighths
+    // only did probabilistically, at nearly half the batches), and a
+    // single far-future sentinel row advances the GLOBAL
     // watermark past every tail session (the q39 timer-spec stance —
     // fixture scaffolding standing in for real time passing; the
     // sentinel user's clickless session never emits and is filtered
@@ -675,8 +679,10 @@ object Streaming extends Catalog {
           new java.sql.Timestamp(feed.map(_.ts.getTime).max +
             24L * 3600 * 1000),
           0L, "sentinel", 0.0)
-        replayChunked(s, feed.toSeq :+ sentinel,
-            math.max(1, (feed.length + 7) / 8), "q242_attr", "append")(
+        val chunks = sessionSeamChunks(feed.toSeq, nCuts = 4,
+          gapUs = 5L * 60 * 1000000)
+        replayChunks(s, chunks.init :+ (chunks.last :+ sentinel),
+            "q242_attr", "append")(
             EventStreams.sessionAttributionPerUser(_))
           .filter(col("user_id") =!= sentinelUser)
           .select(col("user_id"), col("s_start"), col("first_click_id"),
@@ -699,8 +705,8 @@ object Streaming extends Catalog {
     // guard would DROP and the buffer must fold back at its timestamp
     // position — while no event ever breaches the 10-minute watermark
     // (swap span 8 < 10, provable across chunk boundaries). Same
-    // 8-chunk replay + sentinel flush as q242, q153's oracle
-    // VERBATIM. StreamingSpec pins the fixture's inversion count
+    // session-seam chunk schedule + sentinel flush as q242, q153's
+    // oracle VERBATIM. StreamingSpec pins the fixture's inversion count
     // (disorder non-vacuous) and proves output-level divergence of
     // the two processors on a deterministic out-of-order fixture.
     "q256_streaming_attribution_unordered" -> Q(
@@ -710,8 +716,13 @@ object Streaming extends Catalog {
         import s.implicits._
         val sentinelUser = 999999999L
         val feed = attributionShuffledFeed(s, d, sentinelUser)
-        replayChunked(s, feed,
-            math.max(1, (feed.length + 7) / 8), "q256_attr", "append")(
+        // the staged feed ends with the sentinel — seam-chunk the real
+        // events, then let the sentinel ride the last chunk (its own
+        // batch would buy nothing but one more RocksDB commit)
+        val chunks = sessionSeamChunks(feed.init, nCuts = 4,
+          gapUs = 5L * 60 * 1000000)
+        replayChunks(s, chunks.init :+ (chunks.last :+ feed.last),
+            "q256_attr", "append")(
             EventStreams.sessionAttributionUnordered(_))
           .filter(col("user_id") =!= sentinelUser)
           .select(col("user_id"), col("s_start"), col("first_click_id"),
@@ -863,6 +874,42 @@ object Streaming extends Catalog {
         24L * 3600 * 1000),
       0L, "sentinel", 0.0)
     arrival.toSeq :+ sentinel
+  }
+
+  /** q242/q256's chunk schedule, cut at SESSION SEAMS (r16, VERDICT
+    * item 6 — the q217 lesson applied to the attribution replays):
+    * replay cost is batches × state partitions × RocksDB commit, and
+    * the state contract only needs boundaries that SPLIT OPEN
+    * SESSIONS across micro-batches. Each of the `nCuts` boundaries
+    * lands immediately before an event whose user has another event
+    * within the session gap just before it — so every boundary
+    * PROVABLY cuts a session mid-flight (uniform eighths only did so
+    * probabilistically) while the batch count drops from 8 to
+    * nCuts + 1. Output is byte-identical under any chunking (append
+    * mode, watermark-driven emission), so the shared oracle is
+    * untouched. |abs| gap test: q256's feed carries planted arrival
+    * swaps, so the seam probe must not assume arrival = time order.
+    */
+  private def sessionSeamChunks(
+      feed: Seq[EventStreams.AtRow], nCuts: Int,
+      gapUs: Long): Seq[Seq[EventStreams.AtRow]] = {
+    def us(r: EventStreams.AtRow): Long =
+      r.ts.getTime * 1000L + r.ts.getNanos / 1000 % 1000
+    val lastUs = scala.collection.mutable.Map.empty[Long, Long]
+    val splitOk = feed.map { r =>
+      val ok = lastUs.get(r.user_id)
+        .exists(p => math.abs(us(r) - p) <= gapUs)
+      lastUs(r.user_id) = us(r)
+      ok
+    }.toIndexedSeq
+    val n = feed.length
+    val cuts = (1 to nCuts).map { k =>
+      val t = k * n / (nCuts + 1)
+      (t until n).find(splitOk(_)).getOrElse(t)
+    }.distinct.sorted
+    (0 +: cuts :+ n).distinct.sorted.sliding(2).collect {
+      case Seq(a, b) if b > a => feed.slice(a, b)
+    }.toSeq
   }
 
   /** unique memory-sink names across repeated replay invocations in

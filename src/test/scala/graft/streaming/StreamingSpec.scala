@@ -877,8 +877,8 @@ class StreamingSpec extends SparkSpec {
         s"only-in-q153 ${(want -- got).take(3)}")
     // non-vacuity: qualifying (click+purchase) sessions are rare by
     // construction, but the carry is exercised by ALL sessions — the
-    // time-interleaved 8-chunk replay splits every user's history, so
-    // assert the underlying session count dwarfs the chunk count
+    // session-seam chunk schedule cuts mid-session by construction
+    // (r16), so assert the underlying session count dwarfs the cuts
     assert(want.size >= 2, s"fixture too shallow: ${want.size} sessions")
     val allSessions = graft.queries.Streaming
       .queries("q39_session_window").fn(spark, sf0001).count()
