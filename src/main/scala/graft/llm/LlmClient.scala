@@ -54,10 +54,11 @@ final class FakeLlmClient(
   *
   * The response is a pure function of (prompt text, image count,
   * decoded image bytes): `caption[<text>]: imgs=<n>;px=<total decoded
-  * bytes>;h=<md5 of the concatenated decoded payloads>` — every term
-  * SQL-derivable when the payloads are constructed strings (q251's
-  * fixture), so the verdict column oracles like q241's, not q44's
-  * rows-only fingerprint.
+  * bytes>;h=<md5 of the length-prefixed decoded payloads>` — every
+  * term SQL-derivable when the payloads are constructed strings
+  * (q251's fixture), so the verdict column oracles like q241's, not
+  * q44's rows-only fingerprint; the <len>: framing keeps the digest
+  * injective over the payload LIST, not just its concatenation.
   */
 final class FakeVisionClient extends LlmClient {
   @transient private lazy val mapper =
@@ -95,8 +96,16 @@ final class FakeVisionClient extends LlmClient {
         }
       }
     }
+    // length-prefix every payload before hashing (r16 review fix):
+    // md5 of the bare concatenation is invariant under shifting bytes
+    // across image-part boundaries, so a misallocation bug that
+    // preserves count and total bytes would slip the gate — the
+    // "<len>:<payload>" framing makes the digest injective over the
+    // payload LIST
     val md = java.security.MessageDigest.getInstance("MD5")
-    imgs.foreach(md.update)
+    imgs.foreach { b =>
+      md.update(s"${b.length}:".getBytes("UTF-8")); md.update(b)
+    }
     val h = md.digest().map("%02x".format(_)).mkString
     s"caption[$userText]: imgs=${imgs.size};px=${
       imgs.map(_.length.toLong).sum};h=$h"

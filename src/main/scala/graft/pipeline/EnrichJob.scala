@@ -135,10 +135,20 @@ object EnrichJob {
     val textKey = concat_ws("\u0000",
       col("prompt"), coalesce(col("sys"), lit("")),
       lit(cfg.model), lit(cfg.outputLabel))
+    // the digest must be INJECTIVE over image lists (r16 review fix:
+    // concat_ws alone collides [] with [""] and skips nulls, exactly
+    // the false-hit class this key exists to kill) — fold in the
+    // element count and length-prefix every payload so boundaries
+    // can't shift
     val keyCol =
       if (cfg.useImages)
         md5(concat_ws("\u0000", textKey,
-          md5(concat_ws("\u0001", col("images")))))
+          md5(concat_ws("\u0001",
+            size(col("images")).cast("string"),
+            concat_ws("\u0001", transform(col("images"), x =>
+              concat_ws(":",
+                coalesce(length(x).cast("string"), lit("-")),
+                coalesce(x, lit("")))))))))
       else md5(textKey)
     val prompted = promptedFrame(records, cfg).withColumn("cacheKey", keyCol)
 

@@ -105,7 +105,16 @@ object SchemaValidate {
   // LEAF string comes back unquoted — so `["a","b"]` is regex-exact
   // for all-string arrays, and the documented IntType caveat (a
   // quoted digit string is indistinguishable from a number once
-  // unquoted) applies to NumType the same way.
+  // unquoted) applies to EVERY type check here the same way: NumType
+  // cannot tell 0.75 from "0.75", and ObjType/ArrayType cannot tell
+  // {"a":1} / ["a"] from the STRINGS "{\"a\":1}" / "[\"a\"]",
+  // because the leaf unquotes before the startsWith/regex probe. A
+  // model answering a stringified structure therefore passes the
+  // structural checks — plant prose, not quoted structures, to test,
+  // and treat a passed check as "extractable as the declared type",
+  // which is what the downstream get_json_object consumers actually
+  // need (a stringified array that json_array_length can count IS
+  // consumable by every extraction this gate protects).
 
   /** string length ceiling (absent field FAILS — pair with Required
     * when the field is optional-but-bounded is not the semantics you

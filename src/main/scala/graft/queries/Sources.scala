@@ -992,10 +992,17 @@ object Sources extends Catalog {
                ';h=' ||
                CASE CAST(doc_id % 3 AS INTEGER)
                     WHEN 0 THEN md5('')
-                    WHEN 1 THEN md5('A:' || CAST(doc_id AS VARCHAR))
-                    ELSE md5('A:' || CAST(doc_id AS VARCHAR) ||
-                             'B:' || CAST(doc_id AS VARCHAR) ||
-                             ':' || lang)
+                    WHEN 1 THEN md5(
+                      CAST(length('A:' || CAST(doc_id AS VARCHAR))
+                        AS VARCHAR) || ':' ||
+                      'A:' || CAST(doc_id AS VARCHAR))
+                    ELSE md5(
+                      CAST(length('A:' || CAST(doc_id AS VARCHAR))
+                        AS VARCHAR) || ':' ||
+                      'A:' || CAST(doc_id AS VARCHAR) ||
+                      CAST(length('B:' || CAST(doc_id AS VARCHAR) ||
+                                  ':' || lang) AS VARCHAR) || ':' ||
+                      'B:' || CAST(doc_id AS VARCHAR) || ':' || lang)
                END AS caption
         FROM documents"""),
       scaleNote = "images ride the SAME executor-side mapPartitions stage as text enrich — base64 payloads are just wider records, so throughput still scales with partitions × per-partition concurrency and the data never routes through the driver; at 100 TB the payloads come off the lake as binary columns (q237's binaryFile ingest feeding base64() map-side, exactly this query's img columns), request size replaces request count as the rate-limit currency (batch by total bytes, not rows), and the idempotency cache (runCached) keys on the full request INCLUDING the image hash so re-ingested frames never re-pay vision-token prices; the deterministic fake re-parses the serialized request, which is what puts the content-parts CONTRACT — not just the verdict — under the driver's hash"),

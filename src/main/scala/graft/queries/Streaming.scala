@@ -540,6 +540,21 @@ object Streaming extends Catalog {
             seen(r.key) = c
             if (c == 7) span = math.max(span, i + 1)
           }
+          // the 3-chunk split below places boundaries at span/3 and
+          // 2·span/3 — that splits EVERY key's seed twice only when
+          // keys interleave uniformly from day 1 (each key's rows 1-7
+          // spread across the whole span). A key starting days late
+          // stretches span and silently parks EARLY keys' whole seeds
+          // inside one chunk (r16 review finding), so the assumption
+          // is ENFORCED: on this corpus every event_type posts daily
+          // counts from the first day, making span exactly 7·|keys|.
+          // If the corpus shape ever changes, fail loudly here and
+          // re-derive the schedule (interval stabbing over each key's
+          // [first, seventh] range) instead of weakening the gate.
+          require(span == 7 * seen.size,
+            s"q217 seed-split schedule assumes a uniformly interleaved " +
+              s"feed (every key daily from day 1): got span=$span for " +
+              s"${seen.size} keys (expected ${7 * seen.size})")
           span
         }
         val (seedRows, rest) = feed.toSeq.splitAt(seedSpan)
@@ -830,17 +845,21 @@ object Streaming extends Catalog {
   /** q256's fixture (shared with StreamingSpec's non-vacuity proof):
     * the q242 events feed with PER-KEY disorder planted exactly where
     * it bites — consecutive same-user events closer than 8 minutes
-    * (session-internal neighbors, since the session gap is 5) swap
-    * their GLOBAL arrival slots, greedily over disjoint pairs. Every
-    * swap is an arrival the in-order guard would drop and the buffer
-    * must reorder, yet no event is ever late: the swapped pair differ
-    * by < 8 min of event time and every slot between them holds an
-    * event timestamped between theirs, so nothing trails the running
-    * max by 10 min (the watermark) — a bound that survives any chunk
-    * boundary, because watermarks only advance between batches.
-    * collect() = fixture staging only (the q223/q242 stance); the
-    * far-future sentinel advances the global watermark past every
-    * tail session.
+    * (the 5-min session gap's neighborhood) swap their GLOBAL arrival
+    * slots — under a GLOBAL NON-OVERLAP rule: a new pair may only
+    * start after the previous swapped pair's later slot (r16 review
+    * fix — overlapping swaps CHAIN: each interleaved pair can push
+    * the running arrival max another span beyond a delayed event's
+    * timestamp, and two chained 8-min pairs already breach the 10-min
+    * watermark; with disjoint slot ranges at most ONE event — the
+    * pair's own later member — arrives ahead of a delayed event's
+    * timestamp, so nothing ever trails the running max by more than
+    * the 8-min span, strictly inside the watermark even across chunk
+    * boundaries, because watermarks only advance between batches).
+    * Every swap is an arrival the in-order guard would drop and the
+    * buffer must reorder. collect() = fixture staging only (the
+    * q223/q242 stance); the far-future sentinel advances the global
+    * watermark past every tail session.
     */
   private[graft] def attributionShuffledFeed(
       s: SparkSession, d: String,
@@ -853,20 +872,27 @@ object Streaming extends Catalog {
       .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
       .map { case (uid, ts, eid, et, v) =>
         EventStreams.AtRow(uid, ts, eid, et, v) }
-    def us(r: EventStreams.AtRow): Long =
-      r.ts.getTime * 1000L + r.ts.getNanos / 1000 % 1000
+    def us(r: EventStreams.AtRow): Long = EventStreams.usOf(r.ts)
     val sorted = rows.sortBy(r => (us(r), r.event_id))
-    val arrival = sorted.clone()
     val SwapSpanUs = 8L * 60 * 1000000 // < the 10-min watermark
-    sorted.zipWithIndex.groupBy(_._1.user_id).values.foreach { evs =>
-      var i = 0
-      while (i + 1 < evs.length) {
-        val (a, ia) = evs(i)
-        val (b, ib) = evs(i + 1)
-        if (us(b) - us(a) < SwapSpanUs) {
-          arrival(ia) = b; arrival(ib) = a
-          i += 2 // disjoint pairs — a swapped event never swaps again
-        } else i += 1
+    // candidate pairs: per-user consecutive events within the span,
+    // as (earlier, later) GLOBAL slot indices
+    val lastIdx = scala.collection.mutable.Map.empty[Long, Int]
+    val candidates = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      lastIdx.get(r.user_id).foreach { j =>
+        if (us(r) - us(sorted(j)) < SwapSpanUs) candidates += ((j, i))
+      }
+      lastIdx(r.user_id) = i
+    }
+    // greedy non-overlapping selection in slot order — disjoint slot
+    // ranges are what keep the watermark bound single-hop
+    val arrival = sorted.clone()
+    var lastEnd = -1
+    candidates.sortBy(_._1).foreach { case (ia, ib) =>
+      if (ia > lastEnd) {
+        arrival(ia) = sorted(ib); arrival(ib) = sorted(ia)
+        lastEnd = ib
       }
     }
     val sentinel = EventStreams.AtRow(sentinelUser,
@@ -893,8 +919,7 @@ object Streaming extends Catalog {
   private def sessionSeamChunks(
       feed: Seq[EventStreams.AtRow], nCuts: Int,
       gapUs: Long): Seq[Seq[EventStreams.AtRow]] = {
-    def us(r: EventStreams.AtRow): Long =
-      r.ts.getTime * 1000L + r.ts.getNanos / 1000 % 1000
+    def us(r: EventStreams.AtRow): Long = EventStreams.usOf(r.ts)
     val lastUs = scala.collection.mutable.Map.empty[Long, Long]
     val splitOk = feed.map { r =>
       val ok = lastUs.get(r.user_id)

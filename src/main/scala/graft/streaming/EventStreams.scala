@@ -769,6 +769,15 @@ object EventStreams {
   final case class AtRow(
       user_id: Long, ts: java.sql.Timestamp, event_id: Long,
       event_type: String, value: Double)
+
+  /** THE timestamp→microseconds conversion for the attribution
+    * family — one definition (r16 review fix: five copies had grown
+    * across the processors, the fixtures, the seam-chunk schedule,
+    * and the specs; the precedence-sensitive getNanos/1000%1000 term
+    * must never fork)
+    */
+  def usOf(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + ts.getNanos / 1000 % 1000
   /** one open session per user: last folded (us, id) for the ordering
     * guard, session start, first click (us, id) with MaxValue = none
     * yet, purchase count and running purchase-value sum — everything
@@ -862,7 +871,7 @@ object EventStreams {
       }
       rows.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
         .foreach { r =>
-          val us = r.ts.getTime * 1000L + r.ts.getNanos / 1000 % 1000
+          val us = usOf(r.ts)
           cur match {
             case Some(o) if us > o.lastUs ||
                 (us == o.lastUs && r.event_id > o.lastId) =>
@@ -942,8 +951,7 @@ object EventStreams {
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
 
-    private def usOf(r: AtRow): Long =
-      r.ts.getTime * 1000L + r.ts.getNanos / 1000 % 1000
+    private def usOf(r: AtRow): Long = EventStreams.usOf(r.ts)
     private def ceilMs(us: Long): Long = (us + 999) / 1000L
     private def expiryMs(lastUs: Long): Long = ceilMs(lastUs) + gapMs + 1
 
@@ -1006,6 +1014,13 @@ object EventStreams {
           out ++= emit(uid, o); cur = None
         case _ => ()
       }
+      // one pending timer per key, ever: every pass supersedes the
+      // previous wake-up, so delete stale registrations first — a
+      // long-lived key would otherwise accumulate one timer per
+      // micro-batch, each later firing a full (idempotent but paid)
+      // buffer pass (r16 review fix; AttributionProcessor's
+      // deleteTimer discipline, generalized)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
       if (cur.isEmpty && pending.isEmpty) { open.clear(); buf.clear() }
       else {
         cur.fold(open.clear())(open.update)

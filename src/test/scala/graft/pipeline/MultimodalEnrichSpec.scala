@@ -35,7 +35,9 @@ class MultimodalEnrichSpec extends SparkSpec {
 
   private def md5hex(parts: Seq[Array[Byte]]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    parts.foreach(md.update)
+    parts.foreach { b =>
+      md.update(s"${b.length}:".getBytes("UTF-8")); md.update(b)
+    }
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -106,6 +108,32 @@ class MultimodalEnrichSpec extends SparkSpec {
       counting, cacheDir).good.count()
     assert(MultimodalEnrichSpec.calls.get() == 2,
       "replay must be served from the cache")
+  }
+
+  test("vision cache key is injective over image LISTS: [] vs [\"\"] and " +
+    "boundary-shifted splits get distinct keys (r16 review fix)") {
+    val cacheDir = java.nio.file.Files
+      .createTempDirectory("graft-vision-inj").toString
+    MultimodalEnrichSpec.calls.set(0)
+    val counting = new graft.llm.LlmClient {
+      override def chat(ms: Seq[graft.llm.Msg], c: JobConfig): String = {
+        MultimodalEnrichSpec.calls.incrementAndGet(); "resp"
+      }
+    }
+    // all four render the IDENTICAL prompt; a bare concat_ws digest
+    // collided (1) with (2) (empty vs one-empty-string) and (3) with
+    // (4) (same concatenation, different element boundaries)
+    val records = Seq(
+      ("same", Map.empty[String, String], Seq.empty[String]),
+      ("same", Map.empty[String, String], Seq("")),
+      ("same", Map.empty[String, String], Seq("QQ", "UFB")),
+      ("same", Map.empty[String, String], Seq("QQU", "FB")))
+      .toDF("id", "texts", "images")
+    EnrichJob.runCached(records, visionCfg(useImages = true),
+      counting, cacheDir).good.count()
+    assert(MultimodalEnrichSpec.calls.get() == 4,
+      s"four distinct image lists must be four cache keys: " +
+        s"${MultimodalEnrichSpec.calls.get()} calls")
   }
 
   test("text-mode cache key is image-blind — images are NOT request " +
