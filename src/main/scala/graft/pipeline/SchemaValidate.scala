@@ -264,4 +264,110 @@ object SchemaValidate {
     // hash portability
     (validated.filter(col("valid").cast("boolean")),
       validated.filter(!col("valid").cast("boolean")))
+
+  /** Compile a PARSED JSON schema — the nested java.util maps/lists
+    * `JobConfig.load` produces from a schema YAML file
+    * (docs/example/schemas/person_schema.yml, the reference's own
+    * format) — into the `(alias, Constraint)` list [[verdicts]]
+    * consumes. The q252 scaleNote's "schema-file-to-Constraint
+    * compiler is a pure driver-side fold", implemented (r16): runs
+    * once at plan time, costs nothing per row.
+    *
+    * Walk order (= verdict/reason declaration order) is the schema's
+    * own property order (snakeyaml preserves it): per property,
+    * parent-required first, then the type check, then the keyword
+    * checks, then (objects) the children recursively. Covered
+    * keywords are exactly the vocabulary the reference's fixtures
+    * exercise: type integer/number/array/object (a bare `type:
+    * string` emits NO check — leaf values unquote, see the caveat
+    * block above), minimum/maximum (integer ⇒ exact Long bounds,
+    * number ⇒ Double), minLength/maxLength, enum, items:{type:
+    * string}, minItems/maxItems, format date-time/email, and
+    * required — including nested objects, which become dotted
+    * JSONPaths. Unknown keywords are ignored (every real validator's
+    * default-vocabulary stance); aliases are "ok_" + dotted path +
+    * "_" + kind, so they stay legal column names.
+    */
+  def fromSchema(schema: Any): Seq[(String, Constraint)] = {
+    import scala.jdk.CollectionConverters._
+    def asMap(a: Any): Map[String, Any] = a match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, v) => String.valueOf(k) -> (v: Any) }.toMap
+      case m: Map[_, _] =>
+        m.map { case (k, v) => String.valueOf(k) -> (v: Any) }
+      case other => throw new IllegalArgumentException(
+        s"schema node is not an object: ${String.valueOf(other).take(80)}")
+    }
+    def asSeq(a: Any): Seq[Any] = a match {
+      case l: java.util.List[_] => l.asScala.toSeq
+      case l: Seq[_]            => l
+      case other => throw new IllegalArgumentException(
+        s"expected a list: ${String.valueOf(other).take(80)}")
+    }
+    def long(a: Any): Long = a match {
+      case n: Number => n.longValue()
+      case s: String => s.toLong
+      case other => throw new IllegalArgumentException(s"not a number: $other")
+    }
+    def dbl(a: Any): Double = a match {
+      case n: Number => n.doubleValue()
+      case s: String => s.toDouble
+      case other => throw new IllegalArgumentException(s"not a number: $other")
+    }
+    def alias(path: String, kind: String): String =
+      "ok_" + path.replace('.', '_') + "_" + kind
+    def walk(node: Map[String, Any], prefix: String): Seq[(String, Constraint)] = {
+      val required = node.get("required").map(asSeq(_).map(String.valueOf(_)).toSet)
+        .getOrElse(Set.empty)
+      val props = node.get("properties").map(asMap).getOrElse(Map.empty)
+      // preserve the schema's property order (snakeyaml LinkedHashMap)
+      val ordered: Seq[(String, Any)] = node.get("properties") match {
+        case Some(m: java.util.Map[_, _]) =>
+          m.asScala.toSeq.map { case (k, v) => String.valueOf(k) -> (v: Any) }
+        case _ => props.toSeq
+      }
+      ordered.flatMap { case (name, subAny) =>
+        val sub = asMap(subAny)
+        val path = if (prefix.isEmpty) name else s"$prefix.$name"
+        val tpe = sub.get("type").map(String.valueOf(_))
+        val req: Seq[(String, Constraint)] =
+          if (required(name)) Seq(alias(path, "required") -> Required(path))
+          else Nil
+        val typeCheck: Seq[(String, Constraint)] = tpe match {
+          case Some("integer") => Seq(alias(path, "type") -> IntType(path))
+          case Some("number")  => Seq(alias(path, "number") -> NumType(path))
+          case Some("array")   => Seq(alias(path, "array") -> ArrayType(path))
+          case Some("object")  => Seq(alias(path, "objtype") -> ObjType(path))
+          case _               => Nil // string/untyped: no leaf type probe
+        }
+        val keywords: Seq[(String, Constraint)] = Seq(
+          sub.get("minimum").map(v =>
+            if (tpe.contains("integer")) alias(path, "min") -> Min(path, long(v))
+            else alias(path, "min") -> MinNum(path, dbl(v))),
+          sub.get("maximum").map(v =>
+            if (tpe.contains("integer")) alias(path, "max") -> Max(path, long(v))
+            else alias(path, "max") -> MaxNum(path, dbl(v))),
+          sub.get("enum").map(v =>
+            alias(path, "enum") -> OneOf(path, asSeq(v).map(String.valueOf(_)))),
+          sub.get("minLength").map(v =>
+            alias(path, "minlen") -> MinLength(path, long(v).toInt)),
+          sub.get("maxLength").map(v =>
+            alias(path, "maxlen") -> MaxLength(path, long(v).toInt)),
+          sub.get("items").filter(i =>
+            asMap(i).get("type").exists(String.valueOf(_) == "string")).map(_ =>
+            alias(path, "items") -> ItemsString(path)),
+          sub.get("minItems").map(v =>
+            alias(path, "minitems") -> MinItems(path, long(v).toInt)),
+          sub.get("maxItems").map(v =>
+            alias(path, "maxitems") -> MaxItems(path, long(v).toInt)),
+          sub.get("format").map(v =>
+            alias(path, "format") -> Format(path, String.valueOf(v)))
+        ).flatten
+        val children: Seq[(String, Constraint)] =
+          if (tpe.contains("object")) walk(sub, path) else Nil
+        req ++ typeCheck ++ keywords ++ children
+      }
+    }
+    walk(asMap(schema), "")
+  }
 }

@@ -926,7 +926,7 @@ object Sources extends Catalog {
                     WHEN NOT ok_email THEN 'format:contact_email'
                     ELSE '' END AS reason
         FROM f"""),
-      scaleNote = "same cost model as q214 — the full vocabulary is still ONE row-local codegen'd projection (nested paths are just deeper JSONPath extractions of the same parsed text, array checks ride get_json_object's compact re-serialization + json_array_length, formats are rlike), so widening the schema widens the projection, never adds a pass or a shuffle; at 100 TB the constraint list stays data (a schema-file-to-Constraint compiler is a pure driver-side fold) and the per-reason dead-letter dashboard (q227) picks up the new classes with zero changes because reasons are strings"),
+      scaleNote = "same cost model as q214 — the full vocabulary is still ONE row-local codegen'd projection (nested paths are just deeper JSONPath extractions of the same parsed text, array checks ride get_json_object's compact re-serialization + json_array_length, formats are rlike), so widening the schema widens the projection, never adds a pass or a shuffle; the constraint list IS data: SchemaValidate.fromSchema compiles the reference's own schema-YAML format (person_schema.yml / the complex_schema shape) into this list as a pure driver-side fold — SchemaCompileSpec pins it to reproduce exactly this query's hand-declared, oracle-gated list — and the per-reason dead-letter dashboard (q227) picks up new classes with zero changes because reasons are strings"),
 
     // ----- R6/E18: the MULTIMODAL enrich path, catalog-gated (r16) -----
     // The one reference behavior no registered query re-gated every

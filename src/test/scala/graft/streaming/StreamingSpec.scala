@@ -950,8 +950,7 @@ class StreamingSpec extends SparkSpec {
     // the output even though the carry they exercise is real.)
     val feed = graft.queries.Streaming
       .attributionShuffledFeed(spark, sf0001, 999999999L)
-    def usOf(r: EventStreams.AtRow): Long =
-      r.ts.getTime * 1000L + r.ts.getNanos / 1000 % 1000
+    def usOf(r: EventStreams.AtRow): Long = EventStreams.usOf(r.ts)
     val lastSeen = scala.collection.mutable.Map.empty[Long, (Long, Long)]
     var inversions = 0
     feed.foreach { r =>
