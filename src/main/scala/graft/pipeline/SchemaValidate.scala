@@ -304,29 +304,32 @@ object SchemaValidate {
       case other => throw new IllegalArgumentException(
         s"expected a list: ${String.valueOf(other).take(80)}")
     }
-    def long(a: Any): Long = a match {
-      case n: Number => n.longValue()
-      case s: String => s.toLong
-      case other => throw new IllegalArgumentException(s"not a number: $other")
-    }
     def dbl(a: Any): Double = a match {
       case n: Number => n.doubleValue()
       case s: String => s.toDouble
       case other => throw new IllegalArgumentException(s"not a number: $other")
     }
+    def intOf(a: Any): Int = dbl(a).toInt
     def alias(path: String, kind: String): String =
       "ok_" + path.replace('.', '_') + "_" + kind
     def walk(node: Map[String, Any], prefix: String): Seq[(String, Constraint)] = {
-      val required = node.get("required").map(asSeq(_).map(String.valueOf(_)).toSet)
-        .getOrElse(Set.empty)
-      val props = node.get("properties").map(asMap).getOrElse(Map.empty)
-      // preserve the schema's property order (snakeyaml LinkedHashMap)
+      val requiredList = node.get("required")
+        .map(asSeq(_).map(String.valueOf(_))).getOrElse(Nil)
+      val required = requiredList.toSet
+      // preserve the schema's property order — snakeyaml parses into
+      // LinkedHashMaps, which is the only shape the file path ever
+      // yields; hand-built Scala maps keep whatever iteration order
+      // they have (use a ListMap if it matters)
       val ordered: Seq[(String, Any)] = node.get("properties") match {
         case Some(m: java.util.Map[_, _]) =>
           m.asScala.toSeq.map { case (k, v) => String.valueOf(k) -> (v: Any) }
-        case _ => props.toSeq
+        case Some(m: Map[_, _]) =>
+          m.toSeq.map { case (k, v) => String.valueOf(k) -> (v: Any) }
+        case Some(other) => throw new IllegalArgumentException(
+          s"properties is not an object: ${String.valueOf(other).take(80)}")
+        case None => Nil
       }
-      ordered.flatMap { case (name, subAny) =>
+      val fromProps = ordered.flatMap { case (name, subAny) =>
         val sub = asMap(subAny)
         val path = if (prefix.isEmpty) name else s"$prefix.$name"
         val tpe = sub.get("type").map(String.valueOf(_))
@@ -340,34 +343,67 @@ object SchemaValidate {
           case Some("object")  => Seq(alias(path, "objtype") -> ObjType(path))
           case _               => Nil // string/untyped: no leaf type probe
         }
+        // integer bounds tighten fractional literals (minimum: 0.5 on
+        // an integer means >= 1 — truncation would LOOSEN the bound)
+        def intMin(v: Any) = Min(path, math.ceil(dbl(v)).toLong)
+        def intMax(v: Any) = Max(path, math.floor(dbl(v)).toLong)
         val keywords: Seq[(String, Constraint)] = Seq(
           sub.get("minimum").map(v =>
-            if (tpe.contains("integer")) alias(path, "min") -> Min(path, long(v))
+            if (tpe.contains("integer")) alias(path, "min") -> intMin(v)
             else alias(path, "min") -> MinNum(path, dbl(v))),
           sub.get("maximum").map(v =>
-            if (tpe.contains("integer")) alias(path, "max") -> Max(path, long(v))
+            if (tpe.contains("integer")) alias(path, "max") -> intMax(v)
             else alias(path, "max") -> MaxNum(path, dbl(v))),
           sub.get("enum").map(v =>
             alias(path, "enum") -> OneOf(path, asSeq(v).map(String.valueOf(_)))),
           sub.get("minLength").map(v =>
-            alias(path, "minlen") -> MinLength(path, long(v).toInt)),
+            alias(path, "minlen") -> MinLength(path, intOf(v))),
           sub.get("maxLength").map(v =>
-            alias(path, "maxlen") -> MaxLength(path, long(v).toInt)),
-          sub.get("items").filter(i =>
-            asMap(i).get("type").exists(String.valueOf(_) == "string")).map(_ =>
-            alias(path, "items") -> ItemsString(path)),
+            alias(path, "maxlen") -> MaxLength(path, intOf(v))),
+          // items only in its object form with type: string — the
+          // draft-4 tuple form (a list) and other item types emit
+          // nothing, per the ignore-unknown stance
+          sub.get("items").flatMap {
+            case m @ (_: java.util.Map[_, _] | _: Map[_, _])
+              if asMap(m).get("type").exists(String.valueOf(_) == "string") =>
+              Some(alias(path, "items") -> ItemsString(path))
+            case _ => None // tuple form / non-string items: annotation
+          },
           sub.get("minItems").map(v =>
-            alias(path, "minitems") -> MinItems(path, long(v).toInt)),
+            alias(path, "minitems") -> MinItems(path, intOf(v))),
           sub.get("maxItems").map(v =>
-            alias(path, "maxitems") -> MaxItems(path, long(v).toInt)),
-          sub.get("format").map(v =>
-            alias(path, "format") -> Format(path, String.valueOf(v)))
+            alias(path, "maxitems") -> MaxItems(path, intOf(v))),
+          // only the two formats this gate implements; anything else
+          // is an annotation, exactly how real validators treat
+          // unknown formats by default (Format's constructor throws
+          // on unknowns by design — the COMPILER is where the
+          // permissive stance lives)
+          sub.get("format").map(String.valueOf(_))
+            .filter(f => f == "date-time" || f == "email").map(f =>
+            alias(path, "format") -> Format(path, f))
         ).flatten
         val children: Seq[(String, Constraint)] =
           if (tpe.contains("object")) walk(sub, path) else Nil
         req ++ typeCheck ++ keywords ++ children
       }
+      // JSON Schema allows `required` names with no matching
+      // `properties` entry — emit their Required checks too (after
+      // the declared properties, in required-list order), or a record
+      // missing them would silently validate as good
+      val orphanReq = requiredList.filterNot(ordered.map(_._1).toSet).map { name =>
+        val path = if (prefix.isEmpty) name else s"$prefix.$name"
+        alias(path, "required") -> Required(path)
+      }
+      fromProps ++ orphanReq
     }
-    walk(asMap(schema), "")
+    val out = walk(asMap(schema), "")
+    // dot-flattened aliases could collide across distinct paths
+    // (summary_title vs summary.title); verdicts' withColumn fold
+    // would then silently overwrite the first verdict — fail fast
+    val dup = out.groupBy(_._1).collect { case (a, cs) if cs.size > 1 => a }
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"schema compiles to colliding verdict aliases: ${dup.mkString(", ")}" +
+        " — rename the conflicting properties")
+    out
   }
 }

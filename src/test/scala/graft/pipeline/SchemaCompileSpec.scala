@@ -133,4 +133,62 @@ class SchemaCompileSpec extends AnyFunSuite {
     assert(SchemaValidate.fromSchema(schema).map(_._2) ==
       Seq(OneOf("lang", Seq("en", "fr", "de"))))
   }
+
+  // ---- r16 tail-review regressions ---------------------------------
+
+  test("required names WITHOUT a properties entry still compile to " +
+    "Required — legal JSON Schema, silently dropping it would let " +
+    "missing fields validate as good") {
+    val schema = yaml("""
+      |type: object
+      |required: [id, name]
+      |properties:
+      |  name: {type: string}
+      |""".stripMargin)
+    assert(SchemaValidate.fromSchema(schema).map(_._2) ==
+      Seq(Required("name"), Required("id")))
+  }
+
+  test("colliding dot-flattened aliases fail FAST instead of silently " +
+    "overwriting a verdict column in verdicts()") {
+    val schema = yaml("""
+      |type: object
+      |properties:
+      |  summary_title: {type: integer}
+      |  summary:
+      |    type: object
+      |    properties:
+      |      title: {type: integer}
+      |""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      SchemaValidate.fromSchema(schema))
+    assert(e.getMessage.contains("colliding"), e.getMessage)
+  }
+
+  test("fractional bounds on type: integer TIGHTEN (ceil min, floor " +
+    "max) — truncation would loosen the constraint") {
+    val schema = yaml("""
+      |type: object
+      |properties:
+      |  age: {type: integer, minimum: 0.5, maximum: 10.5}
+      |""".stripMargin)
+    assert(SchemaValidate.fromSchema(schema).map(_._2) ==
+      Seq(IntType("age"), Min("age", 1L), Max("age", 10L)))
+  }
+
+  test("unknown formats and tuple-form items are annotations, not " +
+    "crashes (the permissive-vocabulary stance lives in the compiler)") {
+    val schema = yaml("""
+      |type: object
+      |properties:
+      |  created: {type: string, format: date}
+      |  url: {type: string, format: uri}
+      |  tags:
+      |    type: array
+      |    items:
+      |      - {type: string}
+      |""".stripMargin)
+    assert(SchemaValidate.fromSchema(schema).map(_._2) ==
+      Seq(ArrayType("tags")))
+  }
 }
