@@ -2099,57 +2099,13 @@ object Relational extends Catalog {
     // map-side before the single exchange — never a per-branch
     // aggregate + re-merge, never a post-union filter.
     "q254_multichannel_revenue" -> Q(
-      fn = (s, d) => {
-        val cust = t(s, d, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))
-        val nat = broadcast(t(s, d, "nation")
-          .select(col("n_nationkey"), col("n_name")))
-        val store = t(s, d, "lineitem")
-          .join(t(s, d, "orders")
-              .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
-            col("l_orderkey") === col("o_orderkey"))
-          .join(cust, col("o_custkey") === col("c_custkey"))
-          .join(nat, col("c_nationkey") === col("n_nationkey"))
-          .select(
-            lit("store").as("channel"),
-            col("n_name").as("nation"),
-            year(col("o_orderdate")).cast("long").as("yr"),
-            (round(col("l_extendedprice") * 100).cast("long") *
-              (lit(100L) - round(col("l_discount") * 100).cast("long")))
-              .as("amount_e4"))
-        val online = t(s, d, "events")
-          .filter(col("event_type") === "purchase")
-          .join(cust, col("user_id") === col("c_custkey"))
-          .join(nat, col("c_nationkey") === col("n_nationkey"))
-          .select(
-            lit("online").as("channel"),
-            col("n_name").as("nation"),
-            year(col("ts")).cast("long").as("yr"),
-            round(col("value") * 10000).cast("long").as("amount_e4"))
-        store.unionByName(online)
+      fn = (s, d) =>
+        multiChannelRows(s, d)
           .groupBy(col("channel"), col("nation"), col("yr"))
           .agg(count(lit(1)).as("n_sales"),
-            sum(col("amount_e4")).cast("long").as("amount_e4"))
-      },
-      sql = Some("""
-        WITH ch AS (
-          SELECT 'store' AS channel, n_name AS nation,
-                 CAST(year(o_orderdate) AS BIGINT) AS yr,
-                 CAST(round(l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                   AS amount_e4
-          FROM lineitem
-          JOIN orders   ON l_orderkey = o_orderkey
-          JOIN customer ON o_custkey = c_custkey
-          JOIN nation   ON c_nationkey = n_nationkey
-          WHERE o_orderdate >= TIMESTAMP '1998-01-01'
-          UNION ALL
-          SELECT 'online', n_name, CAST(year(ts) AS BIGINT),
-                 CAST(round(value * 10000) AS BIGINT)
-          FROM events
-          JOIN customer ON user_id = c_custkey
-          JOIN nation   ON c_nationkey = n_nationkey
-          WHERE event_type = 'purchase')
+            sum(col("amount_e4")).cast("long").as("amount_e4")),
+      sql = Some(s"""
+        WITH $MultiChannelSqlCte
         SELECT channel, nation, yr,
                CAST(count(*) AS BIGINT) AS n_sales,
                CAST(sum(amount_e4) AS BIGINT) AS amount_e4
@@ -2209,7 +2165,91 @@ object Relational extends Catalog {
         SELECT 'new', o_custkey
         FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)"""),
       scaleNote = "each segment input is already a HAVING-filtered aggregate — customer-grain, orders-of-magnitude smaller than the fact — and EXCEPT/INTERSECT lower to distinct-aggregated anti/semi HASH joins on that key (PlanSpec-pinned: no cartesian, no sort), so the algebra costs |segments| joins and both half-year aggregates reuse the same date-pruned orders scan pattern; at 100 TB the segments land pre-partitioned on the same key (the aggregate's exchange), letting every set op run exchange-free on co-located partitions, and the exact-decimal threshold means segment membership never flips with partition merge order — the property that makes the EXCEPT frames stable enough to act on"),
+
+    // ----- E4/E7: ROLLUP over the multi-channel union (r16) -----------
+    // TPC-DS Q5's ACTUAL shape — q254 gates the union aggregate at one
+    // grain; Q5 reports it WITH subtotals: per (channel, nation, yr),
+    // per (channel, nation), per channel, and the grand total, in one
+    // statement. The planner question this adds: the rollup's Expand
+    // (4 grouping-set projections) must sit between the Union and ONE
+    // two-phase aggregate — never four separate aggregations of the
+    // union — while each branch's pushed filters survive untouched.
+    // Group keys are never null in the data, so rollup NULLs are
+    // unambiguous subtotal markers (q11's stance).
+    "q257_multichannel_rollup" -> Q(
+      fn = (s, d) =>
+        multiChannelRows(s, d)
+          .rollup(col("channel"), col("nation"), col("yr"))
+          .agg(count(lit(1)).as("n_sales"),
+            sum(col("amount_e4")).cast("long").as("amount_e4")),
+      sql = Some(s"""
+        WITH $MultiChannelSqlCte
+        SELECT channel, nation, yr,
+               CAST(count(*) AS BIGINT) AS n_sales,
+               CAST(sum(amount_e4) AS BIGINT) AS amount_e4
+        FROM ch GROUP BY ROLLUP (channel, nation, yr)"""),
+      scaleNote = "rollup over a union costs ONE extra plan node vs q254: Expand replicates each branch's rows into the 4 grouping sets map-side and the same single two-phase aggregate folds them (PlanSpec pins exactly one Expand + two HashAggregates above the one Union) — at 100 TB this is 4× the aggregate's map-side input for zero extra scans, shuffles, or passes, which is why warehouse reports ask for subtotals in the statement instead of re-querying per grain; exact e4 integers keep every subtotal hash-portable, and the n_sales beside the sum makes each rollup row self-auditing (a subtotal must equal the sum of its children — checkable downstream in one pass)"),
   )
+
+  /** q254/q257's shared multi-channel fact union: the 'store' lineage
+    * (1998+ orders x lineitem through customer->nation) and the
+    * 'online' lineage (purchase events valued in the same e4 integer
+    * currency) aligned to one (channel, nation, yr, amount_e4) shape
+    * BELOW one UNION ALL — branch filters written on each branch's
+    * own scan so pushdown survives (PlanSpec-pinned via q254).
+    */
+  private def multiChannelRows(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = broadcast(t(s, d, "nation")
+      .select(col("n_nationkey"), col("n_name")))
+    val store = t(s, d, "lineitem")
+      .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(
+        lit("store").as("channel"),
+        col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("amount_e4"))
+    val online = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .join(cust, col("user_id") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(
+        lit("online").as("channel"),
+        col("n_name").as("nation"),
+        year(col("ts")).cast("long").as("yr"),
+        round(col("value") * 10000).cast("long").as("amount_e4"))
+    store.unionByName(online)
+  }
+
+  /** the DuckDB spelling of [[multiChannelRows]] as CTE `ch`, composed
+    * into q254's and q257's oracles so the channel definitions can
+    * never drift
+    */
+  private val MultiChannelSqlCte: String = """ch AS (
+          SELECT 'store' AS channel, n_name AS nation,
+                 CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS amount_e4
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          UNION ALL
+          SELECT 'online', n_name, CAST(year(ts) AS BIGINT),
+                 CAST(round(value * 10000) AS BIGINT)
+          FROM events
+          JOIN customer ON user_id = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          WHERE event_type = 'purchase')"""
 
   /** q129's plan, shared with PlanSpec (which asserts the salt reaches
     * the exchange). Skew is planted: keys ≡ 0–4 (mod 10) all collapse

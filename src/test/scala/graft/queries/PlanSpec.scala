@@ -1586,6 +1586,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("q257: the rollup's Expand sits between the one Union and ONE " +
+    "two-phase aggregate — subtotals cost a plan node, not re-scans (r16)") {
+    import org.apache.spark.sql.execution.{ExpandExec, UnionExec}
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val df = allQueries("q257_multichannel_rollup").fn(spark, sf0001)
+    df.collect()
+    val nodes = expandPlan(df.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[UnionExec]) == 1,
+      df.queryExecution.executedPlan.toString.take(1600))
+    assert(nodes.count(_.isInstanceOf[ExpandExec]) == 1,
+      s"rollup must be ONE Expand, never per-grain aggregations:\n" +
+        df.queryExecution.executedPlan.toString.take(1600))
+    assert(nodes.count(_.isInstanceOf[HashAggregateExec]) == 2,
+      df.queryExecution.executedPlan.toString.take(1600))
+    // branch pushdown survives the rollup (same contract as q254)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toList
+    assert(scans.exists(_.contains("GreaterThanOrEqual(o_orderdate")) &&
+      scans.exists(_.contains("EqualTo(event_type,purchase)")),
+      scans.mkString("\n"))
+  }
+
   test("q255: EXCEPT/INTERSECT on aggregated segments lower to anti/semi " +
     "hash joins — no cartesian, no window, no global sort (r16)") {
     val df = allQueries("q255_segment_set_algebra").fn(spark, sf0001)
