@@ -926,7 +926,198 @@ object Sources extends Catalog {
                     WHEN NOT ok_email THEN 'format:contact_email'
                     ELSE '' END AS reason
         FROM f"""),
-      scaleNote = "same cost model as q214 — the full vocabulary is still ONE row-local codegen'd projection (nested paths are just deeper JSONPath extractions of the same parsed text, array checks ride get_json_object's compact re-serialization + json_array_length, formats are rlike), so widening the schema widens the projection, never adds a pass or a shuffle; the constraint list IS data: SchemaValidate.fromSchema compiles the reference's own schema-YAML format (person_schema.yml / the complex_schema shape) into this list as a pure driver-side fold — SchemaCompileSpec pins it to reproduce exactly this query's hand-declared, oracle-gated list — and the per-reason dead-letter dashboard (q227) picks up new classes with zero changes because reasons are strings"),
+      scaleNote = "same cost model as q214 — the full vocabulary is still ONE row-local codegen'd projection (nested paths are just deeper JSONPath extractions of the same parsed text, array checks ride get_json_object's compact re-serialization + json_array_length, formats are rlike), so widening the schema widens the projection, never adds a pass or a shuffle; the constraint list IS data: SchemaValidate.fromSchema compiles the reference's own schema-YAML format (person_schema.yml / the complex_schema shape) into this list as a pure driver-side fold — SchemaCompileSpec pins it to reproduce exactly this query's hand-declared list, and q258 runs the COMPILED list under its own driver oracle — and the per-reason dead-letter dashboard (q227) picks up new classes with zero changes because reasons are strings"),
+
+    // ----- E18: the COMPILED schema gate (r16) -------------------------
+    // q252 validates with a hand-declared constraint list; this twin
+    // validates the SAME fixture with the list COMPILED from the
+    // schema YAML by SchemaValidate.fromSchema — schema file in,
+    // verdict frame out, the way a production job consumes
+    // json_schema_filepath. The compiled walk adds three structural
+    // checks q252's fixture never violates (required:summary,
+    // required:tags, objtype:metadata — each ≡ ok_parse on this
+    // corpus, mirrored as such in the oracle), so the compiler's
+    // OUTPUT — aliases, order, chaining — is driver-gated directly
+    // every round, not just spec-pinned against the hand list.
+    "q258_llm_schema_validate_compiled" -> Q(
+      fn = (s, d) => {
+        import graft.pipeline.SchemaValidate
+        val records = Tables.load(s, d, "documents")
+          .select(col("doc_id").cast("string").as("id"),
+            map(lit("content"), col("text")).as("texts"),
+            array().cast("array<string>").as("images"))
+        val cfg = graft.core.JobConfig(
+          id = "schema-validate-compiled",
+          erbTemplate = "<%= id %>",
+          backendEndpoint = "http://fake", model = "fake",
+          outputLabel = "extracted", systemErbTemplate = None,
+          params = Map.empty, useImages = false,
+          responseFormat = Some(graft.core.ResponseFormat.JsonMode))
+        val fake = new graft.llm.FakeLlmClient(p =>
+          fakeComplexJson(p.trim.toLong))
+        val enriched = graft.pipeline.EnrichJob
+          .run(records, cfg, fake,
+            graft.pipeline.EnrichOptions(concurrency = 16))
+          .good
+          .select(col("id").cast("long").as("id"),
+            element_at(col("texts"), "extracted").as("j"))
+        // the reference's complex_schema shape as the YAML a job file
+        // would point json_schema_filepath at (property order = q252's
+        // declaration order; JSON-schema order carries no semantics)
+        val schemaYaml = """
+          |type: object
+          |required: [summary, tags]
+          |properties:
+          |  summary:
+          |    type: object
+          |    required: [title, content]
+          |    properties:
+          |      title: {type: string, maxLength: 100}
+          |      content: {type: string, minLength: 10}
+          |  tags:
+          |    type: array
+          |    items: {type: string}
+          |    minItems: 1
+          |    maxItems: 5
+          |  metadata:
+          |    type: object
+          |    properties:
+          |      confidence: {type: number, minimum: 0.0, maximum: 1.0}
+          |      created_at: {type: string, format: date-time}
+          |  contact_email: {type: string, format: email}
+          |""".stripMargin
+        val constraints = SchemaValidate.fromSchema(
+          new org.yaml.snakeyaml.Yaml().load[Any](schemaYaml))
+        val checked = SchemaValidate.verdicts(enriched, "j", constraints)
+        checked.select(
+          (Seq(col("id")) ++
+            (Seq("ok_parse") ++ constraints.map(_._1) ++ Seq("valid"))
+              .map(c => col(c).cast("long").as(c)) :+
+            col("reason")): _*)
+      },
+      sql = Some("""
+        WITH k AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 doc_id % 19 = 0 AS corrupt,
+                 doc_id % 7 = 0 AS sumstr,
+                 doc_id % 13 = 0 AS titlelong,
+                 doc_id % 17 = 0 AS contentmiss,
+                 doc_id % 37 = 0 AS contentshort,
+                 CASE WHEN doc_id % 3 = 0 THEN 'str'
+                      WHEN doc_id % 5 = 0 THEN 'empty'
+                      WHEN doc_id % 23 = 0 THEN 'many'
+                      WHEN doc_id % 11 = 0 THEN 'mixed'
+                      ELSE 'ok' END AS tagk,
+                 CASE WHEN doc_id % 29 = 0 THEN 'prose'
+                      WHEN doc_id % 31 = 0 THEN 'neg'
+                      WHEN doc_id % 41 = 0 THEN 'big'
+                      ELSE 'ok' END AS confk,
+                 doc_id % 43 = 0 AS datebad,
+                 doc_id % 47 = 0 AS emailbad
+          FROM documents),
+        f AS (
+          SELECT id,
+                 NOT corrupt AS ok_parse,
+                 -- the compiler's structural extras: summary and tags
+                 -- are always present and metadata is always an object
+                 -- in every parseable fake, so each reduces to ok_parse
+                 NOT corrupt AS ok_summary_required,
+                 NOT corrupt AND NOT sumstr AS ok_summary_objtype,
+                 NOT corrupt AND NOT sumstr AS ok_summary_title_required,
+                 NOT corrupt AND NOT sumstr AND NOT titlelong
+                   AS ok_summary_title_maxlen,
+                 NOT corrupt AND NOT sumstr AND NOT contentmiss
+                   AS ok_summary_content_required,
+                 NOT corrupt AND NOT sumstr AND NOT contentmiss
+                   AND NOT contentshort AS ok_summary_content_minlen,
+                 NOT corrupt AS ok_tags_required,
+                 NOT corrupt AND tagk <> 'str' AS ok_tags_array,
+                 NOT corrupt AND tagk NOT IN ('str', 'mixed')
+                   AS ok_tags_items,
+                 NOT corrupt AND tagk NOT IN ('str', 'empty')
+                   AS ok_tags_minitems,
+                 NOT corrupt AND tagk NOT IN ('str', 'many')
+                   AS ok_tags_maxitems,
+                 NOT corrupt AS ok_metadata_objtype,
+                 NOT corrupt AND confk <> 'prose'
+                   AS ok_metadata_confidence_number,
+                 NOT corrupt AND confk NOT IN ('prose', 'neg')
+                   AS ok_metadata_confidence_min,
+                 NOT corrupt AND confk NOT IN ('prose', 'big')
+                   AS ok_metadata_confidence_max,
+                 NOT corrupt AND NOT datebad
+                   AS ok_metadata_created_at_format,
+                 NOT corrupt AND NOT emailbad AS ok_contact_email_format
+          FROM k)
+        SELECT id,
+               CAST(ok_parse AS BIGINT) AS ok_parse,
+               CAST(ok_summary_required AS BIGINT) AS ok_summary_required,
+               CAST(ok_summary_objtype AS BIGINT) AS ok_summary_objtype,
+               CAST(ok_summary_title_required AS BIGINT)
+                 AS ok_summary_title_required,
+               CAST(ok_summary_title_maxlen AS BIGINT)
+                 AS ok_summary_title_maxlen,
+               CAST(ok_summary_content_required AS BIGINT)
+                 AS ok_summary_content_required,
+               CAST(ok_summary_content_minlen AS BIGINT)
+                 AS ok_summary_content_minlen,
+               CAST(ok_tags_required AS BIGINT) AS ok_tags_required,
+               CAST(ok_tags_array AS BIGINT) AS ok_tags_array,
+               CAST(ok_tags_items AS BIGINT) AS ok_tags_items,
+               CAST(ok_tags_minitems AS BIGINT) AS ok_tags_minitems,
+               CAST(ok_tags_maxitems AS BIGINT) AS ok_tags_maxitems,
+               CAST(ok_metadata_objtype AS BIGINT) AS ok_metadata_objtype,
+               CAST(ok_metadata_confidence_number AS BIGINT)
+                 AS ok_metadata_confidence_number,
+               CAST(ok_metadata_confidence_min AS BIGINT)
+                 AS ok_metadata_confidence_min,
+               CAST(ok_metadata_confidence_max AS BIGINT)
+                 AS ok_metadata_confidence_max,
+               CAST(ok_metadata_created_at_format AS BIGINT)
+                 AS ok_metadata_created_at_format,
+               CAST(ok_contact_email_format AS BIGINT)
+                 AS ok_contact_email_format,
+               CAST(ok_parse AND ok_summary_required AND ok_summary_objtype
+                    AND ok_summary_title_required AND ok_summary_title_maxlen
+                    AND ok_summary_content_required
+                    AND ok_summary_content_minlen AND ok_tags_required
+                    AND ok_tags_array AND ok_tags_items AND ok_tags_minitems
+                    AND ok_tags_maxitems AND ok_metadata_objtype
+                    AND ok_metadata_confidence_number
+                    AND ok_metadata_confidence_min
+                    AND ok_metadata_confidence_max
+                    AND ok_metadata_created_at_format
+                    AND ok_contact_email_format AS BIGINT) AS valid,
+               CASE WHEN NOT ok_parse THEN 'parse'
+                    WHEN NOT ok_summary_required THEN 'required:summary'
+                    WHEN NOT ok_summary_objtype THEN 'objtype:summary'
+                    WHEN NOT ok_summary_title_required
+                      THEN 'required:summary.title'
+                    WHEN NOT ok_summary_title_maxlen
+                      THEN 'maxLength:summary.title'
+                    WHEN NOT ok_summary_content_required
+                      THEN 'required:summary.content'
+                    WHEN NOT ok_summary_content_minlen
+                      THEN 'minLength:summary.content'
+                    WHEN NOT ok_tags_required THEN 'required:tags'
+                    WHEN NOT ok_tags_array THEN 'array:tags'
+                    WHEN NOT ok_tags_items THEN 'items:tags'
+                    WHEN NOT ok_tags_minitems THEN 'minItems:tags'
+                    WHEN NOT ok_tags_maxitems THEN 'maxItems:tags'
+                    WHEN NOT ok_metadata_objtype THEN 'objtype:metadata'
+                    WHEN NOT ok_metadata_confidence_number
+                      THEN 'number:metadata.confidence'
+                    WHEN NOT ok_metadata_confidence_min
+                      THEN 'min:metadata.confidence'
+                    WHEN NOT ok_metadata_confidence_max
+                      THEN 'max:metadata.confidence'
+                    WHEN NOT ok_metadata_created_at_format
+                      THEN 'format:metadata.created_at'
+                    WHEN NOT ok_contact_email_format
+                      THEN 'format:contact_email'
+                    ELSE '' END AS reason
+        FROM f"""),
+      scaleNote = "schema file in, verdict frame out — the production json_schema_filepath path with zero hand-written constraints: fromSchema folds the YAML once on the driver, the compiled projection is the same single codegen'd pass as q252 (three more never-false columns on this corpus), and swapping the schema file re-plans the projection without touching code; the structural extras (required on the union members, objtype on optional objects) are exactly what a compiled gate adds over a hand list — the checks a human skips because 'it can't happen' until a model makes it happen"),
 
     // ----- R6/E18: the MULTIMODAL enrich path, catalog-gated (r16) -----
     // The one reference behavior no registered query re-gated every
