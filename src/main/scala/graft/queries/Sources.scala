@@ -797,26 +797,8 @@ object Sources extends Catalog {
       fn = (s, d) => {
         import graft.pipeline.SchemaValidate
         import graft.pipeline.SchemaValidate._
-        val records = Tables.load(s, d, "documents")
-          .select(col("doc_id").cast("string").as("id"),
-            map(lit("content"), col("text")).as("texts"),
-            array().cast("array<string>").as("images"))
-        val cfg = graft.core.JobConfig(
-          id = "schema-validate-complex",
-          erbTemplate = "<%= id %>",
-          backendEndpoint = "http://fake", model = "fake",
-          outputLabel = "extracted", systemErbTemplate = None,
-          params = Map.empty, useImages = false,
-          responseFormat = Some(graft.core.ResponseFormat.JsonMode))
-        val fake = new graft.llm.FakeLlmClient(p =>
-          fakeComplexJson(p.trim.toLong))
-        val enriched = graft.pipeline.EnrichJob
-          .run(records, cfg, fake,
-            graft.pipeline.EnrichOptions(concurrency = 16))
-          .good
-          .select(col("id").cast("long").as("id"),
-            element_at(col("texts"), "extracted").as("j"))
-        val checked = SchemaValidate.verdicts(enriched, "j", Seq(
+        val checked = SchemaValidate.verdicts(
+          complexEnriched(s, d, "schema-validate-complex"), "j", Seq(
           "ok_objtype" -> ObjType("summary"),
           "ok_req_title" -> Required("summary.title"),
           "ok_maxlen_title" -> MaxLength("summary.title", 100),
@@ -840,26 +822,8 @@ object Sources extends Catalog {
               "ok_email", "valid").map(c => col(c).cast("long").as(c)) :+
             col("reason")): _*)
       },
-      sql = Some("""
-        WITH k AS (
-          SELECT CAST(doc_id AS BIGINT) AS id,
-                 doc_id % 19 = 0 AS corrupt,
-                 doc_id % 7 = 0 AS sumstr,
-                 doc_id % 13 = 0 AS titlelong,
-                 doc_id % 17 = 0 AS contentmiss,
-                 doc_id % 37 = 0 AS contentshort,
-                 CASE WHEN doc_id % 3 = 0 THEN 'str'
-                      WHEN doc_id % 5 = 0 THEN 'empty'
-                      WHEN doc_id % 23 = 0 THEN 'many'
-                      WHEN doc_id % 11 = 0 THEN 'mixed'
-                      ELSE 'ok' END AS tagk,
-                 CASE WHEN doc_id % 29 = 0 THEN 'prose'
-                      WHEN doc_id % 31 = 0 THEN 'neg'
-                      WHEN doc_id % 41 = 0 THEN 'big'
-                      ELSE 'ok' END AS confk,
-                 doc_id % 43 = 0 AS datebad,
-                 doc_id % 47 = 0 AS emailbad
-          FROM documents),
+      sql = Some(s"""
+        WITH $ComplexFixtureSqlCte,
         f AS (
           SELECT id,
                  NOT corrupt AS ok_parse,
@@ -942,25 +906,7 @@ object Sources extends Catalog {
     "q258_llm_schema_validate_compiled" -> Q(
       fn = (s, d) => {
         import graft.pipeline.SchemaValidate
-        val records = Tables.load(s, d, "documents")
-          .select(col("doc_id").cast("string").as("id"),
-            map(lit("content"), col("text")).as("texts"),
-            array().cast("array<string>").as("images"))
-        val cfg = graft.core.JobConfig(
-          id = "schema-validate-compiled",
-          erbTemplate = "<%= id %>",
-          backendEndpoint = "http://fake", model = "fake",
-          outputLabel = "extracted", systemErbTemplate = None,
-          params = Map.empty, useImages = false,
-          responseFormat = Some(graft.core.ResponseFormat.JsonMode))
-        val fake = new graft.llm.FakeLlmClient(p =>
-          fakeComplexJson(p.trim.toLong))
-        val enriched = graft.pipeline.EnrichJob
-          .run(records, cfg, fake,
-            graft.pipeline.EnrichOptions(concurrency = 16))
-          .good
-          .select(col("id").cast("long").as("id"),
-            element_at(col("texts"), "extracted").as("j"))
+        val enriched = complexEnriched(s, d, "schema-validate-compiled")
         // the reference's complex_schema shape as the YAML a job file
         // would point json_schema_filepath at (property order = q252's
         // declaration order; JSON-schema order carries no semantics)
@@ -995,26 +941,8 @@ object Sources extends Catalog {
               .map(c => col(c).cast("long").as(c)) :+
             col("reason")): _*)
       },
-      sql = Some("""
-        WITH k AS (
-          SELECT CAST(doc_id AS BIGINT) AS id,
-                 doc_id % 19 = 0 AS corrupt,
-                 doc_id % 7 = 0 AS sumstr,
-                 doc_id % 13 = 0 AS titlelong,
-                 doc_id % 17 = 0 AS contentmiss,
-                 doc_id % 37 = 0 AS contentshort,
-                 CASE WHEN doc_id % 3 = 0 THEN 'str'
-                      WHEN doc_id % 5 = 0 THEN 'empty'
-                      WHEN doc_id % 23 = 0 THEN 'many'
-                      WHEN doc_id % 11 = 0 THEN 'mixed'
-                      ELSE 'ok' END AS tagk,
-                 CASE WHEN doc_id % 29 = 0 THEN 'prose'
-                      WHEN doc_id % 31 = 0 THEN 'neg'
-                      WHEN doc_id % 41 = 0 THEN 'big'
-                      ELSE 'ok' END AS confk,
-                 doc_id % 43 = 0 AS datebad,
-                 doc_id % 47 = 0 AS emailbad
-          FROM documents),
+      sql = Some(s"""
+        WITH $ComplexFixtureSqlCte,
         f AS (
           SELECT id,
                  NOT corrupt AS ok_parse,
@@ -2331,6 +2259,61 @@ object Sources extends Catalog {
     * CTE. Precedence inside each field follows the if/else-if chain
     * here — the oracle's CASE chains are copies of it.
     */
+  /** q252/q258's shared enrich scaffolding: the documents fixture
+    * through the full pipeline against [[fakeComplexJson]], emitting
+    * (id, j) — ONE definition so the hand-declared and the compiled
+    * gate provably validate the SAME frame (r16 review fix; the
+    * validateRepairReport precedent)
+    */
+  private def complexEnriched(
+      s: SparkSession, d: String, jobId: String): DataFrame = {
+    val records = Tables.load(s, d, "documents")
+      .select(col("doc_id").cast("string").as("id"),
+        map(lit("content"), col("text")).as("texts"),
+        array().cast("array<string>").as("images"))
+    val cfg = graft.core.JobConfig(
+      id = jobId,
+      erbTemplate = "<%= id %>",
+      backendEndpoint = "http://fake", model = "fake",
+      outputLabel = "extracted", systemErbTemplate = None,
+      params = Map.empty, useImages = false,
+      responseFormat = Some(graft.core.ResponseFormat.JsonMode))
+    val fake = new graft.llm.FakeLlmClient(p =>
+      fakeComplexJson(p.trim.toLong))
+    graft.pipeline.EnrichJob
+      .run(records, cfg, fake,
+        graft.pipeline.EnrichOptions(concurrency = 16))
+      .good
+      .select(col("id").cast("long").as("id"),
+        element_at(col("texts"), "extracted").as("j"))
+  }
+
+  /** the q252/q258 shared residue-class CTE `k` — ONE definition of
+    * which doc_id plants which violation, composed into BOTH oracles
+    * (and mirrored branch-for-branch by [[fakeComplexJson]]) so the
+    * two gates can never drift (r16 review fix; the
+    * MultiChannelSqlCte discipline)
+    */
+  private[queries] val ComplexFixtureSqlCte: String = """k AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 doc_id % 19 = 0 AS corrupt,
+                 doc_id % 7 = 0 AS sumstr,
+                 doc_id % 13 = 0 AS titlelong,
+                 doc_id % 17 = 0 AS contentmiss,
+                 doc_id % 37 = 0 AS contentshort,
+                 CASE WHEN doc_id % 3 = 0 THEN 'str'
+                      WHEN doc_id % 5 = 0 THEN 'empty'
+                      WHEN doc_id % 23 = 0 THEN 'many'
+                      WHEN doc_id % 11 = 0 THEN 'mixed'
+                      ELSE 'ok' END AS tagk,
+                 CASE WHEN doc_id % 29 = 0 THEN 'prose'
+                      WHEN doc_id % 31 = 0 THEN 'neg'
+                      WHEN doc_id % 41 = 0 THEN 'big'
+                      ELSE 'ok' END AS confk,
+                 doc_id % 43 = 0 AS datebad,
+                 doc_id % 47 = 0 AS emailbad
+          FROM documents)"""
+
   private[queries] def fakeComplexJson(id: Long): String = {
     if (id % 19 == 0) return """{"summary": {"title": "Doc"""  // parse
     val summary =
