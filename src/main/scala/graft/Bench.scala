@@ -118,5 +118,13 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] spark.stop: ${e.getMessage}") }
     println(line)
+    // the driver keeps only a TRUNCATED stdout tail, and the full
+    // per-query line is ~8 KB — big enough to be cut mid-line, which
+    // is exactly why BENCH_r16.json's `parsed` came back null. A
+    // compact totals-only line LAST survives any tail window; the
+    // full map lives in the line above and in $out (VERDICT r16
+    // item 5).
+    val nFail = results.count(_._2.isEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failures":$nFail,"sf":"$sfDir"}""")
   }
 }

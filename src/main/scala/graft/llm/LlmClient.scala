@@ -112,6 +112,52 @@ final class FakeVisionClient extends LlmClient {
   }
 }
 
+/** Deterministic fake backend that gates the SCHEMA side of the
+  * request (q259) the way [[FakeVisionClient]] gates the image side:
+  * it re-parses [[OpenAiClient.requestBody]]'s exact serialized JSON
+  * and REQUIRES the `response_format` patch to carry the job's JSON
+  * schema — `{type: json_object, schema: <the loaded schema>}`,
+  * reference lib/job_processor.rb:190-198 — comparing the schema node
+  * STRUCTURALLY against the config's own loaded object. A dropped
+  * response_format, a bare json_object with no schema, or any drift
+  * between the YAML the job loaded and the JSON the wire carries is
+  * an exception → dead-letter → the driver's hash mismatches. Only
+  * then does it answer `transform(user text)`.
+  */
+final class FakeSchemaClient(transform: String => String)
+    extends LlmClient {
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def chat(messages: Seq[Msg], cfg: JobConfig): String = {
+    val root = mapper.readTree(OpenAiClient.requestBody(messages, cfg))
+    val rf = root.path("response_format")
+    require(rf.isObject,
+      "request must carry a response_format patch (R8)")
+    require(rf.path("type").asText() == "json_object",
+      s"response_format.type must be json_object: ${rf.toString.take(120)}")
+    val schemaOnWire = rf.path("schema")
+    require(schemaOnWire.isObject,
+      "response_format must embed the JSON schema (json_schema_filepath mode)")
+    val expected = cfg.responseFormat match {
+      case Some(graft.core.ResponseFormat.JsonSchema(sc)) =>
+        mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](sc)
+      case other => throw new IllegalArgumentException(
+        s"job config did not load a schema: $other")
+    }
+    // JsonNode.equals is structural (order-insensitive for object
+    // fields, order-sensitive for arrays) — exactly the fidelity the
+    // wire format owes the loaded YAML
+    require(schemaOnWire == expected,
+      s"schema on the wire diverged from the loaded schema: ${
+        schemaOnWire.toString.take(120)} vs ${expected.toString.take(120)}")
+    val user = messages.reverseIterator.find(_.role == "user")
+    require(user.exists(_.images.isEmpty),
+      "schema jobs are text-only: no image parts expected")
+    transform(user.map(_.text).getOrElse(""))
+  }
+}
+
 object FakeLlmClient {
   /** echo-with-fingerprint: deterministic, prompt-dependent, cheap */
   val default: String => String = p =>

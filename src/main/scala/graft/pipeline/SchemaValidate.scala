@@ -129,19 +129,30 @@ object SchemaValidate {
 
   /** value must be a JSON object (the nested-`required` prerequisite:
     * a model answering `"summary": "oops"` fails here first, and
-    * every $.summary.* extraction downstream reports false by chain)
+    * every $.summary.* extraction downstream reports false by chain).
+    * Both structural probes check the closing token too (r17 ADVICE):
+    * a true object/array re-serializes compact as {…} / […], while a
+    * plain-prose leaf like "{draft" unquotes to text that opens but
+    * never closes — startsWith alone would wave it through. The
+    * documented quoted-structure caveat (a value that IS valid
+    * stringified JSON unquotes to something shaped like the structure)
+    * still stands; this only closes the arbitrary-prose half.
     */
   final case class ObjType(f: String) extends Constraint {
     val reason = s"objtype:$f"
     private[SchemaValidate] def col(ok: Column, j: Column): Column =
-      ok && coalesce(field(j, f).startsWith("{"), lit(false))
+      ok && coalesce(
+        field(j, f).startsWith("{") && field(j, f).endsWith("}"),
+        lit(false))
   }
 
-  /** value must be a JSON array */
+  /** value must be a JSON array (closing-token check: see [[ObjType]]) */
   final case class ArrayType(f: String) extends Constraint {
     val reason = s"array:$f"
     private[SchemaValidate] def col(ok: Column, j: Column): Column =
-      ok && coalesce(field(j, f).startsWith("["), lit(false))
+      ok && coalesce(
+        field(j, f).startsWith("[") && field(j, f).endsWith("]"),
+        lit(false))
   }
 
   /** every array element is a JSON string — `items: {type: string}`.

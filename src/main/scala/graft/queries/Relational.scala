@@ -2072,16 +2072,50 @@ object Relational extends Catalog {
         }
         skewJoinPlan(s, d)
       },
-      sql = Some("""
-        WITH fact AS (
-          SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
-                      ELSE l_orderkey END AS k,
-                 l_quantity
-          FROM lineitem),
-        dim AS (SELECT DISTINCT k, k % 7 AS grp FROM fact)
-        SELECT grp, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS qty
-        FROM fact JOIN dim USING (k) GROUP BY grp"""),
+      sql = Some(SkewJoinOracleSql),
       scaleNote = "the manual fallback for when AQE's skew split cannot apply (bucketed/co-located inputs): the deterministic per-row salt spreads the hot key over 16 reducers and the small side replicates 16x — one hot key stops defining the stage's critical path; result is row-identical to the unsalted join by construction"),
+
+    // ----- E4: AQE runtime skew split through the oracle gate (r17) ----
+    // VERDICT r16 item 2 — the q250→q253 discipline applied to skew:
+    // q129 gates the MANUAL salt; this sibling gates the operational
+    // default at 100 TB, AQE's runtime mitigation, under the SAME
+    // oracle. No query rewrite at all: the same planted half-corpus
+    // hot key, broadcast disabled (a broadcast join has no reducer to
+    // skew), and a child session whose skew thresholds are tuned to
+    // the fixture (the AqeSkewSpec:17-48 recipe) — adaptive execution
+    // detects the oversized partition at runtime and splits it across
+    // tasks. PlanSpec pins `skew=true` on the join node of the FINAL
+    // adaptive plan and zero SALT columns anywhere (this is the
+    // rewrite-free path), with the aggregate's own exchange above the
+    // split proving correctness survives re-partitioning.
+    "q260_skew_join_adaptive" -> Q(
+      fn = (s0, d) => {
+        val s = ChildSessions.get(s0, "aqe-skew") { s2 =>
+          s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+          s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+          // the fixture is small by test-data standards — scale the
+          // detection thresholds down with it so the SAME mechanism
+          // that fires on multi-GB partitions fires here (production
+          // keeps the defaults: 5x median and 256 MB)
+          s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+          // 8KB/4KB, not AqeSkewSpec's 64KB/32KB: the hot partition
+          // here is ~half of sf0.001's lineitem projected to two
+          // columns (~tens of KB compressed), and PlanSpec pins the
+          // split at that scale — the threshold must sit under it
+          s2.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+          s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+          s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+          // the aggregate above re-shuffles on grp regardless, so the
+          // split introduces no extra exchange; force=true makes the
+          // pin deterministic rather than dependent on that analysis
+          s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        }
+        skewJoinPlanAqe(s, d)
+      },
+      sql = Some(SkewJoinOracleSql),
+      scaleNote = "the decision rule between the two registered skew answers: prefer THIS one (AQE detects and splits at runtime, zero rewrite, composes with every other adaptive optimization) whenever the skewed side arrives through a plain shuffle exchange — which is the common case; fall back to q129's deterministic salt only where the split cannot apply, i.e. the skewed side's partitioning is load-bearing (bucketed/co-located inputs AQE must not re-partition) or the engine predates runtime re-planning; both produce the row-identical result this one shared oracle defines, and at 100 TB the operational difference is that salting pays its 16x small-side replication on EVERY run while AQE pays a split only on the runs (and the partitions) that actually skew"),
 
     // ----- E4/E10: aggregate over a UNION of heterogeneous facts ------
     // (r16, VERDICT r15 item 4 — the TPC-DS Q5/Q71 "multi-channel"
@@ -2251,6 +2285,20 @@ object Relational extends Catalog {
           JOIN nation   ON c_nationkey = n_nationkey
           WHERE event_type = 'purchase')"""
 
+  /** q129 AND q260's oracle — the manual salt and the AQE runtime
+    * split are two physical answers to one logical join, so one SQL
+    * defines both results (r17; the q250/q253 shared-oracle stance).
+    */
+  private[queries] val SkewJoinOracleSql: String = """
+        WITH fact AS (
+          SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
+                      ELSE l_orderkey END AS k,
+                 l_quantity
+          FROM lineitem),
+        dim AS (SELECT DISTINCT k, k % 7 AS grp FROM fact)
+        SELECT grp, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS qty
+        FROM fact JOIN dim USING (k) GROUP BY grp"""
+
   /** q129's plan, shared with PlanSpec (which asserts the salt reaches
     * the exchange). Skew is planted: keys ≡ 0–4 (mod 10) all collapse
     * to key 0 — ~half the fact on one key.
@@ -2268,6 +2316,52 @@ object Relational extends Catalog {
       // shuffle join the salt exists for
       .hint("shuffle_hash")
     graft.operators.SkewJoin.saltedJoin(fact, dim, "k")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+  }
+
+  /** q260's plan: the same skewed fact with NO salt — a plain shuffled
+    * join whose hot partition AQE must split at runtime. Shared with
+    * PlanSpec (which pins skew=true on the final adaptive plan).
+    *
+    * The dim side is its OWN scan (the orders PK), not q129's
+    * distinct-over-fact: an aggregate on the join key leaves the dim
+    * side already hash-partitioned, so no exchange sits under the
+    * join there and OptimizeSkewedJoin's pattern —
+    * SMJ(Sort(ShuffleQueryStage), Sort(ShuffleQueryStage)) — can
+    * never match. That is faithful to production anyway (a dim IS its
+    * own table) and exactly the decision rule in the scaleNote: AQE
+    * applies when the skewed side arrives through a plain shuffle
+    * exchange. Result-identical to the oracle's logical dim: orders
+    * carries every lineitem orderkey (referential integrity), the PK
+    * makes the filtered keys unique without a distinct, and any
+    * orderless key a real corpus might add would be inert under the
+    * inner join.
+    */
+  private[queries] def skewJoinPlanAqe(
+      s: SparkSession, d: String): DataFrame = {
+    val fact = t(s, d, "lineitem")
+      .select(
+        when(col("l_orderkey") % 10 < 5, lit(0L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity"))
+      // fixture physics, NOT part of the operator: AQE splits a skewed
+      // reduce partition at MAP-output boundaries, so the hot
+      // partition is only splittable if its bytes arrive from several
+      // mappers. At 100 TB the scan IS thousands of map tasks and
+      // this line would never exist; a test-scale lineitem.parquet is
+      // ONE task (one row group), which makes the hot partition one
+      // indivisible chunk and the split structurally impossible. The
+      // round-robin pass recreates the multi-mapper shape the
+      // mechanism needs — 16 skinny-row map tasks — and is priced
+      // only at fixture scale.
+      .repartition(16)
+    val dim = t(s, d, "orders")
+      .filter(col("o_orderkey") % 10 >= 5)
+      .select(col("o_orderkey").as("k"), pmod(col("o_orderkey"), lit(7L)).as("grp"))
+      .unionByName(s.range(1)
+        .select(lit(0L).as("k"), lit(0L).as("grp")))
+    fact.join(dim, "k")
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
   }

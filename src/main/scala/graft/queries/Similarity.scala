@@ -191,7 +191,13 @@ object Similarity extends Catalog {
       // picks a nondeterministic cell and can flip a dedup verdict
       .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
 
-  private[queries] def ivfKnn(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+  /** IVF candidate pairs (query_id, vec_id): the inverted lists of
+    * each query's `nprobe` nearest cells, self excluded. Split out of
+    * [[ivfKnn]] (r17) so q263's probe-budget accounting counts the
+    * EXACT set the rerank scores.
+    */
+  private def ivfCandidates(
+      s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val e = embeddings(s, d)
     val cent = codebook(s, d)
     val assigned = assignCells(e, cent)
@@ -206,12 +212,17 @@ object Similarity extends Catalog {
           .orderBy(col("score").desc, col("cell"))))
       .filter(col("r") <= nprobe)
       .select(col("query_id"), col("cell"))
-    // candidates = inverted lists of the probed cells; exact rerank
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
     assigned.join(probes, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
+  }
+
+  private[queries] def ivfKnn(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val e = embeddings(s, d)
+    // candidates = inverted lists of the probed cells; exact rerank
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    ivfCandidates(s, d, nprobe)
       .join(e.select(col("vec_id"), col("v"), col("norm")), "vec_id")
       .join(broadcast(e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -323,6 +334,37 @@ object Similarity extends Catalog {
                    flatten(list(cv ORDER BY sub)) AS deq
             FROM pick GROUP BY vec_id)"""
 
+  /** the embeddings CTE every mirror-oracle in this family opens with
+    * (vectors as doubles + their norm) — ONE spelling (r17)
+    */
+  private val EmbSqlCte: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                   FROM embeddings)"""
+
+  /** q51's coarse-quantizer CTEs (per-label centroid codebook →
+    * argmax-assigned inverted lists → each query's nprobe cells),
+    * shared VERBATIM with q263's budget/recall accounting so the two
+    * can never drift (expects `e` = [[EmbSqlCte]] in scope)
+    */
+  private def ivfSqlCtes(nprobe: Int): String = s"""ex AS (SELECT CAST(label AS INT) AS cell,
+                      unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                      unnest(embedding::DOUBLE[]) AS x
+               FROM embeddings),
+        cd AS (SELECT cell, dim, CAST(CAST(avg(x) AS FLOAT) AS DOUBLE) AS c FROM ex GROUP BY 1, 2),
+        cent0 AS (SELECT cell, list(c ORDER BY dim) AS cv FROM cd GROUP BY cell),
+        cent AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM cent0),
+        assigned AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, cent.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, cent.cv) / cent.cnorm DESC, cent.cell) AS r
+          FROM e CROSS JOIN cent) WHERE r = 1),
+        probes AS (SELECT query_id, cell FROM (
+          SELECT e.vec_id AS query_id, cent.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, cent.cv) / cent.cnorm DESC, cent.cell) AS r
+          FROM e CROSS JOIN cent WHERE e.vec_id < $NumQueries) WHERE r <= $nprobe)"""
+
   override def queries: Map[String, Q] = Map(
 
     // ----- product quantization: encode (ANN compression, q79's twin)
@@ -406,26 +448,8 @@ object Similarity extends Catalog {
       // not just bounded. PipelineCatalogsSpec additionally asserts
       // nprobe=|cells| ≡ q30 brute force exactly.
       sql = Some(s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-                   FROM embeddings),
-        ex AS (SELECT CAST(label AS INT) AS cell,
-                      unnest(generate_series(0, len(embedding) - 1)) AS dim,
-                      unnest(embedding::DOUBLE[]) AS x
-               FROM embeddings),
-        cd AS (SELECT cell, dim, CAST(CAST(avg(x) AS FLOAT) AS DOUBLE) AS c FROM ex GROUP BY 1, 2),
-        cent0 AS (SELECT cell, list(c ORDER BY dim) AS cv FROM cd GROUP BY cell),
-        cent AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM cent0),
-        assigned AS (SELECT vec_id, cell FROM (
-          SELECT e.vec_id, cent.cell,
-                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   list_dot_product(e.v, cent.cv) / cent.cnorm DESC, cent.cell) AS r
-          FROM e CROSS JOIN cent) WHERE r = 1),
-        probes AS (SELECT query_id, cell FROM (
-          SELECT e.vec_id AS query_id, cent.cell,
-                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   list_dot_product(e.v, cent.cv) / cent.cnorm DESC, cent.cell) AS r
-          FROM e CROSS JOIN cent WHERE e.vec_id < $NumQueries) WHERE r <= 3),
+        WITH $EmbSqlCte,
+        ${ivfSqlCtes(3)},
         scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
                           list_dot_product(x.v, q.v) / (x.nrm * q.nrm) AS cosine
                    FROM assigned a JOIN probes p USING (cell)

@@ -235,9 +235,17 @@ object Sources extends Catalog {
     */
   private[queries] def bucketedFrame(
       s: SparkSession, d: String, name: String, key: String,
-      build: => DataFrame): DataFrame = {
-    val ident = s"graft_b8_${name}_${sfTag(d).replaceAll("[^A-Za-z0-9_]", "_")}_${corpusKey(d)}"
-    val site = s"graft_src_bucket_${name}_"
+      build: => DataFrame,
+      /** builder LOGIC tag, folded into the cache ident (r17 ADVICE):
+        * corpus tables are content-addressed by corpusKey alone, but a
+        * DERIVED frame's bytes also depend on its builder — bump the
+        * tag when the build definition changes, or a stale persisted
+        * table silently serves until the corpus regenerates (and the
+        * drift would surface downstream as a confusing oracle hash
+        * mismatch instead of here) */
+      version: String = "v1"): DataFrame = {
+    val ident = s"graft_b8_${name}_${version}_${sfTag(d).replaceAll("[^A-Za-z0-9_]", "_")}_${corpusKey(d)}"
+    val site = s"graft_src_bucket_${name}_${version}_"
     dropStaleSiblings(site, sfTag(d), corpusKey(d))
     val lock = dirLocks.computeIfAbsent(s"tbl:$ident", _ => new Object)
     lock.synchronized {
@@ -907,33 +915,8 @@ object Sources extends Catalog {
       fn = (s, d) => {
         import graft.pipeline.SchemaValidate
         val enriched = complexEnriched(s, d, "schema-validate-compiled")
-        // the reference's complex_schema shape as the YAML a job file
-        // would point json_schema_filepath at (property order = q252's
-        // declaration order; JSON-schema order carries no semantics)
-        val schemaYaml = """
-          |type: object
-          |required: [summary, tags]
-          |properties:
-          |  summary:
-          |    type: object
-          |    required: [title, content]
-          |    properties:
-          |      title: {type: string, maxLength: 100}
-          |      content: {type: string, minLength: 10}
-          |  tags:
-          |    type: array
-          |    items: {type: string}
-          |    minItems: 1
-          |    maxItems: 5
-          |  metadata:
-          |    type: object
-          |    properties:
-          |      confidence: {type: number, minimum: 0.0, maximum: 1.0}
-          |      created_at: {type: string, format: date-time}
-          |  contact_email: {type: string, format: email}
-          |""".stripMargin
         val constraints = SchemaValidate.fromSchema(
-          new org.yaml.snakeyaml.Yaml().load[Any](schemaYaml))
+          new org.yaml.snakeyaml.Yaml().load[Any](ComplexSchemaYaml))
         val checked = SchemaValidate.verdicts(enriched, "j", constraints)
         checked.select(
           (Seq(col("id")) ++
@@ -941,111 +924,143 @@ object Sources extends Catalog {
               .map(c => col(c).cast("long").as(c)) :+
             col("reason")): _*)
       },
-      sql = Some(s"""
-        WITH $ComplexFixtureSqlCte,
-        f AS (
-          SELECT id,
-                 NOT corrupt AS ok_parse,
-                 -- the compiler's structural extras: summary and tags
-                 -- are always present and metadata is always an object
-                 -- in every parseable fake, so each reduces to ok_parse
-                 NOT corrupt AS ok_summary_required,
-                 NOT corrupt AND NOT sumstr AS ok_summary_objtype,
-                 NOT corrupt AND NOT sumstr AS ok_summary_title_required,
-                 NOT corrupt AND NOT sumstr AND NOT titlelong
-                   AS ok_summary_title_maxlen,
-                 NOT corrupt AND NOT sumstr AND NOT contentmiss
-                   AS ok_summary_content_required,
-                 NOT corrupt AND NOT sumstr AND NOT contentmiss
-                   AND NOT contentshort AS ok_summary_content_minlen,
-                 NOT corrupt AS ok_tags_required,
-                 NOT corrupt AND tagk <> 'str' AS ok_tags_array,
-                 NOT corrupt AND tagk NOT IN ('str', 'mixed')
-                   AS ok_tags_items,
-                 NOT corrupt AND tagk NOT IN ('str', 'empty')
-                   AS ok_tags_minitems,
-                 NOT corrupt AND tagk NOT IN ('str', 'many')
-                   AS ok_tags_maxitems,
-                 NOT corrupt AS ok_metadata_objtype,
-                 NOT corrupt AND confk <> 'prose'
-                   AS ok_metadata_confidence_number,
-                 NOT corrupt AND confk NOT IN ('prose', 'neg')
-                   AS ok_metadata_confidence_min,
-                 NOT corrupt AND confk NOT IN ('prose', 'big')
-                   AS ok_metadata_confidence_max,
-                 NOT corrupt AND NOT datebad
-                   AS ok_metadata_created_at_format,
-                 NOT corrupt AND NOT emailbad AS ok_contact_email_format
-          FROM k)
-        SELECT id,
-               CAST(ok_parse AS BIGINT) AS ok_parse,
-               CAST(ok_summary_required AS BIGINT) AS ok_summary_required,
-               CAST(ok_summary_objtype AS BIGINT) AS ok_summary_objtype,
-               CAST(ok_summary_title_required AS BIGINT)
-                 AS ok_summary_title_required,
-               CAST(ok_summary_title_maxlen AS BIGINT)
-                 AS ok_summary_title_maxlen,
-               CAST(ok_summary_content_required AS BIGINT)
-                 AS ok_summary_content_required,
-               CAST(ok_summary_content_minlen AS BIGINT)
-                 AS ok_summary_content_minlen,
-               CAST(ok_tags_required AS BIGINT) AS ok_tags_required,
-               CAST(ok_tags_array AS BIGINT) AS ok_tags_array,
-               CAST(ok_tags_items AS BIGINT) AS ok_tags_items,
-               CAST(ok_tags_minitems AS BIGINT) AS ok_tags_minitems,
-               CAST(ok_tags_maxitems AS BIGINT) AS ok_tags_maxitems,
-               CAST(ok_metadata_objtype AS BIGINT) AS ok_metadata_objtype,
-               CAST(ok_metadata_confidence_number AS BIGINT)
-                 AS ok_metadata_confidence_number,
-               CAST(ok_metadata_confidence_min AS BIGINT)
-                 AS ok_metadata_confidence_min,
-               CAST(ok_metadata_confidence_max AS BIGINT)
-                 AS ok_metadata_confidence_max,
-               CAST(ok_metadata_created_at_format AS BIGINT)
-                 AS ok_metadata_created_at_format,
-               CAST(ok_contact_email_format AS BIGINT)
-                 AS ok_contact_email_format,
-               CAST(ok_parse AND ok_summary_required AND ok_summary_objtype
-                    AND ok_summary_title_required AND ok_summary_title_maxlen
-                    AND ok_summary_content_required
-                    AND ok_summary_content_minlen AND ok_tags_required
-                    AND ok_tags_array AND ok_tags_items AND ok_tags_minitems
-                    AND ok_tags_maxitems AND ok_metadata_objtype
-                    AND ok_metadata_confidence_number
-                    AND ok_metadata_confidence_min
-                    AND ok_metadata_confidence_max
-                    AND ok_metadata_created_at_format
-                    AND ok_contact_email_format AS BIGINT) AS valid,
-               CASE WHEN NOT ok_parse THEN 'parse'
-                    WHEN NOT ok_summary_required THEN 'required:summary'
-                    WHEN NOT ok_summary_objtype THEN 'objtype:summary'
-                    WHEN NOT ok_summary_title_required
-                      THEN 'required:summary.title'
-                    WHEN NOT ok_summary_title_maxlen
-                      THEN 'maxLength:summary.title'
-                    WHEN NOT ok_summary_content_required
-                      THEN 'required:summary.content'
-                    WHEN NOT ok_summary_content_minlen
-                      THEN 'minLength:summary.content'
-                    WHEN NOT ok_tags_required THEN 'required:tags'
-                    WHEN NOT ok_tags_array THEN 'array:tags'
-                    WHEN NOT ok_tags_items THEN 'items:tags'
-                    WHEN NOT ok_tags_minitems THEN 'minItems:tags'
-                    WHEN NOT ok_tags_maxitems THEN 'maxItems:tags'
-                    WHEN NOT ok_metadata_objtype THEN 'objtype:metadata'
-                    WHEN NOT ok_metadata_confidence_number
-                      THEN 'number:metadata.confidence'
-                    WHEN NOT ok_metadata_confidence_min
-                      THEN 'min:metadata.confidence'
-                    WHEN NOT ok_metadata_confidence_max
-                      THEN 'max:metadata.confidence'
-                    WHEN NOT ok_metadata_created_at_format
-                      THEN 'format:metadata.created_at'
-                    WHEN NOT ok_contact_email_format
-                      THEN 'format:contact_email'
-                    ELSE '' END AS reason
-        FROM f"""),
+      sql = Some(CompiledGateOracleSql),
       scaleNote = "schema file in, verdict frame out — the production json_schema_filepath path with zero hand-written constraints: fromSchema folds the YAML once on the driver, the compiled projection is the same single codegen'd pass as q252 (three more never-false columns on this corpus), and swapping the schema file re-plans the projection without touching code; the structural extras (required on the union members, objtype on optional objects) are exactly what a compiled gate adds over a hand list — the checks a human skips because 'it can't happen' until a model makes it happen"),
+
+    // ----- E18: the schema-FILE loop, single-sourced (r17) -------------
+    // VERDICT r16 item 1 / missing #1: q258 compiles an INLINE YAML;
+    // the production path is `json_schema_filepath`, resolved and
+    // loaded by JobConfig.load (JobConfig.scala:97-102, mirroring
+    // reference lib/job_processor.rb:91-96) and injected into the
+    // request (R8, rb:190-198). This query drives ONE schema file
+    // through BOTH sides from the SAME loaded JobConfig: the REQUEST
+    // side — FakeSchemaClient re-parses the exact serialized request
+    // (the q251/FakeVisionClient move) and throws unless
+    // response_format carries {type: json_object, schema: <the loaded
+    // schema>} structurally equal to the config's own object, so a
+    // dropped patch or any YAML→wire drift dead-letters and the
+    // driver's hash mismatches — and the GATE side, compiled by
+    // SchemaValidate.fromSchema from the same cfg. Same fixture and
+    // q258's oracle VERBATIM: a user pointing a job at a schema file
+    // now gets request and gate provably in lockstep.
+    "q259_llm_schema_file_loop" -> Q(
+      fn = (s, d) => {
+        import graft.pipeline.SchemaValidate
+        val cfg = graft.core.JobConfig.load(schemaLoopJobYaml)
+        val schema = cfg.responseFormat match {
+          case Some(graft.core.ResponseFormat.JsonSchema(sc)) => sc
+          case other => throw new IllegalStateException(
+            s"json_schema_filepath must load as JsonSchema, got $other")
+        }
+        val constraints = SchemaValidate.fromSchema(schema)
+        val records = Tables.load(s, d, "documents")
+          .select(col("doc_id").cast("string").as("id"),
+            map(lit("content"), col("text")).as("texts"),
+            array().cast("array<string>").as("images"))
+        val enriched = graft.pipeline.EnrichJob
+          .run(records, cfg,
+            new graft.llm.FakeSchemaClient(p =>
+              fakeComplexJson(p.trim.toLong)),
+            graft.pipeline.EnrichOptions(concurrency = 16))
+          .good
+          .select(col("id").cast("long").as("id"),
+            element_at(col("texts"), cfg.outputLabel).as("j"))
+        val checked = SchemaValidate.verdicts(enriched, "j", constraints)
+        checked.select(
+          (Seq(col("id")) ++
+            (Seq("ok_parse") ++ constraints.map(_._1) ++ Seq("valid"))
+              .map(c => col(c).cast("long").as(c)) :+
+            col("reason")): _*)
+      },
+      sql = Some(CompiledGateOracleSql),
+      scaleNote = "closes the last seam in the schema story: the file is read ONCE on the driver (JobConfig.load — unlike the reference, which re-reads templates per record), the compiled constraint list is a driver-side fold, and both artifacts ship to executors as plain broadcast values, so the loop costs nothing per row at any corpus size; operationally this is the drift killer — request-side schema (what the model is ASKED to produce) and gate-side constraints (what the pipeline ACCEPTS) cannot diverge because both are projections of one loaded object, and swapping the schema file re-plans both sides with zero code changes; the request-structure contract sits INSIDE the driver hash via the re-parsing fake, the same move that oracled the multimodal branch (q251)"),
+
+    // ----- E18/R11: the dead-letter REPLAY loop, catalog-gated (r17) ---
+    // VERDICT r16 item 4: R11's recovery half (Jsonl.replayDeadLetter,
+    // spec-only since r1) composed the q224 way — a planted subset
+    // (doc_id % 9 == 0) fails TRANSPORT on pass 1 and dead-letters;
+    // the dead-letter frame re-materializes through replayDeadLetter
+    // and re-enriches against the recovered backend, which still
+    // fails the systematic subset (doc_id % 27 == 0 — the outage that
+    // outlives one replay). The report is the operational artifact a
+    // yield dashboard wants: attempts, recovered flag, final status,
+    // final text — every column a pure function of (doc_id, text), so
+    // the WHOLE loop (fail-soft fork, record round-trip through the
+    // dead-letter JSON envelope, second-pass enrich, residual dead
+    // letters) sits under the driver's hash. EnrichJobSpec's
+    // frugality test proves pass 2 touches ONLY the dead-lettered
+    // subset (zero backend calls for already-good records).
+    "q262_llm_deadletter_replay" -> Q(
+      fn = (s, d) => {
+        val records = Tables.load(s, d, "documents")
+          .select(col("doc_id").cast("string").as("id"),
+            map(lit("content"), col("text")).as("texts"),
+            array().cast("array<string>").as("images"))
+        val cfg = graft.core.JobConfig(
+          id = "deadletter-replay",
+          erbTemplate = "<%= id %>|<%= texts[:content] %>",
+          backendEndpoint = "http://fake", model = "fake",
+          outputLabel = "summary", systemErbTemplate = None,
+          params = Map.empty, useImages = false, responseFormat = None)
+        // two faces of one backend: down for 9|id during pass 1, still
+        // down for 27|id after "recovery" — answers mirror q241's
+        // SQL-derivable shape (codePointCount ≡ DuckDB length())
+        def face(prefix: String, failMod: Long): String => String = p => {
+          val bar = p.indexOf('|')
+          val docId = p.substring(0, bar).toLong
+          if (docId % failMod == 0)
+            throw new RuntimeException(s"transport down for $docId")
+          val body = p.substring(bar + 1)
+          s"$prefix:$docId:${body.codePointCount(0, body.length)}"
+        }
+        // maxRetries = 0: the retry ladder is q224/R7 coverage; HERE
+        // the planted failure is deterministic, so retries would only
+        // re-pay the fake thrice per dead letter
+        val opts = graft.pipeline.EnrichOptions(
+          concurrency = 16, maxRetries = 0)
+        // materialize = true on BOTH passes: each result is consumed
+        // twice (good + deadLetter), and un-checkpointed lineage would
+        // re-fire the backend per consumer — with a paid API that is
+        // the 3× re-bill the flag exists to prevent (and exactly what
+        // EnrichJobSpec's frugality test counts)
+        val first = graft.pipeline.EnrichJob.run(records, cfg,
+          new graft.llm.FakeLlmClient(face("ENR", 9L)), opts,
+          materialize = true)
+        val replayed = graft.io.Jsonl.replayDeadLetter(s, first.deadLetter)
+        val second = graft.pipeline.EnrichJob.run(replayed, cfg,
+          new graft.llm.FakeLlmClient(face("REC", 27L)), opts,
+          materialize = true)
+        def shape(df: DataFrame, attempts: Int, recovered: Int,
+            status: String) =
+          df.select(col("id").cast("long").as("doc_id"),
+            lit(attempts.toLong).as("attempts"),
+            lit(recovered.toLong).as("recovered"),
+            lit(status).as("status"),
+            element_at(col("texts"), "summary").as("summary"))
+        shape(first.good, 1, 0, "ok")
+          .unionByName(shape(second.good, 2, 1, "ok"))
+          .unionByName(second.deadLetter
+            .select(col("id").cast("long").as("doc_id"),
+              lit(2L).as("attempts"), lit(0L).as("recovered"),
+              lit("dead").as("status"),
+              lit(null).cast("string").as("summary")))
+      },
+      sql = Some("""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END AS BIGINT)
+                 AS attempts,
+               CAST(CASE WHEN doc_id % 9 = 0 AND doc_id % 27 <> 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS recovered,
+               CASE WHEN doc_id % 27 = 0 THEN 'dead' ELSE 'ok' END
+                 AS status,
+               CASE WHEN doc_id % 27 = 0 THEN NULL
+                    WHEN doc_id % 9 = 0
+                      THEN 'REC:' || CAST(doc_id AS VARCHAR) || ':' ||
+                           CAST(length(text) AS VARCHAR)
+                    ELSE 'ENR:' || CAST(doc_id AS VARCHAR) || ':' ||
+                         CAST(length(text) AS VARCHAR) END AS summary
+        FROM documents"""),
+      scaleNote = "replay work is proportional to the FAILURE set, never the corpus: pass 2's input is the dead-letter frame itself (re-parsed from the JSON envelope map-side — the envelope is the durable artifact a production job lands on the lake next to its output), so a 0.1% outage on 100 TB re-enriches 100 GB, and the loop composes with the idempotency cache (runCached) so even a replay of a MIXED slice re-pays only true failures; statuses partition the corpus exactly (ok+ok_recovered+dead = input count — the totality audit q224 runs inside one pass, here run across passes), and the residual dead-letter frame feeds the next replay unchanged, making recovery idempotent and incremental"),
 
     // ----- R6/E18: the MULTIMODAL enrich path, catalog-gated (r16) -----
     // The one reference behavior no registered query re-gated every
@@ -2288,6 +2303,65 @@ object Sources extends Catalog {
         element_at(col("texts"), "extracted").as("j"))
   }
 
+  /** q259's production-shaped job on disk, staged once per JVM: a job
+    * YAML whose `json_schema_filepath` points RELATIVELY (through a
+    * subdirectory, exercising the resolve path) at [[ComplexSchemaYaml]]
+    * written as a real file, plus the prompt template and a /v1
+    * endpoint for the normalization path — the reference's
+    * docs/example layout (README.md:49-56). Shutdown-hooked tmp root
+    * (the q241 hygiene rule).
+    */
+  private lazy val schemaLoopJobYaml: String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(Analytics.tempSnapshotDir("graft_q259_job_"))
+      .getParent
+    Files.createDirectories(dir.resolve("schemas"))
+    Files.writeString(dir.resolve("prompt.erb"), "<%= id %>")
+    Files.writeString(
+      dir.resolve("schemas").resolve("complex_schema.yml"),
+      ComplexSchemaYaml)
+    Files.writeString(dir.resolve("job.yml"),
+      """id: schema-file-loop
+        |erb_filepath: prompt.erb
+        |backend_endpoint: http://fake/v1
+        |model: fake
+        |output_label: extracted
+        |json_schema_filepath: schemas/complex_schema.yml
+        |""".stripMargin)
+    dir.resolve("job.yml").toString
+  }
+
+  /** the schema the compiled gate validates against — the
+    * reference's `complex_schema` shape as the YAML a job file
+    * would point json_schema_filepath at (property order = q252's
+    * declaration order; JSON-schema order carries no semantics).
+    * ONE spelling feeds q258 (inline compile) AND q259 (written to
+    * disk and re-loaded through JobConfig.load) — the r17 single-
+    * sourcing the q252/q258 fixture CTE already has.
+    */
+  private[queries] val ComplexSchemaYaml: String = """
+    |type: object
+    |required: [summary, tags]
+    |properties:
+    |  summary:
+    |    type: object
+    |    required: [title, content]
+    |    properties:
+    |      title: {type: string, maxLength: 100}
+    |      content: {type: string, minLength: 10}
+    |  tags:
+    |    type: array
+    |    items: {type: string}
+    |    minItems: 1
+    |    maxItems: 5
+    |  metadata:
+    |    type: object
+    |    properties:
+    |      confidence: {type: number, minimum: 0.0, maximum: 1.0}
+    |      created_at: {type: string, format: date-time}
+    |  contact_email: {type: string, format: email}
+    |""".stripMargin
+
   /** the q252/q258 shared residue-class CTE `k` — ONE definition of
     * which doc_id plants which violation, composed into BOTH oracles
     * (and mirrored branch-for-branch by [[fakeComplexJson]]) so the
@@ -2313,6 +2387,118 @@ object Sources extends Catalog {
                  doc_id % 43 = 0 AS datebad,
                  doc_id % 47 = 0 AS emailbad
           FROM documents)"""
+
+  /** q258's oracle, shared VERBATIM with q259 (the q153→q256 oracle-
+    * reuse discipline): both queries validate the same fixture with
+    * the same compiled constraint list — q258 from the inline
+    * spelling, q259 from the file JobConfig.load resolved — so ONE
+    * oracle proves the two paths can never drift.
+    */
+  private[queries] val CompiledGateOracleSql: String = s"""
+        WITH $ComplexFixtureSqlCte,
+        f AS (
+          SELECT id,
+                 NOT corrupt AS ok_parse,
+                 -- the compiler's structural extras: summary and tags
+                 -- are always present and metadata is always an object
+                 -- in every parseable fake, so each reduces to ok_parse
+                 NOT corrupt AS ok_summary_required,
+                 NOT corrupt AND NOT sumstr AS ok_summary_objtype,
+                 NOT corrupt AND NOT sumstr AS ok_summary_title_required,
+                 NOT corrupt AND NOT sumstr AND NOT titlelong
+                   AS ok_summary_title_maxlen,
+                 NOT corrupt AND NOT sumstr AND NOT contentmiss
+                   AS ok_summary_content_required,
+                 NOT corrupt AND NOT sumstr AND NOT contentmiss
+                   AND NOT contentshort AS ok_summary_content_minlen,
+                 NOT corrupt AS ok_tags_required,
+                 NOT corrupt AND tagk <> 'str' AS ok_tags_array,
+                 NOT corrupt AND tagk NOT IN ('str', 'mixed')
+                   AS ok_tags_items,
+                 NOT corrupt AND tagk NOT IN ('str', 'empty')
+                   AS ok_tags_minitems,
+                 NOT corrupt AND tagk NOT IN ('str', 'many')
+                   AS ok_tags_maxitems,
+                 NOT corrupt AS ok_metadata_objtype,
+                 NOT corrupt AND confk <> 'prose'
+                   AS ok_metadata_confidence_number,
+                 NOT corrupt AND confk NOT IN ('prose', 'neg')
+                   AS ok_metadata_confidence_min,
+                 NOT corrupt AND confk NOT IN ('prose', 'big')
+                   AS ok_metadata_confidence_max,
+                 NOT corrupt AND NOT datebad
+                   AS ok_metadata_created_at_format,
+                 NOT corrupt AND NOT emailbad AS ok_contact_email_format
+          FROM k)
+        SELECT id,
+               CAST(ok_parse AS BIGINT) AS ok_parse,
+               CAST(ok_summary_required AS BIGINT) AS ok_summary_required,
+               CAST(ok_summary_objtype AS BIGINT) AS ok_summary_objtype,
+               CAST(ok_summary_title_required AS BIGINT)
+                 AS ok_summary_title_required,
+               CAST(ok_summary_title_maxlen AS BIGINT)
+                 AS ok_summary_title_maxlen,
+               CAST(ok_summary_content_required AS BIGINT)
+                 AS ok_summary_content_required,
+               CAST(ok_summary_content_minlen AS BIGINT)
+                 AS ok_summary_content_minlen,
+               CAST(ok_tags_required AS BIGINT) AS ok_tags_required,
+               CAST(ok_tags_array AS BIGINT) AS ok_tags_array,
+               CAST(ok_tags_items AS BIGINT) AS ok_tags_items,
+               CAST(ok_tags_minitems AS BIGINT) AS ok_tags_minitems,
+               CAST(ok_tags_maxitems AS BIGINT) AS ok_tags_maxitems,
+               CAST(ok_metadata_objtype AS BIGINT) AS ok_metadata_objtype,
+               CAST(ok_metadata_confidence_number AS BIGINT)
+                 AS ok_metadata_confidence_number,
+               CAST(ok_metadata_confidence_min AS BIGINT)
+                 AS ok_metadata_confidence_min,
+               CAST(ok_metadata_confidence_max AS BIGINT)
+                 AS ok_metadata_confidence_max,
+               CAST(ok_metadata_created_at_format AS BIGINT)
+                 AS ok_metadata_created_at_format,
+               CAST(ok_contact_email_format AS BIGINT)
+                 AS ok_contact_email_format,
+               CAST(ok_parse AND ok_summary_required AND ok_summary_objtype
+                    AND ok_summary_title_required AND ok_summary_title_maxlen
+                    AND ok_summary_content_required
+                    AND ok_summary_content_minlen AND ok_tags_required
+                    AND ok_tags_array AND ok_tags_items AND ok_tags_minitems
+                    AND ok_tags_maxitems AND ok_metadata_objtype
+                    AND ok_metadata_confidence_number
+                    AND ok_metadata_confidence_min
+                    AND ok_metadata_confidence_max
+                    AND ok_metadata_created_at_format
+                    AND ok_contact_email_format AS BIGINT) AS valid,
+               CASE WHEN NOT ok_parse THEN 'parse'
+                    WHEN NOT ok_summary_required THEN 'required:summary'
+                    WHEN NOT ok_summary_objtype THEN 'objtype:summary'
+                    WHEN NOT ok_summary_title_required
+                      THEN 'required:summary.title'
+                    WHEN NOT ok_summary_title_maxlen
+                      THEN 'maxLength:summary.title'
+                    WHEN NOT ok_summary_content_required
+                      THEN 'required:summary.content'
+                    WHEN NOT ok_summary_content_minlen
+                      THEN 'minLength:summary.content'
+                    WHEN NOT ok_tags_required THEN 'required:tags'
+                    WHEN NOT ok_tags_array THEN 'array:tags'
+                    WHEN NOT ok_tags_items THEN 'items:tags'
+                    WHEN NOT ok_tags_minitems THEN 'minItems:tags'
+                    WHEN NOT ok_tags_maxitems THEN 'maxItems:tags'
+                    WHEN NOT ok_metadata_objtype THEN 'objtype:metadata'
+                    WHEN NOT ok_metadata_confidence_number
+                      THEN 'number:metadata.confidence'
+                    WHEN NOT ok_metadata_confidence_min
+                      THEN 'min:metadata.confidence'
+                    WHEN NOT ok_metadata_confidence_max
+                      THEN 'max:metadata.confidence'
+                    WHEN NOT ok_metadata_created_at_format
+                      THEN 'format:metadata.created_at'
+                    WHEN NOT ok_contact_email_format
+                      THEN 'format:contact_email'
+                    ELSE '' END AS reason
+        FROM f"""
+
 
   private[queries] def fakeComplexJson(id: Long): String = {
     if (id % 19 == 0) return """{"summary": {"title": "Doc"""  // parse

@@ -745,7 +745,7 @@ object Streaming extends Catalog {
             round(col("attributed_value"), 6).as("attributed_value"))
       },
       sql = Some(SessionAttributionOracleSql),
-      scaleNote = "disorder tolerance is a state-size trade, made explicit: the buffer holds each key's events younger than the watermark (bounded by rate × watermark delay, NOT by history) and every watermark advance folds the frozen prefix in exact (ts, id) order, so the output is the batch answer regardless of arrival order — the property q242 only gets from an ordered transport like a partitioned log; at 100 TB pick per key: ordered ingest (Kafka key-partitioning) → q242's O(1) struct, disordered ingest (multi-region collectors, mobile flushes) → this buffer, same oracle either way; the exact-identity redelivery dedupe composes with both, and lateness beyond the watermark drops by the same contract every watermark operator already signs"),
+      scaleNote = "disorder tolerance is a state-size trade, made explicit: the buffer holds each key's events younger than the watermark (bounded by rate × watermark delay, NOT by history) and every watermark advance folds the frozen prefix in exact (ts, id) order, so the output is the batch answer regardless of arrival order — the property q242 only gets from an ordered transport like a partitioned log; at 100 TB pick per key: ordered ingest (Kafka key-partitioning) → q242's O(1) struct, disordered ingest (multi-region collectors, mobile flushes) → this buffer, same oracle either way; the exact-identity redelivery dedupe composes with both, and lateness beyond the watermark drops by the same contract every watermark operator already signs — with one documented sharpening (r17): the admit bound is the CURRENT batch's eviction watermark, one batch stricter than Spark's late-event filter (required by the frozen-prefix proof), so the effective tolerance is watermark-minus-one-batch and a feed's disorder span must sit strictly inside it (this fixture: 8 min of 10)"),
 
     // ----- q241: the streaming ENRICH service (r15) --------------------
     // The reference's own semantics (R3 per-record enrichment) in the

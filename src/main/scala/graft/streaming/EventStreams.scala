@@ -981,7 +981,21 @@ object EventStreams {
       val existing = if (buf.exists()) buf.get().toVector else Vector.empty
       val seen = existing.map(r => (usOf(r), r.event_id)).toSet
       val admitted = incoming
-        .filter(r => usOf(r) / 1000 >= wmMs)  // late beyond watermark
+        // late-beyond-tolerance guard. The bound is THIS batch's
+        // eviction watermark — one batch STRICTER than Spark's own
+        // late-event admission, which filters against the previous
+        // batch's watermark (r17 ADVICE): a row Spark still delivers
+        // in the one-batch gap between the two drops here. That is
+        // deliberate, not an oversight — the frozen-prefix proof
+        // below compares admitted arrivals against events folded
+        // under the SAME wmMs, and admitting at the (older) late-
+        // events watermark would let an arrival slot BEFORE an
+        // already-folded event. So the effective disorder tolerance
+        // is watermark-minus-one-batch, not the full watermark
+        // delay; a fixture (or a production feed) must keep its
+        // disorder span strictly inside that — q256's 8-minute swap
+        // span under a 10-minute watermark leaves the margin.
+        .filter(r => usOf(r) / 1000 >= wmMs)
         .filterNot(r => seen((usOf(r), r.event_id))) // exact redelivery
         .distinctBy(r => (usOf(r), r.event_id))      // in-batch dupes
       val all = existing ++ admitted

@@ -82,4 +82,52 @@ class OpenAiClientSpec extends AnyFunSuite {
       Seq(Msg("user", "plain", Nil)), cfg(useImages = true)))
     assert(j.get("messages").get(0).get("content").isTextual)
   }
+
+  // ---- FakeSchemaClient: the q259 request-side gate ------------------
+  // It re-parses the EXACT serialized request and compares the wire's
+  // response_format.schema structurally against the config's loaded
+  // object (lib/job_processor.rb:190-198) — these pin its failure
+  // modes so the q259 oracle's green really means "the schema rode
+  // the wire".
+
+  private def nestedSchema: java.util.LinkedHashMap[String, Any] = {
+    val props = new java.util.LinkedHashMap[String, Any]()
+    val conf = new java.util.LinkedHashMap[String, Any]()
+    conf.put("type", "number"); conf.put("minimum", 0.0); conf.put("maximum", 1.0)
+    props.put("confidence", conf)
+    val schema = new java.util.LinkedHashMap[String, Any]()
+    schema.put("type", "object"); schema.put("properties", props)
+    schema
+  }
+
+  test("FakeSchemaClient: answers when the wire carries the loaded schema " +
+    "structurally (nested objects and numerics included)") {
+    val c = new FakeSchemaClient(t => s"GOT:$t")
+    val out = c.chat(Seq(Msg("user", "42")),
+      cfg(rf = Some(ResponseFormat.JsonSchema(nestedSchema))))
+    assert(out == "GOT:42")
+  }
+
+  test("FakeSchemaClient: throws when the job loaded no schema at all") {
+    val c = new FakeSchemaClient(identity)
+    intercept[IllegalArgumentException] {
+      c.chat(Seq(Msg("user", "x")), cfg(rf = None))
+    }
+  }
+
+  test("FakeSchemaClient: bare json_object without an embedded schema " +
+    "is rejected (JsonMode is not the json_schema_filepath contract)") {
+    val c = new FakeSchemaClient(identity)
+    intercept[IllegalArgumentException] {
+      c.chat(Seq(Msg("user", "x")), cfg(rf = Some(ResponseFormat.JsonMode)))
+    }
+  }
+
+  test("FakeSchemaClient: schema jobs are text-only — image parts throw") {
+    val c = new FakeSchemaClient(identity)
+    intercept[IllegalArgumentException] {
+      c.chat(Seq(Msg("user", "x", Seq("AAA"))),
+        cfg(rf = Some(ResponseFormat.JsonSchema(nestedSchema)), useImages = true))
+    }
+  }
 }

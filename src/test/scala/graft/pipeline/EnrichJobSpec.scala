@@ -225,6 +225,45 @@ class EnrichJobSpec extends SparkSpec {
     assert(out._3 == Seq("aW1n"))
   }
 
+  test("dead-letter replay is FRUGAL: pass 2 calls the backend only for " +
+    "the dead-lettered subset (q262's loop contract)") {
+    EnrichJobSpec.promptLog.clear()
+    val records = (1 to 20)
+      .map(i => (i.toString, Map("content" -> s"c$i"), Seq.empty[String]))
+      .toDF("id", "texts", "images")
+    val rCfg = JobConfig(
+      id = "replay-frugal", erbTemplate = "<%= id %>",
+      backendEndpoint = "http://fake", model = "m", outputLabel = "summary",
+      systemErbTemplate = None, params = Map.empty, useImages = false,
+      responseFormat = None)
+    def logging(failMod: Int) = new graft.llm.LlmClient {
+      override def chat(ms: Seq[graft.llm.Msg], c: JobConfig): String = {
+        val id = ms.last.text.toInt
+        EnrichJobSpec.promptLog.add(id.toString)
+        if (id % failMod == 0) throw new RuntimeException("down")
+        "ok"
+      }
+    }
+    // materialize = true is LOAD-BEARING for frugality: without the
+    // checkpoint, every downstream consumer (good, deadLetter, the
+    // replay) re-executes pass 1's mapPartitions and re-fires the
+    // paid backend calls — q262 sets it for the same reason
+    val opts = EnrichOptions(maxRetries = 0)
+    val first = EnrichJob.run(records, rCfg, logging(4), opts,
+      materialize = true)
+    first.good.count()
+    val deadIds = first.deadLetter.select("id").as[String].collect()
+      .map(_.toInt).toSeq.sorted
+    assert(deadIds == Seq(4, 8, 12, 16, 20))
+    EnrichJobSpec.promptLog.clear()
+    val replayed = graft.io.Jsonl.replayDeadLetter(spark, first.deadLetter)
+    EnrichJob.run(replayed, rCfg, logging(Int.MaxValue), opts).good.count()
+    val pass2 = EnrichJobSpec.promptLog.toArray(Array.empty[String])
+      .toSeq.map(_.toInt).sorted
+    assert(pass2 == deadIds,
+      s"pass 2 must touch EXACTLY the dead-lettered subset: $pass2 vs $deadIds")
+  }
+
   test("rate limit paces submissions (maxReqPerSec)") {
     val df = (1 to 30).map(i => (i.toString, Map("content" -> s"d$i"), Seq.empty[String]))
       .toDF("id", "texts", "images").coalesce(1)

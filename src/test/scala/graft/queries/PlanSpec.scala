@@ -682,6 +682,22 @@ class PlanSpec extends SparkSpec {
       s"the exchange must partition on (k, _salt):\n${p.take(900)}")
   }
 
+  test("q260: AQE splits the planted hot partition at runtime — skew=true " +
+      "on the FINAL adaptive join, zero salt columns") {
+    val all = Relational.queries
+    val df = all("q260_skew_join_adaptive").fn(spark, sf0001)
+    df.collect() // the skew split exists only in the FINAL adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("_salt"),
+      s"q260 is the rewrite-free path — no salt column may appear:\n${p.take(900)}")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"a broadcast join has no reducer to skew:\n${p.take(600)}")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joinLine.exists(_.contains("skew=true")),
+      s"the join node must carry AQE's skew=true marker:\n${p.take(1200)}")
+  }
+
   test("q125: variant parse + shred stays in the scan stage's codegen") {
     val p = plan("q125_variant_shred")
     assert(exchanges(p) == 1, s"expected exactly one hash exchange:\n${p.take(800)}")
