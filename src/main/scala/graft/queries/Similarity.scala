@@ -365,6 +365,173 @@ object Similarity extends Catalog {
                    list_dot_product(e.v, cent.cv) / cent.cnorm DESC, cent.cell) AS r
           FROM e CROSS JOIN cent WHERE e.vec_id < $NumQueries) WHERE r <= $nprobe)"""
 
+  // ---- graph ANN: deterministic two-layer NSW (q261/q263, r17) ------
+  // The HNSW-class family beside IVF/PQ/LSH (VERDICT r16 item 3): a
+  // navigable-small-world kNN graph whose construction and search are
+  // BOTH deterministic and mirrorable, so the driver hash gates the
+  // whole operator, not a recall bound. Construction: LSH cobucket
+  // candidates (q49's geometry — bucketed, never all-pairs) → per-node
+  // top-M by exact cosine → symmetrized adjacency; a sparse upper
+  // layer over the md5-seeded node subset (HNSW's geometric level
+  // draw with the RNG replaced by the q133 portable-hash family, so
+  // the index is replayable under task retry and rebuild); entry =
+  // the hash-minimal upper node. Search: greedy descent on the upper
+  // layer, then synchronous beam rounds on the base layer — fixed
+  // hop counts rather than converge-until-done, which keeps the plan
+  // static and the DuckDB twin an unrolled CTE chain (kcenterSql's
+  // stance).
+  // Parameters tuned against q263's own accounting at test SF: with
+  // M=12 + one NN-descent round + ef=6 the search touches 614
+  // candidates for 32/50 ground-truth hits vs IVF nprobe=3's 762 for
+  // 24 — the portfolio gate (recall >= IVF at <= its budget) holds
+  // with margin on BOTH axes, and PipelineCatalogsSpec pins it.
+  private val GraphM = 12        // base out-degree before symmetrize
+  private val GraphUpperM = 4    // upper out-degree before symmetrize
+  private val GraphUpperMod = 8  // P(level >= 1) = 1/8, md5-seeded
+  private val GraphEf = 6        // beam width (the search budget knob)
+  private val GraphBeamHops = 3  // base-layer beam rounds
+  private val GraphGreedyHops = 2 // upper-layer descent hops
+
+  /** the q133-family portable 48-bit hash that replaces HNSW's RNG
+    * level draw — same value in both engines, no seed state
+    */
+  private def graphLevelHash(c: Column): Column =
+    conv(substring(md5(concat(lit("gl:"), c.cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+
+  /** LSH cobucket candidate pairs, BOTH directions (each node sees the
+    * candidates of every bucket it occupies) — the q49 bucket join on
+    * skinny postings, never an all-pairs product
+    */
+  private def cobucketPairs(b: DataFrame): DataFrame =
+    b.as("a").join(b.as("b2"),
+        col("a.t") === col("b2.t") && col("a.sig") === col("b2.sig") &&
+        col("a.vec_id") =!= col("b2.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b2.vec_id").as("dst"))
+      .dropDuplicates("src", "dst")
+
+  /** per-node top-m by exact cosine (ties → lowest dst), symmetrized:
+    * an edge survives if EITHER endpoint kept it, so greedy search can
+    * always walk back out of a kept edge — the NSW navigability move
+    */
+  private def nswEdges(e: DataFrame, pairs: DataFrame, m: Int): DataFrame = {
+    val topm = pairs
+      .join(e.select(col("vec_id").as("src"), col("v").as("sv"),
+        col("norm").as("sn")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("v").as("dv"),
+        col("norm").as("dn")), "dst")
+      .select(col("src"), col("dst"),
+        (call_function("vec_dot", col("sv"), col("dv")) / (col("sn") * col("dn")))
+          .as("cos"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .filter(col("r") <= m)
+      .select(col("src"), col("dst"))
+    topm.unionByName(
+        topm.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+  }
+
+  /** the full searched set S_hops: (query_id, nid, cos) for every node
+    * the beam ever scored — q261 emits its top-K, q263 counts it as
+    * the probe budget. `ef` is the knob the contract spec sweeps.
+    */
+  /** builder-logic cache tag: every parameter that shapes the staged
+    * index bytes, so a constant change can never serve a stale graph
+    * (the r17 bucketedFrame ADVICE rule)
+    */
+  private def nswVersion: String =
+    s"v1m${GraphM}u${GraphUpperM}d$GraphUpperMod"
+
+  private[queries] def nswScored(
+      s: SparkSession, d: String, ef: Int = GraphEf): DataFrame = {
+    val e = embeddings(s, d)
+    // The index is BUILT ONCE per corpus generation and staged as
+    // derived parquet (Sources.derivedParquet — the q253 amortization
+    // stance): a served ANN index is constructed once and queried
+    // many times, so repeated catalog runs must pay lookup cost, not
+    // construction cost. The candidate frame stages first because
+    // base AND upper both fold it.
+    val pairs = Sources.derivedParquet(s, d, "nsw_pairs", nswVersion) {
+      val pairs0 = cobucketPairs(buckets(e)).localCheckpoint()
+      // one NN-descent refinement round: neighbor-of-neighbor
+      // candidates rescored into the top-M. The standard graph-build
+      // repair for candidate-generator misses (a true neighbor the
+      // buckets missed is usually a neighbor of a found neighbor), at
+      // cost bounded by n x degree² — measured at test SF it lifts
+      // recall from 24 to 32 hits/50 at ~100 fewer touched candidates.
+      val edges0 = nswEdges(e, pairs0, GraphM).localCheckpoint()
+      val nn2 = edges0.as("x").join(edges0.as("y"),
+          col("x.dst") === col("y.src") && col("x.src") =!= col("y.dst"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      pairs0.unionByName(nn2).dropDuplicates("src", "dst")
+    }
+    val base = Sources.derivedParquet(s, d, "nsw_base", nswVersion)(
+      nswEdges(e, pairs, GraphM))
+    val up = e.select(col("vec_id"), graphLevelHash(col("vec_id")).as("h"))
+      .filter(col("h") % GraphUpperMod === 0)
+    val upper = Sources.derivedParquet(s, d, "nsw_upper", nswVersion) {
+      val upairs = pairs
+        .join(up.select(col("vec_id").as("src")), "src")
+        .join(up.select(col("vec_id").as("dst")), "dst")
+      nswEdges(e, upairs, GraphUpperM)
+    }
+    val entry = up.orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("cur"))
+    val qf = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    // scoring joins BROADCAST THE SMALL SIDE INTO THE BIG ONE — the
+    // frontier (<= ef x |queries| rows) ships to the corpus/adjacency
+    // partitions, never the reverse, which is the only direction that
+    // survives a corpus-sized e/base at 100 TB. Per search hop there
+    // is exactly ONE hash exchange (the repartition on query_id):
+    // the distinct-aggregate AND the ranking window both reuse it
+    // (hash(query_id) satisfies both required distributions), and
+    // duplicate (query, node) rows from overlapping frontiers carry
+    // identical recomputed cosines, so max() under the dedup is the
+    // value UNION-set semantics gives the mirror.
+    def score(cand: DataFrame): DataFrame = e
+      .select(col("vec_id").as("nid"), col("v"), col("norm"))
+      .join(broadcast(cand), "nid")
+      .join(broadcast(qf), "query_id")
+      .withColumn("cos",
+        cosine(col("v"), col("qv"), col("norm"), col("qnorm")))
+      .select(col("query_id"), col("nid"), col("cos"))
+    def dedupByQuery(scored: DataFrame): DataFrame = scored
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("nid")).agg(max(col("cos")).as("cos"))
+    // layer 1: greedy argmax descent from the shared entry (no dedup
+    // needed: duplicate candidates tie on (cos, nid) and cannot
+    // change the argmax)
+    var cur = qf.select(col("query_id")).crossJoin(broadcast(entry))
+    for (_ <- 1 to GraphGreedyHops) {
+      val cand = cur.select(col("query_id"), col("cur").as("nid"))
+        .unionByName(upper.join(broadcast(cur), col("src") === col("cur"))
+          .select(col("query_id"), col("dst").as("nid")))
+      cur = score(cand)
+        .withColumn("r", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("nid"))))
+        .filter(col("r") === 1)
+        .select(col("query_id"), col("nid").as("cur"))
+    }
+    // layer 0: synchronous beam rounds; the accumulating union may
+    // carry duplicate rows mid-flight — each hop's beam and the final
+    // return dedup through ONE query_id exchange
+    var scored = score(cur.select(col("query_id"), col("cur").as("nid")))
+    for (_ <- 1 to GraphBeamHops) {
+      val beam = dedupByQuery(scored)
+        .withColumn("r", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("nid"))))
+        .filter(col("r") <= ef)
+        .select(col("query_id"), col("nid"))
+      val frontier = base.join(broadcast(beam), col("src") === col("nid"))
+        .select(col("query_id"), col("dst").as("nid"))
+      scored = scored.unionByName(score(frontier))
+    }
+    dedupByQuery(scored)
+  }
+
   override def queries: Map[String, Q] = Map(
 
     // ----- product quantization: encode (ANN compression, q79's twin)
@@ -1134,7 +1301,150 @@ object Similarity extends Catalog {
             round(col("dd"), 6).as("d2"))
       },
       sql = Some(kcenterSql(8)),
-      scaleNote = "per round: the corpus-sized (vec_id, mind) frame takes ONE broadcast of a 1-row center and one TakeOrdered argmax (per-partition heaps, one row to the driver) — k rounds cost k map-passes and zero data shuffles; the final assignment is one broadcast of the k-row center set with the per-vec argmin collapsing in-shuffle via WindowGroupLimit. At 100 TB the mind frame is the only state (8 bytes/vector beyond the vectors) and persists across rounds; the same loop yields k-means++ seeding by swapping argmax for weighted sampling on the same frame")
+      scaleNote = "per round: the corpus-sized (vec_id, mind) frame takes ONE broadcast of a 1-row center and one TakeOrdered argmax (per-partition heaps, one row to the driver) — k rounds cost k map-passes and zero data shuffles; the final assignment is one broadcast of the k-row center set with the per-vec argmin collapsing in-shuffle via WindowGroupLimit. At 100 TB the mind frame is the only state (8 bytes/vector beyond the vectors) and persists across rounds; the same loop yields k-means++ seeding by swapping argmax for weighted sampling on the same frame"),
+
+    // ----- graph ANN: two-layer NSW kNN search (q261, r17) -----------
+    // Mirror-oracled at the ALGORITHM level like q51: the DuckDB twin
+    // rebuilds the identical graph (same plane signatures, same
+    // cobucket candidates, same top-M/tie order, same md5 level draw,
+    // same entry) and replays the identical greedy + beam schedule as
+    // an unrolled CTE chain — so the approximation itself is verified
+    // hash-exact, not bounded. PipelineCatalogsSpec adds the contract
+    // q263 prices: recall >= the IVF baseline at no more touched
+    // candidates, and recall monotone in ef.
+    "q261_knn_graph" -> Q(
+      fn = (s, d) => nswScored(s, d)
+        .filter(col("nid") =!= col("query_id"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("nid"))).cast("long"))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("nid").as("neighbor_id"),
+          col("cos").as("cosine"), col("rnk")),
+      sql = Some(s"""
+        WITH $EmbSqlCte,
+        ${nswSqlCtes(GraphEf)}
+        SELECT query_id, nid AS neighbor_id, cos AS cosine, rnk FROM (
+          SELECT s.query_id, s.nid, s.cos,
+                 CAST(row_number() OVER (PARTITION BY s.query_id
+                   ORDER BY s.cos DESC, s.nid) AS BIGINT) AS rnk
+          FROM gs$GraphBeamHops s WHERE s.nid <> s.query_id)
+        WHERE rnk <= $K"""),
+      scaleNote = "the production-default ANN class (navigable small-world) beside IVF/PQ/LSH: construction is one bucketed candidate shuffle (q49's skinny-postings geometry — work tracks bucket occupancy, never n²) plus ONE NN-descent refinement round (neighbor-of-neighbor candidates rescored into the top-M at n x degree²-bounded cost — the standard repair for generator misses, worth +8 ground-truth hits at FEWER touched candidates here) and a per-node top-M window; the adjacency is <= 2M integer rows per node and the md5-seeded level draw makes the index a deterministic FUNCTION of the corpus — replayable under task retry, rebuildable shard-by-shard, no RNG state; search costs ef x degree x hops exact-cosine evaluations per query INDEPENDENT of corpus size (IVF's candidate set grows with cell occupancy), each batch hop joining the beam frontier against the hash-partitioned adjacency while the serving form walks the same arrays in memory; fixed hop counts keep the batch plan static and the oracle an unrolled CTE chain — a serving implementation iterates to convergence instead, and q263 prices what the fixed budget costs in recall"),
+
+    // ----- ANN probe-budget vs recall accounting (q263, r17) ---------
+    // The q192 calibration stance generalized from LSH banding to
+    // search indexes: ONE exact ground truth (brute top-K), and per
+    // (method, query) the EXACT candidate budget the method scored
+    // plus how much of the true top-K it recovered. The graph side
+    // counts the very S_hops frame q261 ranks; the IVF side counts
+    // the very candidate set q51's rerank scores (ivfCandidates was
+    // split out precisely so this accounting and the rerank can never
+    // drift).
+    "q263_ann_budget_recall" -> Q(
+      fn = (s, d) => {
+        val e = embeddings(s, d)
+        val qf = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("norm").as("qnorm"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("nid"))
+        val gt = e.join(broadcast(qf), col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            cosine(col("v"), col("qv"), col("norm"), col("qnorm")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rnk") <= K)
+          .select(col("query_id"), col("vec_id").as("nid"))
+          .localCheckpoint() // both hit joins read it
+        val gfin = nswScored(s, d)
+          .filter(col("nid") =!= col("query_id"))
+          .localCheckpoint() // budget count + top-K share one search
+        val gtouch = gfin.groupBy("query_id")
+          .agg(count(lit(1)).as("touched"))
+        val gtop = gfin.withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= K).select(col("query_id"), col("nid"))
+        val ghits = gtop.join(gt, Seq("query_id", "nid"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        val ic = ivfCandidates(s, d, nprobe = 3)
+          .select(col("query_id"), col("vec_id").as("nid"))
+          .localCheckpoint() // budget count + rerank share one set
+        val itouch = ic.groupBy("query_id")
+          .agg(count(lit(1)).as("touched"))
+        val itop = ic
+          .join(e.select(col("vec_id").as("nid"), col("v"), col("norm")), "nid")
+          .join(broadcast(qf), "query_id")
+          .withColumn("cos",
+            cosine(col("v"), col("qv"), col("norm"), col("qnorm")))
+          .withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= K).select(col("query_id"), col("nid"))
+        val ihits = itop.join(gt, Seq("query_id", "nid"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        val qs = qf.select(col("query_id"))
+        def shape(m: String, t: DataFrame, h: DataFrame): DataFrame =
+          qs.join(t, Seq("query_id"), "left")
+            .join(h, Seq("query_id"), "left")
+            .select(lit(m).as("method"), col("query_id"),
+              coalesce(col("touched"), lit(0L)).as("touched"),
+              coalesce(col("hits"), lit(0L)).as("hits"))
+            .withColumn("recall_ppm",
+              expr(s"CAST((hits * 1000000) DIV $K AS BIGINT)"))
+        shape("graph", gtouch, ghits)
+          .unionByName(shape("ivf", itouch, ihits))
+      },
+      sql = Some(s"""
+        WITH $EmbSqlCte,
+        ${ivfSqlCtes(3)},
+        ${nswSqlCtes(GraphEf)},
+        gt AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+               SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                        list_dot_product(q.v, x.v) / (q.nrm * x.nrm) DESC,
+                        x.vec_id) AS rnk
+               FROM e q JOIN e x ON x.vec_id <> q.vec_id
+               WHERE q.vec_id < $NumQueries) WHERE rnk <= $K),
+        gfin AS (SELECT query_id, nid, cos FROM gs$GraphBeamHops
+                 WHERE nid <> query_id),
+        gtouch AS (SELECT query_id, count(*) AS touched FROM gfin GROUP BY 1),
+        gtop AS (SELECT query_id, nid FROM (
+                   SELECT s.query_id, s.nid,
+                          row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.cos DESC, s.nid) AS rnk
+                   FROM gfin s) WHERE rnk <= $K),
+        ghits AS (SELECT g.query_id, count(*) AS hits
+                  FROM gtop g JOIN gt ON gt.query_id = g.query_id
+                       AND gt.neighbor_id = g.nid GROUP BY 1),
+        ic AS MATERIALIZED (SELECT p.query_id, a.vec_id AS nid
+              FROM assigned a JOIN probes p USING (cell)
+              WHERE a.vec_id <> p.query_id),
+        itouch AS (SELECT query_id, count(*) AS touched FROM ic GROUP BY 1),
+        itop AS (SELECT query_id, nid FROM (
+                   SELECT ic.query_id, ic.nid,
+                          row_number() OVER (PARTITION BY ic.query_id ORDER BY
+                            list_dot_product(x.v, q.v) / (x.nrm * q.nrm) DESC,
+                            ic.nid) AS rnk
+                   FROM ic JOIN e x ON x.vec_id = ic.nid
+                        JOIN e q ON q.vec_id = ic.query_id) WHERE rnk <= $K),
+        ihits AS (SELECT i.query_id, count(*) AS hits
+                  FROM itop i JOIN gt ON gt.query_id = i.query_id
+                       AND gt.neighbor_id = i.nid GROUP BY 1)
+        SELECT 'graph' AS method, q.query_id,
+               CAST(coalesce(t.touched, 0) AS BIGINT) AS touched,
+               CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+               CAST((coalesce(h.hits, 0) * 1000000) // $K AS BIGINT)
+                 AS recall_ppm
+        FROM gqs q LEFT JOIN gtouch t USING (query_id)
+             LEFT JOIN ghits h USING (query_id)
+        UNION ALL
+        SELECT 'ivf' AS method, q.query_id,
+               CAST(coalesce(t.touched, 0) AS BIGINT) AS touched,
+               CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+               CAST((coalesce(h.hits, 0) * 1000000) // $K AS BIGINT)
+                 AS recall_ppm
+        FROM gqs q LEFT JOIN itouch t USING (query_id)
+             LEFT JOIN ihits h USING (query_id)"""),
+      scaleNote = "the decision frame for the ANN portfolio, fully oracled: recall@K and candidates-touched per (method, query) under ONE exact ground truth — at 100 TB the ground truth runs on a query SAMPLE (per-query proportions estimate unbiased, q192's stance), both index paths ARE the registered scale plans, and the portfolio rule the spec pins is what an operator tunes by: the graph must match-or-beat IVF's recall without exceeding its probe budget, with ef as the knob that trades the two (recall monotone in ef — also pinned)")
   )
 
   /** The DuckDB mirror of the farthest-first loop: identical rounds
@@ -1177,6 +1487,110 @@ object Similarity extends Catalog {
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${d2("e", "c")}, c.cid) AS rk
           FROM e, cs c) WHERE rk = 1""")
+    sb.toString
+  }
+
+  /** The DuckDB mirror of [[nswScored]]: identical graph construction
+    * (same plane-signature buckets, same cobucket candidates, same
+    * NN-descent refinement round, same top-M/tie order, same md5 level
+    * draw and entry) and the identical greedy + beam schedule unrolled
+    * as CTEs (kcenterSql's stance).
+    * Expects `e` = [[EmbSqlCte]] in scope; emits the final scored set
+    * as `gs$GraphBeamHops` and the query spine as `gqs`. Every cosine
+    * is the same sequential dot product the engine computes (vec_dot
+    * ≡ list_dot_product, q29/q49's proven stance) so set-UNION dedup
+    * collapses recomputed rows exactly as dropDuplicates does.
+    */
+  private def nswSqlCtes(ef: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""gb AS MATERIALIZED (
+          SELECT vec_id, t, $sqlSigCase AS sig
+          FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t)),
+        gcp0 AS MATERIALIZED (
+          SELECT DISTINCT a.vec_id AS src, b2.vec_id AS dst
+          FROM gb a JOIN gb b2 ON a.t = b2.t AND a.sig = b2.sig
+           AND a.vec_id <> b2.vec_id),
+        ges0 AS (SELECT gcp0.src, gcp0.dst,
+                        list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+                 FROM gcp0 JOIN e x ON x.vec_id = gcp0.src
+                           JOIN e y ON y.vec_id = gcp0.dst),
+        getop0 AS (SELECT src, dst FROM (
+                     SELECT ges0.*, row_number() OVER (PARTITION BY src
+                       ORDER BY cos DESC, dst) AS r FROM ges0)
+                   WHERE r <= $GraphM),
+        gedge0 AS MATERIALIZED (
+          SELECT src, dst FROM getop0 UNION SELECT dst, src FROM getop0),
+        gcp AS MATERIALIZED (
+          SELECT src, dst FROM gcp0
+          UNION
+          SELECT x.src, y.dst FROM gedge0 x JOIN gedge0 y
+            ON x.dst = y.src AND x.src <> y.dst),
+        ges AS (SELECT gcp.src, gcp.dst,
+                       list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+                FROM gcp JOIN e x ON x.vec_id = gcp.src
+                         JOIN e y ON y.vec_id = gcp.dst),
+        getop AS (SELECT src, dst FROM (
+                    SELECT ges.*, row_number() OVER (PARTITION BY src
+                      ORDER BY cos DESC, dst) AS r FROM ges)
+                  WHERE r <= $GraphM),
+        gedge AS MATERIALIZED (
+          SELECT src, dst FROM getop UNION SELECT dst, src FROM getop),
+        gup AS (SELECT vec_id, h FROM (
+                  SELECT vec_id,
+                         ${OracleSql.hex48("md5('gl:' || vec_id)")} AS h
+                  FROM e)
+                WHERE h % $GraphUpperMod = 0),
+        gucp AS (SELECT gcp.src, gcp.dst FROM gcp
+                  JOIN gup u1 ON u1.vec_id = gcp.src
+                  JOIN gup u2 ON u2.vec_id = gcp.dst),
+        gues AS (SELECT gucp.src, gucp.dst,
+                        list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+                 FROM gucp JOIN e x ON x.vec_id = gucp.src
+                           JOIN e y ON y.vec_id = gucp.dst),
+        gutop AS (SELECT src, dst FROM (
+                    SELECT gues.*, row_number() OVER (PARTITION BY src
+                      ORDER BY cos DESC, dst) AS r FROM gues)
+                  WHERE r <= $GraphUpperM),
+        guedge AS MATERIALIZED (
+          SELECT src, dst FROM gutop UNION SELECT dst, src FROM gutop),
+        gentry AS (SELECT vec_id AS cur FROM gup ORDER BY h, vec_id LIMIT 1),
+        gqs AS (SELECT vec_id AS query_id FROM e WHERE vec_id < $NumQueries),
+        gg0 AS (SELECT query_id, cur FROM gqs CROSS JOIN gentry)""")
+    for (i <- 1 to GraphGreedyHops) {
+      sb.append(s""",
+        gg${i}c AS (SELECT query_id, cur AS nid FROM gg${i - 1}
+                    UNION
+                    SELECT g.query_id, u.dst FROM gg${i - 1} g
+                    JOIN guedge u ON u.src = g.cur),
+        gg$i AS (SELECT query_id, nid AS cur FROM (
+                   SELECT c.query_id, c.nid,
+                          row_number() OVER (PARTITION BY c.query_id ORDER BY
+                            list_dot_product(x.v, q.v) / (x.nrm * q.nrm) DESC,
+                            c.nid) AS r
+                   FROM gg${i}c c JOIN e x ON x.vec_id = c.nid
+                        JOIN e q ON q.vec_id = c.query_id) WHERE r = 1)""")
+    }
+    sb.append(s""",
+        gs0 AS (SELECT g.query_id, g.cur AS nid,
+                       list_dot_product(x.v, q.v) / (x.nrm * q.nrm) AS cos
+                FROM gg$GraphGreedyHops g JOIN e x ON x.vec_id = g.cur
+                     JOIN e q ON q.vec_id = g.query_id)""")
+    for (i <- 1 to GraphBeamHops) {
+      sb.append(s""",
+        gbm$i AS (SELECT query_id, nid FROM (
+                    SELECT s.*, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, nid) AS r FROM gs${i - 1} s)
+                  WHERE r <= $ef),
+        gfr$i AS (SELECT DISTINCT t.query_id, ed.dst AS nid
+                  FROM gbm$i t JOIN gedge ed ON ed.src = t.nid),
+        gs$i AS MATERIALIZED (
+          SELECT query_id, nid, cos FROM gs${i - 1}
+          UNION
+          SELECT n.query_id, n.nid,
+                 list_dot_product(x.v, q.v) / (x.nrm * q.nrm) AS cos
+          FROM gfr$i n JOIN e x ON x.vec_id = n.nid
+               JOIN e q ON q.vec_id = n.query_id)""")
+    }
     sb.toString
   }
 }

@@ -225,6 +225,27 @@ object Sources extends Catalog {
       s: SparkSession, d: String, name: String, key: String): DataFrame =
     bucketedFrame(s, d, name, key, Tables.load(s, d, name))
 
+  /** plain-parquet sibling of [[bucketedFrame]] (r17, the q261 NSW
+    * index): stage a DERIVED frame once per (name, version, sf,
+    * corpus generation) and read it back on every later call — the
+    * build-once-serve-many shape every index artifact has in
+    * production. No bucket layout (callers broadcast into these
+    * frames, they never shuffle-join on a key), so a bare parquet dir
+    * under [[ensureDir]]'s atomic-rename protocol suffices. Same
+    * corpusKey content-addressing and stale-sibling reaping as every
+    * other derived dir; `version` is the builder LOGIC tag (r17
+    * ADVICE rule — fold the parameters that shape the bytes into it).
+    */
+  private[queries] def derivedParquet(
+      s: SparkSession, d: String, name: String, version: String)(
+      build: => DataFrame): DataFrame = {
+    val site = s"graft_src_drv_${name}_${version}_"
+    dropStaleSiblings(site, sfTag(d), corpusKey(d))
+    val dir = s"${sys.props("java.io.tmpdir")}/$site${sfTag(d)}_${corpusKey(d)}"
+    ensureDir(dir) { tmp => build.write.parquet(tmp) }
+    s.read.parquet(dir)
+  }
+
   /** the same staging surface generalized from corpus tables to
     * DERIVED frames (r16, q253): any computed frame written CLUSTERED
     * BY its join key becomes an AQE-proof partitioning carrier —
