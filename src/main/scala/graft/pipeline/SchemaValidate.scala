@@ -134,9 +134,11 @@ object SchemaValidate {
     * a true object/array re-serializes compact as {…} / […], while a
     * plain-prose leaf like "{draft" unquotes to text that opens but
     * never closes — startsWith alone would wave it through. The
-    * documented quoted-structure caveat (a value that IS valid
-    * stringified JSON unquotes to something shaped like the structure)
-    * still stands; this only closes the arbitrary-prose half.
+    * RESIDUAL caveat is any string whose text both opens AND closes
+    * with the structural tokens — "{draft}" still passes, as does a
+    * value that is itself valid stringified JSON; a full fix needs a
+    * parse probe on the extracted fragment, which this cheap
+    * token-pair check deliberately is not.
     */
   final case class ObjType(f: String) extends Constraint {
     val reason = s"objtype:$f"

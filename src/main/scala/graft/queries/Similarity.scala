@@ -432,17 +432,24 @@ object Similarity extends Catalog {
       .dropDuplicates("src", "dst")
   }
 
-  /** the full searched set S_hops: (query_id, nid, cos) for every node
-    * the beam ever scored — q261 emits its top-K, q263 counts it as
-    * the probe budget. `ef` is the knob the contract spec sweeps.
-    */
-  /** builder-logic cache tag: every parameter that shapes the staged
-    * index bytes, so a constant change can never serve a stale graph
-    * (the r17 bucketedFrame ADVICE rule)
+  /** builder-logic cache tag: every CONSTANT that shapes the staged
+    * index bytes — degrees, level modulus, AND the LSH candidate
+    * geometry (the bucket tables/bits decide which pairs exist at
+    * all), so a constant change can never serve a stale graph (the
+    * r17 bucketedFrame ADVICE rule). A change to the planeSign
+    * KERNEL itself is a builder-logic change too — bump the leading
+    * literal by hand for those, as for any build-definition edit.
     */
   private def nswVersion: String =
-    s"v1m${GraphM}u${GraphUpperM}d$GraphUpperMod"
+    s"v1m${GraphM}u${GraphUpperM}d${GraphUpperMod}t${LshTables}b$BitsPerTable"
 
+  /** the base-layer searched set S_hops: (query_id, nid, cos), one
+    * row per distinct node the greedy seed + beam rounds ever scored
+    * on layer 0 — q261 emits its top-K, q263 counts it as the probe
+    * budget (upper-LAYER navigation cosines are excluded by
+    * definition; see q263's comment for why that stays a symmetric
+    * comparison). `ef` is the knob the contract spec sweeps.
+    */
   private[queries] def nswScored(
       s: SparkSession, d: String, ef: Int = GraphEf): DataFrame = {
     val e = embeddings(s, d)
@@ -1335,12 +1342,17 @@ object Similarity extends Catalog {
     // ----- ANN probe-budget vs recall accounting (q263, r17) ---------
     // The q192 calibration stance generalized from LSH banding to
     // search indexes: ONE exact ground truth (brute top-K), and per
-    // (method, query) the EXACT candidate budget the method scored
+    // (method, query) the CORPUS-CANDIDATE budget the method scored
     // plus how much of the true top-K it recovered. The graph side
     // counts the very S_hops frame q261 ranks; the IVF side counts
     // the very candidate set q51's rerank scores (ivfCandidates was
     // split out precisely so this accounting and the rerank can never
-    // drift).
+    // drift). Index-NAVIGATION work is excluded on both sides by the
+    // same rule: the graph's upper-layer greedy cosines (<= greedy
+    // hops x (1 + 2*UpperM) per query) don't enter `touched`, exactly
+    // as IVF's |cells| centroid probes per query don't — the metric
+    // compares corpus-vector evaluations, where the asymptotic cost
+    // lives, and stays symmetric about the overhead it drops.
     "q263_ann_budget_recall" -> Q(
       fn = (s, d) => {
         val e = embeddings(s, d)

@@ -239,9 +239,12 @@ object Sources extends Catalog {
   private[queries] def derivedParquet(
       s: SparkSession, d: String, name: String, version: String)(
       build: => DataFrame): DataFrame = {
-    val site = s"graft_src_drv_${name}_${version}_"
-    dropStaleSiblings(site, sfTag(d), corpusKey(d))
-    val dir = s"${sys.props("java.io.tmpdir")}/$site${sfTag(d)}_${corpusKey(d)}"
+    // version-free site prefix + versioned live key — see the
+    // bucketedFrame comment: a versioned prefix would leak one staged
+    // copy per retired version
+    val site = s"graft_src_drv_${name}_"
+    dropStaleSiblings(site, sfTag(d), s"${version}_${corpusKey(d)}")
+    val dir = s"${sys.props("java.io.tmpdir")}/$site${sfTag(d)}_${version}_${corpusKey(d)}"
     ensureDir(dir) { tmp => build.write.parquet(tmp) }
     s.read.parquet(dir)
   }
@@ -266,8 +269,15 @@ object Sources extends Catalog {
         * mismatch instead of here) */
       version: String = "v1"): DataFrame = {
     val ident = s"graft_b8_${name}_${version}_${sfTag(d).replaceAll("[^A-Za-z0-9_]", "_")}_${corpusKey(d)}"
-    val site = s"graft_src_bucket_${name}_${version}_"
-    dropStaleSiblings(site, sfTag(d), corpusKey(d))
+    // the version rides in the LIVE KEY, not the site prefix (r17
+    // review): dropStaleSiblings only inspects dirs under the current
+    // prefix, so a versioned prefix would orphan every other-version
+    // dir forever — version-free prefix + versioned key makes a
+    // version bump REAP the old staging instead of leaking it (and
+    // re-adopts the pre-versioning dirs the r17 rename would have
+    // stranded)
+    val site = s"graft_src_bucket_${name}_"
+    dropStaleSiblings(site, sfTag(d), s"${version}_${corpusKey(d)}")
     val lock = dirLocks.computeIfAbsent(s"tbl:$ident", _ => new Object)
     lock.synchronized {
       if (!s.catalog.tableExists(ident)) {
@@ -276,7 +286,7 @@ object Sources extends Catalog {
           .bucketBy(8, key)
           .sortBy(key)
           .option("path",
-            s"${sys.props("java.io.tmpdir")}/$site${sfTag(d)}_${corpusKey(d)}" +
+            s"${sys.props("java.io.tmpdir")}/$site${sfTag(d)}_${version}_${corpusKey(d)}" +
               s"_p${ProcessHandle.current().pid()}")
           .saveAsTable(ident)
       }
