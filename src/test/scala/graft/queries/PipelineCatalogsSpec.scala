@@ -182,6 +182,33 @@ class PipelineCatalogsSpec extends SparkSpec {
     assert(again.toSet == lo.toSet && again.length == lo.length)
   }
 
+  test("q264: incremental index fold equals the one-shot rebuild, and " +
+    "pays vector scores ONLY for delta-touching pairs") {
+    // end-to-end identity: the searched set from the folded index is
+    // row-identical to the one-shot build's (cosines included)
+    val inc = Similarity.nswIncrementalScored(spark, sf0001)
+      .select("query_id", "nid", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    val os = Similarity.nswScored(spark, sf0001)
+      .select("query_id", "nid", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == os, "fold and rebuild must search the identical graph")
+    // frugality: the staged frame holds no delta-touching pair (old
+    // scores are reused, never recomputed), the fold's scored set
+    // touches the delta in every row, and both halves are non-vacuous
+    val parts = Similarity.nswIncParts(spark, sf0001)
+    def touchesDelta(c: String) = col(c) % 3 === 2
+    assert(parts.s0Base
+      .filter(touchesDelta("src") || touchesDelta("dst")).count() == 0,
+      "staged base scores must be delta-free")
+    assert(parts.deltaScored
+      .filter(!touchesDelta("src") && !touchesDelta("dst")).count() == 0,
+      "every fold-scored pair must touch the delta")
+    val nDelta = parts.deltaScored.count()
+    val nBase = parts.s0Base.count()
+    assert(nDelta > 0 && nBase > 0)
+  }
+
   test("cdc chunk-overlap pairs agree with shingle-jaccard near-dups") {
     val jaccardPairs = Dedup.queries("q26_dedup_ngram_jaccard").fn(spark, sf0001)
       .select("doc1", "doc2").as[(Long, Long)].collect().toSet
