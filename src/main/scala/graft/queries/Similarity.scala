@@ -528,8 +528,14 @@ object Similarity extends Catalog {
   private[queries] final case class NswIncParts(
       s0Base: DataFrame, deltaScored: DataFrame, s1Full: DataFrame)
 
-  /** q264's delta split: every third vector is the "new batch" */
-  private[queries] def nswIsDelta: Column = col("vec_id") % 3 === 2
+  /** q264's delta split: a 5% ingest batch — production-shaped (an
+    * index fold handles a small increment, not a third of the corpus)
+    * and the knob that keeps the fold's scoring work, which grows
+    * with pairs TOUCHING the delta, an order under the full rebuild
+    * at every SF including the 10x blowup
+    */
+  private[queries] def nswIsDelta: Column = col("vec_id") % NswDeltaMod === 2
+  private val NswDeltaMod = 20
 
   private[queries] def nswIncParts(s: SparkSession, d: String): NswIncParts = {
     val e = embeddings(s, d)
@@ -538,7 +544,13 @@ object Similarity extends Catalog {
     // cobucket candidates (pre-refinement — refinement re-derives
     // after every fold, since new nodes re-route neighbor-of-neighbor
     // chains through themselves)
-    val s0Base = Sources.derivedParquet(s, d, "nsw_s0b", nswVersion)(
+    // the split modulus is part of this artifact's BUILDER LOGIC —
+    // fold it into the version tag or a split change silently serves
+    // the old base generation's scores (the exact stale-builder class
+    // the tag exists to kill; it fired in-session when the fixture
+    // batch shrank from 1/3 to 5%)
+    val s0Base = Sources.derivedParquet(s, d, "nsw_s0b",
+      s"${nswVersion}s$NswDeltaMod")(
       nswScorePairs(eB, cobucketPairs(buckets(eB))))
     // pairs the batch ADDS: postings of the delta bucket-joined
     // against the postings of the grown corpus, both orientations.

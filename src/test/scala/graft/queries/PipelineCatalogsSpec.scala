@@ -197,7 +197,7 @@ class PipelineCatalogsSpec extends SparkSpec {
     // scores are reused, never recomputed), the fold's scored set
     // touches the delta in every row, and both halves are non-vacuous
     val parts = Similarity.nswIncParts(spark, sf0001)
-    def touchesDelta(c: String) = col(c) % 3 === 2
+    def touchesDelta(c: String) = col(c) % 20 === 2
     assert(parts.s0Base
       .filter(touchesDelta("src") || touchesDelta("dst")).count() == 0,
       "staged base scores must be delta-free")
