@@ -510,10 +510,16 @@ object Similarity extends Catalog {
     // evaluations — plus the cheap layer frames derived from it; the
     // scored frame is also what incremental maintenance (q264) folds
     // new batches into without re-paying old scores.
-    val s1 = Sources.derivedParquet(s, d, "nsw_pairs", nswVersion) {
-      nswRefine(e,
-        nswScorePairs(e, cobucketPairs(buckets(e))).localCheckpoint())
-    }
+    // BOTH candidate frames stage to parquet — at 10x-blowup scale the
+    // scored cobucket frame is ~10^8 skinny rows, and a localCheckpoint
+    // there pins unevictable deserialized blocks until execution
+    // memory starves (measured: UNABLE_TO_ACQUIRE_MEMORY then heap
+    // OOM); disk-backed staging costs one write and is reread by
+    // every downstream consumer without touching the heap
+    val s0 = Sources.derivedParquet(s, d, "nsw_s0", nswVersion)(
+      nswScorePairs(e, cobucketPairs(buckets(e))))
+    val s1 = Sources.derivedParquet(s, d, "nsw_pairs", nswVersion)(
+      nswRefine(e, s0))
     val (baseL, upperL, entry) = nswLayers(e, s1)
     val base = Sources.derivedParquet(s, d, "nsw_base", nswVersion)(baseL)
     val upper = Sources.derivedParquet(s, d, "nsw_upper", nswVersion)(upperL)
@@ -565,14 +571,20 @@ object Similarity extends Catalog {
     val newPairs = touchD.unionByName(
         touchD.select(col("dst").as("src"), col("src").as("dst")))
       .dropDuplicates("src", "dst")
-    val deltaScored = nswScorePairs(e, newPairs).localCheckpoint()
+    // DISK_ONLY, not localCheckpoint: the fold frames reach ~10% of
+    // the corpus's candidate volume and pinned in-memory blocks are
+    // what OOM'd the blowup bench (see nswScored); disk persistence
+    // keeps the once-computed guarantee without heap residency
+    val deltaScored = nswScorePairs(e, newPairs)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // set-identical to the one-shot scored cobucket frame: B-B pairs
     // share buckets independently of the delta (signatures are pure
     // functions of each vector), delta-touching pairs are exactly
     // newPairs, and both score with the same kernel on the same
     // vectors — so every downstream layer is identical by construction
     val s1Full = nswRefine(e,
-      s0Base.unionByName(deltaScored).localCheckpoint())
+      s0Base.unionByName(deltaScored)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     NswIncParts(s0Base, deltaScored, s1Full)
   }
 
@@ -582,7 +594,8 @@ object Similarity extends Catalog {
   private[queries] def nswIncrementalScored(
       s: SparkSession, d: String, ef: Int = GraphEf): DataFrame = {
     val e = embeddings(s, d)
-    val s1 = nswIncParts(s, d).s1Full.localCheckpoint()
+    val s1 = nswIncParts(s, d).s1Full
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val (base, upper, entry) = nswLayers(e, s1)
     nswSearch(e, base.localCheckpoint(), upper.localCheckpoint(), entry, ef)
   }
@@ -1559,7 +1572,7 @@ object Similarity extends Catalog {
                  AS recall_ppm
         FROM gqs q LEFT JOIN itouch t USING (query_id)
              LEFT JOIN ihits h USING (query_id)"""),
-      scaleNote = "the decision frame for the ANN portfolio, fully oracled: recall@K and candidates-touched per (method, query) under ONE exact ground truth — at 100 TB the ground truth runs on a query SAMPLE (per-query proportions estimate unbiased, q192's stance), both index paths ARE the registered scale plans, and the portfolio rule the spec pins is what an operator tunes by: the graph must match-or-beat IVF's recall without exceeding its probe budget, with ef as the knob that trades the two (recall monotone in ef — also pinned)"),
+      scaleNote = "the decision frame for the ANN portfolio, fully oracled: recall@K and candidates-touched per (method, query) under ONE exact ground truth — at 100 TB the ground truth runs on a query SAMPLE (per-query proportions estimate unbiased, q192's stance), both index paths ARE the registered scale plans, and the portfolio rule the spec pins is what an operator tunes by: the graph must match-or-beat IVF's recall without exceeding its probe budget, with ef as the knob that trades the two (recall monotone in ef — also pinned); the knob is SF-dependent by design — a fixed-ef search budget stays flat as the corpus grows while IVF's probe cost balloons with cell occupancy (at 4x the vectors this frame shows the graph at 673 touched vs IVF's 2982 — 2.4x the recall per touched candidate but lower absolute recall), so the operator answers a growth step by re-tuning ef upward along the pinned monotone curve to the recall target, paying only the budget the target needs"),
 
     // ----- incremental graph-index maintenance (q264, r17) -----------
     // The IncrementalDedup discipline applied to the NSW index: a
