@@ -485,6 +485,9 @@ object Similarity extends Catalog {
     * shared verbatim by the one-shot build and the incremental fold
     * so the two can only differ through their candidate sets
     */
+  private[queries] def probeLayers(e: DataFrame, s1: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = nswLayers(e, s1)
+
   private def nswLayers(e: DataFrame, s1: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     val base = symTopM(s1, GraphM)
@@ -641,8 +644,15 @@ object Similarity extends Catalog {
       .groupBy(col("query_id"), col("nid")).agg(max(col("cos")).as("cos"))
     // layer 1: greedy argmax descent from the shared entry (no dedup
     // needed: duplicate candidates tie on (cos, nid) and cannot
-    // change the argmax)
+    // change the argmax). Each hop's frame — and each beam round's
+    // below — materializes via localCheckpoint: `cur`/`scored` feed
+    // BOTH branches of the next round (frontier AND union), so an
+    // unmaterialized loop doubles the subtree per hop — the q113/q163
+    // iterative-lineage stance (measured r17: the 5-hop search plan
+    // reached 1,322 operators and re-evaluated early hops 2^hops
+    // times; the checkpointed frames are <= ef x |queries| rows).
     var cur = qf.select(col("query_id")).crossJoin(broadcast(entry))
+      .localCheckpoint()
     for (_ <- 1 to GraphGreedyHops) {
       val cand = cur.select(col("query_id"), col("cur").as("nid"))
         .unionByName(upper.join(broadcast(cur), col("src") === col("cur"))
@@ -652,11 +662,13 @@ object Similarity extends Catalog {
           .orderBy(col("cos").desc, col("nid"))))
         .filter(col("r") === 1)
         .select(col("query_id"), col("nid").as("cur"))
+        .localCheckpoint()
     }
     // layer 0: synchronous beam rounds; the accumulating union may
     // carry duplicate rows mid-flight — each hop's beam and the final
     // return dedup through ONE query_id exchange
     var scored = score(cur.select(col("query_id"), col("cur").as("nid")))
+      .localCheckpoint()
     for (_ <- 1 to GraphBeamHops) {
       val beam = dedupByQuery(scored)
         .withColumn("r", row_number().over(Window.partitionBy(col("query_id"))
@@ -665,7 +677,7 @@ object Similarity extends Catalog {
         .select(col("query_id"), col("nid"))
       val frontier = base.join(broadcast(beam), col("src") === col("nid"))
         .select(col("query_id"), col("dst").as("nid"))
-      scored = scored.unionByName(score(frontier))
+      scored = scored.unionByName(score(frontier)).localCheckpoint()
     }
     dedupByQuery(scored)
   }
