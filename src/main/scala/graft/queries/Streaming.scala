@@ -156,6 +156,20 @@ object Streaming extends Catalog {
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
       s2.conf.set("spark.sql.shuffle.partitions", "8")
+      // changelog checkpointing (r17, guide §1/§2 "measure, then cut
+      // the per-batch constant"): the default uploads a full RocksDB
+      // snapshot per store per commit; with the changelog, a commit
+      // appends only the batch's changed keys and snapshots move to
+      // background maintenance — the production-recommended setting
+      // for exactly this shape (many commits, small per-batch state
+      // deltas), and the same knob a 100 TB deployment flips. State
+      // semantics are unchanged (replay = snapshot + changelog);
+      // measured r17 (same-JVM min-of-3 A/B, changelog off→on, all
+      // else equal): q223 4.27→3.31 s, q242 4.69→3.66 s, with the
+      // q217/q229/q256 replays in the same −0.3..−0.7 s band, at
+      // identical oracle output.
+      s2.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
     }
 
   override def queries: Map[String, Q] = Map(
@@ -393,8 +407,18 @@ object Streaming extends Catalog {
     // delivery (Kafka offsets / checkpointed sources), not a
     // redelivery stunt that happens to pass.
     "q199_streaming_cusum" -> Q(
-      fn = (s, d) => {
+      fn = (s0, d) => {
         import org.apache.spark.sql.functions._
+        // 8 state partitions (r17): the rocksDbChild sizing note
+        // applies verbatim to this GroupState replay — every
+        // micro-batch commits EVERY state partition's store, and the
+        // parent session's 32 CPU-count partitions were 4x pure fixed
+        // overhead against a |event-types|-key feed; the provider
+        // stays the default (HDFS-backed — flatMapGroupsWithState
+        // needs no state-v2, and tiny per-key state favors it)
+        val s = ChildSessions.get(s0, "replay-state-8") { s2 =>
+          s2.conf.set("spark.sql.shuffle.partitions", "8")
+        }
         import s.implicits._
         // q194's plan, verbatim, up to the detector input
         val ev = events(s, d).select(col("event_type"),
@@ -420,6 +444,13 @@ object Streaming extends Catalog {
           .sortBy(r => (r._2, r._1))
           .map { case (et, day, x, mu) =>
             EventStreams.CusumRow(et, day, x, mu + mu / 20, 2 * mu) }
+        // 50-row chunks KEPT (r17 — measured, not assumed): a 5-chunk
+        // seam schedule (the q242 batch-count lesson) was tried and
+        // was ~0.6 s SLOWER here than the 40-batch replay once the
+        // state partitions were right-sized — with 8 tiny stores the
+        // per-commit constant is small enough that batch count no
+        // longer dominates, and the denser schedule exercises the
+        // cross-batch carry ~40 times per key for free.
         replayChunked(s, feed.toSeq, 50, "q199_cusum")(
             EventStreams.cusumPerKey)
           .select(col("key").as("event_type"),
