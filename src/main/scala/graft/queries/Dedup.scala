@@ -940,6 +940,25 @@ object Dedup extends Catalog {
           .unionByName(tw.select((col("doc_id") + 30000000L).as("doc_id"),
             concat(col("marker"), lit(" "),
               array_join(slice(col("ws"), -10, 10), " ")).as("t")))
+          // repartition BEFORE the per-position md5 explode (r17, guide
+          // §2.5 "one huge unsplittable file → repartition right after
+          // the read"): the corpus parquet is a single row group, so
+          // without this the ~|chars| md5 evaluations all run in ONE
+          // scan task; hashing by doc_id both spreads the hot map 32
+          // ways AND pre-satisfies the winnowing window's (and the
+          // fp-distinct's) required distribution, so the exchange that
+          // used to carry the EXPLODED (doc, pos, hash) rows now moves
+          // whole documents instead — strictly fewer shuffled bytes
+          // (guide §2.3 "project before the exchange"). Measured r17:
+          // 4.36 → 1.99 s (sf0.1 bench methodology), oracle green.
+          // The count is
+          // EXPLICIT (q250's REPARTITION_BY_NUM stance): AQE sizes a
+          // keyed repartition by its INPUT bytes (~3 MB of text → 1
+          // partition) and cannot see the ~200× row fanout the explode
+          // applies after it.
+          .repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("doc_id"))
         val pos = corpus
           .filter(length(col("t")) >= K)
           .select(col("doc_id"),
