@@ -75,12 +75,29 @@ object Dedup extends Catalog {
           .as("ws"))
     val shStr = dd.unionByName(twins)
       .filter(size(col("ws")) >= 3)
+      // explicit-count repartition before the shingle/minhash map work
+      // (r17, guide §2.5): the corpus parquet is one unsplittable row
+      // group, so the 3-gram transform, the 8-min portable_minhash and
+      // the XXH64 banding below otherwise all run inside ONE task
+      // behind this checkpoint (the q193 fix applied to this family)
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .select(col("doc_id"), array_distinct(
         transform(sequence(lit(1), size(col("ws")) - 2),
           i => array_join(slice(col("ws"), i, lit(3)), " "))).as("sh"))
       .localCheckpoint() // shingles feed truth, sizes AND both kernels
     val sizes = shStr.select(col("doc_id"), size(col("sh")).as("sz"))
-    val ex = shStr.select(col("doc_id"), explode(col("sh")).as("g"))
+    // ground-truth postings join on the 64-bit shingle hash, not the
+    // shingle STRING (r17, guide §2.3 "narrower types / shuffle fewer
+    // bytes"): the join keys shrink from ~20-byte strings to 8 bytes
+    // and the hash compare replaces string compares; intersection
+    // counts are unchanged under in-corpus xxhash64 injectivity — the
+    // exact stance q26's native shingle_hashes already ships (and any
+    // collision would hash-mismatch the q192 oracle, which computes
+    // the string-keyed truth)
+    val ex = shStr.select(col("doc_id"),
+      explode(col("sh")).as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
     val exact = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -774,12 +791,23 @@ object Dedup extends Catalog {
               .as("ws"))
         val shStr = dd.unionByName(twins)
           .filter(size(col("ws")) >= 3)
+          // explicit-count repartition before the shingle/minhash map
+          // work (r17, guide §2.5 — see lshRecallPairs for the full
+          // rationale: single-row-group corpus, otherwise ONE task)
+          .repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("doc_id"))
           .select(col("doc_id"), array_distinct(
             transform(sequence(lit(1), size(col("ws")) - 2),
               i => array_join(slice(col("ws"), i, lit(3)), " "))).as("sh"))
           .localCheckpoint() // shingles feed postings, sizes AND minhash
         val sizes = shStr.select(col("doc_id"), size(col("sh")).as("sz"))
-        val ex = shStr.select(col("doc_id"), explode(col("sh")).as("g"))
+        // postings join on the 64-bit shingle hash, not the string
+        // (r17, guide §2.3 — see lshRecallPairs; counts unchanged
+        // under the documented in-corpus xxhash64 injectivity, and the
+        // string-keyed oracle gate would catch any collision)
+        val ex = shStr.select(col("doc_id"), explode(col("sh")).as("g0"))
+          .select(col("doc_id"), xxhash64(col("g0")).as("g"))
         val exact = ex.as("a").join(ex.as("b"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
