@@ -35,6 +35,16 @@ object Dedup extends Catalog {
     */
   private def shingled(s: SparkSession, d: String): DataFrame =
     docs(s, d)
+      // explicit-count repartition before the shingle kernel (r17,
+      // guide §2.5): the corpus parquet is ONE unsplittable row group,
+      // so without this every consumer's posting explode + join-side
+      // shuffle write ran single-threaded out of a 1-partition
+      // checkpoint; the explicit count (q250's REPARTITION_BY_NUM
+      // stance) keeps AQE from coalescing ~3 MB of pre-explode text
+      // back to one partition. Keyed by doc_id so the checkpoint's
+      // partitioning is also the one q132's incremental split reuses.
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .select(col("doc_id"),
         call_function("shingle_hashes", lower(col("text")), lit(3)).as("sh"))
       .filter(size(col("sh")) > 0)
