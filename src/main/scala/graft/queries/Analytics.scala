@@ -1463,7 +1463,17 @@ object Analytics extends Catalog {
     // column (PlanSpec pins exactly one orders scan in-plan).
     "q203_column_profiler" -> Q(
       fn = (s, d) => {
+        // explicit-count repartition off the single-row-group scan
+        // (r17, guide §2.5): the four COUNT(DISTINCT)s expand every
+        // row x4 and partial-aggregate map-side — all inside ONE scan
+        // task without this; the profile is a global aggregate, so
+        // any deterministic key distributes it (o_orderkey spreads
+        // uniformly). The plan keeps exactly one orders scan
+        // (PlanSpec's pin) — the repartition is above the scan.
         val o = t(s, d, "orders")
+          .repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("o_orderkey"))
         val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
         val dus = unix_micros(col("o_orderdate"))
         val a = o.agg(

@@ -1471,6 +1471,14 @@ object Dedup extends Catalog {
         // (recall over hot prefixes comes from extra blocking passes).
         val HotBlockCap = 256
         val a = cappedBlocks(blockedFrame(s, d), HotBlockCap)
+          // explicit-count repartition before the barrier (r17, guide
+          // §2.5): the blocked frame is a broadcast-anti-join straight
+          // off the single-row-group corpus scan, so the checkpoint —
+          // and the levenshtein kernel probing it below — otherwise
+          // ran in ONE task; keyed on the blocking key the self-join
+          // uses
+          .repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt, col("blk"))
           .localCheckpoint() // barrier: cap once, not once per join side
         a.as("x").join(a.as("y"),
             col("x.blk") === col("y.blk") &&
@@ -1514,6 +1522,15 @@ object Dedup extends Catalog {
         val MinShared = 3
         val base = docs(s, d)
         val tf = base
+          // explicit-count repartition before the shingle explode
+          // (r17, guide §2.5): single-row-group corpus scan, so the
+          // tokenize + explode + xxhash64 map work otherwise ran in
+          // ONE task — and hash(doc_id) pre-satisfies the
+          // (doc_id, sh) tf-aggregation below, so the exchange that
+          // carried EXPLODED postings now moves whole documents
+          .repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("doc_id"))
           .select(col("doc_id"), words.as("ws"))
           .filter(size(col("ws")) >= 3)
           .select(col("doc_id"),
