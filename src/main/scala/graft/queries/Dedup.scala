@@ -1711,6 +1711,14 @@ object Dedup extends Catalog {
         val N = 5
         val base = docs(s, d)
         val toks = base.select(col("doc_id"), words.as("ws"))
+          // explicit-count repartition before the barrier (r17, guide
+          // §2.5): single-row-group corpus scan, so the per-position
+          // 5-gram xxhash64 explode and the token posexplode both ran
+          // in ONE task off a 1-partition checkpoint; hash(doc_id)
+          // also co-partitions the (doc_id, idx) anti-join's sides
+          .repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("doc_id"))
           .localCheckpoint() // one tokenize feeds positions AND the rebuild
         val pos = toks.filter(size(col("ws")) >= N)
           .select(col("doc_id"),
