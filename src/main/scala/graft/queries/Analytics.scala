@@ -260,7 +260,16 @@ object Analytics extends Catalog {
       math.min(t(s, d, "supplier").count() * 5, Int.MaxValue.toLong).toInt
     val li = t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
-    li.as("a").join(li.as("b"),
+    // the probe side of the co-occurrence self-join is repartitioned
+    // off the single-row-group scan (r17, guide §2.5): the build side
+    // broadcasts, so without this the probe — the ~4x pair fanout and
+    // its partial (u,v) aggregation — ran in ONE scan task; explicit
+    // count so AQE cannot coalesce the pre-fanout ~10 MB to one
+    // partition (q250's REPARTITION_BY_NUM stance)
+    li.repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("l_orderkey"))
+      .as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_suppkey") < col("b.l_suppkey"))
       .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
@@ -396,7 +405,14 @@ object Analytics extends Catalog {
       s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
-    val e = li.as("a").join(li.as("b"),
+    // probe-side repartition off the single-row-group scan — same
+    // rationale as sparsifiedSupplierEdges (r17, guide §2.5): the
+    // broadcast join's probe fanout + partial agg otherwise run in
+    // ONE task
+    val e = li.repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("l_orderkey"))
+      .as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_suppkey") =!= col("b.l_suppkey"))
       .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
@@ -1447,7 +1463,17 @@ object Analytics extends Catalog {
     // column (PlanSpec pins exactly one orders scan in-plan).
     "q203_column_profiler" -> Q(
       fn = (s, d) => {
+        // explicit-count repartition off the single-row-group scan
+        // (r17, guide §2.5): the four COUNT(DISTINCT)s expand every
+        // row x4 and partial-aggregate map-side — all inside ONE scan
+        // task without this; the profile is a global aggregate, so
+        // any deterministic key distributes it (o_orderkey spreads
+        // uniformly). The plan keeps exactly one orders scan
+        // (PlanSpec's pin) — the repartition is above the scan.
         val o = t(s, d, "orders")
+          .repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("o_orderkey"))
         val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
         val dus = unix_micros(col("o_orderdate"))
         val a = o.agg(

@@ -405,7 +405,14 @@ object Curation extends Catalog {
     // Pure string/regexp arithmetic — bit-exact without rounding.
     "q138_url_canonical_dedup" -> Q(
       fn = (s, d) => {
-        val raw = Tables.load(s, d, "events").select(col("event_id"),
+        // explicit-count repartition off the single-row-group events
+        // scan (r17, guide §2.5): the ~8-regex canonicalization chain
+        // below otherwise runs in ONE scan task
+        val raw = Tables.load(s, d, "events")
+          .repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("event_id"))
+          .select(col("event_id"),
           concat(
             when(pmod(col("event_id"), lit(3)) === 0, "HTTPS").otherwise("https"),
             lit("://WWW.Site"), pmod(col("user_id"), lit(20)).cast("string"),

@@ -35,6 +35,16 @@ object Dedup extends Catalog {
     */
   private def shingled(s: SparkSession, d: String): DataFrame =
     docs(s, d)
+      // explicit-count repartition before the shingle kernel (r17,
+      // guide §2.5): the corpus parquet is ONE unsplittable row group,
+      // so without this every consumer's posting explode + join-side
+      // shuffle write ran single-threaded out of a 1-partition
+      // checkpoint; the explicit count (q250's REPARTITION_BY_NUM
+      // stance) keeps AQE from coalescing ~3 MB of pre-explode text
+      // back to one partition. Keyed by doc_id so the checkpoint's
+      // partitioning is also the one q132's incremental split reuses.
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .select(col("doc_id"),
         call_function("shingle_hashes", lower(col("text")), lit(3)).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -75,12 +85,29 @@ object Dedup extends Catalog {
           .as("ws"))
     val shStr = dd.unionByName(twins)
       .filter(size(col("ws")) >= 3)
+      // explicit-count repartition before the shingle/minhash map work
+      // (r17, guide §2.5): the corpus parquet is one unsplittable row
+      // group, so the 3-gram transform, the 8-min portable_minhash and
+      // the XXH64 banding below otherwise all run inside ONE task
+      // behind this checkpoint (the q193 fix applied to this family)
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .select(col("doc_id"), array_distinct(
         transform(sequence(lit(1), size(col("ws")) - 2),
           i => array_join(slice(col("ws"), i, lit(3)), " "))).as("sh"))
       .localCheckpoint() // shingles feed truth, sizes AND both kernels
     val sizes = shStr.select(col("doc_id"), size(col("sh")).as("sz"))
-    val ex = shStr.select(col("doc_id"), explode(col("sh")).as("g"))
+    // ground-truth postings join on the 64-bit shingle hash, not the
+    // shingle STRING (r17, guide §2.3 "narrower types / shuffle fewer
+    // bytes"): the join keys shrink from ~20-byte strings to 8 bytes
+    // and the hash compare replaces string compares; intersection
+    // counts are unchanged under in-corpus xxhash64 injectivity — the
+    // exact stance q26's native shingle_hashes already ships (and any
+    // collision would hash-mismatch the q192 oracle, which computes
+    // the string-keyed truth)
+    val ex = shStr.select(col("doc_id"),
+      explode(col("sh")).as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
     val exact = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -774,12 +801,23 @@ object Dedup extends Catalog {
               .as("ws"))
         val shStr = dd.unionByName(twins)
           .filter(size(col("ws")) >= 3)
+          // explicit-count repartition before the shingle/minhash map
+          // work (r17, guide §2.5 — see lshRecallPairs for the full
+          // rationale: single-row-group corpus, otherwise ONE task)
+          .repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("doc_id"))
           .select(col("doc_id"), array_distinct(
             transform(sequence(lit(1), size(col("ws")) - 2),
               i => array_join(slice(col("ws"), i, lit(3)), " "))).as("sh"))
           .localCheckpoint() // shingles feed postings, sizes AND minhash
         val sizes = shStr.select(col("doc_id"), size(col("sh")).as("sz"))
-        val ex = shStr.select(col("doc_id"), explode(col("sh")).as("g"))
+        // postings join on the 64-bit shingle hash, not the string
+        // (r17, guide §2.3 — see lshRecallPairs; counts unchanged
+        // under the documented in-corpus xxhash64 injectivity, and the
+        // string-keyed oracle gate would catch any collision)
+        val ex = shStr.select(col("doc_id"), explode(col("sh")).as("g0"))
+          .select(col("doc_id"), xxhash64(col("g0")).as("g"))
         val exact = ex.as("a").join(ex.as("b"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -940,6 +978,25 @@ object Dedup extends Catalog {
           .unionByName(tw.select((col("doc_id") + 30000000L).as("doc_id"),
             concat(col("marker"), lit(" "),
               array_join(slice(col("ws"), -10, 10), " ")).as("t")))
+          // repartition BEFORE the per-position md5 explode (r17, guide
+          // §2.5 "one huge unsplittable file → repartition right after
+          // the read"): the corpus parquet is a single row group, so
+          // without this the ~|chars| md5 evaluations all run in ONE
+          // scan task; hashing by doc_id both spreads the hot map 32
+          // ways AND pre-satisfies the winnowing window's (and the
+          // fp-distinct's) required distribution, so the exchange that
+          // used to carry the EXPLODED (doc, pos, hash) rows now moves
+          // whole documents instead — strictly fewer shuffled bytes
+          // (guide §2.3 "project before the exchange"). Measured r17:
+          // 4.36 → 1.99 s (sf0.1 bench methodology), oracle green.
+          // The count is
+          // EXPLICIT (q250's REPARTITION_BY_NUM stance): AQE sizes a
+          // keyed repartition by its INPUT bytes (~3 MB of text → 1
+          // partition) and cannot see the ~200× row fanout the explode
+          // applies after it.
+          .repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("doc_id"))
         val pos = corpus
           .filter(length(col("t")) >= K)
           .select(col("doc_id"),
@@ -1414,6 +1471,14 @@ object Dedup extends Catalog {
         // (recall over hot prefixes comes from extra blocking passes).
         val HotBlockCap = 256
         val a = cappedBlocks(blockedFrame(s, d), HotBlockCap)
+          // explicit-count repartition before the barrier (r17, guide
+          // §2.5): the blocked frame is a broadcast-anti-join straight
+          // off the single-row-group corpus scan, so the checkpoint —
+          // and the levenshtein kernel probing it below — otherwise
+          // ran in ONE task; keyed on the blocking key the self-join
+          // uses
+          .repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt, col("blk"))
           .localCheckpoint() // barrier: cap once, not once per join side
         a.as("x").join(a.as("y"),
             col("x.blk") === col("y.blk") &&
@@ -1457,6 +1522,15 @@ object Dedup extends Catalog {
         val MinShared = 3
         val base = docs(s, d)
         val tf = base
+          // explicit-count repartition before the shingle explode
+          // (r17, guide §2.5): single-row-group corpus scan, so the
+          // tokenize + explode + xxhash64 map work otherwise ran in
+          // ONE task — and hash(doc_id) pre-satisfies the
+          // (doc_id, sh) tf-aggregation below, so the exchange that
+          // carried EXPLODED postings now moves whole documents
+          .repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("doc_id"))
           .select(col("doc_id"), words.as("ws"))
           .filter(size(col("ws")) >= 3)
           .select(col("doc_id"),
@@ -1637,6 +1711,14 @@ object Dedup extends Catalog {
         val N = 5
         val base = docs(s, d)
         val toks = base.select(col("doc_id"), words.as("ws"))
+          // explicit-count repartition before the barrier (r17, guide
+          // §2.5): single-row-group corpus scan, so the per-position
+          // 5-gram xxhash64 explode and the token posexplode both ran
+          // in ONE task off a 1-partition checkpoint; hash(doc_id)
+          // also co-partitions the (doc_id, idx) anti-join's sides
+          .repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("doc_id"))
           .localCheckpoint() // one tokenize feeds positions AND the rebuild
         val pos = toks.filter(size(col("ws")) >= N)
           .select(col("doc_id"),

@@ -43,7 +43,17 @@ object Similarity extends Catalog {
     * hashes per source (the q133/q146 portable-hash family).
     */
   private[graft] def kmvShingles(docs: DataFrame): DataFrame =
-    docs.select(col("source"), split(lower(col("text")), " ").as("ws"))
+    docs
+      // explicit-count repartition before the per-shingle md5 explode
+      // (r17, guide §2.5): the corpus parquet is one unsplittable row
+      // group, so the ~|shingles| md5+conv evaluations otherwise run
+      // in ONE scan task; explicit count so AQE cannot coalesce the
+      // ~3 MB of pre-explode text back to a single partition
+      // (keyed on text — unique per row, and the one column every
+      // caller's frame is guaranteed to carry)
+      .repartition(docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("text"))
+      .select(col("source"), split(lower(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("source"),
         explode(transform(sequence(lit(1), size(col("ws")) - 2),

@@ -726,10 +726,19 @@ class PlanSpec extends SparkSpec {
       "the 1-row stats frame must broadcast")
   }
 
-  test("q138: canonicalization is map-side — exactly the dedup groupBy shuffles") {
+  test("q138: canonicalization spreads off the 1-task scan, then only the dedup groupBy shuffles") {
     val p = plan("q138_url_canonical_dedup")
-    assert(exchanges(p) == 1,
-      s"only the canon_url groupBy may shuffle:\n${p.take(1000)}")
+    // r17/r18: an explicit-count repartition sits between the
+    // single-row-group events scan and the 8-regex canonicalization
+    // chain (guide §2.5 — without it the whole chain runs in ONE scan
+    // task), so the plan owns exactly TWO exchanges: the spread
+    // repartition and the canon_url groupBy. The repartition must be
+    // the explicit REPARTITION_BY_NUM spelling (AQE would coalesce the
+    // ~3 MB pre-fanout input back to one partition otherwise).
+    assert(exchanges(p) == 2,
+      s"spread repartition + canon_url groupBy, nothing else:\n${p.take(1000)}")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      "the scan spread must be the explicit-count repartition")
     assert(p.contains("partial_count") || p.contains("partial_min"),
       "dedup aggregate must be two-phase (map-side partial)")
   }
