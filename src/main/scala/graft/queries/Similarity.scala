@@ -1499,49 +1499,76 @@ object Similarity extends Catalog {
             col("norm").as("qnorm"))
         val wTop = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("nid"))
-        val gt = e.join(broadcast(qf), col("vec_id") =!= col("query_id"))
-          .withColumn("cos",
-            cosine(col("v"), col("qv"), col("norm"), col("qnorm")))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rnk") <= K)
+        // the exact ground truth materializes CONCURRENTLY with the
+        // graph search's fixed checkpoint chain (r18, guide §2.6
+        // "overlap independent jobs"): the brute-force top-K and the
+        // NSW hop jobs share no inputs beyond the corpus scan, and the
+        // search's ≤30-row frontier jobs leave the box idle
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val gtFut = Future {
+          // explicit-count repartition before the ×|queries| fanout
+          // (r18, guide §2.5): the embeddings parquet is one
+          // unsplittable row group, so the |corpus|×|queries| vec_dot
+          // NLJ probe otherwise runs in ONE scan task — the most
+          // expensive per-row work in the whole query
+          e.repartition(
+              s.conf.get("spark.sql.shuffle.partitions").toInt,
+              col("vec_id"))
+            .join(broadcast(qf), col("vec_id") =!= col("query_id"))
+            .withColumn("cos",
+              cosine(col("v"), col("qv"), col("norm"), col("qnorm")))
+            .withColumn("rnk", row_number().over(
+              Window.partitionBy(col("query_id"))
+                .orderBy(col("cos").desc, col("vec_id"))))
+            .filter(col("rnk") <= K)
+            .select(col("query_id"), col("vec_id").as("nid"))
+            .localCheckpoint() // both legs' membership joins read it
+        }
+        val gfin = nswScored(s, d).filter(col("nid") =!= col("query_id"))
+        val gt = Await.result(gtFut, Duration.Inf)
+        // ONE pass per method (r18, the r17 report's "fuse the three
+        // accountings" note, guide §2.3/§2.4): ground-truth membership
+        // rides into each leg as a broadcast left-join BEFORE its
+        // ranking window, so touched (all rows), hits (top-K ∩ gt) and
+        // recall collapse into one window + one aggregate sharing one
+        // query_id exchange — replacing the per-leg localCheckpoint +
+        // count-job + window-join-count sub-plan chain. Row sets are
+        // unchanged: gt is unique per (query_id, nid), so the left
+        // join neither drops nor duplicates leg rows and the window's
+        // (cos DESC, nid) order — and therefore every rank — is
+        // byte-identical to the checkpointed spelling's.
+        val gtB = broadcast(gt.withColumn("is_gt", lit(1L)))
+        def legAgg(leg: DataFrame): DataFrame =
+          leg.join(gtB, Seq("query_id", "nid"), "left")
+            .withColumn("rnk", row_number().over(wTop))
+            .groupBy(col("query_id"))
+            .agg(count(lit(1)).as("touched"),
+              sum(when(col("rnk") <= K && col("is_gt").isNotNull, 1L)
+                .otherwise(0L)).as("hits"))
+        // the IVF leg keeps counting the EXACT candidate set the q51
+        // rerank scores: the inner joins against e/qf cannot drop a
+        // candidate (ivfCandidates ⊆ e by construction, every query in
+        // qf), so count(*) after them equals the old pre-join count
+        val ileg = ivfCandidates(s, d, nprobe = 3)
           .select(col("query_id"), col("vec_id").as("nid"))
-          .localCheckpoint() // both hit joins read it
-        val gfin = nswScored(s, d)
-          .filter(col("nid") =!= col("query_id"))
-          .localCheckpoint() // budget count + top-K share one search
-        val gtouch = gfin.groupBy("query_id")
-          .agg(count(lit(1)).as("touched"))
-        val gtop = gfin.withColumn("rnk", row_number().over(wTop))
-          .filter(col("rnk") <= K).select(col("query_id"), col("nid"))
-        val ghits = gtop.join(gt, Seq("query_id", "nid"))
-          .groupBy("query_id").agg(count(lit(1)).as("hits"))
-        val ic = ivfCandidates(s, d, nprobe = 3)
-          .select(col("query_id"), col("vec_id").as("nid"))
-          .localCheckpoint() // budget count + rerank share one set
-        val itouch = ic.groupBy("query_id")
-          .agg(count(lit(1)).as("touched"))
-        val itop = ic
-          .join(e.select(col("vec_id").as("nid"), col("v"), col("norm")), "nid")
+          .join(e.select(col("vec_id").as("nid"), col("v"), col("norm")),
+            "nid")
           .join(broadcast(qf), "query_id")
           .withColumn("cos",
             cosine(col("v"), col("qv"), col("norm"), col("qnorm")))
-          .withColumn("rnk", row_number().over(wTop))
-          .filter(col("rnk") <= K).select(col("query_id"), col("nid"))
-        val ihits = itop.join(gt, Seq("query_id", "nid"))
-          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+          .select(col("query_id"), col("nid"), col("cos"))
         val qs = qf.select(col("query_id"))
-        def shape(m: String, t: DataFrame, h: DataFrame): DataFrame =
-          qs.join(t, Seq("query_id"), "left")
-            .join(h, Seq("query_id"), "left")
+        def shape(m: String, agg: DataFrame): DataFrame =
+          qs.join(agg, Seq("query_id"), "left")
             .select(lit(m).as("method"), col("query_id"),
               coalesce(col("touched"), lit(0L)).as("touched"),
               coalesce(col("hits"), lit(0L)).as("hits"))
             .withColumn("recall_ppm",
               expr(s"CAST((hits * 1000000) DIV $K AS BIGINT)"))
-        shape("graph", gtouch, ghits)
-          .unionByName(shape("ivf", itouch, ihits))
+        shape("graph", legAgg(gfin))
+          .unionByName(shape("ivf", legAgg(ileg)))
       },
       sql = Some(s"""
         WITH $EmbSqlCte,
