@@ -125,11 +125,44 @@ object Similarity extends Catalog {
     * localCheckpoint is the materialization barrier so a self-join's
     * two sides share ONE signature computation (mirrors Dedup q27).
     */
-  private def buckets(e: DataFrame): DataFrame =
-    e.select(col("vec_id"),
+  private def buckets(e: DataFrame): DataFrame = {
+    // SIZE-GATED explicit-count repartition before the signature
+    // kernel (r18, guide §2.5 + §2.1 scale-adaptive partitioning): the
+    // embeddings parquet is one unsplittable row group, so the
+    // per-vector plane-dot lsh_sigs evaluations — the expensive
+    // per-row work of every LSH consumer — otherwise run in ONE scan
+    // task, and the checkpoint below then feeds every candidate join
+    // from a single partition. Measured: at the 10× blowup the spread
+    // cuts q49 29.2 → 3.5 s, while at sf0.1 the corpus is so small the
+    // added exchange only costs (+0.1–0.3 s/consumer) — so the spread
+    // derives its partition count from the OPTIMIZER'S SIZE ESTIMATE
+    // (≈ parquet bytes: sf0.1 ≈ 0.8 MB, 10× ≈ 5.2 MB), engages above
+    // SpreadMinBytes, and caps at the session's shuffle-partition conf
+    // — the scale knob a cluster deployment actually sets. The
+    // checkpoint itself stays (r17 measured its removal as
+    // unstable-negative); only the map work above it spreads.
+    val est = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    val spread =
+      if (est < BucketsSpreadMinBytes) e
+      else e.repartition(
+        math.min(
+          e.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong,
+          (est / BucketsSpreadTargetBytes).toLong).toInt,
+        col("vec_id"))
+    spread.select(col("vec_id"),
       posexplode(call_function("lsh_sigs", col("v"),
         lit(LshTables), lit(BitsPerTable))).as(Seq("t", "sig")))
       .localCheckpoint()
+  }
+
+  /** buckets()'s spread gate: engage only when the estimated input is
+    * big enough that single-task signature hashing dominates the added
+    * exchange (≈2 MB ≈ 20k+ vectors), and size partitions to ~128 KB
+    * of estimate each (the measured-win geometry at the 10× blowup:
+    * 5.2 MB / 128 KB = 40 → capped at the 32 conf partitions).
+    */
+  private val BucketsSpreadMinBytes = 2L * 1024 * 1024
+  private val BucketsSpreadTargetBytes = 128L * 1024
 
   // ---- DuckDB mirror of the lsh_sigs kernel ------------------------
   // The oracle computes the SAME signatures from the same ±1 plane
@@ -462,14 +495,27 @@ object Similarity extends Catalog {
     * is usually a neighbor of a found neighbor), at vector cost
     * bounded by the new-pair count.
     */
-  private def nswRefine(e: DataFrame, s0: DataFrame): DataFrame = {
+  private def nswRefine(e: DataFrame, s0: DataFrame,
+      /** true = disk-persist ONLY the fresh-scored leg (r18, guide §5):
+        * when s0 is itself already disk-resident (q264's fold), the
+        * union's two legs are then both persisted and downstream
+        * consumers never recompute a cosine — without paying a second
+        * full-index disk write of s0's rows through an outer persist
+        * of the union. false (q261) = the caller stages the whole
+        * result to parquet and persisting a leg would only double-write.
+        */
+      persistFresh: Boolean = false): DataFrame = {
     val edges0 = symTopM(s0, GraphM).localCheckpoint()
     val nn2 = edges0.as("x").join(edges0.as("y"),
         col("x.dst") === col("y.src") && col("x.src") =!= col("y.dst"))
       .select(col("x.src").as("src"), col("y.dst").as("dst"))
       .dropDuplicates("src", "dst")
     val fresh = nn2.join(s0.select("src", "dst"), Seq("src", "dst"), "left_anti")
-    s0.unionByName(nswScorePairs(e, fresh))
+    val scored = nswScorePairs(e, fresh)
+    s0.unionByName(
+      if (persistFresh)
+        scored.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else scored)
   }
 
   /** builder-logic cache tag: every CONSTANT that shapes the staged
@@ -584,20 +630,29 @@ object Similarity extends Catalog {
     val newPairs = touchD.unionByName(
         touchD.select(col("dst").as("src"), col("src").as("dst")))
       .dropDuplicates("src", "dst")
-    // DISK_ONLY, not localCheckpoint: the fold frames reach ~10% of
-    // the corpus's candidate volume and pinned in-memory blocks are
-    // what OOM'd the blowup bench (see nswScored); disk persistence
-    // keeps the once-computed guarantee without heap residency
+    // the delta scores materialize exactly once, INSIDE the union's
+    // DISK_ONLY persist below (r18, guide §5): the old standalone
+    // persist on this frame wrote the same delta rows to disk a second
+    // time for zero extra reuse in the fold path — the union is this
+    // frame's only consumer. (The contract spec's standalone counts
+    // over deltaScored recompute the skinny bucket join instead, at
+    // sf0.001 cost.) DISK_ONLY, not localCheckpoint, on the union: the
+    // fold frames reach ~10% of the corpus's candidate volume and
+    // pinned in-memory blocks are what OOM'd the blowup bench (see
+    // nswScored).
     val deltaScored = nswScorePairs(e, newPairs)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // set-identical to the one-shot scored cobucket frame: B-B pairs
     // share buckets independently of the delta (signatures are pure
     // functions of each vector), delta-touching pairs are exactly
     // newPairs, and both score with the same kernel on the same
-    // vectors — so every downstream layer is identical by construction
+    // vectors — so every downstream layer is identical by construction.
+    // persistFresh: the refinement's new scores disk-persist as their
+    // own leg, so s1Full is the union of two persisted frames and the
+    // caller never pays a third, full-index write to make it reusable.
     val s1Full = nswRefine(e,
       s0Base.unionByName(deltaScored)
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY),
+      persistFresh = true)
     NswIncParts(s0Base, deltaScored, s1Full)
   }
 
@@ -607,10 +662,22 @@ object Similarity extends Catalog {
   private[queries] def nswIncrementalScored(
       s: SparkSession, d: String, ef: Int = GraphEf): DataFrame = {
     val e = embeddings(s, d)
+    // no outer persist (r18, guide §5): s1Full is already the union of
+    // two DISK_ONLY legs (the fold's staged+delta union and the
+    // refinement's fresh scores), so both layer derivations below read
+    // persisted rows — the old extra persist re-wrote the entire index
+    // to disk once more for no additional reuse
     val s1 = nswIncParts(s, d).s1Full
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val (base, upper, entry) = nswLayers(e, s1)
-    nswSearch(e, base.localCheckpoint(), upper.localCheckpoint(), entry, ef)
+    // the two layer checkpoints are independent jobs over the same
+    // persisted s1 — materialize them concurrently (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bF = Future { base.localCheckpoint() }
+    val uF = Future { upper.localCheckpoint() }
+    nswSearch(e, Await.result(bF, Duration.Inf),
+      Await.result(uF, Duration.Inf), entry, ef)
   }
 
   /** q261/q264's emission: exact top-K of a searched set, self
