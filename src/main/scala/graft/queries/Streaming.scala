@@ -591,7 +591,7 @@ object Streaming extends Catalog {
         val (seedRows, rest) = feed.toSeq.splitAt(seedSpan)
         replayChunks(s,
             (seedRows.grouped(math.max(1, (seedSpan + 2) / 3)) ++
-              rest.grouped(math.max(1, (rest.length + 5) / 6))).toSeq,
+              rest.grouped(math.max(1, (rest.length + 2) / 3))).toSeq,
             "q217_hw")(EventStreams.holtWintersPerKey)
           .select(col("key").as("event_type"),
             col("d"), col("x"), col("fc"))
@@ -635,7 +635,7 @@ object Streaming extends Catalog {
           .as[(Long, Long, Long, Long)].collect()
           .sortBy(r => (r._2, r._3))
           .map { case (uid, us, eid, c) => EventStreams.ZRow(uid, us, eid, c) }
-        replayChunked(s, feed.toSeq, math.max(1, (feed.length + 7) / 8),
+        replayChunked(s, feed.toSeq, math.max(1, (feed.length + 3) / 4),
             "q223_zscore")(EventStreams.rollingZscorePerUser)
           .select(col("event_id"), col("user_id"),
             col("z_sign"), col("z2_permille"), col("is_anomaly"))
@@ -674,7 +674,7 @@ object Streaming extends Catalog {
           .sortBy(r => (r._2, r._3))
           .map { case (uid, us, eid, et) =>
             EventStreams.NeRow(uid, us, eid, et) }
-        replayChunked(s, feed.toSeq, math.max(1, (feed.length + 7) / 8),
+        replayChunked(s, feed.toSeq, math.max(1, (feed.length + 3) / 4),
             "q229_ne")(EventStreams.nextEventExamplesPerUser)
           .select(col("user_id"), col("sid"), col("pos"),
             col("context"), col("label"), col("split"))
@@ -725,7 +725,7 @@ object Streaming extends Catalog {
           new java.sql.Timestamp(feed.map(_.ts.getTime).max +
             24L * 3600 * 1000),
           0L, "sentinel", 0.0)
-        val chunks = sessionSeamChunks(feed.toSeq, nCuts = 4,
+        val chunks = sessionSeamChunks(feed.toSeq, nCuts = 2,
           gapUs = 5L * 60 * 1000000)
         replayChunks(s, chunks.init :+ (chunks.last :+ sentinel),
             "q242_attr", "append")(
@@ -765,7 +765,7 @@ object Streaming extends Catalog {
         // the staged feed ends with the sentinel — seam-chunk the real
         // events, then let the sentinel ride the last chunk (its own
         // batch would buy nothing but one more RocksDB commit)
-        val chunks = sessionSeamChunks(feed.init, nCuts = 4,
+        val chunks = sessionSeamChunks(feed.init, nCuts = 2,
           gapUs = 5L * 60 * 1000000)
         replayChunks(s, chunks.init :+ (chunks.last :+ feed.last),
             "q256_attr", "append")(
